@@ -1,0 +1,114 @@
+"""Fixture-table catalog: explicit schemas, loaders, temp-view helper.
+
+Schemas mirror FIXTURES.md §2 exactly and are ALWAYS passed to the reader —
+schema inference on read is forbidden at the 100 TB design point (it triggers
+a footer-sampling job over the whole dataset and can silently widen types).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+_S = T.StructField
+
+
+def _schema(*fields: T.StructField) -> T.StructType:
+    return T.StructType(list(fields))
+
+
+TABLE_SCHEMAS: dict[str, T.StructType] = {
+    "region": _schema(
+        _S("r_regionkey", T.IntegerType()),
+        _S("r_name", T.StringType()),
+    ),
+    "nation": _schema(
+        _S("n_nationkey", T.IntegerType()),
+        _S("n_name", T.StringType()),
+        _S("n_regionkey", T.IntegerType()),
+    ),
+    "customer": _schema(
+        _S("c_custkey", T.LongType()),
+        _S("c_name", T.StringType()),
+        _S("c_nationkey", T.IntegerType()),
+        _S("c_acctbal", T.DoubleType()),
+        _S("c_mktsegment", T.StringType()),
+    ),
+    "supplier": _schema(
+        _S("s_suppkey", T.LongType()),
+        _S("s_name", T.StringType()),
+        _S("s_nationkey", T.IntegerType()),
+        _S("s_acctbal", T.DoubleType()),
+    ),
+    "part": _schema(
+        _S("p_partkey", T.LongType()),
+        _S("p_name", T.StringType()),
+        _S("p_brand", T.StringType()),
+        _S("p_type", T.StringType()),
+        _S("p_size", T.IntegerType()),
+        _S("p_retailprice", T.DoubleType()),
+    ),
+    "orders": _schema(
+        _S("o_orderkey", T.LongType()),
+        _S("o_custkey", T.LongType()),
+        _S("o_orderstatus", T.StringType()),
+        _S("o_totalprice", T.DoubleType()),
+        _S("o_orderdate", T.TimestampType()),
+        _S("o_orderpriority", T.StringType()),
+    ),
+    "lineitem": _schema(
+        _S("l_orderkey", T.LongType()),
+        _S("l_partkey", T.LongType()),
+        _S("l_suppkey", T.LongType()),
+        _S("l_linenumber", T.IntegerType()),
+        _S("l_quantity", T.DoubleType()),
+        _S("l_extendedprice", T.DoubleType()),
+        _S("l_discount", T.DoubleType()),
+        _S("l_tax", T.DoubleType()),
+        _S("l_returnflag", T.StringType()),
+        _S("l_linestatus", T.StringType()),
+        _S("l_shipdate", T.TimestampType()),
+    ),
+    "events": _schema(
+        _S("event_id", T.LongType()),
+        _S("ts", T.TimestampType()),
+        _S("user_id", T.LongType()),
+        _S("event_type", T.StringType()),
+        _S("value", T.DoubleType()),
+        _S("props", T.StringType()),
+    ),
+    "documents": _schema(
+        _S("doc_id", T.LongType()),
+        _S("text", T.StringType()),
+        _S("lang", T.StringType()),
+        _S("source", T.StringType()),
+        _S("n_chars", T.LongType()),
+    ),
+    "embeddings": _schema(
+        _S("vec_id", T.LongType()),
+        _S("embedding", T.ArrayType(T.FloatType())),
+        _S("label", T.IntegerType()),
+    ),
+}
+
+TABLE_NAMES: tuple[str, ...] = tuple(TABLE_SCHEMAS)
+
+# Dimension tables small enough to ALWAYS broadcast, even at sf=100TB
+# (region/nation are fixed-cardinality; supplier/part grow slowly).
+BROADCAST_DIMS: frozenset[str] = frozenset({"region", "nation"})
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one fixture table with its explicit schema."""
+    return spark.read.schema(TABLE_SCHEMAS[name]).parquet(f"{sf_dir}/{name}.parquet")
+
+
+def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:
+    """Read several fixture tables; all of them when no names given."""
+    return {n: load_table(spark, sf_dir, n) for n in (names or TABLE_NAMES)}
+
+
+def register_views(spark: SparkSession, sf_dir: str, *names: str) -> None:
+    """Register fixture tables as temp views (for spark.sql-based operators)."""
+    for n, df in load_tables(spark, sf_dir, *names).items():
+        df.createOrReplaceTempView(n)

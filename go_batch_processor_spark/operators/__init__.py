@@ -1,0 +1,4 @@
+"""Operator inventory (SURVEY.md §2.2) — importing this package registers
+every query into go_batch_processor_spark.registry.REGISTRY."""
+
+from go_batch_processor_spark.operators import aggregates  # noqa: F401

@@ -1,0 +1,179 @@
+"""Aggregation operators (SURVEY.md §2.2.d).
+
+The reference has no aggregation operators (SURVEY.md §2.1.1 — its Processor
+is an opaque black box, /root/reference/batch_processor.go:21-23); these are
+part of the declared extension inventory. All are stock Catalyst hash
+aggregates: partial (map-side) aggregation happens automatically, so at 100 TB
+the shuffle carries only per-group partials, never raw rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from go_batch_processor_spark.catalog import load_table, register_views
+from go_batch_processor_spark.registry import register
+
+
+@register(
+    "agg_groupby_q1",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2)                                        AS sum_qty,
+           round(sum(l_extendedprice), 2)                                   AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 2)                AS sum_disc_price,
+           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)  AS sum_charge,
+           round(avg(l_quantity), 4)                                        AS avg_qty,
+           round(avg(l_extendedprice), 4)                                   AS avg_price,
+           round(avg(l_discount), 6)                                        AS avg_disc,
+           count(*)                                                         AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2000-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def agg_groupby_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: scan -> filter -> hash-agg (8 aggregates, 2 group keys).
+
+    Scale notes: filter + 7-column projection push down to the parquet scan;
+    the shuffle carries 6 partial-agg rows per map task (|groups| is tiny),
+    so this is scan-bound at any scale factor.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("2000-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@register(
+    "agg_distinct_count",
+    oracle="""
+    SELECT l_returnflag,
+           count(DISTINCT l_suppkey) AS n_supp,
+           count(*)                  AS n_rows
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def agg_distinct_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct aggregation (Catalyst expands to a two-phase agg)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+@register("agg_approx_distinct", tags={"rows_only"})
+def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ distinct counts — THE distinct strategy at 100 TB.
+
+    Rows-only check: DuckDB's approx_count_distinct uses a different sketch,
+    so values differ by construction (SURVEY.md §2.2.d).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.01).alias("approx_users"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+@register(
+    "agg_rollup",
+    oracle="""
+    SELECT c_nationkey, c_mktsegment,
+           round(sum(c_acctbal), 2) AS total_bal,
+           count(*)                 AS n_cust
+    FROM customer
+    GROUP BY ROLLUP (c_nationkey, c_mktsegment)
+    """,
+)
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP (nation, mktsegment) over customer balances."""
+    c = load_table(spark, sf_dir, "customer")
+    return c.rollup("c_nationkey", "c_mktsegment").agg(
+        F.round(F.sum("c_acctbal"), 2).alias("total_bal"),
+        F.count(F.lit(1)).alias("n_cust"),
+    )
+
+
+@register(
+    "agg_cube",
+    oracle="""
+    SELECT event_type, user_id % 10 AS user_bucket,
+           count(*)             AS n,
+           round(sum(value), 2) AS total_value
+    FROM events
+    GROUP BY CUBE (event_type, user_id % 10)
+    """,
+)
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE (event_type, user bucket) over event values."""
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "user_bucket", F.col("user_id") % 10
+    )
+    return ev.cube("event_type", "user_bucket").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+    )
+
+
+@register(
+    "agg_grouping_sets",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2) AS sum_qty,
+           count(*)                  AS n
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    """,
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS via Spark SQL (same Catalyst Expand as cube)."""
+    register_views(spark, sf_dir, "lineitem")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               round(sum(l_quantity), 2) AS sum_qty,
+               count(*)                  AS n
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        """
+    )
+
+
+@register(
+    "agg_having",
+    oracle="""
+    SELECT o_custkey,
+           count(*)                  AS n_orders,
+           round(sum(o_totalprice), 2) AS total_spent
+    FROM orders
+    GROUP BY o_custkey
+    HAVING count(*) > 5
+    """,
+)
+def agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Post-aggregation filter (HAVING) — a filter above the agg node."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_spent"),
+        )
+        .filter(F.col("n_orders") > 5)
+    )

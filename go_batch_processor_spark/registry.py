@@ -1,0 +1,71 @@
+"""Query registry: the single source of truth for the driver contract.
+
+Every operator from SURVEY.md §2.2 registers here as a named QuerySpec:
+a Spark query callable ``(spark, sf_dir) -> DataFrame`` plus (when the
+semantics are ANSI-SQL-expressible) a DuckDB oracle SQL string computing the
+same result with identical column names and rounding. ``__spark_entry__.py``
+re-exports this registry verbatim.
+
+Parity rules (SURVEY.md §7.5 "oracle parity traps"):
+  - alias every computed column identically on both sides;
+  - per-row IEEE double arithmetic is bit-exact across engines — leave raw;
+  - order-dependent double aggregates (sum/avg over shuffled data) are NOT
+    bit-exact — round to a fixed scale on BOTH sides;
+  - never round stored 2-decimal prices at <=2 decimals (values sit exactly
+    on half-way points where engines' rounding of the underlying binary
+    double diverges); only round genuinely continuous computed values;
+  - cast width-divergent results (DuckDB length()->BIGINT vs Spark ->INT,
+    DuckDB sum(int)->HUGEINT) to an explicit common type on both sides.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+
+@dataclass(frozen=True)
+class QuerySpec:
+    name: str
+    fn: QueryFn
+    oracle: str | None  # DuckDB SQL twin; None => rows-only check
+    tags: frozenset[str] = field(default_factory=frozenset)
+    doc: str = ""
+
+
+REGISTRY: dict[str, QuerySpec] = {}
+
+
+def register(
+    name: str, oracle: str | None = None, tags: frozenset[str] | set[str] = frozenset()
+) -> Callable[[QueryFn], QueryFn]:
+    """Decorator: register a query under ``name`` with its oracle SQL."""
+
+    def deco(fn: QueryFn) -> QueryFn:
+        if name in REGISTRY:
+            raise ValueError(f"duplicate query name: {name}")
+        REGISTRY[name] = QuerySpec(
+            name=name, fn=fn, oracle=oracle, tags=frozenset(tags), doc=fn.__doc__ or ""
+        )
+        return fn
+
+    return deco
+
+
+def all_queries() -> dict[str, QueryFn]:
+    _ensure_loaded()
+    return {name: spec.fn for name, spec in REGISTRY.items()}
+
+
+def all_oracles() -> dict[str, str]:
+    _ensure_loaded()
+    return {n: s.oracle for n, s in REGISTRY.items() if s.oracle is not None}
+
+
+def _ensure_loaded() -> None:
+    # Import operator modules for their registration side effects.
+    import go_batch_processor_spark.operators  # noqa: F401
