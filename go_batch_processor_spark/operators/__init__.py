@@ -1,4 +1,11 @@
 """Operator inventory (SURVEY.md §2.2) — importing this package registers
 every query into go_batch_processor_spark.registry.REGISTRY."""
 
-from go_batch_processor_spark.operators import aggregates  # noqa: F401
+from go_batch_processor_spark.operators import (  # noqa: F401
+    aggregates,
+    filters,
+    scalars,
+    scans,
+    setops,
+    sorts,
+)

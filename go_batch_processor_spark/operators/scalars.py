@@ -1,0 +1,167 @@
+"""Scalar function operators (SURVEY.md §2.2.h): string / date / math /
+json / array / case.
+
+All JVM-side built-ins inside whole-stage codegen — no Python in the row
+path. Parity notes per the registry rules: width-divergent results (length,
+year, size) are cast to BIGINT on both sides; libm-dependent math (ln) is
+rounded; stored 2-decimal prices are never rounded at <=2 decimals.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from go_batch_processor_spark.catalog import load_table
+from go_batch_processor_spark.registry import register
+
+
+@register(
+    "scalar_string",
+    oracle="""
+    SELECT p_partkey,
+           upper(p_name)                       AS name_upper,
+           substr(p_type, 1, 5)                AS type_prefix,
+           CAST(length(p_name) AS BIGINT)      AS name_len,
+           p_brand || '#' || p_type            AS brand_type,
+           (p_name LIKE '%o%')                 AS has_o
+    FROM part
+    """,
+)
+def scalar_string(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """upper / substr / length / concat / LIKE over part descriptors."""
+    p = load_table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.upper("p_name").alias("name_upper"),
+        F.substring("p_type", 1, 5).alias("type_prefix"),
+        F.length("p_name").cast("long").alias("name_len"),
+        F.concat(F.col("p_brand"), F.lit("#"), F.col("p_type")).alias("brand_type"),
+        F.col("p_name").like("%o%").alias("has_o"),
+    )
+
+
+@register(
+    "scalar_date",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(year(o_orderdate) AS BIGINT)     AS order_year,
+           CAST(month(o_orderdate) AS BIGINT)    AS order_month,
+           date_trunc('month', o_orderdate)      AS month_start,
+           CAST(datediff('day', TIMESTAMP '1995-01-01', o_orderdate) AS BIGINT)
+                                                 AS days_since_epoch95
+    FROM orders
+    """,
+)
+def scalar_date(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """year / month / date_trunc / datediff on order dates."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").cast("long").alias("order_year"),
+        F.month("o_orderdate").cast("long").alias("order_month"),
+        F.date_trunc("month", F.col("o_orderdate")).alias("month_start"),
+        F.datediff(F.col("o_orderdate"), F.lit("1995-01-01").cast("date"))
+        .cast("long")
+        .alias("days_since_epoch95"),
+    )
+
+
+@register(
+    "scalar_math",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           round(l_extendedprice * 0.8, 3)  AS discounted,
+           abs(l_discount - 0.05)           AS disc_dev,
+           round(sqrt(l_quantity), 6)       AS qty_sqrt,
+           round(ln(l_extendedprice), 6)    AS price_ln
+    FROM lineitem
+    """,
+)
+def scalar_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """round / abs / sqrt / ln. sqrt is IEEE-exact; ln is libm-dependent,
+    hence rounded to 6 digits on both sides."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.col("l_extendedprice") * 0.8, 3).alias("discounted"),
+        F.abs(F.col("l_discount") - 0.05).alias("disc_dev"),
+        F.round(F.sqrt("l_quantity"), 6).alias("qty_sqrt"),
+        F.round(F.log(F.col("l_extendedprice")), 6).alias("price_ln"),
+    )
+
+
+@register(
+    "scalar_json",
+    oracle="""
+    SELECT event_id,
+           CAST(props->>'k' AS BIGINT) AS prop_k,
+           (props->>'k' IS NOT NULL)   AS has_k
+    FROM events
+    """,
+)
+def scalar_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON field extraction from the events.props string column."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k")
+    return ev.select(
+        "event_id",
+        k.cast("long").alias("prop_k"),
+        k.isNotNull().alias("has_k"),
+    )
+
+
+@register(
+    "scalar_array",
+    oracle="""
+    SELECT vec_id,
+           CAST(len(embedding) AS BIGINT) AS dim,
+           round(CAST(embedding[1] AS DOUBLE) + embedding[2] + embedding[3], 6)
+                                          AS head3_sum,
+           round(CAST(embedding[64] AS DOUBLE), 6) AS last_elem
+    FROM embeddings
+    """,
+)
+def scalar_array(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """size / element_at / slice over ArrayType(Float) embeddings.
+
+    Floats are cast to double before arithmetic so both engines accumulate
+    at the same precision (float->double conversion is exact).
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    head3 = (
+        F.element_at("embedding", 1).cast("double")
+        + F.element_at("embedding", 2).cast("double")
+        + F.element_at("embedding", 3).cast("double")
+    )
+    return e.select(
+        "vec_id",
+        F.size("embedding").cast("long").alias("dim"),
+        F.round(head3, 6).alias("head3_sum"),
+        F.round(F.element_at("embedding", 64).cast("double"), 6).alias("last_elem"),
+    )
+
+
+@register(
+    "scalar_case",
+    oracle="""
+    SELECT event_id,
+           CASE WHEN value < 50 THEN 'low'
+                WHEN value < 150 THEN 'mid'
+                ELSE 'high' END AS bucket,
+           CASE WHEN event_type = 'error' THEN 0 ELSE 1 END AS ok_flag
+    FROM events
+    """,
+)
+def scalar_case(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CASE WHEN bucketing (searched case, else branch, int literals)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.when(F.col("value") < 50, "low")
+        .when(F.col("value") < 150, "mid")
+        .otherwise("high")
+        .alias("bucket"),
+        F.when(F.col("event_type") == "error", 0).otherwise(1).alias("ok_flag"),
+    )

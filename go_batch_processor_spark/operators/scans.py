@@ -1,0 +1,75 @@
+"""Scan / source / sink operators (SURVEY.md §2.2.a).
+
+The reference's only source/sink surface is the opaque pull interface pair
+``Supplier.FetchNextBatch`` / ``Finalizer.OnBatchProcessed``
+(/root/reference/batch_processor.go:16-18,26-28); columnar file scans are
+extension inventory. Scans here are plain ``spark.read.parquet`` with
+explicit schemas: Catalyst pushes projections and predicates into the
+parquet reader (verify with .explain: ``ReadSchema`` / ``PushedFilters``).
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from go_batch_processor_spark.catalog import load_table
+from go_batch_processor_spark.registry import register
+
+
+@register(
+    "scan_parquet",
+    oracle="""
+    SELECT count(*)                         AS n_rows,
+           round(sum(l_extendedprice), 2)   AS sum_price,
+           CAST(sum(l_orderkey) AS BIGINT)  AS sum_orderkey,
+           CAST(sum(l_linenumber) AS BIGINT) AS sum_linenumber
+    FROM lineitem
+    """,
+)
+def scan_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full fact-table scan with checksum aggregates over key columns."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+        F.sum("l_orderkey").alias("sum_orderkey"),
+        F.sum("l_linenumber").cast("long").alias("sum_linenumber"),
+    )
+
+
+@register(
+    "scan_projection_pushdown",
+    oracle="SELECT o_orderkey, o_totalprice FROM orders",
+)
+def scan_projection_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Project 2 of 6 columns — parquet reads only those column chunks.
+
+    Plan check: ReadSchema must list exactly o_orderkey, o_totalprice.
+    """
+    return load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+
+
+@register(
+    "sink_parquet_roundtrip",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_returnflag
+    FROM lineitem WHERE l_returnflag = 'R'
+    """,
+)
+def sink_parquet_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write a filtered projection to parquet, read it back (sink + source).
+
+    At scale the write would be partitioned (``partitionBy``) and sized via
+    ``spark.sql.files.maxRecordsPerFile``; the roundtrip proves the sink
+    preserves schema and values exactly.
+    """
+    out = os.path.join(tempfile.gettempdir(), "gbp_spark_sink_roundtrip")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice", "l_returnflag"
+    ).filter(F.col("l_returnflag") == "R")
+    li.write.mode("overwrite").parquet(out)
+    return spark.read.schema(li.schema).parquet(out)
