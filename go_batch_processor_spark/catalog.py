@@ -99,7 +99,27 @@ BROADCAST_DIMS: frozenset[str] = frozenset({"region", "nation"})
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Read one fixture table with its explicit schema."""
+    """Read one fixture table with its explicit schema.
+
+    ``events.ts`` is physically parquet TIMESTAMP(NANOS); Spark has no nanos
+    timestamp type, so it is read as a nanos long (legacy.parquet.nanosAsLong)
+    and converted to a microsecond TimestampType here — sub-microsecond parts
+    truncate, matching DuckDB's micros semantics for the oracle.
+    """
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        raw = T.StructType(
+            [
+                f if f.name != "ts" else _S("ts", T.LongType())
+                for f in TABLE_SCHEMAS["events"].fields
+            ]
+        )
+        df = spark.read.schema(raw).parquet(f"{sf_dir}/{name}.parquet")
+        from pyspark.sql import functions as F
+
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000"))).select(
+            *[f.name for f in TABLE_SCHEMAS["events"].fields]
+        )
     return spark.read.schema(TABLE_SCHEMAS[name]).parquet(f"{sf_dir}/{name}.parquet")
 
 

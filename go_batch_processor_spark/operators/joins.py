@@ -1,0 +1,222 @@
+"""Join operators (SURVEY.md §2.2.c).
+
+The reference has no joins (SURVEY.md §2.1.1); extension inventory. All
+standard joins are stock Catalyst — the engine's job is picking the right
+physical shape for 100 TB:
+
+  - fact x fact      -> sort-merge / shuffled hash on the equi key (AQE may
+                        convert to broadcast at runtime if a side is small);
+  - fact x small dim -> explicit ``F.broadcast`` hint: no shuffle of the fact;
+  - semi/anti        -> ``left_semi`` / ``left_anti`` (never join+distinct);
+  - as-of            -> no native Spark primitive; implemented below as a
+                        union + window ``last(ignorenulls)`` pass: ONE shuffle
+                        on the by-key, no range explosion, scales linearly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from go_batch_processor_spark.catalog import load_table
+from go_batch_processor_spark.registry import register
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on_time: tuple[str, str],
+    by: tuple[str, str] | None,
+    value_cols: list[str],
+    how: str = "inner",
+) -> DataFrame:
+    """Generic as-of join: for each left row, the latest right row whose time
+    is <= the left row's time (inclusive), optionally per by-key.
+
+    Algorithm (scalable; no per-row range scan, no broadcast of the right):
+      1. tag left rows ``_is_left=1`` and right rows ``_is_left=0``;
+      2. union on (by-key, time, right value columns, left payload);
+      3. window per by-key ordered by (time, _is_left): running
+         ``last(value, ignorenulls=True)`` carries the latest right value
+         forward onto each left row — right sorts before left at equal
+         times, making the match inclusive;
+      4. keep left rows; ``how='inner'`` drops left rows with no prior match.
+
+    Cost: one shuffle + sort on the by-key — the same cost as a sort-merge
+    join, independent of time-range density. At 100 TB the window state per
+    key is O(1) (only the carried values), so no skew blowup beyond ordinary
+    hot-key skew (mitigable by AQE or time-bucketed salting).
+    """
+    lt, rt = on_time
+    lkey, rkey = by if by else (None, None)
+
+    lsel: list[Column] = [F.col(lt).alias("_t"), F.lit(1).alias("_is_left")]
+    rsel: list[Column] = [F.col(rt).alias("_t"), F.lit(0).alias("_is_left")]
+    if by:
+        lsel.append(F.col(lkey).alias("_k"))
+        rsel.append(F.col(rkey).alias("_k"))
+    for c in left.columns:
+        lsel.append(F.col(c))
+        rsel.append(F.lit(None).cast(left.schema[c].dataType).alias(c))
+    for c in value_cols:
+        lsel.append(F.lit(None).cast(right.schema[c].dataType).alias(f"_v_{c}"))
+        rsel.append(F.col(c).alias(f"_v_{c}"))
+
+    unioned = left.select(*lsel).unionByName(right.select(*rsel))
+
+    w = (
+        (Window.partitionBy("_k") if by else Window.partitionBy(F.lit(0)))
+        .orderBy(F.col("_t").asc(), F.col("_is_left").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = unioned.select(
+        "*",
+        *[
+            F.last(f"_v_{c}", ignorenulls=True).over(w).alias(f"_asof_{c}")
+            for c in value_cols
+        ],
+    )
+    out = carried.filter(F.col("_is_left") == 1).select(
+        *left.columns, *[F.col(f"_asof_{c}").alias(f"asof_{c}") for c in value_cols]
+    )
+    if how == "inner":
+        matched = F.lit(True)
+        for c in value_cols:
+            matched = matched & F.col(f"asof_{c}").isNotNull()
+        out = out.filter(matched)
+    return out
+
+
+@register(
+    "join_inner_equi",
+    oracle="""
+    SELECT o_orderkey, c_custkey, c_name, o_totalprice
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    """,
+)
+def join_inner_equi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Plain inner equi-join orders x customer (shuffle join; AQE may
+    broadcast the customer side at small SF)."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    return o.join(c, o.o_custkey == c.c_custkey, "inner").select(
+        "o_orderkey", "c_custkey", "c_name", "o_totalprice"
+    )
+
+
+@register(
+    "join_broadcast_dim",
+    oracle="""
+    SELECT c_custkey, c_name, n_name, r_name
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    """,
+)
+def join_broadcast_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Star-schema dim joins with explicit broadcast hints — at 100 TB the
+    fact side never shuffles for fixed-cardinality dims (nation=25, region=5)."""
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select("c_custkey", "c_name", "n_name", "r_name")
+    )
+
+
+@register(
+    "join_left_outer",
+    oracle="""
+    SELECT c_custkey, o_orderkey, o_totalprice
+    FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+    """,
+)
+def join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer: every customer, order columns null when unmatched."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left").select(
+        "c_custkey", "o_orderkey", "o_totalprice"
+    )
+
+
+@register(
+    "join_left_semi",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def join_left_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXISTS as left_semi — right side reduced to keys before the join,
+    output never duplicates left rows."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+        "c_custkey", "c_name"
+    )
+
+
+@register(
+    "join_left_anti",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def join_left_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT EXISTS as left_anti."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+@register(
+    "join_theta_range",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, p_partkey, p_size, l_quantity
+    FROM lineitem JOIN part
+      ON l_partkey = p_partkey AND l_quantity < p_size
+    """,
+)
+def join_theta_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi key + range residual: Catalyst joins on the equi part and applies
+    the range predicate as a post-join filter — never a cartesian product."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    return li.join(
+        p, (li.l_partkey == p.p_partkey) & (li.l_quantity < p.p_size), "inner"
+    ).select("l_orderkey", "l_linenumber", "p_partkey", "p_size", "l_quantity")
+
+
+@register(
+    "join_asof",
+    oracle="""
+    SELECT e.event_id, e.user_id, e.ts, o.o_orderdate AS asof_o_orderdate
+    FROM events e
+    ASOF JOIN orders o
+      ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+    """,
+)
+def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyed as-of join: each event matched to the latest order of the same
+    key (user_id = o_custkey) at or before the event time.
+
+    Oracle is DuckDB's native ASOF JOIN; the Spark side uses the union+window
+    construction in :func:`asof_join` (reference has no such operator — this
+    generalizes the poll-loop's "latest state" pattern to event time).
+    """
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    o = load_table(spark, sf_dir, "orders").select("o_custkey", "o_orderdate")
+    return asof_join(
+        ev,
+        o,
+        on_time=("ts", "o_orderdate"),
+        by=("user_id", "o_custkey"),
+        value_cols=["o_orderdate"],
+        how="inner",
+    )
