@@ -3,10 +3,14 @@ every query into go_batch_processor_spark.registry.REGISTRY."""
 
 from go_batch_processor_spark.operators import (  # noqa: F401
     aggregates,
+    dedup,
     filters,
     joins,
+    similarity,
     scalars,
     scans,
     setops,
     sorts,
+    text,
+    windows,
 )

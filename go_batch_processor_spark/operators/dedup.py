@@ -1,0 +1,285 @@
+"""Deduplication operators over ``documents`` (north-star §2.2.i).
+
+Four strategies, all JVM-side (no Python UDFs in the row path):
+
+  dedup_exact         — content-hash groupBy (sha2), keep min doc_id
+  dedup_ngram_jaccard — EXACT near-dup pairs: trigram shingles, inverted-
+                        index self-join, Jaccard >= threshold (DuckDB oracle)
+  dedup_near_minhash  — MinHash signatures + LSH banding + exact verify:
+                        the 100 TB-scale path (candidates only, never all pairs)
+  dedup_simhash       — 64-bit SimHash + chunk-pigeonhole candidate pairs
+                        with Hamming distance <= 3
+
+Scale notes: the inverted-index join's fanout is bounded by dropping
+ultra-frequent shingles (stop-shingles) — at test SF no shingle is hot
+enough to matter, so the threshold is high; LSH banding (16 hashes, 4
+bands) keeps candidate generation linear in corpus size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from go_batch_processor_spark.catalog import load_table
+from go_batch_processor_spark.registry import register
+
+NGRAM = 3
+JACCARD_THRESHOLD = 0.6
+# LSH tuning: b bands of r rows catch a pair of Jaccard j with
+# P = 1 - (1 - j^r)^b. r=2, b=12 -> P(miss) ~ 0.5% at j=0.6, ~5e-6 at
+# j=0.8; false-positive candidates are cheap (exact-verify prunes them).
+MINHASH_K = 24
+LSH_BANDS = 12  # 2 rows per band
+SIMHASH_BITS = 64
+SIMHASH_MAX_HAMMING = 3
+# Shingles present in more than this fraction of docs are dropped from the
+# inverted index (bounded join fanout at scale).
+STOP_SHINGLE_DOC_FRAC = 0.5
+
+
+def _word_ngrams(words: Column, n: int) -> Column:
+    """Distinct word n-grams of an array<string> column (JVM higher-order fns)."""
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(words) - (n - 1)),
+        lambda i: F.concat_ws(" ", F.slice(words, i, n)),
+    )
+    return F.array_distinct(
+        F.when(F.size(words) >= n, grams).otherwise(F.array().cast("array<string>"))
+    )
+
+
+def doc_shingles(docs: DataFrame, n: int = NGRAM) -> DataFrame:
+    """(doc_id, shingle) distinct pairs — the inverted-index building block."""
+    words = F.split(F.col("text"), " ")
+    return docs.select(
+        "doc_id", F.explode(_word_ngrams(words, n)).alias("shingle")
+    )
+
+
+def exact_jaccard_pairs(
+    docs: DataFrame, threshold: float = JACCARD_THRESHOLD, n: int = NGRAM
+) -> DataFrame:
+    """Exact n-gram-Jaccard near-dup pairs via inverted-index self-join."""
+    sh = doc_shingles(docs, n)
+    n_docs = docs.count()
+    stop_cut = max(int(n_docs * STOP_SHINGLE_DOC_FRAC), 2)
+    # Drop stop-shingles to bound fanout (document frequency > cutoff).
+    keep = (
+        sh.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= stop_cut)
+        .select("shingle")
+    )
+    sh = sh.join(keep, "shingle")
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    jac = F.col("inter") / (F.col("sa.n_sh") + F.col("sb.n_sh") - F.col("inter"))
+    return (
+        inter.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        .filter(jac >= threshold)
+        .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
+    )
+
+
+@register(
+    "dedup_exact",
+    oracle="""
+    SELECT min(doc_id) AS doc_id, text
+    FROM documents
+    GROUP BY text
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: group on sha2(text) (at 100 TB never group on the raw
+    multi-KB text — the 32-byte digest shuffles instead), keep min doc_id."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.withColumn("_h", F.sha2("text", 256))
+        .groupBy("_h")
+        .agg(F.min("doc_id").alias("doc_id"), F.min("text").alias("text"))
+        .select("doc_id", "text")
+    )
+
+
+@register(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+    WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    sh AS (
+      SELECT doc_id,
+             unnest(list_distinct(list_transform(range(1, len(w) - 1),
+                    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS shingle
+      FROM words
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           round(i * 1.0 / (sa.n_sh + sb.n_sh - i), 4) AS jaccard
+    FROM inter
+    JOIN sizes sa ON doc_a = sa.doc_id
+    JOIN sizes sb ON doc_b = sb.doc_id
+    WHERE i * 1.0 / (sa.n_sh + sb.n_sh - i) >= {JACCARD_THRESHOLD}
+    """,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact trigram-Jaccard near-duplicate pairs (threshold 0.6)."""
+    return exact_jaccard_pairs(load_table(spark, sf_dir, "documents"))
+
+
+def minhash_signatures(docs: DataFrame, k: int = MINHASH_K) -> DataFrame:
+    """k-permutation MinHash signature per doc: mh_i = min over shingles of
+    xxhash64(i, shingle). Seeded by the constant i -> fully deterministic."""
+    sh = doc_shingles(docs)
+    aggs = [
+        F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"mh{i}") for i in range(k)
+    ]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+@register("dedup_near_minhash", tags={"rows_only"})
+def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup detection, the linear-time path for 100 TB:
+
+      shingle -> 24 minhashes -> 12 bands of 2 -> band-bucket equi-join for
+      candidates -> EXACT Jaccard verify on candidates only.
+
+    Rows-only check (hash-function specific); tests assert it finds exactly
+    the same pairs as the exact dedup_ngram_jaccard oracle query.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    sig = minhash_signatures(docs)
+    rows_per_band = MINHASH_K // LSH_BANDS
+    bands = None
+    for b in range(LSH_BANDS):
+        cols = [f"mh{i}" for i in range(b * rows_per_band, (b + 1) * rows_per_band)]
+        part = sig.select(
+            "doc_id",
+            F.lit(b).alias("band"),
+            F.concat_ws("_", *cols).alias("sig"),
+        )
+        bands = part if bands is None else bands.unionByName(part)
+
+    a = bands.alias("a")
+    b = bands.alias("b")
+    candidates = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.sig") == F.col("b.sig"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+    # Exact verify on the candidate set only.
+    sh = doc_shingles(docs)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    sa = sh.alias("sa")
+    sb = sh.alias("sb")
+    inter = (
+        candidates.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(
+            sb,
+            (F.col("doc_b") == F.col("sb.doc_id"))
+            & (F.col("sa.shingle") == F.col("sb.shingle")),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    za = sizes.alias("za")
+    zb = sizes.alias("zb")
+    jac = F.col("inter") / (F.col("za.n_sh") + F.col("zb.n_sh") - F.col("inter"))
+    return (
+        inter.join(za, F.col("doc_a") == F.col("za.doc_id"))
+        .join(zb, F.col("doc_b") == F.col("zb.doc_id"))
+        .filter(jac >= JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
+    )
+
+
+@register("dedup_simhash", tags={"rows_only"})
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup candidates: 64-bit signature from word hashes, then
+    pigeonhole on 4 x 16-bit chunks (Hamming <= 3 guarantees one equal
+    chunk), exact Hamming verify on candidates.
+
+    Output: (doc_a, doc_b, hamming). Rows-only (hash-function specific).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    wordhash = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("word")
+    ).select("doc_id", F.xxhash64("word").alias("h"))
+
+    # Per-bit +-1 vote sums -> bit array (1 if vote sum > 0).
+    votes = wordhash.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) == 1, 1)
+                .otherwise(-1)
+            ).alias(f"v{j}")
+            for j in range(SIMHASH_BITS)
+        ]
+    )
+    bits = votes.select(
+        "doc_id",
+        F.array(
+            *[F.when(F.col(f"v{j}") > 0, 1).otherwise(0) for j in range(SIMHASH_BITS)]
+        ).alias("bits"),
+    )
+    chunk_w = SIMHASH_BITS // (SIMHASH_MAX_HAMMING + 1)
+    chunks = None
+    for c in range(SIMHASH_MAX_HAMMING + 1):
+        part = bits.select(
+            "doc_id",
+            "bits",
+            F.lit(c).alias("chunk"),
+            F.concat_ws(
+                "", *[F.element_at("bits", c * chunk_w + j + 1) for j in range(chunk_w)]
+            ).alias("sig"),
+        )
+        chunks = part if chunks is None else chunks.unionByName(part)
+
+    a = chunks.alias("a")
+    b = chunks.alias("b")
+    hamming = F.aggregate(
+        F.zip_with(
+            F.col("a.bits"), F.col("b.bits"), lambda x, y: (x != y).cast("int")
+        ),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.sig") == F.col("b.sig"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            hamming.alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= SIMHASH_MAX_HAMMING)
+    )

@@ -1,0 +1,207 @@
+"""Text-analysis operators over ``documents`` (north-star §2.2.i):
+tokenization/word-count, per-language stats, quality scoring, heuristic
+language ID, token-count estimation, and document fingerprinting.
+
+Everything is built-in-function SQL (split / explode / higher-order array
+fns / regexp) — zero Python in the row path, full codegen.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from go_batch_processor_spark.catalog import load_table
+from go_batch_processor_spark.registry import register
+
+TOP_WORDS = 20
+STOPWORDS = ("the", "a", "of", "and", "to", "in", "is")
+# Tiny per-language function-word profiles for the n-gram/heuristic lang-ID.
+LANG_PROFILES = {
+    "en": ("the", "of", "and", "a", "to", "is"),
+    "de": ("der", "die", "das", "und", "ist", "ein"),
+    "es": ("el", "la", "de", "y", "es", "un"),
+}
+_sw_list = ", ".join(f"'{w}'" for w in STOPWORDS)
+
+
+@register(
+    "text_tokenize_wordcount",
+    oracle=f"""
+    SELECT word, count(*) AS cnt
+    FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+    GROUP BY word
+    ORDER BY cnt DESC, word ASC
+    LIMIT {TOP_WORDS}
+    """,
+)
+def text_tokenize_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace tokenize + global top-20 terms (explode -> hash agg -> top-k).
+
+    At scale: partial aggregation collapses each map task to its local
+    vocabulary before the shuffle, so the shuffle is O(|vocab|) not O(tokens).
+    """
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(F.split("text", " ")).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("word").asc())
+        .limit(TOP_WORDS)
+    )
+
+
+@register(
+    "text_lang_stats",
+    oracle="""
+    SELECT lang, source,
+           count(*)                 AS n_docs,
+           round(avg(n_chars), 4)   AS avg_chars,
+           CAST(min(n_chars) AS BIGINT) AS min_chars,
+           CAST(max(n_chars) AS BIGINT) AS max_chars
+    FROM documents
+    GROUP BY lang, source
+    """,
+)
+def text_lang_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(language, source) corpus statistics."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+    )
+
+
+@register(
+    "text_quality_score",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS w, length(text) AS tlen
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(w) AS BIGINT) AS n_words,
+           round((tlen - (len(w) - 1)) * 1.0 / len(w), 4) AS avg_word_len,
+           round(len(list_filter(w, x -> x IN ({_sw_list}))) * 1.0 / len(w), 4)
+             AS stopword_ratio,
+           round(0.5 * (len(list_filter(w, x -> x IN ({_sw_list}))) * 1.0 / len(w))
+                 + 0.5 * (least(len(w), 50) * 1.0 / 50), 4) AS quality_score
+    FROM t
+    """,
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc quality heuristics: length, avg word length, stopword ratio,
+    and a blended [0,1] quality score (longer + more function words = better,
+    the standard cheap pre-filter for LLM training corpora)."""
+    d = load_table(spark, sf_dir, "documents")
+    w = F.split("text", " ")
+    nw = F.size(w).cast("double")
+    stop_ratio = (
+        F.size(F.filter(w, lambda x: x.isin(*STOPWORDS))).cast("double") / nw
+    )
+    return d.select(
+        "doc_id",
+        F.size(w).cast("long").alias("n_words"),
+        F.round((F.length("text") - (F.size(w) - 1)) / nw, 4).alias("avg_word_len"),
+        F.round(stop_ratio, 4).alias("stopword_ratio"),
+        F.round(0.5 * stop_ratio + 0.5 * (F.least(F.size(w), F.lit(50)) / 50.0), 4)
+        .alias("quality_score"),
+    )
+
+
+def _profile_score_sql(words_expr: str, lang: str) -> str:
+    lst = ", ".join(f"'{w}'" for w in LANG_PROFILES[lang])
+    return f"len(list_filter({words_expr}, x -> x IN ({lst})))"
+
+
+@register(
+    "text_langid",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS w FROM documents),
+    s AS (
+      SELECT doc_id, lang,
+             {_profile_score_sql('w', 'en')} AS s_en,
+             {_profile_score_sql('w', 'de')} AS s_de,
+             {_profile_score_sql('w', 'es')} AS s_es
+      FROM t
+    )
+    SELECT doc_id, lang AS labeled_lang,
+           CAST(s_en AS BIGINT) AS s_en,
+           CAST(s_de AS BIGINT) AS s_de,
+           CAST(s_es AS BIGINT) AS s_es,
+           CASE WHEN s_en >= s_de AND s_en >= s_es AND s_en > 0 THEN 'en'
+                WHEN s_de >= s_es AND s_de > 0 THEN 'de'
+                WHEN s_es > 0 THEN 'es'
+                ELSE 'unknown' END AS guessed_lang
+    FROM s
+    """,
+)
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic language ID: score against per-language function-word
+    profiles, argmax with fixed precedence (en > de > es) for determinism."""
+    d = load_table(spark, sf_dir, "documents")
+    w = F.split("text", " ")
+    def profile_score(prof: tuple[str, ...]):
+        return F.size(F.filter(w, lambda x: x.isin(*prof))).cast("long")
+
+    scores = {lang: profile_score(prof) for lang, prof in LANG_PROFILES.items()}
+    guess = (
+        F.when(
+            (scores["en"] >= scores["de"])
+            & (scores["en"] >= scores["es"])
+            & (scores["en"] > 0),
+            "en",
+        )
+        .when((scores["de"] >= scores["es"]) & (scores["de"] > 0), "de")
+        .when(scores["es"] > 0, "es")
+        .otherwise("unknown")
+    )
+    return d.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        scores["en"].alias("s_en"),
+        scores["de"].alias("s_de"),
+        scores["es"].alias("s_es"),
+        guess.alias("guessed_lang"),
+    )
+
+
+@register(
+    "text_token_count",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS BIGINT)
+             AS word_tokens,
+           CAST(ceil(length(text) / 4.0) AS BIGINT) AS subword_est
+    FROM documents
+    """,
+)
+def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: regex word tokens + the chars/4 BPE-subword estimate
+    (the standard cheap proxy when no tokenizer is in the cluster image)."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.regexp_count("text", F.lit("[A-Za-z0-9]+")).cast("long").alias("word_tokens"),
+        F.ceil(F.length("text") / 4.0).cast("long").alias("subword_est"),
+    )
+
+
+@register("text_fingerprint", tags={"rows_only"})
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing-style document fingerprint: min/max xxhash64 over word
+    5-grams plus the full-text hash — a compact signature for shard-level
+    dedup. Rows-only (hash function is engine-specific)."""
+    from go_batch_processor_spark.operators.dedup import _word_ngrams
+
+    d = load_table(spark, sf_dir, "documents")
+    grams = _word_ngrams(F.split("text", " "), 5)
+    gram_hashes = F.transform(grams, lambda g: F.xxhash64(g))
+    return d.select(
+        "doc_id",
+        F.array_min(gram_hashes).alias("fp_min"),
+        F.array_max(gram_hashes).alias("fp_max"),
+        F.xxhash64("text").alias("fp_full"),
+    )

@@ -1,0 +1,109 @@
+"""Window-function operators (SURVEY.md §2.2.e).
+
+One shuffle per distinct (partitionBy, orderBy) pair; the engine reuses a
+single window spec per query so Catalyst plans exactly one Window node.
+Determinism rule (SURVEY.md §7.2.4): every orderBy carries a unique
+tiebreak key — without it rank/lag results are partition-order dependent.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from go_batch_processor_spark.catalog import load_table
+from go_batch_processor_spark.registry import register
+
+
+@register(
+    "window_rank_topn_per_group",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_totalprice, rn, rnk
+    FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             row_number() OVER w AS rn,
+             rank()       OVER w AS rnk
+      FROM orders
+      WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC)
+    )
+    WHERE rn <= 3
+    """,
+)
+def window_rank_topn_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders per customer by totalprice (row_number + rank).
+
+    At scale this is the canonical top-k-per-group: one shuffle on the group
+    key, per-group heap in the Window exec — never a global sort.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        o.select(
+            "o_custkey",
+            "o_orderkey",
+            "o_totalprice",
+            F.row_number().over(w).alias("rn"),
+            F.rank().over(w).alias("rnk"),
+        )
+        .filter(F.col("rn") <= 3)
+    )
+
+
+@register(
+    "window_lag_lead",
+    oracle="""
+    SELECT event_id, user_id, value,
+           value - lag(value)  OVER w AS delta_prev,
+           lead(value) OVER w          AS next_value
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+    """,
+)
+def window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user event deltas via lag/lead (event_id tiebreak on the time axis)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    return ev.select(
+        "event_id",
+        "user_id",
+        "value",
+        (F.col("value") - F.lag("value").over(w)).alias("delta_prev"),
+        F.lead("value").over(w).alias("next_value"),
+    )
+
+
+@register(
+    "window_running_frame",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_orderdate,
+           round(sum(o_totalprice) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_spend,
+           count(*) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n_so_far
+    FROM orders
+    """,
+)
+def window_running_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running sum per customer with an explicit ROWS frame.
+
+    Both engines accumulate in the same deterministic order (orderdate,
+    orderkey), but the running double sum is still rounded on both sides —
+    registry parity rules.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.col("o_orderdate").asc(), F.col("o_orderkey").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        F.round(F.sum("o_totalprice").over(w), 2).alias("running_spend"),
+        F.count(F.lit(1)).over(w).alias("n_so_far"),
+    )
