@@ -11,6 +11,8 @@ from go_batch_processor_spark.operators import (  # noqa: F401
     scans,
     setops,
     sorts,
+    streaming_batch,
     text,
+    udfs,
     windows,
 )

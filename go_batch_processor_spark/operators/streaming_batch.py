@@ -1,0 +1,167 @@
+"""Streaming-shaped operators, batch twins (SURVEY.md §2.2.j).
+
+The reference's poll loop is "streaming-shaped but has no event-time notion"
+(SURVEY.md §2.1.1; wall-clock sleeps only, /root/reference/batch_processor.go
+:95,133,143). Event-time semantics are extension inventory. Each operator
+here is the deterministic batch twin of a Structured Streaming construct so
+it can be DuckDB-oracled; the true streaming variants (withWatermark /
+session_window / foreachBatch) live in go_batch_processor_spark.streaming and
+are exercised by streaming tests.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from go_batch_processor_spark.catalog import load_table
+from go_batch_processor_spark.registry import register
+
+SESSION_GAP_MIN = 30
+WATERMARK_DELAY = "1 hour"
+
+
+@register(
+    "stream_tumbling_window",
+    oracle="""
+    SELECT date_trunc('hour', ts) AS win_start,
+           count(*)               AS n_events,
+           round(sum(value), 2)   AS total_value
+    FROM events
+    GROUP BY 1
+    """,
+)
+def stream_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-hour tumbling window aggregate via F.window (streaming twin:
+    identical code with readStream + withWatermark)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(F.col("w.start").alias("win_start"), "n_events", "total_value")
+    )
+
+
+@register(
+    "stream_sliding_window",
+    oracle="""
+    WITH starts AS (
+      SELECT ts, value,
+             unnest([time_bucket(INTERVAL '30 minutes', ts),
+                     time_bucket(INTERVAL '30 minutes', ts) - INTERVAL '30 minutes'])
+               AS win_start
+      FROM events
+    )
+    SELECT win_start,
+           count(*)             AS n_events,
+           round(sum(value), 2) AS total_value
+    FROM starts
+    GROUP BY win_start
+    """,
+)
+def stream_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-hour window sliding every 30 min — each event lands in exactly two
+    windows (oracle expands the two candidate window starts per event)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(F.col("w.start").alias("win_start"), "n_events", "total_value")
+    )
+
+
+@register(
+    "stream_sessionize",
+    oracle=f"""
+    WITH gaps AS (
+      SELECT user_id, event_id, ts, value,
+             CASE WHEN ts - lag(ts) OVER w <= INTERVAL '{SESSION_GAP_MIN} minutes'
+                  THEN 0 ELSE 1 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+    ),
+    sess AS (
+      SELECT user_id, ts, value,
+             sum(new_session) OVER (PARTITION BY user_id
+                                    ORDER BY ts ASC, event_id ASC
+                                    ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM gaps
+    )
+    SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+           count(*)             AS n_events,
+           min(ts)              AS session_start,
+           max(ts)              AS session_end,
+           round(sum(value), 2) AS session_value
+    FROM sess
+    GROUP BY user_id, session_id
+    """,
+)
+def stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user sessions with a 30-min inactivity gap: lag -> gap flag ->
+    running sum = session id (streaming twin: F.session_window).
+
+    One shuffle on user_id shared by the window and the final groupBy.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    gap_flag = F.when(
+        (F.col("ts").cast("long") - F.lag(F.col("ts")).over(w).cast("long"))
+        <= SESSION_GAP_MIN * 60,
+        0,
+    ).otherwise(1)
+    sess = ev.select(
+        "user_id",
+        "ts",
+        "value",
+        F.sum(gap_flag)
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("session_id"),
+    )
+    return sess.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        F.round(F.sum("value"), 2).alias("session_value"),
+    )
+
+
+@register(
+    "stream_late_data_policy",
+    oracle=f"""
+    WITH arr AS (
+      SELECT event_id, user_id, ts,
+             max(ts) OVER (ORDER BY event_id % 7, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS wm_high
+      FROM events
+    )
+    SELECT event_id, user_id, ts, wm_high - INTERVAL '{WATERMARK_DELAY}' AS watermark
+    FROM arr
+    WHERE ts < wm_high - INTERVAL '{WATERMARK_DELAY}'
+    """,
+)
+def stream_late_data_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark late-drop semantics, batch-simulated deterministically.
+
+    Arrival order is simulated as (event_id % 7, event_id) — an interleaving
+    of 7 ordered substreams, like 7 out-of-sync partitions. The watermark is
+    max(event time seen so far) - 1 hour; rows below it are the ones a
+    streaming query with withWatermark('ts', '1 hour') would drop. The true
+    streaming variant is tested in tests/test_streaming.py.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.orderBy((F.col("event_id") % 7).asc(), F.col("event_id").asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    wm = F.max("ts").over(w) - F.expr(f"INTERVAL {WATERMARK_DELAY}")
+    return (
+        ev.select("event_id", "user_id", "ts", wm.alias("watermark"))
+        .filter(F.col("ts") < F.col("watermark"))
+    )
