@@ -123,6 +123,34 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.schema(TABLE_SCHEMAS[name]).parquet(f"{sf_dir}/{name}.parquet")
 
 
+def load_stream(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Streaming (readStream) variant of load_table: file-stream source over
+    one fixture table, same schema handling (events nanos -> micros)."""
+    from pyspark.sql import functions as F
+
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        raw = T.StructType(
+            [
+                f if f.name != "ts" else _S("ts", T.LongType())
+                for f in TABLE_SCHEMAS["events"].fields
+            ]
+        )
+        df = (
+            spark.readStream.schema(raw)
+            .option("pathGlobFilter", f"{name}.parquet")
+            .parquet(sf_dir)
+        )
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000"))).select(
+            *[f.name for f in TABLE_SCHEMAS["events"].fields]
+        )
+    return (
+        spark.readStream.schema(TABLE_SCHEMAS[name])
+        .option("pathGlobFilter", f"{name}.parquet")
+        .parquet(sf_dir)
+    )
+
+
 def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:
     """Read several fixture tables; all of them when no names given."""
     return {n: load_table(spark, sf_dir, n) for n in (names or TABLE_NAMES)}

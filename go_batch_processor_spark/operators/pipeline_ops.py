@@ -1,0 +1,54 @@
+"""The reference pipeline itself as a checkable query (SURVEY.md §2.2.j
+``pipeline_foreachbatch``): source -> transform -> finalize over Structured
+Streaming, then read the sink back so the result is oracle-comparable.
+
+This exercises R5-R9 end-to-end: Spark's micro-batch scheduler plays the
+poll loop, the processor is the transform stage, the parquet append inside
+foreachBatch plus the callback is the finalize stage.
+"""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from go_batch_processor_spark.pipeline.foreach_batch import (
+    ForeachBatchPipeline,
+    events_stream,
+)
+from go_batch_processor_spark.registry import register
+
+
+@register(
+    "pipeline_foreachbatch",
+    oracle="""
+    SELECT event_id, user_id, value
+    FROM events
+    WHERE event_type <> 'error'
+    """,
+)
+def pipeline_foreachbatch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Run the bounded pipeline (Trigger.AvailableNow) with a filtering
+    processor and a parquet-append finalize; return the sink contents."""
+    sink = tempfile.mkdtemp(prefix="gbp_pipeline_sink_")
+    shutil.rmtree(sink, ignore_errors=True)
+
+    def processor(batch: DataFrame) -> DataFrame:
+        return batch.filter(F.col("event_type") != "error").select(
+            "event_id", "user_id", "value"
+        )
+
+    outcomes: list[tuple[bool, Exception | None]] = []
+    pipe = ForeachBatchPipeline(
+        spark,
+        events_stream(spark, sf_dir),
+        processor,
+        sink,
+        finalizer=lambda out, err: outcomes.append((out is not None, err)),
+    )
+    pipe.run_available_now()
+    assert pipe.batches_seen >= 1 and not pipe.errors
+    return spark.read.parquet(sink)
