@@ -1,0 +1,75 @@
+#!/usr/bin/env python
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Queries are materialized through the noop sink so every column is computed
+(count() would let Catalyst prune computed projections and under-report).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from go_batch_processor_spark.registry import REGISTRY, _ensure_loaded
+from go_batch_processor_spark.session import get_spark
+
+HEADLINE = [
+    "agg_groupby_q1",
+    "agg_distinct_count",
+    "project_compute",
+    "filter_predicate",
+    "join_inner_equi",
+    "join_broadcast_dim",
+    "join_asof",
+    "window_rank_topn_per_group",
+    "stream_sessionize",
+    "sort_limit_topk",
+    "dedup_exact",
+    "dedup_near_minhash",
+    "similarity_topk_cosine",
+    "text_tokenize_wordcount",
+    "text_quality_score",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else -1.0
+    spark = get_spark(app_name="gbp-spark-bench")
+    _ensure_loaded()
+
+    # Warm-up: JVM JIT + file listing, not measured.
+    REGISTRY["scan_parquet"].fn(spark, sf_dir).collect()
+
+    times: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = REGISTRY[name].fn
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        times[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(times.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": times,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

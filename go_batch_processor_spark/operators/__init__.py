@@ -6,6 +6,7 @@ from go_batch_processor_spark.operators import (  # noqa: F401
     dedup,
     filters,
     joins,
+    multimodal,
     pipeline_ops,
     similarity,
     scalars,

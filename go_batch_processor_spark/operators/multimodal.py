@@ -1,0 +1,133 @@
+"""Multimodal-column operators (north-star §2.2.i extension).
+
+Images/audio/video are modeled as opaque ``binary`` payload columns plus a
+typed metadata struct — the standard Spark shape for multimodal training
+data (the payload is never parsed by Catalyst; metadata columns drive
+partition pruning and filtering).
+
+The container image has no image/audio codecs, so the decode kernel is a
+DETERMINISTIC FAKE (clearly marked below): it derives pseudo
+width/height/duration from payload bytes. The Spark-side plumbing —
+binary schema, Arrow batch transfer through mapInPandas, UDF signature,
+batch shape, frame-sample explode — is real and oracle-tested. Swapping
+``_fake_decode`` for a PIL/ffmpeg call is a one-function change.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from go_batch_processor_spark.catalog import load_table
+from go_batch_processor_spark.registry import register
+
+FRAME_STEP = 7  # sample every 7th frame in the frame-sample operator
+
+
+def media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synthesize the media table: documents.text bytes as the opaque
+    payload + typed metadata (the fixture set has no real binary table)."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        F.col("doc_id").alias("media_id"),
+        F.encode("text", "utf-8").alias("payload"),
+        F.struct(
+            F.lit("image/fake").alias("mime"),
+            F.col("source").alias("origin"),
+            F.col("n_chars").alias("content_len"),
+        ).alias("meta"),
+    )
+
+
+def _fake_decode(payload: bytes) -> tuple[int, int, int]:
+    """DETERMINISTIC FAKE decode: stands in for PIL.Image.open(...).size.
+
+    Real decode would be::
+
+        try:
+            from PIL import Image
+        except ImportError:
+            raise NotImplementedError("image codec not in cluster image")
+
+    Derives (width, height, n_bytes) purely from the byte length so the
+    DuckDB oracle can recompute it.
+    """
+    n = len(payload)
+    return (n % 640 + 1, (n * 7) % 480 + 1, n)
+
+
+def decode_media(df: DataFrame) -> DataFrame:
+    """Arrow-batched decode through mapInPandas: the iterator-of-batches
+    shape keeps peak memory at one Arrow batch per core regardless of
+    total payload volume — the only viable layout at 100 TB of media."""
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("width", T.LongType()),
+            T.StructField("height", T.LongType()),
+            T.StructField("n_bytes", T.LongType()),
+            T.StructField("origin", T.StringType()),
+        ]
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            decoded = pdf["payload"].map(_fake_decode)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "width": decoded.map(lambda t: t[0]),
+                    "height": decoded.map(lambda t: t[1]),
+                    "n_bytes": decoded.map(lambda t: t[2]),
+                    "origin": pdf["meta"].map(lambda m: m["origin"]),
+                }
+            )
+
+    return df.mapInPandas(batches, schema)
+
+
+@register(
+    "multimodal_decode_meta",
+    oracle="""
+    SELECT doc_id AS media_id,
+           CAST(length(text) % 640 + 1 AS BIGINT)   AS width,
+           CAST((length(text) * 7) % 480 + 1 AS BIGINT) AS height,
+           CAST(length(text) AS BIGINT)             AS n_bytes,
+           source                                   AS origin
+    FROM documents
+    """,
+)
+def multimodal_decode_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary payload -> mapInPandas decode -> typed feature columns.
+
+    The oracle recomputes the deterministic fake from text length (payloads
+    are ASCII, so byte length == char length) — proving the binary/Arrow/
+    UDF plumbing preserves values end to end.
+    """
+    return decode_media(media_table(spark, sf_dir))
+
+
+@register(
+    "multimodal_frame_sample",
+    oracle=f"""
+    SELECT doc_id AS media_id,
+           CAST(unnest(range(0, n_chars % 120 + 1, {FRAME_STEP})) AS BIGINT)
+             AS frame_idx
+    FROM documents
+    """,
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-sampling shape: fake frame count from metadata, explode
+    every FRAME_STEP-th index — pure JVM sequence+explode (the real decode
+    of sampled frames would then go through decode_media)."""
+    d = load_table(spark, sf_dir, "documents")
+    n_frames = (F.col("n_chars") % 120) + 1
+    return d.select(
+        F.col("doc_id").alias("media_id"),
+        F.explode(F.sequence(F.lit(0), n_frames - 1, F.lit(FRAME_STEP))).alias("fi"),
+    ).select("media_id", F.col("fi").cast("long").alias("frame_idx"))
