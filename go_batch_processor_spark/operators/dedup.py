@@ -72,7 +72,6 @@ def exact_jaccard_pairs(
         .select("shingle")
     )
     sh = sh.join(keep, "shingle")
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
 
     a = sh.alias("a")
     b = sh.alias("b")
@@ -85,6 +84,13 @@ def exact_jaccard_pairs(
         .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .agg(F.count(F.lit(1)).alias("inter"))
     )
+    return _jaccard_filter(inter, sh, threshold)
+
+
+def _jaccard_filter(inter: DataFrame, sh: DataFrame, threshold: float) -> DataFrame:
+    """Attach per-doc shingle-set sizes to (doc_a, doc_b, inter) pair counts
+    and keep pairs with Jaccard >= threshold."""
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     sa = sizes.alias("sa")
     sb = sizes.alias("sb")
     jac = F.col("inter") / (F.col("sa.n_sh") + F.col("sb.n_sh") - F.col("inter"))
@@ -168,15 +174,27 @@ def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     sig = minhash_signatures(docs)
     rows_per_band = MINHASH_K // LSH_BANDS
-    bands = None
-    for b in range(LSH_BANDS):
-        cols = [f"mh{i}" for i in range(b * rows_per_band, (b + 1) * rows_per_band)]
-        part = sig.select(
-            "doc_id",
-            F.lit(b).alias("band"),
-            F.concat_ws("_", *cols).alias("sig"),
-        )
-        bands = part if bands is None else bands.unionByName(part)
+    # Single explode over an array of (band, sig) structs: the signature
+    # aggregation is computed ONCE (a per-band union would re-run the whole
+    # shingle->minhash pipeline LSH_BANDS times).
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.concat_ws(
+                    "_",
+                    *[
+                        f"mh{i}"
+                        for i in range(b * rows_per_band, (b + 1) * rows_per_band)
+                    ],
+                ).alias("sig"),
+            )
+            for b in range(LSH_BANDS)
+        ]
+    )
+    bands = sig.select("doc_id", F.explode(band_structs).alias("bs")).select(
+        "doc_id", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig")
+    )
 
     a = bands.alias("a")
     b = bands.alias("b")
@@ -193,7 +211,6 @@ def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # Exact verify on the candidate set only.
     sh = doc_shingles(docs)
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     sa = sh.alias("sa")
     sb = sh.alias("sb")
     inter = (
@@ -206,15 +223,7 @@ def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("inter"))
     )
-    za = sizes.alias("za")
-    zb = sizes.alias("zb")
-    jac = F.col("inter") / (F.col("za.n_sh") + F.col("zb.n_sh") - F.col("inter"))
-    return (
-        inter.join(za, F.col("doc_a") == F.col("za.doc_id"))
-        .join(zb, F.col("doc_b") == F.col("zb.doc_id"))
-        .filter(jac >= JACCARD_THRESHOLD)
-        .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
-    )
+    return _jaccard_filter(inter, sh, JACCARD_THRESHOLD)
 
 
 @register("dedup_simhash", tags={"rows_only"})
@@ -247,17 +256,22 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("bits"),
     )
     chunk_w = SIMHASH_BITS // (SIMHASH_MAX_HAMMING + 1)
-    chunks = None
-    for c in range(SIMHASH_MAX_HAMMING + 1):
-        part = bits.select(
-            "doc_id",
-            "bits",
-            F.lit(c).alias("chunk"),
-            F.concat_ws(
-                "", *[F.element_at("bits", c * chunk_w + j + 1) for j in range(chunk_w)]
-            ).alias("sig"),
-        )
-        chunks = part if chunks is None else chunks.unionByName(part)
+    # Explode (chunk, sig) structs: the 64-agg vote pipeline runs once.
+    chunk_structs = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("chunk"),
+                F.concat_ws(
+                    "",
+                    *[F.element_at("bits", c * chunk_w + j + 1) for j in range(chunk_w)],
+                ).alias("sig"),
+            )
+            for c in range(SIMHASH_MAX_HAMMING + 1)
+        ]
+    )
+    chunks = bits.select("doc_id", "bits", F.explode(chunk_structs).alias("cs")).select(
+        "doc_id", "bits", F.col("cs.chunk").alias("chunk"), F.col("cs.sig").alias("sig")
+    )
 
     a = chunks.alias("a")
     b = chunks.alias("b")
