@@ -29,6 +29,8 @@ TOP_K = 10
 LSH_PLANES = 8
 LSH_SEED = 42
 EMB_DIM = 64
+IVF_CELLS = 16
+IVF_NPROBE = 2
 
 
 def _as_double(col: Column) -> Column:
@@ -102,11 +104,123 @@ def similarity_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk(emb, probe, TOP_K)
 
 
+COSINE_DUP_THRESHOLD = 0.4  # fixture corpus has no planted vector dups;
+# 0.4 sits in a >1e-3 gap of the pair-cosine distribution, so float-vs-double
+# noise can never flip membership.
+
+
+@register(
+    "dedup_embedding_cosine",
+    oracle=f"""
+    WITH flat AS (
+      SELECT vec_id, label, CAST(unnest(embedding) AS DOUBLE) AS v,
+             generate_subscripts(embedding, 1) AS i
+      FROM embeddings
+    ),
+    norms AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM flat GROUP BY vec_id),
+    dots AS (
+      SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, sum(a.v * b.v) AS dot
+      FROM flat a
+      JOIN flat b ON a.i = b.i AND a.label = b.label AND a.vec_id < b.vec_id
+      GROUP BY 1, 2
+    )
+    SELECT vec_a, vec_b, round(dot / (na.nrm * nb.nrm), 6) AS cosine
+    FROM dots
+    JOIN norms na ON vec_a = na.vec_id
+    JOIN norms nb ON vec_b = nb.vec_id
+    WHERE dot / (na.nrm * nb.nrm) >= {COSINE_DUP_THRESHOLD}
+    """,
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs, blocked by label.
+
+    Blocking (here: the label column; in production: an LSH bucket or IVF
+    cell) is what makes all-pairs cosine feasible at 100 TB — the join
+    explodes only within blocks, never across the full corpus. The unblocked
+    scale path is similarity_ann_lsh's bucketing.
+    """
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", _as_double(F.col("embedding")).alias("emb")
+    )
+    a = e.alias("a")
+    b = e.alias("b")
+    cos = _dot(F.col("a.emb"), F.col("b.emb")) / (
+        _norm(F.col("a.emb")) * _norm(F.col("b.emb"))
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.label") == F.col("b.label"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            cos.alias("_cos"),
+        )
+        .filter(F.col("_cos") >= COSINE_DUP_THRESHOLD)
+        .select("vec_a", "vec_b", F.round("_cos", 6).alias("cosine"))
+    )
+
+
 def _hyperplanes(n_planes: int = LSH_PLANES, dim: int = EMB_DIM) -> list[list[float]]:
     """Deterministic random hyperplanes (fixed seed, generated driver-side
     once — a few KB of literals, folded into the plan as constants)."""
     rng = np.random.default_rng(LSH_SEED)
     return rng.standard_normal((n_planes, dim)).tolist()
+
+
+@register("similarity_ivf_topk", tags={"rows_only"})
+def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: partition the corpus into coarse cells, probe only the
+    nprobe nearest cells — the classic sub-linear index shape.
+
+    Centroid seeding is deterministic (the IVF_CELLS lowest vec_ids stand in
+    for k-means centroids; production would Lloyd-iterate them). Collecting
+    the centroids driver-side is bounded (IVF_CELLS x EMB_DIM floats) and is
+    the standard pattern: centroids broadcast as plan literals, the corpus
+    never shuffles for assignment. Rows-only (index layout is engine-
+    specific); recall is asserted against brute force in tests.
+    """
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", _as_double(F.col("embedding")).alias("emb")
+    )
+    centroids = [
+        (int(r.vec_id), [float(x) for x in r.emb])
+        for r in emb.filter(F.col("vec_id") < IVF_CELLS).collect()
+    ]
+
+    def cell_of(col: Column) -> Column:
+        # struct(dot, cid): array_max compares lexicographically -> argmax.
+        scored = F.array(
+            *[
+                F.struct(
+                    _dot(col, F.array(*[F.lit(v) for v in vec])).alias("dot"),
+                    F.lit(cid).alias("cid"),
+                )
+                for cid, vec in centroids
+            ]
+        )
+        return F.array_max(scored).getField("cid")
+
+    assigned = emb.select("vec_id", "emb", cell_of(F.col("emb")).alias("cell"))
+
+    probe_vec = next(v for cid, v in centroids if cid == PROBE_VEC_ID)
+    probe_np = np.asarray(probe_vec)
+    cent_ids = np.asarray([cid for cid, _ in centroids])
+    cent_mat = np.asarray([v for _, v in centroids])
+    dots = cent_mat @ probe_np
+    probe_cells = [int(c) for c in cent_ids[np.argsort(-dots)][:IVF_NPROBE]]
+
+    p = F.array(*[F.lit(v) for v in probe_vec])
+    cos = _dot(F.col("emb"), p) / (_norm(F.col("emb")) * _norm(p))
+    return (
+        assigned.filter(F.col("cell").isin(probe_cells))
+        .filter(F.col("vec_id") != PROBE_VEC_ID)
+        .select("vec_id", F.round(cos, 6).alias("cosine"))
+        .orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
+        .limit(TOP_K)
+    )
 
 
 @register("similarity_ann_lsh", tags={"rows_only"})

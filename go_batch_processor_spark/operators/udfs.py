@@ -101,3 +101,44 @@ def udtf_explode_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     return parsed.select(
         "event_id", F.explode("m").alias("prop_key", "prop_value")
     ).filter(F.col("prop_value").isNotNull())
+
+
+@F.udtf(returnType="doc_id bigint, metric string, value double")
+class _DocMetricsUDTF:
+    """Python UDTF (Spark >= 3.5): one input row -> several metric rows."""
+
+    def eval(self, doc_id: int, text: str):  # noqa: D102
+        words = text.split(" ")
+        yield doc_id, "n_words", float(len(words))
+        yield doc_id, "n_chars_nospace", float(sum(len(w) for w in words))
+        yield doc_id, "max_word_len", float(max(len(w) for w in words))
+
+
+@register(
+    "udtf_python_doc_metrics",
+    oracle="""
+    SELECT doc_id, 'n_words' AS metric,
+           CAST(len(string_split(text, ' ')) AS DOUBLE) AS value FROM documents
+    UNION ALL
+    SELECT doc_id, 'n_chars_nospace',
+           CAST(length(replace(text, ' ', '')) AS DOUBLE) FROM documents
+    UNION ALL
+    SELECT doc_id, 'max_word_len',
+           CAST(list_max(list_transform(string_split(text, ' '),
+                w -> length(w))) AS DOUBLE) FROM documents
+    """,
+)
+def udtf_python_doc_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """True Python UDTF via LATERAL join: per-doc metric expansion.
+
+    This is the slow path by design (demonstrates the surface); the same
+    metrics are computable JVM-side (see text_quality_score) — the UDTF
+    shape exists for logic that genuinely needs Python."""
+    from go_batch_processor_spark.catalog import register_views
+
+    register_views(spark, sf_dir, "documents")
+    spark.udtf.register("doc_metrics", _DocMetricsUDTF)
+    return spark.sql(
+        "SELECT m.doc_id, m.metric, m.value "
+        "FROM documents, LATERAL doc_metrics(doc_id, text) m"
+    )

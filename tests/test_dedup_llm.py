@@ -39,6 +39,16 @@ def test_ann_lsh_neighbors_are_plausible(spark, sf_dir):
         assert -1.0 <= r.cosine <= 1.0
 
 
+def test_ivf_topk_recall_vs_brute_force(spark, sf_dir):
+    """IVF with nprobe=2/16 cells must recover a reasonable share of the
+    true top-10 (deterministic: fixed centroid seeding)."""
+    brute = [r.vec_id for r in REGISTRY["similarity_topk_cosine"].fn(spark, sf_dir).collect()]
+    ivf = [r.vec_id for r in REGISTRY["similarity_ivf_topk"].fn(spark, sf_dir).collect()]
+    assert ivf, "probe cells should not be empty"
+    overlap = len(set(brute) & set(ivf))
+    assert overlap >= 3, f"IVF recall too low: {overlap}/10 ({ivf} vs {brute})"
+
+
 def test_dedup_exact_is_lossless_without_dups(spark, sf_dir, duck):
     n_docs = duck.sql("SELECT count(*) FROM documents").fetchone()[0]
     n_dedup = REGISTRY["dedup_exact"].fn(spark, sf_dir).count()
