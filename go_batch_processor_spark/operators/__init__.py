@@ -13,6 +13,7 @@ from go_batch_processor_spark.operators import (  # noqa: F401
     scans,
     setops,
     sorts,
+    stats,
     streaming_batch,
     text,
     udfs,

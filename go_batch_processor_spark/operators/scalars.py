@@ -144,6 +144,82 @@ def scalar_array(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "scalar_regex",
+    oracle="""
+    SELECT p_partkey,
+           regexp_extract(p_type, '^([a-z]+)', 1)      AS type_first,
+           regexp_replace(p_name, ' ', '_', 'g')       AS name_snake,
+           regexp_matches(p_type, 'br.shed')           AS is_brushed
+    FROM part
+    """,
+)
+def scalar_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex extract / replace / match (patterns kept to the ASCII subset
+    where Java regex and RE2 semantics coincide)."""
+    p = load_table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.regexp_extract("p_type", "^([a-z]+)", 1).alias("type_first"),
+        F.regexp_replace("p_name", " ", "_").alias("name_snake"),
+        F.col("p_type").rlike("br.shed").alias("is_brushed"),
+    )
+
+
+@register(
+    "scalar_null_branch",
+    oracle="""
+    SELECT o_orderkey,
+           coalesce(nullif(o_orderstatus, 'O'), 'open')  AS status_label,
+           (o_totalprice IS NOT NULL)                    AS has_price,
+           ifnull(nullif(o_orderpriority, o_orderpriority), 'none') AS always_none
+    FROM orders
+    """,
+)
+def scalar_null_branch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL plumbing: coalesce / nullif / ifnull three-valued semantics."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.coalesce(F.nullif("o_orderstatus", F.lit("O")), F.lit("open")).alias(
+            "status_label"
+        ),
+        F.col("o_totalprice").isNotNull().alias("has_price"),
+        F.ifnull(
+            F.nullif("o_orderpriority", F.col("o_orderpriority")), F.lit("none")
+        ).alias("always_none"),
+    )
+
+
+@register(
+    "scalar_datetime_arith",
+    oracle="""
+    SELECT o_orderkey,
+           o_orderdate + INTERVAL '30 days'          AS due_date,
+           CAST(quarter(o_orderdate) AS BIGINT)      AS order_quarter,
+           CAST(dayofweek(o_orderdate) AS BIGINT)    AS order_dow,
+           CAST(last_day(CAST(o_orderdate AS DATE)) AS TIMESTAMP) AS month_end
+    FROM orders
+    """,
+)
+def scalar_datetime_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval arithmetic + calendar field extraction.
+
+    DuckDB dayofweek is 0=Sunday..6 while Spark dayofweek is 1=Sunday..7;
+    Spark side subtracts 1 to align on the DuckDB convention.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        (F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")).alias("due_date"),
+        F.quarter("o_orderdate").cast("long").alias("order_quarter"),
+        (F.dayofweek("o_orderdate") - 1).cast("long").alias("order_dow"),
+        # Date-typed outputs cross to pandas as python date objects (vs
+        # DuckDB datetime64) — emit timestamps for comparator parity.
+        F.last_day(F.col("o_orderdate").cast("date")).cast("timestamp").alias("month_end"),
+    )
+
+
+@register(
     "scalar_case",
     oracle="""
     SELECT event_id,

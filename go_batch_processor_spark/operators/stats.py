@@ -1,0 +1,130 @@
+"""Statistical aggregates + reshape operators (extension of SURVEY.md §2.2.d
+beyond the declared minimum: moments, percentiles, ordered collect,
+pivot/unpivot — table stakes for an analytics engine at any scale).
+
+Moments/percentiles are single-pass (or two-pass for exact percentile)
+hash/sort aggregates; pivot is conditional aggregation (no extra shuffle
+over the plain groupBy); unpivot is a narrow transform.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from go_batch_processor_spark.catalog import load_table
+from go_batch_processor_spark.registry import register
+
+
+@register(
+    "agg_stats_moments",
+    oracle="""
+    SELECT event_type,
+           round(avg(value), 4)          AS mean_v,
+           round(stddev_samp(value), 4)  AS sd_v,
+           round(var_samp(value), 4)     AS var_v,
+           min(value)                    AS min_v,
+           max(value)                    AS max_v
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def agg_stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second-moment statistics per group (sample stddev/variance)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.round(F.avg("value"), 4).alias("mean_v"),
+        F.round(F.stddev_samp("value"), 4).alias("sd_v"),
+        F.round(F.var_samp("value"), 4).alias("var_v"),
+        F.min("value").alias("min_v"),
+        F.max("value").alias("max_v"),
+    )
+
+
+@register(
+    "agg_percentiles",
+    oracle="""
+    SELECT l_returnflag,
+           round(quantile_cont(l_extendedprice, 0.5), 4)  AS p50,
+           round(quantile_cont(l_extendedprice, 0.9), 4)  AS p90,
+           round(quantile_cont(l_extendedprice, 0.99), 4) AS p99
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (Spark percentile == DuckDB
+    quantile_cont). At 100 TB the approx_percentile sketch replaces this —
+    exact percentile is a sort-heavy aggregate; both surfaces exist, the
+    exact one is what an oracle can check."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.expr("percentile(l_extendedprice, 0.5)"), 4).alias("p50"),
+        F.round(F.expr("percentile(l_extendedprice, 0.9)"), 4).alias("p90"),
+        F.round(F.expr("percentile(l_extendedprice, 0.99)"), 4).alias("p99"),
+    )
+
+
+@register(
+    "agg_collect_sorted",
+    oracle="""
+    SELECT l_returnflag,
+           list_sort(list(DISTINCT l_linestatus)) AS statuses,
+           count(DISTINCT l_linestatus)           AS n_statuses
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def agg_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array aggregation with deterministic ordering (collect_set is
+    partition-order dependent -> always sort_array before emitting)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.sort_array(F.collect_set("l_linestatus")).alias("statuses"),
+        F.countDistinct("l_linestatus").alias("n_statuses"),
+    )
+
+
+@register(
+    "pivot_status_by_flag",
+    oracle="""
+    SELECT l_returnflag,
+           round(sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END), 2) AS O,
+           round(sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END), 2) AS F
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def pivot_status_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot with an explicit value list (never let Spark scan for distinct
+    pivot values at scale — that is an extra full pass)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(F.round(F.sum("l_quantity"), 2))
+    )
+
+
+@register(
+    "unpivot_balances",
+    oracle="""
+    SELECT c_custkey, 'acctbal' AS metric, c_acctbal AS amount FROM customer
+    UNION ALL
+    SELECT c_custkey, 'nationkey_d', CAST(c_nationkey AS DOUBLE) FROM customer
+    """,
+)
+def unpivot_balances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (melt) wide columns to long form — a narrow, shuffle-free
+    transform."""
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.col("c_acctbal").alias("acctbal"),
+        F.col("c_nationkey").cast("double").alias("nationkey_d"),
+    )
+    return c.unpivot(
+        ids=["c_custkey"],
+        values=["acctbal", "nationkey_d"],
+        variableColumnName="metric",
+        valueColumnName="amount",
+    )
