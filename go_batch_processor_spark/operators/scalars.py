@@ -147,9 +147,9 @@ def scalar_array(spark: SparkSession, sf_dir: str) -> DataFrame:
     "scalar_regex",
     oracle="""
     SELECT p_partkey,
-           regexp_extract(p_type, '^([a-z]+)', 1)      AS type_first,
+           regexp_extract(p_type, '^([A-Z]+)', 1)      AS type_first,
            regexp_replace(p_name, ' ', '_', 'g')       AS name_snake,
-           regexp_matches(p_type, 'br.shed')           AS is_brushed
+           regexp_matches(p_name, 'w.dget')            AS is_widget
     FROM part
     """,
 )
@@ -159,9 +159,9 @@ def scalar_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = load_table(spark, sf_dir, "part")
     return p.select(
         "p_partkey",
-        F.regexp_extract("p_type", "^([a-z]+)", 1).alias("type_first"),
+        F.regexp_extract("p_type", "^([A-Z]+)", 1).alias("type_first"),
         F.regexp_replace("p_name", " ", "_").alias("name_snake"),
-        F.col("p_type").rlike("br.shed").alias("is_brushed"),
+        F.col("p_name").rlike("w.dget").alias("is_widget"),
     )
 
 
