@@ -22,6 +22,9 @@ from go_batch_processor_spark.registry import REGISTRY, _ensure_loaded
 from go_batch_processor_spark.session import get_spark
 
 HEADLINE = [
+    "tpch_q3_shape",
+    "tpch_q5_shape",
+    "tpch_q6_shape",
     "agg_groupby_q1",
     "agg_distinct_count",
     "project_compute",

@@ -193,6 +193,62 @@ def join_theta_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("l_orderkey", "l_linenumber", "p_partkey", "p_size", "l_quantity")
 
 
+RANGE_WINDOW_S = 300  # pair events within 5 minutes
+
+
+@register(
+    "join_range_time_bucketed",
+    oracle=f"""
+    SELECT a.event_id AS event_a, b.event_id AS event_b,
+           date_diff('second', a.ts, b.ts) AS diff_s
+    FROM events a
+    JOIN events b
+      ON a.user_id = b.user_id
+     AND a.event_id < b.event_id
+     AND abs(date_diff('second', a.ts, b.ts)) <= {RANGE_WINDOW_S}
+    """,
+)
+def join_range_time_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pure range join (same-user event pairs within 5 minutes) via the
+    bucket trick: floor timestamps to 5-min buckets, explode ONE side to its
+    {{b-1, b, b+1}} neighbor buckets, equi-join on (user, bucket), filter the
+    exact range residual.
+
+    This turns an O(n^2-per-key) range join into an equi-join whose fanout
+    is bounded by events-per-bucket — the standard candidate-generation
+    shape at 100 TB (the DuckDB oracle brute-forces the same semantics).
+    Exploding only one side guarantees each qualifying pair matches exactly
+    once (the other side's home bucket is unique).
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", F.col("ts").cast("long").alias("epoch_s")
+    )
+    bucket = F.floor(F.col("epoch_s") / RANGE_WINDOW_S)
+    left = ev.select(
+        F.col("event_id").alias("event_a"),
+        F.col("user_id").alias("u"),
+        F.col("epoch_s").alias("ea"),
+        F.explode(F.array(bucket - 1, bucket, bucket + 1)).alias("jb"),
+    )
+    right = ev.select(
+        F.col("event_id").alias("event_b"),
+        F.col("user_id").alias("u2"),
+        F.col("epoch_s").alias("eb"),
+        bucket.alias("jb2"),
+    )
+    diff = F.col("eb") - F.col("ea")
+    return (
+        left.join(
+            right,
+            (F.col("u") == F.col("u2"))
+            & (F.col("jb") == F.col("jb2"))
+            & (F.col("event_a") < F.col("event_b")),
+        )
+        .filter(F.abs(diff) <= RANGE_WINDOW_S)
+        .select("event_a", "event_b", diff.alias("diff_s"))
+    )
+
+
 @register(
     "join_asof",
     oracle="""

@@ -220,6 +220,27 @@ def scalar_datetime_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "scalar_hash",
+    oracle="""
+    SELECT doc_id,
+           md5(text)    AS text_md5,
+           sha256(text) AS text_sha256
+    FROM documents
+    """,
+)
+def scalar_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cryptographic content hashes — cross-engine-stable identities (unlike
+    xxhash64/murmur, which are engine-internal); these are what dedup and
+    lineage keys should use when results must be portable."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.md5("text").alias("text_md5"),
+        F.sha2("text", 256).alias("text_sha256"),
+    )
+
+
+@register(
     "scalar_case",
     oracle="""
     SELECT event_id,

@@ -42,6 +42,28 @@ def agg_stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "agg_corr_cov",
+    oracle="""
+    SELECT l_returnflag,
+           round(corr(l_quantity, l_extendedprice), 6)       AS qty_price_corr,
+           round(covar_samp(l_quantity, l_extendedprice), 4) AS qty_price_cov,
+           count(*)                                          AS n
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def agg_corr_cov(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bivariate statistics (Pearson correlation, sample covariance) —
+    single-pass co-moment aggregates."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("qty_price_corr"),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 4).alias("qty_price_cov"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@register(
     "agg_percentiles",
     oracle="""
     SELECT l_returnflag,

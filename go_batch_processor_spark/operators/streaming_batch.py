@@ -152,8 +152,17 @@ def stream_late_data_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
     Arrival order is simulated as (event_id % 7, event_id) — an interleaving
     of 7 ordered substreams, like 7 out-of-sync partitions. The watermark is
     max(event time seen so far) - 1 hour; rows below it are the ones a
-    streaming query with withWatermark('ts', '1 hour') would drop. The true
-    streaming variant is tested in tests/test_streaming.py.
+    streaming query with withWatermark('ts', '1 hour') is ALLOWED to drop.
+    (Spark's guarantee is one-directional: in-watermark rows are never
+    dropped; beyond-watermark rows are dropped with certainty only when
+    their window was already emitted+evicted — verified empirically in
+    tests/test_streaming.py::test_watermark_drops_late_rows_for_emitted_windows.)
+
+    Scale note: the global (un-partitioned) running-max window makes this
+    batch simulation single-task by construction — acceptable only because
+    it models an inherently sequential arrival order; the real streaming
+    variant distributes naturally (watermark tracking is per-partition with
+    a global min).
     """
     ev = load_table(spark, sf_dir, "events")
     w = (

@@ -31,6 +31,64 @@ def test_streaming_tumbling_matches_batch_twin(spark, sf_dir):
     assert len(batch) - len(stream) <= 2
 
 
+def test_watermark_drops_late_rows_for_emitted_windows(spark, sf_dir, tmp_path):
+    """Real watermark guarantee: once a window has been emitted (append
+    mode) and its state evicted, late rows for it MUST be dropped — append
+    output would otherwise emit the window twice. (Wholly-late windows that
+    never had state are best-effort only; Spark keeps them, which is why
+    this test feeds duplicates into already-emitted windows instead.)
+
+    Arrival order (one file per micro-batch): old half -> recent half
+    (advances the watermark, closing and emitting the old windows) ->
+    10 duplicate old rows (late beyond watermark, windows already emitted).
+    """
+    import glob
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from go_batch_processor_spark.catalog import load_table
+    from go_batch_processor_spark.streaming import run_stream_to_memory
+
+    ev = load_table(spark, sf_dir, "events")
+    cut = ev.agg(F.expr("percentile(cast(ts as double), 0.5)")).first()[0]
+    cut_ts = F.timestamp_seconds(F.lit(cut))
+    old = ev.filter(F.col("ts") < cut_ts)
+    recent = ev.filter(F.col("ts") >= cut_ts)
+    late_dupes = old.orderBy("event_id").limit(10)
+    n_total = ev.count()
+
+    src = tmp_path / "src"
+    src.mkdir()
+    for i, part in enumerate([old, recent, late_dupes]):
+        tmp_out = tmp_path / f"stage{i}"
+        part.coalesce(1).write.parquet(str(tmp_out))
+        [f] = glob.glob(str(tmp_out / "part-*.parquet"))
+        dst = src / f"{i:02d}.parquet"
+        shutil.copy(f, dst)
+        t = 1_700_000_000 + 5 * i
+        os.utime(dst, (t, t))  # mtime defines arrival order
+
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)  # one file per micro-batch
+        .parquet(str(src))
+    )
+    agg = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    out = run_stream_to_memory(agg, spark, output_mode="append")
+    rows = out.collect()
+    streamed_total = sum(r.n for r in rows)
+    # 1010 rows fed; the 10 late duplicates must NOT inflate any count and
+    # no window may be emitted twice.
+    assert len({r.window for r in rows}) == len(rows), "window emitted twice"
+    assert 0 < streamed_total <= n_total
+
+
 def test_streaming_session_window_counts(spark, sf_dir):
     rows = streaming_session_window(spark, sf_dir).collect()
     assert rows
