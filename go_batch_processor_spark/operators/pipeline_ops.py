@@ -52,3 +52,30 @@ def pipeline_foreachbatch(spark: SparkSession, sf_dir: str) -> DataFrame:
     pipe.run_available_now()
     assert pipe.batches_seen >= 1 and not pipe.errors
     return spark.read.parquet(sink)
+
+
+@register(
+    "stream_stateful_running",
+    oracle="""
+    WITH g AS (
+      SELECT user_id, value,
+             epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id
+                                             ORDER BY ts ASC, event_id ASC)) AS gap
+      FROM events
+    )
+    SELECT user_id,
+           count(*)                         AS n_events,
+           round(sum(value), 2)             AS total_value,
+           round(coalesce(max(gap), 0), 1)  AS max_gap_s
+    FROM g
+    GROUP BY user_id
+    """,
+)
+def stream_stateful_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator (applyInPandasWithState): per-user
+    running count/sum/max-inter-event-gap maintained in the state store
+    across micro-batches; final snapshot oracle-checked against the batch
+    window/aggregate equivalent."""
+    from go_batch_processor_spark.streaming import streaming_user_running_stats
+
+    return streaming_user_running_stats(spark, sf_dir)

@@ -3,9 +3,13 @@ from go_batch_processor_spark.streaming.stream_ops import (
     streaming_session_window,
     streaming_tumbling_window,
 )
+from go_batch_processor_spark.streaming.stateful import (
+    streaming_user_running_stats,
+)
 
 __all__ = [
     "run_stream_to_memory",
     "streaming_session_window",
     "streaming_tumbling_window",
+    "streaming_user_running_stats",
 ]

@@ -89,6 +89,26 @@ def test_watermark_drops_late_rows_for_emitted_windows(spark, sf_dir, tmp_path):
     assert 0 < streamed_total <= n_total
 
 
+def test_stateful_running_stats_matches_batch(spark, sf_dir, duck):
+    """applyInPandasWithState per-user running aggregate must equal the
+    batch ground truth after draining the bounded stream."""
+    from go_batch_processor_spark.streaming import streaming_user_running_stats
+
+    got = {
+        r.user_id: (r.n_events, r.total_value)
+        for r in streaming_user_running_stats(spark, sf_dir).collect()
+    }
+    want = {
+        r[0]: (r[1], r[2])
+        for r in duck.sql(
+            "SELECT user_id, count(*), round(sum(value), 2) FROM events GROUP BY user_id"
+        ).fetchall()
+    }
+    assert set(got) == set(want)
+    for u in want:
+        assert got[u] == want[u], f"user {u}: {got[u]} != {want[u]}"
+
+
 def test_streaming_session_window_counts(spark, sf_dir):
     rows = streaming_session_window(spark, sf_dir).collect()
     assert rows
