@@ -29,6 +29,7 @@ def asof_join(
     by: tuple[str, str] | None,
     value_cols: list[str],
     how: str = "inner",
+    tolerance_s: int | None = None,
 ) -> DataFrame:
     """Generic as-of join: for each left row, the latest right row whose time
     is <= the left row's time (inclusive), optionally per by-key.
@@ -41,6 +42,9 @@ def asof_join(
          forward onto each left row — right sorts before left at equal
          times, making the match inclusive;
       4. keep left rows; ``how='inner'`` drops left rows with no prior match.
+
+    ``tolerance_s`` (like pandas merge_asof tolerance): discard matches whose
+    right time lies more than that many seconds before the left time.
 
     Cost: one shuffle + sort on the by-key — the same cost as a sort-merge
     join, independent of time-range density. At 100 TB the window state per
@@ -58,6 +62,12 @@ def asof_join(
     for c in left.columns:
         lsel.append(F.col(c))
         rsel.append(F.lit(None).cast(left.schema[c].dataType).alias(c))
+    carry = list(value_cols)
+    if tolerance_s is not None and "__rt" not in carry:
+        # carry the matched right time itself for the tolerance check
+        lsel.append(F.lit(None).cast(right.schema[rt].dataType).alias("_v___rt"))
+        rsel.append(F.col(rt).alias("_v___rt"))
+        carry.append("__rt")
     for c in value_cols:
         lsel.append(F.lit(None).cast(right.schema[c].dataType).alias(f"_v_{c}"))
         rsel.append(F.col(c).alias(f"_v_{c}"))
@@ -73,10 +83,19 @@ def asof_join(
         "*",
         *[
             F.last(f"_v_{c}", ignorenulls=True).over(w).alias(f"_asof_{c}")
-            for c in value_cols
+            for c in carry
         ],
     )
-    out = carried.filter(F.col("_is_left") == 1).select(
+    out = carried.filter(F.col("_is_left") == 1)
+    if tolerance_s is not None:
+        out = out.filter(
+            F.col("_asof___rt").isNotNull()
+            & (
+                (F.col("_t").cast("long") - F.col("_asof___rt").cast("long"))
+                <= tolerance_s
+            )
+        )
+    out = out.select(
         *left.columns, *[F.col(f"_asof_{c}").alias(f"asof_{c}") for c in value_cols]
     )
     if how == "inner":
@@ -247,6 +266,37 @@ def join_range_time_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.abs(diff) <= RANGE_WINDOW_S)
         .select("event_a", "event_b", diff.alias("diff_s"))
     )
+
+
+ASOF_TOLERANCE_S = 9500 * 86400  # ~26 years: splits the fixture's gap range
+
+
+@register(
+    "join_asof_tolerance",
+    oracle=f"""
+    SELECT e.event_id, e.user_id, o.o_orderdate AS asof_o_orderdate
+    FROM events e
+    ASOF JOIN orders o
+      ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+    WHERE date_diff('second', o.o_orderdate, e.ts) <= {ASOF_TOLERANCE_S}
+    """,
+)
+def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join with a max-staleness tolerance (pandas merge_asof
+    semantics: candidates older than the tolerance never match — equivalent
+    to post-filtering the nearest match, since older candidates are
+    strictly farther)."""
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    o = load_table(spark, sf_dir, "orders").select("o_custkey", "o_orderdate")
+    return asof_join(
+        ev,
+        o,
+        on_time=("ts", "o_orderdate"),
+        by=("user_id", "o_custkey"),
+        value_cols=["o_orderdate"],
+        how="inner",
+        tolerance_s=ASOF_TOLERANCE_S,
+    ).select("event_id", "user_id", "asof_o_orderdate")
 
 
 @register(

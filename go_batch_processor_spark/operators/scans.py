@@ -73,3 +73,43 @@ def sink_parquet_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).filter(F.col("l_returnflag") == "R")
     li.write.mode("overwrite").parquet(out)
     return spark.read.schema(li.schema).parquet(out)
+
+
+@register(
+    "source_csv_roundtrip",
+    oracle="SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment FROM customer",
+)
+def source_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV sink+source with an explicit read schema (never inferSchema —
+    at scale that is a second full pass over the data). Timestamp columns
+    are deliberately absent: CSV text round-trips sub-millisecond precision
+    lossily; columnar formats are the engine's timestamp carriers."""
+    c = load_table(spark, sf_dir, "customer")
+    out = os.path.join(tempfile.gettempdir(), "gbp_src_csv")
+    c.write.mode("overwrite").option("header", True).csv(out)
+    return spark.read.schema(c.schema).option("header", True).csv(out)
+
+
+@register(
+    "source_json_roundtrip",
+    oracle="SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM supplier",
+)
+def source_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines sink+source with explicit schema on read."""
+    s = load_table(spark, sf_dir, "supplier")
+    out = os.path.join(tempfile.gettempdir(), "gbp_src_json")
+    s.write.mode("overwrite").json(out)
+    return spark.read.schema(s.schema).json(out)
+
+
+@register(
+    "source_orc_roundtrip",
+    oracle="SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate, o_orderpriority FROM orders",
+)
+def source_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC sink+source — the second columnar format, full timestamp
+    fidelity, same pushdown machinery as parquet."""
+    o = load_table(spark, sf_dir, "orders")
+    out = os.path.join(tempfile.gettempdir(), "gbp_src_orc")
+    o.write.mode("overwrite").orc(out)
+    return spark.read.schema(o.schema).orc(out)
