@@ -91,18 +91,21 @@ def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_collect_sorted",
     oracle="""
     SELECT l_returnflag,
-           list_sort(list(DISTINCT l_linestatus)) AS statuses,
-           count(DISTINCT l_linestatus)           AS n_statuses
+           array_to_string(list_sort(list(DISTINCT l_linestatus)), ',') AS statuses,
+           count(DISTINCT l_linestatus)                                 AS n_statuses
     FROM lineitem
     GROUP BY l_returnflag
     """,
 )
 def agg_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Array aggregation with deterministic ordering (collect_set is
-    partition-order dependent -> always sort_array before emitting)."""
+    partition-order dependent -> always sort_array before emitting).
+    Emitted as a joined string: array columns cross to pandas as numpy
+    arrays vs python lists depending on engine, which breaks value-hash
+    comparison even when contents are identical."""
     li = load_table(spark, sf_dir, "lineitem")
     return li.groupBy("l_returnflag").agg(
-        F.sort_array(F.collect_set("l_linestatus")).alias("statuses"),
+        F.concat_ws(",", F.sort_array(F.collect_set("l_linestatus"))).alias("statuses"),
         F.countDistinct("l_linestatus").alias("n_statuses"),
     )
 

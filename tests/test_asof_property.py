@@ -1,0 +1,73 @@
+"""Property-based check of the union+window asof_join against pandas
+merge_asof (the de-facto reference implementation of as-of semantics)."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from go_batch_processor_spark.operators.joins import asof_join
+
+KEYS = [0, 1, 2]
+
+
+@st.composite
+def asof_case(draw):
+    n_left = draw(st.integers(1, 20))
+    n_right = draw(st.integers(0, 20))
+    left = [
+        (i, draw(st.sampled_from(KEYS)), draw(st.integers(0, 1000)))
+        for i in range(n_left)
+    ]
+    right = [
+        (100 + i, draw(st.sampled_from(KEYS)), draw(st.integers(0, 1000)))
+        for i in range(n_right)
+    ]
+    return left, right
+
+
+@settings(
+    max_examples=12,  # each example runs a Spark job; keep the budget tight
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(asof_case())
+def test_asof_join_matches_pandas_merge_asof(spark, case):
+    left_rows, right_rows = case
+    left_pdf = pd.DataFrame(left_rows, columns=["lid", "k", "t"])
+    right_pdf = pd.DataFrame(right_rows, columns=["rid", "rk", "rt"])
+
+    left = spark.createDataFrame(left_pdf, schema="lid long, k long, t long")
+    right = spark.createDataFrame(
+        right_pdf.assign(payload=right_pdf["rt"]),
+        schema="rid long, rk long, rt long, payload long",
+    )
+
+    got = asof_join(
+        left,
+        right,
+        on_time=("t", "rt"),
+        by=("k", "rk"),
+        value_cols=["payload"],
+        how="inner",
+    ).toPandas()
+
+    if len(right_pdf):
+        want = pd.merge_asof(
+            left_pdf.sort_values("t"),
+            right_pdf.assign(payload=right_pdf["rt"]).sort_values("rt"),
+            left_on="t",
+            right_on="rt",
+            left_by="k",
+            right_by="rk",
+            direction="backward",
+        ).dropna(subset=["payload"])
+        want_set = {
+            (r.lid, int(r.payload)) for r in want.itertuples()
+        }
+    else:
+        want_set = set()
+    got_set = {(r.lid, int(r.asof_payload)) for r in got.itertuples()}
+    assert got_set == want_set

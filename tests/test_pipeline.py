@@ -298,6 +298,43 @@ def test_stop_drains_in_flight_and_blocks_new_batches(spark):
     assert len(rec.calls) == n_after
 
 
+def test_end_to_end_sliced_table_pipeline(spark, sf_dir):
+    """Full-system run: a supplier serving the events table in 10 key-range
+    slices, a real aggregation processor, a collecting finalizer, 4
+    concurrent workers — every input row must be accounted exactly once."""
+    from pyspark.sql import functions as F
+
+    from go_batch_processor_spark.catalog import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    n_total = ev.count()
+    slices = list(range(10))
+    lock = threading.Lock()
+
+    def fetch():
+        with lock:
+            if not slices:
+                return None
+            i = slices.pop(0)
+        return ev.filter(F.col("event_id") % 10 == i)
+
+    def process(batch):
+        return batch.agg(F.count(F.lit(1)).alias("n"))
+
+    rec = Recorder()
+    pipe = (
+        BatchPipeline(4, FnSupplier(fetch), FnProcessor(process))
+        .with_finalizer(rec)
+        .with_no_batch_sleep_interval_ms(20)
+    )
+    pipe.start()
+    calls = rec.wait_calls(10, timeout=60)
+    pipe.stop()
+    assert len(rec.calls) == 10
+    assert all(err is None for _, err in rec.calls)
+    assert sum(df.first().n for df, _ in rec.calls) == n_total
+
+
 def test_restart_after_stop_is_noop(spark):
     pipe = BatchPipeline(1, FnSupplier(lambda: None), FnProcessor(lambda b: b))
     pipe.start()
