@@ -156,6 +156,85 @@ def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "agg_filter_clause",
+    oracle="""
+    SELECT user_id,
+           count(*)                                        AS n_all,
+           count(*) FILTER (WHERE event_type = 'purchase') AS n_purchase,
+           round(sum(value) FILTER (WHERE event_type = 'error'), 2) AS err_value
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def agg_filter_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI FILTER clause on aggregates (one pass, no self-joins) via
+    Spark SQL."""
+    register_views(spark, sf_dir, "events")
+    return spark.sql(
+        """
+        SELECT user_id,
+               count(*)                                        AS n_all,
+               count(*) FILTER (WHERE event_type = 'purchase') AS n_purchase,
+               round(sum(value) FILTER (WHERE event_type = 'error'), 2) AS err_value
+        FROM events
+        GROUP BY user_id
+        """
+    )
+
+
+N_SALTS = 8
+
+
+def salted_sum_count(df, key: str, value: str, n_salts: int = N_SALTS):
+    """Two-phase salted aggregation for skewed group keys.
+
+    Phase 1 groups on (key, random-ish salt) so a hot key's rows spread over
+    n_salts reducers; phase 2 re-aggregates the n_salts partials per key.
+    The salt must be deterministic for reproducibility — derived from a row
+    identity hash, not rand(). Sum/count compose across phases exactly;
+    avg = sum/count at the end (never average partial averages).
+    """
+    salted = df.withColumn("_salt", F.pmod(F.xxhash64(F.col(value)), F.lit(n_salts)))
+    partial = salted.groupBy(key, "_salt").agg(
+        F.sum(value).alias("_s"), F.count(F.lit(1)).alias("_c")
+    )
+    return partial.groupBy(key).agg(
+        F.sum("_s").alias("_sum"), F.sum("_c").alias("_cnt")
+    )
+
+
+@register(
+    "agg_salted_skew",
+    oracle="""
+    SELECT event_type,
+           round(sum(value), 2) AS total_value,
+           count(*)             AS n,
+           round(sum(value) / count(*), 4) AS mean_value
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def agg_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-resistant aggregation via salting (event_type has only 5 values
+    — exactly the hot-key shape where a plain groupBy funnels everything
+    through 5 reducers at 100 TB). Result is identical to the plain
+    groupBy; only the shuffle topology differs.
+
+    Note: Spark's map-side partial aggregation already absorbs most of this
+    for algebraic aggregates; explicit salting is the pattern for when
+    partials don't compose (exact distinct, collect) or under AQE-resistant
+    skew."""
+    ev = load_table(spark, sf_dir, "events")
+    out = salted_sum_count(ev, "event_type", "value")
+    return out.select(
+        "event_type",
+        F.round(F.col("_sum"), 2).alias("total_value"),
+        F.col("_cnt").alias("n"),
+        F.round(F.col("_sum") / F.col("_cnt"), 4).alias("mean_value"),
+    )
+
+
+@register(
     "agg_having",
     oracle="""
     SELECT o_custkey,
