@@ -156,6 +156,31 @@ def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "agg_max_by",
+    oracle="""
+    SELECT l_returnflag,
+           max({'p': l_extendedprice, 'k': l_orderkey}).k AS top_orderkey,
+           max({'p': l_extendedprice, 'k': l_orderkey}).p AS top_price
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def agg_max_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """arg-max per group via max(struct(value, tiebreak)) — both engines
+    order structs lexicographically, so the orderkey tiebreak makes the
+    winner deterministic even when the max price ties (plain max_by/arg_max
+    is tie-nondeterministic)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    top = F.max(
+        F.struct(F.col("l_extendedprice").alias("p"), F.col("l_orderkey").alias("k"))
+    )
+    return li.groupBy("l_returnflag").agg(
+        top.getField("k").alias("top_orderkey"),
+        top.getField("p").alias("top_price"),
+    )
+
+
+@register(
     "agg_filter_clause",
     oracle="""
     SELECT user_id,

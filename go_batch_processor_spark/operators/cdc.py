@@ -1,0 +1,122 @@
+"""CDC / upsert emulation (MERGE INTO without a table format).
+
+Delta/Iceberg jars are not in the image (SURVEY.md §7 env constraints), so
+MERGE is emulated with the standard anti-join + union pattern — the exact
+plan a format-backed MERGE lowers to, minus the transactional commit. At
+100 TB both sides hash-shuffle once on the merge key; the change set is
+usually small enough to broadcast.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from go_batch_processor_spark.catalog import load_table
+from go_batch_processor_spark.registry import register
+
+
+def upsert(base: DataFrame, changes: DataFrame, key: str) -> DataFrame:
+    """MERGE semantics: rows of ``changes`` replace same-key rows of
+    ``base``; unmatched change rows are inserts. Schemas must align."""
+    kept = base.join(changes.select(key), on=key, how="left_anti")
+    return kept.unionByName(changes)
+
+
+@register(
+    "cdc_upsert_customers",
+    oracle="""
+    WITH changes AS (
+      SELECT o_custkey AS c_custkey,
+             round(sum(o_totalprice), 2) AS c_acctbal
+      FROM orders
+      WHERE o_orderdate >= TIMESTAMP '2000-01-01'
+      GROUP BY o_custkey
+    )
+    SELECT c.c_custkey,
+           coalesce(ch.c_acctbal, c.c_acctbal) AS c_acctbal,
+           (ch.c_custkey IS NOT NULL)          AS was_updated
+    FROM customer c
+    LEFT JOIN changes ch ON c.c_custkey = ch.c_custkey
+    """,
+)
+def cdc_upsert_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Upsert a derived change set (recent-order spend per customer) into
+    the customer balances: anti-join keeps untouched rows, union applies
+    updates — then project to the oracle's LEFT JOIN + coalesce shape.
+
+    The change set derives deterministically from orders, so the whole
+    merge is DuckDB-checkable. (No inserts in this fixture: every change
+    key exists in base — insert behavior is covered by upsert()'s
+    unionByName and the pipeline tests.)
+    """
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    changes = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp"))
+        .groupBy(F.col("o_custkey").alias("c_custkey"))
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("c_acctbal"))
+        .withColumn("was_updated", F.lit(True))
+    )
+    base = c.withColumn("was_updated", F.lit(False))
+    return upsert(base, changes, "c_custkey")
+
+
+@register(
+    "docs_enrichment_pipeline",
+    oracle="""
+    WITH q AS (
+      SELECT doc_id, lang, n_chars, string_split(text, ' ') AS w,
+             md5(text) AS content_hash
+      FROM documents
+    ),
+    scored AS (
+      SELECT doc_id, lang, n_chars, content_hash,
+             CAST(len(w) AS BIGINT) AS n_words,
+             round(len(list_filter(w, x -> x IN ('the','a','of','and','to','in','is')))
+                   * 1.0 / len(w), 4) AS stopword_ratio
+      FROM q
+    ),
+    dups AS (
+      SELECT doc_id, min(doc_id) OVER (PARTITION BY content_hash) AS canonical
+      FROM scored
+    )
+    SELECT s.doc_id, s.lang, s.n_words, s.stopword_ratio,
+           (s.n_words >= 20 AND s.stopword_ratio >= 0.05) AS keep_for_training,
+           (d.canonical <> s.doc_id)                      AS is_exact_dup
+    FROM scored s JOIN dups d ON s.doc_id = d.doc_id
+    """,
+)
+def docs_enrichment_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end LLM-corpus enrichment: tokenize -> quality features ->
+    exact-dup canonicalization -> keep/drop decision, in one composed plan
+    (the per-operator building blocks as a user would chain them)."""
+    from go_batch_processor_spark.operators.text import STOPWORDS
+
+    d = load_table(spark, sf_dir, "documents")
+    w = F.split("text", " ")
+    nw = F.size(w)
+    scored = d.select(
+        "doc_id",
+        "lang",
+        nw.cast("long").alias("n_words"),
+        F.round(
+            F.size(F.filter(w, lambda x: x.isin(*STOPWORDS))).cast("double")
+            / nw.cast("double"),
+            4,
+        ).alias("stopword_ratio"),
+        F.md5("text").alias("content_hash"),
+    )
+    from pyspark.sql import Window
+
+    canonical = F.min("doc_id").over(Window.partitionBy("content_hash"))
+    return scored.select(
+        "doc_id",
+        "lang",
+        "n_words",
+        "stopword_ratio",
+        ((F.col("n_words") >= 20) & (F.col("stopword_ratio") >= 0.05)).alias(
+            "keep_for_training"
+        ),
+        (canonical != F.col("doc_id")).alias("is_exact_dup"),
+    )
