@@ -268,6 +268,47 @@ def join_range_time_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def asof_join_broadcast(
+    left: DataFrame,
+    right: DataFrame,
+    on_time: tuple[str, str],
+    by: tuple[str, str],
+    value_cols: list[str],
+    how: str = "inner",
+) -> DataFrame:
+    """Alternative as-of strategy for a SMALL right side: pack the right
+    table into a per-key sorted array of (time, values) structs, broadcast
+    it, and pick the last element <= t with JVM array functions.
+
+    Zero shuffles on the left side (vs one shuffle+sort for the union+window
+    strategy) at the cost of O(right rows per key) work per left row — the
+    right choice when the right side is dimension-sized and the left is the
+    100 TB fact. Same contract as :func:`asof_join`.
+    """
+    lt, rt = on_time
+    lkey, rkey = by
+    packed = right.groupBy(F.col(rkey).alias(lkey)).agg(
+        F.sort_array(
+            F.collect_list(
+                F.struct(F.col(rt).alias("_rt"), *[F.col(c) for c in value_cols])
+            )
+        ).alias("_tl")
+    )
+    joined = left.join(F.broadcast(packed), on=lkey, how="left")
+    t = F.col(lt)
+    match = F.element_at(F.filter(F.col("_tl"), lambda s: s["_rt"] <= t), -1)
+    out = joined.select(
+        *left.columns,
+        *[match[c].alias(f"asof_{c}") for c in value_cols],
+    )
+    if how == "inner":
+        cond = F.lit(True)
+        for c in value_cols:
+            cond = cond & F.col(f"asof_{c}").isNotNull()
+        out = out.filter(cond)
+    return out
+
+
 ASOF_TOLERANCE_S = 9500 * 86400  # ~26 years: splits the fixture's gap range
 
 

@@ -76,6 +76,38 @@ def sink_parquet_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "sink_partitioned_pruned",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice,
+           CAST(year(o_orderdate) AS BIGINT) AS order_year
+    FROM orders
+    WHERE year(o_orderdate) = 1997
+    """,
+)
+def sink_partitioned_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-style partitioned write + partition-pruned read.
+
+    ``partitionBy(order_year)`` lays the sink out as order_year=YYYY/
+    directories; the filtered read-back touches only the 1997 directory
+    (PartitionFilters in the plan, zero I/O on other years) — THE layout
+    lever for time-organized 100 TB tables."""
+    o = load_table(spark, sf_dir, "orders").withColumn(
+        "order_year", F.year("o_orderdate").cast("long")
+    )
+    out = os.path.join(tempfile.gettempdir(), "gbp_sink_partitioned")
+    (
+        o.select("o_orderkey", "o_custkey", "o_totalprice", "order_year")
+        .write.mode("overwrite")
+        .partitionBy("order_year")
+        .parquet(out)
+    )
+    back = spark.read.parquet(out).filter(F.col("order_year") == 1997)
+    return back.select(
+        "o_orderkey", "o_custkey", "o_totalprice", F.col("order_year").cast("long")
+    )
+
+
+@register(
     "source_csv_roundtrip",
     oracle="SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment FROM customer",
 )

@@ -132,6 +132,59 @@ def stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stream_sessionize_native",
+    oracle=f"""
+    WITH gaps AS (
+      SELECT user_id, event_id, ts, value,
+             CASE WHEN ts - lag(ts) OVER w < INTERVAL '{SESSION_GAP_MIN} minutes'
+                  THEN 0 ELSE 1 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+    ),
+    sess AS (
+      SELECT user_id, ts, value,
+             sum(new_session) OVER (PARTITION BY user_id
+                                    ORDER BY ts ASC, event_id ASC
+                                    ROWS UNBOUNDED PRECEDING) AS sid
+      FROM gaps
+    )
+    SELECT user_id,
+           min(ts)                                        AS session_start,
+           max(ts) + INTERVAL '{SESSION_GAP_MIN} minutes' AS session_end,
+           count(*)                                       AS n_events,
+           round(sum(value), 2)                           AS session_value
+    FROM sess
+    GROUP BY user_id, sid
+    """,
+)
+def stream_sessionize_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native F.session_window in BATCH mode (it works outside streaming).
+
+    Semantic nuance vs the lag-gap-cumsum twin: session_window merges on
+    strict overlap (gap < 30 min), the cumsum twin on gap <= 30 min — the
+    oracle here uses strict < to match; window end = last event + gap.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.session_window("ts", f"{SESSION_GAP_MIN} minutes").alias("w"),
+            "user_id",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("session_value"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "session_value",
+        )
+    )
+
+
+@register(
     "stream_late_data_policy",
     oracle=f"""
     WITH arr AS (

@@ -49,6 +49,30 @@ def test_ivf_topk_recall_vs_brute_force(spark, sf_dir):
     assert overlap >= 3, f"IVF recall too low: {overlap}/10 ({ivf} vs {brute})"
 
 
+def test_asof_broadcast_strategy_matches_window_strategy(spark, sf_dir):
+    """Both as-of strategies (union+window shuffle vs broadcast packed
+    arrays) must produce identical matches."""
+    from pyspark.sql import functions as F
+
+    from go_batch_processor_spark.catalog import load_table
+    from go_batch_processor_spark.operators.joins import asof_join, asof_join_broadcast
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    o = load_table(spark, sf_dir, "orders").select("o_custkey", "o_orderdate")
+    kw = dict(
+        on_time=("ts", "o_orderdate"),
+        by=("user_id", "o_custkey"),
+        value_cols=["o_orderdate"],
+        how="inner",
+    )
+    a = {(r.event_id, r.asof_o_orderdate) for r in asof_join(ev, o, **kw).collect()}
+    b = {
+        (r.event_id, r.asof_o_orderdate)
+        for r in asof_join_broadcast(ev, o, **kw).collect()
+    }
+    assert a == b and a
+
+
 def test_dedup_exact_is_lossless_without_dups(spark, sf_dir, duck):
     n_docs = duck.sql("SELECT count(*) FROM documents").fetchone()[0]
     n_dedup = REGISTRY["dedup_exact"].fn(spark, sf_dir).count()
