@@ -39,17 +39,51 @@ class QuerySpec:
 
 REGISTRY: dict[str, QuerySpec] = {}
 
+# Session confs every query depends on for correctness, enforced at call
+# time because the driver hands queries ITS OWN SparkSession (not our
+# session.get_spark one): timestamps must be UTC to hash-match DuckDB's
+# naive timestamps, and events.parquet's TIMESTAMP(NANOS) column needs the
+# nanos-as-long read path. All are runtime-settable session confs.
+REQUIRED_CONFS = {
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+}
+
+
+def ensure_session_confs(spark: SparkSession) -> None:
+    for k, v in REQUIRED_CONFS.items():
+        try:
+            if spark.conf.get(k, None) != v:
+                spark.conf.set(k, v)
+        except Exception:  # pragma: no cover — conf missing in this build
+            spark.conf.set(k, v)
+
 
 def register(
     name: str, oracle: str | None = None, tags: frozenset[str] | set[str] = frozenset()
 ) -> Callable[[QueryFn], QueryFn]:
-    """Decorator: register a query under ``name`` with its oracle SQL."""
+    """Decorator: register a query under ``name`` with its oracle SQL.
+
+    The registered callable pins REQUIRED_CONFS on the passed session
+    before building the plan."""
 
     def deco(fn: QueryFn) -> QueryFn:
         if name in REGISTRY:
             raise ValueError(f"duplicate query name: {name}")
+
+        def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+            ensure_session_confs(spark)
+            return fn(spark, sf_dir)
+
+        wrapped.__name__ = fn.__name__
+        wrapped.__doc__ = fn.__doc__
         REGISTRY[name] = QuerySpec(
-            name=name, fn=fn, oracle=oracle, tags=frozenset(tags), doc=fn.__doc__ or ""
+            name=name,
+            fn=wrapped,
+            oracle=oracle,
+            tags=frozenset(tags),
+            doc=fn.__doc__ or "",
         )
         return fn
 
