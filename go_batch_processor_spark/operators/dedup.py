@@ -240,6 +240,108 @@ def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _jaccard_filter(inter, sh, JACCARD_THRESHOLD)
 
 
+CC_MAX_ITERS = 20
+
+
+def connected_components(edges: DataFrame, src: str, dst: str) -> DataFrame:
+    """Connected components by iterative min-label propagation.
+
+    Each node starts labeled with itself; every round each node takes the
+    min label among itself and its neighbors; converged when no label
+    changes. Rounds needed = graph diameter (near-dup clusters are tiny, so
+    a handful); each round is one join + one aggregate — the standard
+    DataFrame-iterative shape (same loop GraphX/GraphFrames runs inside).
+
+    Returns (node, component) with component = min node id in the cluster.
+    """
+    sym = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .unionByName(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .distinct()
+    )
+    labels = sym.select(F.col("a").alias("node")).distinct().withColumn(
+        "label", F.col("node")
+    )
+    for _ in range(CC_MAX_ITERS):
+        neighbor_min = (
+            sym.join(labels, sym.b == labels.node)
+            .groupBy(sym.a.alias("node"))
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, "node", "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce("nbr_label", F.col("label"))
+                ).alias("label"),
+                (F.coalesce("nbr_label", F.col("label")) < F.col("label")).alias(
+                    "_changed"
+                ),
+            )
+        )
+        # localCheckpoint truncates the exponentially-growing lineage —
+        # required for any iterative DataFrame algorithm.
+        new_labels = new_labels.localCheckpoint(eager=True)
+        changed = new_labels.filter(F.col("_changed")).count()
+        labels = new_labels.drop("_changed")
+        if changed == 0:
+            break
+    return labels.select("node", F.col("label").alias("component"))
+
+
+@register(
+    "dedup_cluster_components",
+    oracle=f"""
+    WITH RECURSIVE words AS (
+      SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ),
+    sh AS (
+      SELECT doc_id,
+             unnest(list_distinct(list_transform(range(1, len(w) - 1),
+                    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS shingle
+      FROM words
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT doc_a, doc_b
+      FROM inter
+      JOIN sizes sa ON doc_a = sa.doc_id
+      JOIN sizes sb ON doc_b = sb.doc_id
+      WHERE i * 1.0 / (sa.n_sh + sb.n_sh - i) >= {JACCARD_THRESHOLD}
+    ),
+    edges AS (
+      SELECT doc_a AS a, doc_b AS b FROM pairs
+      UNION
+      SELECT doc_b, doc_a FROM pairs
+    ),
+    reach(a, b) AS (
+      SELECT a, b FROM edges
+      UNION
+      SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+    )
+    SELECT a AS doc_id, least(min(b), a) AS component
+    FROM reach
+    GROUP BY a
+    """,
+)
+def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs -> duplicate CLUSTERS via connected components (the
+    step that turns pairwise Jaccard matches into keep-one-per-group
+    decisions). Spark side iterates min-label propagation; the oracle walks
+    the transitive closure with a recursive CTE."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = exact_jaccard_pairs(docs)
+    return connected_components(pairs, "doc_a", "doc_b").select(
+        F.col("node").alias("doc_id"), "component"
+    )
+
+
 @register("dedup_simhash", tags={"rows_only"})
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup candidates: 64-bit signature from word hashes, then
