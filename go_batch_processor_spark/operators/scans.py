@@ -108,6 +108,30 @@ def sink_partitioned_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "source_custom_supplier",
+    oracle="""
+    SELECT b.batch_id, i.item_id,
+           (b.batch_id * 1000003 + i.item_id * 7919) % 1000000 AS payload
+    FROM range(8) b(batch_id), range(100) i(item_id)
+    """,
+)
+def source_custom_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom Python DataSource: the reference's pull-Supplier registered as
+    a Spark table provider (one fetched batch == one input partition). The
+    deterministic payload recurrence makes it oracle-checkable via
+    range()-generated rows."""
+    from go_batch_processor_spark.sources import SupplierDataSource
+
+    spark.dataSource.register(SupplierDataSource)
+    return (
+        spark.read.format("supplier_batches")
+        .option("batches", 8)
+        .option("batch_size", 100)
+        .load()
+    )
+
+
+@register(
     "source_csv_roundtrip",
     oracle="SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment FROM customer",
 )
