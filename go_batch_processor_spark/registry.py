@@ -103,3 +103,30 @@ def all_oracles() -> dict[str, str]:
 def _ensure_loaded() -> None:
     # Import operator modules for their registration side effects.
     import go_batch_processor_spark.operators  # noqa: F401
+
+    _register_pickle_by_value()
+
+
+def _register_pickle_by_value() -> None:
+    """Serialize worker-crossing engine callables BY VALUE.
+
+    cloudpickle pickles module-level functions/classes by reference, which
+    makes Python workers try to import this package — and the driver
+    process (not ours) controls whether the repo dir is on the workers'
+    PYTHONPATH. By-value registration makes UDFs / mapInPandas kernels /
+    the custom DataSource self-contained regardless of worker environment.
+    """
+    try:
+        from pyspark import cloudpickle
+    except ImportError:  # pragma: no cover
+        return
+    import go_batch_processor_spark.operators.multimodal as _mm
+    import go_batch_processor_spark.operators.udfs as _udfs
+    import go_batch_processor_spark.sources.supplier_source as _src
+    import go_batch_processor_spark.streaming.stateful as _stateful
+
+    for mod in (_mm, _udfs, _src, _stateful):
+        try:
+            cloudpickle.register_pickle_by_value(mod)
+        except Exception:  # pragma: no cover — older cloudpickle
+            pass

@@ -14,7 +14,12 @@ so results are oracle-checkable.
 
 from __future__ import annotations
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 from pyspark.sql.types import StructType
 
 DEFAULT_BATCHES = 8
@@ -49,6 +54,32 @@ class _SupplierReader(DataSourceReader):
             yield (b, i, _item_payload(b, i))
 
 
+class _SupplierStreamReader(SimpleDataSourceStreamReader):
+    """Unbounded pull source: the reference's poll loop with exactly-once
+    offset tracking (offset = next batch id) instead of the reference's
+    at-most-once fetch (its fetch errors drop batches, batch_processor.go
+    :127-130 — Spark's offset log upgrades that delivery contract)."""
+
+    def __init__(self, options: dict):
+        self.batch_size = int(options.get("batch_size", DEFAULT_BATCH_SIZE))
+        self.max_batches = int(options.get("batches", DEFAULT_BATCHES))
+
+    def initialOffset(self) -> dict:
+        return {"batch": 0}
+
+    def read(self, start: dict):
+        b = start["batch"]
+        if b >= self.max_batches:  # bounded fixture: source drained
+            return iter([]), {"batch": b}
+        rows = [(b, i, _item_payload(b, i)) for i in range(self.batch_size)]
+        return iter(rows), {"batch": b + 1}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        for b in range(start["batch"], end["batch"]):
+            for i in range(self.batch_size):
+                yield (b, i, _item_payload(b, i))
+
+
 class SupplierDataSource(DataSource):
     @classmethod
     def name(cls) -> str:
@@ -59,3 +90,6 @@ class SupplierDataSource(DataSource):
 
     def reader(self, schema: StructType) -> DataSourceReader:
         return _SupplierReader(self.options)
+
+    def simpleStreamReader(self, schema: StructType) -> SimpleDataSourceStreamReader:
+        return _SupplierStreamReader(self.options)
