@@ -220,6 +220,31 @@ def scalar_datetime_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "scalar_bitwise",
+    oracle="""
+    SELECT event_id,
+           event_id & 255                    AS low_byte,
+           event_id | 4096                   AS with_flag,
+           CAST(xor(event_id, 1365) AS BIGINT) AS xored,
+           (event_id << 2) & 65535           AS shifted_mask
+    FROM events
+    """,
+)
+def scalar_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise AND/OR/XOR/shift — the building blocks the SimHash and
+    bucketing operators rely on, surfaced as a checkable query."""
+    ev = load_table(spark, sf_dir, "events")
+    eid = F.col("event_id")
+    return ev.select(
+        "event_id",
+        eid.bitwiseAND(F.lit(255)).alias("low_byte"),
+        eid.bitwiseOR(F.lit(4096)).alias("with_flag"),
+        eid.bitwiseXOR(F.lit(1365)).alias("xored"),
+        F.shiftleft(eid, 2).bitwiseAND(F.lit(65535)).alias("shifted_mask"),
+    )
+
+
+@register(
     "scalar_hash",
     oracle="""
     SELECT doc_id,

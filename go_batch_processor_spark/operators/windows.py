@@ -137,6 +137,37 @@ def window_first_last_nth(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "window_range_interval_frame",
+    oracle="""
+    SELECT event_id, user_id, ts,
+           count(*) OVER w            AS n_last_hour,
+           round(sum(value) OVER w, 2) AS value_last_hour
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                 RANGE BETWEEN INTERVAL '1 hour' PRECEDING AND CURRENT ROW)
+    """,
+)
+def window_range_interval_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value-based RANGE frame with an interval bound: per-user trailing
+    1-hour count/sum. RANGE frames are tie-safe by construction (rows with
+    equal ts share a frame), so no tiebreak key is needed — unlike every
+    ROWS frame in this module."""
+    from go_batch_processor_spark.catalog import register_views
+
+    register_views(spark, sf_dir, "events")
+    return spark.sql(
+        """
+        SELECT event_id, user_id, ts,
+               count(*) OVER w             AS n_last_hour,
+               round(sum(value) OVER w, 2) AS value_last_hour
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                     RANGE BETWEEN INTERVAL '1' HOUR PRECEDING AND CURRENT ROW)
+        """
+    )
+
+
+@register(
     "window_running_frame",
     oracle="""
     SELECT o_custkey, o_orderkey, o_orderdate,
