@@ -220,16 +220,27 @@ def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig")
     )
 
-    a = bands.alias("a")
-    b = bands.alias("b")
+    # Candidate pairs via bucket-collect + in-array pair expansion: one
+    # aggregation over the banded rows instead of a self-join (which would
+    # evaluate the whole signature pipeline twice). Same-bucket doc lists
+    # are tiny (only near-dups collide), so the nested pair transform is
+    # O(bucket^2) on a handful of elements. Scale caveat: a bucket of D
+    # docs holds D ids in one aggregation buffer and emits D^2/2 pairs —
+    # identical docs are the only way to get huge D, so run dedup_exact
+    # first (its output is this operator's intended input at 100 TB).
+    buckets = (
+        bands.groupBy("band", "sig")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
+        .filter(F.size("ids") > 1)
+    )
+    pair_expr = F.expr(
+        "flatten(transform(ids, (x, i) -> "
+        "transform(slice(ids, i + 2, size(ids)), "
+        "y -> struct(x AS doc_a, y AS doc_b))))"
+    )
     candidates = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.sig") == F.col("b.sig"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        buckets.select(F.explode(pair_expr).alias("p"))
+        .select(F.col("p.doc_a"), F.col("p.doc_b"))
         .distinct()
     )
 
