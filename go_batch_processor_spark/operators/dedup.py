@@ -370,6 +370,65 @@ def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "dedup_keep_canonical",
+    oracle=f"""
+    WITH RECURSIVE words AS (
+      SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ),
+    sh AS (
+      SELECT doc_id,
+             unnest(list_distinct(list_transform(range(1, len(w) - 1),
+                    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS shingle
+      FROM words
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT doc_a, doc_b
+      FROM inter
+      JOIN sizes sa ON doc_a = sa.doc_id
+      JOIN sizes sb ON doc_b = sb.doc_id
+      WHERE i * 1.0 / (sa.n_sh + sb.n_sh - i) >= {JACCARD_THRESHOLD}
+    ),
+    edges AS (
+      SELECT doc_a AS a, doc_b AS b FROM pairs
+      UNION
+      SELECT doc_b, doc_a FROM pairs
+    ),
+    reach(a, b) AS (
+      SELECT a, b FROM edges
+      UNION
+      SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+    ),
+    comp AS (SELECT a AS doc_id, least(min(b), a) AS component
+             FROM reach GROUP BY a)
+    SELECT d.doc_id, d.lang, d.source
+    FROM documents d
+    LEFT JOIN comp c ON d.doc_id = c.doc_id
+    WHERE c.doc_id IS NULL OR c.component = d.doc_id
+    """,
+)
+def dedup_keep_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The deduplicated corpus: near-dup clusters collapse to their minimum
+    doc_id; singletons pass through. This is the end product the rest of
+    the dedup family feeds (pairs -> components -> keep-one-per-cluster)."""
+    docs = load_table(spark, sf_dir, "documents")
+    comp = connected_components(exact_jaccard_pairs(docs), "doc_a", "doc_b")
+    keep = comp.filter(F.col("node") == F.col("component")).select(
+        F.col("node").alias("doc_id")
+    )
+    clustered = comp.select(F.col("node").alias("doc_id"))
+    survivors = docs.join(clustered, "doc_id", "left_anti").select("doc_id").unionByName(keep)
+    return docs.join(survivors, "doc_id", "left_semi").select(
+        "doc_id", "lang", "source"
+    )
+
+
 @register("dedup_simhash", tags={"rows_only"})
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup candidates: 64-bit signature from word hashes, then

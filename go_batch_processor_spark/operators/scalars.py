@@ -220,6 +220,24 @@ def scalar_datetime_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "scalar_posexplode",
+    oracle="""
+    SELECT vec_id,
+           CAST(generate_subscripts(embedding[1:4], 1) - 1 AS INTEGER) AS pos,
+           round(CAST(unnest(embedding[1:4]) AS DOUBLE), 6) AS val
+    FROM embeddings
+    """,
+)
+def scalar_posexplode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """posexplode: one-to-many expansion WITH ordinality (0-based position)
+    over the first 4 embedding components."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return e.select(
+        "vec_id", F.posexplode(F.slice("embedding", 1, 4)).alias("pos", "v")
+    ).select("vec_id", "pos", F.round(F.col("v").cast("double"), 6).alias("val"))
+
+
+@register(
     "scalar_bitwise",
     oracle="""
     SELECT event_id,

@@ -189,6 +189,67 @@ def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+TFIDF_TOP_K = 3
+
+
+@register(
+    "text_tfidf_topk",
+    oracle=f"""
+    WITH tokens AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, term, count(*) AS tf FROM tokens GROUP BY doc_id, term
+    ),
+    df AS (
+      SELECT term, count(DISTINCT doc_id) AS df FROM tokens GROUP BY term
+    ),
+    n AS (SELECT count(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.term,
+             round(tf.tf * ln(n.n_docs * 1.0 / df.df), 6) AS tfidf
+      FROM tf JOIN df ON tf.term = df.term, n
+    ),
+    ranked AS (
+      SELECT doc_id, term, tfidf,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY tfidf DESC, term ASC) AS rn
+      FROM scored
+    )
+    SELECT doc_id, term, tfidf, rn FROM ranked WHERE rn <= {TFIDF_TOP_K}
+    """,
+)
+def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF top-3 terms per document — the classic keyword extractor.
+
+    Two aggregations (term frequency per doc, document frequency per term)
+    sharing one tokenization, a broadcast-sized DF join, and a per-doc
+    top-k window. ln() is libm-dependent -> rounded on both sides.
+    At 100 TB: DF table is O(vocabulary) — broadcastable; the tf table
+    shuffles once on (doc, term).
+    """
+    d = load_table(spark, sf_dir, "documents")
+    n_docs = d.count()  # scalar dimension, folded as a literal
+    tokens = d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+    tf = tokens.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df = tokens.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    scored = tf.join(F.broadcast(df), "term").select(
+        "doc_id",
+        "term",
+        F.round(
+            F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6
+        ).alias("tfidf"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("term").asc())
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= TFIDF_TOP_K)
+        .select("doc_id", "term", "tfidf", "rn")
+    )
+
+
 @register("text_fingerprint", tags={"rows_only"})
 def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing-style document fingerprint: min/max xxhash64 over word

@@ -109,6 +109,38 @@ def test_stateful_running_stats_matches_batch(spark, sf_dir, duck):
         assert got[u] == want[u], f"user {u}: {got[u]} != {want[u]}"
 
 
+def test_stream_static_broadcast_join(spark, sf_dir):
+    """Stream-static enrichment: the events stream joined to the static
+    customer dim (broadcast; no state store involved). Row count and
+    per-key sums must equal the batch equivalent."""
+    from pyspark.sql import functions as F
+
+    from go_batch_processor_spark.catalog import load_stream, load_table
+    from go_batch_processor_spark.streaming import run_stream_to_memory
+
+    ev = load_stream(spark, sf_dir, "events")
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    enriched = (
+        ev.join(F.broadcast(cust), "user_id", "left")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    out = run_stream_to_memory(enriched, spark, output_mode="complete")
+    got = {(r.c_mktsegment, r.n) for r in out.collect()}
+
+    ev_b = load_table(spark, sf_dir, "events")
+    want = {
+        (r.c_mktsegment, r.n)
+        for r in ev_b.join(F.broadcast(cust), "user_id", "left")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert got == want
+
+
 def test_custom_supplier_streaming_source(spark, tmp_path):
     """The Supplier DataSource as an unbounded streaming source: drain 5
     micro-batches and verify exactly-once delivery of every batch's rows."""
