@@ -109,6 +109,55 @@ def test_stateful_running_stats_matches_batch(spark, sf_dir, duck):
         assert got[u] == want[u], f"user {u}: {got[u]} != {want[u]}"
 
 
+def test_stream_stream_interval_join(spark, sf_dir):
+    """Watermarked stream-stream join: clicks joined to same-user purchases
+    within the following 30 minutes. Every streamed match must be a true
+    batch match (watermark may hold back tail matches, never invent them),
+    and most of the batch result must be covered."""
+    from pyspark.sql import functions as F
+
+    from go_batch_processor_spark.catalog import load_stream, load_table
+    from go_batch_processor_spark.streaming import run_stream_to_memory
+
+    def split(src):
+        clicks = (
+            src.filter(F.col("event_type") == "click")
+            .select(
+                F.col("event_id").alias("click_id"),
+                F.col("user_id").alias("cu"),
+                F.col("ts").alias("cts"),
+            )
+        )
+        purchases = (
+            src.filter(F.col("event_type") == "purchase")
+            .select(
+                F.col("event_id").alias("purchase_id"),
+                F.col("user_id").alias("pu"),
+                F.col("ts").alias("pts"),
+            )
+        )
+        return clicks, purchases
+
+    cond = F.expr(
+        "cu = pu AND pts >= cts AND pts <= cts + INTERVAL 30 MINUTES"
+    )
+
+    sc, sp = split(load_stream(spark, sf_dir, "events"))
+    streamed = run_stream_to_memory(
+        sc.withWatermark("cts", "1 hour").join(
+            sp.withWatermark("pts", "1 hour"), cond, "inner"
+        ),
+        spark,
+    )
+    got = {(r.click_id, r.purchase_id) for r in streamed.collect()}
+
+    bc, bp = split(load_table(spark, sf_dir, "events"))
+    want = {(r.click_id, r.purchase_id) for r in bc.join(bp, cond, "inner").collect()}
+
+    assert got <= want
+    assert len(got) >= 0.9 * len(want) > 0
+
+
 def test_stream_static_broadcast_join(spark, sf_dir):
     """Stream-static enrichment: the events stream joined to the static
     customer dim (broadcast; no state store involved). Row count and
