@@ -112,6 +112,64 @@ def multimodal_decode_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_media(media_table(spark, sf_dir))
 
 
+AUDIO_FRAME = 256  # samples per analysis frame
+
+
+@register(
+    "multimodal_audio_rms",
+    oracle=f"""
+    WITH samples AS (
+      SELECT doc_id,
+             ord(unnest(string_split_regex(text, ''))) AS v,
+             generate_subscripts(string_split_regex(text, ''), 1) AS i
+      FROM documents
+    )
+    SELECT doc_id AS media_id,
+           CAST((i - 1) // {AUDIO_FRAME} AS BIGINT) AS frame_idx,
+           round(sqrt(avg((v - 96.0) * (v - 96.0))), 6) AS rms,
+           count(*) AS n_samples
+    FROM samples
+    GROUP BY 1, 2
+    """,
+)
+def multimodal_audio_rms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio-shaped kernel: treat payload bytes as centered PCM samples,
+    compute per-256-sample-frame RMS through an Arrow mapInPandas pass.
+
+    The fake "decode" (byte - 96) stands in for a real PCM decoder; the
+    windowing/batching plumbing is the real thing. Bit-exact oracle: the
+    squared deviations are exact integers, so sums/avg/sqrt round-trip
+    identically in numpy and DuckDB.
+    """
+    import numpy as np
+
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("frame_idx", T.LongType()),
+            T.StructField("rms", T.DoubleType()),
+            T.StructField("n_samples", T.LongType()),
+        ]
+    )
+
+    def frames(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out: dict[str, list] = {"media_id": [], "frame_idx": [], "rms": [], "n_samples": []}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                samples = np.frombuffer(bytes(payload), dtype=np.uint8).astype(np.float64) - 96.0
+                for f in range(0, len(samples), AUDIO_FRAME):
+                    chunk = samples[f : f + AUDIO_FRAME]
+                    out["media_id"].append(mid)
+                    out["frame_idx"].append(f // AUDIO_FRAME)
+                    out["rms"].append(round(float(np.sqrt(np.mean(chunk * chunk))), 6))
+                    out["n_samples"].append(len(chunk))
+            yield pd.DataFrame(out)
+
+    return media_table(spark, sf_dir).select("media_id", "payload").mapInPandas(
+        frames, schema
+    )
+
+
 @register(
     "multimodal_frame_sample",
     oracle=f"""
