@@ -51,7 +51,8 @@ def pipeline_foreachbatch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     pipe.run_available_now()
     assert pipe.batches_seen >= 1 and not pipe.errors
-    return spark.read.parquet(sink)
+    # drop the epoch=N partition column the idempotent sink layout adds
+    return spark.read.parquet(sink).select("event_id", "user_id", "value")
 
 
 @register(

@@ -9,6 +9,7 @@ parallelism lives inside each batch as tasks.
 
 from __future__ import annotations
 
+import os
 import tempfile
 from collections.abc import Callable
 from typing import Optional
@@ -44,13 +45,23 @@ class ForeachBatchPipeline:
         self.batches_seen += 1
         try:
             out = self._processor(batch_df)
-            out.write.mode("append").parquet(self._sink_path)
+            self._write_idempotent(out, epoch_id)
             if self._finalizer:
                 self._finalizer(out, None)
         except Exception as exc:  # error channel to the finalizer (R8/R9)
             self.errors.append(exc)
             if self._finalizer:
                 self._finalizer(None, exc)
+
+    def _write_idempotent(self, out: DataFrame, epoch_id: int) -> None:
+        """Exactly-once sink: one overwritten directory per epoch, so a
+        replayed micro-batch (foreachBatch may re-deliver an epoch after a
+        failure) rewrites its own partition instead of appending duplicates.
+        This epoch-keyed layout + Spark's offset log is the standard
+        end-to-end exactly-once recipe for non-transactional sinks."""
+        out.write.mode("overwrite").parquet(
+            os.path.join(self._sink_path, f"epoch={epoch_id}")
+        )
 
     def run_available_now(self) -> None:
         """Process everything currently in the source, then stop — the

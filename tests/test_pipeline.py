@@ -298,6 +298,51 @@ def test_stop_drains_in_flight_and_blocks_new_batches(spark):
     assert len(rec.calls) == n_after
 
 
+def test_foreachbatch_epoch_replay_is_idempotent(spark, sf_dir, tmp_path):
+    """Re-delivering an epoch (as foreachBatch does after a failure) must
+    not duplicate sink rows — the epoch-keyed overwrite layout absorbs it."""
+    from pyspark.sql import functions as F
+
+    from go_batch_processor_spark.catalog import load_table
+    from go_batch_processor_spark.pipeline import ForeachBatchPipeline
+
+    sink = str(tmp_path / "sink")
+    pipe = ForeachBatchPipeline(
+        spark,
+        source=None,  # driving _handle_batch directly
+        processor=lambda df: df.select("event_id", "user_id", "value"),
+        sink_path=sink,
+    )
+    ev = load_table(spark, sf_dir, "events").limit(100)
+    pipe._handle_batch(ev, epoch_id=0)
+    n1 = spark.read.parquet(sink).count()
+    pipe._handle_batch(ev, epoch_id=0)  # replay same epoch
+    n2 = spark.read.parquet(sink).count()
+    assert n1 == n2 == 100
+    pipe._handle_batch(ev, epoch_id=1)  # a genuinely new epoch appends
+    assert spark.read.parquet(sink).count() == 200
+    assert not pipe.errors
+
+
+def test_observe_metrics_per_batch(spark, sf_dir):
+    """DataFrame.observe: per-action row/value metrics without a second
+    pass — the monitoring hook a production pipeline attaches per batch."""
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
+    from go_batch_processor_spark.catalog import load_table
+
+    obs = Observation("batch_metrics")
+    ev = load_table(spark, sf_dir, "events").observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+    )
+    n = ev.count()
+    assert obs.get["n_rows"] == n > 0
+    assert obs.get["total_value"] > 0
+
+
 def test_end_to_end_sliced_table_pipeline(spark, sf_dir):
     """Full-system run: a supplier serving the events table in 10 key-range
     slices, a real aggregation processor, a collecting finalizer, 4
