@@ -130,6 +130,81 @@ def tpch_q6_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "tpch_q4_shape",
+    oracle="""
+    SELECT o.o_orderpriority, count(*) AS order_count
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1997-01-01'
+      AND o.o_orderdate <  TIMESTAMP '1997-04-01'
+      AND EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate)
+    GROUP BY o.o_orderpriority
+    """,
+)
+def tpch_q4_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q4 shape: EXISTS with a correlated inequality -> left_semi join with
+    the residual predicate, then a tiny count aggregate."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    lo = F.lit("1997-01-01").cast("timestamp")
+    hi = F.lit("1997-04-01").cast("timestamp")
+    filtered = o.filter((F.col("o_orderdate") >= lo) & (F.col("o_orderdate") < hi))
+    return (
+        filtered.join(
+            li,
+            (filtered.o_orderkey == li.l_orderkey)
+            & (li.l_shipdate > filtered.o_orderdate),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+@register(
+    "tpch_q18_shape",
+    oracle="""
+    WITH big AS (
+      SELECT l_orderkey
+      FROM lineitem
+      GROUP BY l_orderkey
+      HAVING sum(l_quantity) > 300
+    )
+    SELECT c.c_custkey, c.c_name, o.o_orderkey, o.o_totalprice,
+           round(sum(l.l_quantity), 2) AS total_qty
+    FROM big
+    JOIN orders o   ON big.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    GROUP BY c.c_custkey, c.c_name, o.o_orderkey, o.o_totalprice
+    """,
+)
+def tpch_q18_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q18 shape (large-volume orders): a HAVING-filtered aggregate drives a
+    semi-selective join back into the fact — the aggregate-then-join
+    pattern that avoids joining the whole fact table twice."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("_q"))
+        .filter(F.col("_q") > 300)
+        .select(F.col("l_orderkey").alias("big_orderkey"))
+    )
+    li2 = load_table(spark, sf_dir, "lineitem")  # fresh scan: `big` derives
+    # from li, and reusing li would make the lineage-based column refs
+    # ambiguous (Spark's failAmbiguousSelfJoin)
+    return (
+        big.join(o, big.big_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(li2, o.o_orderkey == li2.l_orderkey)
+        .groupBy("c_custkey", "c_name", "o_orderkey", "o_totalprice")
+        .agg(F.round(F.sum(li2.l_quantity), 2).alias("total_qty"))
+    )
+
+
+@register(
     "tpch_q10_shape",
     oracle="""
     SELECT c.c_custkey, c.c_name, n.n_name,
