@@ -11,6 +11,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from go_batch_processor_spark.catalog import load_table
 from go_batch_processor_spark.registry import register
@@ -217,6 +218,44 @@ def scalar_datetime_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
         # DuckDB datetime64) — emit timestamps for comparator parity.
         F.last_day(F.col("o_orderdate").cast("date")).cast("timestamp").alias("month_end"),
     )
+
+
+@register(
+    "scalar_map_ops",
+    oracle="""
+    SELECT event_id,
+           'k'                          AS first_key,
+           CAST(props->>'k' AS BIGINT)  AS k_value,
+           1::BIGINT                    AS n_keys
+    FROM events
+    """,
+)
+def scalar_map_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MapType surface: parse JSON to map, then map_keys / element_at /
+    size — all JVM-side (oracle hardcodes the fixture's single key)."""
+    ev = load_table(spark, sf_dir, "events")
+    m = F.from_json("props", T.MapType(T.StringType(), T.LongType()))
+    return ev.select(
+        "event_id",
+        F.element_at(F.map_keys(m), 1).alias("first_key"),
+        F.element_at(m, "k").alias("k_value"),
+        F.size(F.map_keys(m)).cast("long").alias("n_keys"),
+    )
+
+
+@register(
+    "join_cross_product",
+    oracle="""
+    SELECT n.n_name, r.r_name
+    FROM nation n CROSS JOIN region r
+    """,
+)
+def join_cross_product(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit cartesian product (BroadcastNestedLoopJoin) — legitimate
+    only for fixed-cardinality dims; anything larger must carry a key."""
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    return n.crossJoin(F.broadcast(r)).select("n_name", "r_name")
 
 
 @register(

@@ -87,6 +87,19 @@ def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("agg_approx_percentile", tags={"rows_only"})
+def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_percentile (KLL-style sketch) — the percentile strategy at
+    100 TB (exact percentile sorts; the sketch is single-pass, mergeable,
+    bounded-memory). Rows-only: sketch results differ across engines by
+    design; tests bound its rank error against the exact percentile."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.percentile_approx("l_extendedprice", 0.5, 10000).alias("p50_approx"),
+        F.percentile_approx("l_extendedprice", 0.99, 10000).alias("p99_approx"),
+    )
+
+
 @register(
     "agg_collect_sorted",
     oracle="""

@@ -49,6 +49,24 @@ def test_ivf_topk_recall_vs_brute_force(spark, sf_dir):
     assert overlap >= 3, f"IVF recall too low: {overlap}/10 ({ivf} vs {brute})"
 
 
+def test_approx_percentile_rank_error_bounded(spark, sf_dir, duck):
+    """The sketch's value must sit within a tight rank band around the
+    exact percentile (accuracy=10000 -> rank error ~1e-4)."""
+    approx = {
+        r.l_returnflag: r.p50_approx
+        for r in REGISTRY["agg_approx_percentile"].fn(spark, sf_dir).collect()
+    }
+    for flag, p50 in approx.items():
+        lo, hi = duck.sql(
+            f"""
+            SELECT quantile_cont(l_extendedprice, 0.49),
+                   quantile_cont(l_extendedprice, 0.51)
+            FROM lineitem WHERE l_returnflag = '{flag}'
+            """
+        ).fetchone()
+        assert lo <= p50 <= hi, (flag, lo, p50, hi)
+
+
 def test_asof_broadcast_strategy_matches_window_strategy(spark, sf_dir):
     """Both as-of strategies (union+window shuffle vs broadcast packed
     arrays) must produce identical matches."""
