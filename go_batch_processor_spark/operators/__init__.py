@@ -18,6 +18,7 @@ from go_batch_processor_spark.operators import (  # noqa: F401
     stats,
     streaming_batch,
     text,
+    timeseries,
     udfs,
     windows,
 )

@@ -1,0 +1,114 @@
+"""Time-series utility operators: gap filling, value histograms, and
+latest-record-per-key compaction — the everyday patterns a warehouse user
+reaches for between the headline operators.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from go_batch_processor_spark.catalog import load_table
+from go_batch_processor_spark.registry import register
+
+HIST_BIN = 25.0
+
+
+@register(
+    "timeseries_gapfill",
+    oracle="""
+    WITH bounds AS (
+      SELECT date_trunc('hour', min(ts)) AS lo, date_trunc('hour', max(ts)) AS hi
+      FROM events
+    ),
+    spine AS (
+      SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hour FROM bounds
+    ),
+    types AS (SELECT DISTINCT event_type FROM events),
+    actual AS (
+      SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n
+      FROM events GROUP BY 1, 2
+    )
+    SELECT s.hour, t.event_type, coalesce(a.n, 0) AS n
+    FROM spine s
+    CROSS JOIN types t
+    LEFT JOIN actual a ON a.hour = s.hour AND a.event_type = t.event_type
+    """,
+)
+def timeseries_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense hourly series per event type with zero-filled gaps: an hour
+    spine (sequence over the min..max range) cross-joined with the type
+    dim, left-joined to actual counts.
+
+    At scale the spine is tiny (hours x types) and broadcast; the only
+    big-data pass is the groupBy on the facts.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    bounds = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    spine = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))).alias("hour")
+    )
+    types = ev.select("event_type").distinct()
+    actual = ev.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("hour"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("n"))
+    return (
+        spine.crossJoin(F.broadcast(types))
+        .join(F.broadcast(actual), ["hour", "event_type"], "left")
+        .select("hour", "event_type", F.coalesce("n", F.lit(0)).alias("n"))
+    )
+
+
+@register(
+    "agg_value_histogram",
+    oracle=f"""
+    SELECT CAST(floor(value / {HIST_BIN}) AS BIGINT) AS bin,
+           count(*) AS n,
+           round(min(value), 2) AS bin_min,
+           round(max(value), 2) AS bin_max
+    FROM events
+    GROUP BY 1
+    """,
+)
+def agg_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram (floor-division binning) — one hash aggregate,
+    O(bins) output regardless of input size."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy(
+        F.floor(F.col("value") / HIST_BIN).cast("long").alias("bin")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.min("value"), 2).alias("bin_min"),
+        F.round(F.max("value"), 2).alias("bin_max"),
+    )
+
+
+@register(
+    "window_dedup_latest",
+    oracle="""
+    SELECT user_id, event_id, ts, value
+    FROM (
+      SELECT user_id, event_id, ts, value,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    )
+    WHERE rn = 1
+    """,
+)
+def window_dedup_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latest record per key (CDC compaction / SCD type-1 read): rank by
+    event time descending, keep rank 1. The deterministic tiebreak matters:
+    without it, equal-timestamp keys flap between runs."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        ev.select("user_id", "event_id", "ts", "value", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
