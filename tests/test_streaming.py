@@ -158,6 +158,43 @@ def test_stream_stream_interval_join(spark, sf_dir):
     assert len(got) >= 0.9 * len(want) > 0
 
 
+def test_stream_drop_duplicates_within_watermark(spark, sf_dir, tmp_path):
+    """Streaming dedup: the same file delivered twice (dup event_ids across
+    micro-batches) must come out once under dropDuplicatesWithinWatermark."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from go_batch_processor_spark.catalog import TABLE_SCHEMAS, load_table
+    from go_batch_processor_spark.streaming import run_stream_to_memory
+
+    src = tmp_path / "dupsrc"
+    src.mkdir()
+    ev = load_table(spark, sf_dir, "events")
+    n_distinct = ev.count()
+    staged = tmp_path / "staged"
+    ev.coalesce(1).write.parquet(str(staged))
+    import glob
+
+    [f] = glob.glob(str(staged / "part-*.parquet"))
+    shutil.copy(f, src / "00.parquet")
+    shutil.copy(f, src / "01.parquet")  # duplicate delivery
+
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    deduped = (
+        stream.withWatermark("ts", "40 days")  # horizon covers the fixture
+        .dropDuplicatesWithinWatermark(["event_id"])
+        .groupBy()
+        .count()
+    )
+    out = run_stream_to_memory(deduped, spark, output_mode="complete")
+    assert out.collect()[-1]["count"] == n_distinct
+
+
 def test_stream_static_broadcast_join(spark, sf_dir):
     """Stream-static enrichment: the events stream joined to the static
     customer dim (broadcast; no state store involved). Row count and
