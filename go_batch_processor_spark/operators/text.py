@@ -250,6 +250,38 @@ def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "sample_hash_deterministic",
+    oracle="""
+    SELECT doc_id, lang, source
+    FROM documents
+    WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('0', '1', '2', '3')
+    """,
+)
+def sample_hash_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible ~25% corpus sample by content-stable hash (md5 of the
+    key, first hex nibble < 4). THE production sampling pattern: the same
+    row lands in the same split on any engine, any partitioning, any day —
+    unlike rand()/sample(), which are partitioning-dependent."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.filter(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1).isin(
+            "0", "1", "2", "3"
+        )
+    ).select("doc_id", "lang", "source")
+
+
+@register("sample_stratified", tags={"rows_only"})
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-stratum sampling (sampleBy): different keep-rates per language —
+    how corpus language balancing is done. Seeded, but partition-order
+    dependent -> rows-only; tests bound the realized fractions."""
+    d = load_table(spark, sf_dir, "documents")
+    langs = [r.lang for r in d.select("lang").distinct().collect()]
+    fractions = {lang: (0.8 if lang == "en" else 0.3) for lang in langs}
+    return d.sampleBy("lang", fractions, seed=42).select("doc_id", "lang")
+
+
 @register("text_fingerprint", tags={"rows_only"})
 def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing-style document fingerprint: min/max xxhash64 over word

@@ -49,6 +49,17 @@ def test_ivf_topk_recall_vs_brute_force(spark, sf_dir):
     assert overlap >= 3, f"IVF recall too low: {overlap}/10 ({ivf} vs {brute})"
 
 
+def test_stratified_sample_fractions(spark, sf_dir, duck):
+    """Realized per-language fractions must sit near the configured rates
+    (binomial bounds are loose at fixture size; assert broad sanity)."""
+    got = REGISTRY["sample_stratified"].fn(spark, sf_dir).groupBy("lang").count()
+    totals = dict(duck.sql("SELECT lang, count(*) FROM documents GROUP BY lang").fetchall())
+    for r in got.collect():
+        frac = r["count"] / totals[r.lang]
+        target = 0.8 if r.lang == "en" else 0.3
+        assert abs(frac - target) < 0.25, (r.lang, frac, target)
+
+
 def test_approx_percentile_rank_error_bounded(spark, sf_dir, duck):
     """The sketch's value must sit within a tight rank band around the
     exact percentile (accuracy=10000 -> rank error ~1e-4)."""
