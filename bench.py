@@ -2,7 +2,11 @@
 """Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
 JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
-"queries": {name: sec}, "sf": ...}.
+"queries": {name: sec}, "sf": ..., "runs": N}.
+
+Each query is timed over $SPARK_GRAFT_BENCH_RUNS warm runs (default 3) and
+the MEDIAN per-query time is reported — the shared box shows ~2x
+run-to-run variance, so a single sample is noise (HANDOFF.md r1).
 
 Queries are materialized through the noop sink so every column is computed
 (count() would let Catalyst prune computed projections and under-report).
@@ -13,6 +17,7 @@ from __future__ import annotations
 import json
 import os
 import re
+import statistics
 import sys
 import time
 
@@ -59,13 +64,19 @@ def main() -> None:
             "overwrite"
         ).save()
 
-    times: dict[str, float] = {}
-    for name in HEADLINE:
-        fn = REGISTRY[name].fn
-        t0 = time.perf_counter()
-        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        times[name] = round(time.perf_counter() - t0, 3)
+    n_runs = max(int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")), 1)
+    samples: dict[str, list[float]] = {name: [] for name in HEADLINE}
+    # Interleave runs (full pass per round, not N back-to-back runs of one
+    # query) so transient box load skews all queries equally, not one.
+    for _ in range(n_runs):
+        for name in HEADLINE:
+            fn = REGISTRY[name].fn
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            samples[name].append(time.perf_counter() - t0)
+            spark.catalog.clearCache()  # persist()-using queries: measure cold
 
+    times = {name: round(statistics.median(s), 3) for name, s in samples.items()}
     total = round(sum(times.values()), 3)
     print(
         json.dumps(
@@ -75,6 +86,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": times,
                 "sf": sf,
+                "runs": n_runs,
             }
         )
     )

@@ -76,8 +76,14 @@ def tpch_q3_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def tpch_q5_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Q5 shape: 6-way star join (3 broadcast dims) + local-supplier
-    residual (c_nationkey = s_nationkey) + per-nation revenue."""
+    """Q5 shape: 6-way star join (2 broadcast dims) + local-supplier
+    residual (c_nationkey = s_nationkey) + per-nation revenue.
+
+    Broadcast discipline: nation (25 rows) and region (5 rows) are
+    fixed-cardinality — always broadcast. supplier is NOT hinted: it scales
+    with SF (TPC-H: SF x 10k rows), so a hard broadcast hint OOMs at 100 TB;
+    AQE picks broadcast at small SF and shuffle join at scale on its own.
+    """
     t = load_tables(spark, sf_dir)
     lo = F.lit("1996-01-01").cast("timestamp")
     hi = F.lit("1998-01-01").cast("timestamp")
@@ -86,7 +92,7 @@ def tpch_q5_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(t["orders"].filter((F.col("o_orderdate") >= lo) & (F.col("o_orderdate") < hi)),
               F.col("c_custkey") == F.col("o_custkey"))
         .join(t["lineitem"], F.col("o_orderkey") == F.col("l_orderkey"))
-        .join(F.broadcast(t["supplier"]),
+        .join(t["supplier"],
               (F.col("l_suppkey") == F.col("s_suppkey"))
               & (F.col("c_nationkey") == F.col("s_nationkey")))
         .join(F.broadcast(t["nation"]), F.col("s_nationkey") == F.col("n_nationkey"))
@@ -256,7 +262,10 @@ def tpch_q10_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def tpch_q14_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Q14 shape: promo revenue share (conditional agg over a dim join)."""
+    """Q14 shape: promo revenue share (conditional agg over a dim join).
+
+    part scales with SF (SF x 200k rows) — no broadcast hint; AQE broadcasts
+    at small SF and falls back to a shuffle join at scale."""
     li = load_table(spark, sf_dir, "lineitem")
     p = load_table(spark, sf_dir, "part")
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
@@ -265,7 +274,7 @@ def tpch_q14_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("l_shipdate") >= F.lit("1997-06-01").cast("timestamp"))
             & (F.col("l_shipdate") < F.lit("1997-07-01").cast("timestamp"))
         )
-        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(p, F.col("l_partkey") == F.col("p_partkey"))
         .agg(
             F.round(
                 100.0

@@ -223,21 +223,25 @@ def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TF-IDF top-3 terms per document — the classic keyword extractor.
 
     Two aggregations (term frequency per doc, document frequency per term)
-    sharing one tokenization, a broadcast-sized DF join, and a per-doc
-    top-k window. ln() is libm-dependent -> rounded on both sides.
-    At 100 TB: DF table is O(vocabulary) — broadcastable; the tf table
-    shuffles once on (doc, term).
+    sharing one tokenization, and a per-doc top-k window. ln() is
+    libm-dependent -> rounded on both sides.
+    At 100 TB: the DF table is O(vocabulary), which at web scale is NOT
+    reliably broadcast-sized (Heaps' law) — no hint; both tf and df are
+    hash-partitioned on `term`, so the join co-locates, and AQE broadcasts
+    when the vocabulary is actually small. The corpus count enters the plan
+    as a 1-row aggregate cross-joined in (broadcast nested loop), not a
+    driver-side ``count()`` action.
     """
     d = load_table(spark, sf_dir, "documents")
-    n_docs = d.count()  # scalar dimension, folded as a literal
+    n = d.agg(F.count(F.lit(1)).cast("double").alias("_n_docs"))
     tokens = d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
     tf = tokens.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
     df = tokens.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
-    scored = tf.join(F.broadcast(df), "term").select(
+    scored = tf.join(df, "term").crossJoin(F.broadcast(n)).select(
         "doc_id",
         "term",
         F.round(
-            F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6
+            F.col("tf") * F.log(F.col("_n_docs") / F.col("df")), 6
         ).alias("tfidf"),
     )
     from pyspark.sql import Window
