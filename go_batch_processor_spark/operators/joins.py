@@ -74,18 +74,21 @@ def asof_join(
 
     unioned = left.select(*lsel).unionByName(right.select(*rsel))
 
-    w = (
-        (Window.partitionBy("_k") if by else Window.partitionBy(F.lit(0)))
-        .orderBy(F.col("_t").asc(), F.col("_is_left").asc())
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    carried = unioned.select(
-        "*",
-        *[
-            F.last(f"_v_{c}", ignorenulls=True).over(w).alias(f"_asof_{c}")
-            for c in carry
-        ],
-    )
+    if by:
+        w = (
+            Window.partitionBy("_k")
+            .orderBy(F.col("_t").asc(), F.col("_is_left").asc())
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        carried = unioned.select(
+            "*",
+            *[
+                F.last(f"_v_{c}", ignorenulls=True).over(w).alias(f"_asof_{c}")
+                for c in carry
+            ],
+        )
+    else:
+        carried = _keyless_asof_carry(unioned, carry)
     out = carried.filter(F.col("_is_left") == 1)
     if tolerance_s is not None:
         out = out.filter(
@@ -104,6 +107,76 @@ def asof_join(
             matched = matched & F.col(f"asof_{c}").isNotNull()
         out = out.filter(matched)
     return out
+
+
+def _keyless_asof_carry(unioned: DataFrame, carry: list[str]) -> DataFrame:
+    """Distributed as-of carry for the KEYLESS case (``by=None``).
+
+    A naive global window (``Window.partitionBy(F.lit(0))``) funnels every
+    row through ONE task — a scale-killer. Instead the time axis is
+    range-bucketed and the carry runs in two passes:
+
+      1. bucket rows by ``floor((t - tmin) / width)`` where tmin/tmax come
+         from a 1-row in-plan aggregate (broadcast, no driver action) and
+         width targets ~4 buckets per core;
+      2. per-bucket carry-in table: the latest right-row values of each
+         bucket, prefix-carried across buckets with a window over the
+         O(#buckets) bucket table (bounded — NOT O(rows));
+      3. per-bucket windowed ``last(ignorenulls)`` seeded by the carry-in
+         via ``coalesce``.
+
+    Equal-time semantics match the keyed path: a right row at the same
+    timestamp as a left row lands in the same bucket and sorts first
+    (``_is_left`` tiebreak), and carry-in only covers strictly earlier
+    buckets.
+    """
+    sc = unioned.sparkSession.sparkContext
+    n_buckets = sc.defaultParallelism * 4
+    tl = F.col("_t").cast("long")
+    stats = unioned.agg(F.min(tl).alias("_tmin"), F.max(tl).alias("_tmax"))
+    width = F.greatest(
+        F.floor((F.col("_tmax") - F.col("_tmin") + 1) / n_buckets), F.lit(1)
+    )
+    u = (
+        unioned.crossJoin(F.broadcast(stats))
+        .withColumn("_bkt", F.floor((tl - F.col("_tmin")) / width))
+        .drop("_tmin", "_tmax")
+    )
+
+    last_per_bucket = (
+        u.filter(F.col("_is_left") == 0)
+        .groupBy("_bkt")
+        .agg(
+            F.max_by(
+                F.struct(*[F.col(f"_v_{c}").alias(c) for c in carry]),
+                F.struct(F.col("_t")),
+            ).alias("_ls")
+        )
+    )
+    # Every bucket present in the data gets a carry-in row, even buckets
+    # holding only left rows (their carry comes from the nearest earlier
+    # bucket that had right rows).
+    bucket_tbl = u.select("_bkt").distinct().join(last_per_bucket, "_bkt", "left")
+    wb = Window.orderBy("_bkt").rowsBetween(Window.unboundedPreceding, -1)
+    carry_in = bucket_tbl.select(
+        "_bkt", F.last("_ls", ignorenulls=True).over(wb).alias("_carry")
+    )
+
+    w = (
+        Window.partitionBy("_bkt")
+        .orderBy(F.col("_t").asc(), F.col("_is_left").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return u.join(F.broadcast(carry_in), "_bkt", "left").select(
+        "*",
+        *[
+            F.coalesce(
+                F.last(f"_v_{c}", ignorenulls=True).over(w),
+                F.col("_carry").getField(c),
+            ).alias(f"_asof_{c}")
+            for c in carry
+        ],
+    )
 
 
 @register(
@@ -265,6 +338,63 @@ def join_range_time_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.abs(diff) <= RANGE_WINDOW_S)
         .select("event_a", "event_b", diff.alias("diff_s"))
+    )
+
+
+BAND_CENTS = 5  # |value difference| <= 0.05, in exact integer cents
+
+
+@register(
+    "join_band_inequality",
+    oracle=f"""
+    WITH e AS (
+      SELECT event_id, CAST(round(value * 100) AS BIGINT) AS cents FROM events
+    )
+    SELECT a.event_id AS event_a, b.event_id AS event_b,
+           b.cents - a.cents AS diff_cents
+    FROM e a JOIN e b
+      ON a.event_id < b.event_id
+     AND abs(a.cents - b.cents) <= {BAND_CENTS}
+    """,
+)
+def join_band_inequality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INEQUALITY-ONLY join — no natural equi key anywhere in the predicate
+    (pairs of events whose values lie within a 5-cent band). Catalyst's only
+    native strategy for this is BroadcastNestedLoopJoin / cartesian — O(n^2)
+    and a non-starter at 100 TB.
+
+    The IEJoin-style fix MANUFACTURES an equi key: quantize the value axis
+    into band-width buckets, explode ONE side to its {{b-1, b, b+1}} neighbor
+    buckets, equi-join on the bucket, then apply the exact band residual.
+    Work becomes O(n x per-bucket density) and shuffles hash-partition on
+    the bucket — the same candidate-generation shape as the time-range join
+    (join_range_time_bucketed), applied to a value axis.
+
+    Arithmetic is in integer cents (values are 2-decimal): float bucket
+    boundaries could disagree between the two sides by 1 ulp and silently
+    drop boundary pairs; integers cannot.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", F.round(F.col("value") * 100).cast("long").alias("cents")
+    )
+    bucket = F.floor(F.col("cents") / BAND_CENTS)
+    left = ev.select(
+        F.col("event_id").alias("event_a"),
+        F.col("cents").alias("ca"),
+        F.explode(F.array(bucket - 1, bucket, bucket + 1)).alias("jb"),
+    )
+    right = ev.select(
+        F.col("event_id").alias("event_b"),
+        F.col("cents").alias("cb"),
+        bucket.alias("jb2"),
+    )
+    return (
+        left.join(
+            right,
+            (F.col("jb") == F.col("jb2")) & (F.col("event_a") < F.col("event_b")),
+        )
+        .filter(F.abs(F.col("ca") - F.col("cb")) <= BAND_CENTS)
+        .select("event_a", "event_b", (F.col("cb") - F.col("ca")).alias("diff_cents"))
     )
 
 

@@ -20,6 +20,14 @@ from go_batch_processor_spark.catalog import load_table
 from go_batch_processor_spark.registry import register
 
 
+def _sink_path(spark: SparkSession, name: str) -> str:
+    """Temp sink path keyed by the Spark application id: two concurrent
+    sessions running the registry must not overwrite each other's sink and
+    read back half-written output."""
+    app_id = spark.sparkContext.applicationId
+    return os.path.join(tempfile.gettempdir(), f"{name}_{app_id}")
+
+
 @register(
     "scan_parquet",
     oracle="""
@@ -67,7 +75,7 @@ def sink_parquet_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``spark.sql.files.maxRecordsPerFile``; the roundtrip proves the sink
     preserves schema and values exactly.
     """
-    out = os.path.join(tempfile.gettempdir(), "gbp_spark_sink_roundtrip")
+    out = _sink_path(spark, "gbp_spark_sink_roundtrip")
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice", "l_returnflag"
     ).filter(F.col("l_returnflag") == "R")
@@ -94,7 +102,7 @@ def sink_partitioned_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders").withColumn(
         "order_year", F.year("o_orderdate").cast("long")
     )
-    out = os.path.join(tempfile.gettempdir(), "gbp_sink_partitioned")
+    out = _sink_path(spark, "gbp_sink_partitioned")
     (
         o.select("o_orderkey", "o_custkey", "o_totalprice", "order_year")
         .write.mode("overwrite")
@@ -141,7 +149,7 @@ def source_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     are deliberately absent: CSV text round-trips sub-millisecond precision
     lossily; columnar formats are the engine's timestamp carriers."""
     c = load_table(spark, sf_dir, "customer")
-    out = os.path.join(tempfile.gettempdir(), "gbp_src_csv")
+    out = _sink_path(spark, "gbp_src_csv")
     c.write.mode("overwrite").option("header", True).csv(out)
     return spark.read.schema(c.schema).option("header", True).csv(out)
 
@@ -153,7 +161,7 @@ def source_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 def source_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSON-lines sink+source with explicit schema on read."""
     s = load_table(spark, sf_dir, "supplier")
-    out = os.path.join(tempfile.gettempdir(), "gbp_src_json")
+    out = _sink_path(spark, "gbp_src_json")
     s.write.mode("overwrite").json(out)
     return spark.read.schema(s.schema).json(out)
 
@@ -166,6 +174,6 @@ def source_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ORC sink+source — the second columnar format, full timestamp
     fidelity, same pushdown machinery as parquet."""
     o = load_table(spark, sf_dir, "orders")
-    out = os.path.join(tempfile.gettempdir(), "gbp_src_orc")
+    out = _sink_path(spark, "gbp_src_orc")
     o.write.mode("overwrite").orc(out)
     return spark.read.schema(o.schema).orc(out)

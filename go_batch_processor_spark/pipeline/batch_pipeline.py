@@ -192,9 +192,11 @@ class BatchPipeline:
             if batch is _FETCH_ERROR:
                 continue  # R6: drop the slot, keep scheduling
             if batch is None:
-                # R6 backoff: empty source -> interruptible sleep.
+                # R6 backoff: empty source -> interruptible sleep, then keep
+                # filling the remaining slots in the same pass (the reference
+                # `continue`s after its sleep, batch_processor.go:131-135).
                 self._stop_signal.wait(self._no_batch_sleep_ms / 1000.0)
-                return
+                continue
             if self._stop_signal.is_set():
                 # R6: stop re-checked between fetch and dispatch
                 # (batch_processor.go:137-140).
@@ -251,11 +253,14 @@ class BatchPipeline:
                 error.__cause__ = exc
             # R7 timeout promotion (batch_processor.go:162-164): report the
             # timeout even if the processor returned success after deadline.
+            # The late result is passed ALONGSIDE the error, exactly as the
+            # reference hands `processed` to the finalizer with ctx.Err()
+            # (batch_processor.go:161-165) — the finalizer decides whether a
+            # late success is usable.
             if timed_out.is_set() and error is None:
                 error = BatchTimeoutError(
                     f"batch processing exceeded {self._timeout_ms} ms"
                 )
-                result = None
             self._finalize_if_configured(result, error)
         finally:
             timer.cancel()

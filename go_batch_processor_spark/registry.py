@@ -48,6 +48,13 @@ REQUIRED_CONFS = {
     "spark.sql.session.timeZone": "UTC",
     "spark.sql.legacy.parquet.nanosAsLong": "true",
     "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # Streaming queries in the registry should run on the production
+    # (RocksDB, off-heap + disk-spill) state store regardless of whose
+    # session executes them.
+    "spark.sql.streaming.stateStore.providerClass": (
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider"
+    ),
 }
 
 

@@ -42,6 +42,20 @@ def get_spark(
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # Production streaming state store: RocksDB keeps per-key state
+        # off-heap with disk spill (the default HDFS-backed provider holds
+        # every key in executor heap — a hard wall at 100 TB keyspaces);
+        # changelog checkpointing uploads per-batch deltas, not snapshots.
+        .config(
+            "spark.sql.streaming.stateStore.providerClass",
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider",
+        )
+        .config(
+            "spark.sql.streaming.stateStore.rocksdb."
+            "changelogCheckpointing.enabled",
+            "true",
+        )
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

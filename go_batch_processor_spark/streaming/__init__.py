@@ -4,11 +4,15 @@ from go_batch_processor_spark.streaming.stream_ops import (
     streaming_tumbling_window,
 )
 from go_batch_processor_spark.streaming.stateful import (
+    rocksdb_state_store,
+    run_user_running_stats_once,
     streaming_user_running_stats,
 )
 
 __all__ = [
+    "rocksdb_state_store",
     "run_stream_to_memory",
+    "run_user_running_stats_once",
     "streaming_session_window",
     "streaming_tumbling_window",
     "streaming_user_running_stats",

@@ -11,7 +11,8 @@ aggregations cannot express.
 
 from __future__ import annotations
 
-from collections.abc import Iterable
+from collections.abc import Iterable, Iterator
+from contextlib import contextmanager
 
 import pandas as pd
 
@@ -20,6 +21,40 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 from go_batch_processor_spark.catalog import load_stream
 from go_batch_processor_spark.streaming.stream_ops import run_stream_to_memory
+
+# Production state-store provider: RocksDB keeps state off-heap and spills
+# to local disk, so per-key state scales past executor heap (the default
+# HDFSBackedStateStoreProvider holds every key in JVM memory — a hard wall
+# for 100 TB keyspaces). Changelog checkpointing uploads per-batch deltas
+# instead of full snapshots, cutting checkpoint I/O on large state.
+ROCKSDB_PROVIDER = (
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+)
+_STATE_CONFS = {
+    "spark.sql.streaming.stateStore.providerClass": ROCKSDB_PROVIDER,
+    "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled": "true",
+}
+
+
+@contextmanager
+def rocksdb_state_store(spark: SparkSession) -> Iterator[None]:
+    """Scope the RocksDB state-store provider onto the session (restoring
+    prior confs on exit). Applies to queries STARTED inside the scope."""
+    saved: dict[str, str | None] = {}
+    for k, v in _STATE_CONFS.items():
+        try:
+            saved[k] = spark.conf.get(k)
+        except Exception:
+            saved[k] = None
+        spark.conf.set(k, v)
+    try:
+        yield
+    finally:
+        for k, old in saved.items():
+            if old is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, old)
 
 OUTPUT_SCHEMA = (
     "user_id long, n_events long, total_value double, max_gap_s double"
@@ -55,6 +90,45 @@ def _update_user_state(
             "max_gap_s": [round(max_gap, 1)],
         }
     )
+
+
+def run_user_running_stats_once(
+    spark: SparkSession, src_dir: str, checkpoint_dir: str, schema
+) -> DataFrame:
+    """One availableNow pass of the stateful per-user aggregate over a
+    file-stream source, against a CALLER-OWNED checkpoint.
+
+    Restart recovery: invoking this again with the same ``checkpoint_dir``
+    after new files land in ``src_dir`` resumes from the recorded source
+    offsets AND the recovered state store — per-user counters continue
+    instead of restarting from zero (tests/test_streaming.py pins this
+    with the RocksDB provider).
+    """
+    ev = (
+        spark.readStream.schema(schema)
+        .parquet(src_dir)
+        .select("user_id", "ts", "value")
+    )
+    updated = ev.groupBy("user_id").applyInPandasWithState(
+        _update_user_state,
+        outputStructType=OUTPUT_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    # foreachBatch, not the memory sink: memory-sink queries refuse to
+    # recover from an existing checkpoint, and restart-recovery is this
+    # function's whole purpose.
+    rows: list = []
+    query = (
+        updated.writeStream.outputMode("update")
+        .foreachBatch(lambda batch_df, _id: rows.extend(batch_df.collect()))
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return spark.createDataFrame(rows, schema=OUTPUT_SCHEMA)
 
 
 def streaming_user_running_stats(spark: SparkSession, sf_dir: str) -> DataFrame:

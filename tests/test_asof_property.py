@@ -71,3 +71,69 @@ def test_asof_join_matches_pandas_merge_asof(spark, case):
         want_set = set()
     got_set = {(r.lid, int(r.asof_payload)) for r in got.itertuples()}
     assert got_set == want_set
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(asof_case())
+def test_keyless_asof_matches_pandas_on_multipartition_input(spark, case):
+    """by=None path: must be correct on MULTI-partition frames (the
+    time-bucketed carry, not a single global window)."""
+    left_rows, right_rows = case
+    left_pdf = pd.DataFrame(left_rows, columns=["lid", "k", "t"])
+    right_pdf = pd.DataFrame(right_rows, columns=["rid", "rk", "rt"])
+
+    left = spark.createDataFrame(
+        left_pdf, schema="lid long, k long, t long"
+    ).repartition(8)
+    right = spark.createDataFrame(
+        right_pdf.assign(payload=right_pdf["rt"]),
+        schema="rid long, rk long, rt long, payload long",
+    ).repartition(8)
+
+    got = asof_join(
+        left,
+        right,
+        on_time=("t", "rt"),
+        by=None,
+        value_cols=["payload"],
+        how="inner",
+    ).toPandas()
+
+    if len(right_pdf):
+        want = pd.merge_asof(
+            left_pdf.sort_values("t"),
+            right_pdf.assign(payload=right_pdf["rt"]).sort_values("rt"),
+            left_on="t",
+            right_on="rt",
+            direction="backward",
+        ).dropna(subset=["payload"])
+        want_set = {(r.lid, int(r.payload)) for r in want.itertuples()}
+    else:
+        want_set = set()
+    got_set = {(r.lid, int(r.asof_payload)) for r in got.itertuples()}
+    assert got_set == want_set
+
+
+def test_keyless_asof_plan_has_no_global_window(spark):
+    """The keyless plan must not move all rows into one window partition:
+    every Window node should partition by the time bucket."""
+    left = spark.range(0, 1000).selectExpr("id AS lid", "id * 3 AS t")
+    right = spark.range(0, 100).selectExpr(
+        "id AS rid", "id * 31 AS rt", "id AS payload"
+    )
+    out = asof_join(
+        left, right, on_time=("t", "rt"), by=None, value_cols=["payload"]
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    import re
+
+    # Window specs over the full union must carry a partition key (_bkt);
+    # the only unpartitioned window allowed is the O(#buckets) carry table.
+    for spec in re.findall(r"windowspecdefinition\(([^)]*)\)", plan):
+        if "_ls" in spec:
+            continue  # bucket-table carry: bounded by #buckets
+        assert "_bkt" in spec, f"unpartitioned window over row data: {spec}"
