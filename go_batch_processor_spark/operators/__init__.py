@@ -3,6 +3,7 @@ every query into go_batch_processor_spark.registry.REGISTRY."""
 
 from go_batch_processor_spark.operators import (  # noqa: F401
     aggregates,
+    analytics,
     cdc,
     composite,
     dedup,

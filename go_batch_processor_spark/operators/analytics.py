@@ -1,0 +1,113 @@
+"""Product-analytics composites over the events stream-shaped table
+(extension inventory; the reference pipeline has no query surface,
+/root/reference/batch_processor.go:16-28 — these are the event-funnel /
+retention questions a warehouse engine is actually asked).
+
+All JVM-side: filters + keyed aggregations + co-partitioned joins on
+user_id. Every stage shuffles on the same key, so at 100 TB the funnel
+joins reuse one hash partitioning (Catalyst elides the re-exchange when
+child output partitioning already matches).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from go_batch_processor_spark.catalog import load_table
+from go_batch_processor_spark.registry import register
+
+
+@register(
+    "analytics_funnel_conversion",
+    oracle="""
+    WITH v AS (
+      SELECT user_id, min(ts) AS tv FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ),
+    c AS (
+      SELECT e.user_id, min(e.ts) AS tc
+      FROM events e JOIN v ON e.user_id = v.user_id
+      WHERE e.event_type = 'click' AND e.ts > v.tv
+      GROUP BY e.user_id
+    ),
+    p AS (
+      SELECT e.user_id, min(e.ts) AS tp
+      FROM events e JOIN c ON e.user_id = c.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > c.tc
+      GROUP BY e.user_id
+    )
+    SELECT (SELECT count(*) FROM v) AS n_view,
+           (SELECT count(*) FROM c) AS n_click_after_view,
+           (SELECT count(*) FROM p) AS n_purchase_after_click
+    """,
+)
+def analytics_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel view -> click -> purchase: users counted at each stage
+    only if the stage event happens strictly AFTER their previous stage's
+    first event (the order constraint is what makes this a funnel rather
+    than three independent counts)."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_type")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("tv"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("tv"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("tc"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("tc"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("tp"))
+    )
+    return (
+        v.join(c, "user_id", "left")
+        .join(p, "user_id", "left")
+        .agg(
+            F.count("tv").alias("n_view"),
+            F.count("tc").alias("n_click_after_view"),
+            F.count("tp").alias("n_purchase_after_click"),
+        )
+    )
+
+
+@register(
+    "analytics_retention_cohort",
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id, date_trunc('week', min(ts)) AS cohort_week
+      FROM events GROUP BY user_id
+    )
+    SELECT f.cohort_week,
+           CAST(date_diff('day', f.cohort_week, date_trunc('week', e.ts)) / 7
+                AS BIGINT) AS week_n,
+           count(DISTINCT e.user_id) AS active_users
+    FROM events e JOIN firsts f ON e.user_id = f.user_id
+    GROUP BY 1, 2
+    """,
+)
+def analytics_retention_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention triangle: users grouped by the week of their first
+    event; active_users counts distinct users of each cohort seen again
+    week_n weeks later. Both week boundaries are Monday-start truncations
+    (Spark and DuckDB agree), and week_n divides an exact multiple of 7."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts")
+    firsts = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    week = F.date_trunc("week", F.col("ts"))
+    return (
+        ev.join(firsts, "user_id")
+        .groupBy(
+            "cohort_week",
+            (F.datediff(week, F.col("cohort_week")) / 7).cast("long").alias("week_n"),
+        )
+        .agg(F.countDistinct("user_id").alias("active_users"))
+    )

@@ -341,6 +341,92 @@ def join_range_time_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SALT_BUCKETS = 8
+
+
+@register(
+    "join_skew_salted",
+    oracle="""
+    SELECT e.event_id, e.user_id, c.c_name, c.c_mktsegment
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    """,
+)
+def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-mitigated join: salt the (hot-keyed) fact side, replicate the
+    dim side across all salts, join on (key, salt).
+
+    A plain shuffle join hashes ALL rows of a hot key into one task —
+    the straggler pattern AQE's skew-join splitting also targets at
+    runtime. Explicit salting is the deterministic version: each hot key
+    spreads over SALT_BUCKETS tasks at the cost of replicating the
+    (small) build side SALT_BUCKETS times. Use when the skew is known and
+    stable (user/tenant keys in event logs — exactly this shape); rely on
+    AQE when it is not.
+    """
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id")
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_mktsegment"
+    )
+    salted = ev.withColumn(
+        "_salt", F.pmod(F.xxhash64("event_id"), F.lit(SALT_BUCKETS))
+    )
+    replicated = c.withColumn(
+        "_salt", F.explode(F.array(*[F.lit(i) for i in range(SALT_BUCKETS)]))
+    )
+    return salted.join(
+        replicated,
+        (salted.user_id == replicated.c_custkey)
+        & (salted._salt == replicated._salt),
+    ).select("event_id", "user_id", "c_name", "c_mktsegment")
+
+
+@register(
+    "join_bucketed_colocated",
+    oracle="""
+    SELECT o_orderkey, o_custkey, c_name, o_totalprice
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    """,
+)
+def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-located join via bucketed tables: both sides written with
+    ``bucketBy(8, join_key)`` + ``sortBy``, then joined — Spark's bucketed
+    scan reports hash-partitioned, sorted output, so the sort-merge join
+    runs with ZERO exchanges (tests assert no Exchange in the plan).
+
+    This is THE layout lever for repeated big-fact joins at 100 TB: pay
+    the partitioning once at write time, never shuffle at read time. The
+    write cost amortizes across every downstream join/aggregate on the
+    bucket key. Table names are keyed by application id (concurrent
+    sessions own separate tables).
+    """
+    import re as _re
+
+    app = _re.sub(r"[^0-9a-zA-Z]", "_", spark.sparkContext.applicationId)
+    t_orders = f"gbp_bkt_orders_{app}"
+    t_cust = f"gbp_bkt_customer_{app}"
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    (
+        o.write.mode("overwrite")
+        .bucketBy(8, "o_custkey")
+        .sortBy("o_custkey")
+        .saveAsTable(t_orders)
+    )
+    (
+        c.write.mode("overwrite")
+        .bucketBy(8, "c_custkey")
+        .sortBy("c_custkey")
+        .saveAsTable(t_cust)
+    )
+    ob = spark.table(t_orders)
+    cb = spark.table(t_cust)
+    return ob.join(cb, ob.o_custkey == cb.c_custkey).select(
+        "o_orderkey", "o_custkey", "c_name", "o_totalprice"
+    )
+
+
 BAND_CENTS = 5  # |value difference| <= 0.05, in exact integer cents
 
 

@@ -302,3 +302,40 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_max(gram_hashes).alias("fp_max"),
         F.xxhash64("text").alias("fp_full"),
     )
+
+
+TOP_TERMS_K = 20
+MIN_TERM_LEN = 3
+
+
+@register(
+    "text_normalize_topterms",
+    oracle=f"""
+    WITH toks AS (
+      SELECT lower(unnest(string_split(text, ' '))) AS term FROM documents
+    )
+    SELECT term, count(*) AS n
+    FROM toks
+    WHERE length(term) >= {MIN_TERM_LEN}
+      AND term NOT IN {STOPWORDS!r}
+    GROUP BY term
+    ORDER BY n DESC, term ASC
+    LIMIT {TOP_TERMS_K}
+    """,
+)
+def text_normalize_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level normalized vocabulary head: lowercase, drop short
+    tokens and stopwords, count, top-20 — the first diagnostic run on any
+    training corpus (boilerplate and contamination show up here first).
+    Top-k over the aggregate is TakeOrderedAndProject, never a full sort."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(F.explode(F.split(F.lower("text"), " ")).alias("term"))
+    return (
+        toks.filter(
+            (F.length("term") >= MIN_TERM_LEN) & (~F.col("term").isin(*STOPWORDS))
+        )
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("term").asc())
+        .limit(TOP_TERMS_K)
+    )
