@@ -281,3 +281,38 @@ def agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_orders") > 5)
     )
+
+
+@register(
+    "agg_bitmap_distinct",
+    oracle="""
+    SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM events GROUP BY event_type
+    """,
+)
+def agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT distinct count via bitmaps: map each user_id to a
+    (bucket, bit-position) pair, OR the bits into one bitmap per
+    (group, bucket) — a partial-aggregatable, map-side-combinable
+    state — then sum popcounts per group.
+
+    Scale rationale: `count(DISTINCT x)` forces Spark to keep/shuffle the
+    distinct key set (Expand + two-phase aggregate over the raw values);
+    the bitmap state is instead a fixed 4 KB page per 32768-id bucket that
+    merges with bitwise OR, so the shuffle volume is bounded by the id
+    RANGE, not the row count — the classic roaring-bitmap warehouse trick,
+    exact where HLL (`agg_approx_distinct`) is approximate.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    per_bucket = (
+        ev.select(
+            "event_type",
+            F.bitmap_bucket_number("user_id").alias("_bkt"),
+            F.bitmap_bit_position("user_id").alias("_pos"),
+        )
+        .groupBy("event_type", "_bkt")
+        .agg(F.bitmap_construct_agg("_pos").alias("_bm"))
+    )
+    return per_bucket.groupBy("event_type").agg(
+        F.sum(F.bitmap_count("_bm")).cast("bigint").alias("n_users")
+    )

@@ -111,3 +111,51 @@ def analytics_retention_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.countDistinct("user_id").alias("active_users"))
     )
+
+
+@register(
+    "analytics_rolling_dau",
+    oracle="""
+    WITH ud AS (
+      SELECT DISTINCT CAST(ts AS DATE) AS d, user_id FROM events
+    ),
+    days AS (SELECT DISTINCT d FROM ud),
+    dau AS (SELECT d, count(DISTINCT user_id) AS dau FROM ud GROUP BY d),
+    wau AS (
+      SELECT days.d, count(DISTINCT ud.user_id) AS wau
+      FROM days JOIN ud ON ud.d BETWEEN days.d - 6 AND days.d
+      GROUP BY days.d
+    )
+    SELECT strftime(dau.d, '%Y-%m-%d') AS day,
+           CAST(dau AS BIGINT) AS dau,
+           CAST(wau AS BIGINT) AS wau
+    FROM dau JOIN wau ON dau.d = wau.d
+    """,
+)
+def analytics_rolling_dau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU + rolling 7-day WAU per active day.
+
+    A sliding COUNT DISTINCT cannot run as a window aggregate (distinct
+    state is not frame-subtractable), so the scalable construction is
+    contribution fan-out: each distinct (user, day) pair contributes to the
+    7 report days it falls into (explode of a 7-element sequence — bounded
+    fan-out), then one exact distinct per report day. Linear in distinct
+    user-days, shuffles only on (day, user); no per-day re-scan of raw
+    events and no quadratic day x day self-join of the fact table.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    ud = ev.select(F.to_date("ts").alias("d"), "user_id").distinct()
+    dau = ud.groupBy("d").agg(F.countDistinct("user_id").alias("dau"))
+    contrib = ud.select(
+        F.explode(F.sequence(F.col("d"), F.date_add(F.col("d"), 6))).alias("rd"),
+        "user_id",
+    )
+    wau = contrib.groupBy("rd").agg(F.countDistinct("user_id").alias("wau"))
+    return (
+        dau.join(wau, dau.d == wau.rd)
+        .select(
+            F.date_format("d", "yyyy-MM-dd").alias("day"),
+            F.col("dau").cast("bigint").alias("dau"),
+            F.col("wau").cast("bigint").alias("wau"),
+        )
+    )

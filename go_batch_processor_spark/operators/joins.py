@@ -583,3 +583,37 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         value_cols=["o_orderdate"],
         how="inner",
     )
+
+
+@register(
+    "join_full_outer",
+    oracle="""
+    SELECT o_orderkey, o.o_custkey, c.c_custkey, c_name
+    FROM (SELECT * FROM orders WHERE o_totalprice > 150000) o
+    FULL JOIN (SELECT * FROM customer WHERE c_custkey % 3 = 0) c
+      ON o.o_custkey = c.c_custkey
+    """,
+)
+def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer equi-join with unmatched rows surviving on BOTH sides
+    (filters guarantee orphans each way; extension inventory — the
+    reference has no join surface, /root/reference/batch_processor.go:16-28).
+
+    Scale: full outer cannot broadcast (both sides must see the full key
+    space), so Spark plans a shuffle sort-merge join on the equi key —
+    one shuffle per side, which is the floor for this semantics. AQE can
+    still split skewed partitions at runtime.
+    """
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") > 150000)
+        .select("o_orderkey", "o_custkey")
+    )
+    c = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") % 3 == 0)
+        .select("c_custkey", "c_name")
+    )
+    return o.join(c, o.o_custkey == c.c_custkey, "full_outer").select(
+        "o_orderkey", "o_custkey", "c_custkey", "c_name"
+    )

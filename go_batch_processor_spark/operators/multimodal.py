@@ -189,3 +189,79 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").alias("media_id"),
         F.explode(F.sequence(F.lit(0), n_frames - 1, F.lit(FRAME_STEP))).alias("fi"),
     ).select("media_id", F.col("fi").cast("long").alias("frame_idx"))
+
+
+FRAME_WIN = 256  # samples per overlapping analysis window
+FRAME_HOP = 128  # hop size (50% overlap)
+
+
+@register(
+    "multimodal_audio_frame_features",
+    oracle=f"""
+    WITH samples AS (
+      SELECT doc_id,
+             ord(unnest(string_split_regex(text, ''))) AS v,
+             generate_subscripts(string_split_regex(text, ''), 1) AS i
+      FROM documents
+    ),
+    wins AS (
+      SELECT doc_id, CAST(s AS BIGINT) AS win_start
+      FROM documents CROSS JOIN UNNEST(range(0, n_chars, {FRAME_HOP})) t(s)
+    )
+    SELECT w.doc_id AS media_id,
+           w.win_start,
+           round(sqrt(avg((v - 96.0) * (v - 96.0))), 6) AS rms,
+           CAST(max(abs(v - 96)) AS BIGINT) AS peak,
+           CAST(count(*) AS BIGINT) AS n_samples
+    FROM wins w
+    JOIN samples sm
+      ON sm.doc_id = w.doc_id
+     AND sm.i - 1 BETWEEN w.win_start AND w.win_start + {FRAME_WIN - 1}
+    GROUP BY 1, 2
+    """,
+)
+def multimodal_audio_frame_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OVERLAPPING-window audio features (hop 128, window 256 — 50%
+    overlap, the standard STFT framing): per-window RMS + peak amplitude
+    through one Arrow mapInPandas pass.
+
+    Unlike :func:`multimodal_audio_rms` (tumbling frames expressible as a
+    groupBy), overlap means each sample lands in 2 windows — inside the
+    kernel that is a zero-copy numpy stride view per batch, whereas a
+    relational formulation would double the row volume through an explode
+    + re-aggregate shuffle. The oracle pays that relational cost (range
+    join) to certify the kernel bit-exactly.
+    """
+    import numpy as np
+
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("win_start", T.LongType()),
+            T.StructField("rms", T.DoubleType()),
+            T.StructField("peak", T.LongType()),
+            T.StructField("n_samples", T.LongType()),
+        ]
+    )
+
+    def windows(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out: dict[str, list] = {
+                "media_id": [], "win_start": [], "rms": [], "peak": [], "n_samples": []
+            }
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                raw = np.frombuffer(bytes(payload), dtype=np.uint8).astype(np.int64) - 96
+                centered = raw.astype(np.float64)
+                for s in range(0, len(raw), FRAME_HOP):
+                    chunk = centered[s : s + FRAME_WIN]
+                    ichunk = raw[s : s + FRAME_WIN]
+                    out["media_id"].append(mid)
+                    out["win_start"].append(s)
+                    out["rms"].append(round(float(np.sqrt(np.mean(chunk * chunk))), 6))
+                    out["peak"].append(int(np.abs(ichunk).max()))
+                    out["n_samples"].append(len(chunk))
+            yield pd.DataFrame(out)
+
+    return media_table(spark, sf_dir).select("media_id", "payload").mapInPandas(
+        windows, schema
+    )

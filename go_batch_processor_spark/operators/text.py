@@ -339,3 +339,65 @@ def text_normalize_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n").desc(), F.col("term").asc())
         .limit(TOP_TERMS_K)
     )
+
+
+CONTAM_N = 3  # n-gram size; real decontamination uses 13 — 3 fits the tiny-vocab fixture
+
+
+@register(
+    "text_contamination_ngram",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS a FROM documents
+    ),
+    grams AS (
+      SELECT doc_id, array_to_string(a[i:i+{CONTAM_N - 1}], ' ') AS g
+      FROM toks
+      CROSS JOIN UNNEST(range(1, greatest(len(a) - {CONTAM_N - 1}, 0) + 1)) AS t(i)
+    ),
+    eval_g AS (SELECT DISTINCT g FROM grams WHERE doc_id % 50 = 0),
+    hits AS (
+      SELECT DISTINCT tr.doc_id, tr.g
+      FROM grams tr JOIN eval_g e USING (g)
+      WHERE tr.doc_id % 50 <> 0
+    )
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shared
+    FROM hits GROUP BY doc_id
+    """,
+)
+def text_contamination_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag training docs sharing any word
+    n-gram with the eval split (doc_id % 50 == 0 stands in for the
+    benchmark set), reporting how many distinct eval n-grams each one
+    shares — the GPT-3-style n-gram overlap check every training corpus
+    runs before release.
+
+    Scale shape: the eval side is a benchmark — thousands of docs,
+    millions of rows smaller than the corpus — so its distinct gram set is
+    BROADCAST and the 100 TB train side streams map-side through the hash
+    join with zero shuffle of raw grams; the only shuffle is the per-doc
+    distinct+count on the (tiny) hit set. Train grams are generated inline
+    (transform over a sequence — no UDF, no shuffle).
+    """
+    d = load_table(spark, sf_dir, "documents")
+    a = F.split("text", " ")
+    grams = (
+        d.filter(F.size(a) >= CONTAM_N)
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size(a) - (CONTAM_N - 1)),
+                    lambda i: F.concat_ws(" ", F.slice(a, i, CONTAM_N)),
+                )
+            ).alias("g"),
+        )
+    )
+    eval_g = grams.filter(F.col("doc_id") % 50 == 0).select("g").distinct()
+    hits = (
+        grams.filter(F.col("doc_id") % 50 != 0)
+        .join(F.broadcast(eval_g), "g")
+        .select("doc_id", "g")
+        .distinct()
+    )
+    return hits.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shared"))

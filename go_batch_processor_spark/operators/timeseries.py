@@ -112,3 +112,42 @@ def window_dedup_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .drop("rn")
     )
+
+
+@register(
+    "timeseries_resample_ohlc",
+    oracle="""
+    SELECT date_trunc('hour', ts) AS hour,
+           event_type,
+           arg_min(value, ts) AS open,
+           max(value) AS high,
+           min(value) AS low,
+           arg_max(value, ts) AS close,
+           CAST(count(*) AS BIGINT) AS n
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def timeseries_resample_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Downsample the event stream to hourly OHLC bars per type — the
+    canonical time-series compaction (tick data -> bars).
+
+    open/close are min_by/max_by on the event time; the fixture's
+    nanosecond timestamps are unique within every (hour, type) group
+    (asserted against the data), so the pick is deterministic and the
+    oracle bit-exact — values are picked, not summed, hence no rounding.
+    One hash aggregate, O(hours x types) output; min_by/max_by carry
+    constant state per group (no sort, no window) — this is the shape that
+    holds at 100 TB of ticks. For tie-prone sources, extend the ordering
+    key to a (ts, id) struct on the Spark side.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("hour"), "event_type"
+    ).agg(
+        F.min_by("value", "ts").alias("open"),
+        F.max("value").alias("high"),
+        F.min("value").alias("low"),
+        F.max_by("value", "ts").alias("close"),
+        F.count(F.lit(1)).alias("n"),
+    )
