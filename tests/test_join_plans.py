@@ -53,3 +53,37 @@ def test_salted_join_spreads_hot_keys(spark, sf_dir):
         plan = _executed_plan(df)
     assert "_salt" in plan
     assert "Cartesian" not in plan and "NestedLoop" not in plan, plan
+
+
+def test_full_outer_is_smj_both_sides_shuffled(spark, sf_dir):
+    """Full outer keeps unmatched rows on both sides -> shuffle SMJ (no
+    broadcast is legal for full outer with an equi key in Spark)."""
+    df = REGISTRY["join_full_outer"].fn(spark, sf_dir)
+    plan = _executed_plan(df)
+    assert "SortMergeJoin" in plan and "FullOuter" in plan, plan
+    assert "Cartesian" not in plan and "NestedLoop" not in plan, plan
+
+
+def test_bitmap_distinct_has_no_expand(spark, sf_dir):
+    """The bitmap formulation must not plan the count-distinct Expand —
+    its partial state is the bitmap page, map-side combinable."""
+    df = REGISTRY["agg_bitmap_distinct"].fn(spark, sf_dir)
+    plan = _executed_plan(df)
+    assert "Expand" not in plan, plan
+    assert "bitmap_construct_agg" in plan
+
+
+def test_contamination_broadcasts_eval_grams(spark, sf_dir):
+    """Decontamination joins the 100 TB train side against a BROADCAST
+    benchmark gram set — no shuffle of raw train grams."""
+    df = REGISTRY["text_contamination_ngram"].fn(spark, sf_dir)
+    plan = _executed_plan(df)
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_ohlc_is_single_hash_aggregate_no_window(spark, sf_dir):
+    """OHLC bars: min_by/max_by aggregate state, never a sort or window."""
+    df = REGISTRY["timeseries_resample_ohlc"].fn(spark, sf_dir)
+    plan = _executed_plan(df)
+    assert "Window" not in plan, plan
+    assert "HashAggregate" in plan or "ObjectHashAggregate" in plan, plan
