@@ -177,3 +177,59 @@ def source_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = _sink_path(spark, "gbp_src_orc")
     o.write.mode("overwrite").orc(out)
     return spark.read.schema(o.schema).orc(out)
+
+
+Z_BITS = 16  # bits interleaved per dimension in the z-order key
+
+
+def _zvalue(x, y):
+    """Morton/z-order interleave of two 16-bit columns, pure JVM bit ops
+    (shiftleft/bitwiseOR) — no UDF. Bit i of x lands at 2i+1, bit i of y
+    at 2i."""
+    z = F.lit(0)
+    for i in range(Z_BITS):
+        xb = F.shiftright(x, i).bitwiseAND(F.lit(1))
+        yb = F.shiftright(y, i).bitwiseAND(F.lit(1))
+        z = z.bitwiseOR(F.shiftleft(xb, 2 * i + 1)).bitwiseOR(
+            F.shiftleft(yb, 2 * i)
+        )
+    return z
+
+
+@register(
+    "sink_zorder_clustered",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+    """,
+)
+def sink_zorder_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order clustered write: range-partition + sort the sink files by the
+    Morton interleave of (o_custkey, price bucket), then read back.
+
+    Why at 100 TB: parquet keeps per-file/rowgroup min-max stats on BOTH
+    source columns; z-ordering makes those ranges narrow simultaneously, so
+    selective filters on EITHER column (or both) skip most files — the
+    multi-dimensional generalization of sorting by one key, and the same
+    layout trick Delta's OPTIMIZE ZORDER applies. The interleave itself is
+    ~100 JVM bit-ops per row, no shuffle beyond the range partitioner.
+    Roundtrip oracle certifies the re-layout loses no rows/values.
+    """
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    z = _zvalue(
+        F.col("o_custkey").bitwiseAND(F.lit((1 << Z_BITS) - 1)),
+        F.floor(F.col("o_totalprice") / 32).cast("long").bitwiseAND(
+            F.lit((1 << Z_BITS) - 1)
+        ),
+    )
+    out = _sink_path(spark, "gbp_sink_zorder")
+    (
+        o.withColumn("_z", z)
+        .repartitionByRange(8, "_z")
+        .sortWithinPartitions("_z")
+        .drop("_z")
+        .write.mode("overwrite")
+        .parquet(out)
+    )
+    return spark.read.schema(o.schema).parquet(out)

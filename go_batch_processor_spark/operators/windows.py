@@ -200,3 +200,47 @@ def window_running_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum("o_totalprice").over(w), 2).alias("running_spend"),
         F.count(F.lit(1)).over(w).alias("n_so_far"),
     )
+
+
+@register(
+    "window_gaps_islands",
+    oracle="""
+    WITH ud AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+    ),
+    r AS (
+      SELECT user_id, d,
+             d - CAST(row_number() OVER (PARTITION BY user_id ORDER BY d)
+                      AS INTEGER) AS grp
+      FROM ud
+    ),
+    isl AS (SELECT user_id, grp, count(*) AS len FROM r GROUP BY 1, 2)
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_streaks,
+           CAST(max(len) AS BIGINT) AS longest_streak,
+           CAST(sum(len) AS BIGINT) AS active_days
+    FROM isl GROUP BY user_id
+    """,
+)
+def window_gaps_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: per-user consecutive-day activity streaks via the
+    classic date-minus-row_number island key, then one aggregate per island
+    and one per user.
+
+    Scale: the window partitions by user_id — state is one counter per
+    user-partition, no global sort; everything after the distinct is
+    proportional to distinct user-days. This is the streak/uptime/session
+    compaction shape every activity warehouse needs.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    ud = ev.select("user_id", F.to_date("ts").alias("d")).distinct()
+    w = Window.partitionBy("user_id").orderBy("d")
+    r = ud.select(
+        "user_id", "d", F.date_sub("d", F.row_number().over(w)).alias("grp")
+    )
+    isl = r.groupBy("user_id", "grp").agg(F.count(F.lit(1)).alias("len"))
+    return isl.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_streaks"),
+        F.max("len").cast("bigint").alias("longest_streak"),
+        F.sum("len").cast("bigint").alias("active_days"),
+    )
