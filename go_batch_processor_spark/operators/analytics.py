@@ -138,23 +138,32 @@ def analytics_rolling_dau(spark: SparkSession, sf_dir: str) -> DataFrame:
     A sliding COUNT DISTINCT cannot run as a window aggregate (distinct
     state is not frame-subtractable), so the scalable construction is
     contribution fan-out: each distinct (user, day) pair contributes to the
-    7 report days it falls into (explode of a 7-element sequence — bounded
-    fan-out), then one exact distinct per report day. Linear in distinct
-    user-days, shuffles only on (day, user); no per-day re-scan of raw
-    events and no quadratic day x day self-join of the fact table.
+    7 report days it falls into (posexplode of a 7-element sequence —
+    bounded fan-out), then ONE aggregation computes both metrics: WAU as
+    the distinct contributors, DAU as the distinct offset-0 contributors
+    (offset 0 <=> the user was active on the report day itself). One
+    shuffle on the report day, no dau-side re-aggregation and no
+    dau x wau join; `dau > 0` filters the trailing report days that fall
+    after the user's last active day. Linear in distinct user-days; no
+    per-day re-scan of raw events and no quadratic day x day self-join.
     """
     ev = load_table(spark, sf_dir, "events")
     ud = ev.select(F.to_date("ts").alias("d"), "user_id").distinct()
-    dau = ud.groupBy("d").agg(F.countDistinct("user_id").alias("dau"))
     contrib = ud.select(
-        F.explode(F.sequence(F.col("d"), F.date_add(F.col("d"), 6))).alias("rd"),
+        F.posexplode(F.sequence(F.col("d"), F.date_add(F.col("d"), 6))).alias(
+            "off", "rd"
+        ),
         "user_id",
     )
-    wau = contrib.groupBy("rd").agg(F.countDistinct("user_id").alias("wau"))
     return (
-        dau.join(wau, dau.d == wau.rd)
+        contrib.groupBy("rd")
+        .agg(
+            F.countDistinct(F.when(F.col("off") == 0, F.col("user_id"))).alias("dau"),
+            F.countDistinct("user_id").alias("wau"),
+        )
+        .filter(F.col("dau") > 0)
         .select(
-            F.date_format("d", "yyyy-MM-dd").alias("day"),
+            F.date_format("rd", "yyyy-MM-dd").alias("day"),
             F.col("dau").cast("bigint").alias("dau"),
             F.col("wau").cast("bigint").alias("wau"),
         )
