@@ -87,3 +87,31 @@ def test_ohlc_is_single_hash_aggregate_no_window(spark, sf_dir):
     plan = _executed_plan(df)
     assert "Window" not in plan, plan
     assert "HashAggregate" in plan or "ObjectHashAggregate" in plan, plan
+
+
+def test_runtime_bloom_filter_prunes_fact_scan(spark, sf_dir):
+    """Spark's runtime bloom-filter join pruning: a selective filter on the
+    dimension side injects a might_contain() predicate on the FACT side's
+    join key BEFORE the shuffle — at 100 TB this drops most fact rows at
+    the scan instead of shuffling them. Thresholds are lowered here because
+    the local fixture is far below the production 10 MB/10 GB defaults."""
+    from pyspark.sql import functions as F
+    from go_batch_processor_spark.catalog import load_table
+
+    with _conf(spark, "spark.sql.autoBroadcastJoinThreshold", "-1"), _conf(
+        spark, "spark.sql.optimizer.runtime.bloomFilter.enabled", "true"
+    ), _conf(
+        spark,
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+        "0",
+    ):
+        li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+        o = (
+            load_table(spark, sf_dir, "orders")
+            .filter(F.col("o_totalprice") > 400000)
+            .select("o_orderkey")
+        )
+        j = li.join(o, li.l_orderkey == o.o_orderkey)
+        plan = _executed_plan(j)
+    assert "might_contain" in plan, plan
+    assert "bloom_filter_agg" in plan, plan
