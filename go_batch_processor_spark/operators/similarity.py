@@ -18,7 +18,7 @@ from __future__ import annotations
 
 import numpy as np
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from go_batch_processor_spark.catalog import load_table
@@ -269,4 +269,70 @@ def similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
         .select("vec_id", "neighbor_id", "cosine")
+    )
+
+
+ASSIGN_K = 16  # fixed centroid count — scale-invariant (stand-in for k-means)
+
+
+@register(
+    "similarity_centroid_assign",
+    oracle=f"""
+    WITH flat AS (
+      SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
+             generate_subscripts(embedding, 1) AS i
+      FROM embeddings
+    ),
+    cflat AS (SELECT vec_id AS cid, v, i FROM flat WHERE vec_id < {ASSIGN_K}),
+    norms AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM flat GROUP BY vec_id),
+    dots AS (
+      SELECT f.vec_id, c.cid, sum(f.v * c.v) AS dot
+      FROM flat f JOIN cflat c ON f.i = c.i
+      GROUP BY 1, 2
+    ),
+    scored AS (
+      SELECT d.vec_id, d.cid, d.dot / (n1.nrm * n2.nrm) AS cos
+      FROM dots d
+      JOIN norms n1 ON d.vec_id = n1.vec_id
+      JOIN norms n2 ON d.cid = n2.vec_id
+    ),
+    r AS (
+      SELECT vec_id, cid, cos,
+             row_number() OVER (PARTITION BY vec_id
+                                ORDER BY cos DESC, cid ASC) AS rn
+      FROM scored
+    )
+    SELECT vec_id, cid AS centroid_id, round(cos, 6) AS cosine
+    FROM r WHERE rn = 1
+    """,
+)
+def similarity_centroid_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-centroid assignment — the IVF/k-means building block as an
+    ORACLED query (the rows-only `similarity_ivf_topk` composes it).
+
+    The centroid set is FIXED-K (the K lowest vec_ids stand in for trained
+    k-means centroids), so it stays a broadcast regardless of corpus size:
+    each of the 100 TB of vectors streams map-side through K fused
+    dot-products (JVM higher-order fold, no UDF) and a per-vec_id top-1 —
+    zero corpus shuffle except the final rank-1 window, which Catalyst
+    runs on the already-narrow (vec_id, cid, cos) projection.
+    Tie-break on (cos DESC, cid ASC) keeps the pick deterministic on both
+    engines; dot products fold dims in index order on both, so the doubles
+    compare identically.
+    """
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", _as_double(F.col("embedding")).alias("emb")
+    )
+    cents = e.filter(F.col("vec_id") < ASSIGN_K).select(
+        F.col("vec_id").alias("cid"), F.col("emb").alias("cemb")
+    )
+    cos = _dot(F.col("emb"), F.col("cemb")) / (_norm(F.col("emb")) * _norm(F.col("cemb")))
+    scored = e.crossJoin(F.broadcast(cents)).select(
+        "vec_id", "cid", cos.alias("cos")
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("cos").desc(), F.col("cid").asc())
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", F.col("cid").alias("centroid_id"), F.round("cos", 6).alias("cosine"))
     )

@@ -401,3 +401,49 @@ def text_contamination_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     return hits.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shared"))
+
+
+@register(
+    "text_unigram_logprob",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
+      FROM documents
+    ),
+    vocab AS (SELECT tok, count(*) AS c FROM toks GROUP BY tok),
+    tot AS (SELECT sum(c) AS t FROM vocab),
+    scored AS (
+      SELECT doc_id, ln(c / t) AS lp
+      FROM toks JOIN vocab USING (tok) CROSS JOIN tot
+    )
+    SELECT doc_id, round(avg(lp), 6) AS avg_logprob,
+           CAST(count(*) AS BIGINT) AS n_tokens
+    FROM scored GROUP BY doc_id
+    """,
+)
+def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram LM quality score (CCNet-style): train a unigram model on the
+    corpus itself, score each doc by its mean token log-probability — the
+    classic perplexity-based quality filter for training data (low scorers
+    are gibberish/boilerplate; high scorers are repetitive).
+
+    Scale shape: the vocabulary aggregate is Zipf-bounded (millions of
+    rows, not corpus-sized), so token->prob is a BROADCAST-able dim; the
+    corpus-sized token stream joins against it map-side and re-aggregates
+    per doc — two hash aggregations and one broadcast join over one explode
+    pass. avg(log p) is order-dependent double math: rounded to 6 on both
+    engines per the parity rules.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("tok")
+    )
+    vocab = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    tot = vocab.agg(F.sum("c").alias("t"))
+    scored = toks.join(F.broadcast(vocab), "tok").crossJoin(F.broadcast(tot)).select(
+        "doc_id", F.log(F.col("c") / F.col("t")).alias("lp")
+    )
+    return scored.groupBy("doc_id").agg(
+        F.round(F.avg("lp"), 6).alias("avg_logprob"),
+        F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+    )
