@@ -45,6 +45,15 @@ HEADLINE = [
     "similarity_topk_cosine",
     "text_tokenize_wordcount",
     "text_quality_score",
+    # round 2 additions — one headliner per new family
+    "agg_bitmap_distinct",
+    "analytics_rolling_dau",
+    "timeseries_resample_ohlc",
+    "text_contamination_ngram",
+    "text_unigram_logprob",
+    "similarity_centroid_assign",
+    "window_gaps_islands",
+    "join_full_outer",
 ]
 
 
