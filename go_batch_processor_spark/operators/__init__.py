@@ -9,6 +9,7 @@ from go_batch_processor_spark.operators import (  # noqa: F401
     dedup,
     filters,
     joins,
+    ml,
     multimodal,
     pipeline_ops,
     similarity,

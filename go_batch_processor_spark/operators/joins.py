@@ -617,3 +617,56 @@ def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     return o.join(c, o.o_custkey == c.c_custkey, "full_outer").select(
         "o_orderkey", "o_custkey", "c_custkey", "c_name"
     )
+
+
+@register(
+    "join_interval_events",
+    oracle="""
+    SELECT c.user_id,
+           c.event_id AS click_id,
+           p.event_id AS purchase_id,
+           date_diff('microsecond', c.ts, p.ts) AS lag_us
+    FROM events c
+    JOIN events p
+      ON p.user_id = c.user_id
+     AND c.event_type = 'click' AND p.event_type = 'purchase'
+     AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 12 HOUR
+    """,
+)
+def join_interval_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time interval join: each click paired with the same user's
+    purchases inside [click_ts, click_ts + 12h] — the batch twin of a
+    stream-stream interval join (Structured Streaming's
+    ``joinWith .. between`` watermark pattern; extension inventory, the
+    reference has no join surface, /root/reference/batch_processor.go:16-28).
+
+    Scale: the equi key (user_id) drives a hash/sort-merge join — ONE
+    shuffle per side on user_id, with the time-range predicate evaluated as
+    a join residual, never a cartesian expansion. Per-user fanout is bounded
+    by activity within the 12 h window, exactly the state bound the
+    streaming version enforces via watermarks. The lag is emitted in integer
+    microseconds (exact, no float rounding).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    c = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("event_id").alias("click_id"), F.col("ts").alias("c_ts")
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user_id"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("p_ts"),
+    )
+    return (
+        c.join(
+            p,
+            (c.user_id == p.p_user_id)
+            & (p.p_ts >= c.c_ts)
+            & (p.p_ts <= c.c_ts + F.expr("INTERVAL 12 HOURS")),
+        )
+        .select(
+            "user_id",
+            "click_id",
+            "purchase_id",
+            (F.unix_micros("p_ts") - F.unix_micros("c_ts")).alias("lag_us"),
+        )
+    )

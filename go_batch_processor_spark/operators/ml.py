@@ -1,0 +1,186 @@
+"""Distributed ML primitives over the ``embeddings`` / ``events`` tables
+(extension inventory — the reference has no ML surface,
+/root/reference/batch_processor.go:10-28; these are the two iterative /
+sketch shapes a training-data pipeline runs at corpus scale).
+
+  ml_kmeans_lloyd    — Lloyd's k-means: per-iteration assign (broadcast
+                       centroid literals, JVM-side argmin) + recompute
+                       (posexplode -> per-dim avg). Iterative, rows-only;
+                       numpy twin asserted in tests/test_ml.py.
+  agg_heavy_hitters  — EXACT phi-heavy-hitters via the two-pass
+                       Misra-Gries pattern: bounded-memory per-partition
+                       candidate sketches (mergeable-summaries reduction),
+                       then an exact recount of the candidate set only.
+                       Result is exact, so it carries a full DuckDB oracle.
+
+Scale notes: k-means per iteration = one scan + one O(k x dim) shuffle;
+centroids (k x dim doubles) are the only driver-side state — the same
+bounded-collect pattern MLlib uses. Heavy hitters never shuffles the raw
+key stream: pass 1 reduces each partition to <= MG_COUNTERS candidate keys
+in memory regardless of key cardinality; pass 2 recounts only candidates
+(broadcast semi-join), so the full-key groupBy that would dominate at
+100 TB of high-cardinality keys is avoided entirely.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from go_batch_processor_spark.catalog import load_table
+from go_batch_processor_spark.registry import register
+
+KMEANS_K = 8
+KMEANS_ITERS = 5
+
+HH_K = 150  # heavy hitter = key with count * HH_K > total rows
+MG_COUNTERS = 512  # per-partition counter budget (must be >= HH_K)
+
+
+def _as_double(col: Column) -> Column:
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+def _sqdist(vec: Column, centroid: list[float]) -> Column:
+    """Squared euclidean distance to a literal centroid, folded JVM-side."""
+    lit = F.array(*[F.lit(float(v)) for v in centroid])
+    return F.aggregate(
+        F.zip_with(vec, lit, lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def assign_clusters(emb: DataFrame, centroids: list[list[float]]) -> DataFrame:
+    """Attach ``cluster`` / ``dist2`` = argmin over centroid literals.
+
+    The argmin is an array_min over (dist, idx) structs — lexicographic
+    struct ordering gives min-distance with deterministic min-index
+    tiebreak, all inside whole-stage codegen (no shuffle, no Python).
+    """
+    cands = F.array(
+        *[
+            F.struct(_sqdist(F.col("vec"), c).alias("d"), F.lit(j).alias("c"))
+            for j, c in enumerate(centroids)
+        ]
+    )
+    best = F.array_min(cands)
+    return emb.withColumn("_best", best).select(
+        "*", F.col("_best.c").alias("cluster"), F.col("_best.d").alias("dist2")
+    ).drop("_best")
+
+
+def kmeans_lloyd(
+    emb: DataFrame, k: int = KMEANS_K, iters: int = KMEANS_ITERS
+) -> tuple[DataFrame, list[list[float]]]:
+    """Lloyd iterations over a (vec_id, vec: array<double>) frame.
+
+    Init is deterministic: the k lowest vec_ids seed the centroids.
+    Each iteration: assign (scan, zero shuffle) -> recompute means via
+    posexplode + per-(cluster, dim) avg (one shuffle of O(k x dim)
+    partials). Only the k x dim centroid matrix ever reaches the driver —
+    the documented bounded-collect, identical to MLlib's own loop. Empty
+    clusters keep their previous centroid (standard Lloyd fixup).
+    """
+    seeds = emb.orderBy("vec_id").limit(k).select("vec").collect()
+    centroids = [list(r["vec"]) for r in seeds]
+    for _ in range(iters):
+        assigned = assign_clusters(emb, centroids)
+        rows = (
+            assigned.select("cluster", F.posexplode("vec").alias("pos", "x"))
+            .groupBy("cluster", "pos")
+            .agg(F.avg("x").alias("m"))
+            .collect()
+        )
+        new = {c: list(cent) for c, cent in enumerate(centroids)}
+        for r in rows:
+            new[r["cluster"]][r["pos"]] = r["m"]
+        centroids = [new[c] for c in range(k)]
+    return assign_clusters(emb, centroids), centroids
+
+
+@register("ml_kmeans_lloyd", tags={"rows_only"})
+def ml_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-means (k=8, 5 Lloyd iterations) over the embeddings table;
+    returns per-cluster sizes and inertia. Iterative — not SQL-expressible,
+    so rows-only here; tests/test_ml.py asserts the assignment matches a
+    numpy reimplementation of the identical algorithm bit-for-bit at test SF.
+    """
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", _as_double(F.col("embedding")).alias("vec")
+    )
+    assigned, _ = kmeans_lloyd(emb)
+    return (
+        assigned.groupBy("cluster")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("dist2"), 4).alias("inertia"),
+        )
+        .orderBy("cluster")
+    )
+
+
+def _mg_reduce(counters: dict, budget: int) -> dict:
+    """Misra-Gries reduction: subtract the (budget+1)-th largest count from
+    every counter and drop the non-positive ones (the mergeable-summaries
+    decrement). Each surviving count underestimates the true partition
+    count by at most (partition_size / budget)."""
+    if len(counters) <= budget:
+        return counters
+    cut = sorted(counters.values(), reverse=True)[budget]
+    return {k: c - cut for k, c in counters.items() if c - cut > 0}
+
+
+def mg_candidates(keyed: DataFrame, key: str, budget: int = MG_COUNTERS) -> DataFrame:
+    """Per-partition Misra-Gries candidate keys through one Arrow pass.
+
+    Memory is O(budget) per task no matter how many distinct keys stream
+    through; any key with global frequency > total/budget is guaranteed to
+    survive in at least one partition's summary (pigeonhole over the MG
+    per-partition guarantee), so the union of summaries is a superset of
+    the true heavy hitters.
+    """
+
+    def sketch(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        counters: dict = {}
+        for pdf in it:
+            for k_, v in pdf[key].value_counts().items():
+                counters[k_] = counters.get(k_, 0) + int(v)
+            counters = _mg_reduce(counters, budget)
+        yield pd.DataFrame({key: list(counters.keys())})
+
+    return keyed.select(key).mapInPandas(sketch, f"{key} long").distinct()
+
+
+@register(
+    "agg_heavy_hitters",
+    oracle=f"""
+    SELECT user_id, count(*) AS n
+    FROM events
+    GROUP BY user_id
+    HAVING count(*) * {HH_K} > (SELECT count(*) FROM events)
+    """,
+)
+def agg_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact phi = 1/{HH_K} heavy hitters over events.user_id, computed the
+    way it must be at 100 TB of high-cardinality keys: Misra-Gries
+    candidate generation (bounded memory, no full-key shuffle), then an
+    exact recount restricted to the broadcast candidate set. The
+    MG superset guarantee makes the two-pass result exact — hence the full
+    DuckDB oracle despite the sketch in the plan.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    cands = mg_candidates(ev, "user_id")
+    total = ev.groupBy().agg(F.count(F.lit(1)).alias("_total"))
+    return (
+        ev.join(F.broadcast(cands), "user_id", "left_semi")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .crossJoin(F.broadcast(total))
+        .filter(F.col("n") * HH_K > F.col("_total"))
+        .select("user_id", "n")
+    )

@@ -151,3 +151,47 @@ def timeseries_resample_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max_by("value", "ts").alias("close"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+@register(
+    "timeseries_weighted_ma",
+    oracle="""
+    SELECT user_id, event_id, ts, value,
+           round((3 * value
+                  + coalesce(2 * lag(value, 1) OVER w, 0)
+                  + coalesce(lag(value, 2) OVER w, 0))
+                 / (3 + CASE WHEN lag(value, 1) OVER w IS NULL THEN 0 ELSE 2 END
+                      + CASE WHEN lag(value, 2) OVER w IS NULL THEN 0 ELSE 1 END),
+                 4) AS wma
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def timeseries_weighted_ma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linearly-weighted moving average (weights 3/2/1 over the last three
+    observations per user), with edge rows renormalized to the weights of
+    the observations that actually exist — the standard WMA smoother.
+
+    Scale: two lags over ONE keyed window = a single shuffle on user_id and
+    one sort per partition; no self-join, no range explosion. Per-row
+    arithmetic is IEEE-exact, but the quotient is rounded to 4 decimals on
+    both sides per the parity rules (division of independently-derived
+    doubles).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    l1 = F.lag("value", 1).over(w)
+    l2 = F.lag("value", 2).over(w)
+    num = (
+        3 * F.col("value")
+        + F.coalesce(2 * l1, F.lit(0))
+        + F.coalesce(l2, F.lit(0))
+    )
+    den = (
+        F.lit(3)
+        + F.when(l1.isNull(), 0).otherwise(2)
+        + F.when(l2.isNull(), 0).otherwise(1)
+    )
+    return ev.select(
+        "user_id", "event_id", "ts", "value", F.round(num / den, 4).alias("wma")
+    )

@@ -127,12 +127,13 @@ def _register_pickle_by_value() -> None:
         from pyspark import cloudpickle
     except ImportError:  # pragma: no cover
         return
+    import go_batch_processor_spark.operators.ml as _ml
     import go_batch_processor_spark.operators.multimodal as _mm
     import go_batch_processor_spark.operators.udfs as _udfs
     import go_batch_processor_spark.sources.supplier_source as _src
     import go_batch_processor_spark.streaming.stateful as _stateful
 
-    for mod in (_mm, _udfs, _src, _stateful):
+    for mod in (_ml, _mm, _udfs, _src, _stateful):
         try:
             cloudpickle.register_pickle_by_value(mod)
         except Exception:  # pragma: no cover — older cloudpickle

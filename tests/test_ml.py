@@ -1,0 +1,119 @@
+"""Semantic tests for the ML primitives (k-means Lloyd, Misra-Gries
+heavy hitters) beyond what the driver's rows-only / oracle checks cover."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from pyspark.sql import functions as F
+
+from go_batch_processor_spark.catalog import load_table
+from go_batch_processor_spark.operators.ml import (
+    KMEANS_ITERS,
+    KMEANS_K,
+    MG_COUNTERS,
+    _as_double,
+    _mg_reduce,
+    kmeans_lloyd,
+    mg_candidates,
+)
+from go_batch_processor_spark.registry import REGISTRY, _ensure_loaded
+
+_ensure_loaded()
+
+
+def _numpy_lloyd(X: np.ndarray, ids: np.ndarray, k: int, iters: int):
+    """The identical algorithm in numpy: seed with the k lowest ids, assign
+    by squared euclidean with min-index tiebreak, mean-update, empty
+    clusters keep their centroid."""
+    order = np.argsort(ids)
+    cent = X[order[:k]].copy()
+    for _ in range(iters + 1):  # final pass = assignment under last centroids
+        d2 = ((X[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+        assign = d2.argmin(axis=1)  # argmin takes the lowest index on ties
+        if _ == iters:
+            break
+        for c in range(k):
+            pts = X[assign == c]
+            if len(pts):
+                cent[c] = pts.mean(axis=0)
+    return assign
+
+
+def test_kmeans_matches_numpy_twin(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", _as_double(F.col("embedding")).alias("vec")
+    )
+    assigned, _ = kmeans_lloyd(emb)
+    got = {
+        r["vec_id"]: r["cluster"]
+        for r in assigned.select("vec_id", "cluster").collect()
+    }
+
+    pdf = emb.toPandas()
+    X = np.array([np.array(v, dtype=np.float64) for v in pdf["vec"]])
+    ids = pdf["vec_id"].to_numpy()
+    want = _numpy_lloyd(X, ids, KMEANS_K, KMEANS_ITERS)
+    mismatches = sum(
+        1 for i, vid in enumerate(ids) if got[vid] != want[i]
+    )
+    # Spark's avg and numpy's mean sum in different orders; identical
+    # assignments are expected unless a point sits within float-noise of a
+    # cluster boundary (never the case for the random fixture vectors).
+    assert mismatches == 0
+
+
+def test_kmeans_registry_output_shape(spark, sf_dir):
+    df = REGISTRY["ml_kmeans_lloyd"].fn(spark, sf_dir)
+    rows = df.collect()
+    assert 0 < len(rows) <= KMEANS_K
+    assert sum(r["n"] for r in rows) == load_table(
+        spark, sf_dir, "embeddings"
+    ).count()
+    for r in rows:
+        assert r["inertia"] >= 0.0
+
+
+def test_mg_reduce_budget_and_guarantee():
+    rng = np.random.default_rng(7)
+    # 50k-key zipf stream: cardinality far beyond the counter budget.
+    stream = rng.zipf(1.3, size=200_000) % 50_000
+    counters: dict = {}
+    for chunk in np.array_split(stream, 20):
+        for k, v in pd.Series(chunk).value_counts().items():
+            counters[k] = counters.get(k, 0) + int(v)
+        counters = _mg_reduce(counters, MG_COUNTERS)
+    assert len(counters) <= MG_COUNTERS
+    true_counts = pd.Series(stream).value_counts()
+    threshold = len(stream) / MG_COUNTERS
+    heavy = set(true_counts[true_counts > threshold].index)
+    assert heavy, "zipf stream should have heavy keys"
+    assert heavy <= set(counters), "MG summary must be a superset of HH"
+
+
+def test_mg_candidates_superset_on_fixture(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events").repartition(4)
+    cands = {r["user_id"] for r in mg_candidates(ev, "user_id").collect()}
+    counts = ev.groupBy("user_id").count().collect()
+    total = sum(r["count"] for r in counts)
+    heavy = {
+        r["user_id"] for r in counts if r["count"] > total / MG_COUNTERS
+    }
+    assert heavy <= cands
+
+
+def test_heavy_hitters_exact(spark, sf_dir):
+    got = {
+        (r["user_id"], r["n"])
+        for r in REGISTRY["agg_heavy_hitters"].fn(spark, sf_dir).collect()
+    }
+    ev = load_table(spark, sf_dir, "events")
+    total = ev.count()
+    want = {
+        (r["user_id"], r["count"])
+        for r in ev.groupBy("user_id").count().collect()
+        if r["count"] * 150 > total
+    }
+    assert got == want
