@@ -54,6 +54,10 @@ HEADLINE = [
     "similarity_centroid_assign",
     "window_gaps_islands",
     "join_full_outer",
+    "agg_heavy_hitters",
+    "tpch_q7_shape",
+    "join_interval_events",
+    "ml_kmeans_lloyd",
 ]
 
 

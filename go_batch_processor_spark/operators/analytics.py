@@ -168,3 +168,61 @@ def analytics_rolling_dau(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("wau").cast("bigint").alias("wau"),
         )
     )
+
+
+@register(
+    "analytics_ab_ttest",
+    oracle="""
+    WITH g AS (
+      SELECT count(*) FILTER (event_type = 'click')                    AS n_a,
+             avg(value) FILTER (event_type = 'click')                  AS m_a,
+             var_samp(value) FILTER (event_type = 'click')             AS v_a,
+             count(*) FILTER (event_type = 'purchase')                 AS n_b,
+             avg(value) FILTER (event_type = 'purchase')               AS m_b,
+             var_samp(value) FILTER (event_type = 'purchase')          AS v_b
+      FROM events
+    )
+    SELECT n_a, round(m_a, 4) AS mean_a,
+           n_b, round(m_b, 4) AS mean_b,
+           round((m_a - m_b) / sqrt(v_a / n_a + v_b / n_b), 4) AS t_stat,
+           round(pow(v_a / n_a + v_b / n_b, 2)
+                 / (pow(v_a / n_a, 2) / (n_a - 1)
+                    + pow(v_b / n_b, 2) / (n_b - 1)), 2) AS welch_df
+    FROM g
+    """,
+)
+def analytics_ab_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's two-sample t-test between the 'click' and 'purchase' event
+    value populations — the A/B-experiment readout, computed as ONE
+    conditional-aggregation pass (no split, no join, no second scan).
+
+    Scale: six FILTER-ed aggregates collapse map-side to a single partial
+    state per task; the final arithmetic runs on one row. This is the
+    always-right shape for experiment analysis over 100 TB of events: a
+    full scan, O(1) shuffle bytes.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    a = F.col("event_type") == "click"
+    b = F.col("event_type") == "purchase"
+    g = ev.agg(
+        F.count(F.when(a, 1)).alias("n_a"),
+        F.avg(F.when(a, F.col("value"))).alias("m_a"),
+        F.var_samp(F.when(a, F.col("value"))).alias("v_a"),
+        F.count(F.when(b, 1)).alias("n_b"),
+        F.avg(F.when(b, F.col("value"))).alias("m_b"),
+        F.var_samp(F.when(b, F.col("value"))).alias("v_b"),
+    )
+    se2 = F.col("v_a") / F.col("n_a") + F.col("v_b") / F.col("n_b")
+    df_num = F.pow(se2, 2)
+    df_den = (
+        F.pow(F.col("v_a") / F.col("n_a"), 2) / (F.col("n_a") - 1)
+        + F.pow(F.col("v_b") / F.col("n_b"), 2) / (F.col("n_b") - 1)
+    )
+    return g.select(
+        "n_a",
+        F.round("m_a", 4).alias("mean_a"),
+        "n_b",
+        F.round("m_b", 4).alias("mean_b"),
+        F.round((F.col("m_a") - F.col("m_b")) / F.sqrt(se2), 4).alias("t_stat"),
+        F.round(df_num / df_den, 2).alias("welch_df"),
+    )
