@@ -97,14 +97,54 @@ def register(
     return deco
 
 
+def _driver_check_counts() -> dict[str, int]:
+    """How many times each query key has appeared in a driver
+    CORRECTNESS_r*.json verdict (any round, any outcome).
+
+    The driver samples only the FIRST 50 entries of ``queries()`` each
+    round, so insertion order decides which operators ever get the hard
+    external correctness signal. Counting past verdicts lets
+    ``driver_sample_order`` rotate never-checked keys to the front
+    automatically every round with no manual reordering.
+    """
+    import glob
+    import json
+    import os
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    counts: dict[str, int] = {}
+    for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
+        try:
+            with open(path) as fh:
+                data = json.load(fh)
+        except (OSError, ValueError):  # pragma: no cover — malformed round file
+            continue
+        if isinstance(data, dict):
+            for key in data:
+                counts[key] = counts.get(key, 0) + 1
+    return counts
+
+
+def driver_sample_order(names: list[str]) -> list[str]:
+    """Order query keys least-driver-checked first (stable within ties).
+
+    sorted() is stable, so keys with equal check counts keep registry
+    insertion order — deterministic for a given set of round files.
+    """
+    counts = _driver_check_counts()
+    return sorted(names, key=lambda n: counts.get(n, 0))
+
+
 def all_queries() -> dict[str, QueryFn]:
     _ensure_loaded()
-    return {name: spec.fn for name, spec in REGISTRY.items()}
+    order = driver_sample_order(list(REGISTRY))
+    return {name: REGISTRY[name].fn for name in order}
 
 
 def all_oracles() -> dict[str, str]:
     _ensure_loaded()
-    return {n: s.oracle for n, s in REGISTRY.items() if s.oracle is not None}
+    order = driver_sample_order(list(REGISTRY))
+    return {n: REGISTRY[n].oracle for n in order if REGISTRY[n].oracle is not None}
 
 
 def _ensure_loaded() -> None:

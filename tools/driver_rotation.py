@@ -1,0 +1,42 @@
+#!/usr/bin/env python
+"""Diff registry keys vs the union of all CORRECTNESS_r*.json driver rows.
+
+Prints, per key: how many driver rounds have checked it and whether it is
+in the upcoming first-50 driver sample (``registry.all_queries()`` order,
+which sorts least-checked-first). Run after each round to confirm the
+rotation is covering the tail.
+
+Usage:  python tools/driver_rotation.py
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from go_batch_processor_spark.registry import (  # noqa: E402
+    _driver_check_counts,
+    all_queries,
+)
+
+
+def main() -> None:
+    counts = _driver_check_counts()
+    ordered = list(all_queries())
+    sample = set(ordered[:50])
+    never = [k for k in ordered if counts.get(k, 0) == 0]
+    print(f"registered: {len(ordered)}")
+    print(f"ever driver-checked: {sum(1 for k in ordered if counts.get(k, 0))}")
+    print(f"never driver-checked: {len(never)}")
+    uncovered = [k for k in never if k not in sample]
+    print(f"never-checked NOT in next first-50 sample: {len(uncovered)}")
+    print()
+    print(f"{'key':<36} {'checks':>6}  in-next-sample")
+    for k in ordered:
+        print(f"{k:<36} {counts.get(k, 0):>6}  {'yes' if k in sample else ''}")
+
+
+if __name__ == "__main__":
+    main()
