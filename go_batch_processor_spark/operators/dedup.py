@@ -211,6 +211,11 @@ def minhash_signatures(
     return sh.groupBy("doc_id").agg(*aggs)
 
 
+# Last call's persisted signature table — released on the NEXT call (the
+# returned lazy plan reads these blocks, so in-call unpersist is unsafe).
+_SIG_CACHE: DataFrame | None = None
+
+
 @register("dedup_near_minhash", tags={"rows_only"})
 def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH near-dup detection, the linear-time path for 100 TB:
@@ -238,8 +243,20 @@ def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     the signature shuffle — the same order as the shingle shuffle it
     replaces, so total bytes moved DROP (one shuffle instead of two+ and
     longs instead of strings). The compact signature table is persisted; it
-    feeds banding and both verify probes.
+    feeds banding and both verify probes. Cache ownership: the persisted
+    blocks back the RETURNED lazy plan, so they cannot be unpersisted
+    here — instead each call releases the PREVIOUS call's signature cache
+    (at most one alive per process) and long-lived callers that keep the
+    result around may additionally rely on LRU eviction (MEMORY_AND_DISK,
+    evictable) or clearCache().
     """
+    global _SIG_CACHE
+    if _SIG_CACHE is not None:
+        try:
+            _SIG_CACHE.unpersist(blocking=False)
+        except Exception:  # pragma: no cover — prior session already gone
+            pass
+        _SIG_CACHE = None
     docs = load_table(spark, sf_dir, "documents")
     sh = doc_shingles(docs).select(
         "doc_id", F.col("shingle"), F.xxhash64(F.lit(-1), F.col("shingle")).alias("sh_h")
@@ -249,6 +266,7 @@ def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         for i in range(MINHASH_K)
     ] + [F.collect_set("sh_h").alias("hs")]
     sig = sh.groupBy("doc_id").agg(*aggs).persist(StorageLevel.MEMORY_AND_DISK)
+    _SIG_CACHE = sig
     rows_per_band = MINHASH_K // LSH_BANDS
     # Single explode over an array of (band, sig) structs: the signature
     # aggregation is computed ONCE (a per-band union would re-run the whole

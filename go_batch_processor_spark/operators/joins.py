@@ -143,14 +143,21 @@ def _keyless_asof_carry(unioned: DataFrame, carry: list[str]) -> DataFrame:
         .drop("_tmin", "_tmax")
     )
 
+    # Carry-in is computed PER COLUMN (max_by over rows where THAT column
+    # is non-null), matching the keyed path's per-column
+    # last(ignorenulls): a NULL in one value column on the bucket's latest
+    # right row must not mask an earlier non-null value of that column.
     last_per_bucket = (
         u.filter(F.col("_is_left") == 0)
         .groupBy("_bkt")
         .agg(
-            F.max_by(
-                F.struct(*[F.col(f"_v_{c}").alias(c) for c in carry]),
-                F.struct(F.col("_t")),
-            ).alias("_ls")
+            *[
+                F.max_by(
+                    F.col(f"_v_{c}"),
+                    F.when(F.col(f"_v_{c}").isNotNull(), F.col("_t")),
+                ).alias(f"_ls_{c}")
+                for c in carry
+            ]
         )
     )
     # Every bucket present in the data gets a carry-in row, even buckets
@@ -159,7 +166,11 @@ def _keyless_asof_carry(unioned: DataFrame, carry: list[str]) -> DataFrame:
     bucket_tbl = u.select("_bkt").distinct().join(last_per_bucket, "_bkt", "left")
     wb = Window.orderBy("_bkt").rowsBetween(Window.unboundedPreceding, -1)
     carry_in = bucket_tbl.select(
-        "_bkt", F.last("_ls", ignorenulls=True).over(wb).alias("_carry")
+        "_bkt",
+        *[
+            F.last(f"_ls_{c}", ignorenulls=True).over(wb).alias(f"_carry_{c}")
+            for c in carry
+        ],
     )
 
     w = (
@@ -172,7 +183,7 @@ def _keyless_asof_carry(unioned: DataFrame, carry: list[str]) -> DataFrame:
         *[
             F.coalesce(
                 F.last(f"_v_{c}", ignorenulls=True).over(w),
-                F.col("_carry").getField(c),
+                F.col(f"_carry_{c}"),
             ).alias(f"_asof_{c}")
             for c in carry
         ],
@@ -396,14 +407,30 @@ def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
     This is THE layout lever for repeated big-fact joins at 100 TB: pay
     the partitioning once at write time, never shuffle at read time. The
     write cost amortizes across every downstream join/aggregate on the
-    bucket key. Table names are keyed by application id (concurrent
-    sessions own separate tables).
+    bucket key. Table names are FIXED with mode("overwrite") so repeated
+    runs reuse the same warehouse paths instead of accumulating one
+    app-id-keyed copy of orders+customer per application (the overwrite
+    reclaims the previous run's files). Trade-off: two sessions running
+    this exact query concurrently would race on the table — acceptable
+    for a demo query whose tables are scratch layout, and the production
+    pattern is a real, owned bucketed table written once anyway.
     """
-    import re as _re
-
-    app = _re.sub(r"[^0-9a-zA-Z]", "_", spark.sparkContext.applicationId)
-    t_orders = f"gbp_bkt_orders_{app}"
-    t_cust = f"gbp_bkt_customer_{app}"
+    t_orders = "gbp_bkt_orders"
+    t_cust = "gbp_bkt_customer"
+    for t in (t_orders, t_cust):
+        # Reclaim BOTH forms of leftover: a live catalog entry from this
+        # process (DROP also removes the managed location) and a stale
+        # warehouse directory orphaned by a previous process whose
+        # in-memory catalog died with it (saveAsTable refuses to create a
+        # managed table over an existing location). The Hadoop FS API
+        # keeps this portable to HDFS/S3A warehouses.
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        jvm = spark._jvm
+        path = jvm.org.apache.hadoop.fs.Path(
+            spark.conf.get("spark.sql.warehouse.dir") + "/" + t
+        )
+        fs = path.getFileSystem(spark._jsc.hadoopConfiguration())
+        fs.delete(path, True)
     o = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_custkey", "o_totalprice"
     )

@@ -313,9 +313,11 @@ def similarity_centroid_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     The centroid set is FIXED-K (the K lowest vec_ids stand in for trained
     k-means centroids), so it stays a broadcast regardless of corpus size:
     each of the 100 TB of vectors streams map-side through K fused
-    dot-products (JVM higher-order fold, no UDF) and a per-vec_id top-1 —
-    zero corpus shuffle except the final rank-1 window, which Catalyst
-    runs on the already-narrow (vec_id, cid, cos) projection.
+    dot-products (JVM higher-order fold, no UDF) and a per-vec_id top-1.
+    The top-1 is a `max_by` aggregate over a (cos, -cid) ordering struct —
+    a declarative aggregate with a map-side partial, so the K x N scored
+    rows collapse to N BEFORE the exchange (a rank-1 window here would
+    shuffle all K x N amplified rows and sort each group).
     Tie-break on (cos DESC, cid ASC) keeps the pick deterministic on both
     engines; dot products fold dims in index order on both, so the doubles
     compare identically.
@@ -330,9 +332,15 @@ def similarity_centroid_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = e.crossJoin(F.broadcast(cents)).select(
         "vec_id", "cid", cos.alias("cos")
     )
-    w = Window.partitionBy("vec_id").orderBy(F.col("cos").desc(), F.col("cid").asc())
-    return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", F.col("cid").alias("centroid_id"), F.round("cos", 6).alias("cosine"))
+    # (cos DESC, cid ASC) == max over the lexicographic (cos, -cid) struct.
+    best = scored.groupBy("vec_id").agg(
+        F.max_by(
+            F.struct("cid", "cos"),
+            F.struct(F.col("cos").alias("c"), (-F.col("cid")).alias("t")),
+        ).alias("b")
+    )
+    return best.select(
+        "vec_id",
+        F.col("b.cid").alias("centroid_id"),
+        F.round("b.cos", 6).alias("cosine"),
     )

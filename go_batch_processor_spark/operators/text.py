@@ -343,6 +343,30 @@ def text_normalize_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 CONTAM_N = 3  # n-gram size; real decontamination uses 13 — 3 fits the tiny-vocab fixture
 
+# Broadcast the eval gram set only while it plausibly fits an executor heap;
+# above this a giant eval suite falls back to a shuffled join instead of
+# OOMing every executor. ~5M short gram strings ~ a few hundred MB hashed.
+CONTAM_BROADCAST_MAX_GRAMS = 5_000_000
+
+
+def contamination_hits(
+    grams: DataFrame,
+    eval_grams: DataFrame,
+    broadcast_max: int = CONTAM_BROADCAST_MAX_GRAMS,
+) -> DataFrame:
+    """Distinct (doc_id, g) train-side hits against the eval gram set.
+
+    Size-gated join strategy: count the eval gram set (one eval-side-only
+    job — in production the eval suite is its own small table, so this is
+    trivially cheap) and BROADCAST it only under ``broadcast_max``;
+    otherwise fall back to a shuffled hash/merge join on ``g`` so an
+    oversized eval suite degrades to a shuffle instead of executor OOM.
+    Both paths produce identical results (tests/test_text.py pins it).
+    """
+    n_eval = eval_grams.count()
+    right = F.broadcast(eval_grams) if n_eval <= broadcast_max else eval_grams
+    return grams.join(right, "g").select("doc_id", "g").distinct()
+
 
 @register(
     "text_contamination_ngram",
@@ -374,10 +398,12 @@ def text_contamination_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: the eval side is a benchmark — thousands of docs,
     millions of rows smaller than the corpus — so its distinct gram set is
-    BROADCAST and the 100 TB train side streams map-side through the hash
-    join with zero shuffle of raw grams; the only shuffle is the per-doc
-    distinct+count on the (tiny) hit set. Train grams are generated inline
-    (transform over a sequence — no UDF, no shuffle).
+    BROADCAST (size-gated by `contamination_hits`: above
+    CONTAM_BROADCAST_MAX_GRAMS it falls back to a shuffled join rather
+    than OOM executors) and the 100 TB train side streams map-side through
+    the hash join with zero shuffle of raw grams; the only shuffle is the
+    per-doc distinct+count on the (tiny) hit set. Train grams are
+    generated inline (transform over a sequence — no UDF, no shuffle).
     """
     d = load_table(spark, sf_dir, "documents")
     a = F.split("text", " ")
@@ -394,12 +420,7 @@ def text_contamination_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     eval_g = grams.filter(F.col("doc_id") % 50 == 0).select("g").distinct()
-    hits = (
-        grams.filter(F.col("doc_id") % 50 != 0)
-        .join(F.broadcast(eval_g), "g")
-        .select("doc_id", "g")
-        .distinct()
-    )
+    hits = contamination_hits(grams.filter(F.col("doc_id") % 50 != 0), eval_g)
     return hits.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shared"))
 
 

@@ -137,3 +137,24 @@ def test_keyless_asof_plan_has_no_global_window(spark):
         if "_ls" in spec:
             continue  # bucket-table carry: bounded by #buckets
         assert "_bkt" in spec, f"unpartitioned window over row data: {spec}"
+
+
+def test_keyless_asof_null_value_cols_carry_per_column(spark):
+    """A NULL in one value column on a bucket's LATEST right row must not
+    mask an earlier non-null value of that column when carried into later
+    buckets — keyless carry-in is per column, matching the keyed path's
+    per-column last(ignorenulls)."""
+    right = spark.createDataFrame(
+        [(1, 1, 10), (2, None, 20), (3, 3, None)],
+        schema="rt long, a long, b long",
+    )
+    # Lefts far after all rights: their values come ONLY from cross-bucket
+    # carry-in (the rights sit in bucket 0, the lefts hundreds of buckets
+    # later), which is exactly where the whole-struct carry diverged.
+    left = spark.createDataFrame([(1000,), (2000,)], schema="t long")
+    out = (
+        asof_join(left, right, on_time=("t", "rt"), by=None, value_cols=["a", "b"])
+        .orderBy("t")
+        .collect()
+    )
+    assert [(r["asof_a"], r["asof_b"]) for r in out] == [(3, 20), (3, 20)]

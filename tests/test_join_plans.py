@@ -81,6 +81,43 @@ def test_contamination_broadcasts_eval_grams(spark, sf_dir):
     assert "BroadcastHashJoin" in plan, plan
 
 
+def test_contamination_size_gate_fallback_matches_broadcast(spark, sf_dir):
+    """Above the gram-count bound the eval set must NOT be broadcast (an
+    oversized eval suite would OOM executors) — the shuffled-join fallback
+    plans without a broadcast of eval grams and returns identical rows."""
+    from go_batch_processor_spark.catalog import load_table
+    from go_batch_processor_spark.operators.text import (
+        CONTAM_N,
+        contamination_hits,
+    )
+    from pyspark.sql import functions as F
+
+    d = load_table(spark, sf_dir, "documents")
+    a = F.split("text", " ")
+    grams = d.filter(F.size(a) >= CONTAM_N).select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size(a) - (CONTAM_N - 1)),
+                lambda i: F.concat_ws(" ", F.slice(a, i, CONTAM_N)),
+            )
+        ).alias("g"),
+    )
+    eval_g = grams.filter(F.col("doc_id") % 50 == 0).select("g").distinct()
+    train = grams.filter(F.col("doc_id") % 50 != 0)
+
+    wide = contamination_hits(train, eval_g)  # default: under the bound
+    assert "BroadcastHashJoin" in _executed_plan(wide)
+    # Model the huge-eval case: gate rejects the hint AND Spark's own
+    # threshold wouldn't volunteer a broadcast of a big table.
+    with _conf(spark, "spark.sql.autoBroadcastJoinThreshold", "-1"):
+        narrow = contamination_hits(train, eval_g, broadcast_max=0)
+        narrow_plan = _executed_plan(narrow)
+        narrow_rows = sorted(map(tuple, narrow.collect()))
+    assert "BroadcastHashJoin" not in narrow_plan, narrow_plan
+    assert sorted(map(tuple, wide.collect())) == narrow_rows
+
+
 def test_ohlc_is_single_hash_aggregate_no_window(spark, sf_dir):
     """OHLC bars: min_by/max_by aggregate state, never a sort or window."""
     df = REGISTRY["timeseries_resample_ohlc"].fn(spark, sf_dir)
