@@ -30,6 +30,7 @@ def asof_join(
     value_cols: list[str],
     how: str = "inner",
     tolerance_s: int | None = None,
+    salt_time: bool = False,
 ) -> DataFrame:
     """Generic as-of join: for each left row, the latest right row whose time
     is <= the left row's time (inclusive), optionally per by-key.
@@ -49,7 +50,12 @@ def asof_join(
     Cost: one shuffle + sort on the by-key — the same cost as a sort-merge
     join, independent of time-range density. At 100 TB the window state per
     key is O(1) (only the carried values), so no skew blowup beyond ordinary
-    hot-key skew (mitigable by AQE or time-bucketed salting).
+    hot-key skew. For a HOT key (one key holding a large share of rows, so
+    its window partition becomes a single straggler task), pass
+    ``salt_time=True``: the carry then runs per (key, time-bucket) with a
+    per-key O(#buckets) carry-in table — the same two-pass scheme as the
+    keyless path, splitting each hot key across ~4x-parallelism tasks
+    (tests/test_asof_property.py asserts the plan and the parity).
     """
     lt, rt = on_time
     lkey, rkey = by if by else (None, None)
@@ -74,7 +80,7 @@ def asof_join(
 
     unioned = left.select(*lsel).unionByName(right.select(*rsel))
 
-    if by:
+    if by and not salt_time:
         w = (
             Window.partitionBy("_k")
             .orderBy(F.col("_t").asc(), F.col("_is_left").asc())
@@ -88,7 +94,9 @@ def asof_join(
             ],
         )
     else:
-        carried = _keyless_asof_carry(unioned, carry)
+        carried = _bucketed_asof_carry(
+            unioned, carry, group_cols=["_k"] if by else []
+        )
     out = carried.filter(F.col("_is_left") == 1)
     if tolerance_s is not None:
         out = out.filter(
@@ -109,26 +117,36 @@ def asof_join(
     return out
 
 
-def _keyless_asof_carry(unioned: DataFrame, carry: list[str]) -> DataFrame:
-    """Distributed as-of carry for the KEYLESS case (``by=None``).
+def _bucketed_asof_carry(
+    unioned: DataFrame, carry: list[str], group_cols: list[str]
+) -> DataFrame:
+    """Time-bucketed as-of carry: the keyless path and the hot-key salt.
 
-    A naive global window (``Window.partitionBy(F.lit(0))``) funnels every
-    row through ONE task — a scale-killer. Instead the time axis is
-    range-bucketed and the carry runs in two passes:
+    With ``group_cols=[]`` (keyless, ``by=None``) a naive global window
+    (``Window.partitionBy(F.lit(0))``) would funnel every row through ONE
+    task; with ``group_cols=["_k"]`` (``salt_time=True``) a hot key's
+    window partition would be a single straggler task. Either way the fix
+    is the same two-pass scheme over a range-bucketed time axis:
 
       1. bucket rows by ``floor((t - tmin) / width)`` where tmin/tmax come
          from a 1-row in-plan aggregate (broadcast, no driver action) and
          width targets ~4 buckets per core;
-      2. per-bucket carry-in table: the latest right-row values of each
-         bucket, prefix-carried across buckets with a window over the
-         O(#buckets) bucket table (bounded — NOT O(rows));
-      3. per-bucket windowed ``last(ignorenulls)`` seeded by the carry-in
-         via ``coalesce``.
+      2. per-(group, bucket) carry-in table: PER-COLUMN latest non-null
+         right values of each bucket (max_by over rows where that column
+         is non-null — a NULL on the bucket's latest right row must not
+         mask an earlier value, matching the keyed path's per-column
+         last(ignorenulls)), prefix-carried across buckets with a window
+         over the O(#groups x #buckets) bucket table (bounded — NOT
+         O(rows));
+      3. per-(group, bucket) windowed ``last(ignorenulls)`` seeded by the
+         carry-in via ``coalesce``.
 
-    Equal-time semantics match the keyed path: a right row at the same
-    timestamp as a left row lands in the same bucket and sorts first
+    Equal-time semantics match the plain keyed path: a right row at the
+    same timestamp as a left row lands in the same bucket and sorts first
     (``_is_left`` tiebreak), and carry-in only covers strictly earlier
-    buckets.
+    buckets. The keyless carry-in is a broadcast (O(#buckets) rows); the
+    salted carry-in joins on (key, bucket) — co-partitioned with the
+    step-3 window, and Spark may still broadcast it when small.
     """
     sc = unioned.sparkSession.sparkContext
     n_buckets = sc.defaultParallelism * 4
@@ -142,14 +160,11 @@ def _keyless_asof_carry(unioned: DataFrame, carry: list[str]) -> DataFrame:
         .withColumn("_bkt", F.floor((tl - F.col("_tmin")) / width))
         .drop("_tmin", "_tmax")
     )
+    gb = [*group_cols, "_bkt"]
 
-    # Carry-in is computed PER COLUMN (max_by over rows where THAT column
-    # is non-null), matching the keyed path's per-column
-    # last(ignorenulls): a NULL in one value column on the bucket's latest
-    # right row must not mask an earlier non-null value of that column.
     last_per_bucket = (
         u.filter(F.col("_is_left") == 0)
-        .groupBy("_bkt")
+        .groupBy(*gb)
         .agg(
             *[
                 F.max_by(
@@ -160,25 +175,31 @@ def _keyless_asof_carry(unioned: DataFrame, carry: list[str]) -> DataFrame:
             ]
         )
     )
-    # Every bucket present in the data gets a carry-in row, even buckets
-    # holding only left rows (their carry comes from the nearest earlier
-    # bucket that had right rows).
-    bucket_tbl = u.select("_bkt").distinct().join(last_per_bucket, "_bkt", "left")
-    wb = Window.orderBy("_bkt").rowsBetween(Window.unboundedPreceding, -1)
+    # Every (group, bucket) present in the data gets a carry-in row, even
+    # buckets holding only left rows (their carry comes from the nearest
+    # earlier bucket of the same group that had right rows).
+    bucket_tbl = u.select(*gb).distinct().join(last_per_bucket, gb, "left")
+    wb = (
+        Window.partitionBy(*group_cols)
+        .orderBy("_bkt")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
     carry_in = bucket_tbl.select(
-        "_bkt",
+        *gb,
         *[
             F.last(f"_ls_{c}", ignorenulls=True).over(wb).alias(f"_carry_{c}")
             for c in carry
         ],
     )
+    if not group_cols:
+        carry_in = F.broadcast(carry_in)
 
     w = (
-        Window.partitionBy("_bkt")
+        Window.partitionBy(*gb)
         .orderBy(F.col("_t").asc(), F.col("_is_left").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    return u.join(F.broadcast(carry_in), "_bkt", "left").select(
+    return u.join(carry_in, gb, "left").select(
         "*",
         *[
             F.coalesce(

@@ -249,3 +249,101 @@ def agg_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n") * HH_K > F.col("_total"))
         .select("user_id", "n")
     )
+
+
+# Count-min sketch geometry: d seeded hash rows x w counters. Universal
+# hashing ((a*k + b) mod p) mod w with p = 2^31-1 keeps every product below
+# 2^62, so the SAME formula evaluates exactly in numpy int64 (kernel side)
+# and Spark BIGINT arithmetic (estimation side) — the two must agree bit
+# for bit or estimates would read the wrong counters.
+CMS_D = 4
+CMS_W = 1024
+CMS_P = (1 << 31) - 1
+CMS_A = [1103515245, 134775813, 69069, 1664525]
+CMS_B = [12345, 1013904223, 362437, 1013904225]
+CMS_TOPK = 20
+
+
+def cms_sketch(keyed: DataFrame, key: str) -> DataFrame:
+    """Merged count-min sketch of ``key`` as (r, j, c) counter cells.
+
+    One vectorized Arrow pass reduces each partition to <= d x w nonzero
+    cells regardless of row count or key cardinality (same bounded-memory
+    contract as `mg_candidates`); the only shuffle is the O(d x w x
+    partitions) cell merge. Numpy does the hashing with the exact integer
+    formula `_cms_index` evaluates JVM-side.
+    """
+    import numpy as np
+
+    def sketch(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        counts = np.zeros((CMS_D, CMS_W), dtype=np.int64)
+        for pdf in it:
+            if not len(pdf):
+                continue
+            k2 = np.mod(pdf[key].to_numpy(dtype=np.int64), CMS_P)
+            for r in range(CMS_D):
+                idx = np.mod(np.mod(CMS_A[r] * k2 + CMS_B[r], CMS_P), CMS_W)
+                np.add.at(counts[r], idx, 1)
+        r_idx, j_idx = np.nonzero(counts)
+        yield pd.DataFrame(
+            {"r": r_idx.astype("int32"), "j": j_idx.astype("int32"),
+             "c": counts[r_idx, j_idx]}
+        )
+
+    return (
+        keyed.select(key)
+        .mapInPandas(sketch, "r int, j int, c long")
+        .groupBy("r", "j")
+        .agg(F.sum("c").alias("c"))
+    )
+
+
+def _cms_index(key: Column, r: int) -> Column:
+    k2 = F.pmod(key.cast("long"), F.lit(CMS_P))
+    return F.pmod(F.pmod(F.lit(CMS_A[r]) * k2 + F.lit(CMS_B[r]), F.lit(CMS_P)), F.lit(CMS_W))
+
+
+def cms_estimate(candidates: DataFrame, sketch: DataFrame, key: str) -> DataFrame:
+    """min-over-rows CMS estimate for each candidate key.
+
+    The merged sketch is <= d x w cells (4096 here) — broadcast — so
+    estimation is a map-side join however many candidates stream through.
+    Missing cells mean a zero counter (left join + coalesce).
+    """
+    cells = F.array(
+        *[
+            F.struct(F.lit(r).alias("r"), _cms_index(F.col(key), r).alias("j"))
+            for r in range(CMS_D)
+        ]
+    )
+    probes = candidates.select(key, F.explode(cells).alias("p")).select(
+        key, F.col("p.r").alias("r"), F.col("p.j").alias("j")
+    )
+    return (
+        probes.join(F.broadcast(sketch), ["r", "j"], "left")
+        .groupBy(key)
+        .agg(F.min(F.coalesce(F.col("c"), F.lit(0))).alias("est_n"))
+    )
+
+
+@register("agg_count_min_topk", tags={"rows_only"})
+def agg_count_min_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-k hot keys via count-min sketch: MG candidate
+    generation (superset guarantee) + CMS frequency estimates, the
+    classic sketch pairing when exact recounting (agg_heavy_hitters) is
+    too expensive. Rows-only — estimates are sketch-specific — with the
+    CMS guarantees asserted in tests/test_ml.py: est >= true count and
+    est <= true + eps*N for every reported key.
+
+    100 TB shape: both passes reduce partitions to bounded summaries
+    (<= MG_COUNTERS keys, <= d x w cells) before any shuffle; the raw key
+    stream is never shuffled or recounted.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    cands = mg_candidates(ev, "user_id")
+    sk = cms_sketch(ev, "user_id")
+    return (
+        cms_estimate(cands, sk, "user_id")
+        .orderBy(F.col("est_n").desc(), F.col("user_id").asc())
+        .limit(CMS_TOPK)
+    )

@@ -158,3 +158,56 @@ def test_keyless_asof_null_value_cols_carry_per_column(spark):
         .collect()
     )
     assert [(r["asof_a"], r["asof_b"]) for r in out] == [(3, 20), (3, 20)]
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(asof_case())
+def test_salted_keyed_asof_matches_plain_keyed(spark, case):
+    """salt_time=True must return exactly the plain keyed path's rows."""
+    left_rows, right_rows = case
+    left_pdf = pd.DataFrame(left_rows, columns=["lid", "k", "t"])
+    right_pdf = pd.DataFrame(right_rows, columns=["rid", "rk", "rt"])
+    left = spark.createDataFrame(left_pdf, schema="lid long, k long, t long")
+    right = spark.createDataFrame(
+        right_pdf.assign(payload=right_pdf["rt"]),
+        schema="rid long, rk long, rt long, payload long",
+    )
+    kw = dict(on_time=("t", "rt"), by=("k", "rk"), value_cols=["payload"], how="inner")
+    plain = asof_join(left, right, **kw).toPandas()
+    salted = asof_join(left, right, salt_time=True, **kw).toPandas()
+    key = lambda df: sorted(map(tuple, df[["lid", "asof_payload"]].itertuples(index=False)))
+    assert key(salted) == key(plain)
+
+
+def test_salted_keyed_asof_splits_hot_key_across_tasks(spark):
+    """A deliberately skewed by-key (one key owning ~all rows) must NOT
+    collapse into a single window partition: every window over row data
+    partitions by (_k, _bkt), and the hot key's rows actually spread
+    across many buckets (no single-task straggler)."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    n = 20_000
+    left = spark.range(n).selectExpr(
+        "id AS lid", "CAST(id % 100 = 0 AS LONG) * id AS k0", "id AS t"
+    ).selectExpr("lid", "0 AS k", "t")  # every row the same hot key
+    right = spark.range(0, n, 10).selectExpr(
+        "id AS rid", "0 AS rk", "id AS rt", "id AS payload"
+    )
+    out = asof_join(
+        left, right, on_time=("t", "rt"), by=("k", "rk"),
+        value_cols=["payload"], salt_time=True,
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    for spec in re.findall(r"windowspecdefinition\(([^)]*)\)", plan):
+        if "_ls" in spec:
+            continue  # bucket-table carry: bounded by #groups x #buckets
+        assert "_bkt" in spec, f"hot key still in one window partition: {spec}"
+    # semantic spot-check: payload = t rounded down to a multiple of 10
+    rows = out.orderBy("lid").limit(100).collect()
+    assert all(r["asof_payload"] == (r["t"] // 10) * 10 for r in rows)

@@ -117,3 +117,56 @@ def test_heavy_hitters_exact(spark, sf_dir):
         if r["count"] * 150 > total
     }
     assert got == want
+
+
+def test_cms_estimates_bounded_and_superset(spark, sf_dir):
+    """CMS guarantees on the fixture: every estimate over-counts (est >=
+    true) and the overshoot is bounded by the classic eps*N with
+    eps = CMS_D / CMS_W slack (deterministic fixture, generous bound)."""
+    from go_batch_processor_spark.operators.ml import (
+        CMS_W,
+        cms_estimate,
+        cms_sketch,
+        mg_candidates,
+    )
+
+    ev = load_table(spark, sf_dir, "events").repartition(4)
+    true_counts = {
+        r["user_id"]: r["count"] for r in ev.groupBy("user_id").count().collect()
+    }
+    n_total = sum(true_counts.values())
+    cands = mg_candidates(ev, "user_id")
+    est = {
+        r["user_id"]: r["est_n"]
+        for r in cms_estimate(cands, cms_sketch(ev, "user_id"), "user_id").collect()
+    }
+    assert est, "candidates should not be empty"
+    bound = max(4, 4 * n_total // CMS_W)
+    for uid, e in est.items():
+        t = true_counts.get(uid, 0)
+        assert e >= t, (uid, e, t)
+        assert e - t <= bound, (uid, e, t, bound)
+
+
+def test_cms_topk_registry_agrees_with_exact_topk(spark, sf_dir):
+    """The reported top-k keys must be genuinely hot: compare against the
+    exact top-k by true count — sketch noise may reorder near-ties, so
+    assert set overlap on a safety margin, not exact order."""
+    from go_batch_processor_spark.operators.ml import CMS_TOPK
+
+    got = REGISTRY["agg_count_min_topk"].fn(spark, sf_dir).collect()
+    assert 0 < len(got) <= CMS_TOPK
+    ev = load_table(spark, sf_dir, "events")
+    exact = [
+        r["user_id"]
+        for r in ev.groupBy("user_id")
+        .count()
+        .orderBy(F.col("count").desc(), F.col("user_id"))
+        .limit(CMS_TOPK)
+        .collect()
+    ]
+    got_ids = {r["user_id"] for r in got}
+    # every reported key is an MG candidate with an over-counting estimate;
+    # require that at least half the true top-k is recovered (fixture has
+    # clear heavy keys, so in practice this is far exceeded)
+    assert len(got_ids & set(exact)) >= len(exact) // 2
