@@ -391,3 +391,346 @@ def tpch_q12_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+@register(
+    "tpch_q8_shape",
+    oracle="""
+    WITH vol AS (
+      SELECT CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+             l.l_extendedprice * (1 - l.l_discount) AS volume,
+             n2.n_name AS supp_nation
+      FROM part p
+      JOIN lineitem l ON p.p_partkey = l.l_partkey
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n1 ON c.c_nationkey = n1.n_nationkey
+      JOIN region r ON n1.n_regionkey = r.r_regionkey
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      JOIN nation n2 ON s.s_nationkey = n2.n_nationkey
+      WHERE r.r_name = 'AMERICA' AND p.p_type = 'PROMO'
+    )
+    SELECT o_year,
+           round(sum(CASE WHEN supp_nation = 'NATION_3' THEN volume ELSE 0 END)
+                 / sum(volume), 6) AS mkt_share
+    FROM vol GROUP BY o_year
+    """,
+)
+def tpch_q8_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q8 shape (national market share): the deepest join tree in the suite
+    — 8 tables, two independent paths to `nation` (customer's nation gates
+    the market region; supplier's nation is the share numerator).
+
+    Plan: every dimension (part, customer, both nations, region, supplier)
+    broadcasts; lineitem/orders is the only shuffle pair, and the
+    region+type filters cut both fact sides before it. The share is a
+    conditional-sum ratio per year — one hash aggregate, map-side
+    combinable."""
+    t = load_tables(
+        spark, sf_dir,
+        "part", "lineitem", "orders", "customer", "nation", "region", "supplier",
+    )
+    n1 = t["nation"].alias("n1")
+    n2 = t["nation"].alias("n2")
+    vol = (
+        t["part"].filter(F.col("p_type") == "PROMO")
+        .join(t["lineitem"], F.col("p_partkey") == F.col("l_partkey"))
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n1), F.col("c_nationkey") == F.col("n1.n_nationkey"))
+        .join(
+            F.broadcast(t["region"].filter(F.col("r_name") == "AMERICA")),
+            F.col("n1.n_regionkey") == F.col("r_regionkey"),
+        )
+        .join(t["supplier"], F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n2), F.col("s_nationkey") == F.col("n2.n_nationkey"))
+        .select(
+            F.year("o_orderdate").cast("bigint").alias("o_year"),
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("volume"),
+            F.col("n2.n_name").alias("supp_nation"),
+        )
+    )
+    return vol.groupBy("o_year").agg(
+        F.round(
+            F.sum(F.when(F.col("supp_nation") == "NATION_3", F.col("volume")).otherwise(0.0))
+            / F.sum("volume"),
+            6,
+        ).alias("mkt_share")
+    )
+
+
+@register(
+    "tpch_q9_shape",
+    oracle="""
+    SELECT n.n_name AS nation, CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS profit
+    FROM part p
+    JOIN lineitem l ON p.p_partkey = l.l_partkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    WHERE p.p_name LIKE '%red%'
+    GROUP BY nation, o_year
+    """,
+)
+def tpch_q9_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q9 shape (product-type profit), adapted: the fixture has no partsupp
+    table, so profit is the revenue expression without the supplycost term
+    (same join tree and agg shape; TPC-H Q9's ps_supplycost join is the
+    only elision). The `%red%` LIKE on p_name cannot push to parquet as a
+    range but DOES prune the broadcast part dim before the fact join."""
+    t = load_tables(spark, sf_dir, "part", "lineitem", "supplier", "orders", "nation")
+    return (
+        t["part"].filter(F.col("p_name").like("%red%"))
+        .join(t["lineitem"], F.col("p_partkey") == F.col("l_partkey"))
+        .join(t["supplier"], F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(t["nation"]), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("bigint").alias("o_year"),
+        )
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+            .alias("profit")
+        )
+    )
+
+
+@register(
+    "tpch_q13_shape",
+    oracle="""
+    SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+    FROM (
+      SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+      FROM customer c
+      LEFT JOIN orders o
+        ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '1-URGENT'
+      GROUP BY c.c_custkey
+    )
+    GROUP BY c_count
+    """,
+)
+def tpch_q13_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q13 shape (customer order-count distribution), adapted: the comment
+    NOT-LIKE filter becomes an o_orderpriority exclusion (no o_comment
+    column in the fixture). The LEFT join keeps zero-order customers —
+    count(o_orderkey) counts only matched rows, so they land in the
+    c_count=0 bucket. Two-level aggregation: per-customer count, then the
+    distribution over counts (both hash aggs; the second input is one row
+    per customer, already small)."""
+    t = load_tables(spark, sf_dir, "customer", "orders")
+    per_cust = (
+        t["customer"].join(
+            t["orders"].filter(F.col("o_orderpriority") != "1-URGENT"),
+            F.col("c_custkey") == F.col("o_custkey"),
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(
+        F.count(F.lit(1)).alias("custdist")
+    )
+
+
+@register(
+    "tpch_q17_shape",
+    oracle="""
+    WITH pa AS (
+      SELECT l_partkey, 0.2 * avg(l_quantity) AS qty_lim
+      FROM lineitem GROUP BY l_partkey
+    )
+    SELECT round(sum(l.l_extendedprice) / 7.0, 2) AS avg_yearly
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    JOIN pa ON pa.l_partkey = l.l_partkey
+    WHERE p.p_brand = 'Brand#23' AND l.l_quantity < pa.qty_lim
+    """,
+)
+def tpch_q17_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q17 shape (small-quantity-order revenue): the correlated scalar
+    subquery (per-part average quantity) is decorrelated into a per-part
+    aggregate joined back to the fact — exactly what Catalyst/DuckDB do to
+    the textbook form, written explicitly so both engines run the same
+    shape. The per-part aggregate is part-cardinality-sized (a dim-sized
+    broadcast at any SF where part fits; the brand filter prunes first)."""
+    t = load_tables(spark, sf_dir, "lineitem", "part")
+    pa = (
+        t["lineitem"].groupBy(F.col("l_partkey").alias("pa_partkey"))
+        .agg((F.lit(0.2) * F.avg("l_quantity")).alias("qty_lim"))
+    )
+    return (
+        t["lineitem"]
+        .join(
+            F.broadcast(t["part"].filter(F.col("p_brand") == "Brand#23")),
+            F.col("p_partkey") == F.col("l_partkey"),
+        )
+        .join(pa, F.col("pa_partkey") == F.col("l_partkey"))
+        .filter(F.col("l_quantity") < F.col("qty_lim"))
+        .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
+    )
+
+
+@register(
+    "tpch_q19_shape",
+    oracle="""
+    SELECT round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity BETWEEN 1 AND 11)
+       OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 25
+           AND l.l_quantity BETWEEN 10 AND 20)
+       OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 1 AND 35
+           AND l.l_quantity BETWEEN 20 AND 30)
+    """,
+)
+def tpch_q19_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q19 shape (disjunctive predicate revenue): three OR-blocks mixing
+    part-side and lineitem-side predicates. The disjunction spans both
+    join sides, so it must stay a post-join residual — but Catalyst still
+    derives the single-side implications (brand IN (...), size <= 35,
+    quantity ranges) and pushes THOSE into each scan, the same
+    OR-factoring DuckDB applies. One broadcast join, one scalar agg."""
+    t = load_tables(spark, sf_dir, "lineitem", "part")
+    blk = (
+        (
+            (F.col("p_brand") == "Brand#12")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#23")
+            & F.col("p_size").between(1, 25)
+            & F.col("l_quantity").between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#3")
+            & F.col("p_size").between(1, 35)
+            & F.col("l_quantity").between(20, 30)
+        )
+    )
+    return (
+        t["lineitem"]
+        .join(F.broadcast(t["part"]), F.col("p_partkey") == F.col("l_partkey"))
+        .filter(blk)
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+            .alias("revenue")
+        )
+    )
+
+
+@register(
+    "tpch_q21_shape",
+    oracle="""
+    WITH late AS (
+      SELECT l.l_orderkey, l.l_suppkey
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      WHERE o.o_orderstatus = 'F'
+        AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+    )
+    SELECT s.s_name, CAST(count(*) AS BIGINT) AS numwait
+    FROM late l1
+    JOIN supplier s ON l1.l_suppkey = s.s_suppkey
+    WHERE EXISTS (
+        SELECT 1 FROM lineitem l2
+        WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (
+        SELECT 1 FROM late l3
+        WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey)
+    GROUP BY s.s_name
+    """,
+)
+def tpch_q21_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q21 shape (suppliers who kept waiting), adapted: the fixture has no
+    l_receiptdate/l_commitdate, so "late" = shipped more than 60 days
+    after the order date (same late-set structure). The EXISTS becomes a
+    LEFT SEMI join and the NOT EXISTS a LEFT ANTI join, both on the
+    equi key l_orderkey with the suppkey inequality as the join residual —
+    hash-joinable, no nested-loop, which is how Catalyst decorrelates the
+    textbook form too."""
+    t = load_tables(spark, sf_dir, "lineitem", "orders", "supplier")
+    late = (
+        t["lineitem"]
+        .join(
+            t["orders"].filter(F.col("o_orderstatus") == "F"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"))
+        .select("l_orderkey", "l_suppkey")
+    )
+    l1 = late.alias("l1")
+    l2 = t["lineitem"].select("l_orderkey", "l_suppkey").alias("l2")
+    l3 = late.alias("l3")
+    waited = (
+        l1.join(
+            l2,
+            (F.col("l1.l_orderkey") == F.col("l2.l_orderkey"))
+            & (F.col("l1.l_suppkey") != F.col("l2.l_suppkey")),
+            "left_semi",
+        ).join(
+            l3,
+            (F.col("l1.l_orderkey") == F.col("l3.l_orderkey"))
+            & (F.col("l1.l_suppkey") != F.col("l3.l_suppkey")),
+            "left_anti",
+        )
+    )
+    return (
+        waited.join(
+            F.broadcast(t["supplier"]), F.col("l1.l_suppkey") == F.col("s_suppkey")
+        )
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )
+
+
+@register(
+    "tpch_q22_shape",
+    oracle="""
+    WITH ab AS (
+      SELECT avg(c_acctbal) AS avg_bal FROM customer WHERE c_acctbal > 0.0
+    )
+    SELECT CAST(c.c_nationkey AS BIGINT) AS cntrycode,
+           CAST(count(*) AS BIGINT) AS numcust,
+           round(sum(c.c_acctbal), 2) AS totacctbal
+    FROM customer c CROSS JOIN ab
+    WHERE c.c_acctbal > ab.avg_bal
+      AND NOT EXISTS (
+        SELECT 1 FROM orders o
+        WHERE o.o_custkey = c.c_custkey
+          AND o.o_orderdate >= TIMESTAMP '2000-01-01')
+    GROUP BY c.c_nationkey
+    """,
+)
+def tpch_q22_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q22 shape (global sales opportunity), adapted: the phone-prefix
+    country code becomes c_nationkey (no c_phone column) and the
+    no-orders test becomes no orders SINCE 2000 (every fixture customer
+    has some order, which would make the result vacuously empty). Two
+    classic sub-shapes: a scalar aggregate (global average balance) joined
+    in as a 1-row broadcast — never a collect — and a NOT EXISTS on
+    orders as a LEFT ANTI join. The anti join's right side is pruned to
+    o_custkey with the date filter pushed into its scan."""
+    t = load_tables(spark, sf_dir, "customer", "orders")
+    ab = (
+        t["customer"].filter(F.col("c_acctbal") > 0.0)
+        .agg(F.avg("c_acctbal").alias("avg_bal"))
+    )
+    return (
+        t["customer"]
+        .crossJoin(F.broadcast(ab))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(
+            t["orders"]
+            .filter(F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp"))
+            .select("o_custkey"),
+            F.col("c_custkey") == F.col("o_custkey"),
+            "left_anti",
+        )
+        .groupBy(F.col("c_nationkey").cast("bigint").alias("cntrycode"))
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+        )
+    )
