@@ -58,6 +58,15 @@ HEADLINE = [
     "tpch_q7_shape",
     "join_interval_events",
     "ml_kmeans_lloyd",
+    # round 3 additions — one headliner per new family
+    "tpch_q9_shape",
+    "tpch_q21_shape",
+    "tpch_q15_shape",
+    "agg_count_min_topk",
+    "agg_hll_partitioned_merge",
+    "analytics_markov_transitions",
+    "text_repetition_gopher",
+    "text_pii_scrub",
 ]
 
 

@@ -226,3 +226,59 @@ def analytics_ab_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round((F.col("m_a") - F.col("m_b")) / F.sqrt(se2), 4).alias("t_stat"),
         F.round(df_num / df_den, 2).alias("welch_df"),
     )
+
+
+@register(
+    "analytics_markov_transitions",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type AS from_type,
+             lead(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS to_type
+      FROM events
+    ),
+    pairs AS (
+      SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS cnt
+      FROM seq WHERE to_type IS NOT NULL
+      GROUP BY from_type, to_type
+    ),
+    tot AS (
+      SELECT from_type, sum(cnt) AS total FROM pairs GROUP BY from_type
+    )
+    SELECT p.from_type, p.to_type, p.cnt,
+           round(p.cnt * 1.0 / t.total, 4) AS p_transition
+    FROM pairs p JOIN tot t ON p.from_type = t.from_type
+    """,
+)
+def analytics_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event sequences:
+    P(next event type | current event type), the standard building block
+    for session modeling and next-action prediction.
+
+    Scale plan: one window shuffle on user_id builds the (from, to) pairs
+    (inherent — sequence order lives per user), then the pair counts are a
+    partial-combinable aggregation whose output is at most |types|^2 rows;
+    the row-probability normalization joins agg-output to agg-output, so
+    everything after the first exchange is effectively free. Ordering ties
+    broken by event_id on both engines (events ts is unique only at nanos,
+    and both sides compare at micros — HANDOFF.md fact 1)."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        e.select(
+            F.col("event_type").alias("from_type"),
+            F.lead("event_type").over(w).alias("to_type"),
+        )
+        .filter(F.col("to_type").isNotNull())
+        .groupBy("from_type", "to_type")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    tot = pairs.groupBy("from_type").agg(F.sum("cnt").alias("total"))
+    return pairs.join(tot, "from_type").select(
+        "from_type",
+        "to_type",
+        "cnt",
+        F.round(F.col("cnt") / F.col("total"), 4).alias("p_transition"),
+    )

@@ -734,3 +734,56 @@ def tpch_q22_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
         )
     )
+
+
+@register(
+    "tpch_q15_shape",
+    oracle="""
+    WITH revenue AS (
+      SELECT l_suppkey AS supplier_no,
+             round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate < TIMESTAMP '1996-04-01'
+      GROUP BY l_suppkey
+    )
+    SELECT s.s_suppkey, s.s_name, r.total_revenue
+    FROM supplier s
+    JOIN revenue r ON s.s_suppkey = r.supplier_no
+    WHERE r.total_revenue = (SELECT max(total_revenue) FROM revenue)
+    """,
+)
+def tpch_q15_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q15 shape (top supplier by quarterly revenue): an aggregated CTE
+    consumed twice — once as the join input, once reduced to a 1-row
+    scalar max that re-filters it. The max side is crossJoin(broadcast)
+    of a single row, never a collect; Catalyst's ReuseExchange dedupes
+    the shared revenue aggregation so lineitem is scanned once. The
+    revenue is rounded to cents on both sides BEFORE the max comparison
+    (registry parity rule: order-dependent double sums round at a fixed
+    scale) so the equality filter is on identical values in each engine.
+    At 100 TB the revenue agg shuffles O(|suppliers|) partial rows and
+    the supplier join is an ordinary shuffled equi-join — no all-pairs,
+    no driver materialization."""
+    t = load_tables(spark, sf_dir, "lineitem", "supplier")
+    revenue = (
+        t["lineitem"]
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+        )
+        .groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("total_revenue")
+        )
+    )
+    max_rev = revenue.agg(F.max("total_revenue").alias("max_rev"))
+    return (
+        t["supplier"]
+        .join(revenue, F.col("s_suppkey") == F.col("supplier_no"))
+        .crossJoin(F.broadcast(max_rev))
+        .filter(F.col("total_revenue") == F.col("max_rev"))
+        .select("s_suppkey", "s_name", "total_revenue")
+    )

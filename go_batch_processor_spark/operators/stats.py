@@ -166,3 +166,38 @@ def unpivot_balances(spark: SparkSession, sf_dir: str) -> DataFrame:
         variableColumnName="metric",
         valueColumnName="amount",
     )
+
+
+@register("agg_hll_partitioned_merge", oracle=None)
+def agg_hll_partitioned_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-sketch distinct counting: per-nation HyperLogLog sketches
+    (Apache DataSketches HllSketch via hll_sketch_agg) union-merged into a
+    global estimate, returned next to the exact distinct count and the
+    relative error. Rows-only (DuckDB's approx sketch is a different
+    algorithm, so values can't hash-match by design); tests/test_sketches.py
+    asserts the error bound instead.
+
+    This is THE 100 TB distinct-count shape: each partition/partition-group
+    reduces to a fixed ~2^lgK-byte sketch, sketches merge associatively
+    (map-side combine applies), and the raw key stream is never shuffled.
+    The same pattern serves incremental rollups: store per-partition
+    sketches, merge on read. Citation: reference has no aggregate surface
+    (/root/reference/batch_processor.go:21-23); this extends §2.2.d."""
+    c = load_table(spark, sf_dir, "customer")
+    per_nation = c.groupBy("c_nationkey").agg(
+        F.hll_sketch_agg("c_custkey").alias("sk"),
+        F.count_distinct("c_custkey").alias("exact_part"),
+    )
+    merged = per_nation.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("hll_estimate"),
+        F.sum("exact_part").alias("exact_distinct"),  # custkeys are unique per nation partition
+    )
+    return merged.select(
+        F.col("hll_estimate").cast("long").alias("hll_estimate"),
+        F.col("exact_distinct").cast("long").alias("exact_distinct"),
+        F.round(
+            F.abs(F.col("hll_estimate") - F.col("exact_distinct"))
+            / F.col("exact_distinct"),
+            4,
+        ).alias("rel_err"),
+    )

