@@ -634,3 +634,79 @@ def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.md5(scrubbed).alias("scrubbed_md5"),
         )
     )
+
+
+# Uniform-in-[0,1) from the first 8 hex nibbles of md5(doc_id), written as
+# an explicit dyadic sum so BOTH engines compute the bit-identical double:
+# each term digit/16^i is exactly representable and the running sum stays
+# exact (numerator < 2^32), so there is no cross-engine ulp risk.
+_HEX = "0123456789abcdef"
+_U_SPARK = " + ".join(
+    f"(instr('{_HEX}', substring(md5(cast(doc_id as string)), {i}, 1)) - 1)"
+    f" / {16.0 ** i:.1f}"
+    for i in range(1, 9)
+)
+_U_DUCK = " + ".join(
+    f"(strpos('{_HEX}', substr(md5(CAST(doc_id AS VARCHAR)), {i}, 1)) - 1)"
+    f" / {16.0 ** i:.1f}"
+    for i in range(1, 9)
+)
+
+
+@register(
+    "sample_temperature_mixing",
+    oracle=f"""
+    WITH c AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS n FROM documents GROUP BY source
+    ),
+    s AS (SELECT sum(n) AS total, sum(n * sqrt(n)) AS denom FROM c),
+    r AS (
+      SELECT c.source,
+             round(least(1.0, 0.5 * s.total / s.denom * sqrt(c.n)), 6) AS rate
+      FROM c CROSS JOIN s
+    )
+    SELECT d.doc_id, d.source, r.rate
+    FROM documents d JOIN r ON d.source = r.source
+    WHERE ({_U_DUCK}) < r.rate
+    """,
+)
+def sample_temperature_mixing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based source mixing (the multilingual-corpus reweighting
+    trick from GPT-3 / XLM-R data pipelines, alpha = 0.5): per-source keep
+    rates proportional to n_s^alpha so small sources are up-weighted
+    relative to their natural frequency, materialized as a DETERMINISTIC
+    content-hash sample (doc kept iff md5-uniform < rate), overall budget
+    pinned at 50% of the corpus.
+
+    Cross-engine determinism: sqrt is IEEE-correctly-rounded in both
+    engines (unlike pow, which can differ in the last ulp — that is why
+    alpha=0.5 uses sqrt explicitly), the md5-uniform is an exact dyadic
+    sum, and rates are rounded to 6 dp before the comparison.
+
+    Scale plan: rates come from a per-source count (agg output = #sources
+    rows) broadcast back onto the corpus; the sample itself is a narrow
+    filter — one scan, one tiny broadcast, zero wide shuffles."""
+    d = load_table(spark, sf_dir, "documents")
+    c = d.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    s = c.agg(
+        F.sum("n").alias("total"),
+        F.sum(F.col("n") * F.sqrt("n")).alias("denom"),
+    )
+    rates = (
+        c.crossJoin(F.broadcast(s))
+        .select(
+            "source",
+            F.round(
+                F.least(
+                    F.lit(1.0), 0.5 * F.col("total") / F.col("denom") * F.sqrt("n")
+                ),
+                6,
+            ).alias("rate"),
+        )
+    )
+    u = F.expr(_U_SPARK)
+    return (
+        d.join(F.broadcast(rates), "source")
+        .filter(u < F.col("rate"))
+        .select("doc_id", "source", "rate")
+    )
