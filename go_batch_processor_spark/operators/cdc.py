@@ -120,3 +120,68 @@ def docs_enrichment_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         (canonical != F.col("doc_id")).alias("is_exact_dup"),
     )
+
+
+@register(
+    "mv_incremental_agg",
+    oracle="""
+    SELECT o_custkey,
+           CAST(count(*) AS BIGINT)    AS n_orders,
+           round(sum(o_totalprice), 2) AS total_spend
+    FROM orders
+    GROUP BY o_custkey
+    """,
+)
+def mv_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-view maintenance: a per-customer order
+    aggregate is kept as MERGEABLE PARTIAL STATE (count + raw sum) and
+    refreshed by combining it with the aggregate of just the delta batch —
+    never recomputing over the full history. Here the "existing" view is
+    the aggregate of pre-2000 orders and the delta is everything after;
+    the oracle recomputes the whole aggregate from scratch and must match
+    the merged result exactly.
+
+    This is the warehouse pattern that makes 100 TB rollups cheap: sums
+    and counts are associative, so the stored view + delta-agg outer-join
+    touches O(|keys|) state rows while the delta scan touches only new
+    data. Rounding happens ONLY at the final merge (rounding partial sums
+    would break associativity). avg/min/max extend the same way; distinct
+    needs a sketch (see agg_hll_partitioned_merge) or bitmap
+    (agg_bitmap_distinct)."""
+    o = load_table(spark, sf_dir, "orders")
+    cut = F.lit("2000-01-01").cast("timestamp")
+
+    def partial(df: DataFrame) -> DataFrame:
+        return df.groupBy("o_custkey").agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("o_totalprice").alias("total_spend"),
+        )
+
+    state = partial(o.filter(F.col("o_orderdate") < cut))
+    delta = partial(o.filter(F.col("o_orderdate") >= cut))
+    merged = (
+        state.select(
+            "o_custkey",
+            F.col("n_orders").alias("n_a"),
+            F.col("total_spend").alias("s_a"),
+        )
+        .join(
+            delta.select(
+                "o_custkey",
+                F.col("n_orders").alias("n_b"),
+                F.col("total_spend").alias("s_b"),
+            ),
+            "o_custkey",
+            "full_outer",
+        )
+        .select(
+            "o_custkey",
+            (F.coalesce("n_a", F.lit(0)) + F.coalesce("n_b", F.lit(0))).alias(
+                "n_orders"
+            ),
+            F.round(
+                F.coalesce("s_a", F.lit(0.0)) + F.coalesce("s_b", F.lit(0.0)), 2
+            ).alias("total_spend"),
+        )
+    )
+    return merged

@@ -152,3 +152,40 @@ def test_runtime_bloom_filter_prunes_fact_scan(spark, sf_dir):
         plan = _executed_plan(j)
     assert "might_contain" in plan, plan
     assert "bloom_filter_agg" in plan, plan
+
+
+def test_dynamic_partition_pruning_on_partitioned_sink(spark, sf_dir):
+    """Joining a hive-partitioned fact to a filtered dim must inject a
+    dynamicpruning subquery on the fact's partition column, so only the
+    dim-selected order_year directories are scanned — the runtime
+    counterpart of static partition pruning, and the mechanism that keeps
+    star-join scans bounded on a 100 TB date-partitioned table."""
+    import os
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from go_batch_processor_spark.catalog import load_table
+
+    out = os.path.join(tempfile.gettempdir(), f"gbp_dpp_{spark.sparkContext.applicationId}")
+    o = load_table(spark, sf_dir, "orders").withColumn(
+        "order_year", F.year("o_orderdate").cast("long")
+    )
+    o.select("o_orderkey", "o_totalprice", "order_year").write.mode(
+        "overwrite"
+    ).partitionBy("order_year").parquet(out)
+    fact = spark.read.parquet(out)
+    # dim: one row per year, filtered to a single year; joining on the
+    # partition column makes the year filter prunable at runtime
+    dim = (
+        o.select("order_year")
+        .distinct()
+        .withColumn("is_hot", F.col("order_year") == 1997)
+        .filter(F.col("is_hot"))
+    )
+    with _conf(spark, "spark.sql.optimizer.dynamicPartitionPruning.enabled", "true"):
+        j = fact.join(dim, "order_year").groupBy("order_year").agg(
+            {"o_totalprice": "sum"}
+        )
+        plan = _executed_plan(j)
+    assert "dynamicpruning" in plan.lower(), plan
