@@ -754,17 +754,21 @@ def tpch_q22_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def tpch_q15_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Q15 shape (top supplier by quarterly revenue): an aggregated CTE
-    consumed twice — once as the join input, once reduced to a 1-row
-    scalar max that re-filters it. The max side is crossJoin(broadcast)
-    of a single row, never a collect; Catalyst's ReuseExchange dedupes
-    the shared revenue aggregation so lineitem is scanned once. The
-    revenue is rounded to cents on both sides BEFORE the max comparison
-    (registry parity rule: order-dependent double sums round at a fixed
-    scale) so the equality filter is on identical values in each engine.
-    At 100 TB the revenue agg shuffles O(|suppliers|) partial rows and
-    the supplier join is an ordinary shuffled equi-join — no all-pairs,
-    no driver materialization."""
+    """Q15 shape (top supplier by quarterly revenue): the classic
+    "aggregate consumed twice" query (join input + scalar max that
+    re-filters it). Naively building the max as a second aggregate plans
+    a SECOND lineitem scan (measured: ReuseExchange does not fire across
+    the broadcast-subquery boundary), so the global max is instead an
+    empty-partition window ON THE AGGREGATED OUTPUT: the fact table is
+    scanned once (pushed-down 3-month filter + 3-column projection) and
+    the single-partition exchange the window costs carries only
+    O(|suppliers|) already-aggregated rows — at 100 TB that is ~MBs
+    moved once versus re-scanning TBs. The revenue is rounded to cents
+    on both sides BEFORE the max comparison (registry parity rule:
+    order-dependent double sums round at a fixed scale) so the equality
+    filter compares identical values in each engine."""
+    from pyspark.sql import Window
+
     t = load_tables(spark, sf_dir, "lineitem", "supplier")
     revenue = (
         t["lineitem"]
@@ -779,11 +783,11 @@ def tpch_q15_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("total_revenue")
         )
     )
-    max_rev = revenue.agg(F.max("total_revenue").alias("max_rev"))
+    best = revenue.withColumn(
+        "max_rev", F.max("total_revenue").over(Window.partitionBy())
+    ).filter(F.col("total_revenue") == F.col("max_rev"))
     return (
         t["supplier"]
-        .join(revenue, F.col("s_suppkey") == F.col("supplier_no"))
-        .crossJoin(F.broadcast(max_rev))
-        .filter(F.col("total_revenue") == F.col("max_rev"))
+        .join(best, F.col("s_suppkey") == F.col("supplier_no"))
         .select("s_suppkey", "s_name", "total_revenue")
     )
