@@ -257,11 +257,14 @@ def analytics_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale plan: one window shuffle on user_id builds the (from, to) pairs
     (inherent — sequence order lives per user), then the pair counts are a
-    partial-combinable aggregation whose output is at most |types|^2 rows;
-    the row-probability normalization joins agg-output to agg-output, so
-    everything after the first exchange is effectively free. Ordering ties
-    broken by event_id on both engines (events ts is unique only at nanos,
-    and both sides compare at micros — HANDOFF.md fact 1)."""
+    partial-combinable aggregation whose output is at most |types|^2 rows.
+    The row normalization is a from_type window ON THAT AGG OUTPUT —
+    reusing the pairs frame through a second aggregate would re-plan the
+    whole events scan + user window (ReuseExchange does not bridge it,
+    same finding as tpch_q15_shape), so the window keeps it at one scan
+    and three exchanges, the last over |types|^2 rows. Ordering ties
+    broken by event_id on both engines (events ts is unique only at
+    nanos, and both sides compare at micros — HANDOFF.md fact 1)."""
     from pyspark.sql import Window
 
     e = load_table(spark, sf_dir, "events")
@@ -275,10 +278,11 @@ def analytics_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("from_type", "to_type")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
-    tot = pairs.groupBy("from_type").agg(F.sum("cnt").alias("total"))
-    return pairs.join(tot, "from_type").select(
+    return pairs.select(
         "from_type",
         "to_type",
         "cnt",
-        F.round(F.col("cnt") / F.col("total"), 4).alias("p_transition"),
+        F.round(
+            F.col("cnt") / F.sum("cnt").over(Window.partitionBy("from_type")), 4
+        ).alias("p_transition"),
     )
