@@ -31,9 +31,16 @@ def asof_join(
     how: str = "inner",
     tolerance_s: int | None = None,
     salt_time: bool = False,
+    direction: str = "backward",
 ) -> DataFrame:
     """Generic as-of join: for each left row, the latest right row whose time
     is <= the left row's time (inclusive), optionally per by-key.
+    ``direction="forward"`` flips the semantics to the EARLIEST right row at
+    or after the left time (pandas merge_asof's ``direction`` parameter): both
+    time columns are negated as exact epoch-micros longs (double-free, so
+    micro ordering survives) and the identical backward machinery runs —
+    every path (keyed window, keyless bucketing, hot-key salting, tolerance)
+    inherits for free. Time columns must be TimestampType in forward mode.
 
     Algorithm (scalable; no per-row range scan, no broadcast of the right):
       1. tag left rows ``_is_left=1`` and right rows ``_is_left=0``;
@@ -57,6 +64,24 @@ def asof_join(
     keyless path, splitting each hot key across ~4x-parallelism tasks
     (tests/test_asof_property.py asserts the plan and the parity).
     """
+    if direction == "forward":
+        lt, rt = on_time
+        # negate exact epoch-micros so "latest -t_r <= -t_l" == "earliest
+        # t_r >= t_l"; inclusive-at-equality carries over, and the
+        # tolerance check (_t - __rt) becomes t_r - t_l, i.e. the forward
+        # gap — scaled to micros to keep the units consistent.
+        out = asof_join(
+            left.withColumn("_negt", -F.unix_micros(F.col(lt))),
+            right.withColumn("_negt", -F.unix_micros(F.col(rt))),
+            on_time=("_negt", "_negt"),
+            by=by,
+            value_cols=value_cols,
+            how=how,
+            tolerance_s=tolerance_s * 1_000_000 if tolerance_s is not None else None,
+            salt_time=salt_time,
+        )
+        return out.drop("_negt")
+
     lt, rt = on_time
     lkey, rkey = by if by else (None, None)
 
@@ -717,4 +742,38 @@ def join_interval_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             "purchase_id",
             (F.unix_micros("p_ts") - F.unix_micros("c_ts")).alias("lag_us"),
         )
+    )
+
+
+@register(
+    "join_asof_forward",
+    oracle="""
+    SELECT o.o_orderkey, o.o_custkey, o.o_orderdate, e.ts AS asof_ts
+    FROM orders o
+    ASOF JOIN events e
+      ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
+    """,
+)
+def join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward (match-next) as-of join: each order matched to the FIRST
+    event of the same key at or after the order date — the "next action
+    after X" primitive (attribution, time-to-conversion, SLA tracking).
+
+    Oracle is DuckDB's native forward ASOF (``<=`` comparator); the Spark
+    side is :func:`asof_join` with ``direction="forward"``, which negates
+    exact epoch-micros and reuses the backward union+window machinery —
+    same one-shuffle cost and the same salting escape hatch for hot keys.
+    """
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate"
+    )
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts")
+    return asof_join(
+        o,
+        ev,
+        on_time=("o_orderdate", "ts"),
+        by=("o_custkey", "user_id"),
+        value_cols=["ts"],
+        how="inner",
+        direction="forward",
     )

@@ -211,3 +211,56 @@ def test_salted_keyed_asof_splits_hot_key_across_tasks(spark):
     # semantic spot-check: payload = t rounded down to a multiple of 10
     rows = out.orderBy("lid").limit(100).collect()
     assert all(r["asof_payload"] == (r["t"] // 10) * 10 for r in rows)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(asof_case(), st.one_of(st.none(), st.integers(1, 50)))
+def test_forward_asof_matches_pandas(spark, case, tol):
+    """direction='forward' (with and without tolerance) must agree with
+    pandas merge_asof(direction='forward') — timestamps at micro
+    precision exercise the epoch-micros negation path."""
+    from hypothesis import assume
+    from pyspark.sql import functions as F
+
+    left_rows, right_rows = case
+    assume(len(right_rows) > 0)  # empty right: schema inference has no rows
+    left_pdf = pd.DataFrame(left_rows, columns=["lid", "k", "t"])
+    right_pdf = pd.DataFrame(right_rows, columns=["rid", "rk", "rt"])
+    left_pdf["ts"] = pd.to_datetime(left_pdf["t"], unit="s")
+    right_pdf["rts"] = pd.to_datetime(right_pdf["rt"], unit="s")
+
+    expected = pd.merge_asof(
+        left_pdf.sort_values(["ts", "lid"]),
+        right_pdf.sort_values("rts")[["rk", "rts"]].rename(columns={"rts": "m"}),
+        left_on="ts",
+        right_on="m",
+        left_by="k",
+        right_by="rk",
+        direction="forward",
+        allow_exact_matches=True,
+        tolerance=pd.Timedelta(seconds=tol) if tol is not None else None,
+    ).dropna(subset=["m"])
+
+    lf = spark.createDataFrame(left_pdf[["lid", "k", "ts"]])
+    rf = spark.createDataFrame(right_pdf[["rid", "rk", "rts"]])
+    got = (
+        asof_join(
+            lf,
+            rf,
+            on_time=("ts", "rts"),
+            by=("k", "rk"),
+            value_cols=["rts"],
+            how="inner",
+            tolerance_s=tol,
+            direction="forward",
+        )
+        .select("lid", F.col("asof_rts").alias("m"))
+        .toPandas()
+    )
+    exp = expected[["lid", "m"]].sort_values("lid").reset_index(drop=True)
+    got = got.sort_values("lid").reset_index(drop=True)
+    pd.testing.assert_frame_equal(exp, got, check_dtype=False)
