@@ -126,13 +126,24 @@ def _driver_check_counts() -> dict[str, int]:
 
 
 def driver_sample_order(names: list[str]) -> list[str]:
-    """Order query keys least-driver-checked first (stable within ties).
+    """Order query keys least-driver-checked first; within a tie, REVERSE
+    registry-insertion order.
 
-    sorted() is stable, so keys with equal check counts keep registry
-    insertion order — deterministic for a given set of round files.
+    The reverse tiebreak matters while never-checked keys still outnumber
+    the driver's 50-entry sample: insertion order follows the alphabetical
+    module import list, so plain stable ordering would keep favoring
+    early-module keys (aggregates/analytics/composite — including newly
+    added ones that already have fresh local parity) and starve the
+    late-module families that have never had a driver row (scalars, scans,
+    set ops, sorts, streaming twins, text, similarity, udfs, windows).
+    Reversed, those long-starved families go first, and whatever misses
+    this round's sample has a lower check count next round — the rotation
+    still self-corrects over rounds. Deterministic for a given set of
+    round files.
     """
     counts = _driver_check_counts()
-    return sorted(names, key=lambda n: counts.get(n, 0))
+    idx = {n: i for i, n in enumerate(names)}
+    return sorted(names, key=lambda n: (counts.get(n, 0), -idx[n]))
 
 
 def all_queries() -> dict[str, QueryFn]:
