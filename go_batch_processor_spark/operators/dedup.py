@@ -577,3 +577,76 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .filter(F.col("hamming") <= SIMHASH_MAX_HAMMING)
     )
+
+
+EDIT_MAX_DIST = 15  # max edit distance for a fuzzy-dup pair
+EDIT_PREFIX = 80  # verify on this prefix: bounds the O(n*m) DP per pair
+
+
+@register(
+    "dedup_edit_distance",
+    oracle=f"""
+    SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+           CAST(levenshtein(substr(a.text, 1, {EDIT_PREFIX}),
+                            substr(b.text, 1, {EDIT_PREFIX})) AS BIGINT) AS dist
+    FROM documents a JOIN documents b
+      ON a.lang = b.lang AND a.doc_id < b.doc_id
+     AND abs(a.n_chars - b.n_chars) <= {EDIT_MAX_DIST}
+    WHERE levenshtein(substr(a.text, 1, {EDIT_PREFIX}),
+                      substr(b.text, 1, {EDIT_PREFIX})) <= {EDIT_MAX_DIST}
+    """,
+)
+def dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy near-dup pairs verified by edit distance: candidate pairs must
+    share a language AND sit within {EDIT_MAX_DIST} chars of each other in
+    length (edit distance is lower-bounded by the length difference, so
+    the band is lossless), then the survivors are verified with
+    levenshtein over an {EDIT_PREFIX}-char prefix — the
+    spelling-variant / small-patch duplicate class that token-level
+    Jaccard misses.
+
+    Scale shape: the length band is realized as a BUCKETED equi-join
+    (floor(n_chars / width) bucket key; one side replicated to its 3
+    adjacent buckets — the join_band_inequality construction), so the
+    shuffle keys on (lang, bucket), never on lang alone (3 langs = 3
+    straggler partitions at 100 TB) and never all-pairs. Each pair meets
+    exactly once (the probe side keeps its own bucket; only the build
+    side replicates), so no post-join distinct. The O(n*m) levenshtein DP
+    runs only on band survivors; at corpus scale you would first gate by
+    minhash/simhash candidates (dedup_near_minhash / dedup_simhash) and
+    use this as the exact verifier — same role the inverted index plays
+    for dedup_ngram_jaccard."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars", F.substring("text", 1, EDIT_PREFIX).alias("pfx")
+    )
+    width = EDIT_MAX_DIST
+    a = d.select(
+        F.col("doc_id").alias("a_id"),
+        "lang",
+        F.col("n_chars").alias("a_n"),
+        F.col("pfx").alias("a_pfx"),
+        F.floor(F.col("n_chars") / width).alias("_bkt"),
+    )
+    b = d.select(
+        F.col("doc_id").alias("b_id"),
+        "lang",
+        F.col("n_chars").alias("b_n"),
+        F.col("pfx").alias("b_pfx"),
+        F.explode(
+            F.array(
+                F.floor(F.col("n_chars") / width) - 1,
+                F.floor(F.col("n_chars") / width),
+                F.floor(F.col("n_chars") / width) + 1,
+            )
+        ).alias("_bkt"),
+    )
+    dist = F.levenshtein("a_pfx", "b_pfx")
+    return (
+        a.join(b, ["lang", "_bkt"], "inner")
+        .filter(
+            (F.col("a_id") < F.col("b_id"))
+            & (F.abs(F.col("a_n") - F.col("b_n")) <= EDIT_MAX_DIST)
+        )
+        .filter(dist <= EDIT_MAX_DIST)
+        .select("a_id", "b_id", dist.cast("long").alias("dist"))
+    )
