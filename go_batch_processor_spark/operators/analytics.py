@@ -286,3 +286,41 @@ def analytics_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("cnt") / F.sum("cnt").over(Window.partitionBy("from_type")), 4
         ).alias("p_transition"),
     )
+
+
+@register(
+    "analytics_anomaly_zscore",
+    oracle="""
+    WITH stats AS (
+      SELECT event_type,
+             avg(value)         AS mu,
+             stddev_samp(value) AS sigma
+      FROM events GROUP BY event_type
+    )
+    SELECT e.event_id, e.event_type,
+           round((e.value - s.mu) / s.sigma, 4) AS zscore
+    FROM events e JOIN stats s ON e.event_type = s.event_type
+    WHERE s.sigma > 0 AND abs((e.value - s.mu) / s.sigma) > 3.0
+    """,
+)
+def analytics_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type z-score anomaly flagging: events more than 3 sigma from
+    their type's mean — the standard first-pass outlier screen on a
+    metrics stream.
+
+    Scale shape: the stats aggregate reduces the corpus to |types| rows
+    (one partial-combinable shuffle), broadcasts back onto the stream,
+    and the flag itself is a narrow filter — so a 100 TB scan pays one
+    tiny agg plus one map-side join, and predicate pushdown still prunes
+    the rescan columns. Welford-style single-pass moments are what
+    avg/stddev_samp already compute internally."""
+    e = load_table(spark, sf_dir, "events")
+    stats = e.groupBy("event_type").agg(
+        F.avg("value").alias("mu"), F.stddev_samp("value").alias("sigma")
+    )
+    z = (F.col("value") - F.col("mu")) / F.col("sigma")
+    return (
+        e.join(F.broadcast(stats), "event_type")
+        .filter((F.col("sigma") > 0) & (F.abs(z) > 3.0))
+        .select("event_id", "event_type", F.round(z, 4).alias("zscore"))
+    )

@@ -344,3 +344,72 @@ def similarity_centroid_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("b.cid").alias("centroid_id"),
         F.round("b.cos", 6).alias("cosine"),
     )
+
+
+@register("similarity_quantize_int8", tags={"rows_only"})
+def similarity_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar (per-dimension) int8 quantization of the embedding corpus —
+    the SQ8 compression every large-scale vector index (FAISS, Lucene
+    HNSW) applies before ANN search, cutting vector storage 4x. Each
+    dimension is affinely mapped onto 0..255 using its global min/max;
+    the query reports per-vector reconstruction error, and
+    tests/test_quantize.py asserts the max error stays within the
+    half-step bound scale_d/2 that the rounding guarantees.
+
+    Scale shape: the per-dim stats are ONE aggregation whose output is
+    EMB_DIM rows (posexplode fans out corpus x dim pairs, but partial
+    aggregation collapses each partition to <= dim rows before the
+    exchange); the stats fold into two small arrays broadcast onto the
+    corpus, and quantize/dequantize/error are pure columnar array
+    expressions — whole-stage codegen, zero Python, no second wide
+    shuffle. Codes would be written as array<tinyint> in a real sink;
+    here the error metric keeps the output hash-stable (arrays in
+    outputs break the pandas compare — registry parity rules)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    dims = e.select(
+        "vec_id", F.posexplode("embedding").alias("dim", "x")
+    )
+    stats = (
+        dims.groupBy("dim")
+        .agg(F.min("x").alias("mn"), F.max("x").alias("mx"))
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("dim", "mn"))), lambda s: s.mn
+            ).alias("mins"),
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("dim", "mx"))), lambda s: s.mx
+            ).alias("maxs"),
+        )
+    )
+    err = F.expr(
+        """
+        transform(sequence(0, size(embedding) - 1), i ->
+          abs(
+            CAST(element_at(embedding, i + 1) AS DOUBLE)
+            - (
+                CAST(element_at(mins, i + 1) AS DOUBLE)
+                + round(
+                    (CAST(element_at(embedding, i + 1) AS DOUBLE)
+                     - CAST(element_at(mins, i + 1) AS DOUBLE))
+                    / (greatest(CAST(element_at(maxs, i + 1) AS DOUBLE)
+                                - CAST(element_at(mins, i + 1) AS DOUBLE), 1e-12) / 255.0)
+                  )
+                  * (greatest(CAST(element_at(maxs, i + 1) AS DOUBLE)
+                              - CAST(element_at(mins, i + 1) AS DOUBLE), 1e-12) / 255.0)
+              )
+          )
+        )
+        """
+    )
+    return (
+        e.crossJoin(F.broadcast(stats))
+        .select(
+            "vec_id",
+            F.round(F.array_max(err), 8).alias("max_abs_err"),
+            F.round(
+                F.aggregate(err, F.lit(0.0), lambda acc, x: acc + x)
+                / F.size("embedding"),
+                8,
+            ).alias("mean_abs_err"),
+        )
+    )

@@ -710,3 +710,72 @@ def sample_temperature_mixing(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(u < F.col("rate"))
         .select("doc_id", "source", "rate")
     )
+
+
+REPEAT_N = 5  # repeated-span n-gram size
+REPEAT_TOP_K = 25
+
+
+@register(
+    "text_repeated_ngrams",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS a FROM documents
+      WHERE len(string_split(text, ' ')) >= {REPEAT_N}
+    ),
+    grams AS (
+      SELECT doc_id, array_to_string(a[CAST(i AS INTEGER):CAST(i AS INTEGER)+{REPEAT_N - 1}], ' ') AS g
+      FROM t CROSS JOIN UNNEST(range(1, len(a) - {REPEAT_N - 1} + 1)) AS r(i)
+    ),
+    df AS (
+      SELECT g,
+             CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+             CAST(count(*) AS BIGINT) AS n_occurrences
+      FROM grams GROUP BY g
+    )
+    SELECT g, n_docs, n_occurrences
+    FROM df WHERE n_docs >= 2
+    ORDER BY n_docs DESC, n_occurrences DESC, g ASC
+    LIMIT {REPEAT_TOP_K}
+    """,
+)
+def text_repeated_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-internal repeated-span mining (the cheap cousin of Lee et
+    al. 2022's suffix-array dedup): word {REPEAT_N}-grams appearing in 2+
+    distinct documents, ranked by document frequency — the spans worth
+    cutting before LLM training (boilerplate, licenses, templates).
+
+    Scale shape: gram generation is inline (transform over sequence, no
+    UDF, no extra shuffle); the document-frequency aggregate shuffles
+    (gram, doc_id) pairs once with partial aggregation, and the top-k is
+    TakeOrderedAndProject over the aggregate — never a global sort of the
+    gram stream. At 100 TB the only heavy exchange is the gram agg, which
+    is the same O(corpus-grams) volume the contamination check already
+    pays; frequency-capping (drop grams seen once per partition early)
+    would shave it further if needed."""
+    d = load_table(spark, sf_dir, "documents")
+    a = F.split("text", " ")
+    grams = (
+        d.filter(F.size(a) >= REPEAT_N)
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size(a) - (REPEAT_N - 1)),
+                    lambda i: F.concat_ws(" ", F.slice(a, i, REPEAT_N)),
+                )
+            ).alias("g"),
+        )
+    )
+    return (
+        grams.groupBy("g")
+        .agg(
+            F.count_distinct("doc_id").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_occurrences"),
+        )
+        .filter(F.col("n_docs") >= 2)
+        .orderBy(
+            F.col("n_docs").desc(), F.col("n_occurrences").desc(), F.col("g").asc()
+        )
+        .limit(REPEAT_TOP_K)
+    )
