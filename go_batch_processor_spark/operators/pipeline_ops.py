@@ -80,3 +80,46 @@ def stream_stateful_running(spark: SparkSession, sf_dir: str) -> DataFrame:
     from go_batch_processor_spark.streaming import streaming_user_running_stats
 
     return streaming_user_running_stats(spark, sf_dir)
+
+
+@register(
+    "stream_mv_incremental",
+    oracle="""
+    SELECT o_custkey,
+           CAST(count(*) AS BIGINT)    AS n,
+           round(sum(o_totalprice), 2) AS s
+    FROM orders
+    GROUP BY o_custkey
+    """,
+)
+def stream_mv_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming incremental materialized-view maintenance, end to end:
+    orders split into 4 files, streamed one file per micro-batch
+    (Trigger.AvailableNow), each batch's partial aggregate merged into
+    epoch-versioned parquet state (streaming/mv_refresh.py — replay-safe:
+    an epoch always merges onto the latest version strictly before
+    itself). The final committed state must equal the from-scratch batch
+    aggregate, which is exactly what the oracle recomputes — the
+    streaming twin of mv_incremental_agg's merge algebra.
+
+    Scale: per-batch cost is O(delta) + O(|keys|) merge; state versions
+    are retained for replay and would be vacuumed by retention policy."""
+    import os
+
+    from go_batch_processor_spark.catalog import load_table
+    from go_batch_processor_spark.streaming.mv_refresh import run_orders_mv_refresh
+
+    work = tempfile.mkdtemp(prefix="gbp_stream_mv_")
+    orders_dir = os.path.join(work, "orders_files")
+    load_table(spark, sf_dir, "orders").repartition(4).write.parquet(orders_dir)
+    try:
+        state = run_orders_mv_refresh(spark, orders_dir)
+        return state.select(
+            "o_custkey",
+            F.col("n").cast("long").alias("n"),
+            F.round("s", 2).alias("s"),
+        )
+    finally:
+        # the returned plan reads the state dir lazily; only the split
+        # input can be dropped here (state dirs are tempdirs the OS owns)
+        shutil.rmtree(orders_dir, ignore_errors=True)

@@ -201,3 +201,61 @@ def agg_hll_partitioned_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("rel_err"),
     )
+
+
+@register(
+    "feature_quantile_bucketize",
+    oracle="""
+    WITH b AS (
+      SELECT event_type,
+             quantile_cont(value, 0.25) AS q1,
+             quantile_cont(value, 0.50) AS q2,
+             quantile_cont(value, 0.75) AS q3
+      FROM events GROUP BY event_type
+    )
+    SELECT e.event_type,
+           CASE WHEN e.value <= b.q1 THEN 1
+                WHEN e.value <= b.q2 THEN 2
+                WHEN e.value <= b.q3 THEN 3
+                ELSE 4 END             AS bucket,
+           CAST(count(*) AS BIGINT)   AS n,
+           round(avg(e.value), 4)     AS avg_value
+    FROM events e JOIN b ON e.event_type = b.event_type
+    GROUP BY 1, 2
+    """,
+)
+def feature_quantile_bucketize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group quartile bucketing (the discretization step of feature
+    engineering / monotone binning): each event assigned its type's
+    quartile bucket, then per-(type, bucket) counts and means.
+
+    Parity note: Spark's exact percentile and DuckDB's quantile_cont use
+    the same (1-f)*lo + f*hi linear interpolation, so the raw boundary
+    doubles are bit-identical and the <= comparisons agree (proven
+    pattern from agg_percentiles).
+
+    Scale shape: boundaries are one sort-heavy aggregate with |types|-row
+    output, broadcast back; bucket assignment is a narrow CASE; the final
+    rollup shuffles at most |types| x 4 groups after map-side partials.
+    At 100 TB swap the exact percentile for approx_percentile and keep
+    everything else — only the boundary pass changes."""
+    e = load_table(spark, sf_dir, "events")
+    b = e.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.25)").alias("q1"),
+        F.expr("percentile(value, 0.50)").alias("q2"),
+        F.expr("percentile(value, 0.75)").alias("q3"),
+    )
+    bucket = (
+        F.when(F.col("value") <= F.col("q1"), 1)
+        .when(F.col("value") <= F.col("q2"), 2)
+        .when(F.col("value") <= F.col("q3"), 3)
+        .otherwise(4)
+    )
+    return (
+        e.join(F.broadcast(b), "event_type")
+        .groupBy("event_type", bucket.alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("value"), 4).alias("avg_value"),
+        )
+    )

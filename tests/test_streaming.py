@@ -336,3 +336,55 @@ def test_stateful_restart_recovers_rocksdb_state(spark, sf_dir, tmp_path):
     )
     updated_users = {u for (u, _) in got_second}
     assert updated_users & {r.user_id for r in both_halves.collect()}
+
+
+def test_incremental_mv_refresh_matches_batch_recompute(spark, sf_dir, tmp_path):
+    """Per-customer order rollup maintained micro-batch by micro-batch
+    (one file per trigger) must equal the from-scratch batch aggregate —
+    the streaming twin of mv_incremental_agg's merge algebra."""
+    from pyspark.sql import functions as F
+
+    from go_batch_processor_spark.catalog import load_table
+    from go_batch_processor_spark.streaming.mv_refresh import run_orders_mv_refresh
+
+    # split orders into 4 files so availableNow yields 4 micro-batches
+    orders_dir = str(tmp_path / "orders_files")
+    load_table(spark, sf_dir, "orders").repartition(4).write.parquet(orders_dir)
+
+    state = run_orders_mv_refresh(spark, orders_dir, str(tmp_path / "mv_state"))
+
+    got = state.select(
+        "o_custkey", "n", F.round("s", 2).alias("s")
+    ).toPandas().sort_values("o_custkey").reset_index(drop=True)
+    exp = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("o_totalprice"), 2).alias("s"))
+        .toPandas()
+        .sort_values("o_custkey")
+        .reset_index(drop=True)
+    )
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+def test_incremental_mv_refresh_epoch_replay_is_idempotent(spark, sf_dir, tmp_path):
+    """Re-delivering an epoch (the foreachBatch failure-replay contract)
+    must leave the state unchanged: the epoch rewrites its own version
+    dir and the commit pointer flip is idempotent."""
+    from go_batch_processor_spark.catalog import load_table
+    from go_batch_processor_spark.streaming.mv_refresh import IncrementalMVRefresh
+
+    mv = IncrementalMVRefresh(
+        spark, str(tmp_path / "state"), key="o_custkey", value="o_totalprice"
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    b0 = orders.filter("o_orderkey % 2 = 0")
+    b1 = orders.filter("o_orderkey % 2 = 1")
+    mv.merge_batch(b0, 0)
+    mv.merge_batch(b1, 1)
+    after = mv.current_state().orderBy("o_custkey").collect()
+    mv.merge_batch(b1, 1)  # replay the last epoch
+    replayed = mv.current_state().orderBy("o_custkey").collect()
+    assert after == replayed
