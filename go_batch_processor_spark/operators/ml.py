@@ -347,3 +347,108 @@ def agg_count_min_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("est_n").desc(), F.col("user_id").asc())
         .limit(CMS_TOPK)
     )
+
+
+KMPP_ROUNDS = 3  # k-means|| oversampling rounds
+KMPP_L = 2 * KMEANS_K  # oversampling factor per round (Bahmani's 2k)
+
+
+def _uniform01(col: Column, salt: Column) -> Column:
+    """Deterministic uniform in [0,1) from md5(id || '_' || salt): first 8
+    hex nibbles as a 32-bit integer scaled by 2^-32. No RNG state — the
+    sample is reproducible across retries/partitions, which is what makes
+    distributed Bernoulli sampling replay-safe."""
+    h = F.md5(F.concat(col.cast("string"), F.lit("_"), salt.cast("string")))
+    return F.conv(F.substring(h, 1, 8), 16, 10).cast("double") / F.lit(4294967296.0)
+
+
+def kmeans_parallel_init(
+    emb: DataFrame, k: int = KMEANS_K, rounds: int = KMPP_ROUNDS, l: int = KMPP_L
+) -> list[list[float]]:
+    """k-means|| initialization (Bahmani et al., VLDB 2012): instead of
+    k-means++'s k sequential weighted draws (k full passes, inherently
+    serial), oversample ~l candidates per round for a few rounds with
+    INDEPENDENT Bernoulli draws p = min(1, l * d^2/phi) — each round is
+    one distributed assign pass + one filter, fully parallel — then
+    reduce the ~1 + rounds*l weighted candidates to k on the driver.
+
+    Deterministic everywhere: the Bernoulli draws use the md5-uniform
+    (id, round) hash, and the driver-side reduction is weighted
+    farthest-first traversal from the heaviest candidate (a deterministic
+    stand-in for weighted k-means++ — documented delta from the paper).
+
+    Scale: per round, one O(k x N) JVM assign + an agg for phi (1 row)
+    + a filter whose expected yield is l rows collected (bounded driver
+    state, like the centroid collects). The raw corpus never shuffles.
+    """
+    import numpy as np
+
+    emb = emb.persist()
+    try:
+        first = emb.orderBy("vec_id").limit(1).select("vec").collect()
+        cand: list[list[float]] = [list(first[0]["vec"])]
+        for r in range(rounds):
+            scored = assign_clusters(emb, cand)
+            phi = scored.agg(F.sum("dist2").alias("p")).collect()[0]["p"]
+            if not phi or phi <= 0:
+                break
+            p = F.least(F.lit(1.0), F.lit(float(l)) * F.col("dist2") / F.lit(phi))
+            drawn = (
+                scored.filter(_uniform01(F.col("vec_id"), F.lit(r)) < p)
+                .select("vec")
+                .collect()
+            )
+            cand.extend(list(row["vec"]) for row in drawn)
+        # weights: how many corpus points each candidate attracts
+        counts = {
+            row["cluster"]: row["n"]
+            for row in assign_clusters(emb, cand)
+            .groupBy("cluster")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        C = np.array(cand, dtype=np.float64)
+        w = np.array([counts.get(i, 0) for i in range(len(cand))], dtype=np.float64)
+        # weighted farthest-first reduction to k seeds
+        chosen = [int(w.argmax())]
+        d2 = ((C - C[chosen[0]]) ** 2).sum(axis=1)
+        while len(chosen) < min(k, len(cand)):
+            nxt = int((w * d2).argmax())
+            chosen.append(nxt)
+            d2 = np.minimum(d2, ((C - C[nxt]) ** 2).sum(axis=1))
+        return [list(map(float, C[i])) for i in chosen]
+    finally:
+        emb.unpersist(blocking=False)
+
+
+@register("ml_kmeans_pp_init", tags={"rows_only"})
+def ml_kmeans_pp_init(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-means|| seeding quality readout: corpus inertia under k-means||
+    seeds vs the naive lowest-id seeds (both before any Lloyd step).
+    Rows-only (iterative, not SQL-expressible); tests/test_ml.py asserts
+    the seeded cost beats naive on the fixture corpus and that the whole
+    procedure is deterministic."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", _as_double(F.col("embedding")).alias("vec")
+    )
+    seeded = kmeans_parallel_init(emb)
+    naive_rows = emb.orderBy("vec_id").limit(KMEANS_K).select("vec").collect()
+    naive = [list(r["vec"]) for r in naive_rows]
+    cost_seeded = (
+        assign_clusters(emb, seeded).agg(F.sum("dist2").alias("c")).collect()[0]["c"]
+    )
+    cost_naive = (
+        assign_clusters(emb, naive).agg(F.sum("dist2").alias("c")).collect()[0]["c"]
+    )
+    return spark.createDataFrame(
+        [
+            (
+                KMEANS_K,
+                len(seeded),
+                round(float(cost_seeded), 4),
+                round(float(cost_naive), 4),
+                bool(cost_seeded < cost_naive),
+            )
+        ],
+        "k int, n_seeds int, seeded_inertia double, naive_inertia double, improved boolean",
+    )

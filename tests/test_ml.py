@@ -170,3 +170,26 @@ def test_cms_topk_registry_agrees_with_exact_topk(spark, sf_dir):
     # require that at least half the true top-k is recovered (fixture has
     # clear heavy keys, so in practice this is far exceeded)
     assert len(got_ids & set(exact)) >= len(exact) // 2
+
+
+def test_kmeans_parallel_init_beats_naive_and_is_deterministic(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from go_batch_processor_spark.catalog import load_table
+    from go_batch_processor_spark.operators.ml import (
+        _as_double,
+        kmeans_parallel_init,
+    )
+    from go_batch_processor_spark.registry import REGISTRY
+
+    row = REGISTRY["ml_kmeans_pp_init"].fn(spark, sf_dir).collect()[0]
+    assert row.n_seeds == row.k
+    assert row.improved, row  # k-means|| seeds beat lowest-id seeds here
+    assert row.seeded_inertia < row.naive_inertia
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", _as_double(F.col("embedding")).alias("vec")
+    )
+    s1 = kmeans_parallel_init(emb)
+    s2 = kmeans_parallel_init(emb)
+    assert s1 == s2  # md5-uniform draws + farthest-first: fully deterministic
