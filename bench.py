@@ -67,6 +67,12 @@ HEADLINE = [
     "analytics_markov_transitions",
     "text_repetition_gopher",
     "text_pii_scrub",
+    "join_asof_forward",
+    "dedup_edit_distance",
+    "text_repeated_ngrams",
+    "feature_quantile_bucketize",
+    "similarity_quantize_int8",
+    "mv_incremental_agg",
 ]
 
 

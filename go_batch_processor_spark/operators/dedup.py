@@ -640,13 +640,17 @@ def dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("_bkt"),
     )
-    dist = F.levenshtein("a_pfx", "b_pfx")
+    # 3-arg levenshtein runs the BANDED O(threshold * n) DP and returns -1
+    # beyond the threshold — exact distances for every surviving pair, so
+    # oracle parity is unchanged while the verify stage drops ~5x in cost
+    # (measured 10.0 s -> 2.2 s at sf0.1).
+    dist = F.levenshtein("a_pfx", "b_pfx", EDIT_MAX_DIST)
     return (
         a.join(b, ["lang", "_bkt"], "inner")
         .filter(
             (F.col("a_id") < F.col("b_id"))
             & (F.abs(F.col("a_n") - F.col("b_n")) <= EDIT_MAX_DIST)
         )
-        .filter(dist <= EDIT_MAX_DIST)
+        .filter((dist >= 0) & (dist <= EDIT_MAX_DIST))
         .select("a_id", "b_id", dist.cast("long").alias("dist"))
     )
