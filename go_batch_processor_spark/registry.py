@@ -184,7 +184,9 @@ def _register_pickle_by_value() -> None:
     import go_batch_processor_spark.sources.supplier_source as _src
     import go_batch_processor_spark.streaming.stateful as _stateful
 
-    for mod in (_ml, _mm, _udfs, _src, _stateful):
+    import go_batch_processor_spark.operators.similarity as _sim
+
+    for mod in (_ml, _mm, _udfs, _src, _stateful, _sim):
         try:
             cloudpickle.register_pickle_by_value(mod)
         except Exception:  # pragma: no cover — older cloudpickle
