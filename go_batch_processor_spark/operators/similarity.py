@@ -563,3 +563,113 @@ def similarity_pq_codebook(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg(F.col("err") / EMB_DIM), 6).alias("mean_mse"),
         F.round(F.max(F.col("err") / EMB_DIM), 6).alias("max_mse"),
     )
+
+
+IVFPQ_NPROBE = 4
+
+
+@register("similarity_ivfpq_topk", tags={"rows_only"})
+def similarity_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end IVF-PQ ANN search (the billion-vector index shape:
+    FAISS IndexIVFPQ): a k-means coarse quantizer routes each vector to a
+    cell; PQ codebooks trained on RESIDUALS (x - coarse centroid) encode
+    each vector in M bytes; a query probes only the nprobe nearest cells
+    and scores candidates with asymmetric distance computation (ADC) —
+    the probe stays full-precision, candidates are scored from their
+    codes via an M x K lookup table.
+
+    Composition of existing pieces: ml.kmeans_lloyd (coarse quantizer,
+    Arrow sufficient-stats iterations), the per-cell residual is computed
+    JVM-side (element_at over centroid literals + zip_with subtraction,
+    zero Python in that stage), _pq_train (joint residual codebooks on a
+    25% sample), and one final Arrow pass over the probed cells that
+    encodes candidates and folds the ADC table — the corpus never
+    shuffles; the only wide op is the coarse training itself.
+
+    Rows-only; tests/test_quantize.py asserts recall@10 against exact
+    brute force and full determinism."""
+    from go_batch_processor_spark.operators.ml import (
+        _as_double,
+        assign_clusters,
+        kmeans_lloyd,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", _as_double(F.col("embedding")).alias("vec")
+    )
+    # 1. coarse quantizer (k-means, 2 Lloyd iterations)
+    _, coarse = kmeans_lloyd(emb, k=IVF_CELLS, iters=2)
+    assigned = assign_clusters(emb, coarse).select("vec_id", "vec", "cluster")
+    # 2. residual, JVM-side: vec - coarse[cluster]
+    cent_lits = F.array(
+        *[F.array(*[F.lit(float(v)) for v in c]) for c in coarse]
+    )
+    residual = F.zip_with(
+        F.col("vec"),
+        F.element_at(cent_lits, F.col("cluster") + 1),
+        lambda a, b: a - b,
+    )
+    res = assigned.select(
+        "vec_id", "cluster", residual.alias("full")
+    )
+    # 3. joint residual PQ codebooks on the deterministic 25% sample
+    train = res.filter(
+        F.substring(F.md5(F.col("vec_id").cast("string")), 1, 1).isin(
+            "0", "1", "2", "3"
+        )
+    )
+    books = _pq_train(train, PQ_SUBSPACES, PQ_CODEBOOK_K, PQ_ITERS)
+    # 4. query: nearest nprobe cells to the probe, ADC over their rows
+    import numpy as np
+
+    probe = np.asarray(
+        emb.filter(F.col("vec_id") == PROBE_VEC_ID).collect()[0]["vec"],
+        dtype=np.float64,
+    )
+    C = np.asarray(coarse, dtype=np.float64)
+    cells = np.argsort(((C - probe) ** 2).sum(axis=1))[:IVFPQ_NPROBE]
+    B = np.asarray(books, dtype=np.float64)  # (m, k, sub)
+    m, k, sub = B.shape
+
+    def adc(it):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in it:
+            if not len(pdf):
+                continue
+            R = np.array(
+                [np.asarray(v, dtype=np.float64) for v in pdf["full"]]
+            ).reshape(len(pdf), m, sub)
+            cl = pdf["cluster"].to_numpy()
+            score = np.zeros(len(pdf))
+            for j in range(m):
+                # encode candidates: nearest codebook entry per subspace
+                codes = (
+                    ((R[:, j, None, :] - B[j][None, :, :]) ** 2)
+                    .sum(axis=2)
+                    .argmin(axis=1)
+                )
+                # ADC table for this subspace, one row per probed cell:
+                # probe residual vs every codebook entry
+                for cell in np.unique(cl):
+                    pr = (probe - C[cell])[j * sub : (j + 1) * sub]
+                    table = ((pr[None, :] - B[j]) ** 2).sum(axis=1)  # (k,)
+                    mask = cl == cell
+                    score[mask] += table[codes[mask]]
+            yield pd.DataFrame(
+                {"vec_id": pdf["vec_id"], "adc_dist2": score}
+            )
+
+    cand = res.filter(
+        F.col("cluster").isin(*[int(c) for c in cells])
+        & (F.col("vec_id") != PROBE_VEC_ID)
+    )
+    scored = cand.select("vec_id", "cluster", "full").mapInPandas(
+        adc, "vec_id long, adc_dist2 double"
+    )
+    return (
+        scored.orderBy(F.col("adc_dist2").asc(), F.col("vec_id").asc())
+        .limit(TOP_K)
+        .select("vec_id", F.round("adc_dist2", 6).alias("adc_dist2"))
+    )

@@ -64,3 +64,31 @@ def test_pq_error_shrinks_with_codebook_size_and_is_deterministic(spark, sf_dir)
         return err / X.shape[0]
 
     assert mse(big) < mse(small)  # larger codebooks -> lower distortion
+
+
+def test_ivfpq_recall_and_determinism(spark, sf_dir):
+    """IVF-PQ top-10 must overlap the exact euclidean top-10 well above
+    chance (10 of ~500) despite 32x compression + probing only 4/16
+    cells, and repeated runs must return identical rows (deterministic
+    seeds, sample, and ADC)."""
+    import numpy as np
+
+    r1 = REGISTRY["similarity_ivfpq_topk"].fn(spark, sf_dir).collect()
+    r2 = REGISTRY["similarity_ivfpq_topk"].fn(spark, sf_dir).collect()
+    assert r1 == r2
+    got = {r.vec_id for r in r1}
+    assert len(got) == 10
+
+    emb = {
+        r.vec_id: np.array(r.embedding, dtype=np.float64)
+        for r in load_table(spark, sf_dir, "embeddings").collect()
+    }
+    probe = emb[0]
+    exact = sorted(
+        (float(((v - probe) ** 2).sum()), k) for k, v in emb.items() if k != 0
+    )[:10]
+    exact_ids = {k for _, k in exact}
+    recall = len(got & exact_ids) / 10
+    # measured: 0.5 @ sf0.001, 0.4 @ sf0.01 (deterministic); >= 0.3 allows
+    # a changed fixture without letting the index degrade to chance (~0.02)
+    assert recall >= 0.3, (recall, sorted(got), sorted(exact_ids))
