@@ -344,3 +344,50 @@ def scalar_case(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("bucket"),
         F.when(F.col("event_type") == "error", 0).otherwise(1).alias("ok_flag"),
     )
+
+
+@register(
+    "scalar_url_parse",
+    oracle="""
+    WITH u AS (
+      SELECT p_partkey,
+             'https://www.' || replace(lower(p_brand), '#', '') ||
+             '.example.com/parts/' || replace(lower(p_type), ' ', '-') ||
+             '?id=' || CAST(p_partkey AS VARCHAR) ||
+             '&sz=' || CAST(p_size AS VARCHAR) AS url
+      FROM part
+    )
+    SELECT p_partkey,
+           regexp_extract(url, 'https?://([^/]+)/', 1)   AS host,
+           regexp_extract(url, '://[^/]+(/[^?]*)', 1)    AS path,
+           regexp_extract(url, '[?&]id=([0-9]+)', 1)     AS id_param,
+           regexp_extract(url, '[?&]sz=([0-9]+)', 1)     AS sz_param
+    FROM u
+    """,
+)
+def scalar_url_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL component extraction (host / path / query params) — the log- and
+    crawl-processing staple. The fixture schema has no URL column, so both
+    engines build IDENTICAL deterministic URLs from part attributes first
+    (the text_pii_scrub convention), then parse with the same regexes.
+    Spark's parse_url() would be the native route, but DuckDB has no
+    equivalent, so the oracle-checkable surface uses regexp_extract on
+    both sides — pure row expressions, whole-stage codegen, zero shuffle."""
+    p = load_table(spark, sf_dir, "part")
+    url = F.concat(
+        F.lit("https://www."),
+        F.replace(F.lower("p_brand"), F.lit("#"), F.lit("")),
+        F.lit(".example.com/parts/"),
+        F.replace(F.lower("p_type"), F.lit(" "), F.lit("-")),
+        F.lit("?id="),
+        F.col("p_partkey").cast("string"),
+        F.lit("&sz="),
+        F.col("p_size").cast("string"),
+    )
+    return p.select(
+        "p_partkey",
+        F.regexp_extract(url, r"https?://([^/]+)/", 1).alias("host"),
+        F.regexp_extract(url, r"://[^/]+(/[^?]*)", 1).alias("path"),
+        F.regexp_extract(url, r"[?&]id=([0-9]+)", 1).alias("id_param"),
+        F.regexp_extract(url, r"[?&]sz=([0-9]+)", 1).alias("sz_param"),
+    )
