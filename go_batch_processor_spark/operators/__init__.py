@@ -8,6 +8,7 @@ from go_batch_processor_spark.operators import (  # noqa: F401
     composite,
     dedup,
     filters,
+    graph,
     joins,
     ml,
     multimodal,

@@ -1,0 +1,47 @@
+"""Numpy-twin test for the PageRank operator (rows-only query)."""
+
+from __future__ import annotations
+
+import numpy as np
+
+from go_batch_processor_spark.operators.graph import (
+    PR_DAMPING,
+    PR_ITERS,
+    interaction_edges,
+    pagerank,
+)
+from go_batch_processor_spark.registry import REGISTRY, _ensure_loaded
+
+_ensure_loaded()
+
+
+def test_pagerank_matches_numpy_power_iteration(spark, sf_dir):
+    edges = interaction_edges(spark, sf_dir)
+    got = {r.node: r.rank for r in pagerank(edges).collect()}
+
+    pairs = [(r.src, r.dst) for r in edges.collect()]
+    nodes = sorted({s for s, _ in pairs})
+    idx = {n: i for i, n in enumerate(nodes)}
+    n = len(nodes)
+    deg = np.zeros(n)
+    for s, _ in pairs:
+        deg[idx[s]] += 1
+    r = np.full(n, 1.0 / n)
+    d = PR_DAMPING
+    for _ in range(PR_ITERS):
+        contrib = np.zeros(n)
+        for s, t in pairs:
+            contrib[idx[t]] += r[idx[s]] / deg[idx[s]]
+        r = (1.0 - d) / n + d * contrib
+    for node, i in idx.items():
+        assert abs(got[node] - r[i]) < 1e-9, (node, got[node], r[i])
+    # total rank mass is conserved (no dangling nodes by construction)
+    assert abs(sum(got.values()) - 1.0) < 1e-9
+
+
+def test_pagerank_query_topk(spark, sf_dir):
+    rows = REGISTRY["graph_pagerank"].fn(spark, sf_dir).collect()
+    assert len(rows) == 20
+    ranks = [r.rank for r in rows]
+    assert ranks == sorted(ranks, reverse=True)
+    assert {r.kind for r in rows} <= {"user", "item"}
