@@ -73,6 +73,9 @@ HEADLINE = [
     "feature_quantile_bucketize",
     "similarity_quantize_int8",
     "mv_incremental_agg",
+    "tpch_q2_shape",
+    "tpch_q11_shape",
+    "tpch_q16_shape",
 ]
 
 
