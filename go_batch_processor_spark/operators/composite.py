@@ -645,11 +645,25 @@ def tpch_q19_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
 def tpch_q21_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q21 shape (suppliers who kept waiting), adapted: the fixture has no
     l_receiptdate/l_commitdate, so "late" = shipped more than 60 days
-    after the order date (same late-set structure). The EXISTS becomes a
-    LEFT SEMI join and the NOT EXISTS a LEFT ANTI join, both on the
-    equi key l_orderkey with the suppkey inequality as the join residual —
-    hash-joinable, no nested-loop, which is how Catalyst decorrelates the
-    textbook form too."""
+    after the order date (same late-set structure).
+
+    Decorrelated ONE-PASS form instead of the textbook semi+anti joins:
+    the NOT EXISTS ("no OTHER supplier late on this order") is exactly
+    "all the order's late rows share one suppkey", i.e. min == max over a
+    window on the late set — one window pass, no second late subtree
+    (which ReuseExchange would not merge; a semi/anti pair re-planned the
+    lineitem-orders join twice, 3 lineitem + 2 orders scans total). The
+    EXISTS ("some other supplier on the order, late or not") is
+    n_supp > 1 from ONE per-order distinct-count over raw lineitem,
+    joined on l_orderkey — co-partitioned with the window's shuffle, so
+    Catalyst elides the re-exchange. Net: 2 lineitem scans, 1 orders
+    scan, same oracle. Measured tradeoff at sf0.1/local[32]: ~0.2 s
+    SLOWER than the 3-scan semi+anti form (window + distinct-agg CPU vs
+    OS-cached rescans) — the rewrite is chosen because at 100 TB the
+    rescans are real I/O and scan count dominates, which is the design
+    point this repo optimizes for."""
+    from pyspark.sql import Window
+
     t = load_tables(spark, sf_dir, "lineitem", "orders", "supplier")
     late = (
         t["lineitem"]
@@ -660,26 +674,19 @@ def tpch_q21_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"))
         .select("l_orderkey", "l_suppkey")
     )
-    l1 = late.alias("l1")
-    l2 = t["lineitem"].select("l_orderkey", "l_suppkey").alias("l2")
-    l3 = late.alias("l3")
-    waited = (
-        l1.join(
-            l2,
-            (F.col("l1.l_orderkey") == F.col("l2.l_orderkey"))
-            & (F.col("l1.l_suppkey") != F.col("l2.l_suppkey")),
-            "left_semi",
-        ).join(
-            l3,
-            (F.col("l1.l_orderkey") == F.col("l3.l_orderkey"))
-            & (F.col("l1.l_suppkey") != F.col("l3.l_suppkey")),
-            "left_anti",
-        )
+    w = Window.partitionBy("l_orderkey")
+    sole_late = late.withColumn("_min_ls", F.min("l_suppkey").over(w)).withColumn(
+        "_max_ls", F.max("l_suppkey").over(w)
+    ).filter(F.col("_min_ls") == F.col("_max_ls"))
+    n_supp = (
+        t["lineitem"]
+        .groupBy("l_orderkey")
+        .agg(F.count_distinct("l_suppkey").alias("n_supp"))
     )
     return (
-        waited.join(
-            F.broadcast(t["supplier"]), F.col("l1.l_suppkey") == F.col("s_suppkey")
-        )
+        sole_late.join(n_supp, "l_orderkey")
+        .filter(F.col("n_supp") > 1)
+        .join(F.broadcast(t["supplier"]), F.col("l_suppkey") == F.col("s_suppkey"))
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))
     )
