@@ -550,23 +550,25 @@ def tpch_q13_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def tpch_q17_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q17 shape (small-quantity-order revenue): the correlated scalar
-    subquery (per-part average quantity) is decorrelated into a per-part
-    aggregate joined back to the fact — exactly what Catalyst/DuckDB do to
-    the textbook form, written explicitly so both engines run the same
-    shape. The per-part aggregate is part-cardinality-sized (a dim-sized
-    broadcast at any SF where part fits; the brand filter prunes first)."""
+    subquery (per-part average quantity) is decorrelated into a WINDOW
+    over the brand-filtered fact instead of a separate aggregate joined
+    back: the brand predicate restricts only WHICH partkeys survive (it
+    is a part-side filter), so after the broadcast semi-reduction every
+    remaining part still carries ALL its lineitems and the per-part
+    window average equals the subquery's. One lineitem scan (the
+    agg+join form pays two — and ReuseExchange would not merge them, the
+    q15/q21 finding); the window shuffles only brand-matched rows."""
+    from pyspark.sql import Window
+
     t = load_tables(spark, sf_dir, "lineitem", "part")
-    pa = (
-        t["lineitem"].groupBy(F.col("l_partkey").alias("pa_partkey"))
-        .agg((F.lit(0.2) * F.avg("l_quantity")).alias("qty_lim"))
-    )
+    w = Window.partitionBy("l_partkey")
     return (
         t["lineitem"]
         .join(
             F.broadcast(t["part"].filter(F.col("p_brand") == "Brand#23")),
             F.col("p_partkey") == F.col("l_partkey"),
         )
-        .join(pa, F.col("pa_partkey") == F.col("l_partkey"))
+        .withColumn("qty_lim", F.lit(0.2) * F.avg("l_quantity").over(w))
         .filter(F.col("l_quantity") < F.col("qty_lim"))
         .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
     )
