@@ -186,27 +186,27 @@ def tpch_q4_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def tpch_q18_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Q18 shape (large-volume orders): a HAVING-filtered aggregate drives a
-    semi-selective join back into the fact — the aggregate-then-join
-    pattern that avoids joining the whole fact table twice."""
+    """Q18 shape (large-volume orders): the textbook SQL re-joins lineitem
+    after the HAVING-filtered aggregate, but the output's
+    sum(l_quantity) grouped per order IS the HAVING sum — the group keys
+    (custkey, name, orderkey, totalprice) are unique per order — so the
+    re-join is redundant: ONE per-order aggregate, filter > 300, then
+    join orders + customer. One lineitem scan instead of two (the
+    re-join form also needed a fresh scan anyway because of Spark's
+    ambiguous-self-join lineage rule); the surviving join input is the
+    tiny filtered aggregate."""
     li = load_table(spark, sf_dir, "lineitem")
     o = load_table(spark, sf_dir, "orders")
     c = load_table(spark, sf_dir, "customer")
     big = (
         li.groupBy("l_orderkey")
-        .agg(F.sum("l_quantity").alias("_q"))
-        .filter(F.col("_q") > 300)
-        .select(F.col("l_orderkey").alias("big_orderkey"))
+        .agg(F.round(F.sum("l_quantity"), 2).alias("total_qty"))
+        .filter(F.col("total_qty") > 300)
     )
-    li2 = load_table(spark, sf_dir, "lineitem")  # fresh scan: `big` derives
-    # from li, and reusing li would make the lineage-based column refs
-    # ambiguous (Spark's failAmbiguousSelfJoin)
     return (
-        big.join(o, big.big_orderkey == o.o_orderkey)
+        big.join(o, big.l_orderkey == o.o_orderkey)
         .join(c, o.o_custkey == c.c_custkey)
-        .join(li2, o.o_orderkey == li2.l_orderkey)
-        .groupBy("c_custkey", "c_name", "o_orderkey", "o_totalprice")
-        .agg(F.round(F.sum(li2.l_quantity), 2).alias("total_qty"))
+        .select("c_custkey", "c_name", "o_orderkey", "o_totalprice", "total_qty")
     )
 
 
