@@ -46,35 +46,53 @@ def analytics_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered funnel view -> click -> purchase: users counted at each stage
     only if the stage event happens strictly AFTER their previous stage's
     first event (the order constraint is what makes this a funnel rather
-    than three independent counts)."""
+    than three independent counts).
+
+    One-scan form: three CHAINED windows over the same user_id
+    partitioning — tv = first view, tc = first click after tv (tv is an
+    ordinary column by then), tp = first purchase after tc — so the plan
+    is ONE events scan and ONE exchange with three window passes that
+    reuse the partitioning. The previous stage-by-stage join cascade
+    re-planned the events scan six times (each stage frame was consumed
+    twice, and ReuseExchange does not merge them — the q15/q21 finding).
+    Distinct-user stage counts come off the windowed frame directly."""
+    from pyspark.sql import Window
+
     ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_type")
-    v = (
-        ev.filter(F.col("event_type") == "view")
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("tv"))
-    )
-    c = (
-        ev.filter(F.col("event_type") == "click")
-        .join(v, "user_id")
-        .filter(F.col("ts") > F.col("tv"))
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("tc"))
-    )
-    p = (
-        ev.filter(F.col("event_type") == "purchase")
-        .join(c, "user_id")
-        .filter(F.col("ts") > F.col("tc"))
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("tp"))
-    )
-    return (
-        v.join(c, "user_id", "left")
-        .join(p, "user_id", "left")
-        .agg(
-            F.count("tv").alias("n_view"),
-            F.count("tc").alias("n_click_after_view"),
-            F.count("tp").alias("n_purchase_after_click"),
+    w = Window.partitionBy("user_id")
+    staged = (
+        ev.withColumn(
+            "tv", F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(w)
         )
+        .withColumn(
+            "tc",
+            F.min(
+                F.when(
+                    (F.col("event_type") == "click") & (F.col("ts") > F.col("tv")),
+                    F.col("ts"),
+                )
+            ).over(w),
+        )
+        .withColumn(
+            "tp",
+            F.min(
+                F.when(
+                    (F.col("event_type") == "purchase") & (F.col("ts") > F.col("tc")),
+                    F.col("ts"),
+                )
+            ).over(w),
+        )
+    )
+    return staged.agg(
+        F.count_distinct(F.when(F.col("tv").isNotNull(), F.col("user_id"))).alias(
+            "n_view"
+        ),
+        F.count_distinct(F.when(F.col("tc").isNotNull(), F.col("user_id"))).alias(
+            "n_click_after_view"
+        ),
+        F.count_distinct(F.when(F.col("tp").isNotNull(), F.col("user_id"))).alias(
+            "n_purchase_after_click"
+        ),
     )
 
 
