@@ -115,14 +115,20 @@ def analytics_retention_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cohort retention triangle: users grouped by the week of their first
     event; active_users counts distinct users of each cohort seen again
     week_n weeks later. Both week boundaries are Monday-start truncations
-    (Spark and DuckDB agree), and week_n divides an exact multiple of 7."""
+    (Spark and DuckDB agree), and week_n divides an exact multiple of 7.
+
+    One-scan form: the per-user first week is a window over the same
+    user_id partitioning instead of an aggregate joined back (which
+    re-planned the events scan twice — the ReuseExchange finding); the
+    retention rollup then reuses nothing wider than the window's
+    exchange."""
+    from pyspark.sql import Window
+
     ev = load_table(spark, sf_dir, "events").select("user_id", "ts")
-    firsts = ev.groupBy("user_id").agg(
-        F.date_trunc("week", F.min("ts")).alias("cohort_week")
-    )
+    w = Window.partitionBy("user_id")
     week = F.date_trunc("week", F.col("ts"))
     return (
-        ev.join(firsts, "user_id")
+        ev.withColumn("cohort_week", F.date_trunc("week", F.min("ts").over(w)))
         .groupBy(
             "cohort_week",
             (F.datediff(week, F.col("cohort_week")) / 7).cast("long").alias("week_n"),
@@ -341,4 +347,64 @@ def analytics_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.join(F.broadcast(stats), "event_type")
         .filter((F.col("sigma") > 0) & (F.abs(z) > 3.0))
         .select("event_id", "event_type", F.round(z, 4).alias("zscore"))
+    )
+
+
+@register(
+    "analytics_attribution_last_touch",
+    oracle="""
+    WITH touches AS (
+      SELECT user_id, ts, min(event_type) AS touch_type
+      FROM events WHERE event_type IN ('view', 'click')
+      GROUP BY user_id, ts
+    ),
+    purchases AS (
+      SELECT user_id, ts FROM events WHERE event_type = 'purchase'
+    )
+    SELECT t.touch_type,
+           CAST(count(*) AS BIGINT) AS conversions,
+           round(avg(date_diff('microsecond', t.ts, p.ts) / 1000000.0), 4)
+             AS avg_latency_s
+    FROM purchases p
+    ASOF JOIN touches t ON p.user_id = t.user_id AND p.ts >= t.ts
+    GROUP BY t.touch_type
+    """,
+)
+def analytics_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch marketing attribution: every purchase credited to the
+    user's most recent view/click at-or-before it, with per-touch-type
+    conversion counts and mean touch-to-purchase latency — the as-of
+    machinery applied to its canonical product-analytics use.
+
+    Determinism: touches are first deduped to one row per (user, micro
+    ts) with min(event_type) priority ON BOTH SIDES, so the as-of match
+    can never tie between two touch rows at the same instant (events ts
+    is unique only at nanos and both engines compare at micros —
+    HANDOFF fact 1). Latency sums are exact micro longs before the one
+    final division. Cost: the :func:`joins.asof_join` single shuffle on
+    user_id plus agg-output-sized rollups."""
+    from go_batch_processor_spark.operators.joins import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    touches = (
+        ev.filter(F.col("event_type").isin("view", "click"))
+        .groupBy("user_id", F.col("ts").alias("t_ts"))
+        .agg(F.min("event_type").alias("touch_type"))
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select("user_id", "ts")
+    matched = asof_join(
+        purchases,
+        touches.select(F.col("user_id").alias("t_user"), "t_ts", "touch_type"),
+        on_time=("ts", "t_ts"),
+        by=("user_id", "t_user"),
+        value_cols=["touch_type", "t_ts"],
+        how="inner",
+    )
+    latency = (F.unix_micros("ts") - F.unix_micros("asof_t_ts")) / F.lit(1_000_000.0)
+    return (
+        matched.groupBy(F.col("asof_touch_type").alias("touch_type"))
+        .agg(
+            F.count(F.lit(1)).alias("conversions"),
+            F.round(F.avg(latency), 4).alias("avg_latency_s"),
+        )
     )
