@@ -264,3 +264,49 @@ def test_forward_asof_matches_pandas(spark, case, tol):
     exp = expected[["lid", "m"]].sort_values("lid").reset_index(drop=True)
     got = got.sort_values("lid").reset_index(drop=True)
     pd.testing.assert_frame_equal(exp, got, check_dtype=False)
+
+
+def test_forward_salted_asof_matches_plain_forward(spark):
+    """direction='forward' composed with salt_time=True (the hot-key
+    escape hatch) must agree with the plain forward path — the negation
+    wrapper hands both through the same backward machinery."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    n = 3000
+    left_pdf = pd.DataFrame(
+        {
+            "lid": range(n),
+            "k": [0] * n,  # one hot key
+            "ts": pd.to_datetime([i * 7 % 50_000 for i in range(n)], unit="s"),
+        }
+    )
+    right_pdf = pd.DataFrame(
+        {
+            "rid": range(500),
+            "rk": [0] * 500,
+            "rts": pd.to_datetime([i * 100 for i in range(500)], unit="s"),
+        }
+    )
+    lf = spark.createDataFrame(left_pdf)
+    rf = spark.createDataFrame(right_pdf)
+
+    def run(salt):
+        return (
+            asof_join(
+                lf,
+                rf,
+                on_time=("ts", "rts"),
+                by=("k", "rk"),
+                value_cols=["rts"],
+                how="inner",
+                direction="forward",
+                salt_time=salt,
+            )
+            .select("lid", F.col("asof_rts").alias("m"))
+            .toPandas()
+            .sort_values("lid")
+            .reset_index(drop=True)
+        )
+
+    pd.testing.assert_frame_equal(run(False), run(True))
