@@ -91,3 +91,66 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("rank").desc(), F.col("kind").asc(), F.col("entity_id").asc())
         .limit(PR_TOP_K)
     )
+
+
+LPA_ITERS = 5
+LPA_TOP_K = 20
+
+
+def label_propagation(edges: DataFrame, iters: int = LPA_ITERS) -> DataFrame:
+    """Synchronous label propagation (Raghavan et al. 2007): every node
+    starts as its own community and repeatedly adopts its neighbors'
+    most frequent label, ties broken by the SMALLEST label — fully
+    deterministic (no vertex-order dependence because updates are
+    synchronous).
+
+    Scale shape: per iteration one labels-edges join on src (the same
+    co-partitioned iterative-join pattern as PageRank) and a TWO-LEVEL
+    partial-combinable aggregation — (dst, label) counts, then per-dst
+    argmax via max(struct(cnt, -label)) whose lexicographic max gives
+    most-frequent-then-min-label without any window. Label state is
+    O(nodes); lineage truncated with localCheckpoint every other
+    iteration."""
+    from pyspark import StorageLevel
+
+    ed = edges.persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        labels = ed.select(F.col("src").alias("node")).distinct().withColumn(
+            "label", F.col("node")
+        )
+        for it in range(iters):
+            contrib = ed.join(labels, ed.src == labels.node).select("dst", "label")
+            counts = contrib.groupBy("dst", "label").agg(
+                F.count(F.lit(1)).alias("cnt")
+            )
+            labels = (
+                counts.groupBy("dst")
+                .agg(
+                    F.max(F.struct(F.col("cnt"), (-F.col("label")).alias("neg"))).alias(
+                        "best"
+                    )
+                )
+                .select(
+                    F.col("dst").alias("node"), (-F.col("best.neg")).alias("label")
+                )
+            )
+            if it % 2 == 1:
+                labels = labels.localCheckpoint(eager=False)
+        return labels
+    finally:
+        ed.unpersist(blocking=False)
+
+
+@register("graph_label_propagation", tags={"rows_only"})
+def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection on the user-item engagement graph via label
+    propagation: the top-20 communities by size. Rows-only (iterative);
+    tests/test_graph.py asserts exact agreement with a pure-Python
+    synchronous-LPA twin."""
+    labels = label_propagation(interaction_edges(spark, sf_dir))
+    return (
+        labels.groupBy("label")
+        .agg(F.count(F.lit(1)).alias("n_members"))
+        .orderBy(F.col("n_members").desc(), F.col("label").asc())
+        .limit(LPA_TOP_K)
+    )

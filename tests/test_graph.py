@@ -45,3 +45,29 @@ def test_pagerank_query_topk(spark, sf_dir):
     ranks = [r.rank for r in rows]
     assert ranks == sorted(ranks, reverse=True)
     assert {r.kind for r in rows} <= {"user", "item"}
+
+
+def test_label_propagation_matches_python_twin(spark, sf_dir):
+    from collections import Counter, defaultdict
+
+    from go_batch_processor_spark.operators.graph import (
+        LPA_ITERS,
+        label_propagation,
+    )
+
+    edges = interaction_edges(spark, sf_dir)
+    got = {r.node: r.label for r in label_propagation(edges).collect()}
+
+    pairs = [(r.src, r.dst) for r in edges.collect()]
+    neighbors = defaultdict(list)
+    for s, t in pairs:
+        neighbors[t].append(s)  # label flows src -> dst
+    labels = {n: n for n in neighbors}
+    for _ in range(LPA_ITERS):
+        new = {}
+        for n, nbrs in neighbors.items():
+            c = Counter(labels[m] for m in nbrs)
+            best = max(c.items(), key=lambda kv: (kv[1], -kv[0]))
+            new[n] = best[0]
+        labels = new
+    assert got == labels
