@@ -316,3 +316,35 @@ def agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per_bucket.groupBy("event_type").agg(
         F.sum(F.bitmap_count("_bm")).cast("bigint").alias("n_users")
     )
+
+
+@register(
+    "agg_decimal_exact",
+    oracle="""
+    SELECT l_returnflag,
+           sum(CAST(l_extendedprice AS DECIMAL(18, 2)))      AS total_price,
+           sum(CAST(l_discount AS DECIMAL(8, 2)))            AS total_discount,
+           CAST(count(*) AS BIGINT)                          AS n_rows
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def agg_decimal_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact decimal (money) aggregation: prices cast to DECIMAL(18,2)
+    BEFORE summing, so the sum is exact integer-cents arithmetic in both
+    engines — no floating rounding, no round() in the oracle, bit-exact
+    by construction. This is the correctness surface a billing pipeline
+    needs; the double-based aggregates elsewhere trade exactness for
+    codegen speed and pin parity via fixed-scale rounding instead
+    (registry docstring rules).
+
+    Scale note: Spark decimal sums use 128-bit accumulators inside the
+    same partial-combinable hash aggregate — shuffle stays O(groups);
+    decimal math is ~2-3x slower per row than double, the classic
+    exactness/speed trade a finance workload accepts."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).alias("total_price"),
+        F.sum(F.col("l_discount").cast("decimal(8,2)")).alias("total_discount"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
