@@ -98,46 +98,84 @@ TABLE_NAMES: tuple[str, ...] = tuple(TABLE_SCHEMAS)
 BROADCAST_DIMS: frozenset[str] = frozenset({"region", "nation"})
 
 
+_TS_UNIT_CACHE: dict[str, str] = {}
+
+
+def events_ts_unit(path: str) -> str:
+    """Detect the physical parquet time unit of ``events.ts`` ('us' or 'ns').
+
+    Fixture regenerations have flipped between TIMESTAMP(NANOS) and
+    TIMESTAMP(MICROS); hard-coding either path silently compresses or
+    inflates event time 1000x. Reading ONE footer with pyarrow is O(KB) and
+    driver-side only, so it is safe at any scale. Cached per dataset path.
+    """
+    unit = _TS_UNIT_CACHE.get(path)
+    if unit is None:
+        import os
+
+        import pyarrow.parquet as pq
+
+        target = path
+        if os.path.isdir(target):
+            part = next(
+                (
+                    f
+                    for f in sorted(os.listdir(target))
+                    if f.endswith(".parquet") and not f.startswith(("_", "."))
+                ),
+                None,
+            )
+            if part is not None:
+                target = os.path.join(target, part)
+        t = pq.read_schema(target).field("ts").type
+        unit = getattr(t, "unit", "us")
+        if unit not in ("us", "ns"):
+            # ms/s fixtures would need their own scaling; none exist today.
+            raise ValueError(f"unsupported events.ts parquet unit {unit!r} in {path}")
+        _TS_UNIT_CACHE[path] = unit
+    return unit
+
+
+def _events_raw_schema() -> T.StructType:
+    return T.StructType(
+        [
+            f if f.name != "ts" else _S("ts", T.LongType())
+            for f in TABLE_SCHEMAS["events"].fields
+        ]
+    )
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one fixture table with its explicit schema.
 
-    ``events.ts`` is physically parquet TIMESTAMP(NANOS); Spark has no nanos
-    timestamp type, so it is read as a nanos long (legacy.parquet.nanosAsLong)
-    and converted to a microsecond TimestampType here — sub-microsecond parts
-    truncate, matching DuckDB's micros semantics for the oracle.
+    ``events.ts`` physical unit varies by fixture generation: TIMESTAMP(MICROS)
+    reads natively as TimestampType; TIMESTAMP(NANOS) has no Spark type, so it
+    is read as a nanos long (legacy.parquet.nanosAsLong) and converted to a
+    microsecond TimestampType here — sub-microsecond parts truncate, matching
+    DuckDB's micros semantics for the oracle. The unit is detected from the
+    parquet footer (see events_ts_unit), never assumed.
     """
-    if name == "events":
+    path = f"{sf_dir}/{name}.parquet"
+    if name == "events" and events_ts_unit(path) == "ns":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        raw = T.StructType(
-            [
-                f if f.name != "ts" else _S("ts", T.LongType())
-                for f in TABLE_SCHEMAS["events"].fields
-            ]
-        )
-        df = spark.read.schema(raw).parquet(f"{sf_dir}/{name}.parquet")
+        df = spark.read.schema(_events_raw_schema()).parquet(path)
         from pyspark.sql import functions as F
 
         return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000"))).select(
             *[f.name for f in TABLE_SCHEMAS["events"].fields]
         )
-    return spark.read.schema(TABLE_SCHEMAS[name]).parquet(f"{sf_dir}/{name}.parquet")
+    return spark.read.schema(TABLE_SCHEMAS[name]).parquet(path)
 
 
 def load_stream(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Streaming (readStream) variant of load_table: file-stream source over
-    one fixture table, same schema handling (events nanos -> micros)."""
+    one fixture table, same unit-detecting schema handling as load_table."""
     from pyspark.sql import functions as F
 
-    if name == "events":
+    if name == "events" and events_ts_unit(f"{sf_dir}/{name}.parquet") == "ns":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        raw = T.StructType(
-            [
-                f if f.name != "ts" else _S("ts", T.LongType())
-                for f in TABLE_SCHEMAS["events"].fields
-            ]
-        )
         df = (
-            spark.readStream.schema(raw)
+            spark.readStream.schema(_events_raw_schema())
             .option("pathGlobFilter", f"{name}.parquet")
             .parquet(sf_dir)
         )

@@ -211,19 +211,48 @@ def stream_late_data_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
     their window was already emitted+evicted — verified empirically in
     tests/test_streaming.py::test_watermark_drops_late_rows_for_emitted_windows.)
 
-    Scale note: the global (un-partitioned) running-max window makes this
-    batch simulation single-task by construction — acceptable only because
-    it models an inherently sequential arrival order; the real streaming
-    variant distributes naturally (watermark tracking is per-partition with
-    a global min).
+    Scale shape: the arrival prefix-max decomposes exactly — for a row in
+    substream s, everything arriving earlier is (a) ALL rows of substreams
+    < s and (b) same-substream rows with smaller event_id. So the global
+    running max = greatest(prefix-max over earlier substreams' totals,
+    per-substream running max). (a) is a 7-row aggregate broadcast back;
+    (b) is a PARTITIONED window (7-way parallel). No unpartitioned
+    row-level window anywhere — this replaces r3's single-task global
+    window (the one WindowExec straggler the r3 verdict flagged).
     """
-    ev = load_table(spark, sf_dir, "events")
-    w = (
-        Window.orderBy((F.col("event_id") % 7).asc(), F.col("event_id").asc())
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "_sub", F.col("event_id") % 7
+    )
+    w_sub = (
+        Window.partitionBy("_sub")
+        .orderBy(F.col("event_id").asc())
         .rowsBetween(Window.unboundedPreceding, -1)
     )
-    wm = F.max("ts").over(w) - F.expr(f"INTERVAL {WATERMARK_DELAY}")
+    # 7-row table: max ts of each substream, then prefix-max over EARLIER
+    # substreams via a 7x7 self-join (not a window — keeps the whole query
+    # free of unpartitioned windows, even bounded ones).
+    totals = ev.groupBy("_sub").agg(F.max("ts").alias("_m"))
+    prefix = (
+        totals.alias("a")
+        .join(
+            totals.select(
+                F.col("_sub").alias("_bsub"), F.col("_m").alias("_bm")
+            ),
+            F.col("_bsub") < F.col("a._sub"),
+            "left",
+        )
+        .groupBy("a._sub")
+        .agg(F.max("_bm").alias("_prev_subs_max"))
+        .select(F.col("_sub"), "_prev_subs_max")
+    )
+    # greatest() skips nulls: first row of substream 0 gets null (no prior
+    # arrivals) and is correctly excluded by the null-safe < filter.
+    wm_high = F.greatest(
+        F.max("ts").over(w_sub), F.col("_prev_subs_max")
+    )
+    wm = wm_high - F.expr(f"INTERVAL {WATERMARK_DELAY}")
     return (
-        ev.select("event_id", "user_id", "ts", wm.alias("watermark"))
+        ev.join(F.broadcast(prefix), "_sub")
+        .select("event_id", "user_id", "ts", wm.alias("watermark"))
         .filter(F.col("ts") < F.col("watermark"))
     )
