@@ -673,3 +673,135 @@ def similarity_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(TOP_K)
         .select("vec_id", F.round("adc_dist2", 6).alias("adc_dist2"))
     )
+
+
+@register("similarity_ivfpq_stored", tags={"rows_only"})
+def similarity_ivfpq_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ with a STORED-codes index (the missing half of
+    similarity_ivfpq_topk, which re-encodes candidates per query): encode
+    every vector's residual ONCE into M one-byte codes, persist the codes
+    as a parquet index PARTITIONED BY coarse cell, and answer queries with
+
+      partition-pruned scan of the nprobe cells  ->
+      broadcast join of nprobe tiny (cell, flat ADC table) rows  ->
+      JVM higher-order-function fold over the stored codes.
+
+    This is the FAISS IndexIVFPQ storage model: the expensive Arrow encode
+    pass runs once at build time (index construction), and the query path
+    contains ZERO Python — scoring is `aggregate(sequence(0, M-1), ...)`
+    over `element_at(adc, j*K + code_j + 1)`, whole-stage-codegen'd. At
+    100 TB the index write shuffles once (by cell) and every probe after
+    that reads only nprobe/IVF_CELLS of the data via partition pruning.
+
+    Same coarse quantizer, residual codebooks, sample, and seeds as
+    similarity_ivfpq_topk, so the two return IDENTICAL results —
+    tests/test_quantize.py asserts that equivalence plus recall@10.
+
+    Rows-only (hash/kmeans specific; no SQL oracle).
+    """
+    from go_batch_processor_spark.operators.ml import (
+        _as_double,
+        assign_clusters,
+        kmeans_lloyd,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", _as_double(F.col("embedding")).alias("vec")
+    )
+    _, coarse = kmeans_lloyd(emb, k=IVF_CELLS, iters=2)
+    assigned = assign_clusters(emb, coarse).select("vec_id", "vec", "cluster")
+    cent_lits = F.array(
+        *[F.array(*[F.lit(float(v)) for v in c]) for c in coarse]
+    )
+    residual = F.zip_with(
+        F.col("vec"),
+        F.element_at(cent_lits, F.col("cluster") + 1),
+        lambda a, b: a - b,
+    )
+    res = assigned.select("vec_id", "cluster", residual.alias("full"))
+    train = res.filter(
+        F.substring(F.md5(F.col("vec_id").cast("string")), 1, 1).isin(
+            "0", "1", "2", "3"
+        )
+    )
+    books = _pq_train(train, PQ_SUBSPACES, PQ_CODEBOOK_K, PQ_ITERS)
+
+    import numpy as np
+
+    B = np.asarray(books, dtype=np.float64)  # (m, k, sub)
+    m, k, sub = B.shape
+
+    # ---- build: encode once, store codes partitioned by coarse cell ----
+    def encode(it):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in it:
+            if not len(pdf):
+                continue
+            R = np.array(
+                [np.asarray(v, dtype=np.float64) for v in pdf["full"]]
+            ).reshape(len(pdf), m, sub)
+            codes = np.empty((len(pdf), m), dtype=np.int32)
+            for j in range(m):
+                codes[:, j] = (
+                    ((R[:, j, None, :] - B[j][None, :, :]) ** 2)
+                    .sum(axis=2)
+                    .argmin(axis=1)
+                )
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"],
+                    "cluster": pdf["cluster"],
+                    "codes": list(codes),
+                }
+            )
+
+    index_path = (
+        spark.conf.get("spark.sql.warehouse.dir") + "/gbp_ivfpq_index"
+    )
+    (
+        res.select("vec_id", "cluster", "full")
+        .mapInPandas(encode, "vec_id long, cluster int, codes array<int>")
+        .write.mode("overwrite")
+        .partitionBy("cluster")
+        .parquet(index_path)
+    )
+
+    # ---- query: pruned scan + broadcast ADC tables + JVM fold ----
+    probe = np.asarray(
+        emb.filter(F.col("vec_id") == PROBE_VEC_ID).collect()[0]["vec"],
+        dtype=np.float64,
+    )
+    C = np.asarray(coarse, dtype=np.float64)
+    cells = np.argsort(((C - probe) ** 2).sum(axis=1))[:IVFPQ_NPROBE]
+    tables = []
+    for cell in cells:
+        pr = probe - C[cell]
+        flat: list[float] = []
+        for j in range(m):
+            prj = pr[j * sub : (j + 1) * sub]
+            flat.extend((((prj[None, :] - B[j]) ** 2).sum(axis=1)).tolist())
+        tables.append((int(cell), flat))
+    tbl = spark.createDataFrame(tables, "cluster int, adc array<double>")
+
+    idx = spark.read.parquet(index_path).filter(
+        F.col("cluster").isin(*[int(c) for c in cells])
+        & (F.col("vec_id") != PROBE_VEC_ID)
+    )
+    score = F.aggregate(
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        F.lit(0.0),
+        lambda acc, j: acc
+        + F.element_at(
+            F.col("adc"), j * F.lit(k) + F.element_at(F.col("codes"), j + 1) + 1
+        ),
+    )
+    scored = idx.join(F.broadcast(tbl), "cluster").select(
+        "vec_id", score.alias("adc_dist2")
+    )
+    return (
+        scored.orderBy(F.col("adc_dist2").asc(), F.col("vec_id").asc())
+        .limit(TOP_K)
+        .select("vec_id", F.round("adc_dist2", 6).alias("adc_dist2"))
+    )

@@ -92,3 +92,13 @@ def test_ivfpq_recall_and_determinism(spark, sf_dir):
     # measured: 0.5 @ sf0.001, 0.4 @ sf0.01 (deterministic); >= 0.3 allows
     # a changed fixture without letting the index degrade to chance (~0.02)
     assert recall >= 0.3, (recall, sorted(got), sorted(exact_ids))
+
+
+def test_ivfpq_stored_codes_matches_on_the_fly(spark, sf_dir):
+    """The stored-codes index (encode once, JVM ADC fold over codes) must
+    return EXACTLY the on-the-fly variant's rows: same coarse quantizer,
+    residual codebooks, sample, and seeds — only the storage model differs."""
+    r_fly = REGISTRY["similarity_ivfpq_topk"].fn(spark, sf_dir).collect()
+    r_stored = REGISTRY["similarity_ivfpq_stored"].fn(spark, sf_dir).collect()
+    assert r_stored == r_fly
+    assert len(r_stored) == 10
