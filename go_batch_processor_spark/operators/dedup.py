@@ -258,11 +258,17 @@ def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             pass
         _SIG_CACHE = None
     docs = load_table(spark, sf_dir, "documents")
+    # Hash each shingle STRING exactly once; the k minhash functions are
+    # xxhash64 over that 64-bit value (long input), not over the string —
+    # k re-hashes of an 8-byte long instead of k re-hashes of a ~20-byte
+    # string, and the shingle string itself never leaves the map stage
+    # (the explode output is two longs per row). A two-level hash family
+    # is as collision-safe as the direct one (~2^-64 per pair).
     sh = doc_shingles(docs).select(
-        "doc_id", F.col("shingle"), F.xxhash64(F.lit(-1), F.col("shingle")).alias("sh_h")
+        "doc_id", F.xxhash64(F.lit(-1), F.col("shingle")).alias("sh_h")
     )
     aggs = [
-        F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"mh{i}")
+        F.min(F.xxhash64(F.lit(i), F.col("sh_h"))).alias(f"mh{i}")
         for i in range(MINHASH_K)
     ] + [F.collect_set("sh_h").alias("hs")]
     sig = sh.groupBy("doc_id").agg(*aggs).persist(StorageLevel.MEMORY_AND_DISK)
