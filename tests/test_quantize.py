@@ -102,3 +102,12 @@ def test_ivfpq_stored_codes_matches_on_the_fly(spark, sf_dir):
     r_stored = REGISTRY["similarity_ivfpq_stored"].fn(spark, sf_dir).collect()
     assert r_stored == r_fly
     assert len(r_stored) == 10
+
+
+def test_opq_beats_plain_pq(spark, sf_dir):
+    """The learned OPQ rotation must reduce full-table reconstruction MSE
+    vs plain PQ at the same byte budget, deterministically."""
+    r1 = REGISTRY["similarity_opq_codebook"].fn(spark, sf_dir).collect()[0]
+    r2 = REGISTRY["similarity_opq_codebook"].fn(spark, sf_dir).collect()[0]
+    assert r1 == r2
+    assert r1.mse_opq < r1.mse_pq, (r1.mse_opq, r1.mse_pq)
