@@ -76,6 +76,11 @@ HEADLINE = [
     "tpch_q2_shape",
     "tpch_q11_shape",
     "tpch_q16_shape",
+    # round 4 additions
+    "tpch_q20_shape",
+    "similarity_ivfpq_stored",
+    "similarity_opq_codebook",
+    "stream_late_data_policy",
 ]
 
 
