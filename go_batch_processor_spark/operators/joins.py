@@ -777,3 +777,119 @@ def join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
         how="inner",
         direction="forward",
     )
+
+
+@register(
+    "join_asof_nearest",
+    oracle="""
+    WITH b AS (
+      SELECT e.event_id, o.o_orderdate AS bd
+      FROM events e
+      ASOF JOIN orders o
+        ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+    ),
+    f AS (
+      SELECT e.event_id, o.o_orderdate AS fd
+      FROM events e
+      ASOF JOIN orders o
+        ON e.user_id = o.o_custkey AND e.ts <= o.o_orderdate
+    )
+    SELECT e.event_id, e.user_id, e.ts,
+           CASE
+             WHEN bd IS NULL THEN fd
+             WHEN fd IS NULL THEN bd
+             WHEN epoch_us(e.ts) - epoch_us(bd)
+                  <= epoch_us(fd) - epoch_us(e.ts) THEN bd
+             ELSE fd
+           END AS nearest_o_orderdate
+    FROM events e
+    LEFT JOIN b ON e.event_id = b.event_id
+    LEFT JOIN f ON e.event_id = f.event_id
+    WHERE bd IS NOT NULL OR fd IS NOT NULL
+    """,
+)
+def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join, nearest-in-either-direction (pandas merge_asof
+    ``direction='nearest'``): each event matched to the same-key order
+    whose date is CLOSEST to the event time, backward winning exact-gap
+    ties (deterministic, matching pandas).
+
+    Composition: one backward carry pass and one forward carry pass (the
+    epoch-negation machinery), then a per-row gap comparison — two
+    shuffle+window passes total, each the cost of a sort-merge join;
+    no per-row range scan. The oracle builds the same two DuckDB ASOF
+    sides and applies the identical tie rule.
+    """
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    o = load_table(spark, sf_dir, "orders").select("o_custkey", "o_orderdate")
+    return asof_join_nearest(
+        ev,
+        o,
+        on_time=("ts", "o_orderdate"),
+        by=("user_id", "o_custkey"),
+        value_col="o_orderdate",
+    ).select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.col("nearest_o_orderdate"),
+    )
+
+
+def asof_join_nearest(
+    left: DataFrame,
+    right: DataFrame,
+    on_time: tuple[str, str],
+    by: tuple[str, str],
+    value_col: str,
+) -> DataFrame:
+    """Nearest-direction as-of join helper (see join_asof_nearest): one
+    backward and one forward carry pass over :func:`asof_join`, then a
+    per-row gap comparison on the matched right TIMES with backward
+    winning exact ties (pandas merge_asof direction='nearest' tie rule).
+    Both time columns must be TimestampType (the forward pass requires
+    it); ``value_col`` may be any right column — the right time column is
+    carried alongside it for the gap comparison. Inner semantics: left
+    rows with no match in either direction are dropped. Output: all left
+    columns plus ``nearest_<value_col>``."""
+    lt, rt = on_time
+    carry = [value_col] if value_col == rt else [value_col, rt]
+    back = asof_join(
+        left,
+        right,
+        on_time=on_time,
+        by=by,
+        value_cols=carry,
+        how="left",
+    )
+    back = back.withColumnRenamed(f"asof_{value_col}", "_bv").withColumnRenamed(
+        f"asof_{rt}", "_bt"
+    ) if value_col != rt else back.withColumnRenamed(
+        f"asof_{value_col}", "_bv"
+    ).withColumn("_bt", F.col("_bv"))
+    both = asof_join(
+        back,
+        right,
+        on_time=on_time,
+        by=by,
+        value_cols=carry,
+        how="left",
+        direction="forward",
+    )
+    both = both.withColumnRenamed(f"asof_{value_col}", "_fv").withColumnRenamed(
+        f"asof_{rt}", "_ft"
+    ) if value_col != rt else both.withColumnRenamed(
+        f"asof_{value_col}", "_fv"
+    ).withColumn("_ft", F.col("_fv"))
+    bgap = F.unix_micros(F.col(lt)) - F.unix_micros(F.col("_bt"))
+    fgap = F.unix_micros(F.col("_ft")) - F.unix_micros(F.col(lt))
+    nearest = (
+        F.when(F.col("_bt").isNull(), F.col("_fv"))
+        .when(F.col("_ft").isNull(), F.col("_bv"))
+        .when(bgap <= fgap, F.col("_bv"))
+        .otherwise(F.col("_fv"))
+    )
+    return (
+        both.filter(F.col("_bt").isNotNull() | F.col("_ft").isNotNull())
+        .select(*left.columns, nearest.alias(f"nearest_{value_col}"))
+    )

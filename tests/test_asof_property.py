@@ -310,3 +310,56 @@ def test_forward_salted_asof_matches_plain_forward(spark):
         )
 
     pd.testing.assert_frame_equal(run(False), run(True))
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(asof_case())
+def test_asof_nearest_matches_pandas(spark, case):
+    """asof_join_nearest vs pandas merge_asof(direction='nearest'), with a
+    payload distinct from the time axis (exercises the separate time
+    carry). Note pandas breaks exact-gap ties backward, same as ours."""
+    from go_batch_processor_spark.operators.joins import asof_join_nearest
+
+    left_rows, right_rows = case
+    left_pdf = pd.DataFrame(left_rows, columns=["lid", "k", "t"])
+    right_pdf = pd.DataFrame(right_rows, columns=["rid", "rk", "rt"])
+    left_pdf["t"] = pd.to_datetime(left_pdf["t"], unit="s")
+    right_pdf["rt"] = pd.to_datetime(right_pdf["rt"], unit="s")
+    right_pdf = right_pdf.assign(payload=right_pdf["rid"] * 1000)
+    # pandas merge_asof by-key requires unique (rk, rt) for a well-defined
+    # nearest pick; drop dup times per key the same way on both sides.
+    right_pdf = right_pdf.drop_duplicates(subset=["rk", "rt"], keep="first")
+
+    left = spark.createDataFrame(
+        left_pdf, schema="lid long, k long, t timestamp"
+    )
+    right = spark.createDataFrame(
+        right_pdf, schema="rid long, rk long, rt timestamp, payload long"
+    )
+    got = asof_join_nearest(
+        left,
+        right,
+        on_time=("t", "rt"),
+        by=("k", "rk"),
+        value_col="payload",
+    ).toPandas()
+
+    if len(right_pdf):
+        want = pd.merge_asof(
+            left_pdf.sort_values(["t", "lid"]),
+            right_pdf.sort_values("rt"),
+            left_on="t",
+            right_on="rt",
+            left_by="k",
+            right_by="rk",
+            direction="nearest",
+        ).dropna(subset=["payload"])
+        want_set = {(r.lid, int(r.payload)) for r in want.itertuples()}
+    else:
+        want_set = set()
+    got_set = {(r.lid, int(r.nearest_payload)) for r in got.itertuples()}
+    assert got_set == want_set
