@@ -964,3 +964,85 @@ def similarity_opq_codebook(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg(F.col("err_pq") / d), 6).alias("mse_pq"),
         F.round(F.avg(F.col("err_opq") / d), 6).alias("mse_opq"),
     )
+
+
+@register("similarity_ann_lsh_multiprobe", tags={"rows_only"})
+def similarity_ann_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe LSH (Lv et al., VLDB 2007): each vector probes its own
+    bucket PLUS the 8 Hamming-distance-1 neighbor buckets (one bit of the
+    hyperplane signature flipped). Near-misses — true neighbors that fall
+    one hyperplane to the other side — are recovered WITHOUT extra hash
+    tables, the standard recall/cost lever at index scale.
+
+    Scale shape: the x9 probe explode happens on a NARROW (vec_id, bucket)
+    projection — two longs' worth per row, never the embedding array; the
+    candidate pairs then join back to the embedding table twice for the
+    exact cosine. Each qualifying pair matches exactly once (the 9 probe
+    buckets of a vector are distinct, the other side sits in its single
+    home bucket). Deterministic (seed 42); rows-only like the single-probe
+    variant; the recall test asserts it strictly dominates single-probe.
+    """
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", _as_double(F.col("embedding")).alias("emb")
+    )
+    planes = _hyperplanes()
+    bits = [
+        F.when(
+            _dot(F.col("emb"), F.array(*[F.lit(v) for v in plane])) > 0, "1"
+        ).otherwise("0")
+        for plane in planes
+    ]
+    sig = F.concat_ws("", *bits)
+    # Not persisted: the returned lazy plan reads this four ways (probes,
+    # home buckets, both cosine sides) and an in-function unpersist would
+    # drop the blocks before the consumer runs (the minhash cache-ownership
+    # rule). The signature recompute is one scan + 8 dot products; a
+    # long-lived 100 TB index would persist the bucketed table under an
+    # owner that outlives the query instead.
+    bucketed = emb.select("vec_id", "emb", sig.alias("bucket"))
+    n = len(planes)
+    flip = [
+        F.concat(
+            F.substring(F.col("bucket"), 1, i),
+            F.when(
+                F.substring(F.col("bucket"), i + 1, 1) == "1", "0"
+            ).otherwise("1"),
+            F.substring(F.col("bucket"), i + 2, n - i - 1),
+        )
+        for i in range(n)
+    ]
+    probes = bucketed.select(
+        "vec_id",
+        F.explode(F.array(F.col("bucket"), *flip)).alias("probe_bucket"),
+    )
+    cand = (
+        probes.join(
+            bucketed.select(
+                F.col("vec_id").alias("neighbor_id"),
+                F.col("bucket").alias("probe_bucket"),
+            ),
+            "probe_bucket",
+        )
+        .filter(F.col("vec_id") != F.col("neighbor_id"))
+        .select("vec_id", "neighbor_id")
+    )
+    a = bucketed.select(F.col("vec_id"), F.col("emb").alias("ea"))
+    b = bucketed.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("emb").alias("eb")
+    )
+    cos = _dot(F.col("ea"), F.col("eb")) / (
+        _norm(F.col("ea")) * _norm(F.col("eb"))
+    )
+    pairs = (
+        cand.join(a, "vec_id")
+        .join(b, "neighbor_id")
+        .select("vec_id", "neighbor_id", F.round(cos, 6).alias("cosine"))
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "neighbor_id", "cosine")
+    )

@@ -107,3 +107,24 @@ def test_dedup_exact_is_lossless_without_dups(spark, sf_dir, duck):
     n_dedup = REGISTRY["dedup_exact"].fn(spark, sf_dir).count()
     n_distinct = duck.sql("SELECT count(DISTINCT text) FROM documents").fetchone()[0]
     assert n_dedup == n_distinct <= n_docs
+
+
+def test_multiprobe_lsh_dominates_single_probe(spark, sf_dir):
+    """Probing the 8 Hamming-1 neighbor buckets must strictly widen
+    coverage (every vector finds SOME neighbor) and find a
+    better-or-equal best neighbor for every vector single-probe covers."""
+    single = {
+        r.vec_id: (r.neighbor_id, r.cosine)
+        for r in REGISTRY["similarity_ann_lsh"].fn(spark, sf_dir).collect()
+    }
+    multi = {
+        r.vec_id: (r.neighbor_id, r.cosine)
+        for r in REGISTRY["similarity_ann_lsh_multiprobe"].fn(spark, sf_dir).collect()
+    }
+    assert set(single) <= set(multi)
+    assert len(multi) > len(single)
+    for v, (_, cos_s) in single.items():
+        assert multi[v][1] >= cos_s, (v, multi[v], (cos_s,))
+    for v, (nb, cos) in multi.items():
+        assert v != nb
+        assert -1.0 <= cos <= 1.0

@@ -19,9 +19,13 @@ def test_hll_partitioned_merge_error_bound(spark, sf_dir):
 
 
 def test_hll_merge_matches_flat_sketch(spark, sf_dir):
-    """Union of per-nation sketches must estimate the same as one flat
-    sketch over all keys — the mergeability property the 100 TB rollup
-    pattern depends on."""
+    """Union of per-nation sketches must estimate like one flat sketch
+    over all keys — the mergeability property the 100 TB rollup pattern
+    depends on. NOT bit-equality: past sparse mode (~>512 keys, so at
+    sf>=0.01) the flat and union paths promote to dense HLL differently
+    and the estimates legitimately diverge WITHIN the sketch's error
+    bound (lgk=12 -> ~1.6% stderr); both must stay near the true count
+    and near each other."""
     from pyspark.sql import functions as F
 
     from go_batch_processor_spark.catalog import load_table
@@ -37,4 +41,7 @@ def test_hll_merge_matches_flat_sketch(spark, sf_dir):
         .collect()[0]
         .est
     )
-    assert abs(flat - merged) / max(flat, 1.0) < 1e-9
+    true = c.select("c_custkey").distinct().count()
+    assert abs(flat - true) / max(true, 1.0) < 0.03
+    assert abs(merged - true) / max(true, 1.0) < 0.03
+    assert abs(flat - merged) / max(flat, 1.0) < 0.02
