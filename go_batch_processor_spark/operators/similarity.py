@@ -1046,3 +1046,176 @@ def similarity_ann_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame
         .filter(F.col("rn") == 1)
         .select("vec_id", "neighbor_id", "cosine")
     )
+
+
+IVFPQ_OPQ_ITERS = 2
+
+
+@register("similarity_ivfpq_opq_topk", tags={"rows_only"})
+def similarity_ivfpq_opq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ with an OPQ-rotated residual space (the FAISS "OPQ,IVF,PQ"
+    index preset): the coarse quantizer routes vectors to cells exactly as
+    similarity_ivfpq_topk, but residuals are rotated by an orthogonal
+    matrix learned with the similarity_opq_codebook alternation BEFORE PQ
+    encoding — the rotation decorrelates the residual subspaces, cutting
+    quantization distortion at identical code size, which lifts ADC
+    ranking fidelity.
+
+    Same scale shape as ivfpq: per OPQ iteration one joint PQ training
+    (Arrow sufficient-stats passes) plus one d x d cross-matrix reduction;
+    the rotation applies inside the same Arrow pass that encodes, so the
+    query path cost is unchanged. Rows-only; recall@10 asserted >= the
+    unrotated variant minus noise in tests/test_quantize.py.
+    """
+    from go_batch_processor_spark.operators.ml import (
+        _as_double,
+        assign_clusters,
+        kmeans_lloyd,
+    )
+
+    import numpy as np
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", _as_double(F.col("embedding")).alias("vec")
+    )
+    _, coarse = kmeans_lloyd(emb, k=IVF_CELLS, iters=2)
+    assigned = assign_clusters(emb, coarse).select("vec_id", "vec", "cluster")
+    cent_lits = F.array(
+        *[F.array(*[F.lit(float(v)) for v in c]) for c in coarse]
+    )
+    residual = F.zip_with(
+        F.col("vec"),
+        F.element_at(cent_lits, F.col("cluster") + 1),
+        lambda a, b: a - b,
+    )
+    res = assigned.select("vec_id", "cluster", residual.alias("full"))
+    train = res.filter(
+        F.substring(F.md5(F.col("vec_id").cast("string")), 1, 1).isin(
+            "0", "1", "2", "3"
+        )
+    ).persist()
+
+    d, m, k = EMB_DIM, PQ_SUBSPACES, PQ_CODEBOOK_K
+    sub = d // m
+    R = np.eye(d)
+
+    def _rot(Rb):
+        def fn(it):
+            import numpy as np
+            import pandas as pd
+
+            for pdf in it:
+                if not len(pdf):
+                    continue
+                X = np.array(
+                    [np.asarray(v, dtype=np.float64) for v in pdf["full"]]
+                )
+                yield pd.DataFrame(
+                    {"vec_id": pdf["vec_id"], "full": list(X @ Rb)}
+                )
+
+        return fn
+
+    books = None
+    try:
+        for _ in range(IVFPQ_OPQ_ITERS):
+            Rb = R.copy()
+            books = _pq_train(
+                train.mapInPandas(_rot(Rb), "vec_id long, full array<double>"),
+                m,
+                k,
+                PQ_ITERS,
+            )
+            B = np.asarray(books, dtype=np.float64)
+
+            def cross(it, Rb=Rb, B=B):
+                import numpy as np
+                import pandas as pd
+
+                G = np.zeros((d, d))
+                for pdf in it:
+                    if not len(pdf):
+                        continue
+                    X = np.array(
+                        [np.asarray(v, dtype=np.float64) for v in pdf["full"]]
+                    )
+                    Y = X @ Rb
+                    Yh = np.empty_like(Y)
+                    for j in range(m):
+                        Z = Y[:, j * sub : (j + 1) * sub]
+                        codes = (
+                            ((Z[:, None, :] - B[j][None, :, :]) ** 2)
+                            .sum(2)
+                            .argmin(1)
+                        )
+                        Yh[:, j * sub : (j + 1) * sub] = B[j][codes]
+                    G += X.T @ Yh
+                yield pd.DataFrame({"pos": np.arange(d * d), "v": G.ravel()})
+
+            rows = (
+                train.select("full")
+                .mapInPandas(cross, "pos long, v double")
+                .groupBy("pos")
+                .agg(F.sum("v").alias("v"))
+                .collect()
+            )
+            G = np.zeros(d * d)
+            for r in rows:
+                G[r["pos"]] = r["v"]
+            U, _, Vt = np.linalg.svd(G.reshape(d, d))
+            R = U @ Vt
+        books = _pq_train(
+            train.mapInPandas(_rot(R.copy()), "vec_id long, full array<double>"),
+            m,
+            k,
+            PQ_ITERS,
+        )
+    finally:
+        train.unpersist(blocking=False)
+
+    probe = np.asarray(
+        emb.filter(F.col("vec_id") == PROBE_VEC_ID).collect()[0]["vec"],
+        dtype=np.float64,
+    )
+    C = np.asarray(coarse, dtype=np.float64)
+    cells = np.argsort(((C - probe) ** 2).sum(axis=1))[:IVFPQ_NPROBE]
+    B = np.asarray(books, dtype=np.float64)
+
+    def adc(it, Rb=R.copy(), B=B):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in it:
+            if not len(pdf):
+                continue
+            Xr = np.array(
+                [np.asarray(v, dtype=np.float64) for v in pdf["full"]]
+            ) @ Rb
+            Xr = Xr.reshape(len(pdf), m, sub)
+            cl = pdf["cluster"].to_numpy()
+            score = np.zeros(len(pdf))
+            for j in range(m):
+                codes = (
+                    ((Xr[:, j, None, :] - B[j][None, :, :]) ** 2)
+                    .sum(axis=2)
+                    .argmin(axis=1)
+                )
+                for cell in np.unique(cl):
+                    pr = ((probe - C[cell]) @ Rb)[j * sub : (j + 1) * sub]
+                    table = ((pr[None, :] - B[j]) ** 2).sum(axis=1)
+                    mask = cl == cell
+                    score[mask] += table[codes[mask]]
+            yield pd.DataFrame({"vec_id": pdf["vec_id"], "adc_dist2": score})
+
+    cand = res.filter(
+        F.col("cluster").isin(*[int(c) for c in cells])
+        & (F.col("vec_id") != PROBE_VEC_ID)
+    )
+    scored = cand.select("vec_id", "cluster", "full").mapInPandas(
+        adc, "vec_id long, adc_dist2 double"
+    )
+    return (
+        scored.orderBy(F.col("adc_dist2").asc(), F.col("vec_id").asc())
+        .limit(TOP_K)
+        .select("vec_id", F.round("adc_dist2", 6).alias("adc_dist2"))
+    )

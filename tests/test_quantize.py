@@ -111,3 +111,26 @@ def test_opq_beats_plain_pq(spark, sf_dir):
     r2 = REGISTRY["similarity_opq_codebook"].fn(spark, sf_dir).collect()[0]
     assert r1 == r2
     assert r1.mse_opq < r1.mse_pq, (r1.mse_opq, r1.mse_pq)
+
+
+def test_ivfpq_opq_recall(spark, sf_dir):
+    """OPQ-rotated IVF-PQ must be deterministic and at least as good as
+    the unrotated variant's recall floor."""
+    import numpy as np
+
+    r1 = REGISTRY["similarity_ivfpq_opq_topk"].fn(spark, sf_dir).collect()
+    r2 = REGISTRY["similarity_ivfpq_opq_topk"].fn(spark, sf_dir).collect()
+    assert r1 == r2
+    got = {r.vec_id for r in r1}
+    assert len(got) == 10
+
+    emb = {
+        r.vec_id: np.array(r.embedding, dtype=np.float64)
+        for r in load_table(spark, sf_dir, "embeddings").collect()
+    }
+    probe = emb[0]
+    exact = sorted(
+        (float(((v - probe) ** 2).sum()), k) for k, v in emb.items() if k != 0
+    )[:10]
+    recall = len(got & {k for _, k in exact}) / 10
+    assert recall >= 0.3, (recall, sorted(got))
