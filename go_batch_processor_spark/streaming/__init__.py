@@ -7,6 +7,7 @@ from go_batch_processor_spark.streaming.stateful import (
     rocksdb_state_store,
     run_user_running_stats_once,
     streaming_user_running_stats,
+    streaming_user_running_stats_tws,
 )
 
 __all__ = [
@@ -16,4 +17,5 @@ __all__ = [
     "streaming_session_window",
     "streaming_tumbling_window",
     "streaming_user_running_stats",
+    "streaming_user_running_stats_tws",
 ]

@@ -155,3 +155,102 @@ def streaming_user_running_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .drop("rn")
     )
+
+
+try:  # Spark >= 4.0; module import must survive older builds
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor as _StatefulProcessorBase,
+    )
+except ImportError:  # pragma: no cover — gated like table_formats
+    _StatefulProcessorBase = object
+
+
+class RunningStatsProcessor(_StatefulProcessorBase):
+    """StatefulProcessor twin of _update_user_state on Spark 4's
+    transformWithState API (the successor of applyInPandasWithState:
+    typed per-key state handles — ValueState here — plus timers and
+    TTL the legacy API lacks; REQUIRES the RocksDB state store, which
+    registry.REQUIRED_CONFS pins on any session)."""
+
+    def init(self, handle) -> None:  # StatefulProcessorHandle
+        self._state = handle.getValueState("agg", STATE_SCHEMA)
+
+    def handleInputRows(self, key, rows, timer_values):
+        import pandas as pd
+
+        (user_id,) = key
+        if self._state.exists():
+            n, total, last_ts, max_gap = self._state.get()
+        else:
+            n, total, last_ts, max_gap = 0, 0.0, None, 0.0
+        for pdf in rows:
+            pdf = pdf.sort_values("ts")
+            for ts, value in zip(pdf["ts"], pdf["value"]):
+                t = ts.timestamp()
+                if last_ts is not None:
+                    max_gap = max(max_gap, t - last_ts)
+                last_ts = t
+                n += 1
+                total += float(value)
+        self._state.update((n, total, last_ts, max_gap))
+        yield pd.DataFrame(
+            {
+                "user_id": [user_id],
+                "n_events": [n],
+                "total_value": [round(total, 2)],
+                "max_gap_s": [round(max_gap, 1)],
+            }
+        )
+
+    def close(self) -> None:
+        pass
+
+
+def transform_with_state_available() -> bool:
+    """transformWithState's DRIVER-side Python worker hard-imports
+    google.protobuf (state serialization protocol); without it the worker
+    exits -2 and every TWS query dies with
+    STREAMING_PYTHON_RUNNER_INITIALIZATION_FAILURE (verified live in this
+    container). Gate on the import, same policy as sources/table_formats."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return _StatefulProcessorBase is not object
+    except ImportError:
+        return False
+
+
+def streaming_user_running_stats_tws(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The per-user running aggregate on transformWithStateInPandas —
+    identical semantics and oracle as streaming_user_running_stats.
+
+    ENV-GATED (not in the query registry): this container ships no
+    protobuf and pip installs are unavailable, so the TWS runtime cannot
+    start here; the implementation is complete and becomes registerable
+    the moment the dependency exists (see transform_with_state_available).
+    """
+    if not transform_with_state_available():
+        raise NotImplementedError(
+            "transformWithState requires google.protobuf in the Python "
+            "environment; not available in this container (see "
+            "transform_with_state_available)"
+        )
+    ev = load_stream(spark, sf_dir, "events").select("user_id", "ts", "value")
+    updated = ev.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=RunningStatsProcessor(),
+        outputStructType=OUTPUT_SCHEMA,
+        outputMode="update",
+        timeMode="none",
+    )
+    out = run_stream_to_memory(updated, spark, output_mode="update")
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    w = Window.partitionBy("user_id").orderBy(F.col("n_events").desc())
+    return (
+        out.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )

@@ -388,3 +388,32 @@ def test_incremental_mv_refresh_epoch_replay_is_idempotent(spark, sf_dir, tmp_pa
     mv.merge_batch(b1, 1)  # replay the last epoch
     replayed = mv.current_state().orderBy("o_custkey").collect()
     assert after == replayed
+
+
+def test_transform_with_state_gate(spark, sf_dir):
+    """The transformWithState twin must either run and match the legacy
+    applyInPandasWithState snapshot (protobuf present) or raise the
+    documented NotImplementedError gate (this container)."""
+    import pytest as _pytest
+
+    from go_batch_processor_spark.streaming import (
+        streaming_user_running_stats,
+        streaming_user_running_stats_tws,
+    )
+    from go_batch_processor_spark.streaming.stateful import (
+        transform_with_state_available,
+    )
+
+    if not transform_with_state_available():
+        with _pytest.raises(NotImplementedError, match="protobuf"):
+            streaming_user_running_stats_tws(spark, sf_dir)
+        return
+    legacy = {
+        (r.user_id, r.n_events, r.total_value, r.max_gap_s)
+        for r in streaming_user_running_stats(spark, sf_dir).collect()
+    }
+    tws = {
+        (r.user_id, r.n_events, r.total_value, r.max_gap_s)
+        for r in streaming_user_running_stats_tws(spark, sf_dir).collect()
+    }
+    assert tws == legacy
