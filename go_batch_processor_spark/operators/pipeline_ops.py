@@ -123,3 +123,45 @@ def stream_mv_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         # the returned plan reads the state dir lazily; only the split
         # input can be dropped here (state dirs are tempdirs the OS owns)
         shutil.rmtree(orders_dir, ignore_errors=True)
+
+
+@register(
+    "stream_static_join",
+    oracle="""
+    SELECT e.event_id, e.user_id, c.c_name, c.c_mktsegment
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    """,
+)
+def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment join, run through real Structured
+    Streaming (readStream + per-micro-batch broadcast hash join against
+    the static customer dimension)."""
+    from go_batch_processor_spark.streaming.stream_ops import (
+        streaming_static_enrich,
+    )
+
+    return streaming_static_enrich(spark, sf_dir)
+
+
+@register(
+    "stream_stream_interval_join",
+    oracle="""
+    SELECT c.user_id,
+           c.event_id AS click_id,
+           p.event_id AS purchase_id,
+           date_diff('microsecond', c.ts, p.ts) AS lag_us
+    FROM events c
+    JOIN events p
+      ON p.user_id = c.user_id
+     AND c.event_type = 'click' AND p.event_type = 'purchase'
+     AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 12 HOUR
+    """,
+)
+def stream_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRUE stream-stream interval join (two watermarked streams, evictable
+    join state) — the streaming twin of join_interval_events, same oracle."""
+    from go_batch_processor_spark.streaming.stream_ops import (
+        streaming_interval_join,
+    )
+
+    return streaming_interval_join(spark, sf_dir)

@@ -75,3 +75,67 @@ def streaming_session_window(
         )
     )
     return run_stream_to_memory(agg, spark, output_mode="append")
+
+
+def streaming_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static join: the events STREAM enriched against the static
+    customer dimension. Structured Streaming plans the static side as a
+    normal batch relation — with a broadcast hint the stream side never
+    shuffles (per-micro-batch broadcast hash join), the standard
+    enrichment shape for dimension lookups at any scale."""
+    from go_batch_processor_spark.catalog import load_table
+
+    ev = load_stream(spark, sf_dir, "events").select("event_id", "user_id")
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_mktsegment"
+    )
+    joined = ev.join(
+        F.broadcast(c), ev.user_id == c.c_custkey, "inner"
+    ).select("event_id", "user_id", "c_name", "c_mktsegment")
+    return run_stream_to_memory(joined, spark, output_mode="append")
+
+
+def streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRUE stream-stream interval join (the streaming twin of the batch
+    join_interval_events): clicks and purchases read as two independent
+    streams, joined on user_id with the purchase constrained to
+    [click_ts, click_ts + 12h], watermarks on BOTH sides so the join
+    state is evictable (the time-range condition + watermarks bound how
+    long a click waits for purchases — Spark derives the state watermark
+    from the interval, the mechanism that keeps stream-stream join state
+    finite at 100 TB/day)."""
+    clicks = (
+        load_stream(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "click")
+        .select(
+            "user_id",
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "1 hour")
+    )
+    purchases = (
+        load_stream(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user_id"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "1 hour")
+    )
+    joined = clicks.join(
+        purchases,
+        (clicks.user_id == purchases.p_user_id)
+        & (purchases.p_ts >= clicks.c_ts)
+        & (purchases.p_ts <= clicks.c_ts + F.expr("INTERVAL 12 HOURS")),
+        "inner",
+    ).select(
+        "user_id",
+        "click_id",
+        "purchase_id",
+        (F.unix_micros(F.col("p_ts")) - F.unix_micros(F.col("c_ts"))).alias(
+            "lag_us"
+        ),
+    )
+    return run_stream_to_memory(joined, spark, output_mode="append")

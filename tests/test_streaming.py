@@ -417,3 +417,20 @@ def test_transform_with_state_gate(spark, sf_dir):
         for r in streaming_user_running_stats_tws(spark, sf_dir).collect()
     }
     assert tws == legacy
+
+
+def test_stream_stream_interval_join_matches_batch(spark, sf_dir):
+    """The true stream-stream interval join must produce the identical
+    pair set as the batch join_interval_events twin."""
+    batch = {
+        (r.user_id, r.click_id, r.purchase_id, r.lag_us)
+        for r in REGISTRY["join_interval_events"].fn(spark, sf_dir).collect()
+    }
+    stream = {
+        (r.user_id, r.click_id, r.purchase_id, r.lag_us)
+        for r in REGISTRY["stream_stream_interval_join"]
+        .fn(spark, sf_dir)
+        .collect()
+    }
+    assert stream == batch
+    assert stream, "fixture must contain click->purchase pairs"
