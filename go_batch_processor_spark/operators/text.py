@@ -779,3 +779,58 @@ def text_repeated_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .limit(REPEAT_TOP_K)
     )
+
+
+BPE_PAIR_TOP_K = 20
+
+
+@register(
+    "text_bpe_pair_counts",
+    oracle=f"""
+    WITH w AS (
+      SELECT unnest(string_split(text, ' ')) AS word FROM documents
+    ),
+    pairs AS (
+      SELECT substr(word, CAST(i AS INTEGER), 2) AS pair
+      FROM w CROSS JOIN UNNEST(range(1, len(word))) AS r(i)
+      WHERE len(word) >= 2
+    )
+    SELECT pair, CAST(count(*) AS BIGINT) AS n
+    FROM pairs
+    GROUP BY pair
+    ORDER BY n DESC, pair ASC
+    LIMIT {BPE_PAIR_TOP_K}
+    """,
+)
+def text_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The BPE merge-step statistic (Sennrich et al. 2016): corpus-wide
+    frequencies of adjacent symbol pairs at the character stage — the
+    quantity a tokenizer trainer maximizes at every merge. Top pairs by
+    count, deterministic pair-ASC tiebreak.
+
+    Scale shape: pair generation is an inline HOF explode (no UDF), the
+    count is ONE partial-combinable aggregate over pair strings (bounded
+    key space: alphabet^2), and top-k is TakeOrderedAndProject. A full
+    BPE trainer iterates this with a merge table; the per-iteration Spark
+    job is exactly this shape.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    word = F.col("word")
+    pairs = (
+        d.select(F.explode(F.split("text", " ")).alias("word"))
+        .filter(F.length(word) >= 2)
+        .select(
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.length(word) - 1),
+                    lambda i: F.substring(word, i, F.lit(2)),
+                )
+            ).alias("pair")
+        )
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("pair").asc())
+        .limit(BPE_PAIR_TOP_K)
+    )
