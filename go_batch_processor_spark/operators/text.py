@@ -834,3 +834,91 @@ def text_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n").desc(), F.col("pair").asc())
         .limit(BPE_PAIR_TOP_K)
     )
+
+
+BPE_TRAIN_MERGES = 10
+
+
+@register("text_bpe_train_merges", tags={"rows_only"})
+def text_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterative BPE merge training (Sennrich et al. 2016), distributed:
+    the classic tokenizer-training loop run as Spark jobs over the
+    word-frequency table.
+
+      vocab := distinct words with corpus frequencies (ONE corpus agg —
+               all further iterations touch only the vocab, the standard
+               BPE trick that makes training corpus-size-independent);
+      per merge step: count adjacent symbol pairs weighted by word freq
+               (partial-combinable agg), take the (count DESC, pair ASC)
+               top-1, splice it into every word's symbol sequence with a
+               LITERAL space-padded replace (no regex — symbols can be
+               any character), localCheckpoint to truncate the growing
+               lineage.
+
+    Greedy left-to-right non-overlapping replacement — identical
+    semantics in Spark's replace() and Python's str.replace, which the
+    pure-Python twin test exploits for exact equality
+    (tests/test_text_bpe.py). Output: the merge table
+    (step, pair, merged, weighted_count). Rows-only (iterative).
+
+    Scale: the vocab is |distinct words| rows — bounded by language, not
+    corpus; each iteration is one small agg + top-1 + map. At 100 TB the
+    corpus is touched exactly once (the word-frequency agg).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    word = F.col("word")
+    vocab = (
+        docs.select(F.explode(F.split("text", " ")).alias("word"))
+        .filter(F.length(word) > 0)
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .select(
+            "freq",
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.sequence(F.lit(1), F.length(word)),
+                    lambda i: F.substring(word, i, F.lit(1)),
+                ),
+            ).alias("seq"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    merges: list[tuple[int, str, str, int]] = []
+    for step in range(BPE_TRAIN_MERGES):
+        syms = F.split("seq", " ")
+        pair_col = F.explode(
+            F.when(
+                F.size(syms) >= 2,
+                F.transform(
+                    F.sequence(F.lit(1), F.size(syms) - 1),
+                    lambda i: F.concat_ws(" ", F.slice(syms, i, 2)),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("pair")
+        top = (
+            vocab.select("freq", pair_col)
+            .groupBy("pair")
+            .agg(F.sum("freq").alias("n"))
+            .orderBy(F.col("n").desc(), F.col("pair").asc())
+            .limit(1)
+            .collect()
+        )
+        if not top or top[0]["n"] < 2:
+            break
+        pair, n = top[0]["pair"], int(top[0]["n"])
+        merged = pair.replace(" ", "")
+        merges.append((step, pair, merged, n))
+        vocab = vocab.select(
+            "freq",
+            F.trim(
+                F.replace(
+                    F.concat(F.lit(" "), F.col("seq"), F.lit(" ")),
+                    F.lit(f" {pair} "),
+                    F.lit(f" {merged} "),
+                )
+            ).alias("seq"),
+        ).localCheckpoint(eager=False)
+    return spark.createDataFrame(
+        merges, "step int, pair string, merged string, weighted_count long"
+    )

@@ -1,0 +1,58 @@
+"""Pure-Python twin of the distributed BPE merge trainer: both implement
+greedy (count DESC, pair ASC) merges with left-to-right non-overlapping
+replacement, so the merge tables must match EXACTLY."""
+
+from __future__ import annotations
+
+from collections import Counter
+
+from go_batch_processor_spark.catalog import load_table
+from go_batch_processor_spark.operators.text import BPE_TRAIN_MERGES
+from go_batch_processor_spark.registry import REGISTRY, _ensure_loaded
+
+_ensure_loaded()
+
+
+def _python_bpe(word_freqs: dict[str, int], n_merges: int):
+    vocab = {" ".join(w): f for w, f in word_freqs.items()}
+    merges = []
+    for step in range(n_merges):
+        counts: Counter = Counter()
+        for seq, f in vocab.items():
+            syms = seq.split(" ")
+            for a, b in zip(syms, syms[1:]):
+                counts[f"{a} {b}"] += f
+        if not counts:
+            break
+        # top-1 by (count DESC, pair ASC)
+        pair, n = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        if n < 2:
+            break
+        merged = pair.replace(" ", "")
+        merges.append((step, pair, merged, n))
+        vocab = {
+            (" " + seq + " ").replace(f" {pair} ", f" {merged} ").strip(): f
+            for seq, f in vocab.items()
+        }
+    return merges
+
+
+def test_bpe_train_matches_python_twin(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    got = [
+        (r.step, r.pair, r.merged, r.weighted_count)
+        for r in REGISTRY["text_bpe_train_merges"].fn(spark, sf_dir).collect()
+    ]
+    docs = load_table(spark, sf_dir, "documents")
+    freqs = {
+        r["word"]: r["freq"]
+        for r in docs.select(F.explode(F.split("text", " ")).alias("word"))
+        .filter(F.length("word") > 0)
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .collect()
+    }
+    want = _python_bpe(freqs, BPE_TRAIN_MERGES)
+    assert got == want
+    assert len(got) == BPE_TRAIN_MERGES  # fixture corpus is rich enough
