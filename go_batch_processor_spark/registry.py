@@ -126,24 +126,50 @@ def _driver_check_counts() -> dict[str, int]:
 
 
 def driver_sample_order(names: list[str]) -> list[str]:
-    """Order query keys least-driver-checked first; within a tie, REVERSE
-    registry-insertion order.
+    """Order query keys least-driver-checked first; among NEVER-checked
+    keys tiebreak by FORWARD insertion order, among checked keys by
+    reverse.
 
-    The reverse tiebreak matters while never-checked keys still outnumber
-    the driver's 50-entry sample: insertion order follows the alphabetical
-    module import list, so plain stable ordering would keep favoring
-    early-module keys (aggregates/analytics/composite — including newly
-    added ones that already have fresh local parity) and starve the
-    late-module families that have never had a driver row (scalars, scans,
-    set ops, sorts, streaming twins, text, similarity, udfs, windows).
-    Reversed, those long-starved families go first, and whatever misses
-    this round's sample has a lower check count next round — the rotation
-    still self-corrects over rounds. Deterministic for a given set of
-    round files.
+    Rationale (r4): the r3 sample consumed the late-module never-checked
+    families (the r3 reverse tiebreak's purpose), so the never-checked
+    tail is now dominated by EARLY-module keys that have waited since r2/r3
+    (tpch shapes, analytics, mv_incremental_agg — the keys the r3 verdict
+    names explicitly) plus brand-new late-module r4 keys that already have
+    fresh local sf0.01 value parity. Forward order sends the longest-
+    waiting keys into this round's 50-entry sample and lets the new ones
+    take the next round — the rotation still self-corrects: whatever
+    misses a sample has a strictly lower check count next round.
+    Deterministic for a given set of round files.
     """
     counts = _driver_check_counts()
     idx = {n: i for i, n in enumerate(names)}
-    return sorted(names, key=lambda n: (counts.get(n, 0), -idx[n]))
+    return sorted(
+        names,
+        key=lambda n: (
+            counts.get(n, 0),
+            (n in _NEW_IN_R4, idx[n]) if counts.get(n, 0) == 0 else (False, -idx[n]),
+        ),
+    )
+
+
+# Keys first registered in round 4 — every key the r3 verdict's rotation
+# list names predates these, so they wait one round (each has fresh local
+# sf0.01 value parity from this round). INERT once each has a driver
+# CORRECTNESS row (counts > 0); safe to delete then.
+_NEW_IN_R4 = frozenset(
+    {
+        "tpch_q20_shape",
+        "similarity_ivfpq_stored",
+        "similarity_opq_codebook",
+        "similarity_ivfpq_opq_topk",
+        "similarity_ann_lsh_multiprobe",
+        "join_asof_nearest",
+        "stream_static_join",
+        "stream_stream_interval_join",
+        "text_bpe_pair_counts",
+        "text_bpe_train_merges",
+    }
+)
 
 
 def all_queries() -> dict[str, QueryFn]:
