@@ -9,7 +9,7 @@ the shuffle carries only per-group partials, never raw rows.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from go_batch_processor_spark.catalog import load_table, register_views
@@ -347,4 +347,42 @@ def agg_decimal_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).alias("total_price"),
         F.sum(F.col("l_discount").cast("decimal(8,2)")).alias("total_discount"),
         F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+@register(
+    "agg_mode_deterministic",
+    oracle="""
+    SELECT event_type, val_mode, n FROM (
+      SELECT event_type, val AS val_mode, n,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY n DESC, val ASC) AS rn
+      FROM (
+        SELECT event_type, round(value, 0) AS val,
+               CAST(count(*) AS BIGINT) AS n
+        FROM events GROUP BY 1, 2
+      )
+    ) WHERE rn = 1
+    """,
+)
+def agg_mode_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic MODE (most frequent value) per group: count-then-pick
+    with an explicit (count DESC, value ASC) tiebreak. Built-in mode()
+    returns an ARBITRARY element among tied candidates in both engines —
+    unusable under a value-hash correctness gate, and a real
+    reproducibility bug in pipelines; the two-aggregate formulation costs
+    one extra |groups x distinct-values| shuffle and is exactly
+    reproducible. Values are rounded to integers first so the mode is
+    over a meaningful (non-unique) domain."""
+    ev = load_table(spark, sf_dir, "events")
+    counted = ev.groupBy(
+        "event_type", F.round("value", 0).alias("val")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("n").desc(), F.col("val").asc()
+    )
+    return (
+        counted.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("event_type", F.col("val").alias("val_mode"), "n")
     )

@@ -154,3 +154,57 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_members").desc(), F.col("label").asc())
         .limit(LPA_TOP_K)
     )
+
+
+@register(
+    "graph_triangle_count",
+    oracle="""
+    WITH pairs AS (
+      SELECT DISTINCT a.l_partkey AS pa, b.l_partkey AS pb
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_triangles
+    FROM pairs e1
+    JOIN pairs e2 ON e2.pa = e1.pb
+    JOIN pairs e3 ON e3.pa = e1.pa AND e3.pb = e2.pb
+    """,
+)
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle counting over the part co-purchase graph (parts appearing
+    in the same order are adjacent) — the clustering-coefficient /
+    community-density primitive, and the graph family's ORACLED member
+    (pagerank/LPA are rows-only by nature).
+
+    The a<b canonical edge orientation makes each triangle a<b<c match
+    exactly once (e1=(a,b), e2=(b,c), e3=(a,c)) — no /6 correction and no
+    double counting. Scale shape: this is the standard two-join triangle
+    enumeration; at 100 TB you'd pre-orient edges by degree (low-degree
+    endpoint first) to bound the wedge fanout — the oracle stays
+    identical since orientation only changes the join order, not the
+    triangle set.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a = li.alias("a")
+    b = li.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(
+            F.col("a.l_partkey").alias("pa"), F.col("b.l_partkey").alias("pb")
+        )
+        .distinct()
+        # consumed three times below; one shuffle to build, reused
+        .localCheckpoint(eager=False)
+    )
+    e1 = edges.select(F.col("pa").alias("x"), F.col("pb").alias("y"))
+    e2 = edges.select(F.col("pa").alias("y2"), F.col("pb").alias("z"))
+    e3 = edges.select(F.col("pa").alias("x3"), F.col("pb").alias("z3"))
+    return (
+        e1.join(e2, F.col("y") == F.col("y2"))
+        .join(e3, (F.col("x") == F.col("x3")) & (F.col("z") == F.col("z3")))
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )

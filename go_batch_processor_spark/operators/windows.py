@@ -244,3 +244,31 @@ def window_gaps_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("len").cast("bigint").alias("longest_streak"),
         F.sum("len").cast("bigint").alias("active_days"),
     )
+
+
+@register(
+    "window_percent_cume",
+    oracle="""
+    SELECT c_custkey,
+           c_mktsegment,
+           round(percent_rank() OVER w, 6) AS pct_rank,
+           round(cume_dist()    OVER w, 6) AS cume
+    FROM customer
+    WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal ASC, c_custkey ASC)
+    """,
+)
+def window_percent_cume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relative-position window functions: percent_rank (rank-1)/(n-1) and
+    cume_dist over account balance within market segment, with a
+    deterministic custkey tiebreak in the ordering (ties would otherwise
+    make percent_rank engine-dependent)."""
+    c = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("c_acctbal").asc(), F.col("c_custkey").asc()
+    )
+    return c.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+    )

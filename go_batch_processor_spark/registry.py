@@ -168,6 +168,9 @@ _NEW_IN_R4 = frozenset(
         "stream_stream_interval_join",
         "text_bpe_pair_counts",
         "text_bpe_train_merges",
+        "graph_triangle_count",
+        "window_percent_cume",
+        "agg_mode_deterministic",
     }
 )
 
