@@ -195,3 +195,158 @@ def timeseries_weighted_ma(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.select(
         "user_id", "event_id", "ts", "value", F.round(num / den, 4).alias("wma")
     )
+
+
+@register(
+    "timeseries_interpolate_linear",
+    oracle="""
+    WITH bounds AS (
+      SELECT date_trunc('hour', min(ts)) AS lo, date_trunc('hour', max(ts)) AS hi
+      FROM events
+    ),
+    spine AS (
+      SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hour FROM bounds
+    ),
+    types AS (SELECT DISTINCT event_type FROM events),
+    actual AS (
+      SELECT date_trunc('hour', ts) AS hour, event_type,
+             round(CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE)
+                   / count(*) / 100.0, 6) AS val
+      FROM events GROUP BY 1, 2
+    ),
+    dense AS (
+      SELECT s.hour, t.event_type, a.val
+      FROM spine s CROSS JOIN types t
+      LEFT JOIN actual a ON a.hour = s.hour AND a.event_type = t.event_type
+    ),
+    ctx AS (
+      SELECT hour, event_type, val,
+        last_value(val IGNORE NULLS) OVER wb AS pv,
+        last_value(CASE WHEN val IS NOT NULL THEN hour END IGNORE NULLS) OVER wb AS pt,
+        first_value(val IGNORE NULLS) OVER wf AS nv,
+        first_value(CASE WHEN val IS NOT NULL THEN hour END IGNORE NULLS) OVER wf AS nt
+      FROM dense
+      WINDOW
+        wb AS (PARTITION BY event_type ORDER BY hour
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        wf AS (PARTITION BY event_type ORDER BY hour
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    )
+    SELECT hour, event_type,
+      round(CASE
+        WHEN val IS NOT NULL THEN val
+        WHEN pv IS NULL THEN nv
+        WHEN nv IS NULL THEN pv
+        ELSE pv + (nv - pv) * ((epoch(hour) - epoch(pt)) / (epoch(nt) - epoch(pt)))
+      END, 6) AS val_interp
+    FROM ctx
+    """,
+)
+def timeseries_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear interpolation over gaps in the hourly mean-value series per
+    event type (the numeric sibling of timeseries_gapfill's zero-fill):
+    missing hours take the time-weighted blend of the nearest non-missing
+    neighbors; leading/trailing gaps extend the nearest edge value.
+
+    Scale shape: the dense spine is (hours x types) — broadcast-sized —
+    and the neighbor context is two PARTITIONED windows (forward pass
+    carries last-seen, backward pass next-seen, both ignorenulls); the
+    only corpus-sized op is the hourly aggregate. The hourly mean is
+    computed over EXACT integer cents (a BIGINT sum is order-independent
+    where a double sum is not — a plain round(avg, 6) straddled a
+    half-point at sf0.1), so both engines see bit-identical series and
+    the per-row IEEE interpolation arithmetic matches exactly; the SQL
+    mirrors the Spark expression tree's association.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    bounds = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    spine = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))).alias("hour")
+    )
+    types = ev.select("event_type").distinct()
+    # Exact-integer mean: sum 2-decimal values as cents (a BIGINT sum is
+    # order-independent, unlike a double sum), divide once — identical
+    # IEEE result in both engines regardless of shuffle order.
+    actual = ev.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("hour"), "event_type"
+    ).agg(
+        F.round(
+            F.sum(F.round(F.col("value") * 100).cast("long")).cast("double")
+            / F.count(F.lit(1))
+            / 100.0,
+            6,
+        ).alias("val")
+    )
+    dense = (
+        spine.crossJoin(F.broadcast(types))
+        .join(F.broadcast(actual), ["hour", "event_type"], "left")
+    )
+    wb = (
+        Window.partitionBy("event_type")
+        .orderBy("hour")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wf = (
+        Window.partitionBy("event_type")
+        .orderBy("hour")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    hour_if_val = F.when(F.col("val").isNotNull(), F.col("hour"))
+    ctx = dense.select(
+        "hour",
+        "event_type",
+        "val",
+        F.last("val", ignorenulls=True).over(wb).alias("pv"),
+        F.last(hour_if_val, ignorenulls=True).over(wb).alias("pt"),
+        F.first("val", ignorenulls=True).over(wf).alias("nv"),
+        F.first(hour_if_val, ignorenulls=True).over(wf).alias("nt"),
+    )
+    frac = (
+        (F.unix_timestamp("hour") - F.unix_timestamp("pt")).cast("double")
+        / (F.unix_timestamp("nt") - F.unix_timestamp("pt")).cast("double")
+    )
+    interp = (
+        F.when(F.col("val").isNotNull(), F.col("val"))
+        .when(F.col("pv").isNull(), F.col("nv"))
+        .when(F.col("nv").isNull(), F.col("pv"))
+        .otherwise(F.col("pv") + (F.col("nv") - F.col("pv")) * frac)
+    )
+    return ctx.select(
+        "hour", "event_type", F.round(interp, 6).alias("val_interp")
+    )
+
+
+EWMA_ALPHA = 0.3
+
+
+def _ewma_kernel(pdf):
+    """Per-user EWMA over the time-ordered value series: the classic
+    recursive y_t = a*x_t + (1-a)*y_{t-1} (pandas ewm adjust=False).
+    Runs inside applyInPandas — per-group sequential state is the one
+    shape Spark's built-in window/agg surface cannot express without an
+    exploding (1-a)^-t weight rewrite (numerically unbounded), making
+    this the documented legitimate Pandas-UDF use."""
+    pdf = pdf.sort_values("ts")
+    pdf["ewma"] = pdf["value"].ewm(alpha=EWMA_ALPHA, adjust=False).mean().round(6)
+    return pdf[["user_id", "event_id", "ts", "ewma"]]
+
+
+@register("timeseries_ewma", tags={"rows_only"})
+def timeseries_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially weighted moving average per user over event time.
+
+    Scale shape: ONE shuffle on user_id, then each group runs its
+    sequential recursion inside an Arrow batch; state is O(1) per group.
+    Rows-only (recursive semantics have no stable ANSI-SQL twin);
+    tests/test_timeseries_ewma.py pins exact equality against a pandas
+    groupby twin and the recursion's closed form.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts", "value"
+    )
+    return ev.groupBy("user_id").applyInPandas(
+        _ewma_kernel, "user_id long, event_id long, ts timestamp, ewma double"
+    )

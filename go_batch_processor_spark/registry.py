@@ -171,6 +171,8 @@ _NEW_IN_R4 = frozenset(
         "graph_triangle_count",
         "window_percent_cume",
         "agg_mode_deterministic",
+        "timeseries_interpolate_linear",
+        "timeseries_ewma",
     }
 )
 
