@@ -185,3 +185,41 @@ def mv_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return merged
+
+
+@register(
+    "cdc_scd2_history",
+    oracle="""
+    SELECT user_id,
+           value AS attr_value,
+           ts AS valid_from,
+           lead(ts) OVER w AS valid_to,
+           (lead(ts) OVER w IS NULL) AS is_current,
+           row_number() OVER w AS version
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+    """,
+)
+def cdc_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension TYPE 2 build from a change stream: each
+    per-key change becomes a version row with a [valid_from, valid_to)
+    validity interval (valid_to = next change's timestamp, open for the
+    current version) and a monotone version number — the standard
+    warehouse history table, built with ONE keyed window (single shuffle
+    on the business key, no self-join). Deterministic event_id tiebreak
+    per the repo's ts-ordering rule."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    nxt = F.lead("ts").over(w)
+    return ev.select(
+        "user_id",
+        F.col("value").alias("attr_value"),
+        F.col("ts").alias("valid_from"),
+        nxt.alias("valid_to"),
+        nxt.isNull().alias("is_current"),
+        F.row_number().over(w).alias("version"),
+    )

@@ -173,6 +173,7 @@ _NEW_IN_R4 = frozenset(
         "agg_mode_deterministic",
         "timeseries_interpolate_linear",
         "timeseries_ewma",
+        "cdc_scd2_history",
     }
 )
 
