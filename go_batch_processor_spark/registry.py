@@ -212,13 +212,14 @@ def _register_pickle_by_value() -> None:
         return
     import go_batch_processor_spark.operators.ml as _ml
     import go_batch_processor_spark.operators.multimodal as _mm
+    import go_batch_processor_spark.operators.timeseries as _ts
     import go_batch_processor_spark.operators.udfs as _udfs
     import go_batch_processor_spark.sources.supplier_source as _src
     import go_batch_processor_spark.streaming.stateful as _stateful
 
     import go_batch_processor_spark.operators.similarity as _sim
 
-    for mod in (_ml, _mm, _udfs, _src, _stateful, _sim):
+    for mod in (_ml, _mm, _ts, _udfs, _src, _stateful, _sim):
         try:
             cloudpickle.register_pickle_by_value(mod)
         except Exception:  # pragma: no cover — older cloudpickle
