@@ -408,3 +408,59 @@ def analytics_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFr
             F.round(F.avg(latency), 4).alias("avg_latency_s"),
         )
     )
+
+
+RFM_ASOF = "2024-02-01"  # fixed analysis date (events span Jan 2024)
+
+
+@register(
+    "analytics_rfm_segmentation",
+    oracle=f"""
+    WITH base AS (
+      SELECT user_id,
+             date_diff('day', max(ts), TIMESTAMP '{RFM_ASOF}') AS recency_days,
+             CAST(count(*) AS BIGINT) AS frequency,
+             round(sum(value), 2) AS monetary
+      FROM events
+      GROUP BY user_id
+    )
+    SELECT user_id, recency_days, frequency, monetary,
+           ntile(4) OVER (ORDER BY recency_days ASC, user_id ASC) AS r_quartile,
+           ntile(4) OVER (ORDER BY frequency DESC, user_id ASC)  AS f_quartile,
+           ntile(4) OVER (ORDER BY monetary DESC, user_id ASC)   AS m_quartile
+    FROM base
+    """,
+)
+def analytics_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation (recency / frequency / monetary
+    quartiles) — the classic marketing-analytics scoring, with
+    deterministic user_id tiebreaks in every ntile ordering (without
+    them quartile boundaries flap between engines).
+
+    Scale note: the ntile windows are global but run over the AGGREGATE
+    (one row per user) — |users| rows, the documented
+    window-over-agg-output exception, not a fact-table straggler. The
+    corpus-sized op is the single per-user aggregate.
+    """
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.groupBy("user_id").agg(
+        F.datediff(
+            F.lit(RFM_ASOF).cast("timestamp"), F.max("ts")
+        ).alias("recency_days"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.round(F.sum("value"), 2).alias("monetary"),
+    )
+    wr = Window.orderBy(F.col("recency_days").asc(), F.col("user_id").asc())
+    wf = Window.orderBy(F.col("frequency").desc(), F.col("user_id").asc())
+    wm = Window.orderBy(F.col("monetary").desc(), F.col("user_id").asc())
+    return base.select(
+        "user_id",
+        "recency_days",
+        "frequency",
+        "monetary",
+        F.ntile(4).over(wr).alias("r_quartile"),
+        F.ntile(4).over(wf).alias("f_quartile"),
+        F.ntile(4).over(wm).alias("m_quartile"),
+    )

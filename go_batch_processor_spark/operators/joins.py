@@ -893,3 +893,68 @@ def asof_join_nearest(
         both.filter(F.col("_bt").isNotNull() | F.col("_ft").isNotNull())
         .select(*left.columns, nearest.alias(f"nearest_{value_col}"))
     )
+
+
+@register(
+    "join_scd2_lookup",
+    oracle="""
+    WITH hist AS (
+      SELECT user_id,
+             value AS attr_value,
+             ts AS valid_from,
+             lead(ts) OVER (PARTITION BY user_id
+                            ORDER BY ts ASC, event_id ASC) AS valid_to
+      FROM events WHERE event_type = 'click'
+    )
+    SELECT p.event_id AS purchase_id, p.user_id, p.ts AS purchase_ts,
+           h.attr_value, h.valid_from
+    FROM events p
+    JOIN hist h
+      ON h.user_id = p.user_id
+     AND p.ts >= h.valid_from
+     AND (h.valid_to IS NULL OR p.ts < h.valid_to)
+    WHERE p.event_type = 'purchase'
+    """,
+)
+def join_scd2_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time dimension lookup against an SCD Type-2 history (the
+    consumer of cdc_scd2_history's shape): each purchase joined to the
+    click-attribute version valid AT its event time — the canonical
+    as-was reporting join, on interleaved same-period histories so every
+    interval branch (closed intervals AND the open current one) carries
+    real matches.
+
+    Scale shape: the equi key (user) drives one shuffle per side and the
+    validity interval is a join residual; because versions partition time
+    per key, each fact matches at most one version — no fanout. Same
+    non-cartesian pattern as join_theta_range, applied to temporal
+    dimension lookup (an as-of join computes the same thing; the
+    interval-residual form is the one warehouses write).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    hist = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("h_user_id"),
+        F.col("value").alias("attr_value"),
+        F.col("ts").alias("valid_from"),
+        F.lead("ts").over(w).alias("valid_to"),
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+    )
+    return (
+        p.join(
+            hist,
+            (F.col("h_user_id") == F.col("user_id"))
+            & (F.col("purchase_ts") >= F.col("valid_from"))
+            & (
+                F.col("valid_to").isNull()
+                | (F.col("purchase_ts") < F.col("valid_to"))
+            ),
+        )
+        .select("purchase_id", "user_id", "purchase_ts", "attr_value", "valid_from")
+    )

@@ -174,6 +174,8 @@ _NEW_IN_R4 = frozenset(
         "timeseries_interpolate_linear",
         "timeseries_ewma",
         "cdc_scd2_history",
+        "analytics_rfm_segmentation",
+        "join_scd2_lookup",
     }
 )
 
