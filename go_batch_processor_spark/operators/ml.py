@@ -452,3 +452,55 @@ def ml_kmeans_pp_init(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         "k int, n_seeds int, seeded_inertia double, naive_inertia double, improved boolean",
     )
+
+
+OLS_FEATURES = ["l_quantity", "l_discount", "l_tax"]  # plus intercept
+
+
+@register("ml_ols_normal_equations", tags={"rows_only"})
+def ml_ols_normal_equations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-feature OLS (price ~ quantity + discount + tax + 1) via the
+    normal equations: ONE JVM-side aggregate collects the sufficient
+    statistics — the upper triangle of X^T X (d*(d+1)/2 sums of products),
+    X^T y, y^T y and n — and the d x d solve happens on the driver.
+    R^2 comes from the same statistics (SS_res = y'y - 2b'X'y + b'X'Xb),
+    so the WHOLE regression is one pass over the data with O(d^2)
+    shuffled state — the classic scale shape for linear models
+    (d features, any number of rows; no per-iteration scans, no Python
+    in the data path).
+
+    Rows-only (output is a d+2-row coefficient table);
+    tests/test_ml.py::test_ols_matches_numpy_lstsq pins every
+    coefficient and R^2 against numpy's lstsq on the same rows.
+    """
+    import numpy as np
+
+    li = load_table(spark, sf_dir, "lineitem")
+    y = F.col("l_extendedprice")
+    cols = [F.lit(1.0)] + [F.col(c) for c in OLS_FEATURES]
+    d = len(cols)
+    aggs = []
+    for i in range(d):
+        for j in range(i, d):
+            aggs.append(F.sum(cols[i] * cols[j]).alias(f"xx_{i}_{j}"))
+    for i in range(d):
+        aggs.append(F.sum(cols[i] * y).alias(f"xy_{i}"))
+    aggs.append(F.sum(y * y).alias("yy"))
+    aggs.append(F.count(F.lit(1)).alias("n"))
+    aggs.append(F.sum(y).alias("sy"))
+    row = li.agg(*aggs).collect()[0]
+
+    XtX = np.empty((d, d))
+    for i in range(d):
+        for j in range(i, d):
+            XtX[i, j] = XtX[j, i] = row[f"xx_{i}_{j}"]
+    Xty = np.array([row[f"xy_{i}"] for i in range(d)])
+    b = np.linalg.solve(XtX, Xty)
+    ss_res = float(row["yy"] - 2 * b @ Xty + b @ XtX @ b)
+    ss_tot = float(row["yy"] - row["n"] * (row["sy"] / row["n"]) ** 2)
+    r2 = 1.0 - ss_res / ss_tot
+    terms = ["intercept", *OLS_FEATURES]
+    out = [(t, float(round(c, 6))) for t, c in zip(terms, b)] + [
+        ("r2", float(round(r2, 6)))
+    ]
+    return spark.createDataFrame(out, "term string, value double")

@@ -259,3 +259,35 @@ def feature_quantile_bucketize(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg("value"), 4).alias("avg_value"),
         )
     )
+
+
+@register(
+    "agg_regression_stats",
+    oracle="""
+    SELECT l_returnflag,
+           round(regr_slope(l_extendedprice, l_quantity), 4)     AS slope,
+           round(regr_intercept(l_extendedprice, l_quantity), 4) AS intercept,
+           round(regr_r2(l_extendedprice, l_quantity), 6)        AS r2,
+           CAST(regr_count(l_extendedprice, l_quantity) AS BIGINT) AS n
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def agg_regression_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group simple linear regression (price ~ quantity) via the ANSI
+    regr_* aggregates — slope, intercept, R², pair count. One
+    partial-combinable hash aggregate (the regr_* family carries
+    constant sufficient statistics per group: sums, squares,
+    cross-products), the textbook single-pass OLS at any scale. Rounded
+    on both sides: the statistics are order-dependent double sums."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.regr_slope("l_extendedprice", "l_quantity"), 4).alias("slope"),
+        F.round(
+            F.regr_intercept("l_extendedprice", "l_quantity"), 4
+        ).alias("intercept"),
+        F.round(F.regr_r2("l_extendedprice", "l_quantity"), 6).alias("r2"),
+        F.regr_count("l_extendedprice", "l_quantity")
+        .cast("long")
+        .alias("n"),
+    )

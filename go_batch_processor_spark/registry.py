@@ -176,6 +176,8 @@ _NEW_IN_R4 = frozenset(
         "cdc_scd2_history",
         "analytics_rfm_segmentation",
         "join_scd2_lookup",
+        "agg_regression_stats",
+        "ml_ols_normal_equations",
     }
 )
 

@@ -193,3 +193,32 @@ def test_kmeans_parallel_init_beats_naive_and_is_deterministic(spark, sf_dir):
     s1 = kmeans_parallel_init(emb)
     s2 = kmeans_parallel_init(emb)
     assert s1 == s2  # md5-uniform draws + farthest-first: fully deterministic
+
+
+def test_ols_matches_numpy_lstsq(spark, sf_dir):
+    """The sufficient-statistics OLS must reproduce numpy lstsq's
+    coefficients and R^2 on the same rows."""
+    import numpy as np
+
+    from go_batch_processor_spark.catalog import load_table
+    from go_batch_processor_spark.operators.ml import OLS_FEATURES
+
+    got = {
+        r.term: r.value
+        for r in REGISTRY["ml_ols_normal_equations"].fn(spark, sf_dir).collect()
+    }
+    pdf = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_extendedprice", *OLS_FEATURES)
+        .toPandas()
+    )
+    X = np.column_stack(
+        [np.ones(len(pdf))] + [pdf[c].to_numpy() for c in OLS_FEATURES]
+    )
+    yv = pdf["l_extendedprice"].to_numpy()
+    b, *_ = np.linalg.lstsq(X, yv, rcond=None)
+    resid = yv - X @ b
+    r2 = 1 - (resid @ resid) / ((yv - yv.mean()) @ (yv - yv.mean()))
+    for t, c in zip(["intercept", *OLS_FEATURES], b):
+        assert abs(got[t] - c) < 1e-4, (t, got[t], c)
+    assert abs(got["r2"] - r2) < 1e-6
