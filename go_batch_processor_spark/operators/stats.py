@@ -9,7 +9,7 @@ over the plain groupBy); unpivot is a narrow transform.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from go_batch_processor_spark.catalog import load_table
@@ -290,4 +290,79 @@ def agg_regression_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.regr_count("l_extendedprice", "l_quantity")
         .cast("long")
         .alias("n"),
+    )
+
+
+@register(
+    "stats_ks_two_sample",
+    oracle="""
+    WITH counts AS (
+      SELECT round(value, 2) AS v,
+             sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS c1,
+             sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS c2
+      FROM events
+      WHERE event_type IN ('click', 'purchase')
+      GROUP BY 1
+    ),
+    totals AS (SELECT sum(c1) AS n1, sum(c2) AS n2 FROM counts),
+    cdf AS (
+      SELECT sum(c1) OVER (ORDER BY v
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS k1,
+             sum(c2) OVER (ORDER BY v
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS k2
+      FROM counts
+    )
+    SELECT round(max(abs(CAST(k1 AS DOUBLE) / n1
+                         - CAST(k2 AS DOUBLE) / n2)), 6) AS d_stat,
+           CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2
+    FROM cdf, totals
+    GROUP BY n1, n2
+    """,
+)
+def stats_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov D statistic between the click and
+    purchase value distributions — the distribution-drift detector a
+    data pipeline runs between ingest batches.
+
+    Scale shape: the fact table compresses FIRST into per-distinct-value
+    pair counts (one partial-combinable aggregate; the 2-decimal value
+    domain bounds distinct values regardless of row count), and the CDF
+    window runs over THAT bounded table — an aggregate-sized
+    unpartitioned window (the documented exception), never a fact-table
+    straggler. Because the window ordering key IS the group key (distinct
+    v), ROWS and RANGE frames agree — no tie ambiguity.
+    """
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "purchase")
+    )
+    counts = ev.groupBy(F.round("value", 2).alias("v")).agg(
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0)).alias("c1"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias(
+            "c2"
+        ),
+    )
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cdf = counts.select(
+        F.sum("c1").over(w).alias("k1"), F.sum("c2").over(w).alias("k2")
+    )
+    totals = counts.agg(
+        F.sum("c1").alias("n1"), F.sum("c2").alias("n2")
+    )
+    return (
+        cdf.crossJoin(F.broadcast(totals))
+        .groupBy("n1", "n2")
+        .agg(
+            F.round(
+                F.max(
+                    F.abs(
+                        F.col("k1").cast("double") / F.col("n1")
+                        - F.col("k2").cast("double") / F.col("n2")
+                    )
+                ),
+                6,
+            ).alias("d_stat")
+        )
+        .select("d_stat", F.col("n1").cast("long"), F.col("n2").cast("long"))
     )

@@ -178,6 +178,7 @@ _NEW_IN_R4 = frozenset(
         "join_scd2_lookup",
         "agg_regression_stats",
         "ml_ols_normal_equations",
+        "stats_ks_two_sample",
     }
 )
 
