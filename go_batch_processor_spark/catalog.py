@@ -98,7 +98,10 @@ TABLE_NAMES: tuple[str, ...] = tuple(TABLE_SCHEMAS)
 BROADCAST_DIMS: frozenset[str] = frozenset({"region", "nation"})
 
 
-_TS_UNIT_CACHE: dict[str, str] = {}
+# Keyed by (path, part-file mtime_ns): a fixture regenerated in-place with a
+# different unit within one process must NOT return the stale unit — that is
+# silent 1000x time scaling, the exact bug this function exists to prevent.
+_TS_UNIT_CACHE: dict[tuple[str, int], str] = {}
 
 
 def events_ts_unit(path: str) -> str:
@@ -107,32 +110,38 @@ def events_ts_unit(path: str) -> str:
     Fixture regenerations have flipped between TIMESTAMP(NANOS) and
     TIMESTAMP(MICROS); hard-coding either path silently compresses or
     inflates event time 1000x. Reading ONE footer with pyarrow is O(KB) and
-    driver-side only, so it is safe at any scale. Cached per dataset path.
+    driver-side only, so it is safe at any scale. Cached per
+    (path, mtime) so an in-place regen invalidates automatically.
     """
-    unit = _TS_UNIT_CACHE.get(path)
-    if unit is None:
-        import os
+    import os
 
+    target = path
+    if os.path.isdir(target):
+        part = next(
+            (
+                f
+                for f in sorted(os.listdir(target))
+                if f.endswith(".parquet") and not f.startswith(("_", "."))
+            ),
+            None,
+        )
+        if part is None:
+            raise FileNotFoundError(
+                f"no parquet part file in events dataset directory {path!r}"
+            )
+        target = os.path.join(target, part)
+    mtime = os.stat(target).st_mtime_ns
+    key = (target, mtime)
+    unit = _TS_UNIT_CACHE.get(key)
+    if unit is None:
         import pyarrow.parquet as pq
 
-        target = path
-        if os.path.isdir(target):
-            part = next(
-                (
-                    f
-                    for f in sorted(os.listdir(target))
-                    if f.endswith(".parquet") and not f.startswith(("_", "."))
-                ),
-                None,
-            )
-            if part is not None:
-                target = os.path.join(target, part)
         t = pq.read_schema(target).field("ts").type
         unit = getattr(t, "unit", "us")
         if unit not in ("us", "ns"):
             # ms/s fixtures would need their own scaling; none exist today.
             raise ValueError(f"unsupported events.ts parquet unit {unit!r} in {path}")
-        _TS_UNIT_CACHE[path] = unit
+        _TS_UNIT_CACHE[key] = unit
     return unit
 
 

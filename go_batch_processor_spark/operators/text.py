@@ -851,14 +851,18 @@ def text_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
       per merge step: count adjacent symbol pairs weighted by word freq
                (partial-combinable agg), take the (count DESC, pair ASC)
                top-1, splice it into every word's symbol sequence with a
-               LITERAL space-padded replace (no regex — symbols can be
-               any character), localCheckpoint to truncate the growing
-               lineage.
+               greedy left-to-right ARRAY FOLD (aggregate over the symbol
+               array: append, or replace the tail element when (tail,
+               current) == the pair), localCheckpoint to truncate the
+               growing lineage.
 
-    Greedy left-to-right non-overlapping replacement — identical
-    semantics in Spark's replace() and Python's str.replace, which the
-    pure-Python twin test exploits for exact equality
-    (tests/test_text_bpe.py). Output: the merge table
+    The fold is exactly Sennrich's lookaround re.sub semantics: CONSECUTIVE
+    occurrences all merge ('a a a a' -> 'ab ab'), because after a merge the
+    accumulator tail is the merged symbol, which cannot re-match the pair's
+    first element — unlike a space-padded literal replace, which consumes
+    the trailing separator and skips every other occurrence (the round-4
+    bug this replaced). tests/test_text_bpe.py pins exact equality against
+    a pure-Python lookaround-regex twin. Output: the merge table
     (step, pair, merged, weighted_count). Rows-only (iterative).
 
     Scale: the vocab is |distinct words| rows — bounded by language, not
@@ -909,15 +913,20 @@ def text_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         pair, n = top[0]["pair"], int(top[0]["n"])
         merged = pair.replace(" ", "")
         merges.append((step, pair, merged, n))
+        first, second = pair.split(" ")
+        spliced = F.aggregate(
+            F.split("seq", " "),
+            F.array().cast("array<string>"),
+            lambda acc, x: F.when(
+                (F.try_element_at(acc, F.lit(-1)) == F.lit(first))
+                & (x == F.lit(second)),
+                F.concat(
+                    F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(merged))
+                ),
+            ).otherwise(F.concat(acc, F.array(x))),
+        )
         vocab = vocab.select(
-            "freq",
-            F.trim(
-                F.replace(
-                    F.concat(F.lit(" "), F.col("seq"), F.lit(" ")),
-                    F.lit(f" {pair} "),
-                    F.lit(f" {merged} "),
-                )
-            ).alias("seq"),
+            "freq", F.concat_ws(" ", spliced).alias("seq")
         ).localCheckpoint(eager=False)
     return spark.createDataFrame(
         merges, "step int, pair string, merged string, weighted_count long"

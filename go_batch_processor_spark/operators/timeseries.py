@@ -328,8 +328,13 @@ def _ewma_kernel(pdf):
     Runs inside applyInPandas — per-group sequential state is the one
     shape Spark's built-in window/agg surface cannot express without an
     exploding (1-a)^-t weight rewrite (numerically unbounded), making
-    this the documented legitimate Pandas-UDF use."""
-    pdf = pdf.sort_values("ts")
+    this the documented legitimate Pandas-UDF use.
+
+    Sort carries event_id as tiebreak: rows with tied timestamps would
+    otherwise keep shuffle-dependent order and make the recursion
+    nondeterministic across runs (repo-wide ts-order rule,
+    tests/test_ts_ties.py)."""
+    pdf = pdf.sort_values(["ts", "event_id"])
     pdf["ewma"] = pdf["value"].ewm(alpha=EWMA_ALPHA, adjust=False).mean().round(6)
     return pdf[["user_id", "event_id", "ts", "ewma"]]
 

@@ -118,17 +118,31 @@ def run_user_running_stats_once(
     )
     # foreachBatch, not the memory sink: memory-sink queries refuse to
     # recover from an existing checkpoint, and restart-recovery is this
-    # function's whole purpose.
-    rows: list = []
+    # function's whole purpose. Each micro-batch APPENDS to a parquet sink
+    # beside the checkpoint (same caller-owned lifetime) — a distributed
+    # write, no driver collect, which is the pattern that survives 100 TB.
+    # One sink subdir PER INVOCATION (run-N): the returned frame holds only
+    # this run's snapshots, matching the restart-recovery contract (a rerun
+    # reports what IT emitted, not the union of all runs).
+    import os
+
+    sink_root = os.path.join(checkpoint_dir, "_sink")
+    os.makedirs(sink_root, exist_ok=True)
+    run_n = sum(1 for d in os.listdir(sink_root) if d.startswith("run-"))
+    sink_dir = os.path.join(sink_root, f"run-{run_n}")
     query = (
         updated.writeStream.outputMode("update")
-        .foreachBatch(lambda batch_df, _id: rows.extend(batch_df.collect()))
+        .foreachBatch(
+            lambda batch_df, _id: batch_df.write.mode("append").parquet(sink_dir)
+        )
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
         .start()
     )
     query.awaitTermination()
-    return spark.createDataFrame(rows, schema=OUTPUT_SCHEMA)
+    if not os.path.isdir(sink_dir):  # zero-batch run
+        return spark.createDataFrame([], schema=OUTPUT_SCHEMA)
+    return spark.read.schema(OUTPUT_SCHEMA).parquet(sink_dir)
 
 
 def streaming_user_running_stats(spark: SparkSession, sf_dir: str) -> DataFrame:

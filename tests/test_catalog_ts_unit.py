@@ -73,6 +73,27 @@ def test_load_table_identical_across_units(spark, unit_dirs):
     assert span > dt.timedelta(days=29)
 
 
+def test_inplace_regen_invalidates_cache(tmp_path):
+    """A fixture regenerated in-place with a different unit must NOT hit a
+    stale cache entry — that would be silent 1000x time scaling."""
+    d = str(tmp_path / "regen")
+    _write_events(d, "us")
+    assert events_ts_unit(f"{d}/events.parquet") == "us"
+    _write_events(d, "ns")
+    # force an mtime difference even on coarse-resolution filesystems
+    part = f"{d}/events.parquet/part-0.parquet"
+    st = os.stat(part)
+    os.utime(part, ns=(st.st_atime_ns, st.st_mtime_ns + 1_000_000))
+    assert events_ts_unit(f"{d}/events.parquet") == "ns"
+
+
+def test_empty_dataset_dir_raises(tmp_path):
+    d = str(tmp_path / "empty" / "events.parquet")
+    os.makedirs(d)
+    with pytest.raises(FileNotFoundError, match="no parquet part file"):
+        events_ts_unit(d)
+
+
 def test_current_fixture_spans_days(spark, sf_dir):
     """The live fixture must read as a multi-day stream, whatever its unit."""
     from pyspark.sql import functions as F

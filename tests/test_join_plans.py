@@ -154,6 +154,54 @@ def test_runtime_bloom_filter_prunes_fact_scan(spark, sf_dir):
     assert "bloom_filter_agg" in plan, plan
 
 
+def test_aqe_skew_join_splits_hot_partition(spark, sf_dir):
+    """AQE skew-join splitting: a manufactured hot key (one join-key
+    partition holding ~90% of the bytes) must be SPLIT at runtime — the
+    finalized adaptive plan marks the sort-merge join with skew=true.
+    This pins the runtime half of the 100x-scale joins claim (SCALE.md):
+    unknown skew is handled by AQE even without the explicit salting the
+    join_skew_salted operator applies for known-hot keys. Thresholds are
+    shrunk because the manufactured fixture is megabytes, not the
+    production 256 MB defaults."""
+    from pyspark.sql import functions as F
+
+    n = 60_000
+    # non-foldable ~512 B payload per row, consumed POST-join (concat of
+    # both sides) so column pruning cannot drop it from the shuffle
+    def pad(name):
+        return F.concat_ws(
+            "", F.array_repeat(F.sha2(F.col("id").cast("string"), 256), 8)
+        ).alias(name)
+
+    # ~90% of left rows share key 0 -> one hot shuffle partition
+    left = spark.range(n).select(
+        F.when(F.col("id") % 10 == 0, F.col("id")).otherwise(F.lit(0)).alias("k"),
+        pad("lpad"),
+    )
+    right = spark.range(2_000).select(F.col("id").alias("k"), pad("rpad"))
+    with _conf(spark, "spark.sql.adaptive.enabled", "true"), _conf(
+        spark, "spark.sql.adaptive.skewJoin.enabled", "true"
+    ), _conf(
+        spark, "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "1MB"
+    ), _conf(
+        spark, "spark.sql.adaptive.advisoryPartitionSizeInBytes", "1MB"
+    ), _conf(
+        spark, "spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2"
+    ), _conf(
+        spark, "spark.sql.autoBroadcastJoinThreshold", "-1"
+    ), _conf(
+        spark, "spark.sql.adaptive.autoBroadcastJoinThreshold", "-1"
+    ), _conf(
+        spark, "spark.sql.adaptive.coalescePartitions.enabled", "false"
+    ):
+        j = left.join(right, "k").agg(
+            F.max(F.substring(F.concat("lpad", "rpad"), 1, 8)).alias("m")
+        )
+        j.collect()  # AQE finalizes the plan only on execution
+        plan = _executed_plan(j)
+    assert "skew=true" in plan, plan
+
+
 def test_dynamic_partition_pruning_on_partitioned_sink(spark, sf_dir):
     """Joining a hive-partitioned fact to a filtered dim must inject a
     dynamicpruning subquery on the fact's partition column, so only the

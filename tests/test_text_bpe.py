@@ -1,9 +1,11 @@
 """Pure-Python twin of the distributed BPE merge trainer: both implement
-greedy (count DESC, pair ASC) merges with left-to-right non-overlapping
-replacement, so the merge tables must match EXACTLY."""
+greedy (count DESC, pair ASC) merges with Sennrich-style left-to-right
+non-overlapping replacement (lookaround re.sub — consecutive occurrences
+ALL merge), so the merge tables must match EXACTLY."""
 
 from __future__ import annotations
 
+import re
 from collections import Counter
 
 from go_batch_processor_spark.catalog import load_table
@@ -30,11 +32,24 @@ def _python_bpe(word_freqs: dict[str, int], n_merges: int):
             break
         merged = pair.replace(" ", "")
         merges.append((step, pair, merged, n))
-        vocab = {
-            (" " + seq + " ").replace(f" {pair} ", f" {merged} ").strip(): f
-            for seq, f in vocab.items()
-        }
+        # Sennrich et al. 2016 learn_bpe replacement: symbol-boundary
+        # lookarounds, so consecutive occurrences all merge.
+        pat = re.compile(r"(?<!\S)" + re.escape(pair) + r"(?!\S)")
+        vocab_next: dict[str, int] = {}
+        for seq, f in vocab.items():
+            new_seq = pat.sub(merged, seq)
+            vocab_next[new_seq] = vocab_next.get(new_seq, 0) + f
+        vocab = vocab_next
     return merges
+
+
+def test_python_twin_merges_consecutive_occurrences():
+    """The round-4 space-padded replace skipped every other occurrence in
+    a run ('a a a a' -> 'ab a a'); the fold must merge them all."""
+    merges = _python_bpe({"aaaa": 5, "aa": 3}, 1)
+    assert merges == [(0, "a a", "aa", 5 * 3 + 3)]
+    # and the distributed trainer's splice is pinned equal to the twin by
+    # test_bpe_train_matches_python_twin below
 
 
 def test_bpe_train_matches_python_twin(spark, sf_dir):

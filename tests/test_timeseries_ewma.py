@@ -19,7 +19,7 @@ def test_ewma_matches_pandas_twin(spark, sf_dir):
         load_table(spark, sf_dir, "events")
         .select("user_id", "event_id", "ts", "value")
         .toPandas()
-        .sort_values(["user_id", "ts"])
+        .sort_values(["user_id", "ts", "event_id"])
     )
     pdf["ewma"] = (
         pdf.groupby("user_id")["value"]
