@@ -81,6 +81,12 @@ HEADLINE = [
     "similarity_ivfpq_stored",
     "similarity_opq_codebook",
     "stream_late_data_policy",
+    # round 5 additions
+    "dedup_exact_substring",
+    "ml_pca_covariance",
+    "ml_logreg_irls",
+    "stats_chi_square",
+    "feature_target_encoding",
 ]
 
 

@@ -21,7 +21,7 @@ from __future__ import annotations
 import logging
 
 from pyspark import StorageLevel
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from go_batch_processor_spark.catalog import load_table
@@ -690,4 +690,114 @@ def dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter((dist >= 0) & (dist <= EDIT_MAX_DIST))
         .select("a_id", "b_id", dist.cast("long").alias("dist"))
+    )
+
+
+SUBSTR_N = 15  # token window for exact-substring dedup
+
+
+@register(
+    "dedup_exact_substring",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ),
+    grams AS (
+      SELECT doc_id, CAST(i AS BIGINT) AS pos,
+             array_to_string(t[CAST(i AS BIGINT):CAST(i + {SUBSTR_N} - 1 AS BIGINT)], ' ') AS g
+      FROM toks CROSS JOIN UNNEST(range(1, len(t) - {SUBSTR_N} + 2)) AS r(i)
+      WHERE len(t) >= {SUBSTR_N}
+    ),
+    dupg AS (
+      SELECT g FROM grams GROUP BY g HAVING min(doc_id) <> max(doc_id)
+    ),
+    duppos AS (
+      SELECT DISTINCT doc_id, pos FROM grams WHERE g IN (SELECT g FROM dupg)
+    ),
+    isl AS (
+      SELECT doc_id, pos,
+             pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+      FROM duppos
+    ),
+    spans AS (
+      SELECT doc_id, min(pos) AS s, max(pos) + {SUBSTR_N} - 1 AS e
+      FROM isl GROUP BY doc_id, grp
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_dup_spans,
+           CAST(sum(e - s + 1) AS BIGINT) AS dup_tokens
+    FROM spans GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def dedup_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring duplication report (Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better"): find every MAXIMAL token
+    span of length >= SUBSTR_N that also appears verbatim in another
+    document, and report per document how many such spans it carries and
+    how many tokens they cover. The reference paper builds a corpus suffix
+    array; the distributed equivalent is sliding token windows + island
+    merge, which identifies the IDENTICAL >=N-token cross-doc spans (every
+    maximal repeated span of length L >= N is covered by exactly its
+    L - N + 1 constituent windows, which are consecutive and merge back
+    into the maximal span).
+
+    Plan shape (100 TB story):
+      1. window generation is an inline HOF explode (no UDF, no shuffle);
+      2. duplicated windows: ONE partial-combinable agg keyed by the
+         window — min(doc_id) <> max(doc_id) detects cross-doc repeats
+         without a count-distinct Expand;
+      3. a left-semi join back tags duplicated positions (AQE handles the
+         skew of ultra-common spans);
+      4. islands: per-doc window over positions (pos - row_number), then
+         two partial aggs. The only per-doc state is duplicated-window
+         positions — O(dup density), not O(doc).
+    At 100 TB the gram agg dominates; windows could carry 128-bit hashes
+    instead of strings to shrink the shuffle (the contamination operator
+    documents the same trade) — strings are kept here for oracle parity.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    a = F.split("text", " ")
+    grams = (
+        d.filter(F.size(a) >= SUBSTR_N)
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size(a) - (SUBSTR_N - 1)),
+                    lambda i: F.struct(
+                        i.cast("long").alias("pos"),
+                        F.concat_ws(" ", F.slice(a, i, SUBSTR_N)).alias("g"),
+                    ),
+                )
+            ).alias("w"),
+        )
+        .select("doc_id", "w.pos", "w.g")
+    )
+    dup_grams = (
+        grams.groupBy("g")
+        .agg(F.min("doc_id").alias("mn"), F.max("doc_id").alias("mx"))
+        .filter(F.col("mn") != F.col("mx"))
+        .select("g")
+    )
+    dup_pos = (
+        grams.join(dup_grams, "g", "left_semi")
+        .select("doc_id", "pos")
+        .distinct()
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    spans = (
+        dup_pos.withColumn("grp", F.col("pos") - F.row_number().over(w))
+        .groupBy("doc_id", "grp")
+        .agg(
+            F.min("pos").alias("s"),
+            (F.max("pos") + SUBSTR_N - 1).alias("e"),
+        )
+    )
+    return (
+        spans.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_dup_spans"),
+            F.sum(F.col("e") - F.col("s") + 1).alias("dup_tokens"),
+        )
+        .orderBy("doc_id")
     )

@@ -504,3 +504,143 @@ def ml_ols_normal_equations(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("r2", float(round(r2, 6)))
     ]
     return spark.createDataFrame(out, "term string, value double")
+
+
+PCA_TOP = 5  # principal components reported
+
+
+@register("ml_pca_covariance", tags={"rows_only"})
+def ml_pca_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact PCA of the embedding corpus via the covariance method: ONE
+    Arrow pass reduces each partition to (sum-vector, raw cross-product
+    upper triangle, count) sufficient statistics, the d x d covariance is
+    assembled and eigendecomposed on the driver (d=64 — a trivial local
+    eigh), and the top components' eigenvalues + explained-variance ratios
+    come out. This is the textbook big-data PCA shape: corpus size only
+    affects the embarrassingly-parallel partial pass; shuffled state is
+    O(partitions * d^2) and driver state O(d^2), both corpus-independent.
+
+    The kernel accumulates RAW sums (sum x, sum x x^T) and the driver
+    forms cov = (Sxx - n*mean*mean^T) / (n-1) — the one-pass centering
+    identity, exact in float64 at fixture scale and the standard
+    trade at 100 TB (a two-pass centered variant halves rounding error
+    for ill-conditioned data at the cost of a second scan).
+
+    Rows-only (spectral output); tests/test_ml.py pins eigenvalues and
+    explained-variance against numpy's eigh on the same rows.
+    """
+    import numpy as np
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        _as_double(F.col("embedding")).alias("vec")
+    )
+
+    def partials(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        S = None
+        n = 0
+        for pdf in it:
+            if not len(pdf):
+                continue
+            X = np.array([np.asarray(v, dtype=np.float64) for v in pdf["vec"]])
+            d = X.shape[1]
+            if S is None:
+                S = np.zeros(d + d * d)
+            S[:d] += X.sum(axis=0)
+            S[d:] += (X.T @ X).ravel()
+            n += len(X)
+        if S is not None:
+            yield pd.DataFrame(
+                {
+                    "pos": np.arange(len(S) + 1),
+                    "v": np.concatenate([S, [float(n)]]),
+                }
+            )
+
+    rows = (
+        emb.mapInPandas(partials, "pos long, v double")
+        .groupBy("pos")
+        .agg(F.sum("v").alias("v"))
+        .collect()
+    )
+    acc = {r["pos"]: r["v"] for r in rows}
+    total = len(acc) - 1
+    d = int((-1 + (1 + 4 * total) ** 0.5) / 2)  # total = d + d^2
+    n = acc[total]
+    sx = np.array([acc[i] for i in range(d)])
+    sxx = np.array([acc[d + i] for i in range(d * d)]).reshape(d, d)
+    mean = sx / n
+    cov = (sxx - n * np.outer(mean, mean)) / (n - 1)
+    evals, _ = np.linalg.eigh(cov)
+    evals = evals[::-1]  # descending
+    ratio = evals / evals.sum()
+    out = [
+        (i + 1, float(round(evals[i], 6)), float(round(ratio[i], 6)))
+        for i in range(PCA_TOP)
+    ]
+    return spark.createDataFrame(
+        out, "component int, eigenvalue double, explained_var double"
+    )
+
+
+LOGREG_ITERS = 8
+LOGREG_FEATURES = ["l_quantity", "l_discount", "l_tax"]  # plus intercept
+
+
+@register("ml_logreg_irls", tags={"rows_only"})
+def ml_logreg_irls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed binary logistic regression trained with Newton/IRLS:
+    P(l_returnflag = 'R') ~ sigmoid(b0 + b . [quantity, discount, tax]).
+
+    Each iteration is ONE whole-stage-codegen aggregate collecting the
+    Newton sufficient statistics with the CURRENT beta as literals —
+    gradient X^T (y - p) (d sums) and Hessian X^T diag(p(1-p)) X (d(d+1)/2
+    sums), where p = sigmoid(x . beta) is computed per-row JVM-side.
+    The d x d solve is driver-local. No Python touches the data path at
+    all (cf. the Arrow kernels k-means needs for 64-dim argmin — at d=4
+    codegen wins). Scale: iters scans, O(d^2) shuffled state per scan,
+    O(d^2) driver state; the MLlib LogisticRegression shape.
+
+    Rows-only (coefficient table); tests/test_ml.py pins coefficients and
+    converged log-loss against a numpy IRLS twin on the same rows.
+    """
+    import numpy as np
+
+    li = load_table(spark, sf_dir, "lineitem")
+    y = (F.col("l_returnflag") == "R").cast("double")
+    cols = [F.lit(1.0)] + [F.col(c) for c in LOGREG_FEATURES]
+    d = len(cols)
+    beta = np.zeros(d)
+    for _ in range(LOGREG_ITERS):
+        xb = F.lit(float(beta[0]))
+        for i in range(1, d):
+            xb = xb + F.lit(float(beta[i])) * cols[i]
+        p = F.lit(1.0) / (F.lit(1.0) + F.exp(-xb))
+        w = p * (F.lit(1.0) - p)
+        aggs = [F.sum(cols[i] * (y - p)).alias(f"g_{i}") for i in range(d)]
+        for i in range(d):
+            for j in range(i, d):
+                aggs.append(F.sum(w * cols[i] * cols[j]).alias(f"h_{i}_{j}"))
+        row = li.agg(*aggs).collect()[0]
+        g = np.array([row[f"g_{i}"] for i in range(d)])
+        H = np.empty((d, d))
+        for i in range(d):
+            for j in range(i, d):
+                H[i, j] = H[j, i] = row[f"h_{i}_{j}"]
+        beta = beta + np.linalg.solve(H, g)
+    # converged log-loss in the same one-aggregate shape
+    xb = F.lit(float(beta[0]))
+    for i in range(1, d):
+        xb = xb + F.lit(float(beta[i])) * cols[i]
+    p = F.lit(1.0) / (F.lit(1.0) + F.exp(-xb))
+    ll = li.agg(
+        F.avg(
+            -(y * F.log(p) + (F.lit(1.0) - y) * F.log(F.lit(1.0) - p))
+        ).alias("ll")
+    ).collect()[0]["ll"]
+    terms = ["intercept", *LOGREG_FEATURES]
+    out = [(t, float(round(b, 6))) for t, b in zip(terms, beta)] + [
+        ("log_loss", float(round(ll, 6)))
+    ]
+    return spark.createDataFrame(out, "term string, value double")

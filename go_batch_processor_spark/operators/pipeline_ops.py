@@ -165,3 +165,20 @@ def stream_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return streaming_interval_join(spark, sf_dir)
+
+
+@register(
+    "stream_dedup_watermark",
+    oracle="""
+    SELECT event_id, user_id, event_type FROM events
+    """,
+)
+def stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """At-least-once -> exactly-once: watermark-bounded streaming dedup of
+    a doubled event stream (see streaming/stream_ops.py
+    ::streaming_dedup_watermark for the state-eviction story)."""
+    from go_batch_processor_spark.streaming.stream_ops import (
+        streaming_dedup_watermark,
+    )
+
+    return streaming_dedup_watermark(spark, sf_dir)

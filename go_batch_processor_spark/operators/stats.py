@@ -366,3 +366,116 @@ def stats_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("d_stat", F.col("n1").cast("long"), F.col("n2").cast("long"))
     )
+
+
+@register(
+    "stats_chi_square",
+    oracle="""
+    WITH obs AS (
+      SELECT lang, source, CAST(count(*) AS DOUBLE) AS o
+      FROM documents GROUP BY lang, source
+    ),
+    tot AS (SELECT sum(o) AS n FROM obs),
+    rows_t AS (SELECT lang, sum(o) AS rt FROM obs GROUP BY lang),
+    cols_t AS (SELECT source, sum(o) AS ct FROM obs GROUP BY source)
+    SELECT round(sum((o.o - r.rt * c.ct / t.n) * (o.o - r.rt * c.ct / t.n)
+                     / (r.rt * c.ct / t.n)), 6) AS chi2,
+           CAST((SELECT count(*) FROM rows_t) - 1 AS BIGINT)
+             * CAST((SELECT count(*) FROM cols_t) - 1 AS BIGINT) AS dof
+    FROM obs o
+    JOIN rows_t r USING (lang)
+    JOIN cols_t c USING (source)
+    CROSS JOIN tot t
+    """,
+)
+def stats_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson chi-square test of independence between two categorical
+    columns (document language x source) — the categorical-drift /
+    stratification-bias check a corpus pipeline runs per ingest.
+
+    Only cells with observed counts contribute to the sum (identical on
+    both sides; zero-observed cells would add E to the statistic under
+    the full-grid definition — documented divergence, matched by the
+    oracle). Scale shape: the fact table reduces to the contingency table
+    in ONE partial-combinable aggregate (|langs| x |sources| cells —
+    bounded by category cardinality, not corpus size); marginals are
+    aggregates OF that table; the expected-count join is
+    broadcast-by-size. Nothing after the first agg touches corpus-sized
+    data.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    obs = d.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).cast("double").alias("o")
+    )
+    rows_t = obs.groupBy("lang").agg(F.sum("o").alias("rt"))
+    cols_t = obs.groupBy("source").agg(F.sum("o").alias("ct"))
+    tot = obs.agg(F.sum("o").alias("n"))
+    e = F.col("rt") * F.col("ct") / F.col("n")
+    joined = (
+        obs.join(F.broadcast(rows_t), "lang")
+        .join(F.broadcast(cols_t), "source")
+        .crossJoin(F.broadcast(tot))
+    )
+    nr = rows_t.count()
+    nc = cols_t.count()
+    return joined.agg(
+        F.round(F.sum((F.col("o") - e) * (F.col("o") - e) / e), 6).alias("chi2"),
+        F.lit((nr - 1) * (nc - 1)).cast("long").alias("dof"),
+    )
+
+
+@register(
+    "feature_target_encoding",
+    oracle="""
+    WITH stats AS (
+      SELECT o_orderkey, o_custkey,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+             sum(CAST(round(o_totalprice * 100) AS BIGINT))
+               OVER (PARTITION BY o_custkey) AS s,
+             count(*) OVER (PARTITION BY o_custkey) AS c
+      FROM orders
+    )
+    SELECT o_orderkey, o_custkey,
+           CASE WHEN c > 1
+                THEN round(CAST(s - cents AS DOUBLE) / (c - 1) / 100.0, 4)
+           END AS cust_price_loo
+    FROM stats
+    ORDER BY o_orderkey
+    LIMIT 500
+    """,
+)
+def feature_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-out mean target encoding of a high-cardinality key (the
+    standard leakage-safe categorical feature for gradient-boosted /
+    linear models): each order's customer feature is the mean total price
+    of that customer's OTHER orders — (sum - own) / (count - 1), null for
+    single-order customers (no information without leaking the label).
+
+    Scale shape: one hash-partitioned window per key (sum + count in a
+    single window pass, no self-join), then a narrow projection. At
+    100 TB this is the one-shuffle groupBy-broadcast-back alternative's
+    window twin — the window wins when the keyed output must stay
+    row-aligned, as feature materialization does. LIMIT keeps the
+    contract result bounded; production writes the full frame.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    # 2-decimal prices sum EXACTLY as integer cents — an order-dependent
+    # double sum would straddle rounding half-points across engines
+    # (registry parity rules); the exact-cents numerator makes the LOO
+    # quotient a deterministic IEEE division on both sides.
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    w = Window.partitionBy("o_custkey")
+    s = F.sum(cents).over(w)
+    c = F.count(F.lit(1)).over(w)
+    return (
+        o.select(
+            "o_orderkey",
+            "o_custkey",
+            F.when(
+                c > 1,
+                F.round((s - cents).cast("double") / (c - 1) / 100.0, 4),
+            ).alias("cust_price_loo"),
+        )
+        .orderBy("o_orderkey")
+        .limit(500)
+    )

@@ -355,3 +355,56 @@ def timeseries_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.groupBy("user_id").applyInPandas(
         _ewma_kernel, "user_id long, event_id long, ts timestamp, ewma double"
     )
+
+
+HOLT_ALPHA = 0.4  # level smoothing
+HOLT_BETA = 0.2  # trend smoothing
+
+
+def _holt_kernel(pdf):
+    """Holt's linear-trend double exponential smoothing per user
+    (Holt 1957 / Hyndman & Athanasopoulos FPP3 §8.2):
+
+        l_t = a * x_t + (1 - a) * (l_{t-1} + b_{t-1})
+        b_t = g * (l_t - l_{t-1}) + (1 - g) * b_{t-1}
+
+    initialized l_1 = x_1, b_1 = 0 (a 1-point group has no trend
+    information; the first step then reduces to simple EWMA, and the
+    recursion takes over). Same applyInPandas rationale as the EWMA
+    kernel — per-group sequential state — and the same (ts, event_id)
+    sort so tied timestamps stay deterministic."""
+    pdf = pdf.sort_values(["ts", "event_id"])
+    x = pdf["value"].to_numpy(dtype="float64")
+    n = len(x)
+    level = [0.0] * n
+    trend = [0.0] * n
+    l_p, b_p = x[0], 0.0
+    level[0], trend[0] = l_p, b_p
+    for i in range(1, n):
+        l_c = HOLT_ALPHA * x[i] + (1 - HOLT_ALPHA) * (l_p + b_p)
+        b_c = HOLT_BETA * (l_c - l_p) + (1 - HOLT_BETA) * b_p
+        level[i], trend[i] = l_c, b_c
+        l_p, b_p = l_c, b_c
+    out = pdf[["user_id", "event_id", "ts"]].copy()
+    out["level"] = [round(v, 6) for v in level]
+    out["trend"] = [round(v, 6) for v in trend]
+    return out
+
+
+@register("timeseries_holt_winters", tags={"rows_only"})
+def timeseries_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt double exponential smoothing (level + linear trend) per user
+    over event time — the forecasting-grade smoother one step past EWMA.
+
+    Scale shape: identical to timeseries_ewma — ONE shuffle on user_id,
+    per-group sequential recursion inside an Arrow batch, O(1) state per
+    group. Rows-only (recursive); tests/test_timeseries_ewma.py pins
+    exact equality against a pandas twin plus the closed-form second
+    step."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts", "value"
+    )
+    return ev.groupBy("user_id").applyInPandas(
+        _holt_kernel,
+        "user_id long, event_id long, ts timestamp, level double, trend double",
+    )

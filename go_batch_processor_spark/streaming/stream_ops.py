@@ -139,3 +139,25 @@ def streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     return run_stream_to_memory(joined, spark, output_mode="append")
+
+
+def streaming_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-once dedup of an at-least-once stream:
+    dropDuplicatesWithinWatermark keyed on event_id over a DOUBLED source
+    (the same events read as two independent streams and unioned — the
+    redelivery model of every at-least-once bus). The watermark bounds the
+    dedup state: keys older than the delay are evicted, which is what
+    keeps the state store finite on an unbounded stream — the exact
+    mechanism (and API) Spark ships for idempotent ingestion.
+
+    The batch oracle is plain DISTINCT: every event exactly once.
+    """
+    a = load_stream(spark, sf_dir, "events")
+    b = load_stream(spark, sf_dir, "events")
+    doubled = a.unionAll(b).select("event_id", "user_id", "event_type", "ts")
+    deduped = (
+        doubled.withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark(["event_id"])
+        .select("event_id", "user_id", "event_type")
+    )
+    return run_stream_to_memory(deduped, spark, output_mode="append")

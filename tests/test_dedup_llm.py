@@ -128,3 +128,73 @@ def test_multiprobe_lsh_dominates_single_probe(spark, sf_dir):
     for v, (nb, cos) in multi.items():
         assert v != nb
         assert -1.0 <= cos <= 1.0
+
+
+def test_exact_substring_matches_brute_force_twin(spark, tmp_path):
+    """Hand-built corpus: the sliding-window + island merge must report the
+    same maximal cross-doc duplicated spans as a brute-force Python twin."""
+    from go_batch_processor_spark.operators.dedup import SUBSTR_N
+
+    base = [f"w{i}" for i in range(60)]
+    shared = [f"s{i}" for i in range(SUBSTR_N + 5)]  # one 20-token shared run
+    docs = [
+        (0, " ".join(base[:10] + shared + base[10:20])),
+        (1, " ".join(base[20:40] + shared)),
+        (2, " ".join(base[40:60])),  # no duplication
+        (3, " ".join(shared[: SUBSTR_N - 1] + base[:30])),  # run too short
+    ]
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import os
+
+    ddir = str(tmp_path / "fix")
+    os.makedirs(f"{ddir}/documents.parquet")
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([d for d, _ in docs], pa.int64()),
+                "text": pa.array([t for _, t in docs]),
+                "lang": pa.array(["en"] * len(docs)),
+                "source": pa.array(["t"] * len(docs)),
+                "n_chars": pa.array([len(t) for _, t in docs], pa.int64()),
+            }
+        ),
+        f"{ddir}/documents.parquet/part-0.parquet",
+    )
+
+    # brute-force twin
+    from collections import defaultdict
+
+    grams = defaultdict(set)  # gram -> {(doc, pos)}
+    for did, text in docs:
+        toks = text.split(" ")
+        for i in range(len(toks) - SUBSTR_N + 1):
+            grams[" ".join(toks[i : i + SUBSTR_N])].add((did, i + 1))
+    dup_pos = defaultdict(set)
+    for g, occ in grams.items():
+        if len({d for d, _ in occ}) >= 2:
+            for d, p in occ:
+                dup_pos[d].add(p)
+    want = {}
+    for d, ps in dup_pos.items():
+        ps = sorted(ps)
+        spans = []
+        for p in ps:
+            if spans and p == spans[-1][1] + 1:
+                spans[-1][1] = p
+            else:
+                spans.append([p, p])
+        want[d] = (
+            len(spans),
+            sum(e + SUBSTR_N - 1 - s + 1 for s, e in spans),
+        )
+
+    got = {
+        r.doc_id: (r.n_dup_spans, r.dup_tokens)
+        for r in REGISTRY["dedup_exact_substring"].fn(spark, ddir).collect()
+    }
+    assert got == want
+    assert 0 in got and 1 in got and 2 not in got and 3 not in got
+    # doc 0 and 1 each carry exactly the shared run: SUBSTR_N + 5 tokens
+    assert got[0] == (1, SUBSTR_N + 5)
+    assert got[1] == (1, SUBSTR_N + 5)

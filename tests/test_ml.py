@@ -222,3 +222,65 @@ def test_ols_matches_numpy_lstsq(spark, sf_dir):
     for t, c in zip(["intercept", *OLS_FEATURES], b):
         assert abs(got[t] - c) < 1e-4, (t, got[t], c)
     assert abs(got["r2"] - r2) < 1e-6
+
+
+def test_pca_matches_numpy_eigh(spark, sf_dir):
+    """One-pass covariance PCA must reproduce numpy's eigendecomposition
+    of the same rows' covariance matrix."""
+    import numpy as np
+
+    from go_batch_processor_spark.catalog import load_table
+    from go_batch_processor_spark.operators.ml import PCA_TOP
+
+    got = {
+        r.component: (r.eigenvalue, r.explained_var)
+        for r in REGISTRY["ml_pca_covariance"].fn(spark, sf_dir).collect()
+    }
+    pdf = load_table(spark, sf_dir, "embeddings").select("embedding").toPandas()
+    X = np.array([np.asarray(v, dtype=np.float64) for v in pdf["embedding"]])
+    cov = np.cov(X, rowvar=False, ddof=1)
+    evals = np.linalg.eigh(cov)[0][::-1]
+    ratio = evals / evals.sum()
+    assert len(got) == PCA_TOP
+    for i in range(PCA_TOP):
+        assert abs(got[i + 1][0] - evals[i]) < 1e-4, (i, got[i + 1], evals[i])
+        assert abs(got[i + 1][1] - ratio[i]) < 1e-6
+
+
+def test_logreg_matches_numpy_irls(spark, sf_dir):
+    """The codegen-aggregate IRLS must land on the same coefficients as a
+    numpy Newton solver run for the same iterations on the same rows."""
+    import numpy as np
+
+    from go_batch_processor_spark.catalog import load_table
+    from go_batch_processor_spark.operators.ml import (
+        LOGREG_FEATURES,
+        LOGREG_ITERS,
+    )
+
+    got = {
+        r.term: r.value
+        for r in REGISTRY["ml_logreg_irls"].fn(spark, sf_dir).collect()
+    }
+    pdf = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_returnflag", *LOGREG_FEATURES)
+        .toPandas()
+    )
+    X = np.column_stack(
+        [np.ones(len(pdf))] + [pdf[c].to_numpy() for c in LOGREG_FEATURES]
+    )
+    yv = (pdf["l_returnflag"] == "R").to_numpy(dtype=np.float64)
+    beta = np.zeros(X.shape[1])
+    for _ in range(LOGREG_ITERS):
+        p = 1.0 / (1.0 + np.exp(-X @ beta))
+        g = X.T @ (yv - p)
+        H = (X * (p * (1 - p))[:, None]).T @ X
+        beta = beta + np.linalg.solve(H, g)
+    p = 1.0 / (1.0 + np.exp(-X @ beta))
+    ll = -np.mean(yv * np.log(p) + (1 - yv) * np.log(1 - p))
+    for t, c in zip(["intercept", *LOGREG_FEATURES], beta):
+        assert abs(got[t] - c) < 1e-5, (t, got[t], c)
+    assert abs(got["log_loss"] - ll) < 1e-6
+    # sanity: the model actually separates something (loss under ln 2)
+    assert got["log_loss"] < 0.6931

@@ -36,3 +36,41 @@ def test_ewma_matches_pandas_twin(spark, sf_dir):
     x1, x2 = g["value"].iloc[0], g["value"].iloc[1]
     expect = round(EWMA_ALPHA * x2 + (1 - EWMA_ALPHA) * x1, 6)
     assert abs(got[(g.user_id.iloc[1], g.event_id.iloc[1])] - expect) < 1e-9
+
+
+def test_holt_matches_pandas_twin(spark, sf_dir):
+    from go_batch_processor_spark.operators.timeseries import (
+        HOLT_ALPHA,
+        HOLT_BETA,
+    )
+
+    got = {
+        (r.user_id, r.event_id): (r.level, r.trend)
+        for r in REGISTRY["timeseries_holt_winters"].fn(spark, sf_dir).collect()
+    }
+    pdf = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id", "event_id", "ts", "value")
+        .toPandas()
+        .sort_values(["user_id", "ts", "event_id"])
+    )
+    want = {}
+    for uid, g in pdf.groupby("user_id"):
+        x = g["value"].to_numpy(dtype="float64")
+        l_p, b_p = x[0], 0.0
+        want[(uid, g["event_id"].iloc[0])] = (round(l_p, 6), round(b_p, 6))
+        for i in range(1, len(x)):
+            l_c = HOLT_ALPHA * x[i] + (1 - HOLT_ALPHA) * (l_p + b_p)
+            b_c = HOLT_BETA * (l_c - l_p) + (1 - HOLT_BETA) * b_p
+            want[(uid, g["event_id"].iloc[i])] = (round(l_c, 6), round(b_c, 6))
+            l_p, b_p = l_c, b_c
+    assert got == want
+    # closed-form second step of any multi-row user:
+    sizes = pdf.groupby("user_id").size()
+    uid = sizes[sizes >= 2].index[0]
+    g = pdf[pdf.user_id == uid]
+    x1, x2 = g["value"].iloc[0], g["value"].iloc[1]
+    l2 = HOLT_ALPHA * x2 + (1 - HOLT_ALPHA) * x1
+    b2 = HOLT_BETA * (l2 - x1)
+    lv, tv = got[(uid, g["event_id"].iloc[1])]
+    assert abs(lv - l2) < 1e-9 and abs(tv - b2) < 1e-9

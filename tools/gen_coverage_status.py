@@ -1,0 +1,106 @@
+#!/usr/bin/env python
+"""Regenerate COVERAGE.md's per-key driver-status table from the actual
+CORRECTNESS_r*.json files, so claimed counts can never drift from driver
+evidence (round-4 verdict item 8).
+
+Splices the table between the BEGIN/END GENERATED-STATUS markers in
+COVERAGE.md (appends the section if absent).
+
+Usage:  python tools/gen_coverage_status.py
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import re
+import sys
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, ROOT)
+
+from go_batch_processor_spark.registry import REGISTRY, _ensure_loaded  # noqa: E402
+
+BEGIN = "<!-- BEGIN GENERATED DRIVER-STATUS (tools/gen_coverage_status.py) -->"
+END = "<!-- END GENERATED DRIVER-STATUS -->"
+
+
+def latest_rows() -> dict[str, tuple[str, dict]]:
+    """key -> (round label, row) from the highest round that sampled it."""
+    out: dict[str, tuple[str, dict]] = {}
+    for path in sorted(glob.glob(os.path.join(ROOT, "CORRECTNESS_r*.json"))):
+        label = re.search(r"CORRECTNESS_(r\d+)\.json$", path).group(1)
+        with open(path) as fh:
+            data = json.load(fh)
+        if isinstance(data, dict):
+            for key, row in data.items():
+                out[key] = (label, row)
+    return out
+
+
+def status_of(row: dict) -> str:
+    flags = (row.get("rows_match"), row.get("schema_match"), row.get("hash_match"))
+    err = row.get("err")
+    if err == "no_oracle":
+        return "rows-only ran"
+    if any(f is False for f in flags) or err is not None:
+        return "FAIL"
+    return "pass"
+
+
+def main() -> None:
+    _ensure_loaded()
+    latest = latest_rows()
+    lines = [
+        BEGIN,
+        "",
+        "## Per-key driver status (generated — do not hand-edit)",
+        "",
+        "Latest driver CORRECTNESS row per registered key. `never` = not yet",
+        "sampled by a driver round (the registry rotation front-loads those,",
+        "see `tools/driver_rotation.py`). Local sf0.01 value parity for every",
+        "oracled key is enforced separately by `pytest -m sf001`.",
+        "",
+        "| Key | Oracle | Latest driver row | Status |",
+        "|---|---|---|---|",
+    ]
+    counts = {"pass": 0, "FAIL": 0, "rows-only ran": 0, "never": 0}
+    for name in sorted(REGISTRY):
+        oracled = "sql" if REGISTRY[name].oracle is not None else "rows-only"
+        if name in latest:
+            rnd, row = latest[name]
+            st = status_of(row)
+        else:
+            rnd, st = "—", "never"
+        counts[st] += 1
+        lines.append(f"| {name} | {oracled} | {rnd} | {st} |")
+    lines += [
+        "",
+        f"**Totals**: {len(REGISTRY)} keys — {counts['pass']} driver-pass, "
+        f"{counts['rows-only ran']} rows-only sampled-and-ran, "
+        f"{counts['FAIL']} stale-FAIL, {counts['never']} never-sampled.",
+        "",
+        END,
+    ]
+    block = "\n".join(lines)
+
+    cov_path = os.path.join(ROOT, "COVERAGE.md")
+    with open(cov_path) as fh:
+        text = fh.read()
+    if BEGIN in text:
+        text = re.sub(
+            re.escape(BEGIN) + r".*?" + re.escape(END), block, text, flags=re.S
+        )
+    else:
+        text = text.rstrip() + "\n\n" + block + "\n"
+    with open(cov_path, "w") as fh:
+        fh.write(text)
+    print(
+        f"COVERAGE.md status table regenerated: {len(REGISTRY)} keys, "
+        f"{counts}"
+    )
+
+
+if __name__ == "__main__":
+    main()
