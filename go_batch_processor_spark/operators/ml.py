@@ -644,3 +644,117 @@ def ml_logreg_irls(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("log_loss", float(round(ll, 6)))
     ]
     return spark.createDataFrame(out, "term string, value double")
+
+
+GMM_K = 4
+GMM_ITERS = 3
+GMM_VAR_FLOOR = 1e-6
+
+
+@register("ml_gmm_em", tags={"rows_only"})
+def ml_gmm_em(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diagonal-covariance Gaussian Mixture Model trained with EM — the
+    soft-assignment step past k-means (MLlib GaussianMixture's shape).
+
+    Each EM iteration FUSES the E and M steps in one Arrow pass: with the
+    current (weights, means, variances) closed over, every partition
+    computes per-row responsibilities (stable log-sum-exp) and reduces
+    itself to per-cluster (Σr, Σr·x, Σr·x², Σlog-lik) partials — O(k·d)
+    rows per partition, so the shuffle and the driver collect are
+    corpus-size-independent exactly like Lloyd's. Deterministic init from
+    the k lowest vec_ids (unit variances, uniform weights); variances are
+    floored (standard EM degeneracy guard).
+
+    Rows-only (iterative, spectral-free output: per-cluster weight and
+    first-dims mean/variance + the converged mean log-likelihood);
+    tests/test_ml.py pins every reported value against a numpy EM twin
+    with identical init and iteration count.
+    """
+    import numpy as np
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", _as_double(F.col("embedding")).alias("vec")
+    )
+    emb = emb.persist()
+    try:
+        seeds = emb.orderBy("vec_id").limit(GMM_K).select("vec").collect()
+        mu = np.array([list(r["vec"]) for r in seeds], dtype=np.float64)
+        k, d = mu.shape
+        var = np.ones((k, d))
+        w = np.full(k, 1.0 / k)
+        ll = float("nan")
+
+        for _ in range(GMM_ITERS):
+            mu_b, var_b, w_b = mu.copy(), var.copy(), w.copy()
+
+            def estep(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+                import numpy as np
+
+                sr = np.zeros(k)
+                sx = np.zeros((k, d))
+                sxx = np.zeros((k, d))
+                sll = 0.0
+                n = 0
+                for pdf in it:
+                    if not len(pdf):
+                        continue
+                    X = np.array(
+                        [np.asarray(v, dtype=np.float64) for v in pdf["vec"]]
+                    )
+                    # log N(x | mu_c, diag var_c) for every (row, cluster)
+                    lp = -0.5 * (
+                        ((X[:, None, :] - mu_b[None, :, :]) ** 2 / var_b).sum(2)
+                        + np.log(2 * np.pi * var_b).sum(1)[None, :]
+                    ) + np.log(w_b)[None, :]
+                    m = lp.max(axis=1, keepdims=True)
+                    lse = m[:, 0] + np.log(np.exp(lp - m).sum(axis=1))
+                    r = np.exp(lp - lse[:, None])  # responsibilities
+                    sr += r.sum(axis=0)
+                    sx += r.T @ X
+                    sxx += r.T @ (X * X)
+                    sll += lse.sum()
+                    n += len(X)
+                if n:
+                    out = np.concatenate(
+                        [sr, sx.ravel(), sxx.ravel(), [sll, float(n)]]
+                    )
+                    yield pd.DataFrame(
+                        {"pos": np.arange(len(out)), "v": out}
+                    )
+
+            rows = (
+                emb.select("vec")
+                .mapInPandas(estep, "pos long, v double")
+                .groupBy("pos")
+                .agg(F.sum("v").alias("v"))
+                .collect()
+            )
+            acc = np.zeros(k + 2 * k * d + 2)
+            for r in rows:
+                acc[r["pos"]] = r["v"]
+            sr = acc[:k]
+            sx = acc[k : k + k * d].reshape(k, d)
+            sxx = acc[k + k * d : k + 2 * k * d].reshape(k, d)
+            n = acc[-1]
+            ll = acc[-2] / n
+            w = sr / n
+            mu = sx / sr[:, None]
+            var = np.maximum(sxx / sr[:, None] - mu**2, GMM_VAR_FLOOR)
+    finally:
+        emb.unpersist(blocking=False)
+
+    out = []
+    for c in range(k):
+        out.append(
+            (
+                c,
+                float(round(w[c], 6)),
+                float(round(mu[c, 0], 6)),
+                float(round(mu[c, 1], 6)),
+                float(round(var[c, 0], 6)),
+            )
+        )
+    out.append((-1, float(round(ll, 6)), 0.0, 0.0, 0.0))  # loglik row
+    return spark.createDataFrame(
+        out, "cluster int, weight double, mu0 double, mu1 double, var0 double"
+    )

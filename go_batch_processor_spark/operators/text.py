@@ -8,7 +8,7 @@ fns / regexp) — zero Python in the row path, full codegen.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from go_batch_processor_spark.catalog import load_table
@@ -930,4 +930,55 @@ def text_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).localCheckpoint(eager=False)
     return spark.createDataFrame(
         merges, "step int, pair string, merged string, weighted_count long"
+    )
+
+
+ZIPF_TOP = 1000
+
+
+@register(
+    "text_zipf_fit",
+    oracle=f"""
+    WITH wf AS (
+      SELECT word, CAST(count(*) AS DOUBLE) AS f
+      FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+      WHERE word <> ''
+      GROUP BY word
+    ),
+    ranked AS (
+      SELECT f, row_number() OVER (ORDER BY f DESC, word ASC) AS r FROM wf
+    )
+    SELECT round(regr_slope(ln(f), ln(CAST(r AS DOUBLE))), 6) AS zipf_slope,
+           round(regr_r2(ln(f), ln(CAST(r AS DOUBLE))), 6) AS fit_r2,
+           CAST(count(*) AS BIGINT) AS n_words
+    FROM ranked WHERE r <= {ZIPF_TOP}
+    """,
+)
+def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit of the corpus word-frequency distribution: OLS slope
+    of log(freq) on log(rank) over the top-{ZIPF_TOP} words (natural text
+    sits near slope -1; a corpus that drifts far off is a quality signal —
+    boilerplate, spam, or synthetic text).
+
+    Scale shape: the corpus reduces to the word-frequency table in ONE
+    partial-combinable agg (vocabulary-bounded, not corpus-bounded); the
+    rank window and the regr_* fit run over that agg-sized table. The
+    unpartitioned rank window is the documented agg-sized exception.
+    Deterministic rank tiebreak (freq DESC, word ASC) on both sides.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    wf = (
+        d.select(F.explode(F.split("text", " ")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("double").alias("f"))
+    )
+    w = Window.orderBy(F.col("f").desc(), F.col("word").asc())
+    ranked = wf.select(
+        "f", F.row_number().over(w).cast("double").alias("r")
+    ).filter(F.col("r") <= ZIPF_TOP)
+    return ranked.agg(
+        F.round(F.regr_slope(F.log("f"), F.log("r")), 6).alias("zipf_slope"),
+        F.round(F.regr_r2(F.log("f"), F.log("r")), 6).alias("fit_r2"),
+        F.count(F.lit(1)).cast("long").alias("n_words"),
     )

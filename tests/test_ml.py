@@ -284,3 +284,53 @@ def test_logreg_matches_numpy_irls(spark, sf_dir):
     assert abs(got["log_loss"] - ll) < 1e-6
     # sanity: the model actually separates something (loss under ln 2)
     assert got["log_loss"] < 0.6931
+
+
+def test_gmm_matches_numpy_em(spark, sf_dir):
+    """The fused-E/M Arrow pass must reproduce a numpy EM with identical
+    init and iterations (weights, means, variances, mean log-lik)."""
+    import numpy as np
+
+    from go_batch_processor_spark.catalog import load_table
+    from go_batch_processor_spark.operators.ml import (
+        GMM_ITERS,
+        GMM_K,
+        GMM_VAR_FLOOR,
+    )
+
+    rows = REGISTRY["ml_gmm_em"].fn(spark, sf_dir).collect()
+    got = {r.cluster: (r.weight, r.mu0, r.mu1, r.var0) for r in rows}
+
+    pdf = (
+        load_table(spark, sf_dir, "embeddings")
+        .select("vec_id", "embedding")
+        .toPandas()
+        .sort_values("vec_id")
+    )
+    X = np.array([np.asarray(v, dtype=np.float64) for v in pdf["embedding"]])
+    mu = X[:GMM_K].copy()
+    k, d = mu.shape
+    var = np.ones((k, d))
+    w = np.full(k, 1.0 / k)
+    for _ in range(GMM_ITERS):
+        lp = -0.5 * (
+            ((X[:, None, :] - mu[None, :, :]) ** 2 / var).sum(2)
+            + np.log(2 * np.pi * var).sum(1)[None, :]
+        ) + np.log(w)[None, :]
+        m = lp.max(axis=1, keepdims=True)
+        lse = m[:, 0] + np.log(np.exp(lp - m).sum(axis=1))
+        r = np.exp(lp - lse[:, None])
+        sr = r.sum(axis=0)
+        ll = lse.mean()
+        w = sr / len(X)
+        mu = (r.T @ X) / sr[:, None]
+        var = np.maximum((r.T @ (X * X)) / sr[:, None] - mu**2, GMM_VAR_FLOOR)
+    for c in range(k):
+        gw, gm0, gm1, gv0 = got[c]
+        assert abs(gw - w[c]) < 1e-5
+        assert abs(gm0 - mu[c, 0]) < 1e-5
+        assert abs(gm1 - mu[c, 1]) < 1e-5
+        assert abs(gv0 - var[c, 0]) < 1e-5
+    assert abs(got[-1][0] - ll) < 1e-5
+    # weights form a distribution
+    assert abs(sum(v[0] for c, v in got.items() if c >= 0) - 1.0) < 1e-4
