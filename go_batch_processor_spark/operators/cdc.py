@@ -223,3 +223,63 @@ def cdc_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         nxt.isNull().alias("is_current"),
         F.row_number().over(w).alias("version"),
     )
+
+
+@register(
+    "mv_incremental_join",
+    oracle="""
+    SELECT c.c_mktsegment,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS total_cents
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_mktsegment
+    """,
+)
+def mv_incremental_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental maintenance of a JOIN view — the delta-join algebra
+    (classic IVM, e.g. Griffin/Libkin SIGMOD'95; also what Materialize /
+    Delta Live Tables do under the hood):
+
+        J_t = J_{t-1}  ∪  (ΔA ⋈ B_{t-1})  ∪  (A_{t-1} ⋈ ΔB)  ∪  (ΔA ⋈ ΔB)
+
+    Both sides change here: epoch 1 loads half the orders and half the
+    customers and materializes J_1 = A_1 ⋈ B_1; epoch 2 delivers deltas
+    to BOTH sides and refreshes with the three delta joins only — the
+    (A_1 ⋈ B_1) full recompute never reruns. The oracle recomputes the
+    view from scratch over the union and must match exactly (exact
+    integer cents in the check aggregate: order-dependent double sums
+    are not cross-engine stable — registry parity rules).
+
+    Scale shape: each delta join is delta-sized on one side, so refresh
+    cost is O(|ΔA|·sel + |ΔB|·sel + |ΔA⋈ΔB|), not O(|A|·|B|); partition
+    both stored sides by the join key (bucketed layout, see
+    join_bucketed_colocated) and every delta join co-locates. The final
+    check-aggregate here keeps the contract result segment-sized.
+    """
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    # epoch split on stable keys: both sides change across epochs
+    a1 = o.filter(F.col("o_orderkey") % 2 == 0)
+    da = o.filter(F.col("o_orderkey") % 2 == 1)  # ΔA
+    b1 = c.filter(F.col("c_custkey") % 2 == 0)
+    db = c.filter(F.col("c_custkey") % 2 == 1)  # ΔB
+
+    def j(left: DataFrame, right: DataFrame) -> DataFrame:
+        return left.join(
+            right, left.o_custkey == right.c_custkey, "inner"
+        ).select("o_orderkey", "cents", "c_mktsegment")
+
+    j1 = j(a1, b1).localCheckpoint(eager=False)  # the materialized view
+    delta = j(da, b1).unionAll(j(a1, db)).unionAll(j(da, db))
+    j2 = j1.unionAll(delta)
+    return j2.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.sum("cents").cast("long").alias("total_cents"),
+    )

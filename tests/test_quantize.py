@@ -134,3 +134,25 @@ def test_ivfpq_opq_recall(spark, sf_dir):
     )[:10]
     recall = len(got & {k for _, k in exact}) / 10
     assert recall >= 0.3, (recall, sorted(got))
+
+
+def test_ivfpq_artifact_cache_reused(spark, sf_dir):
+    """Training artifacts and the stored-codes index are built once per
+    (sf_dir, fixture mtime) and reused — repeated invocations (bench warm
+    runs) must hit the cache, not retrain/rewrite."""
+    import os
+
+    from go_batch_processor_spark.operators import similarity as S
+
+    first = REGISTRY["similarity_ivfpq_stored"].fn(spark, sf_dir).collect()
+    n_entries = len(S._ARTIFACT_CACHE)
+    assert n_entries >= 1
+    key = next(
+        k for k in S._ARTIFACT_CACHE if k[-1] == "ivfpq_stored_index"
+    )
+    path_before = S._ARTIFACT_CACHE[key][2]
+    again = REGISTRY["similarity_ivfpq_stored"].fn(spark, sf_dir).collect()
+    assert len(S._ARTIFACT_CACHE) == n_entries  # no rebuild
+    assert S._ARTIFACT_CACHE[key][2] == path_before
+    assert os.path.isdir(path_before)
+    assert first == again  # deterministic across cache hit
