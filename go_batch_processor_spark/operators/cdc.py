@@ -283,3 +283,60 @@ def mv_incremental_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_orders"),
         F.sum("cents").cast("long").alias("total_cents"),
     )
+
+
+@register(
+    "cdc_deletes_apply",
+    oracle="""
+    WITH feed AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+             value
+      FROM events
+    ),
+    latest AS (
+      SELECT user_id, op, round(value, 2) AS value,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM feed
+    )
+    SELECT user_id, value AS current_value
+    FROM latest WHERE rn = 1 AND op = 'U'
+    ORDER BY user_id
+    """,
+)
+def cdc_deletes_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Changefeed apply with DELETE tombstones — the missing third of the
+    CDC triptych (upsert = cdc_upsert_customers, history = scd2): a keyed
+    change stream where each record is an UPSERT or a DELETE ('error'
+    events model tombstones), compacted to current state. A key whose
+    LATEST change is a delete vanishes from the snapshot; earlier deletes
+    are overridden by later upserts.
+
+    Scale shape: one keyed window (ts DESC, event_id DESC tiebreak per
+    the repo determinism rule), rank-1 filter, tombstone filter — the
+    same single-shuffle compaction as window_dedup_latest; this is
+    exactly how Delta/Hudi merge-on-read compacts a changefeed. At
+    100 TB: partition the feed by key-hash, compact per partition,
+    periodically checkpoint the snapshot so the window only replays the
+    tail.
+    """
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    feed = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(F.col("event_type") == "error", "D").otherwise("U").alias("op"),
+        F.round("value", 2).alias("value"),
+    )
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        feed.withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") == 1) & (F.col("op") == "U"))
+        .select("user_id", F.col("value").alias("current_value"))
+        .orderBy("user_id")
+    )

@@ -765,17 +765,24 @@ def dedup_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
          positions — O(dup density), not O(doc).
     """
     d = load_table(spark, sf_dir, "documents")
+    return exact_substring_report(d, SUBSTR_N)
+
+
+def exact_substring_report(docs: DataFrame, n: int) -> DataFrame:
+    """Per-doc maximal >=n-token cross-doc duplicated spans over a
+    (doc_id, text) frame — see dedup_exact_substring for the plan-shape
+    rationale. Exposed for composition and property tests."""
     a = F.split("text", " ")
     grams = (
-        d.filter(F.size(a) >= SUBSTR_N)
+        docs.filter(F.size(a) >= n)
         .select(
             "doc_id",
             F.explode(
                 F.transform(
-                    F.sequence(F.lit(1), F.size(a) - (SUBSTR_N - 1)),
+                    F.sequence(F.lit(1), F.size(a) - (n - 1)),
                     lambda i: F.struct(
                         i.cast("long").alias("pos"),
-                        F.concat_ws(" ", F.slice(a, i, SUBSTR_N)).alias("g"),
+                        F.concat_ws(" ", F.slice(a, i, n)).alias("g"),
                     ),
                 )
             ).alias("w"),
@@ -801,7 +808,7 @@ def dedup_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id", "grp")
         .agg(
             F.min("pos").alias("s"),
-            (F.max("pos") + SUBSTR_N - 1).alias("e"),
+            (F.max("pos") + n - 1).alias("e"),
         )
     )
     return (

@@ -32,3 +32,37 @@ def test_pii_scrub_is_narrow(spark, sf_dir):
     """The scrub pass must stay a pure map: no exchange at all."""
     plan = _executed(REGISTRY["text_pii_scrub"].fn(spark, sf_dir))
     assert "Exchange" not in plan, plan
+
+
+def test_exact_substring_no_expand_single_gram_scan(spark, sf_dir):
+    """No count-distinct Expand (min/max over the hash partition detects
+    cross-doc repeats), and the expensive gram explode runs ONCE (the
+    window tags positions in the same pass — no agg + join-back that
+    would re-run it)."""
+    plan = _executed(REGISTRY["dedup_exact_substring"].fn(spark, sf_dir))
+    assert "Expand" not in plan, plan
+    assert plan.count("documents") == 1, plan
+
+
+def test_chi_square_broadcasts_marginals(spark, sf_dir):
+    """Marginals and totals are agg-sized: every join in the expected-count
+    assembly must be broadcast, never a shuffled SMJ."""
+    plan = _executed(REGISTRY["stats_chi_square"].fn(spark, sf_dir))
+    assert "SortMergeJoin" not in plan, plan
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan, plan
+
+
+def test_target_encoding_single_window_no_self_join(spark, sf_dir):
+    """Leave-one-out encoding is ONE window pass over the keyed frame —
+    no self-join, one exchange for the window partitioning (+ the
+    global top-500 ordering)."""
+    plan = _executed(REGISTRY["feature_target_encoding"].fn(spark, sf_dir))
+    assert "Join" not in plan, plan
+    assert plan.count("Window") == 1, plan
+
+
+def test_mv_incremental_join_no_full_recompute_shape(spark, sf_dir):
+    """The refresh is a union of delta joins; the orders side is scanned
+    for the stored view + delta partitions but never cartesian."""
+    plan = _executed(REGISTRY["mv_incremental_join"].fn(spark, sf_dir))
+    assert "Cartesian" not in plan and "NestedLoop" not in plan, plan
