@@ -233,3 +233,102 @@ def sink_zorder_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
         .parquet(out)
     )
     return spark.read.schema(o.schema).parquet(out)
+
+
+@register(
+    "source_schema_evolution",
+    oracle="""
+    SELECT o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+           CAST(NULL AS BIGINT) AS o_custkey
+    FROM orders WHERE o_orderkey % 2 = 0
+    UNION ALL
+    SELECT o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT), o_custkey
+    FROM orders WHERE o_orderkey % 2 = 1
+    """,
+)
+def source_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution on read (mergeSchema): epoch 1 writes a 2-column
+    parquet table, epoch 2 appends files that carry an ADDED column, and
+    a single mergeSchema read returns the unified schema with NULLs where
+    the old files lack the column — how a long-lived 100 TB table absorbs
+    new fields without rewriting history (the Delta/Iceberg evolution
+    semantics, available on raw parquet).
+
+    Scale note: mergeSchema reconciles footers at planning time (driver
+    cost O(files); production bounds it by reconciling per-partition
+    manifests or pinning the merged schema in a metastore) — the DATA
+    path stays an ordinary pruned columnar scan.
+    """
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        "o_custkey",
+    )
+    out = _sink_path(spark, "gbp_src_evolve")
+    v1 = o.filter(F.col("o_orderkey") % 2 == 0).drop("o_custkey")
+    v2 = o.filter(F.col("o_orderkey") % 2 == 1)
+    v1.write.mode("overwrite").parquet(out)
+    v2.write.mode("append").parquet(out)
+    return spark.read.option("mergeSchema", True).parquet(out).select(
+        "o_orderkey", "cents", "o_custkey"
+    )
+
+
+@register(
+    "source_csv_malformed",
+    oracle="""
+    SELECT CAST(8 AS BIGINT) AS good_rows, CAST(3 AS BIGINT) AS corrupt_rows
+    """,
+)
+def source_csv_malformed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Malformed-record handling on a text source: PERMISSIVE mode parses
+    what it can and routes unparseable lines to _corrupt_record instead
+    of failing the job — the ingestion posture for dirty 100 TB feeds
+    (DROPMALFORMED silently loses data; FAILFAST dies on row one).
+
+    The fixture is a deterministic 11-line CSV written in-function (8
+    clean rows, 3 malformed: wrong arity is NOT malformed for CSV —
+    missing trailing columns become nulls — so the bad rows are type
+    errors and an unclosed quote). The oracle pins the exact good/corrupt
+    split as literals; the assertion is the SPLIT ITSELF, which is the
+    operator's contract.
+    """
+    import os
+
+    out = _sink_path(spark, "gbp_src_malformed")
+    os.makedirs(out, exist_ok=True)
+    lines = [
+        "id,price,qty",
+        "1,10.5,3",
+        "2,20.0,4",
+        "3,abc,5",        # type error: price not a double
+        "4,40.25,6",
+        "5,50.0,xyz",     # type error: qty not an int
+        "6,60.75,7",
+        "7,70.0,8",
+        '8,"unclosed,9',  # unclosed quote
+        "9,90.5,10",
+        "10,100.0,11",
+        "11,110.25,12",
+    ]
+    with open(os.path.join(out, "part-0.csv"), "w") as fh:
+        fh.write("\n".join(lines) + "\n")
+    schema = (
+        "id long, price double, qty int, _corrupt_record string"
+    )
+    df = (
+        spark.read.schema(schema)
+        .option("header", True)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .csv(out)
+        .cache()  # SPARK-21610: corrupt-record column needs materialization
+    )
+    return df.agg(
+        F.sum(F.when(F.col("_corrupt_record").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("good_rows"),
+        F.sum(F.when(F.col("_corrupt_record").isNotNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("corrupt_rows"),
+    )
