@@ -479,3 +479,94 @@ def feature_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("o_orderkey")
         .limit(500)
     )
+
+
+@register(
+    "stats_mann_whitney",
+    oracle="""
+    WITH counts AS (
+      SELECT round(value, 2) AS v,
+             sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS c1,
+             sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS c2
+      FROM events
+      WHERE event_type IN ('click', 'view')
+      GROUP BY 1
+    ),
+    ranked AS (
+      SELECT c1, c2, c1 + c2 AS t,
+             coalesce(sum(c1 + c2) OVER (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               + (c1 + c2 + 1) / 2.0 AS avg_rank
+      FROM counts
+    ),
+    agg AS (
+      SELECT sum(c1 * avg_rank) AS r1,
+             sum(c1) AS n1, sum(c2) AS n2,
+             sum(CAST(t AS DOUBLE) * t * t - t) AS tie_term
+      FROM ranked
+    )
+    SELECT round(r1 - n1 * (n1 + 1) / 2.0, 4) AS u1,
+           round((r1 - n1 * (n1 + 1) / 2.0 - n1 * n2 / 2.0)
+                 / sqrt(n1 * n2 / 12.0
+                        * ((n1 + n2 + 1)
+                           - tie_term / ((n1 + n2) * (n1 + n2 - 1.0)))), 6)
+             AS z_stat,
+           CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2
+    FROM agg
+    """,
+)
+def stats_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U (Wilcoxon rank-sum) between the click and view value
+    distributions, with the standard tie-corrected normal approximation —
+    the nonparametric location-shift test an experimentation pipeline runs
+    when value distributions are skewed (t-tests assume normality; ranks
+    do not).
+
+    Scale shape (same compression as stats_ks_two_sample): the fact table
+    collapses FIRST into per-distinct-value (c1, c2) pair counts — one
+    partial-combinable aggregate whose output is bounded by the 2-decimal
+    value domain, not the row count — and the rank window runs over THAT
+    table. Average ranks come from the cumulative count of strictly
+    smaller values plus (t+1)/2, so no per-row rank assignment ever
+    happens: 100 TB of events never feeds a global sort.
+
+    Cross-engine determinism: avg_rank is an exact multiple of 0.5 and c1
+    is integral, so r1 is an exact dyadic sum (no fp rounding at any
+    magnitude reachable here); u1 and the tie term are therefore exact,
+    and z is a single correctly-rounded sqrt + division away.
+    """
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "view")
+    )
+    counts = ev.groupBy(F.round("value", 2).alias("v")).agg(
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0)).alias("c1"),
+        F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0)).alias("c2"),
+    )
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    t = F.col("c1") + F.col("c2")
+    ranked = counts.select(
+        "c1",
+        "c2",
+        t.alias("t"),
+        (F.coalesce(F.sum(t).over(w), F.lit(0)) + (t + 1) / 2.0).alias("avg_rank"),
+    )
+    agg = ranked.agg(
+        F.sum(F.col("c1") * F.col("avg_rank")).alias("r1"),
+        F.sum("c1").alias("n1"),
+        F.sum("c2").alias("n2"),
+        F.sum(F.col("t").cast("double") * F.col("t") * F.col("t") - F.col("t")).alias(
+            "tie_term"
+        ),
+    )
+    n1, n2 = F.col("n1"), F.col("n2")
+    u1 = F.col("r1") - n1 * (n1 + 1) / 2.0
+    sigma = F.sqrt(
+        n1 * n2 / 12.0
+        * ((n1 + n2 + 1) - F.col("tie_term") / ((n1 + n2) * (n1 + n2 - 1.0)))
+    )
+    return agg.select(
+        F.round(u1, 4).alias("u1"),
+        F.round((u1 - n1 * n2 / 2.0) / sigma, 6).alias("z_stat"),
+        n1.cast("long").alias("n1"),
+        n2.cast("long").alias("n2"),
+    )

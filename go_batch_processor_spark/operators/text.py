@@ -641,9 +641,12 @@ def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
 # each term digit/16^i is exactly representable and the running sum stays
 # exact (numerator < 2^32), so there is no cross-engine ulp risk.
 _HEX = "0123456789abcdef"
+# Divisors MUST be double-typed: a bare `/ 16.0` literal parses as DECIMAL
+# in Spark SQL and each term would silently truncate to 6 decimal digits,
+# capping u's precision at ~1e-6 (vs the promised exact 2^-32 dyadic sum).
 _U_SPARK = " + ".join(
     f"(instr('{_HEX}', substring(md5(cast(doc_id as string)), {i}, 1)) - 1)"
-    f" / {16.0 ** i:.1f}"
+    f" / cast({16 ** i} as double)"
     for i in range(1, 9)
 )
 _U_DUCK = " + ".join(
@@ -981,4 +984,48 @@ def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.regr_slope(F.log("f"), F.log("r")), 6).alias("zipf_slope"),
         F.round(F.regr_r2(F.log("f"), F.log("r")), 6).alias("fit_r2"),
         F.count(F.lit(1)).cast("long").alias("n_words"),
+    )
+
+
+RESERVOIR_K = 100
+
+
+@register(
+    "sample_reservoir_weighted",
+    oracle=f"""
+    SELECT doc_id, n_chars,
+           round(-ln(({_U_DUCK}) + 0.25 / 4294967296.0) / n_chars * 1000, 6)
+             AS res_key
+    FROM documents
+    ORDER BY -ln(({_U_DUCK}) + 0.25 / 4294967296.0) / n_chars ASC, doc_id ASC
+    LIMIT {RESERVOIR_K}
+    """,
+)
+def sample_reservoir_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted reservoir sample (Efraimidis-Spirakis A-ES, 2006): keep the
+    k docs with the smallest exponential race key -ln(u)/w, weight w =
+    n_chars — longer documents proportionally likelier to survive. THE
+    distributed weighted-sampling primitive: each partition keeps its local
+    top-k by key (TakeOrderedAndProject partial), the driver merges k-sized
+    heads — one pass, no shuffle of the full corpus, and the SAME rows win
+    on any partitioning because u is a content-stable md5 uniform rather
+    than rand().
+
+    Cross-engine determinism: u is the exact dyadic md5 sum (see
+    sample_temperature_mixing) offset by 2^-34 (also exact) so u > 0 —
+    Spark's log() returns NULL at 0 while DuckDB errors, and the offset
+    sidesteps both. ln/division on identical doubles use the platform
+    libm in both engines; res_key is scaled by 1000 and rounded to 6 dp
+    only for display, the ORDER BY uses the unrounded key.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    u = F.expr(_U_SPARK) + F.lit(0.25 / 4294967296.0)
+    key = -F.log(u) / F.col("n_chars")
+    return (
+        d.select("doc_id", "n_chars", key.alias("_k"))
+        .orderBy(F.col("_k").asc(), F.col("doc_id").asc())
+        .limit(RESERVOIR_K)
+        .select(
+            "doc_id", "n_chars", F.round(F.col("_k") * 1000, 6).alias("res_key")
+        )
     )
