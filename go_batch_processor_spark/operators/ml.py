@@ -766,3 +766,149 @@ def ml_gmm_em(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         out, "cluster int, weight double, mu0 double, mu1 double, var0 double"
     )
+
+
+NB_ALPHA = 1  # Laplace smoothing pseudo-count
+
+
+@register(
+    "ml_naive_bayes_langid",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, lang, lower(unnest(string_split(text, ' '))) AS term
+      FROM documents
+    ),
+    class_counts AS (
+      SELECT lang, term, CAST(count(*) AS DOUBLE) AS c
+      FROM toks GROUP BY lang, term
+    ),
+    class_totals AS (
+      SELECT lang, CAST(count(*) AS DOUBLE) AS tot FROM toks GROUP BY lang
+    ),
+    vocab AS (SELECT CAST(count(DISTINCT term) AS DOUBLE) AS v FROM toks),
+    priors AS (
+      SELECT lang,
+             ln(CAST(count(*) AS DOUBLE)
+                / (SELECT count(*) FROM documents)) AS logprior
+      FROM documents GROUP BY lang
+    ),
+    tf AS (
+      SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf
+      FROM toks GROUP BY doc_id, term
+    ),
+    scored AS (
+      SELECT t.doc_id, p.lang,
+             p.logprior
+               + sum(t.tf * (ln(coalesce(cc.c, 0) + 1)
+                             - ln(ct.tot + vocab.v))) AS score
+      FROM tf t
+      CROSS JOIN priors p
+      JOIN class_totals ct ON ct.lang = p.lang
+      CROSS JOIN vocab
+      LEFT JOIN class_counts cc ON cc.lang = p.lang AND cc.term = t.term
+      GROUP BY t.doc_id, p.lang, p.logprior
+    ),
+    best AS (
+      SELECT doc_id, lang AS pred_lang, round(score, 4) AS score,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY round(score, 4) DESC, lang ASC) AS rn
+      FROM scored
+    )
+    SELECT b.doc_id, b.pred_lang, b.score,
+           CAST(b.pred_lang = d.lang AS BOOLEAN) AS correct
+    FROM best b JOIN documents d ON d.doc_id = b.doc_id
+    WHERE b.rn = 1
+    """,
+)
+def ml_naive_bayes_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multinomial naive Bayes language classifier trained and scored on
+    the corpus itself (Laplace alpha=1) — the classic fastText-free
+    language-ID baseline a data pipeline runs when a learned model is not
+    worth shipping. Outputs per-doc argmax language, its log-score, and
+    agreement with the labeled lang column.
+
+    Plan shape (all JVM, zero Python): the model IS three aggregates —
+    per-(lang, term) counts, per-lang token totals, doc-count priors.
+    Scoring joins each doc's (term, tf) vector against the 5-row lang
+    dimension (broadcast) and the (lang, term) likelihood table
+    (hash-partitioned on term, AQE-broadcast when the vocabulary is
+    small), then one (doc_id, lang) partial-combinable sum. Unseen terms
+    contribute ln(alpha / (tot + V)) via the LEFT join's coalesce —
+    exactly the smoothed zero-count likelihood, no dense vocab x lang
+    materialization.
+
+    At 100 TB: class_counts is bounded by vocab x langs (not corpus
+    rows), priors/totals are tiny aggregates, and the scoring join
+    shuffles on term — the same co-location the tfidf op uses. Argmax is
+    computed on the 4-dp-rounded score with a lang tiebreak so fp
+    summation order (which differs across engines AND partitionings)
+    cannot flip predictions: true score gaps between languages are O(1),
+    accumulated fp noise is O(1e-12).
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", "lang", F.explode(F.split(F.lower("text"), " ")).alias("term")
+    )
+    class_counts = toks.groupBy("lang", "term").agg(
+        F.count(F.lit(1)).cast("double").alias("c")
+    )
+    class_totals = toks.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("double").alias("tot")
+    )
+    vocab = toks.agg(F.countDistinct("term").cast("double").alias("v"))
+    n_docs = d.agg(F.count(F.lit(1)).cast("double").alias("n"))
+    priors = (
+        d.groupBy("lang")
+        .agg(F.count(F.lit(1)).cast("double").alias("nd"))
+        .crossJoin(F.broadcast(n_docs))
+        .select("lang", F.log(F.col("nd") / F.col("n")).alias("logprior"))
+    )
+    tf = toks.groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).cast("double").alias("tf")
+    )
+    lang_dim = (
+        priors.join(class_totals, "lang")
+        .crossJoin(F.broadcast(vocab))
+        .select("lang", "logprior", (F.col("tot") + F.col("v")).alias("denom"))
+    )
+    cc = class_counts.select(
+        F.col("lang").alias("_cl"), F.col("term").alias("_ct"), "c"
+    )
+    scored = (
+        tf.crossJoin(F.broadcast(lang_dim))
+        .join(
+            cc,
+            (F.col("_cl") == F.col("lang")) & (F.col("_ct") == F.col("term")),
+            "left",
+        )
+        .groupBy("doc_id", "lang", "logprior")
+        .agg(
+            F.sum(
+                F.col("tf")
+                * (F.log(F.coalesce(F.col("c"), F.lit(0.0)) + 1) - F.log("denom"))
+            ).alias("s")
+        )
+        .select(
+            "doc_id", "lang", (F.col("logprior") + F.col("s")).alias("score")
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy(
+        F.round("score", 4).desc(), F.col("lang").asc()
+    )
+    best = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "doc_id",
+            F.col("lang").alias("pred_lang"),
+            F.round("score", 4).alias("score"),
+        )
+    )
+    return best.join(d.select("doc_id", F.col("lang").alias("_true")), "doc_id").select(
+        "doc_id",
+        "pred_lang",
+        "score",
+        (F.col("pred_lang") == F.col("_true")).alias("correct"),
+    )

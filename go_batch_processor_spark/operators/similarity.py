@@ -1269,3 +1269,71 @@ def similarity_ivfpq_opq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(TOP_K)
         .select("vec_id", F.round("adc_dist2", 6).alias("adc_dist2"))
     )
+
+
+MMR_LAMBDA = 0.7
+MMR_CANDIDATES = 50
+MMR_K = 10
+
+
+@register("similarity_mmr_diversify", tags={"rows_only"})
+def similarity_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal Marginal Relevance re-ranking (Carbonell & Goldstein 1998):
+    retrieve 50 exact-cosine candidates for the probe, then greedily pick
+    10 maximizing lambda*rel - (1-lambda)*max-sim-to-already-picked — the
+    standard diversity pass between ANN retrieval and an LLM context
+    window (near-duplicate passages waste context tokens; MMR suppresses
+    them at selection time).
+
+    Scale shape: stage 1 is the distributed part (one corpus scan,
+    broadcast probe, TakeOrderedAndProject top-50 — identical plan to
+    similarity_topk_cosine, any retrieval op can feed it); stage 2 is
+    greedy over k x candidates pairs, inherently sequential and O(50*10)
+    — DRIVER-side by design on a bounded candidate set (collect of 50
+    rows), exactly where FAISS/vector-DB rerankers run it. Rows-only:
+    the greedy argmax has no SQL twin; tests/test_ml.py pins it against
+    a numpy reference.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    probe = emb.filter(F.col("vec_id") == PROBE_VEC_ID)
+    e = emb.select("vec_id", _as_double(F.col("embedding")).alias("emb"))
+    p = probe.select(
+        F.col("vec_id").alias("probe_id"),
+        _as_double(F.col("embedding")).alias("pemb"),
+    )
+    rel = _dot(F.col("emb"), F.col("pemb")) / (
+        _norm(F.col("emb")) * _norm(F.col("pemb"))
+    )
+    cands = (
+        e.crossJoin(F.broadcast(p))
+        .filter(F.col("vec_id") != F.col("probe_id"))
+        .select("vec_id", rel.alias("rel"), "emb")
+        .orderBy(F.col("rel").desc(), F.col("vec_id").asc())
+        .limit(MMR_CANDIDATES)
+        .collect()  # bounded: MMR_CANDIDATES rows (id, rel, 64 doubles)
+    )
+    ids = [r.vec_id for r in cands]
+    rels = np.array([r.rel for r in cands])
+    vecs = np.array([r.emb for r in cands])
+    vecs = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    sims = vecs @ vecs.T  # candidate-candidate cosine, 50x50
+    picked: list[int] = []
+    remaining = list(range(len(ids)))
+    while remaining and len(picked) < MMR_K:
+        if picked:
+            penalty = sims[np.ix_(remaining, picked)].max(axis=1)
+        else:
+            penalty = np.zeros(len(remaining))
+        scores = MMR_LAMBDA * rels[remaining] - (1 - MMR_LAMBDA) * penalty
+        # deterministic argmax: highest score, then lowest vec_id
+        best = min(
+            range(len(remaining)), key=lambda j: (-scores[j], ids[remaining[j]])
+        )
+        picked.append(remaining.pop(best))
+    out = [
+        (int(ids[i]), float(round(rels[i], 6)), rank + 1)
+        for rank, i in enumerate(picked)
+    ]
+    return spark.createDataFrame(
+        out, "vec_id bigint, relevance double, mmr_rank int"
+    )

