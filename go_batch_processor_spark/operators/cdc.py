@@ -340,3 +340,90 @@ def cdc_deletes_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("user_id", F.col("value").alias("current_value"))
         .orderBy("user_id")
     )
+
+
+SNAP_CUT_A = "1997-01-01"
+SNAP_CUT_B = "1998-01-01"
+
+
+@register(
+    "cdc_snapshot_diff",
+    oracle=f"""
+    WITH snap_a AS (
+      SELECT o_orderkey, o_orderstatus, round(o_totalprice, 2) AS price
+      FROM orders WHERE o_orderdate < DATE '{SNAP_CUT_A}'
+    ),
+    snap_b AS (
+      SELECT o_orderkey, o_orderstatus,
+             CASE WHEN o_orderdate < DATE '{SNAP_CUT_A}'
+                       AND substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 1) = '0'
+                  THEN round(o_totalprice + 1, 2)
+                  ELSE round(o_totalprice, 2) END AS price
+      FROM orders
+      WHERE o_orderdate < DATE '{SNAP_CUT_B}'
+        AND NOT (o_orderdate < DATE '{SNAP_CUT_A}'
+                 AND substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 1) = 'f')
+    )
+    SELECT coalesce(a.o_orderkey, b.o_orderkey) AS o_orderkey,
+           CASE WHEN a.o_orderkey IS NULL THEN 'added'
+                WHEN b.o_orderkey IS NULL THEN 'removed'
+                ELSE 'changed' END AS change_type,
+           a.price AS old_price, b.price AS new_price
+    FROM snap_a a
+    FULL OUTER JOIN snap_b b ON a.o_orderkey = b.o_orderkey
+    WHERE a.o_orderkey IS NULL OR b.o_orderkey IS NULL
+       OR a.price <> b.price OR a.o_orderstatus <> b.o_orderstatus
+    """,
+)
+def cdc_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot differencing — the change set between two table versions
+    (what Delta's CDF / Iceberg's changelog scan computes when the log is
+    unavailable): full outer join on the key, classify added / removed /
+    changed, keep only actual changes. Snapshot B is derived
+    deterministically from orders (rows past the first cutoff are inserts,
+    an md5-nibble slice of old rows gets a price bump = updates, another
+    slice disappears = deletes) so the diff is oracle-checkable.
+
+    Scale: one hash shuffle per side on the join key — at 100 TB both
+    snapshot scans push their date filters into parquet, and the WHERE
+    keeps only changed rows, so the diff output (usually <<1% of rows)
+    never materializes unchanged pairs downstream. This is the fallback
+    plan when storage-level change feeds don't exist; cdc_upsert /
+    cdc_deletes_apply consume the change set this op produces.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    nib = F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 1)
+    old = F.col("o_orderdate") < F.lit(SNAP_CUT_A).cast("date")
+    snap_a = o.filter(old).select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.round("o_totalprice", 2).alias("price"),
+    )
+    snap_b = (
+        o.filter(F.col("o_orderdate") < F.lit(SNAP_CUT_B).cast("date"))
+        .filter(~(old & (nib == "f")))
+        .select(
+            "o_orderkey",
+            "o_orderstatus",
+            F.when(old & (nib == "0"), F.round(F.col("o_totalprice") + 1, 2))
+            .otherwise(F.round("o_totalprice", 2))
+            .alias("price"),
+        )
+    )
+    a = snap_a.alias("a")
+    b = snap_b.alias("b")
+    joined = a.join(b, F.col("a.o_orderkey") == F.col("b.o_orderkey"), "full_outer")
+    return joined.filter(
+        F.col("a.o_orderkey").isNull()
+        | F.col("b.o_orderkey").isNull()
+        | (F.col("a.price") != F.col("b.price"))
+        | (F.col("a.o_orderstatus") != F.col("b.o_orderstatus"))
+    ).select(
+        F.coalesce(F.col("a.o_orderkey"), F.col("b.o_orderkey")).alias("o_orderkey"),
+        F.when(F.col("a.o_orderkey").isNull(), "added")
+        .when(F.col("b.o_orderkey").isNull(), "removed")
+        .otherwise("changed")
+        .alias("change_type"),
+        F.col("a.price").alias("old_price"),
+        F.col("b.price").alias("new_price"),
+    )

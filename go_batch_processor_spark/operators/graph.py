@@ -159,7 +159,7 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "graph_triangle_count",
     oracle="""
-    WITH pairs AS (
+    WITH RECURSIVE pairs AS (
       SELECT DISTINCT a.l_partkey AS pa, b.l_partkey AS pb
       FROM lineitem a JOIN lineitem b
         ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
@@ -208,3 +208,77 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(e3, (F.col("x") == F.col("x3")) & (F.col("z") == F.col("z3")))
         .agg(F.count(F.lit(1)).alias("n_triangles"))
     )
+
+
+BFS_SOURCE = 0  # node id of user 0 in the namespaced key space
+BFS_MAX_HOPS = 4
+
+
+@register(
+    "graph_bfs_shortest_paths",
+    oracle=f"""
+    WITH RECURSIVE pairs AS (
+      SELECT DISTINCT user_id * 2 AS u,
+             CAST(props->>'k' AS BIGINT) * 2 + 1 AS i
+      FROM events
+      WHERE props->>'k' IS NOT NULL
+    ),
+    edges AS (
+      SELECT u AS src, i AS dst FROM pairs
+      UNION ALL
+      SELECT i AS src, u AS dst FROM pairs
+    ),
+    walk(node, dist) AS (
+      SELECT CAST({BFS_SOURCE} AS BIGINT) AS node, 0 AS dist
+      UNION
+      SELECT e.dst, w.dist + 1
+      FROM walk w JOIN edges e ON e.src = w.node
+      WHERE w.dist < {BFS_MAX_HOPS}
+    )
+    SELECT node, CAST(min(dist) AS BIGINT) AS dist
+    FROM walk
+    GROUP BY node
+    """,
+)
+def graph_bfs_shortest_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unweighted single-source shortest paths (BFS, {BFS_MAX_HOPS} hops
+    max) from user 0 over the bipartite interaction graph — "what can
+    this account reach in k hops" is the workhorse of fraud-ring and
+    influence analyses. Oracled against a DuckDB recursive CTE computing
+    the identical frontier expansion.
+
+    Scale shape (level-synchronous BFS, the Pregel pattern): the edge
+    list is persisted once, hash-partitioned on src; each of the <= 4
+    iterations joins the CURRENT FRONTIER ONLY (not all discovered
+    nodes) against edges — frontier size is the per-iteration cost, and
+    a left-anti join against the discovered set keeps the frontier
+    minimal. Driver state is one integer (frontier row count) per
+    iteration for the early-exit check; distances live distributed.
+    Lineage stays shallow (<= 4 plans), so no checkpoint is needed.
+    """
+    from pyspark import StorageLevel
+
+    edges = interaction_edges(spark, sf_dir).persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        dist = (
+            edges.sparkSession.range(1)
+            .select(F.lit(BFS_SOURCE).cast("long").alias("node"))
+            .withColumn("dist", F.lit(0))
+        )
+        frontier = dist
+        for hop in range(1, BFS_MAX_HOPS + 1):
+            nxt = (
+                frontier.join(edges, frontier.node == edges.src)
+                .select(F.col("dst").alias("node"))
+                .distinct()
+                .join(dist.select("node"), "node", "left_anti")
+                .withColumn("dist", F.lit(hop))
+            )
+            nxt = nxt.persist(StorageLevel.MEMORY_AND_DISK)
+            if nxt.count() == 0:  # early exit: frontier exhausted
+                break
+            dist = dist.unionByName(nxt)
+            frontier = nxt
+        return dist.select("node", F.col("dist").cast("long").alias("dist"))
+    finally:
+        edges.unpersist(blocking=False)

@@ -618,3 +618,111 @@ def feature_hashing_trick(spark: SparkSession, sf_dir: str) -> DataFrame:
     return toks.groupBy("doc_id", bucket.alias("bucket")).agg(
         F.count(F.lit(1)).alias("n")
     )
+
+
+BOOT_B = 100  # bootstrap replicates
+# Poisson(1) CDF ladder for inverse-transform sampling (cum P(X<=k), k=0..6;
+# the k=7 tail has mass 8e-5 and is truncated to 7).
+_POIS_CDF = [
+    0.36787944117144233,
+    0.7357588823428847,
+    0.9196986029286058,
+    0.9810118431238463,
+    0.9963401531726563,
+    0.9994058151824183,
+    0.999916758850712,
+]
+_HEX16 = "0123456789abcdef"
+
+
+def _boot_u(engine: str) -> str:
+    """Exact dyadic md5 uniform over (event_id, replicate b) — divisors are
+    cast to double (a bare decimal literal divisor truncates to 6 digits
+    in Spark SQL, see operators/text.py)."""
+    if engine == "spark":
+        h = "md5(concat(cast(event_id as string), ':', cast(b as string)))"
+        pos = "instr"
+    else:
+        h = "md5(CAST(event_id AS VARCHAR) || ':' || CAST(b AS VARCHAR))"
+        pos = "strpos"
+    return " + ".join(
+        f"({pos}('{_HEX16}', substring({h}, {i}, 1)) - 1)"
+        f" / cast({16 ** i} as double)"
+        for i in range(1, 9)
+    )
+
+
+def _pois_case(u_expr: str) -> str:
+    branches = " ".join(
+        f"WHEN ({u_expr}) < cast({c!r} as double) THEN {k}"
+        for k, c in enumerate(_POIS_CDF)
+    )
+    return f"CASE {branches} ELSE 7 END"
+
+
+@register(
+    "stats_bootstrap_poisson_ci",
+    oracle=f"""
+    WITH reps AS (SELECT unnest(range(0, {BOOT_B})) AS b),
+    weighted AS (
+      SELECT r.b,
+             sum(CAST({_pois_case(_boot_u('duck'))} AS BIGINT)
+                 * CAST(round(e.value * 100) AS BIGINT)) AS cents,
+             sum(CAST({_pois_case(_boot_u('duck'))} AS BIGINT)) AS n
+      FROM events e CROSS JOIN reps r
+      GROUP BY r.b
+    ),
+    means AS (
+      SELECT round(cents / n / 100.0, 6) AS m FROM weighted
+    )
+    SELECT round(quantile_cont(m, 0.025), 6) AS ci_lo,
+           round(quantile_cont(m, 0.5), 6)   AS ci_mid,
+           round(quantile_cont(m, 0.975), 6) AS ci_hi,
+           CAST({BOOT_B} AS BIGINT) AS n_reps
+    FROM means
+    """,
+)
+def stats_bootstrap_poisson_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bootstrap confidence interval for the mean event value via the
+    POISSON bootstrap (Chamandy et al., "Estimating Uncertainty for
+    Massive Data Streams", Google 2012) — the resampling scheme that
+    works at 100 TB: instead of drawing n rows with replacement (which
+    needs global coordination), every row independently contributes
+    Poisson(1) copies to each replicate, so the resample is a per-row
+    map with NO shuffle of the raw data, and each replicate's weighted
+    sum is one partial-combinable aggregate.
+
+    Determinism: the Poisson draw inverts an exact dyadic md5 uniform
+    keyed on (event_id, replicate) through a CDF ladder — content-stable,
+    so the same row gets the same weight in the same replicate on any
+    engine or partitioning. Replicate means use exact integer-cents
+    numerators (2-decimal money rule); the percentile interpolation then
+    runs over B=100 identical doubles on both engines.
+
+    Plan: events x 100 replicates via a broadcast range (row explosion
+    happens AFTER the scan, inside one codegen stage), one groupBy(b)
+    partial agg -> 100 rows, then a tiny exact percentile. The fact table
+    is read ONCE.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    reps = spark.range(BOOT_B).select(F.col("id").alias("b"))
+    u = _boot_u("spark")
+    c = F.expr(_pois_case(u)).cast("long")
+    cents = F.round(F.col("value") * 100).cast("long")
+    weighted = (
+        ev.crossJoin(F.broadcast(reps))
+        .groupBy("b")
+        .agg(
+            F.sum(c * cents).alias("cents"),
+            F.sum(c).alias("n"),
+        )
+    )
+    means = weighted.select(
+        F.round(F.col("cents") / F.col("n") / 100.0, 6).alias("m")
+    )
+    return means.agg(
+        F.round(F.expr("percentile(m, 0.025)"), 6).alias("ci_lo"),
+        F.round(F.expr("percentile(m, 0.5)"), 6).alias("ci_mid"),
+        F.round(F.expr("percentile(m, 0.975)"), 6).alias("ci_hi"),
+        F.lit(BOOT_B).cast("long").alias("n_reps"),
+    )

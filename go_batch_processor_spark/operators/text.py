@@ -1029,3 +1029,96 @@ def sample_reservoir_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id", "n_chars", F.round(F.col("_k") * 1000, 6).alias("res_key")
         )
     )
+
+
+CHUNK_BLOCK = 256  # tokens per training block
+CHUNK_BUCKET = 100  # doc_id range per prefix-sum bucket
+
+
+@register(
+    "text_chunk_training_blocks",
+    oracle=f"""
+    WITH sized AS (
+      SELECT doc_id, len(string_split(text, ' ')) AS n
+      FROM documents
+      WHERE len(string_split(text, ' ')) > 0
+    ),
+    pos AS (
+      SELECT doc_id, n,
+             coalesce(sum(n) OVER (ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start
+      FROM sized
+    )
+    SELECT CAST(blk AS BIGINT) AS block_id, doc_id,
+           CAST(least((blk + 1) * {CHUNK_BLOCK} - 1, start + n - 1)
+                - greatest(blk * {CHUNK_BLOCK}, start) + 1 AS BIGINT)
+             AS tok_in_block
+    FROM pos,
+         unnest(generate_series(CAST(start // {CHUNK_BLOCK} AS BIGINT),
+                                CAST((start + n - 1) // {CHUNK_BLOCK} AS BIGINT)))
+           AS t(blk)
+    """,
+)
+def text_chunk_training_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-style training-block chunking: concatenate the corpus in
+    doc_id order and slice it into fixed 256-token blocks, emitting which
+    docs land in which block (docs spanning a boundary appear in every
+    block they touch, with their per-block token share) — the data-loader
+    materialization step of LLM pretraining (concat-and-chunk, as in GPT
+    pipelines; attention masking per source doc happens downstream).
+
+    THE SCALE PATTERN HERE IS THE TWO-PASS PREFIX SUM. A naive global
+    running-total window over docs is a single-task sort at 100 TB (the
+    anti-pattern the repo bans for fact-sized frames). Instead:
+    (1) docs group into doc_id-range buckets; an intra-bucket cumsum
+        window runs partitioned by bucket (parallel, bounded);
+    (2) per-bucket token totals aggregate to #buckets rows; a tiny
+        unpartitioned window over THAT computes each bucket's global
+        offset (the documented agg-sized exception);
+    (3) offsets broadcast-join back and start = bucket_offset + intra.
+    Identical output to the oracle's global cumsum, but every fact-sized
+    step is hash-partitioned. Block expansion is an inline sequence()
+    explode bounded by ceil(n/256) + 1 rows per doc.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    sized = d.select(
+        "doc_id", F.size(F.split("text", " ")).cast("long").alias("n")
+    ).filter(F.col("n") > 0)
+    bucket = (F.col("doc_id") / CHUNK_BUCKET).cast("long")
+    sized = sized.withColumn("bucket", bucket)
+    w_intra = (
+        Window.partitionBy("bucket")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    intra = sized.select(
+        "doc_id",
+        "n",
+        "bucket",
+        F.coalesce(F.sum("n").over(w_intra), F.lit(0)).alias("intra"),
+    )
+    totals = sized.groupBy("bucket").agg(F.sum("n").alias("btot"))
+    w_b = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = totals.select(
+        "bucket", F.coalesce(F.sum("btot").over(w_b), F.lit(0)).alias("boff")
+    )
+    pos = intra.join(F.broadcast(offsets), "bucket").select(
+        "doc_id", "n", (F.col("boff") + F.col("intra")).alias("start")
+    )
+    b = F.lit(CHUNK_BLOCK)
+    blk = F.explode(
+        F.sequence(
+            (F.col("start") / b).cast("long"),
+            ((F.col("start") + F.col("n") - 1) / b).cast("long"),
+        )
+    ).alias("block_id")
+    out = pos.select("doc_id", "start", "n", blk)
+    return out.select(
+        F.col("block_id").cast("long"),
+        "doc_id",
+        (
+            F.least((F.col("block_id") + 1) * b - 1, F.col("start") + F.col("n") - 1)
+            - F.greatest(F.col("block_id") * b, F.col("start"))
+            + 1
+        ).cast("long").alias("tok_in_block"),
+    )

@@ -457,10 +457,14 @@ def timeseries_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame
     deterministic series and are rounded to 4 dp.
 
     Scale: the fact table compresses to one row per hour FIRST (partial
-    agg), so the unpartitioned trend window orders an aggregate-sized
+    agg), so every window below orders/partitions an aggregate-sized
     series (hours, not events) — the documented exception to the
-    no-global-window rule. Seasonal profile and grand mean are tiny
-    aggregates broadcast back in.
+    no-global-window rule. Seasonal profile and grand mean are WINDOWS
+    over that same aggregate output (not separate aggregates of the same
+    frame), so the fact table is scanned exactly once — a second
+    aggregate branch would re-scan it per branch (HANDOFF lesson: derive
+    scalars as windows over agg output; ReuseExchange does not fire
+    across broadcast-subquery boundaries).
     """
     ev = load_table(spark, sf_dir, "events")
     hourly = ev.groupBy(F.date_trunc("hour", "ts").alias("hour")).agg(
@@ -471,29 +475,16 @@ def timeseries_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame
         ).alias("v")
     )
     w = Window.orderBy("hour").rowsBetween(-STL_HALF, STL_HALF)
-    trended = hourly.select(
+    w_hod = Window.partitionBy(F.hour("hour"))
+    w_all = Window.partitionBy()
+    trend = F.when(
+        F.count(F.lit(1)).over(w) == 2 * STL_HALF + 1, F.avg("v").over(w)
+    )
+    seasonal = F.avg("v").over(w_hod) - F.avg("v").over(w_all)
+    return hourly.select(
         "hour",
-        "v",
-        F.when(
-            F.count(F.lit(1)).over(w) == 2 * STL_HALF + 1, F.avg("v").over(w)
-        ).alias("trend"),
-    )
-    seasonal = hourly.groupBy(F.hour("hour").alias("hod")).agg(
-        F.avg("v").alias("s")
-    )
-    overall = hourly.agg(F.avg("v").alias("mu"))
-    return (
-        trended.join(
-            F.broadcast(seasonal), F.hour(F.col("hour")) == F.col("hod")
-        )
-        .crossJoin(F.broadcast(overall))
-        .select(
-            "hour",
-            F.round("v", 4).alias("v"),
-            F.round("trend", 4).alias("trend"),
-            F.round(F.col("s") - F.col("mu"), 4).alias("seasonal"),
-            F.round(
-                F.col("v") - F.col("trend") - (F.col("s") - F.col("mu")), 4
-            ).alias("resid"),
-        )
+        F.round("v", 4).alias("v"),
+        F.round(trend, 4).alias("trend"),
+        F.round(seasonal, 4).alias("seasonal"),
+        F.round(F.col("v") - trend - seasonal, 4).alias("resid"),
     )
