@@ -87,6 +87,11 @@ HEADLINE = [
     "ml_logreg_irls",
     "stats_chi_square",
     "feature_target_encoding",
+    # round 5 (second session) additions
+    "ml_naive_bayes_langid",
+    "stats_bootstrap_poisson_ci",
+    "text_chunk_training_blocks",
+    "graph_bfs_shortest_paths",
 ]
 
 

@@ -332,3 +332,40 @@ def source_csv_malformed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("corrupt_rows"),
     )
+
+
+COMPACT_TARGET_FILES = 4
+
+
+@register(
+    "sink_compact_small_files",
+    oracle="""
+    SELECT doc_id, lang, source, n_chars FROM documents
+    """,
+)
+def sink_compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction — the OPTIMIZE / bin-packing maintenance job
+    every lakehouse runs: a fragmented table (here: written with
+    maxRecordsPerFile=50, the streaming-ingest failure mode — hundreds of
+    tiny files per partition) is rewritten into a handful of right-sized
+    files, preserving content exactly (the oracle checks the rows; the
+    file-count collapse is pinned in tests/test_bucketing.py).
+
+    Scale: the rewrite is repartition(N) by range on the sort key — at
+    100 TB, N comes from target_size / avg_row_size and the job runs
+    per-partition-directory so each OPTIMIZE batch is bounded. Range
+    (not hash) partitioning keeps each output file a contiguous key
+    range, preserving min/max row-group pruning on doc_id after the
+    rewrite — hash placement would destroy file-skipping.
+    """
+    frag = _sink_path(spark, "gbp_spark_sink_fragmented")
+    compact = _sink_path(spark, "gbp_spark_sink_compacted")
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+    d.write.mode("overwrite").option("maxRecordsPerFile", 50).parquet(frag)
+    frag_df = spark.read.schema(d.schema).parquet(frag)
+    frag_df.repartitionByRange(COMPACT_TARGET_FILES, "doc_id").write.mode(
+        "overwrite"
+    ).parquet(compact)
+    return spark.read.schema(d.schema).parquet(compact)

@@ -704,16 +704,30 @@ def stats_bootstrap_poisson_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     partial agg -> 100 rows, then a tiny exact percentile. The fact table
     is read ONCE.
     """
-    ev = load_table(spark, sf_dir, "events")
+    from go_batch_processor_spark.operators.dedup import _spread
+
+    # Rebalance ahead of the 100x replicate amplification: the fixture's
+    # single-row-group parquet makes the scan 1 task, and the md5-per-
+    # (row, replicate) work would run single-threaded (measured 14.5 s at
+    # sf0.1; ~1.4 s spread across cores).
+    ev = _spread(load_table(spark, sf_dir, "events"))
     reps = spark.range(BOOT_B).select(F.col("id").alias("b"))
-    u = _boot_u("spark")
-    c = F.expr(_pois_case(u)).cast("long")
+    # Materialize u ONCE per (row, replicate) before the CDF ladder: a CASE
+    # whose every branch inlines the 8-term md5 expression re-evaluates it
+    # per branch (~56 md5 calls/row — measured 16.5 s at sf0.1 vs ~2 s with
+    # the projection; Catalyst does not CSE across WHEN branches here).
+    c = F.expr(_pois_case("u")).cast("long")
     cents = F.round(F.col("value") * 100).cast("long")
     weighted = (
         ev.crossJoin(F.broadcast(reps))
+        .select(
+            "b",
+            cents.alias("cents_v"),
+            F.expr(_boot_u("spark")).alias("u"),
+        )
         .groupBy("b")
         .agg(
-            F.sum(c * cents).alias("cents"),
+            F.sum(c * F.col("cents_v")).alias("cents"),
             F.sum(c).alias("n"),
         )
     )

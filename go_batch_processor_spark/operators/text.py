@@ -12,7 +12,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from go_batch_processor_spark.catalog import load_table
-from go_batch_processor_spark.registry import register
+from go_batch_processor_spark.registry import REGISTRY, register
 
 TOP_WORDS = 20
 STOPWORDS = ("the", "a", "of", "and", "to", "in", "is")
@@ -1121,4 +1121,82 @@ def text_chunk_training_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
             - F.greatest(F.col("block_id") * b, F.col("start"))
             + 1
         ).cast("long").alias("tok_in_block"),
+    )
+
+
+def _bpe_splice(seq_col, first: str, second: str, merged: str):
+    """Greedy left-to-right merge of one (first, second) pair over a
+    symbol array — identical fold to text_bpe_train_merges (Sennrich
+    lookaround semantics: consecutive occurrences all merge)."""
+    return F.aggregate(
+        seq_col,
+        F.array().cast("array<string>"),
+        lambda acc, x: F.when(
+            (F.try_element_at(acc, F.lit(-1)) == F.lit(first))
+            & (x == F.lit(second)),
+            F.concat(F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(merged))),
+        ).otherwise(F.concat(acc, F.array(x))),
+    )
+
+
+@register("text_bpe_encode", tags={"rows_only"})
+def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE ENCODING — apply the trained merge table to the corpus and
+    report per-document subword token counts + compression vs character
+    tokens (the second half of the tokenizer lifecycle; train is
+    text_bpe_train_merges). Output: doc_id, char_tokens, bpe_tokens,
+    round(compression, 4).
+
+    THE SCALE TRICK: encoding is VOCAB-SIZED, not corpus-sized. Docs
+    reduce to (doc_id, word, count); only DISTINCT words are encoded
+    (each by folding the 10 trained merges over its symbol array in
+    merge order — the exact tokenizer-apply algorithm), and per-doc
+    totals come from a join on the encoded vocab + one sum. At 100 TB
+    the encode step still touches |vocab| rows; the corpus pays one
+    word-count aggregate and one vocab-sized (AQE-broadcastable) join.
+    Rows-only: the 10-deep sequential fold has no SQL twin; a
+    pure-Python BPE reference pins exact token counts in
+    tests/test_text_bpe.py.
+    """
+    merges = [
+        (r["pair"].split(" ")[0], r["pair"].split(" ")[1], r["merged"])
+        for r in REGISTRY["text_bpe_train_merges"]
+        .fn(spark, sf_dir)
+        .orderBy("step")
+        .collect()
+    ]
+    docs = load_table(spark, sf_dir, "documents")
+    word_counts = (
+        docs.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
+        .filter(F.length("word") > 0)
+        .groupBy("doc_id", "word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    vocab = word_counts.select("word").distinct()
+    seq = F.transform(
+        F.sequence(F.lit(1), F.length("word")),
+        lambda i: F.substring(F.col("word"), i, F.lit(1)),
+    )
+    for first, second, merged in merges:
+        seq = _bpe_splice(seq, first, second, merged)
+    encoded = vocab.select(
+        "word",
+        F.length("word").cast("long").alias("chars"),
+        F.size(seq).cast("long").alias("toks"),
+    )
+    return (
+        word_counts.join(encoded, "word")
+        .groupBy("doc_id")
+        .agg(
+            F.sum(F.col("cnt") * F.col("chars")).alias("char_tokens"),
+            F.sum(F.col("cnt") * F.col("toks")).alias("bpe_tokens"),
+        )
+        .select(
+            "doc_id",
+            "char_tokens",
+            "bpe_tokens",
+            F.round(
+                F.col("bpe_tokens") / F.col("char_tokens").cast("double"), 4
+            ).alias("compression"),
+        )
     )

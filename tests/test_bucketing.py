@@ -84,3 +84,25 @@ def test_bucketed_join_matches_plain_join(spark, sf_dir, bucketed_tables):
         .first()
     )
     assert (got.n, got.s) == (want.n, want.s)
+
+
+def test_compaction_collapses_file_count(spark, sf_dir):
+    """sink_compact_small_files must actually fix the small-files problem:
+    the fragmented write produces many files (maxRecordsPerFile=50), the
+    compacted rewrite exactly COMPACT_TARGET_FILES — and content survives."""
+    import glob
+    import os
+
+    from go_batch_processor_spark.operators.scans import (
+        COMPACT_TARGET_FILES,
+        _sink_path,
+    )
+    from go_batch_processor_spark.registry import REGISTRY
+
+    out = REGISTRY["sink_compact_small_files"].fn(spark, sf_dir)
+    n_rows = out.count()
+    frag = glob.glob(os.path.join(_sink_path(spark, "gbp_spark_sink_fragmented"), "*.parquet"))
+    comp = glob.glob(os.path.join(_sink_path(spark, "gbp_spark_sink_compacted"), "*.parquet"))
+    assert len(frag) >= n_rows // 50  # truly fragmented
+    assert len(comp) == COMPACT_TARGET_FILES
+    assert len(comp) < len(frag) / 2

@@ -63,3 +63,29 @@ def test_exact_substring_matches_brute_force(spark, case):
         for r in exact_substring_report(docs, N).collect()
     }
     assert got == brute(case)
+
+
+def test_chunk_training_blocks_invariants(spark, sf_dir):
+    """Block chunking must tile the concatenated corpus exactly: per-doc
+    shares sum to the doc's token count, per-block shares sum to the
+    block size (except the final partial block), and block ids are a
+    contiguous range starting at 0."""
+    from pyspark.sql import functions as F
+
+    from go_batch_processor_spark.catalog import load_table
+    from go_batch_processor_spark.operators.text import CHUNK_BLOCK
+    from go_batch_processor_spark.registry import REGISTRY
+
+    out = REGISTRY["text_chunk_training_blocks"].fn(spark, sf_dir).toPandas()
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.size(F.split("text", " ")).alias("n")
+    ).toPandas()
+    per_doc = out.groupby("doc_id")["tok_in_block"].sum()
+    expect = docs.set_index("doc_id")["n"]
+    assert (per_doc.sort_index() == expect[per_doc.index].sort_index()).all()
+    per_block = out.groupby("block_id")["tok_in_block"].sum().sort_index()
+    assert (per_block.iloc[:-1] == CHUNK_BLOCK).all()
+    assert 0 < per_block.iloc[-1] <= CHUNK_BLOCK
+    blocks = sorted(out["block_id"].unique())
+    assert blocks == list(range(len(blocks)))
+    assert per_block.sum() == expect.sum()

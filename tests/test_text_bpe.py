@@ -71,3 +71,36 @@ def test_bpe_train_matches_python_twin(spark, sf_dir):
     want = _python_bpe(freqs, BPE_TRAIN_MERGES)
     assert got == want
     assert len(got) == BPE_TRAIN_MERGES  # fixture corpus is rich enough
+
+
+def _python_bpe_encode(word: str, merges) -> int:
+    """Apply trained merges in order with the same lookaround replacement;
+    return the resulting subword token count."""
+    seq = " ".join(word)
+    for _, pair, merged, _ in merges:
+        pat = re.compile(r"(?<!\S)" + re.escape(pair) + r"(?!\S)")
+        seq = pat.sub(merged, seq)
+    return len(seq.split(" "))
+
+
+def test_bpe_encode_matches_python_twin(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").toPandas()
+    word_freqs: dict[str, int] = {}
+    per_doc_words: dict[int, list[str]] = {}
+    for _, row in docs.iterrows():
+        words = [w for w in row["text"].split(" ") if w]
+        per_doc_words[row["doc_id"]] = words
+        for w in words:
+            word_freqs[w] = word_freqs.get(w, 0) + 1
+    merges = _python_bpe(word_freqs, BPE_TRAIN_MERGES)
+    tok_of = {w: _python_bpe_encode(w, merges) for w in word_freqs}
+
+    out = REGISTRY["text_bpe_encode"].fn(spark, sf_dir).toPandas()
+    got = out.set_index("doc_id")
+    for doc_id, words in per_doc_words.items():
+        expect_chars = sum(len(w) for w in words)
+        expect_toks = sum(tok_of[w] for w in words)
+        assert got.loc[doc_id, "char_tokens"] == expect_chars, doc_id
+        assert got.loc[doc_id, "bpe_tokens"] == expect_toks, doc_id
+    # merges must actually compress: every doc's bpe count < char count
+    assert (out["bpe_tokens"] < out["char_tokens"]).all()
