@@ -912,3 +912,101 @@ def ml_naive_bayes_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
         "score",
         (F.col("pred_lang") == F.col("_true")).alias("correct"),
     )
+
+
+GBDT_ROUNDS = 3
+GBDT_LR = 0.5
+GBDT_FEATURES = ["l_quantity", "l_discount", "l_tax"]
+GBDT_N_THRESH = 7  # candidate splits per feature (octile boundaries)
+
+
+@register("ml_gbdt_stumps", tags={"rows_only"})
+def ml_gbdt_stumps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gradient-boosted decision stumps (squared loss — the XGBoost shape
+    at depth 1): F_0 = mean(y), then each round fits the best
+    single-split stump to the residuals and adds it with learning rate
+    0.5. Candidate thresholds are the octile boundaries of each feature
+    (computed ONCE, exact percentiles); the best split maximizes the
+    standard variance-gain sum_L^2/n_L + sum_R^2/n_R - sum^2/n.
+
+    Scale shape: ONE whole-stage-codegen aggregate per round evaluates
+    EVERY candidate split simultaneously — 3 features x 7 thresholds x
+    (conditional sum, count) + totals = ~44 partial-combinable columns,
+    O(candidates) state regardless of row count; this simultaneous-
+    candidate trick is exactly how XGBoost's approx/hist mode
+    distributes tree finding. The running prediction F(x) enters each
+    round as a nested-CASE expression over the previous stumps
+    (literals), so residuals never materialize. Driver state: the stump
+    table. iters x scans over a persisted narrow projection.
+
+    Rows-only (model table); tests/test_ml.py pins every split choice,
+    leaf weight, and the final train MSE against a numpy twin.
+    """
+    import numpy as np
+
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select(F.col("l_extendedprice").alias("y"), *GBDT_FEATURES)
+        .persist()
+    )
+    try:
+        qs = [i / (GBDT_N_THRESH + 1) for i in range(1, GBDT_N_THRESH + 1)]
+        pct = li.agg(
+            *[
+                F.expr(
+                    f"percentile({f}, array({', '.join(str(q) for q in qs)}))"
+                ).alias(f)
+                for f in GBDT_FEATURES
+            ]
+        ).collect()[0]
+        cands = [
+            (f, float(round(t, 6)))
+            for f in GBDT_FEATURES
+            for t in sorted(set(pct[f]))
+        ]
+
+        def pred_expr(stumps):
+            e = F.lit(float(stumps[0]))  # F0 = mean(y)
+            for feat, thr, wl, wr in stumps[1:]:
+                e = e + F.when(
+                    F.col(feat) <= F.lit(thr), F.lit(wl)
+                ).otherwise(F.lit(wr))
+            return e
+
+        mean_y = li.agg(F.avg("y")).collect()[0][0]
+        stumps: list = [float(mean_y)]
+        for _ in range(GBDT_ROUNDS):
+            r = F.col("y") - pred_expr(stumps)
+            aggs = [F.sum(r).alias("s"), F.count(F.lit(1)).alias("n")]
+            for i, (feat, thr) in enumerate(cands):
+                left = F.col(feat) <= F.lit(thr)
+                aggs.append(F.sum(F.when(left, r)).alias(f"sl_{i}"))
+                aggs.append(F.sum(F.when(left, 1)).alias(f"nl_{i}"))
+            row = li.agg(*aggs).collect()[0]
+            s, n = float(row["s"]), int(row["n"])
+            best = None
+            for i, (feat, thr) in enumerate(cands):
+                sl = float(row[f"sl_{i}"] or 0.0)
+                nl = int(row[f"nl_{i}"] or 0)
+                nr = n - nl
+                if nl == 0 or nr == 0:
+                    continue
+                sr = s - sl
+                gain = sl * sl / nl + sr * sr / nr - s * s / n
+                key = (-gain, feat, thr)  # deterministic: gain desc, then name/thr
+                if best is None or key < best[0]:
+                    best = (key, feat, thr, GBDT_LR * sl / nl, GBDT_LR * sr / nr)
+            _, feat, thr, wl, wr = best
+            stumps.append((feat, thr, wl, wr))
+        mse = li.agg(
+            F.avg(F.pow(F.col("y") - pred_expr(stumps), F.lit(2.0)))
+        ).collect()[0][0]
+    finally:
+        li.unpersist(blocking=False)
+    out = [("__f0__", 0, float(round(stumps[0], 6)), 0.0, 0.0)] + [
+        (feat, rnd + 1, float(round(thr, 6)), float(round(wl, 6)), float(round(wr, 6)))
+        for rnd, (feat, thr, wl, wr) in enumerate(stumps[1:])
+    ] + [("__mse__", -1, float(round(mse, 4)), 0.0, 0.0)]
+    return spark.createDataFrame(
+        out, "feature string, round int, threshold double, w_left double, w_right double"
+    )

@@ -1337,3 +1337,80 @@ def similarity_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         out, "vec_id bigint, relevance double, mmr_rank int"
     )
+
+
+KNN_GRAPH_K = 5
+
+
+@register(
+    "similarity_knn_graph",
+    oracle=f"""
+    WITH flat AS (
+      SELECT vec_id, label, CAST(unnest(embedding) AS DOUBLE) AS v,
+             generate_subscripts(embedding, 1) AS i
+      FROM embeddings
+    ),
+    norms AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM flat GROUP BY vec_id),
+    dots AS (
+      SELECT a.vec_id AS src, b.vec_id AS dst, sum(a.v * b.v) AS dot
+      FROM flat a
+      JOIN flat b ON a.i = b.i AND a.label = b.label AND a.vec_id <> b.vec_id
+      GROUP BY 1, 2
+    ),
+    scored AS (
+      SELECT src, dst, round(dot / (na.nrm * nb.nrm), 6) AS cosine
+      FROM dots
+      JOIN norms na ON src = na.vec_id
+      JOIN norms nb ON dst = nb.vec_id
+    )
+    SELECT src, dst, cosine, CAST(rn AS BIGINT) AS rn
+    FROM (
+      SELECT src, dst, cosine,
+             row_number() OVER (PARTITION BY src
+                                ORDER BY cosine DESC, dst ASC) AS rn
+      FROM scored
+    )
+    WHERE rn <= {KNN_GRAPH_K}
+    """,
+)
+def similarity_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN graph construction (k=5 cosine neighbors per vector, within
+    label blocks) — the substrate for graph-based ANN (HNSW/NSG build),
+    label propagation over embeddings, and connectivity-based near-dup
+    clustering. Fully oracled.
+
+    Ranking runs on the 6-dp-ROUNDED cosine with a dst tiebreak on both
+    engines, so float-noise at the k-th boundary can never diverge the
+    edge set. Blocking (label here; an LSH bucket or IVF cell in
+    production) bounds the candidate join exactly as in
+    dedup_embedding_cosine — the all-pairs explosion happens within
+    blocks only, and the per-src top-k window shuffles once on src. The
+    unblocked 100 TB path swaps the block join for
+    similarity_ann_lsh-style candidate generation; the ranking half is
+    unchanged.
+    """
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", _as_double(F.col("embedding")).alias("emb")
+    )
+    a = e.alias("a")
+    b = e.alias("b")
+    cos = _dot(F.col("a.emb"), F.col("b.emb")) / (
+        _norm(F.col("a.emb")) * _norm(F.col("b.emb"))
+    )
+    scored = a.join(
+        b,
+        (F.col("a.label") == F.col("b.label"))
+        & (F.col("a.vec_id") != F.col("b.vec_id")),
+    ).select(
+        F.col("a.vec_id").alias("src"),
+        F.col("b.vec_id").alias("dst"),
+        F.round(cos, 6).alias("cosine"),
+    )
+    w = Window.partitionBy("src").orderBy(
+        F.col("cosine").desc(), F.col("dst").asc()
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= KNN_GRAPH_K)
+        .select("src", "dst", "cosine", F.col("rn").cast("long"))
+    )

@@ -412,3 +412,59 @@ def test_mmr_matches_numpy_twin_and_diversifies(spark, sf_dir):
     # contains near-duplicates — at minimum the output is k distinct ids.
     assert len(set(got)) == MMR_K
     assert got[0] == ids[0]
+
+
+def test_gbdt_stumps_matches_numpy_twin(spark, sf_dir):
+    from go_batch_processor_spark.operators.ml import (
+        GBDT_FEATURES,
+        GBDT_LR,
+        GBDT_N_THRESH,
+        GBDT_ROUNDS,
+    )
+
+    pdf = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_extendedprice").alias("y"), *GBDT_FEATURES
+    ).toPandas()
+    y = pdf["y"].to_numpy()
+    qs = [100 * i / (GBDT_N_THRESH + 1) for i in range(1, GBDT_N_THRESH + 1)]
+    cands = [
+        (f, round(float(t), 6))
+        for f in GBDT_FEATURES
+        for t in sorted({float(x) for x in np.percentile(pdf[f].to_numpy(), qs)})
+    ]
+    pred = np.full(len(y), y.mean())
+    expect = []
+    for _ in range(GBDT_ROUNDS):
+        r = y - pred
+        s, n = r.sum(), len(r)
+        best = None
+        for feat, thr in cands:
+            left = pdf[feat].to_numpy() <= thr
+            nl = int(left.sum())
+            nr = n - nl
+            if nl == 0 or nr == 0:
+                continue
+            sl = r[left].sum()
+            sr = s - sl
+            gain = sl * sl / nl + sr * sr / nr - s * s / n
+            key = (-gain, feat, thr)
+            if best is None or key < best[0]:
+                best = (key, feat, thr, GBDT_LR * sl / nl, GBDT_LR * (s - sl) / nr)
+        _, feat, thr, wl, wr = best
+        expect.append((feat, thr, wl, wr))
+        left = pdf[feat].to_numpy() <= thr
+        pred = pred + np.where(left, wl, wr)
+    mse = float(((y - pred) ** 2).mean())
+
+    out = REGISTRY["ml_gbdt_stumps"].fn(spark, sf_dir).toPandas()
+    got = out[(out["round"] > 0)].sort_values("round")
+    assert list(got["feature"]) == [e[0] for e in expect]
+    assert list(got["threshold"]) == pytest.approx([e[1] for e in expect], abs=1e-6)
+    assert list(got["w_left"]) == pytest.approx([e[2] for e in expect], rel=1e-5)
+    assert list(got["w_right"]) == pytest.approx([e[3] for e in expect], rel=1e-5)
+    f0 = float(out[out["feature"] == "__f0__"]["threshold"].iloc[0])
+    assert f0 == pytest.approx(y.mean(), rel=1e-9)
+    got_mse = float(out[out["feature"] == "__mse__"]["threshold"].iloc[0])
+    assert got_mse == pytest.approx(mse, rel=1e-6)
+    # boosting must actually reduce training error vs the constant model
+    assert got_mse < ((y - y.mean()) ** 2).mean()
