@@ -159,7 +159,7 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "graph_triangle_count",
     oracle="""
-    WITH RECURSIVE pairs AS (
+    WITH pairs AS (
       SELECT DISTINCT a.l_partkey AS pa, b.l_partkey AS pb
       FROM lineitem a JOIN lineitem b
         ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
@@ -259,6 +259,7 @@ def graph_bfs_shortest_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark import StorageLevel
 
     edges = interaction_edges(spark, sf_dir).persist(StorageLevel.MEMORY_AND_DISK)
+    frontiers = []
     try:
         dist = (
             edges.sparkSession.range(1)
@@ -275,10 +276,18 @@ def graph_bfs_shortest_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .withColumn("dist", F.lit(hop))
             )
             nxt = nxt.persist(StorageLevel.MEMORY_AND_DISK)
+            frontiers.append(nxt)
             if nxt.count() == 0:  # early exit: frontier exhausted
                 break
             dist = dist.unionByName(nxt)
             frontier = nxt
-        return dist.select("node", F.col("dist").cast("long").alias("dist"))
+        # Materialize + truncate lineage so every per-hop cache (and the
+        # edge list) can be dropped before returning — without this, each
+        # invocation leaked up to 5 cached frames for the session's life.
+        return dist.select(
+            "node", F.col("dist").cast("long").alias("dist")
+        ).localCheckpoint()
     finally:
+        for f in frontiers:
+            f.unpersist(blocking=False)
         edges.unpersist(blocking=False)

@@ -768,9 +768,6 @@ def ml_gmm_em(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-NB_ALPHA = 1  # Laplace smoothing pseudo-count
-
-
 @register(
     "ml_naive_bayes_langid",
     oracle="""

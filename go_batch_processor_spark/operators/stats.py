@@ -558,7 +558,10 @@ def stats_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
             "tie_term"
         ),
     )
-    n1, n2 = F.col("n1"), F.col("n2")
+    # n1/n2 promote to double BEFORE multiplying: long*long wraps at
+    # ~3e9 rows (tie_term below was already pre-cast for the same reason).
+    n1 = F.col("n1").cast("double")
+    n2 = F.col("n2").cast("double")
     u1 = F.col("r1") - n1 * (n1 + 1) / 2.0
     sigma = F.sqrt(
         n1 * n2 / 12.0
@@ -567,8 +570,8 @@ def stats_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.select(
         F.round(u1, 4).alias("u1"),
         F.round((u1 - n1 * n2 / 2.0) / sigma, 6).alias("z_stat"),
-        n1.cast("long").alias("n1"),
-        n2.cast("long").alias("n2"),
+        F.col("n1").cast("long").alias("n1"),
+        F.col("n2").cast("long").alias("n2"),
     )
 
 

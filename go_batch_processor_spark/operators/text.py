@@ -917,17 +917,7 @@ def text_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         merged = pair.replace(" ", "")
         merges.append((step, pair, merged, n))
         first, second = pair.split(" ")
-        spliced = F.aggregate(
-            F.split("seq", " "),
-            F.array().cast("array<string>"),
-            lambda acc, x: F.when(
-                (F.try_element_at(acc, F.lit(-1)) == F.lit(first))
-                & (x == F.lit(second)),
-                F.concat(
-                    F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(merged))
-                ),
-            ).otherwise(F.concat(acc, F.array(x))),
-        )
+        spliced = _bpe_splice(F.split("seq", " "), first, second, merged)
         vocab = vocab.select(
             "freq", F.concat_ws(" ", spliced).alias("seq")
         ).localCheckpoint(eager=False)
@@ -1126,8 +1116,9 @@ def text_chunk_training_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _bpe_splice(seq_col, first: str, second: str, merged: str):
     """Greedy left-to-right merge of one (first, second) pair over a
-    symbol array — identical fold to text_bpe_train_merges (Sennrich
-    lookaround semantics: consecutive occurrences all merge)."""
+    symbol array — THE shared fold used by both text_bpe_train_merges and
+    text_bpe_encode (Sennrich lookaround semantics: consecutive
+    occurrences all merge; train and encode can never diverge)."""
     return F.aggregate(
         seq_col,
         F.array().cast("array<string>"),
