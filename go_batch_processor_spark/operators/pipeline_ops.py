@@ -182,3 +182,79 @@ def stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return streaming_dedup_watermark(spark, sf_dir)
+
+
+@register(
+    "stream_mv_join_rollup",
+    oracle="""
+    SELECT c.c_mktsegment,
+           CAST(count(*) AS BIGINT)      AS n,
+           round(sum(o.o_totalprice), 2) AS s
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_mktsegment
+    """,
+)
+def stream_mv_join_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming maintenance of a JOIN-then-ROLLUP view — the most common
+    production IVM shape (fact stream ⋈ dimension → rolled-up revenue
+    view, always fresh): orders stream in one file per micro-batch, each
+    batch broadcast-joins the static customer dimension, aggregates to a
+    per-segment delta, and merges into the epoch-versioned replay-safe
+    state the agg view uses (streaming/mv_refresh.py — a re-delivered
+    epoch rebuilds from the state strictly before itself, so foreachBatch
+    replays cannot double-count). Final committed state must equal the
+    from-scratch batch join+rollup, which is what the oracle recomputes.
+
+    Delta-join algebra note: with one streaming side and a static
+    dimension, J_t = J_{t-1} ∪ agg(ΔA ⋈ B) — the ΔA⋈ΔB and A⋈ΔB terms of
+    the two-sided algebra (mv_incremental_join) vanish. Per-batch cost:
+    O(|ΔA|) join (broadcast dim) + O(|segments|) merge; history is never
+    re-scanned.
+    """
+    import os
+
+    from go_batch_processor_spark.catalog import TABLE_SCHEMAS, load_table
+    from go_batch_processor_spark.streaming.mv_refresh import IncrementalMVRefresh
+
+    work = tempfile.mkdtemp(prefix="gbp_stream_mvj_")
+    orders_dir = os.path.join(work, "orders_files")
+    load_table(spark, sf_dir, "orders").repartition(4).write.parquet(orders_dir)
+    dim = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    mv = IncrementalMVRefresh(
+        spark,
+        os.path.join(work, "state"),
+        key="c_mktsegment",
+        value="o_totalprice",
+    )
+
+    def enrich_and_merge(batch_df: DataFrame, epoch_id: int) -> None:
+        mv.merge_batch(
+            batch_df.join(
+                F.broadcast(dim), batch_df.o_custkey == dim.c_custkey
+            ),
+            epoch_id,
+        )
+
+    source = (
+        spark.readStream.schema(TABLE_SCHEMAS["orders"])
+        .option("maxFilesPerTrigger", "1")
+        .parquet(orders_dir)
+    )
+    checkpoint = os.path.join(work, "ckpt")
+    query = (
+        source.writeStream.foreachBatch(enrich_and_merge)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        query.awaitTermination()
+    finally:
+        shutil.rmtree(orders_dir, ignore_errors=True)
+    state = mv.current_state()
+    assert state is not None, "stream produced no batches"
+    return state.select(
+        "c_mktsegment",
+        F.col("n").cast("long").alias("n"),
+        F.round("s", 2).alias("s"),
+    )
