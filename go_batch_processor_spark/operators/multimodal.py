@@ -350,3 +350,105 @@ def multimodal_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_members") >= 2)
         .select("phash", "canonical_id", "n_members")
     )
+
+
+RESIZE_TARGET = 224  # the ImageNet preprocessing convention
+RESIZE_SAMPLE = 64  # stride-sampled bytes in the resize checksum
+
+
+@register(
+    "multimodal_image_resize",
+    oracle=f"""
+    WITH m AS (
+      SELECT doc_id AS media_id,
+             length(text) % 640 + 1        AS src_w,
+             (length(text) * 7) % 480 + 1  AS src_h,
+             length(text)                  AS n,
+             text
+      FROM documents
+    ),
+    dims AS (
+      SELECT media_id, src_w, src_h, n, text,
+             greatest(src_w, src_h) AS m_dim
+      FROM m
+    ),
+    resized AS (
+      SELECT media_id, src_w, src_h,
+             CASE WHEN m_dim > {RESIZE_TARGET}
+                  THEN greatest(1, src_w * {RESIZE_TARGET} // m_dim)
+                  ELSE src_w END AS dst_w,
+             CASE WHEN m_dim > {RESIZE_TARGET}
+                  THEN greatest(1, src_h * {RESIZE_TARGET} // m_dim)
+                  ELSE src_h END AS dst_h,
+             n, text,
+             (n + {RESIZE_SAMPLE} - 1) // {RESIZE_SAMPLE} AS stride
+      FROM dims
+    )
+    SELECT media_id,
+           CAST(src_w AS BIGINT) AS src_w, CAST(src_h AS BIGINT) AS src_h,
+           CAST(dst_w AS BIGINT) AS dst_w, CAST(dst_h AS BIGINT) AS dst_h,
+           CAST((SELECT sum(ascii(substr(r.text, CAST(i * r.stride + 1 AS BIGINT), 1)))
+                 FROM unnest(generate_series(0, {RESIZE_SAMPLE - 1})) AS t(i)
+                 WHERE i * r.stride < r.n) AS BIGINT) AS sample_sum
+    FROM resized r
+    """,
+)
+def multimodal_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image RESIZE preprocessing (the mandate's third verb: decode /
+    feature-extract / RESIZE / frame-sample): fit each image into the
+    224x224 ImageNet box preserving aspect ratio (downscale only), and
+    emit a stride-sampled byte checksum standing in for the resized
+    pixel buffer. The pixel resample itself is a DETERMINISTIC FAKE
+    (real code: PIL.Image.resize behind the same codec gate as
+    _fake_decode — the library is not in the cluster image); everything
+    the distributed engine is responsible for is REAL and oracled: the
+    Arrow-batched mapInPandas plumbing (iterator-of-batches, one batch
+    in memory per core), the schema contract, and the integer-exact
+    target-dimension math.
+
+    Cross-engine note: target dims use INTEGER arithmetic
+    (w * 224 // max_dim) — a float scale factor can land exactly on an
+    integer boundary +-1 ulp and floor() then differs between engines.
+
+    Scale: embarrassingly parallel single pass, no shuffle; at 100 TB
+    the only knobs are input split size and Arrow batch size
+    (spark.sql.execution.arrow.maxRecordsPerBatch) to bound per-core
+    pixel-buffer memory.
+    """
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("src_w", T.LongType()),
+            T.StructField("src_h", T.LongType()),
+            T.StructField("dst_w", T.LongType()),
+            T.StructField("dst_h", T.LongType()),
+            T.StructField("sample_sum", T.LongType()),
+        ]
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
+                w, h, n = _fake_decode(payload)
+                m_dim = max(w, h)
+                if m_dim > RESIZE_TARGET:
+                    dw = max(1, w * RESIZE_TARGET // m_dim)
+                    dh = max(1, h * RESIZE_TARGET // m_dim)
+                else:
+                    dw, dh = w, h
+                stride = (n + RESIZE_SAMPLE - 1) // RESIZE_SAMPLE
+                sample_sum = sum(
+                    payload[i * stride]
+                    for i in range(RESIZE_SAMPLE)
+                    if i * stride < n
+                )
+                rows.append((media_id, w, h, dw, dh, sample_sum))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "src_w", "src_h", "dst_w", "dst_h", "sample_sum"
+                ],
+            )
+
+    return media_table(spark, sf_dir).mapInPandas(batches, schema)
