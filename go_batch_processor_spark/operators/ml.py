@@ -1007,3 +1007,117 @@ def ml_gbdt_stumps(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         out, "feature string, round int, threshold double, w_left double, w_right double"
     )
+
+
+ALS_F = 4  # latent factors
+ALS_REG = 0.1
+ALS_SWEEPS = 2  # alternating (user, item) sweep pairs
+
+
+def _als_init_factor(idx: int) -> list[float]:
+    """Deterministic pseudo-random init — integer hash, exactly
+    reproducible in the numpy twin (no RNG state to share)."""
+    return [
+        ((idx * 2654435761 + j * 40503) % 1000) / 1000.0 + 0.1
+        for j in range(ALS_F)
+    ]
+
+
+def _als_solve_side(ratings: DataFrame, fixed: DataFrame, key: str, other: str) -> DataFrame:
+    """One half-sweep: solve the ridge normal equations per `key` group,
+    with the FIXED side's factor vectors delivered through a join (the
+    factors travel in the shuffle alongside their ratings — the scalable
+    ALS layout; broadcasting the whole factor matrix would cap at
+    driver/executor memory, which is exactly what MLlib's block ALS
+    avoids)."""
+    import numpy as np
+
+    joined = ratings.join(fixed.withColumnRenamed("id", other), other).select(
+        F.col(key).alias("id"), "r", "f"
+    )
+
+    def solve(pdf: pd.DataFrame) -> pd.DataFrame:
+        V = np.array(pdf["f"].tolist())  # n_ratings x F
+        r = pdf["r"].to_numpy()
+        A = V.T @ V + ALS_REG * len(r) * np.eye(ALS_F)
+        x = np.linalg.solve(A, V.T @ r)
+        return pd.DataFrame({"id": [int(pdf["id"].iloc[0])], "f": [x.tolist()]})
+
+    return joined.groupBy("id").applyInPandas(solve, "id long, f array<double>")
+
+
+@register("ml_als_factorize", tags={"rows_only"})
+def ml_als_factorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Alternating Least Squares matrix factorization (Koren/Hu-style
+    explicit ALS with per-group ridge) over the user x item rating
+    matrix derived from events — THE canonical distributed recommender
+    trainer (MLlib's flagship algorithm, reimplemented on the public
+    DataFrame surface).
+
+    Scale shape: each half-sweep is ratings ⋈ fixed-side factors (hash
+    join on the fixed key, factor vectors ride the shuffle with their
+    ratings — never a full-matrix broadcast) followed by one
+    applyInPandas group solve of an F x F system per entity (F=4:
+    trivially in-memory per group; MLlib blocks entities for fewer,
+    larger solves — same algebra). 2 alternating sweep pairs = 4
+    shuffles + 4 grouped solves, independent of corpus size per entity.
+    Deterministic: integer-hash factor init, exact float64 solves.
+
+    Rows-only (factor table + RMSE); tests/test_ml.py pins factor
+    vectors and the final RMSE against a numpy twin, and asserts the
+    factorization beats the global-mean baseline.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    ratings = (
+        ev.select(
+            F.col("user_id").alias("u"),
+            F.get_json_object("props", "$.k").cast("long").alias("i"),
+            F.col("value").alias("r"),
+        )
+        .filter(F.col("i").isNotNull())
+        .groupBy("u", "i")
+        .agg(F.avg("r").alias("r"))
+        .persist()
+    )
+    try:
+        items = [r.i for r in ratings.select("i").distinct().collect()]
+        V = spark.createDataFrame(
+            [(int(i), _als_init_factor(int(i))) for i in sorted(items)],
+            "id long, f array<double>",
+        )
+        U = None
+        for _ in range(ALS_SWEEPS):
+            U = _als_solve_side(ratings, V, key="u", other="i")
+            V = _als_solve_side(ratings, U, key="i", other="u")
+        uf = U.select(F.col("id").alias("u"), F.col("f").alias("uf"))
+        vf = V.select(F.col("id").alias("i"), F.col("f").alias("vf"))
+        pred = F.aggregate(
+            F.zip_with("uf", "vf", lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        rmse = (
+            ratings.join(uf, "u")
+            .join(vf, "i")
+            .agg(F.sqrt(F.avg(F.pow(F.col("r") - pred, F.lit(2.0)))).alias("rmse"))
+            .collect()[0]["rmse"]
+        )
+        out_u = U.select(
+            F.lit("user").alias("side"),
+            "id",
+            F.round(F.element_at("f", 1), 6).alias("f0"),
+            F.round(F.element_at("f", 2), 6).alias("f1"),
+        )
+        out_v = V.select(
+            F.lit("item").alias("side"),
+            "id",
+            F.round(F.element_at("f", 1), 6).alias("f0"),
+            F.round(F.element_at("f", 2), 6).alias("f1"),
+        )
+        summary = spark.createDataFrame(
+            [("__rmse__", -1, float(round(rmse, 6)), 0.0)],
+            "side string, id long, f0 double, f1 double",
+        )
+        return out_u.unionByName(out_v).unionByName(summary)
+    finally:
+        ratings.unpersist(blocking=False)

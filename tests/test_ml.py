@@ -468,3 +468,56 @@ def test_gbdt_stumps_matches_numpy_twin(spark, sf_dir):
     assert got_mse == pytest.approx(mse, rel=1e-6)
     # boosting must actually reduce training error vs the constant model
     assert got_mse < ((y - y.mean()) ** 2).mean()
+
+
+def test_als_matches_numpy_twin(spark, sf_dir):
+    from go_batch_processor_spark.operators.ml import (
+        ALS_F,
+        ALS_REG,
+        ALS_SWEEPS,
+        _als_init_factor,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        F.col("user_id").alias("u"),
+        F.get_json_object("props", "$.k").cast("long").alias("i"),
+        F.col("value").alias("r"),
+    ).filter(F.col("i").isNotNull())
+    ratings = (
+        ev.groupBy("u", "i").agg(F.avg("r").alias("r")).toPandas()
+    )
+    users = sorted(ratings["u"].unique())
+    items = sorted(ratings["i"].unique())
+    V = {int(i): np.array(_als_init_factor(int(i))) for i in items}
+    U: dict = {}
+
+    def solve_side(group_key, other_key, fixed):
+        out = {}
+        for gid, grp in ratings.groupby(group_key):
+            Vm = np.array([fixed[int(o)] for o in grp[other_key]])
+            r = grp["r"].to_numpy()
+            A = Vm.T @ Vm + ALS_REG * len(r) * np.eye(ALS_F)
+            out[int(gid)] = np.linalg.solve(A, Vm.T @ r)
+        return out
+
+    for _ in range(ALS_SWEEPS):
+        U = solve_side("u", "i", V)
+        V = solve_side("i", "u", U)
+    preds = np.array(
+        [U[int(u)] @ V[int(i)] for u, i in zip(ratings["u"], ratings["i"])]
+    )
+    rmse = float(np.sqrt(((ratings["r"].to_numpy() - preds) ** 2).mean()))
+
+    out = REGISTRY["ml_als_factorize"].fn(spark, sf_dir).toPandas()
+    got_rmse = float(out[out["side"] == "__rmse__"]["f0"].iloc[0])
+    assert got_rmse == pytest.approx(rmse, rel=1e-6)
+    # factorization must beat the global-mean baseline on training RMSE
+    base = float(ratings["r"].std(ddof=0))
+    assert got_rmse < base
+    # spot-check factor vectors on both sides
+    gu = out[out["side"] == "user"].set_index("id")
+    for u in users[:5]:
+        assert gu.loc[u, "f0"] == pytest.approx(round(U[int(u)][0], 6), abs=2e-6)
+    gv = out[out["side"] == "item"].set_index("id")
+    for i in items[:5]:
+        assert gv.loc[i, "f0"] == pytest.approx(round(V[int(i)][0], 6), abs=2e-6)
