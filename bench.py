@@ -92,6 +92,10 @@ HEADLINE = [
     "stats_bootstrap_poisson_ci",
     "text_chunk_training_blocks",
     "graph_bfs_shortest_paths",
+    # round 5 (third session) additions
+    "join_bloom_prefilter",
+    "agg_bitmap_setops",
+    "timeseries_cusum_changepoint",
 ]
 
 

@@ -386,3 +386,64 @@ def agg_mode_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("event_type", F.col("val").alias("val_mode"), "n")
     )
+
+
+@register(
+    "agg_bitmap_setops",
+    oracle="""
+    WITH a AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'click'),
+         b AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase')
+    SELECT CAST((SELECT count(*) FROM a) AS BIGINT)                       AS n_click,
+           CAST((SELECT count(*) FROM b) AS BIGINT)                      AS n_purchase,
+           CAST((SELECT count(*) FROM (SELECT * FROM a UNION SELECT * FROM b))
+                AS BIGINT)                                               AS n_union,
+           CAST((SELECT count(*) FROM (SELECT * FROM a INTERSECT SELECT * FROM b))
+                AS BIGINT)                                               AS n_intersect
+    """,
+)
+def agg_bitmap_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT distinct-set arithmetic via mergeable bitmaps: how many users
+    clicked, how many purchased, and how many did BOTH — computed with
+    inclusion-exclusion over bitmap pages (|A∩B| = |A| + |B| − |A∪B|)
+    instead of a distinct-set join.
+
+    Scale rationale: the naive plan (two `count(DISTINCT)` plus an
+    INTERSECT of distinct sets) shuffles the raw user-id sets twice. Here
+    each (event_type, 32768-id bucket) collapses map-side into one 4 KB
+    bitmap page; per-bucket the two pages OR together for the union count,
+    and the three popcounts travel as three BIGINTs. Shuffle volume is
+    bounded by the id RANGE (pages), not the row count — and every state
+    is mergeable, so the same plan runs as an incremental/streaming
+    rollup. This is the roaring-bitmap audience-overlap pattern used by
+    ClickHouse/Druid for exact segment intersection at web scale.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.filter(F.col("event_type").isin("click", "purchase")).select(
+        "event_type",
+        F.bitmap_bucket_number("user_id").alias("_bkt"),
+        F.bitmap_bit_position("user_id").alias("_pos"),
+    )
+    pages = base.groupBy("_bkt", "event_type").agg(
+        F.bitmap_construct_agg("_pos").alias("_bm")
+    )
+    per_bucket = pages.groupBy("_bkt").agg(
+        F.sum(
+            F.when(F.col("event_type") == "click", F.bitmap_count("_bm"))
+        ).alias("_ca"),
+        F.sum(
+            F.when(F.col("event_type") == "purchase", F.bitmap_count("_bm"))
+        ).alias("_cb"),
+        F.bitmap_count(F.bitmap_or_agg("_bm")).alias("_cu"),
+    )
+    return per_bucket.agg(
+        F.coalesce(F.sum("_ca"), F.lit(0)).cast("bigint").alias("n_click"),
+        F.coalesce(F.sum("_cb"), F.lit(0)).cast("bigint").alias("n_purchase"),
+        F.coalesce(F.sum("_cu"), F.lit(0)).cast("bigint").alias("n_union"),
+        (
+            F.coalesce(F.sum("_ca"), F.lit(0))
+            + F.coalesce(F.sum("_cb"), F.lit(0))
+            - F.coalesce(F.sum("_cu"), F.lit(0))
+        )
+        .cast("bigint")
+        .alias("n_intersect"),
+    )

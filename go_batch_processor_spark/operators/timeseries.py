@@ -488,3 +488,70 @@ def timeseries_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame
         F.round(seasonal, 4).alias("seasonal"),
         F.round(F.col("v") - trend - seasonal, 4).alias("resid"),
     )
+
+
+@register(
+    "timeseries_cusum_changepoint",
+    oracle="""
+    WITH stats AS (
+      SELECT event_type, avg(value) AS mu FROM events GROUP BY event_type
+    ),
+    cusum AS (
+      SELECT e.event_type, e.ts, e.event_id,
+             sum(e.value - s.mu) OVER (
+               PARTITION BY e.event_type
+               ORDER BY e.ts, e.event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS s
+      FROM events e JOIN stats s ON e.event_type = s.event_type
+    ),
+    ranked AS (
+      SELECT event_type, ts AS cp_ts,
+             round(abs(s), 4) AS cusum_stat,
+             row_number() OVER (
+               PARTITION BY event_type
+               ORDER BY abs(s) DESC, ts ASC, event_id ASC
+             ) AS rn
+      FROM cusum
+    )
+    SELECT event_type, cp_ts, cusum_stat FROM ranked WHERE rn = 1
+    """,
+)
+def timeseries_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM changepoint detection per metric series (Page 1954): the
+    running sum of deviations from the series mean, S_i = Σ_{j<=i}(x_j−μ),
+    peaks in |S| exactly where the series' level shifts — the argmax is
+    the classic single-changepoint estimate used in drift monitors.
+
+    Plan shape: one tiny per-type mean aggregate broadcast back onto the
+    stream (|types| rows), ONE ordered window per type for the running
+    sum, and a row_number top-1 with a deterministic (|S| DESC, ts, id)
+    tiebreak. Cost at 100 TB = one shuffle on event_type + a sort — the
+    same as any per-key sessionization; the CUSUM state carried through
+    the window is a single double, so no skew amplification beyond the
+    key histogram. The running sum is evaluated in the deterministic
+    (ts, event_id) order on both engines, so the doubles are bit-exact
+    and only the final statistic needs display rounding."""
+    e = load_table(spark, sf_dir, "events")
+    mu = e.groupBy("event_type").agg(F.avg("value").alias("mu"))
+    w_run = (
+        Window.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cusum = (
+        e.join(F.broadcast(mu), "event_type")
+        .withColumn("s", F.sum(F.col("value") - F.col("mu")).over(w_run))
+    )
+    w_rank = Window.partitionBy("event_type").orderBy(
+        F.abs(F.col("s")).desc(), F.col("ts").asc(), F.col("event_id").asc()
+    )
+    return (
+        cusum.withColumn("rn", F.row_number().over(w_rank))
+        .filter(F.col("rn") == 1)
+        .select(
+            "event_type",
+            F.col("ts").alias("cp_ts"),
+            F.round(F.abs(F.col("s")), 4).alias("cusum_stat"),
+        )
+    )
