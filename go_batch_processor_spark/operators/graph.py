@@ -291,3 +291,91 @@ def graph_bfs_shortest_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         for f in frontiers:
             f.unpersist(blocking=False)
         edges.unpersist(blocking=False)
+
+
+@register(
+    "graph_jaccard_link_prediction",
+    oracle="""
+    WITH pairs AS (
+      SELECT DISTINCT user_id AS u,
+             CAST(json_extract_string(props, '$.k') AS BIGINT) AS i
+      FROM events
+      WHERE json_extract_string(props, '$.k') IS NOT NULL
+    ),
+    deg AS (SELECT u, count(*) AS d FROM pairs GROUP BY u),
+    common AS (
+      SELECT a.u AS u1, b.u AS u2, count(*) AS c
+      FROM pairs a JOIN pairs b ON a.i = b.i AND a.u < b.u
+      GROUP BY a.u, b.u
+    ),
+    scored AS (
+      SELECT u1, u2, c,
+             round(c * 1.0 / (d1.d + d2.d - c), 6) AS jaccard
+      FROM common
+      JOIN deg d1 ON d1.u = common.u1
+      JOIN deg d2 ON d2.u = common.u2
+    )
+    SELECT u1, u2, CAST(c AS BIGINT) AS n_common, jaccard
+    FROM scored
+    ORDER BY jaccard DESC, u1 ASC, u2 ASC
+    LIMIT 20
+    """,
+)
+def graph_jaccard_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neighborhood-Jaccard link prediction (Liben-Nowell & Kleinberg 2003):
+    for every user pair sharing at least one co-interacted item, score
+    |N(u)∩N(v)| / |N(u)∪N(v)| and return the strongest 20 candidate links.
+
+    Plan shape: the classic similarity-self-join — the distinct (user, item)
+    edge list joins ITSELF on item (so pair generation is co-located after
+    one shuffle on item), the `u1 < u2` predicate halves the pair space and
+    canonicalizes, common-counts aggregate partial-combinably, and the two
+    degree lookups are vocabulary-sized broadcasts. The top-20 is
+    TakeOrderedAndProject (per-partition heads only).
+
+    100 TB caveat, stated honestly: the item self-join emits O(d²) pairs per
+    item, so a viral item with 10M interactors is quadratic death. The
+    production mitigations are standard and composable with this exact plan:
+    drop/stratify hot items above a degree cap (they carry ~zero Jaccard
+    signal — everyone shares them), or switch the pair generation to the
+    banded-minhash path (`dedup_near_minhash`) which approximates the same
+    Jaccard without enumerating pairs. Neither changes the score formula."""
+    e = load_table(spark, sf_dir, "events")
+    pairs = (
+        e.select(
+            "user_id",
+            F.get_json_object("props", "$.k").cast("long").alias("i"),
+        )
+        .filter(F.col("i").isNotNull())
+        .distinct()
+    )
+    a = pairs.select(F.col("user_id").alias("u1"), "i")
+    b = pairs.select(F.col("user_id").alias("u2"), "i")
+    common = (
+        a.join(b, "i")
+        .filter(F.col("u1") < F.col("u2"))
+        .groupBy("u1", "u2")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    deg = pairs.groupBy("user_id").agg(F.count(F.lit(1)).alias("d"))
+    scored = (
+        common.join(
+            F.broadcast(deg.select(F.col("user_id").alias("u1"), F.col("d").alias("d1"))),
+            "u1",
+        )
+        .join(
+            F.broadcast(deg.select(F.col("user_id").alias("u2"), F.col("d").alias("d2"))),
+            "u2",
+        )
+        .select(
+            "u1",
+            "u2",
+            F.col("c").cast("bigint").alias("n_common"),
+            F.round(
+                F.col("c") * 1.0 / (F.col("d1") + F.col("d2") - F.col("c")), 6
+            ).alias("jaccard"),
+        )
+    )
+    return scored.orderBy(
+        F.col("jaccard").desc(), F.col("u1").asc(), F.col("u2").asc()
+    ).limit(20)

@@ -1191,3 +1191,101 @@ def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("compression"),
         )
     )
+
+
+@register(
+    "text_bigram_kn_logprob",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents
+      WHERE len(string_split(lower(text), ' ')) >= 2
+    ),
+    bi AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(w)),
+                    i -> w[CAST(i AS INTEGER)]))     AS w1,
+             unnest(list_transform(range(1, len(w)),
+                    i -> w[CAST(i AS INTEGER) + 1])) AS w2
+      FROM t
+    ),
+    cb AS (SELECT w1, w2, count(*) AS c FROM bi GROUP BY 1, 2),
+    cw AS (SELECT w1, sum(c) AS cw, count(*) AS nf FROM cb GROUP BY 1),
+    ct AS (SELECT w2, count(*) AS np FROM cb GROUP BY 1),
+    b  AS (SELECT count(*) AS bt FROM cb),
+    model AS (
+      SELECT w1, w2,
+             ln((c - 0.75) / cw + (0.75 * nf / cw) * (np / bt)) AS lp
+      FROM cb JOIN cw USING (w1) JOIN ct USING (w2) CROSS JOIN b
+    )
+    SELECT doc_id, round(avg(lp), 6) AS avg_logprob,
+           CAST(count(*) AS BIGINT) AS n_bigrams
+    FROM bi JOIN model USING (w1, w2) GROUP BY doc_id
+    """,
+)
+def text_bigram_kn_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser-Ney bigram LM quality score (Kneser & Ney 1995;
+    the smoothing used by KenLM / the CCNet perplexity filter): train on
+    the corpus itself, score each doc by mean bigram log-probability.
+
+      P(w2|w1) = (c(w1,w2) − d)/c(w1·) + d·N1+(w1·)/c(w1·) · N1+(·w2)/B
+
+    with discount d = 0.75, N1+ the distinct-continuation counts and B the
+    number of distinct bigrams — the continuation distribution is what
+    distinguishes KN from naive backoff ("francisco" is frequent but only
+    ever follows "san", so its continuation probability is tiny).
+
+    Scale shape: all four model tables are aggregates of the DISTINCT
+    bigram table — Zipf-bounded (vocabulary-sized², but in practice ~10-50x
+    the unigram vocab), never corpus-sized. The corpus bigram stream joins
+    the model on (w1,w2): both sides hash-partition on the same key, so at
+    100 TB this is one co-located shuffle join; the per-doc re-aggregation
+    is partial-combinable. avg(ln p) is order-dependent double math —
+    rounded to 6 on both engines per the parity rules; the probability
+    itself is integer-count arithmetic in an identical expression tree,
+    hence bit-exact per bigram."""
+    d = load_table(spark, sf_dir, "documents")
+    w = F.split(F.lower("text"), " ")
+    bi = (
+        d.filter(F.size(w) >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size(w) - 1),
+                    lambda i: F.struct(
+                        F.element_at(w, i).alias("w1"),
+                        F.element_at(w, i + 1).alias("w2"),
+                    ),
+                )
+            ).alias("g"),
+        )
+        .select("doc_id", "g.w1", "g.w2")
+    )
+    cb = bi.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c"))
+    cw = cb.groupBy("w1").agg(
+        F.sum("c").alias("cw"), F.count(F.lit(1)).alias("nf")
+    )
+    ct = cb.groupBy("w2").agg(F.count(F.lit(1)).alias("np"))
+    b = cb.agg(F.count(F.lit(1)).alias("bt"))
+    model = (
+        cb.join(cw, "w1")
+        .join(ct, "w2")
+        .crossJoin(F.broadcast(b))
+        .select(
+            "w1",
+            "w2",
+            F.log(
+                (F.col("c") - 0.75) / F.col("cw")
+                + (0.75 * F.col("nf") / F.col("cw"))
+                * (F.col("np") / F.col("bt"))
+            ).alias("lp"),
+        )
+    )
+    return (
+        bi.join(model, ["w1", "w2"])
+        .groupBy("doc_id")
+        .agg(
+            F.round(F.avg("lp"), 6).alias("avg_logprob"),
+            F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+        )
+    )
