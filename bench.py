@@ -96,6 +96,10 @@ HEADLINE = [
     "join_bloom_prefilter",
     "agg_bitmap_setops",
     "timeseries_cusum_changepoint",
+    # round 5 (fourth session) additions
+    "text_bigram_kn_logprob",
+    "graph_jaccard_link_prediction",
+    "stats_kaplan_meier",
 ]
 
 

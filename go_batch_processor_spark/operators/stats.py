@@ -743,3 +743,346 @@ def stats_bootstrap_poisson_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.expr("percentile(m, 0.975)"), 6).alias("ci_hi"),
         F.lit(BOOT_B).cast("long").alias("n_reps"),
     )
+
+
+@register(
+    "stats_kaplan_meier",
+    oracle="""
+    WITH users AS (
+      SELECT user_id,
+             min(ts) AS t0,
+             min(CASE WHEN event_type = 'purchase' THEN ts END) AS tp
+      FROM events GROUP BY user_id
+    ),
+    subjects AS (
+      SELECT user_id,
+             CASE WHEN tp IS NOT NULL
+                   AND date_diff('second', t0, tp) < 48 * 3600
+                  THEN CAST(floor(date_diff('second', t0, tp) / 3600.0)
+                            AS BIGINT)
+                  ELSE CAST(48 AS BIGINT) END AS dur_h,
+             CASE WHEN tp IS NOT NULL
+                   AND date_diff('second', t0, tp) < 48 * 3600
+                  THEN 1 ELSE 0 END AS converted
+      FROM users
+    ),
+    per_dur AS (
+      SELECT dur_h,
+             CAST(sum(converted) AS BIGINT)     AS n_events,
+             CAST(sum(1 - converted) AS BIGINT) AS n_censored
+      FROM subjects GROUP BY dur_h
+    ),
+    risk AS (
+      SELECT dur_h, n_events, n_censored,
+             CAST((SELECT count(*) FROM subjects) AS BIGINT)
+               - coalesce(sum(n_events + n_censored) OVER (
+                   ORDER BY dur_h
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                 ), 0) AS n_risk
+      FROM per_dur
+    ),
+    km AS (
+      SELECT dur_h, n_events, n_risk,
+             1.0 - n_events * 1.0 / n_risk AS factor
+      FROM risk WHERE n_events > 0
+    )
+    SELECT dur_h, n_risk, n_events,
+           CASE WHEN min(factor) OVER w = 0 THEN 0.0
+                ELSE round(exp(sum(ln(factor)) OVER w), 6)
+           END AS survival
+    FROM km
+    WINDOW w AS (ORDER BY dur_h ROWS BETWEEN UNBOUNDED PRECEDING
+                 AND CURRENT ROW)
+    ORDER BY dur_h
+    """,
+)
+def stats_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier survival curve (Kaplan & Meier 1958) for
+    time-to-conversion: duration = hours from a user's first event to
+    their first 'purchase', with ADMINISTRATIVE right-censoring at a
+    48-hour follow-up cutoff — users who hadn't converted by then leave
+    the risk set without counting as a conversion event, which is the
+    entire point of KM over a naive time-to-convert histogram (the
+    censored mass would otherwise bias the curve down).
+
+      S(t) = Π_{d_i <= t} (1 − e_i / n_i)
+
+    with e_i the conversions at duration d_i and n_i the subjects still
+    at risk (duration >= d_i). S(t) here reads "probability a user is
+    still unconverted t hours after first touch".
+
+    Scale shape: the fact table collapses to one row per user via a
+    conditional min-aggregate (one partial-combinable shuffle), then to
+    one row per DISTINCT duration hour — so the unpartitioned KM window
+    runs over an aggregate-sized frame (<= follow-up horizon rows; the
+    documented small-window exception, same as KS/seasonal-decompose),
+    never the raw stream. The survival product is exp(Σ ln factor)
+    under the deterministic duration ordering, so the doubles are
+    bit-exact across engines; a zero factor (everyone at risk converts
+    in the same hour) is handled by a running-min guard, not ln(0)."""
+    horizon_h = 48
+    ev = load_table(spark, sf_dir, "events")
+    users = ev.groupBy("user_id").agg(
+        F.min("ts").alias("t0"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias(
+            "tp"
+        ),
+    )
+    gap_s = F.unix_seconds(F.col("tp")) - F.unix_seconds(F.col("t0"))
+    is_event = F.col("tp").isNotNull() & (gap_s < horizon_h * 3600)
+    subjects = users.select(
+        "user_id",
+        F.when(is_event, F.floor(gap_s / 3600.0))
+        .otherwise(F.lit(horizon_h))
+        .cast("bigint")
+        .alias("dur_h"),
+        F.when(is_event, 1).otherwise(0).alias("converted"),
+    )
+    per_dur = subjects.groupBy("dur_h").agg(
+        F.sum("converted").cast("bigint").alias("n_events"),
+        F.sum(1 - F.col("converted")).cast("bigint").alias("n_censored"),
+    )
+    w_tot = (
+        Window.partitionBy()
+        .orderBy("dur_h")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    w_prev = (
+        Window.partitionBy()
+        .orderBy("dur_h")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    risk = per_dur.withColumn(
+        "n_risk",
+        (
+            F.sum(F.col("n_events") + F.col("n_censored")).over(w_tot)
+            - F.coalesce(
+                F.sum(F.col("n_events") + F.col("n_censored")).over(w_prev),
+                F.lit(0),
+            )
+        ).cast("bigint"),
+    )
+    km = risk.filter(F.col("n_events") > 0).withColumn(
+        "factor", 1.0 - F.col("n_events") * 1.0 / F.col("n_risk")
+    )
+    w_run = (
+        Window.partitionBy()
+        .orderBy("dur_h")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        km.select(
+            "dur_h",
+            "n_risk",
+            "n_events",
+            F.when(F.min("factor").over(w_run) == 0, F.lit(0.0))
+            .otherwise(F.round(F.exp(F.sum(F.log("factor")).over(w_run)), 6))
+            .alias("survival"),
+        )
+        .orderBy("dur_h")
+    )
+
+
+@register(
+    "stats_log_rank_test",
+    oracle="""
+    WITH users AS (
+      SELECT user_id,
+             user_id % 2 AS grp,
+             min(ts) AS t0,
+             min(CASE WHEN event_type = 'purchase' THEN ts END) AS tp
+      FROM events GROUP BY user_id
+    ),
+    subjects AS (
+      SELECT grp,
+             CASE WHEN tp IS NOT NULL
+                   AND date_diff('second', t0, tp) < 48 * 3600
+                  THEN CAST(floor(date_diff('second', t0, tp) / 3600.0)
+                            AS BIGINT)
+                  ELSE CAST(48 AS BIGINT) END AS dur_h,
+             CASE WHEN tp IS NOT NULL
+                   AND date_diff('second', t0, tp) < 48 * 3600
+                  THEN 1 ELSE 0 END AS converted
+      FROM users
+    ),
+    per_dur AS (
+      SELECT dur_h,
+             CAST(sum(converted) AS BIGINT)                             AS e_all,
+             CAST(sum(CASE WHEN grp = 0 THEN converted ELSE 0 END)
+                  AS BIGINT)                                            AS e_a,
+             CAST(count(*) AS BIGINT)                                   AS x_all,
+             CAST(sum(CASE WHEN grp = 0 THEN 1 ELSE 0 END) AS BIGINT)   AS x_a
+      FROM subjects GROUP BY dur_h
+    ),
+    risk AS (
+      SELECT dur_h, e_all, e_a,
+             sum(x_all) OVER w_rest AS n_all,
+             sum(x_a)   OVER w_rest AS n_a
+      FROM per_dur
+      WINDOW w_rest AS (ORDER BY dur_h ROWS BETWEEN CURRENT ROW
+                        AND UNBOUNDED FOLLOWING)
+    ),
+    terms AS (
+      SELECT dur_h, e_a,
+             e_all * (n_a * 1.0 / n_all) AS exp_a,
+             CASE WHEN n_all > 1
+                  THEN e_all * (n_a * 1.0 / n_all)
+                       * (1.0 - n_a * 1.0 / n_all)
+                       * (n_all - e_all) / (n_all - 1.0)
+                  ELSE 0.0 END AS var_a
+      FROM risk WHERE e_all > 0
+    ),
+    acc AS (
+      SELECT dur_h,
+             sum(e_a)   OVER w_run AS o_sum,
+             sum(exp_a) OVER w_run AS e_sum,
+             sum(var_a) OVER w_run AS v_sum,
+             row_number() OVER (ORDER BY dur_h DESC) AS rn
+      FROM terms
+      WINDOW w_run AS (ORDER BY dur_h ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND CURRENT ROW)
+    )
+    SELECT CAST(o_sum AS BIGINT)   AS observed_a,
+           round(e_sum, 4)         AS expected_a,
+           round((o_sum - e_sum) * (o_sum - e_sum) / v_sum, 4) AS chi2
+    FROM acc WHERE rn = 1
+    """,
+)
+def stats_log_rank_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log-rank (Mantel-Cox) test comparing time-to-conversion between two
+    user cohorts (even vs odd user ids — stand-in for any A/B split),
+    under the same 48 h administrative censoring as `stats_kaplan_meier`:
+    at each conversion time, the observed group-A conversions are
+    compared with the hypergeometric expectation given the at-risk sets,
+    and chi² = (O−E)²/V sums the per-time contributions — THE standard
+    test for "do these two survival curves differ".
+
+    Scale + determinism shape: the fact table reduces to per-user rows,
+    then to <= horizon+1 per-duration count rows, so every window here is
+    aggregate-sized. At-risk counts come from a REVERSE running sum
+    (current row to end) — no second pass over subjects; and the three
+    O/E/V totals accumulate via an ORDERED running window rather than an
+    unordered aggregate, so the double sums are sequential in duration
+    order and bit-exact across engines (registry parity rule: never
+    hash-agg doubles you can window deterministically)."""
+    horizon_h = 48
+    ev = load_table(spark, sf_dir, "events")
+    users = ev.groupBy("user_id").agg(
+        F.min("ts").alias("t0"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias(
+            "tp"
+        ),
+    )
+    gap_s = F.unix_seconds(F.col("tp")) - F.unix_seconds(F.col("t0"))
+    is_event = F.col("tp").isNotNull() & (gap_s < horizon_h * 3600)
+    subjects = users.select(
+        (F.col("user_id") % 2).alias("grp"),
+        F.when(is_event, F.floor(gap_s / 3600.0))
+        .otherwise(F.lit(horizon_h))
+        .cast("bigint")
+        .alias("dur_h"),
+        F.when(is_event, 1).otherwise(0).alias("converted"),
+    )
+    per_dur = subjects.groupBy("dur_h").agg(
+        F.sum("converted").cast("bigint").alias("e_all"),
+        F.sum(F.when(F.col("grp") == 0, F.col("converted")).otherwise(0))
+        .cast("bigint")
+        .alias("e_a"),
+        F.count(F.lit(1)).cast("bigint").alias("x_all"),
+        F.sum(F.when(F.col("grp") == 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("x_a"),
+    )
+    w_rest = (
+        Window.partitionBy()
+        .orderBy("dur_h")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    risk = per_dur.select(
+        "dur_h",
+        "e_all",
+        "e_a",
+        F.sum("x_all").over(w_rest).alias("n_all"),
+        F.sum("x_a").over(w_rest).alias("n_a"),
+    )
+    frac_a = F.col("n_a") * 1.0 / F.col("n_all")
+    terms = risk.filter(F.col("e_all") > 0).select(
+        "dur_h",
+        "e_a",
+        (F.col("e_all") * frac_a).alias("exp_a"),
+        F.when(
+            F.col("n_all") > 1,
+            F.col("e_all")
+            * frac_a
+            * (1.0 - frac_a)
+            * (F.col("n_all") - F.col("e_all"))
+            / (F.col("n_all") - 1.0),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("var_a"),
+    )
+    w_run = (
+        Window.partitionBy()
+        .orderBy("dur_h")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    acc = terms.select(
+        F.sum("e_a").over(w_run).alias("o_sum"),
+        F.sum("exp_a").over(w_run).alias("e_sum"),
+        F.sum("var_a").over(w_run).alias("v_sum"),
+        F.row_number()
+        .over(Window.partitionBy().orderBy(F.col("dur_h").desc()))
+        .alias("rn"),
+    )
+    return acc.filter(F.col("rn") == 1).select(
+        F.col("o_sum").cast("bigint").alias("observed_a"),
+        F.round(F.col("e_sum"), 4).alias("expected_a"),
+        F.round(
+            (F.col("o_sum") - F.col("e_sum"))
+            * (F.col("o_sum") - F.col("e_sum"))
+            / F.col("v_sum"),
+            4,
+        ).alias("chi2"),
+    )
+
+
+@register("agg_hll_intersection", oracle=None, tags={"rows_only"})
+def agg_hll_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate audience overlap via HLL inclusion-exclusion:
+    |A∩B| ≈ est(A) + est(B) − est(A∪B), with each term a DataSketches
+    HllSketch — the sketch-world twin of `agg_bitmap_setops` (which is
+    exact and is this operator's accuracy oracle in
+    tests/test_sketches.py).
+
+    Why both exist: bitmap pages are exact but sized by the id RANGE
+    (4 KB per 32 Ki ids — fine for dense surrogate keys, hopeless for
+    128-bit or sparse ids); HLL is ~1.5 KB per sketch REGARDLESS of
+    domain, mergeable by union, at ~2% relative error. HLL supports no
+    native intersection, hence inclusion-exclusion — whose absolute
+    error grows with |A∪B|/|A∩B|, the documented caveat (tiny overlaps
+    of huge sets need the bitmap/exact path or theta sketches).
+
+    Plan: one scan, two filtered sketch aggregates + one union sketch,
+    all partial-combinable; a single row leaves the executors."""
+    ev = load_table(spark, sf_dir, "events")
+    sk = ev.filter(F.col("event_type").isin("click", "purchase")).agg(
+        F.hll_sketch_agg(
+            F.when(F.col("event_type") == "click", F.col("user_id"))
+        ).alias("sk_a"),
+        F.hll_sketch_agg(
+            F.when(F.col("event_type") == "purchase", F.col("user_id"))
+        ).alias("sk_b"),
+        F.hll_sketch_agg("user_id").alias("sk_u"),
+    )
+    est = sk.select(
+        F.hll_sketch_estimate("sk_a").cast("long").alias("est_click"),
+        F.hll_sketch_estimate("sk_b").cast("long").alias("est_purchase"),
+        F.hll_sketch_estimate("sk_u").cast("long").alias("est_union"),
+    )
+    return est.withColumn(
+        "est_intersect",
+        F.greatest(
+            F.col("est_click") + F.col("est_purchase") - F.col("est_union"),
+            F.lit(0),
+        ).cast("long"),
+    )

@@ -45,3 +45,25 @@ def test_hll_merge_matches_flat_sketch(spark, sf_dir):
     assert abs(flat - true) / max(true, 1.0) < 0.03
     assert abs(merged - true) / max(true, 1.0) < 0.03
     assert abs(flat - merged) / max(flat, 1.0) < 0.02
+
+
+def test_hll_intersection_tracks_exact_bitmap_setops(spark, sf_dir):
+    """The HLL inclusion-exclusion overlap must track the EXACT bitmap
+    set-ops twin within the compounded sketch error. Three lgk=12
+    sketches each carry ~1.6% stderr; inclusion-exclusion compounds
+    absolute errors, so the intersection bound is relative to the UNION
+    size (the documented caveat), not the intersection size."""
+    from go_batch_processor_spark.registry import REGISTRY
+
+    approx = REGISTRY["agg_hll_intersection"].fn(spark, sf_dir).collect()[0]
+    exact = REGISTRY["agg_bitmap_setops"].fn(spark, sf_dir).collect()[0]
+    assert abs(approx.est_click - exact.n_click) / max(exact.n_click, 1) < 0.05
+    assert (
+        abs(approx.est_purchase - exact.n_purchase) / max(exact.n_purchase, 1)
+        < 0.05
+    )
+    assert abs(approx.est_union - exact.n_union) / max(exact.n_union, 1) < 0.05
+    assert (
+        abs(approx.est_intersect - exact.n_intersect) / max(exact.n_union, 1)
+        < 0.10
+    )
