@@ -464,3 +464,56 @@ def analytics_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.ntile(4).over(wf).alias("f_quartile"),
         F.ntile(4).over(wm).alias("m_quartile"),
     )
+
+
+@register(
+    "analytics_robust_zscore_mad",
+    oracle="""
+    WITH med AS (
+      SELECT event_type, quantile_cont(value, 0.5) AS med
+      FROM events GROUP BY event_type
+    ),
+    dev AS (
+      SELECT e.event_id, e.event_type, e.value, m.med,
+             abs(e.value - m.med) AS adev
+      FROM events e JOIN med m USING (event_type)
+    ),
+    mad AS (
+      SELECT event_type, quantile_cont(adev, 0.5) AS mad
+      FROM dev GROUP BY event_type
+    )
+    SELECT d.event_id, d.event_type,
+           round(0.6745 * (d.value - d.med) / m.mad, 4) AS robust_z
+    FROM dev d JOIN mad m USING (event_type)
+    WHERE m.mad > 0
+      AND abs(0.6745 * (d.value - d.med) / m.mad) > 3.5
+    """,
+)
+def analytics_robust_zscore_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median/MAD robust outlier screen (Iglewicz-Hoaglin modified
+    z-score, 0.6745·(x−med)/MAD > 3.5) — the mean/stddev screen's
+    robust twin: a single wild value inflates sigma and MASKS other
+    outliers; the median/MAD pair has a 50% breakdown point.
+
+    Plan: two tiny aggregates (per-type median, then per-type median of
+    absolute deviations) each broadcast back onto the stream — the
+    corpus is scanned, never shuffled. Exact percentile sorts per
+    group; at 100 TB swap in approx_percentile for both quantiles (the
+    screen tolerates sketch error, the 3.5 cut is a heuristic anyway).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    med = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("med")
+    )
+    dev = ev.join(F.broadcast(med), "event_type").withColumn(
+        "adev", F.abs(F.col("value") - F.col("med"))
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.expr("percentile(adev, 0.5)").alias("mad")
+    )
+    rz = F.lit(0.6745) * (F.col("value") - F.col("med")) / F.col("mad")
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .filter((F.col("mad") > 0) & (F.abs(rz) > 3.5))
+        .select("event_id", "event_type", F.round(rz, 4).alias("robust_z"))
+    )

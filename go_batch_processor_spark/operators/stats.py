@@ -1086,3 +1086,125 @@ def agg_hll_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(0),
         ).cast("long"),
     )
+
+
+@register(
+    "stats_spearman_corr",
+    oracle="""
+    WITH r AS (
+      SELECT l_returnflag,
+             rank() OVER (PARTITION BY l_returnflag ORDER BY l_quantity)
+               + (count(*) OVER (PARTITION BY l_returnflag, l_quantity) - 1) / 2.0
+               AS rq,
+             rank() OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice)
+               + (count(*) OVER (PARTITION BY l_returnflag, l_extendedprice) - 1) / 2.0
+               AS rp
+      FROM lineitem
+    )
+    SELECT l_returnflag,
+           round(corr(rq, rp), 6)    AS spearman_rho,
+           CAST(count(*) AS BIGINT)  AS n
+    FROM r GROUP BY l_returnflag
+    """,
+)
+def stats_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation with average-rank tie handling
+    (fractional rank = min-rank + (tie_count - 1)/2, the textbook
+    mid-rank), then Pearson corr over the ranks.
+
+    Plan: two rank windows share one sort per ordering key inside the
+    group partition (two window nodes, same partition shuffle), then a
+    partial-combinable corr aggregate. At 100 TB exact dense ranking is
+    a per-group sort — groups here are the 3 returnflags, so each sort
+    is a range-partitioned global sort within the group; for truly
+    hot groups the approx alternative is bucketed rank via
+    approx_percentile bins. Rounded to 6: co-moment accumulation order
+    differs across engines/partitions."""
+    li = load_table(spark, sf_dir, "lineitem")
+    w_q = Window.partitionBy("l_returnflag").orderBy("l_quantity")
+    w_p = Window.partitionBy("l_returnflag").orderBy("l_extendedprice")
+    t_q = Window.partitionBy("l_returnflag", "l_quantity")
+    t_p = Window.partitionBy("l_returnflag", "l_extendedprice")
+    r = li.select(
+        "l_returnflag",
+        (F.rank().over(w_q) + (F.count(F.lit(1)).over(t_q) - 1) / 2.0).alias("rq"),
+        (F.rank().over(w_p) + (F.count(F.lit(1)).over(t_p) - 1) / 2.0).alias("rp"),
+    )
+    return r.groupBy("l_returnflag").agg(
+        F.round(F.corr("rq", "rp"), 6).alias("spearman_rho"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@register(
+    "stats_anova_oneway",
+    oracle="""
+    WITH g AS (
+      SELECT event_type,
+             CAST(count(*) AS DOUBLE) AS n,
+             sum(value)               AS s,
+             sum(value * value)       AS ss
+      FROM events GROUP BY event_type
+    ),
+    tot AS (
+      SELECT sum(n) AS nt, sum(s) AS st, CAST(count(*) AS DOUBLE) AS k FROM g
+    ),
+    comb AS (
+      SELECT any_value(k)  AS k,
+             any_value(nt) AS nt,
+             sum(n * (s / n - st / nt) * (s / n - st / nt)) AS ssb,
+             sum(ss - s * s / n)                            AS ssw
+      FROM g, tot
+    )
+    SELECT CAST(k AS BIGINT)            AS k_groups,
+           CAST(nt AS BIGINT)           AS n_total,
+           round(ssb, 2)                AS ss_between,
+           round(ssw, 2)                AS ss_within,
+           round((ssb / (k - 1)) / (ssw / (nt - k)), 4) AS f_stat
+    FROM comb
+    """,
+)
+def stats_anova_oneway(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA F-statistic across event_type groups from
+    sufficient statistics (n, Σx, Σx²) — the classic
+    between-variance / within-variance ratio.
+
+    Plan: ONE partial-combinable scan aggregate reduces the corpus to
+    |groups| rows; everything after (grand totals, SSB/SSW, F) runs on
+    that tiny frame via a broadcast cross of a 1-row totals aggregate.
+    At 100 TB this is scan-bound with a |groups|-row shuffle — the
+    sufficient-statistics formulation is exactly what makes ANOVA
+    map-reducible. Sums rounded on both sides (accumulation-order
+    sensitive); the per-row formula text is kept identical to the
+    oracle so per-row IEEE arithmetic matches bit-for-bit."""
+    ev = load_table(spark, sf_dir, "events")
+    g = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("value").alias("s"),
+        F.sum(F.col("value") * F.col("value")).alias("ss"),
+    )
+    tot = g.agg(
+        F.sum("n").alias("nt"),
+        F.sum("s").alias("st"),
+        F.count(F.lit(1)).cast("double").alias("k"),
+    )
+    comb = g.crossJoin(F.broadcast(tot)).agg(
+        F.first("k").alias("k"),
+        F.first("nt").alias("nt"),
+        F.sum(
+            F.col("n")
+            * (F.col("s") / F.col("n") - F.col("st") / F.col("nt"))
+            * (F.col("s") / F.col("n") - F.col("st") / F.col("nt"))
+        ).alias("ssb"),
+        F.sum(F.col("ss") - F.col("s") * F.col("s") / F.col("n")).alias("ssw"),
+    )
+    return comb.select(
+        F.col("k").cast("bigint").alias("k_groups"),
+        F.col("nt").cast("bigint").alias("n_total"),
+        F.round("ssb", 2).alias("ss_between"),
+        F.round("ssw", 2).alias("ss_within"),
+        F.round(
+            (F.col("ssb") / (F.col("k") - 1)) / (F.col("ssw") / (F.col("nt") - F.col("k"))),
+            4,
+        ).alias("f_stat"),
+    )
