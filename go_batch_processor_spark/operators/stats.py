@@ -1208,3 +1208,135 @@ def stats_anova_oneway(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("f_stat"),
     )
+
+
+@register(
+    "feature_scale_standardize",
+    oracle="""
+    WITH st AS (
+      SELECT l_returnflag,
+             min(l_extendedprice)         AS mn,
+             max(l_extendedprice)         AS mx,
+             avg(l_extendedprice)         AS mu,
+             stddev_samp(l_extendedprice) AS sigma
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l.l_orderkey, l.l_linenumber, l.l_returnflag,
+           round((l.l_extendedprice - s.mn) / (s.mx - s.mn), 6) AS minmax01,
+           round((l.l_extendedprice - s.mu) / s.sigma, 6)       AS zscore
+    FROM lineitem l JOIN st s USING (l_returnflag)
+    WHERE s.mx > s.mn AND s.sigma > 0
+    """,
+)
+def feature_scale_standardize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature scaling for ML ingest: per-group min-max to [0,1] AND
+    z-score standardization in one pass — the fit/transform split made
+    explicit: 'fit' is a tiny partial-combinable stats aggregate,
+    'transform' is the stats broadcast back onto the stream (so a
+    100 TB transform pays one |groups|-row shuffle and a map-side
+    join; the fitted frame is also exactly what you'd persist to apply
+    the same scaling to a later serving dataset)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    st = li.groupBy("l_returnflag").agg(
+        F.min("l_extendedprice").alias("mn"),
+        F.max("l_extendedprice").alias("mx"),
+        F.avg("l_extendedprice").alias("mu"),
+        F.stddev_samp("l_extendedprice").alias("sigma"),
+    )
+    return (
+        li.join(F.broadcast(st), "l_returnflag")
+        .filter((F.col("mx") > F.col("mn")) & (F.col("sigma") > 0))
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            "l_returnflag",
+            F.round(
+                (F.col("l_extendedprice") - F.col("mn")) / (F.col("mx") - F.col("mn")), 6
+            ).alias("minmax01"),
+            F.round(
+                (F.col("l_extendedprice") - F.col("mu")) / F.col("sigma"), 6
+            ).alias("zscore"),
+        )
+    )
+
+
+@register(
+    "profile_table_stats",
+    oracle="""
+    SELECT 'o_custkey' AS col_name,
+           CAST(count(*) - count(o_custkey) AS BIGINT) AS n_nulls,
+           CAST(count(DISTINCT o_custkey) AS BIGINT)   AS n_distinct,
+           CAST(min(o_custkey) AS DOUBLE)              AS min_d,
+           CAST(max(o_custkey) AS DOUBLE)              AS max_d
+    FROM orders
+    UNION ALL
+    SELECT 'o_totalprice',
+           CAST(count(*) - count(o_totalprice) AS BIGINT),
+           CAST(count(DISTINCT o_totalprice) AS BIGINT),
+           min(o_totalprice), max(o_totalprice)
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderdate',
+           CAST(count(*) - count(o_orderdate) AS BIGINT),
+           CAST(count(DISTINCT o_orderdate) AS BIGINT),
+           CAST(epoch_us(min(o_orderdate)) AS DOUBLE),
+           CAST(epoch_us(max(o_orderdate)) AS DOUBLE)
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderstatus',
+           CAST(count(*) - count(o_orderstatus) AS BIGINT),
+           CAST(count(DISTINCT o_orderstatus) AS BIGINT),
+           NULL, NULL
+    FROM orders
+    """,
+)
+def profile_table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality profile of a table: per-column null count, distinct
+    count, numeric min/max (timestamps as epoch micros; strings emit
+    NULL extrema — string min/max formatting is engine-specific, the
+    counts are the quality signal).
+
+    Plan: ONE scan, one aggregate row carrying every column's partial
+    stats (count/min/max are partial-combinable; distinct per column
+    rewrites to expand, still a single shuffle), then a driver-side
+    unpivot of that 1-row frame into the long profile format. This is
+    the shape a 100 TB profiling job must have — k passes for k columns
+    is the classic mistake. At extreme cardinality swap the exact
+    distinct for approx_count_distinct per column (same single-pass
+    shape, sketch-mergeable)."""
+    od = load_table(spark, sf_dir, "orders")
+    one = od.agg(
+        (F.count(F.lit(1)) - F.count("o_custkey")).alias("nn_custkey"),
+        F.countDistinct("o_custkey").alias("nd_custkey"),
+        F.min("o_custkey").cast("double").alias("mn_custkey"),
+        F.max("o_custkey").cast("double").alias("mx_custkey"),
+        (F.count(F.lit(1)) - F.count("o_totalprice")).alias("nn_totalprice"),
+        F.countDistinct("o_totalprice").alias("nd_totalprice"),
+        F.min("o_totalprice").alias("mn_totalprice"),
+        F.max("o_totalprice").alias("mx_totalprice"),
+        (F.count(F.lit(1)) - F.count("o_orderdate")).alias("nn_orderdate"),
+        F.countDistinct("o_orderdate").alias("nd_orderdate"),
+        F.unix_micros(F.min("o_orderdate")).cast("double").alias("mn_orderdate"),
+        F.unix_micros(F.max("o_orderdate")).cast("double").alias("mx_orderdate"),
+        (F.count(F.lit(1)) - F.count("o_orderstatus")).alias("nn_orderstatus"),
+        F.countDistinct("o_orderstatus").alias("nd_orderstatus"),
+    )
+    rows = [
+        ("o_custkey", "nn_custkey", "nd_custkey", "mn_custkey", "mx_custkey"),
+        ("o_totalprice", "nn_totalprice", "nd_totalprice", "mn_totalprice", "mx_totalprice"),
+        ("o_orderdate", "nn_orderdate", "nd_orderdate", "mn_orderdate", "mx_orderdate"),
+        ("o_orderstatus", "nn_orderstatus", "nd_orderstatus", None, None),
+    ]
+    # inline(array(structs)) unpivots the single agg row WITHOUT a union —
+    # a union of k selects over the same agg would replan the scan k times.
+    structs = [
+        F.struct(
+            F.lit(name).alias("col_name"),
+            F.col(nn).alias("n_nulls"),
+            F.col(nd).alias("n_distinct"),
+            (F.col(mn) if mn else F.lit(None).cast("double")).alias("min_d"),
+            (F.col(mx) if mx else F.lit(None).cast("double")).alias("max_d"),
+        )
+        for name, nn, nd, mn, mx in rows
+    ]
+    return one.select(F.inline(F.array(*structs)))

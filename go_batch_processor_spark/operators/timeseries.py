@@ -555,3 +555,68 @@ def timeseries_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.abs(F.col("s")), 4).alias("cusum_stat"),
         )
     )
+
+
+@register(
+    "timeseries_acf",
+    oracle="""
+    WITH hourly AS (
+      SELECT date_trunc('hour', ts) AS h, sum(value) AS v
+      FROM events GROUP BY 1
+    ),
+    x1 AS (SELECT h, v, avg(v) OVER () AS mu FROM hourly),
+    x2 AS (
+      SELECT h, v, mu,
+             sum((v - mu) * (v - mu)) OVER () AS den,
+             row_number() OVER (ORDER BY h)   AS rn
+      FROM x1
+    )
+    SELECT CAST(a.rn - b.rn AS BIGINT)                          AS lag_h,
+           round(sum((a.v - a.mu) * (b.v - b.mu)) / any_value(a.den), 6)
+             AS acf,
+           CAST(count(*) AS BIGINT)                             AS n_pairs
+    FROM x2 a JOIN x2 b ON a.rn - b.rn BETWEEN 1 AND 12
+    GROUP BY a.rn - b.rn
+    """,
+)
+def timeseries_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation function of the hourly metric series at lags
+    1..12 — the standard seasonality/persistence diagnostic (Box-Jenkins
+    identification step): acf(k) = Σ(x_t−x̄)(x_{t−k}−x̄) / Σ(x_t−x̄)².
+
+    Plan: the 100 TB event stream reduces to |hours| rows in ONE
+    partial-combinable aggregate; everything after — grand mean and
+    denominator as windows over the agg output (lesson: windows, not a
+    second aggregate, so the scan isn't repeated), then a banded
+    self-join on row_number — runs on that tiny series frame. Lag is
+    defined positionally (k-th preceding PRESENT bucket); run
+    timeseries_gapfill first for strict calendar lags on sparse series.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(F.date_trunc("hour", "ts").alias("h")).agg(
+        F.sum("value").alias("v")
+    )
+    w_all = Window.partitionBy()
+    x1 = hourly.select("h", "v", F.avg("v").over(w_all).alias("mu"))
+    x2 = x1.select(
+        "h",
+        "v",
+        "mu",
+        F.sum((F.col("v") - F.col("mu")) * (F.col("v") - F.col("mu")))
+        .over(w_all)
+        .alias("den"),
+        F.row_number().over(Window.partitionBy().orderBy("h")).alias("rn"),
+    )
+    a, b = x2.alias("a"), x2.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.rn") - F.col("b.rn") >= 1) & (F.col("a.rn") - F.col("b.rn") <= 12),
+    )
+    return pairs.groupBy((F.col("a.rn") - F.col("b.rn")).alias("lag_h")).agg(
+        F.round(
+            F.sum((F.col("a.v") - F.col("a.mu")) * (F.col("b.v") - F.col("b.mu")))
+            / F.first(F.col("a.den")),
+            6,
+        ).alias("acf"),
+        F.count(F.lit(1)).alias("n_pairs"),
+    )
