@@ -11,7 +11,7 @@ child output partitioning already matches).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from go_batch_processor_spark.catalog import load_table
@@ -516,4 +516,104 @@ def analytics_robust_zscore_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
         dev.join(F.broadcast(mad), "event_type")
         .filter((F.col("mad") > 0) & (F.abs(rz) > 3.5))
         .select("event_id", "event_type", F.round(rz, 4).alias("robust_z"))
+    )
+
+
+@register(
+    "analytics_window_funnel",
+    oracle="""
+    WITH w1 AS (
+      SELECT user_id, ts, event_type,
+             min(CASE WHEN event_type = 'view' THEN ts END)
+               OVER (PARTITION BY user_id) AS tv
+      FROM events
+    ),
+    w2 AS (
+      SELECT *,
+             min(CASE WHEN event_type = 'click' AND ts > tv
+                       AND ts <= tv + INTERVAL 24 HOUR THEN ts END)
+               OVER (PARTITION BY user_id) AS tc
+      FROM w1
+    ),
+    w3 AS (
+      SELECT *,
+             min(CASE WHEN event_type = 'purchase' AND ts > tc
+                       AND ts <= tv + INTERVAL 24 HOUR THEN ts END)
+               OVER (PARTITION BY user_id) AS tp
+      FROM w2
+    ),
+    u AS (
+      SELECT user_id, any_value(tv) AS tv, any_value(tc) AS tc,
+             any_value(tp) AS tp
+      FROM w3 GROUP BY user_id
+    )
+    SELECT CASE WHEN tp IS NOT NULL THEN 3
+                WHEN tc IS NOT NULL THEN 2
+                ELSE 1 END             AS funnel_level,
+           CAST(count(*) AS BIGINT)   AS n_users
+    FROM u WHERE tv IS NOT NULL
+    GROUP BY 1
+    """,
+)
+def analytics_window_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-bounded ordered funnel (ClickHouse windowFunnel shape):
+    view -> click -> purchase where the whole chain must complete
+    within 24 h of the user's FIRST view, each step strictly after the
+    previous; emits the histogram of deepest level reached.
+
+    Greedy earliest-anchor semantics: the window anchors at the first
+    view (ClickHouse's sliding variant retries later anchors; the
+    greedy form is deterministic and oracle-expressible — a user who
+    views on day 1 with no follow-up and converts fully on day 10
+    counts level 1 here, level 3 there; documented divergence).
+
+    Plan: like analytics_funnel_conversion, ONE events scan and ONE
+    user_id exchange carrying three chained window passes (each step's
+    anchor is an ordinary column by the next pass) — no join cascade,
+    no rescan; the final histogram is a |levels|-row aggregate. This
+    is the shape that survives 100 TB: per-user state never leaves its
+    partition."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id")
+    day = F.expr("tv + INTERVAL 24 HOURS")
+    w1 = ev.select(
+        "user_id",
+        "ts",
+        "event_type",
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(w).alias("tv"),
+    )
+    w2 = w1.withColumn(
+        "tc",
+        F.min(
+            F.when(
+                (F.col("event_type") == "click")
+                & (F.col("ts") > F.col("tv"))
+                & (F.col("ts") <= day),
+                F.col("ts"),
+            )
+        ).over(w),
+    )
+    w3 = w2.withColumn(
+        "tp",
+        F.min(
+            F.when(
+                (F.col("event_type") == "purchase")
+                & (F.col("ts") > F.col("tc"))
+                & (F.col("ts") <= day),
+                F.col("ts"),
+            )
+        ).over(w),
+    )
+    u = w3.groupBy("user_id").agg(
+        F.first("tv").alias("tv"), F.first("tc").alias("tc"), F.first("tp").alias("tp")
+    )
+    return (
+        u.filter(F.col("tv").isNotNull())
+        .groupBy(
+            F.when(F.col("tp").isNotNull(), 3)
+            .when(F.col("tc").isNotNull(), 2)
+            .otherwise(1)
+            .alias("funnel_level")
+        )
+        .agg(F.count(F.lit(1)).alias("n_users"))
     )

@@ -1052,3 +1052,77 @@ def join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
         ).alias("revenue"),
     )
+
+
+@register(
+    "join_fuzzy_trigram",
+    oracle="""
+    WITH names AS (
+      SELECT DISTINCT p_name AS name FROM part WHERE length(p_name) >= 3
+    ),
+    tri AS (
+      SELECT DISTINCT name, substr(name, CAST(i AS INT), 3) AS g
+      FROM names, unnest(generate_series(1, length(name) - 2)) AS t(i)
+    ),
+    sz AS (SELECT name, count(*) AS sz FROM tri GROUP BY name),
+    shared AS (
+      SELECT a.name AS name_a, b.name AS name_b, count(*) AS shared
+      FROM tri a JOIN tri b ON a.g = b.g AND a.name < b.name
+      GROUP BY a.name, b.name
+    )
+    SELECT s.name_a, s.name_b,
+           round(CAST(s.shared AS DOUBLE) / (za.sz + zb.sz - s.shared), 6)
+             AS jaccard
+    FROM shared s
+    JOIN sz za ON za.name = s.name_a
+    JOIN sz zb ON zb.name = s.name_b
+    WHERE CAST(s.shared AS DOUBLE) / (za.sz + zb.sz - s.shared) >= 0.4
+    """,
+)
+def join_fuzzy_trigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy string join via character-trigram Jaccard >= 0.4 — the
+    set-similarity join (Vernica et al., SIGMOD'10 VJ-join shape):
+    inverted index on trigrams as the blocking key, so only pairs
+    sharing at least one trigram are ever materialized — never the
+    |names|² cross product.
+
+    Plan: one pass builds (name, trigram) distinct postings; the
+    candidate join is posting-list self-join on the trigram key (one
+    shuffle, co-partitioned by gram), pair-counted, then verified
+    against the exact set sizes. At 100 TB the standard refinements
+    slot in unchanged: prefix filtering (index only the (1-τ)·|set|+1
+    rarest grams per string) cuts candidates ~10x, and a stop-gram cap
+    drops ubiquitous grams whose posting lists explode quadratically —
+    both noted here, omitted because the verify step already bounds
+    work at fixture scale."""
+    part = load_table(spark, sf_dir, "part")
+    names = (
+        part.select(F.col("p_name").alias("name"))
+        .filter(F.length("name") >= 3)
+        .distinct()
+    )
+    tri = names.select(
+        "name",
+        F.explode(
+            F.expr(
+                "array_distinct(transform(sequence(1, length(name) - 2),"
+                " i -> substr(name, i, 3)))"
+            )
+        ).alias("g"),
+    )
+    sz = tri.groupBy("name").agg(F.count(F.lit(1)).alias("sz"))
+    a, b = tri.alias("a"), tri.alias("b")
+    shared = (
+        a.join(b, (F.col("a.g") == F.col("b.g")) & (F.col("a.name") < F.col("b.name")))
+        .groupBy(F.col("a.name").alias("name_a"), F.col("b.name").alias("name_b"))
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    jac = F.col("shared").cast("double") / (
+        F.col("za.sz") + F.col("zb.sz") - F.col("shared")
+    )
+    return (
+        shared.join(sz.alias("za"), F.col("name_a") == F.col("za.name"))
+        .join(sz.alias("zb"), F.col("name_b") == F.col("zb.name"))
+        .filter(jac >= 0.4)
+        .select("name_a", "name_b", F.round(jac, 6).alias("jaccard"))
+    )

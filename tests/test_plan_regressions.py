@@ -66,3 +66,27 @@ def test_mv_incremental_join_no_full_recompute_shape(spark, sf_dir):
     for the stored view + delta partitions but never cartesian."""
     plan = _executed(REGISTRY["mv_incremental_join"].fn(spark, sf_dir))
     assert "Cartesian" not in plan and "NestedLoop" not in plan, plan
+
+
+def test_window_funnel_scans_events_once_one_hash_exchange(spark, sf_dir):
+    """Three chained step-windows must share ONE user_id exchange and one
+    events scan — the join-cascade alternative replans the scan per step."""
+    plan = _executed(REGISTRY["analytics_window_funnel"].fn(spark, sf_dir))
+    assert plan.count("events") == 1, plan
+    n_ex = len(re.findall(r"Exchange hashpartitioning", plan))
+    assert n_ex <= 2, plan  # user_id windows + final level histogram
+
+
+def test_fuzzy_trigram_no_cartesian(spark, sf_dir):
+    """The set-similarity join must block on the trigram inverted index —
+    a cross product of names would be the classic quadratic mistake."""
+    plan = _executed(REGISTRY["join_fuzzy_trigram"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_profile_table_single_scan(spark, sf_dir):
+    """k-column profile must be ONE orders scan (inline-unpivot of a single
+    agg row), not a union of k scan+agg branches."""
+    plan = _executed(REGISTRY["profile_table_stats"].fn(spark, sf_dir))
+    assert plan.count("FileScan") == 1, plan
