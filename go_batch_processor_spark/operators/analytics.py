@@ -617,3 +617,50 @@ def analytics_window_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).alias("n_users"))
     )
+
+
+@register(
+    "analytics_path_topk",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lead(event_type, 1) OVER w AS t2,
+             lead(event_type, 2) OVER w AS t3
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT event_type || '>' || t2 || '>' || t3 AS path,
+           CAST(count(*) AS BIGINT)            AS n
+    FROM seq WHERE t2 IS NOT NULL AND t3 IS NOT NULL
+    GROUP BY 1
+    ORDER BY n DESC, path
+    LIMIT 10
+    """,
+)
+def analytics_path_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 most common 3-step behavioral paths (consecutive
+    event-type trigrams per user, ordered by ts with event_id
+    tie-break) — the Sankey/path-analysis primitive.
+
+    Plan: one user_id window (two leads share the single sort), a
+    path-count aggregate, then TakeOrderedAndProject for the top-k —
+    no global sort materializes. Deterministic: tie-broken by path so
+    the k-boundary can't flip between engines. At 100 TB the window
+    partitions by user (bounded per-user state) and the count shuffle
+    carries only |distinct paths| ≤ |types|³ keys."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type",
+        F.lead("event_type", 1).over(w).alias("t2"),
+        F.lead("event_type", 2).over(w).alias("t3"),
+    )
+    return (
+        seq.filter(F.col("t2").isNotNull() & F.col("t3").isNotNull())
+        .groupBy(
+            F.concat_ws(">", "event_type", "t2", "t3").alias("path")
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "path")
+        .limit(10)
+    )

@@ -1121,3 +1121,50 @@ def ml_als_factorize(spark: SparkSession, sf_dir: str) -> DataFrame:
         return out_u.unionByName(out_v).unionByName(summary)
     finally:
         ratings.unpersist(blocking=False)
+
+
+RIDGE_LAMBDA = 10.0
+
+
+@register("ml_ridge_closed_form", tags={"rows_only"})
+def ml_ridge_closed_form(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ridge regression (L2, lambda=10) in closed form from the SAME
+    one-pass sufficient statistics as ml_ols_normal_equations: center
+    the moment matrices on the driver (Sxx_c = X'X − n·x̄x̄'), solve
+    (Sxx_c + λI) b = Sxy_c so the intercept is NOT penalized (the
+    textbook parameterization), recover intercept = ȳ − b·x̄.
+
+    Scale shape identical to OLS: one partial-combinable aggregate of
+    O(d²) numbers, a d×d driver solve, no second scan — regularization
+    is free at 100 TB because it only perturbs the driver-side linear
+    system. tests/test_ml.py pins coefficients against a direct numpy
+    ridge solve and checks shrinkage toward zero vs the OLS fit."""
+    import numpy as np
+
+    li = load_table(spark, sf_dir, "lineitem")
+    y = F.col("l_extendedprice")
+    feats = OLS_FEATURES
+    cols = [F.col(c) for c in feats]
+    d = len(cols)
+    aggs = [F.count(F.lit(1)).cast("double").alias("n"), F.sum(y).alias("sy")]
+    for i in range(d):
+        aggs.append(F.sum(cols[i]).alias(f"sx_{i}"))
+        aggs.append(F.sum(cols[i] * y).alias(f"xy_{i}"))
+        for j in range(i, d):
+            aggs.append(F.sum(cols[i] * cols[j]).alias(f"xx_{i}_{j}"))
+    row = li.agg(*aggs).collect()[0]
+
+    n = row["n"]
+    xbar = np.array([row[f"sx_{i}"] / n for i in range(d)])
+    ybar = row["sy"] / n
+    Sxx = np.empty((d, d))
+    for i in range(d):
+        for j in range(i, d):
+            Sxx[i, j] = Sxx[j, i] = row[f"xx_{i}_{j}"] - n * xbar[i] * xbar[j]
+    Sxy = np.array([row[f"xy_{i}"] - n * xbar[i] * ybar for i in range(d)])
+    b = np.linalg.solve(Sxx + RIDGE_LAMBDA * np.eye(d), Sxy)
+    intercept = float(ybar - b @ xbar)
+    out = [("intercept", float(round(intercept, 6)))] + [
+        (t, float(round(c, 6))) for t, c in zip(feats, b)
+    ]
+    return spark.createDataFrame(out, "term string, value double")

@@ -1340,3 +1340,76 @@ def profile_table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         for name, nn, nd, mn, mx in rows
     ]
     return one.select(F.inline(F.array(*structs)))
+
+
+@register(
+    "stats_entropy_mutual_info",
+    oracle="""
+    WITH j AS (
+      SELECT event_type, CAST(hour(ts) AS BIGINT) AS hr,
+             CAST(count(*) AS DOUBLE) AS c
+      FROM events GROUP BY 1, 2
+    ),
+    tot AS (SELECT sum(c) AS n FROM j),
+    mx AS (SELECT event_type, sum(c) AS cx FROM j GROUP BY 1),
+    my AS (SELECT hr, sum(c) AS cy FROM j GROUP BY 1)
+    SELECT round((SELECT -sum((cx / n) * ln(cx / n)) FROM mx, tot), 6)
+             AS h_type,
+           round((SELECT -sum((cy / n) * ln(cy / n)) FROM my, tot), 6)
+             AS h_hour,
+           round((SELECT sum((j.c / n) * ln((j.c * n) / (mx.cx * my.cy)))
+                  FROM j
+                  JOIN mx USING (event_type)
+                  JOIN my USING (hr), tot), 6)
+             AS mi_nats,
+           (SELECT CAST(n AS BIGINT) FROM tot) AS n_events
+    FROM (SELECT 1)
+    """,
+)
+def stats_entropy_mutual_info(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy of the event-type and hour-of-day marginals plus
+    their mutual information (nats) — the feature-selection /
+    drift-detection primitive: MI(type, hour) says how much temporal
+    structure the event mix carries.
+
+    Plan: ONE scan reduces to the |types|×|hours| joint contingency
+    (partial-combinable count), and every entropy term is computed on
+    that ≤120-row frame — marginals are re-aggregates of the joint, NOT
+    rescans; joins are broadcast. The p·ln(p) sums are
+    accumulation-order sensitive → rounded to 6 on both sides. At
+    100 TB the only data-sized stage is the joint count; high-cardinality
+    variables swap in the Miller-Madow or sketch estimators (noted)."""
+    ev = load_table(spark, sf_dir, "events")
+    j = ev.groupBy(
+        "event_type", F.hour("ts").cast("bigint").alias("hr")
+    ).agg(F.count(F.lit(1)).cast("double").alias("c"))
+    j = j.cache()
+    tot = j.agg(F.sum("c").alias("n"))
+    mx = j.groupBy("event_type").agg(F.sum("c").alias("cx"))
+    my = j.groupBy("hr").agg(F.sum("c").alias("cy"))
+    h_type = (
+        mx.crossJoin(F.broadcast(tot))
+        .agg(F.round(-F.sum((F.col("cx") / F.col("n")) * F.log(F.col("cx") / F.col("n"))), 6).alias("h_type"))
+    )
+    h_hour = (
+        my.crossJoin(F.broadcast(tot))
+        .agg(F.round(-F.sum((F.col("cy") / F.col("n")) * F.log(F.col("cy") / F.col("n"))), 6).alias("h_hour"))
+    )
+    mi = (
+        j.join(F.broadcast(mx), "event_type")
+        .join(F.broadcast(my), "hr")
+        .crossJoin(F.broadcast(tot))
+        .agg(
+            F.round(
+                F.sum(
+                    (F.col("c") / F.col("n"))
+                    * F.log((F.col("c") * F.col("n")) / (F.col("cx") * F.col("cy")))
+                ),
+                6,
+            ).alias("mi_nats")
+        )
+    )
+    n_row = tot.select(F.col("n").cast("bigint").alias("n_events"))
+    return (
+        h_type.crossJoin(h_hour).crossJoin(mi).crossJoin(n_row)
+    )

@@ -620,3 +620,45 @@ def timeseries_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("acf"),
         F.count(F.lit(1)).alias("n_pairs"),
     )
+
+
+@register(
+    "timeseries_theil_sen",
+    oracle="""
+    WITH hourly AS (
+      SELECT CAST(epoch_us(date_trunc('hour', ts)) AS DOUBLE) / 3600000000.0
+               AS h,
+             avg(value) AS v
+      FROM events GROUP BY 1
+    )
+    SELECT round(quantile_cont((b.v - a.v) / (b.h - a.h), 0.5), 6)
+             AS slope_per_hour,
+           CAST(count(*) AS BIGINT) AS n_pairs
+    FROM hourly a JOIN hourly b ON b.h > a.h
+    """,
+)
+def timeseries_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil–Sen robust trend estimator: the MEDIAN of all pairwise
+    slopes of the hourly series — 29.3% breakdown point vs OLS's zero
+    (one wild hour cannot move it).
+
+    Plan: the 100 TB stream first collapses to |hours| rows (one
+    partial-combinable aggregate — the pair stage is over the SERIES,
+    never the raw events), then an O(|hours|²) triangular self-join
+    feeds an exact median. |hours| is calendar-bounded (~720/month), so
+    the quadratic stage is constant-sized no matter the data volume;
+    for year-scale series switch to the repeated-median variant or
+    sample pairs (noted, not needed at fixture scale)."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        (F.unix_micros(F.date_trunc("hour", "ts")).cast("double") / 3600000000.0)
+        .alias("h")
+    ).agg(F.avg("value").alias("v"))
+    a, b = hourly.alias("a"), hourly.alias("b")
+    slopes = a.join(b, F.col("b.h") > F.col("a.h")).select(
+        ((F.col("b.v") - F.col("a.v")) / (F.col("b.h") - F.col("a.h"))).alias("s")
+    )
+    return slopes.agg(
+        F.round(F.expr("percentile(s, 0.5)"), 6).alias("slope_per_hour"),
+        F.count(F.lit(1)).alias("n_pairs"),
+    )

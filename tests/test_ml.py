@@ -521,3 +521,39 @@ def test_als_matches_numpy_twin(spark, sf_dir):
     gv = out[out["side"] == "item"].set_index("id")
     for i in items[:5]:
         assert gv.loc[i, "f0"] == pytest.approx(round(V[int(i)][0], 6), abs=2e-6)
+
+
+def test_ridge_matches_numpy_and_shrinks(spark, sf_dir):
+    """Closed-form ridge must equal a direct numpy ridge solve on
+    centered data, leave the intercept unpenalized, and shrink the
+    coefficient L2 norm relative to OLS."""
+    import numpy as np
+
+    from go_batch_processor_spark.catalog import load_table
+    from go_batch_processor_spark.operators.ml import OLS_FEATURES, RIDGE_LAMBDA
+
+    got = {
+        r.term: r.value
+        for r in REGISTRY["ml_ridge_closed_form"].fn(spark, sf_dir).collect()
+    }
+    pdf = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_extendedprice", *OLS_FEATURES)
+        .toPandas()
+    )
+    X = np.column_stack([pdf[c].to_numpy() for c in OLS_FEATURES])
+    yv = pdf["l_extendedprice"].to_numpy()
+    Xc = X - X.mean(axis=0)
+    yc = yv - yv.mean()
+    b = np.linalg.solve(Xc.T @ Xc + RIDGE_LAMBDA * np.eye(X.shape[1]), Xc.T @ yc)
+    intercept = yv.mean() - b @ X.mean(axis=0)
+    for t, c in zip(OLS_FEATURES, b):
+        assert abs(got[t] - c) < 1e-4, (t, got[t], c)
+    assert abs(got["intercept"] - intercept) < 1e-3
+    ols = {
+        r.term: r.value
+        for r in REGISTRY["ml_ols_normal_equations"].fn(spark, sf_dir).collect()
+    }
+    ridge_norm = sum(got[t] ** 2 for t in OLS_FEATURES)
+    ols_norm = sum(ols[t] ** 2 for t in OLS_FEATURES)
+    assert ridge_norm <= ols_norm + 1e-9
