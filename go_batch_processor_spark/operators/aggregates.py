@@ -447,3 +447,203 @@ def agg_bitmap_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_intersect"),
     )
+
+
+KMV_K = 256
+_HEX = "0123456789abcdef"
+
+
+def _kmv_u(engine: str) -> str:
+    """Exact dyadic md5 uniform over user_id — identical bit pattern in
+    Spark SQL and DuckDB (divisors cast to double: a bare decimal
+    divisor truncates to 6 digits in Spark, see operators/text.py)."""
+    if engine == "spark":
+        h, pos = "md5(cast(user_id as string))", "instr"
+    else:
+        h, pos = "md5(CAST(user_id AS VARCHAR))", "strpos"
+    return " + ".join(
+        f"({pos}('{_HEX}', substring({h}, {i}, 1)) - 1)"
+        f" / cast({16 ** i} as double)"
+        for i in range(1, 9)
+    )
+
+
+@register(
+    "agg_kmv_theta_intersect",
+    oracle=f"""
+    WITH users AS (
+      SELECT user_id,
+             max(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)    AS in_a,
+             max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS in_b
+      FROM events WHERE event_type IN ('click', 'purchase')
+      GROUP BY user_id
+    ),
+    h AS (SELECT user_id, in_a, in_b, {_kmv_u('duck')} AS u FROM users),
+    m AS (SELECT * FROM h ORDER BY u, user_id LIMIT {KMV_K})
+    SELECT CAST({KMV_K} AS BIGINT) AS k,
+           CAST(CASE WHEN count(*) < {KMV_K} THEN count(*)
+                     ELSE round(({KMV_K} - 1) / max(u)) END AS BIGINT)
+             AS est_union,
+           round(sum(in_a * in_b) / CAST(count(*) AS DOUBLE), 6)
+             AS jaccard_est,
+           CAST(CASE WHEN count(*) < {KMV_K} THEN sum(in_a * in_b)
+                     ELSE round((sum(in_a * in_b)
+                                 / CAST(count(*) AS DOUBLE))
+                                * (({KMV_K} - 1) / max(u))) END AS BIGINT)
+             AS est_intersect
+    FROM m
+    """,
+)
+def agg_kmv_theta_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta-sketch-style set intersection via KMV (k-minimum-values,
+    Beyer et al. SIGMOD'07 / DataSketches theta): keep the k smallest
+    content-hashes of the union; |A∪B| ≈ (k−1)/u_(k); Jaccard ≈ the
+    fraction of those k samples belonging to both sets (any union-k
+    sample that is in A is necessarily within A's own k smallest, so
+    sketch-side membership is exact); |A∩B| = Ĵ·Û.
+
+    This is the sketch HLL inclusion-exclusion CANNOT provide: the
+    error scales with the Jaccard, not with |A∪B|/|A∩B|, so tiny
+    overlaps of huge sets stay accurate (the documented caveat on
+    agg_hll_intersection). Deterministic md5 hashing makes it fully
+    ORACLED — same sketch, same estimate, both engines; sets smaller
+    than k degrade to exact counts by construction.
+
+    Plan: one scan -> per-user flags (partial-combinable max), then a
+    global top-k by hash = TakeOrderedAndProject (per-partition k-min
+    then merge — exactly the KMV merge rule, so the same plan IS the
+    distributed sketch union at 100 TB; k·|partitions| values cross)."""
+    ev = load_table(spark, sf_dir, "events")
+    users = (
+        ev.filter(F.col("event_type").isin("click", "purchase"))
+        .groupBy("user_id")
+        .agg(
+            F.max(F.when(F.col("event_type") == "click", 1).otherwise(0)).alias("in_a"),
+            F.max(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias(
+                "in_b"
+            ),
+        )
+    )
+    m = (
+        users.withColumn("u", F.expr(_kmv_u("spark")))
+        .orderBy("u", "user_id")
+        .limit(KMV_K)
+    )
+    exact = F.count(F.lit(1)) < KMV_K
+    est_union = F.when(exact, F.count(F.lit(1))).otherwise(
+        F.round((KMV_K - 1) / F.max("u"))
+    )
+    jac = F.sum(F.col("in_a") * F.col("in_b")) / F.count(F.lit(1)).cast("double")
+    return m.agg(
+        F.lit(KMV_K).cast("bigint").alias("k"),
+        est_union.cast("bigint").alias("est_union"),
+        F.round(jac, 6).alias("jaccard_est"),
+        F.when(exact, F.sum(F.col("in_a") * F.col("in_b")))
+        .otherwise(F.round(jac * ((KMV_K - 1) / F.max("u"))))
+        .cast("bigint")
+        .alias("est_intersect"),
+    )
+
+
+TD_DELTA = 400  # centroid budget per digest => rank error <= 1/(2*delta)
+TD_QS = (0.01, 0.25, 0.5, 0.9, 0.99)
+
+
+def _td_compress(means, weights, delta):
+    """Merge (mean, weight) centroids into <= delta centroids with the
+    k0 (equal-weight-cap) scale function: uniform rank-error bound
+    1/(2*delta) at every quantile. Stable sort keeps merging
+    deterministic for tied means."""
+    import numpy as np
+
+    order = np.argsort(means, kind="mergesort")
+    m, w = means[order], weights[order]
+    total = float(w.sum())
+    cap = total / delta
+    out_m: list = []
+    out_w: list = []
+    cur_m, cur_w = float(m[0]), float(w[0])
+    for i in range(1, len(m)):
+        wi = float(w[i])
+        if cur_w + wi <= cap:
+            cur_w += wi
+            cur_m += (float(m[i]) - cur_m) * wi / cur_w
+        else:
+            out_m.append(cur_m)
+            out_w.append(cur_w)
+            cur_m, cur_w = float(m[i]), wi
+    out_m.append(cur_m)
+    out_w.append(cur_w)
+    return out_m, out_w
+
+
+@register("agg_tdigest_quantiles", oracle=None, tags={"rows_only"})
+def agg_tdigest_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable t-digest quantile sketch (Dunning & Ertl) as a
+    two-level Arrow pipeline: every partition streams its values into
+    a local digest (buffer 128k raw values, compress into <= delta
+    weighted centroids — bounded memory regardless of partition size),
+    then one merge task unions all partial digests and interpolates the
+    requested quantiles from cumulative centroid weights.
+
+    Why it exists next to approx_percentile: the sketch itself is the
+    deliverable — per-partition digests are REUSABLE mergeable state
+    (persist them per day/segment, answer any quantile later by digest
+    union without rescanning), which is the 100 TB pattern
+    approx_percentile's opaque internal buffer can't give you. Shuffled
+    state: delta * |partitions| centroids, corpus-independent; the
+    single merge group is that same bounded set, never raw data.
+    Accuracy pinned in tests/test_sketches.py: rank error vs the exact
+    CDF <= 1% at every reported quantile (k0 bound: 1/(2*400))."""
+    import numpy as np
+    import pandas as pd
+
+    delta, qs = TD_DELTA, TD_QS
+
+    def partial(batches):
+        buf: list = []
+        dig_m = np.empty(0)
+        dig_w = np.empty(0)
+
+        def flush():
+            nonlocal dig_m, dig_w, buf
+            vals = np.concatenate([dig_m] + buf) if buf else dig_m
+            wts = np.concatenate([dig_w] + [np.ones(len(b)) for b in buf])
+            m, w = _td_compress(vals, wts, delta)
+            dig_m, dig_w = np.asarray(m), np.asarray(w)
+            buf = []
+
+        n_buf = 0
+        for pdf in batches:
+            v = pdf["v"].to_numpy(dtype=float)
+            if len(v):
+                buf.append(v)
+                n_buf += len(v)
+            if n_buf >= 131072:
+                flush()
+                n_buf = 0
+        if buf:
+            flush()
+        if len(dig_m):
+            yield pd.DataFrame({"m": dig_m, "w": dig_w})
+
+    def merge(key, pdf):
+        m, w = _td_compress(
+            pdf["m"].to_numpy(dtype=float), pdf["w"].to_numpy(dtype=float), delta
+        )
+        m_arr, w_arr = np.asarray(m), np.asarray(w)
+        total = w_arr.sum()
+        cum = np.cumsum(w_arr) - w_arr / 2.0
+        ests = np.interp([q * total for q in qs], cum, m_arr)
+        return pd.DataFrame(
+            {"q": qs, "est": np.round(ests, 4), "n": int(round(total))}
+        )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    partials = li.select(F.col("l_extendedprice").alias("v")).mapInPandas(
+        partial, "m double, w double"
+    )
+    return (
+        partials.groupBy(F.lit(1).alias("g"))
+        .applyInPandas(merge, "q double, est double, n long")
+    )

@@ -212,9 +212,10 @@ def _register_pickle_by_value() -> None:
     import go_batch_processor_spark.sources.supplier_source as _src
     import go_batch_processor_spark.streaming.stateful as _stateful
 
+    import go_batch_processor_spark.operators.aggregates as _aggs
     import go_batch_processor_spark.operators.similarity as _sim
 
-    for mod in (_ml, _mm, _ts, _udfs, _src, _stateful, _sim):
+    for mod in (_ml, _mm, _ts, _udfs, _src, _stateful, _sim, _aggs):
         try:
             cloudpickle.register_pickle_by_value(mod)
         except Exception:  # pragma: no cover — older cloudpickle

@@ -67,3 +67,71 @@ def test_hll_intersection_tracks_exact_bitmap_setops(spark, sf_dir):
         abs(approx.est_intersect - exact.n_intersect) / max(exact.n_union, 1)
         < 0.10
     )
+
+
+def test_tdigest_rank_error_within_bound(spark, sf_dir):
+    """Every reported quantile must sit within 1% rank error of the
+    exact CDF (k0 scale bound is 1/(2*400) = 0.125%; 1% gives margin
+    for interpolation at the tails)."""
+    import numpy as np
+    import pandas as pd
+
+    got = REGISTRY["agg_tdigest_quantiles"].fn(spark, sf_dir).toPandas()
+    vals = np.sort(
+        pd.read_parquet(f"{sf_dir}/lineitem.parquet")["l_extendedprice"].to_numpy()
+    )
+    n = len(vals)
+    assert (got["n"] == n).all()
+    for _, r in got.iterrows():
+        rank = np.searchsorted(vals, r["est"], side="right") / n
+        assert abs(rank - r["q"]) <= 0.01, (r["q"], r["est"], rank)
+
+
+def test_tdigest_merge_is_order_invariant(spark, sf_dir):
+    """Repartitioning the input (different partial digests) must not move
+    any estimate by more than the sketch's rank-error budget — the
+    mergeability property that makes per-segment digests reusable."""
+    import numpy as np
+    import pandas as pd
+
+    from go_batch_processor_spark.catalog import load_table
+    from go_batch_processor_spark.operators.aggregates import TD_DELTA, _td_compress
+
+    rng = np.random.default_rng(7)
+    vals = rng.lognormal(3.0, 1.0, 50_000)
+    m1, w1 = _td_compress(vals, np.ones(len(vals)), TD_DELTA)
+    # two-level: split into 8 chunks, compress each, merge the centroids
+    parts = np.array_split(rng.permutation(vals), 8)
+    ms, ws = [], []
+    for p in parts:
+        m, w = _td_compress(p, np.ones(len(p)), TD_DELTA)
+        ms += m
+        ws += w
+    m2, w2 = _td_compress(np.asarray(ms), np.asarray(ws), TD_DELTA)
+    svals = np.sort(vals)
+    for q in (0.01, 0.5, 0.99):
+        for m, w in ((m1, w1), (m2, w2)):
+            m_arr, w_arr = np.asarray(m), np.asarray(w)
+            cum = np.cumsum(w_arr) - w_arr / 2.0
+            est = np.interp(q * w_arr.sum(), cum, m_arr)
+            rank = np.searchsorted(svals, est, side="right") / len(svals)
+            assert abs(rank - q) <= 0.01, (q, est, rank)
+
+
+def test_kmv_accuracy_vs_exact_bitmap(spark, sf_dir):
+    """KMV intersection estimate must land within the sketch's relative
+    standard error (~1/sqrt(k) on the union) of the exact answer."""
+    import pandas as pd
+
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet")
+    a = set(ev.loc[ev.event_type == "click", "user_id"])
+    b = set(ev.loc[ev.event_type == "purchase", "user_id"])
+    got = REGISTRY["agg_kmv_theta_intersect"].fn(spark, sf_dir).toPandas().iloc[0]
+    union, inter = len(a | b), len(a & b)
+    k = got["k"]
+    if union < k:  # degenerates to exact
+        assert got["est_union"] == union and got["est_intersect"] == inter
+    else:
+        rse = 3.0 / (k**0.5)  # 3 sigma
+        assert abs(got["est_union"] - union) <= rse * union + 2
+        assert abs(got["est_intersect"] - inter) <= rse * union + 2
