@@ -100,6 +100,12 @@ HEADLINE = [
     "text_bigram_kn_logprob",
     "graph_jaccard_link_prediction",
     "stats_kaplan_meier",
+    # round 5 (fifth session) additions
+    "stats_spearman_corr",
+    "join_fuzzy_trigram",
+    "analytics_window_funnel",
+    "agg_tdigest_quantiles",
+    "agg_kmv_theta_intersect",
 ]
 
 

@@ -1168,3 +1168,64 @@ def ml_ridge_closed_form(spark: SparkSession, sf_dir: str) -> DataFrame:
         (t, float(round(c, 6))) for t, c in zip(feats, b)
     ]
     return spark.createDataFrame(out, "term string, value double")
+
+
+@register("ml_isotonic_pava", tags={"rows_only"})
+def ml_isotonic_pava(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted isotonic regression (PAVA — pool-adjacent-violators) of
+    mean extended price as a non-decreasing function of quantity, per
+    returnflag: the monotone-calibration primitive (same algorithm that
+    calibrates classifier scores).
+
+    Scale shape — PRE-AGGREGATE, then pool: the corpus first collapses
+    to (group, x) -> (weighted mean y, weight) in one
+    partial-combinable aggregate, so PAVA's inherently-sequential pass
+    runs on |distinct x| points per group (here ~50, Zipf-bounded in
+    practice), inside applyInPandas per group — never on raw rows.
+    That ordering-dependent pooling can't distribute further is
+    fundamental (isotonic fit is a global property of the sequence);
+    bounding its input is the correct 100 TB answer.
+
+    Rows-only: tests/test_ml.py pins the fit against an independent
+    O(n²) reference PAVA and asserts monotonicity + weighted-mean
+    preservation."""
+    import numpy as np
+    import pandas as pd
+
+    def pava(key, pdf):
+        pdf = pdf.sort_values("x").reset_index(drop=True)
+        # blocks as (value, weight) pools; merge while descending
+        vals = pdf["ybar"].to_numpy(dtype=float)
+        wts = pdf["w"].to_numpy(dtype=float)
+        blocks: list = []  # [sum_wy, sum_w, count]
+        for v, w_ in zip(vals, wts):
+            blocks.append([v * w_, w_, 1])
+            while len(blocks) > 1 and (
+                blocks[-2][0] / blocks[-2][1] > blocks[-1][0] / blocks[-1][1]
+            ):
+                b = blocks.pop()
+                blocks[-1][0] += b[0]
+                blocks[-1][1] += b[1]
+                blocks[-1][2] += b[2]
+        fitted = np.concatenate(
+            [np.full(c, swy / sw) for swy, sw, c in blocks]
+        )
+        return pd.DataFrame(
+            {
+                "l_returnflag": key[0],
+                "l_quantity": pdf["x"],
+                "fitted": np.round(fitted, 6),
+                "n": pdf["w"].astype("int64"),
+            }
+        )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    pts = li.groupBy(
+        F.col("l_returnflag"), F.col("l_quantity").alias("x")
+    ).agg(
+        F.avg("l_extendedprice").alias("ybar"),
+        F.count(F.lit(1)).cast("double").alias("w"),
+    )
+    return pts.groupBy("l_returnflag").applyInPandas(
+        pava, "l_returnflag string, l_quantity double, fitted double, n long"
+    )

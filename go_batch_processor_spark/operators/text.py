@@ -1289,3 +1289,75 @@ def text_bigram_kn_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
         )
     )
+
+
+@register(
+    "text_pmi_collocations",
+    oracle="""
+    WITH t AS (
+      SELECT string_split(lower(text), ' ') AS w FROM documents
+      WHERE len(string_split(lower(text), ' ')) >= 2
+    ),
+    bi AS (
+      SELECT unnest(list_transform(range(1, len(w)),
+                    i -> w[CAST(i AS INTEGER)]))     AS w1,
+             unnest(list_transform(range(1, len(w)),
+                    i -> w[CAST(i AS INTEGER) + 1])) AS w2
+      FROM t
+    ),
+    cb AS (SELECT w1, w2, count(*) AS c12 FROM bi GROUP BY 1, 2),
+    n  AS (SELECT sum(c12) AS nb FROM cb),
+    u1 AS (SELECT w1, sum(c12) AS c1 FROM cb GROUP BY 1),
+    u2 AS (SELECT w2, sum(c12) AS c2 FROM cb GROUP BY 1)
+    SELECT w1, w2, CAST(c12 AS BIGINT) AS c12,
+           round(ln((c12 * nb) / (c1 * c2)), 6) AS pmi
+    FROM cb JOIN u1 USING (w1) JOIN u2 USING (w2) CROSS JOIN n
+    WHERE c12 >= 5
+    ORDER BY ln((c12 * nb) / (c1 * c2)) DESC, w1, w2
+    LIMIT 20
+    """,
+)
+def text_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 collocations by pointwise mutual information over adjacent
+    word pairs (Church & Hanks 1990): PMI = ln(c12·N / (c1·c2)) with a
+    min-count-5 support floor (bare PMI promotes hapax pairs; the floor
+    is the standard fix).
+
+    Scale shape: identical to the KN bigram model tables — every count
+    is an aggregate of the DISTINCT-bigram table (Zipf-bounded, never
+    corpus-sized), marginals re-aggregate cb rather than rescanning,
+    and the top-k is TakeOrderedAndProject. The PMI expression is
+    integer-count arithmetic in an identical tree → bit-exact, so even
+    the k-boundary ordering matches the oracle exactly."""
+    d = load_table(spark, sf_dir, "documents")
+    w = F.split(F.lower("text"), " ")
+    bi = (
+        d.filter(F.size(w) >= 2)
+        .select(
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size(w) - 1),
+                    lambda i: F.struct(
+                        F.element_at(w, i).alias("w1"),
+                        F.element_at(w, i + 1).alias("w2"),
+                    ),
+                )
+            ).alias("g")
+        )
+        .select("g.w1", "g.w2")
+    )
+    cb = bi.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    n = cb.agg(F.sum("c12").alias("nb"))
+    u1 = cb.groupBy("w1").agg(F.sum("c12").alias("c1"))
+    u2 = cb.groupBy("w2").agg(F.sum("c12").alias("c2"))
+    pmi = F.log((F.col("c12") * F.col("nb")) / (F.col("c1") * F.col("c2")))
+    return (
+        cb.join(u1, "w1")
+        .join(u2, "w2")
+        .crossJoin(F.broadcast(n))
+        .filter(F.col("c12") >= 5)
+        .orderBy(pmi.desc(), "w1", "w2")
+        .limit(20)
+        .select("w1", "w2", F.col("c12").cast("bigint").alias("c12"),
+                F.round(pmi, 6).alias("pmi"))
+    )

@@ -662,3 +662,70 @@ def timeseries_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.expr("percentile(s, 0.5)"), 6).alias("slope_per_hour"),
         F.count(F.lit(1)).alias("n_pairs"),
     )
+
+
+@register(
+    "timeseries_max_drawdown",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, date_trunc('day', ts) AS d, sum(value) AS v
+      FROM events GROUP BY 1, 2
+    ),
+    c AS (
+      SELECT event_type, d,
+             sum(v) OVER (PARTITION BY event_type ORDER BY d) AS cum
+      FROM daily
+    ),
+    r AS (
+      SELECT event_type, d, cum,
+             max(cum) OVER (PARTITION BY event_type ORDER BY d) AS peak
+      FROM c
+    ),
+    dd AS (
+      SELECT event_type, d, peak - cum AS dd,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY peak - cum DESC, d) AS rn
+      FROM r
+    )
+    SELECT event_type, round(dd, 4) AS max_drawdown, d AS trough_day
+    FROM dd WHERE rn = 1
+    """,
+)
+def timeseries_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximum drawdown of the cumulative daily metric per series (the
+    finance risk primitive): running peak of the cumulative sum minus
+    current level; emits the deepest drawdown and its (earliest) trough
+    day.
+
+    Determinism note: ordered running sums evaluate SEQUENTIALLY along
+    the frame, so unlike shuffled aggregates the cumulative values are
+    bit-exact across engines — no rounding needed before the argmax,
+    and the rn tie-break by day pins equal drawdowns.
+
+    Plan: corpus -> |series|×|days| daily aggregate (one
+    partial-combinable shuffle), then three windows sharing ONE
+    exchange on the series key; the day-count per series is
+    calendar-bounded so per-partition window state stays tiny at any
+    corpus size."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("d")
+    ).agg(F.sum("value").alias("v"))
+    w_run = (
+        Window.partitionBy("event_type")
+        .orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = daily.withColumn("cum", F.sum("v").over(w_run))
+    r = c.withColumn("peak", F.max("cum").over(w_run))
+    dd = r.withColumn("dd", F.col("peak") - F.col("cum")).withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy("event_type").orderBy(F.col("dd").desc(), "d")
+        ),
+    )
+    return dd.filter(F.col("rn") == 1).select(
+        "event_type",
+        F.round("dd", 4).alias("max_drawdown"),
+        F.col("d").alias("trough_day"),
+    )

@@ -557,3 +557,44 @@ def test_ridge_matches_numpy_and_shrinks(spark, sf_dir):
     ridge_norm = sum(got[t] ** 2 for t in OLS_FEATURES)
     ols_norm = sum(ols[t] ** 2 for t in OLS_FEATURES)
     assert ridge_norm <= ols_norm + 1e-9
+
+
+def test_isotonic_pava_properties_and_reference(spark, sf_dir):
+    """Fit must be non-decreasing in x per group, preserve the weighted
+    mean, and equal an independent quadratic-time reference PAVA."""
+    import numpy as np
+    import pandas as pd
+
+    got = REGISTRY["ml_isotonic_pava"].fn(spark, sf_dir).toPandas()
+    li = pd.read_parquet(f"{sf_dir}/lineitem.parquet")
+    for flag, g in got.groupby("l_returnflag"):
+        g = g.sort_values("l_quantity").reset_index(drop=True)
+        assert (np.diff(g["fitted"]) >= -1e-9).all(), flag
+        sub = li[li.l_returnflag == flag]
+        pts = (
+            sub.groupby("l_quantity")["l_extendedprice"]
+            .agg(["mean", "count"])
+            .sort_index()
+        )
+        # weighted-mean preservation
+        assert abs(
+            (g["fitted"] * g["n"]).sum() - (pts["mean"] * pts["count"]).sum()
+        ) < 1e-3 * abs((pts["mean"] * pts["count"]).sum())
+        # reference: the exact minimax characterization of isotonic
+        # regression, y_hat_i = max_{j<=i} min_{k>=i} wmean(y[j..k]) —
+        # independent of any pooling implementation (O(n^2) via prefix sums)
+        y = pts["mean"].to_numpy()
+        w = pts["count"].to_numpy().astype(float)
+        cwy = np.concatenate([[0.0], np.cumsum(y * w)])
+        cw = np.concatenate([[0.0], np.cumsum(w)])
+
+        def wmean(j, k):  # inclusive ends
+            return (cwy[k + 1] - cwy[j]) / (cw[k + 1] - cw[j])
+
+        n = len(y)
+        ref = np.empty(n)
+        for i in range(n):
+            ref[i] = max(
+                min(wmean(j, k) for k in range(i, n)) for j in range(i + 1)
+            )
+        np.testing.assert_allclose(g["fitted"].to_numpy(), ref, atol=1e-4)
