@@ -326,20 +326,31 @@ def graph_jaccard_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame
     for every user pair sharing at least one co-interacted item, score
     |N(u)∩N(v)| / |N(u)∪N(v)| and return the strongest 20 candidate links.
 
-    Plan shape: the classic similarity-self-join — the distinct (user, item)
-    edge list joins ITSELF on item (so pair generation is co-located after
-    one shuffle on item), the `u1 < u2` predicate halves the pair space and
-    canonicalizes, common-counts aggregate partial-combinably, and the two
-    degree lookups are vocabulary-sized broadcasts. The top-20 is
-    TakeOrderedAndProject (per-partition heads only).
+    Two exact regimes, chosen by a one-row vocabulary probe:
 
-    100 TB caveat, stated honestly: the item self-join emits O(d²) pairs per
-    item, so a viral item with 10M interactors is quadratic death. The
-    production mitigations are standard and composable with this exact plan:
-    drop/stratify hot items above a degree cap (they carry ~zero Jaccard
-    signal — everyone shares them), or switch the pair generation to the
-    banded-minhash path (`dedup_near_minhash`) which approximates the same
-    Jaccard without enumerating pairs. Neither changes the score formula."""
+    - **Bitmap path** (item vocabulary < 128 — categories, shards,
+      bounded catalogs): each user's neighborhood packs into two BIGINT
+      bitmasks (sum of distinct bit shifts == OR), the user self-join
+      evaluates popcount(lo1&lo2)+popcount(hi1&hi2) entirely inside
+      whole-stage codegen, and NO per-item pair explosion ever happens.
+      Measured at sf0.1: the item self-join materializes 26.6M
+      (item,u1,u2) rows for only 1500 users — the bitmap path scores
+      the 1.1M user pairs directly, ~25x less work (12.7 s -> ~1 s).
+      Its own limit is the C(|users|,2) pair space — right when users
+      are consolidation-bounded (segments, accounts), wrong at 10M
+      users.
+
+    - **Self-join path** (unbounded vocabulary): the classic
+      similarity-self-join — the distinct edge list joins itself on
+      item (co-located after one shuffle), `u1 < u2` canonicalizes,
+      common-counts aggregate partial-combinably, degree lookups
+      broadcast. 100 TB caveat stated honestly: a viral item with 10M
+      interactors is O(d²) death; production mitigations are a degree
+      cap on hot items (they carry ~zero Jaccard signal) or the
+      banded-minhash pair generator (`dedup_near_minhash`). Neither
+      changes the score formula.
+
+    The top-20 is TakeOrderedAndProject on either path."""
     e = load_table(spark, sf_dir, "events")
     pairs = (
         e.select(
@@ -349,33 +360,70 @@ def graph_jaccard_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame
         .filter(F.col("i").isNotNull())
         .distinct()
     )
-    a = pairs.select(F.col("user_id").alias("u1"), "i")
-    b = pairs.select(F.col("user_id").alias("u2"), "i")
-    common = (
-        a.join(b, "i")
-        .filter(F.col("u1") < F.col("u2"))
-        .groupBy("u1", "u2")
-        .agg(F.count(F.lit(1)).alias("c"))
-    )
-    deg = pairs.groupBy("user_id").agg(F.count(F.lit(1)).alias("d"))
-    scored = (
-        common.join(
+    # vocabulary probe: one tiny agg decides the regime (bounded collect;
+    # runs on the raw extraction — max needs no distinct, so no shuffle)
+    max_i = e.agg(
+        F.max(F.get_json_object("props", "$.k").cast("long"))
+    ).collect()[0][0]
+    if max_i is not None and max_i < 128:
+        bit_lo = (
+            "CASE WHEN i < 64 THEN shiftleft(CAST(1 AS BIGINT), CAST(i AS INT))"
+            " ELSE CAST(0 AS BIGINT) END"
+        )
+        bit_hi = (
+            "CASE WHEN i >= 64 THEN shiftleft(CAST(1 AS BIGINT), CAST(i - 64 AS INT))"
+            " ELSE CAST(0 AS BIGINT) END"
+        )
+        masks = pairs.groupBy("user_id").agg(
+            F.sum(F.expr(bit_lo)).alias("lo"),
+            F.sum(F.expr(bit_hi)).alias("hi"),
+            F.count(F.lit(1)).alias("d"),
+        )
+        a = masks.select(
+            F.col("user_id").alias("u1"),
+            F.col("lo").alias("lo1"),
+            F.col("hi").alias("hi1"),
+            F.col("d").alias("d1"),
+        )
+        b = masks.select(
+            F.col("user_id").alias("u2"),
+            F.col("lo").alias("lo2"),
+            F.col("hi").alias("hi2"),
+            F.col("d").alias("d2"),
+        )
+        c = F.bit_count(F.col("lo1").bitwiseAND(F.col("lo2"))) + F.bit_count(
+            F.col("hi1").bitwiseAND(F.col("hi2"))
+        )
+        scored = (
+            a.join(F.broadcast(b), F.col("u1") < F.col("u2"))
+            .withColumn("c", c.cast("bigint"))
+            .filter(F.col("c") >= 1)
+        )
+    else:
+        ap = pairs.select(F.col("user_id").alias("u1"), "i")
+        bp = pairs.select(F.col("user_id").alias("u2"), "i")
+        common = (
+            ap.join(bp, "i")
+            .filter(F.col("u1") < F.col("u2"))
+            .groupBy("u1", "u2")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        deg = pairs.groupBy("user_id").agg(F.count(F.lit(1)).alias("d"))
+        scored = common.join(
             F.broadcast(deg.select(F.col("user_id").alias("u1"), F.col("d").alias("d1"))),
             "u1",
-        )
-        .join(
+        ).join(
             F.broadcast(deg.select(F.col("user_id").alias("u2"), F.col("d").alias("d2"))),
             "u2",
         )
-        .select(
-            "u1",
-            "u2",
-            F.col("c").cast("bigint").alias("n_common"),
-            F.round(
-                F.col("c") * 1.0 / (F.col("d1") + F.col("d2") - F.col("c")), 6
-            ).alias("jaccard"),
-        )
+    out = scored.select(
+        "u1",
+        "u2",
+        F.col("c").cast("bigint").alias("n_common"),
+        F.round(
+            F.col("c") * 1.0 / (F.col("d1") + F.col("d2") - F.col("c")), 6
+        ).alias("jaccard"),
     )
-    return scored.orderBy(
+    return out.orderBy(
         F.col("jaccard").desc(), F.col("u1").asc(), F.col("u2").asc()
     ).limit(20)

@@ -1413,3 +1413,100 @@ def stats_entropy_mutual_info(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         h_type.crossJoin(h_hour).crossJoin(mi).crossJoin(n_row)
     )
+
+
+@register(
+    "agg_weighted_percentile",
+    oracle="""
+    WITH s AS (
+      SELECT l_returnflag, l_extendedprice AS x,
+             sum(l_quantity) OVER (PARTITION BY l_returnflag
+               ORDER BY l_extendedprice, l_orderkey, l_linenumber) AS cw,
+             sum(l_quantity) OVER (PARTITION BY l_returnflag)      AS tw
+      FROM lineitem
+    ),
+    q AS (
+      SELECT l_returnflag, x, tw,
+             row_number() OVER (PARTITION BY l_returnflag
+               ORDER BY x, cw) AS rn
+      FROM s WHERE cw >= tw / 2
+    )
+    SELECT l_returnflag, x AS weighted_median, round(tw, 2) AS total_weight
+    FROM q WHERE rn = 1
+    """,
+)
+def agg_weighted_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact weighted median (lower weighted median: smallest x whose
+    cumulative weight reaches half the total) of price weighted by
+    quantity — the aggregate percentile() cannot express (it weights
+    rows equally).
+
+    Plan: one sort-window per group computes the running weight (fully
+    tie-broken ordering -> the running sum is sequentially evaluated
+    and bit-exact), the total is a same-partition window (no second
+    scan), and the answer is the rank-1 row of the qualifying set. At
+    100 TB the per-group sort is the cost — the sketch alternative is
+    a weighted t-digest (agg_tdigest_quantiles carries weights
+    natively); this exact form is what an oracle can check."""
+    li = load_table(spark, sf_dir, "lineitem")
+    w_run = Window.partitionBy("l_returnflag").orderBy(
+        "l_extendedprice", "l_orderkey", "l_linenumber"
+    )
+    w_all = Window.partitionBy("l_returnflag")
+    s = li.select(
+        "l_returnflag",
+        F.col("l_extendedprice").alias("x"),
+        F.sum("l_quantity").over(w_run).alias("cw"),
+        F.sum("l_quantity").over(w_all).alias("tw"),
+    )
+    q = s.filter(F.col("cw") >= F.col("tw") / 2).withColumn(
+        "rn",
+        F.row_number().over(Window.partitionBy("l_returnflag").orderBy("x", "cw")),
+    )
+    return q.filter(F.col("rn") == 1).select(
+        "l_returnflag",
+        F.col("x").alias("weighted_median"),
+        F.round("tw", 2).alias("total_weight"),
+    )
+
+
+BALANCED_CAP = 150
+
+
+@register(
+    "sample_balanced_classes",
+    oracle=f"""
+    WITH r AS (
+      SELECT event_id, event_type,
+             row_number() OVER (PARTITION BY event_type
+               ORDER BY md5(CAST(event_id AS VARCHAR)), event_id) AS rn
+      FROM events
+    )
+    SELECT event_id, event_type FROM r WHERE rn <= {BALANCED_CAP}
+    """,
+)
+def sample_balanced_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Class-balanced downsampling: at most {cap} rows per class, chosen
+    by content-hash order (md5 of the row key) — deterministic,
+    engine-independent, and re-runnable: the same rows are picked on
+    any cluster, any partitioning, any day (the property
+    tests/test_partitioning_invariance.py pins for the sample_ family).
+
+    The per-class rank is a top-k-per-group window; at 100 TB the
+    hash-order rank never materializes a global sort per class — each
+    partition keeps a cap-sized heap (rank + filter pushes the cap
+    into the window via the TopK optimization in recent Spark;
+    otherwise it is one sort per class partition). Majority classes
+    truncate to the cap, minority classes pass through whole — the
+    standard imbalance fix before training."""
+    ev = load_table(spark, sf_dir, "events")
+    rn = F.row_number().over(
+        Window.partitionBy("event_type").orderBy(
+            F.md5(F.col("event_id").cast("string")), "event_id"
+        )
+    )
+    return (
+        ev.select("event_id", "event_type", rn.alias("rn"))
+        .filter(F.col("rn") <= BALANCED_CAP)
+        .select("event_id", "event_type")
+    )

@@ -729,3 +729,41 @@ def timeseries_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("dd", 4).alias("max_drawdown"),
         F.col("d").alias("trough_day"),
     )
+
+
+@register(
+    "window_rolling_percentile",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, date_trunc('day', ts) AS d, sum(value) AS v
+      FROM events GROUP BY 1, 2
+    )
+    SELECT event_type, d,
+           round(quantile_cont(v, 0.5) OVER (PARTITION BY event_type
+             ORDER BY d ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 4)
+             AS p50_7d
+    FROM daily
+    """,
+)
+def window_rolling_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day exact median of the daily metric per series — the
+    robust moving-average twin (timeseries_weighted_ma is the linear
+    one): median-of-window shrugs off single-day spikes.
+
+    Plan: the corpus collapses to |series|x|days| rows first (one
+    partial-combinable aggregate), then ONE sort-window per series
+    computes the frame percentile — the expensive-looking exact median
+    runs over <= 7 values per frame on a calendar-bounded series, so
+    cost is independent of raw volume. Spark evaluates percentile()
+    per frame (no sliding state), fine at these frame sizes; for wide
+    frames the t-digest window is the sketch path."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("d")
+    ).agg(F.sum("value").alias("v"))
+    w = Window.partitionBy("event_type").orderBy("d").rowsBetween(-6, 0)
+    return daily.select(
+        "event_type",
+        "d",
+        F.round(F.expr("percentile(v, 0.5)").over(w), 4).alias("p50_7d"),
+    )
