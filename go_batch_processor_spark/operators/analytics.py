@@ -664,3 +664,155 @@ def analytics_path_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n").desc(), "path")
         .limit(10)
     )
+
+
+@register(
+    "analytics_new_vs_returning",
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id, min(date_trunc('day', ts)) AS first_day
+      FROM events GROUP BY user_id
+    ),
+    daily AS (
+      SELECT DISTINCT user_id, date_trunc('day', ts) AS d FROM events
+    )
+    SELECT d.d AS day,
+           CAST(sum(CASE WHEN d.d = f.first_day THEN 1 ELSE 0 END) AS BIGINT)
+             AS new_users,
+           CAST(sum(CASE WHEN d.d > f.first_day THEN 1 ELSE 0 END) AS BIGINT)
+             AS returning_users
+    FROM daily d JOIN firsts f USING (user_id)
+    GROUP BY d.d
+    """,
+)
+def analytics_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily new-vs-returning user split: a user counts as `new` on
+    their first-ever active day and `returning` on every later active
+    day — the acquisition/retention headline metric.
+
+    One-scan form: first_day is a user-partition window over the SAME
+    distinct (user, day) frame that feeds the daily rollup, so the plan
+    is one scan, one user_id exchange, one day aggregate — no
+    firsts-table join (the join formulation in the oracle would rescan;
+    windows over agg output are the engine's lesson-9 idiom)."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.select(
+        "user_id", F.date_trunc("day", "ts").alias("d")
+    ).distinct()
+    first_day = F.min("d").over(Window.partitionBy("user_id"))
+    return (
+        daily.withColumn("first_day", first_day)
+        .groupBy(F.col("d").alias("day"))
+        .agg(
+            F.sum(F.when(F.col("d") == F.col("first_day"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("new_users"),
+            F.sum(F.when(F.col("d") > F.col("first_day"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("returning_users"),
+        )
+    )
+
+
+@register(
+    "analytics_stickiness_dau_mau",
+    oracle="""
+    WITH daily AS (
+      SELECT DISTINCT date_trunc('day', ts) AS d, user_id FROM events
+    ),
+    dau AS (SELECT d, count(*) AS dau FROM daily GROUP BY d),
+    mau AS (
+      SELECT a.d, count(DISTINCT b.user_id) AS mau
+      FROM (SELECT DISTINCT d FROM daily) a
+      JOIN daily b ON b.d > a.d - INTERVAL 28 DAY AND b.d <= a.d
+      GROUP BY a.d
+    )
+    SELECT dau.d AS day, CAST(dau.dau AS BIGINT) AS dau,
+           CAST(mau.mau AS BIGINT) AS mau,
+           round(dau.dau * 1.0 / mau.mau, 6) AS stickiness
+    FROM dau JOIN mau ON dau.d = mau.d
+    """,
+)
+def analytics_stickiness_dau_mau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stickiness (DAU / trailing-28-day MAU) per day — the engagement
+    ratio product teams live by.
+
+    The MAU side needs COUNT DISTINCT over a sliding 28-day window,
+    which a window frame cannot do (distinct isn't decomposable over
+    frames) — the scalable form is the day×active-day band join over
+    the DISTINCT (day, user) frame: |days| × 28 × daily-actives rows,
+    bounded by calendar length, never raw volume. At larger spans the
+    sketch path (per-day HLL pages OR-merged over the trailing window,
+    agg_hll_partitioned_merge) replaces the exact distinct; this exact
+    form is what the oracle checks."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.select(F.date_trunc("day", "ts").alias("d"), "user_id").distinct()
+    dau = daily.groupBy("d").agg(F.count(F.lit(1)).alias("dau"))
+    days = daily.select("d").distinct().select(F.col("d").alias("day"))
+    mau = (
+        days.join(
+            daily,
+            (F.col("d") > F.col("day") - F.expr("INTERVAL 28 DAYS"))
+            & (F.col("d") <= F.col("day")),
+        )
+        .groupBy("day")
+        .agg(F.countDistinct("user_id").alias("mau"))
+    )
+    return (
+        dau.join(mau, dau["d"] == mau["day"])
+        .select(
+            F.col("day"),
+            F.col("dau").cast("bigint").alias("dau"),
+            F.col("mau").cast("bigint").alias("mau"),
+            F.round(F.col("dau") * 1.0 / F.col("mau"), 6).alias("stickiness"),
+        )
+    )
+
+
+@register(
+    "analytics_gini_concentration",
+    oracle="""
+    WITH per_user AS (
+      SELECT user_id, sum(value) AS x FROM events GROUP BY user_id
+    ),
+    ranked AS (
+      SELECT x,
+             row_number() OVER (ORDER BY x, user_id) AS i,
+             count(*)     OVER ()                    AS n,
+             sum(x)       OVER ()                    AS sx
+      FROM per_user
+    )
+    SELECT round(2.0 * sum(i * x) / (any_value(n) * any_value(sx))
+                 - (any_value(n) + 1.0) / any_value(n), 6) AS gini,
+           CAST(any_value(n) AS BIGINT) AS n_users
+    FROM ranked
+    """,
+)
+def analytics_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of per-user value concentration (the
+    whale-dependence metric): G = 2·Σ i·x_(i) / (n·Σx) − (n+1)/n over
+    ascending-sorted user totals.
+
+    Plan: corpus -> per-user totals (one partial-combinable shuffle),
+    then ONE global sort-window assigns dense ranks (ties broken by
+    user_id so i·x is deterministic), and a single-row aggregate closes
+    it. The global sort over |users| rows is the scale cost — at 100 TB
+    the binned approximation (Gini from a 1k-bucket histogram of user
+    totals) replaces the exact rank; exact is what the oracle checks."""
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(F.sum("value").alias("x"))
+    w_all = Window.partitionBy()
+    ranked = per_user.select(
+        "x",
+        F.row_number().over(Window.partitionBy().orderBy("x", "user_id")).alias("i"),
+        F.count(F.lit(1)).over(w_all).alias("n"),
+        F.sum("x").over(w_all).alias("sx"),
+    )
+    return ranked.agg(
+        F.round(
+            2.0 * F.sum(F.col("i") * F.col("x")) / (F.first("n") * F.first("sx"))
+            - (F.first("n") + 1.0) / F.first("n"),
+            6,
+        ).alias("gini"),
+        F.first("n").cast("bigint").alias("n_users"),
+    )

@@ -427,3 +427,61 @@ def graph_jaccard_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame
     return out.orderBy(
         F.col("jaccard").desc(), F.col("u1").asc(), F.col("u2").asc()
     ).limit(20)
+
+
+K_CORE = 8
+K_CORE_MAX_ITERS = 30
+
+
+@register("graph_k_core", oracle=None, tags={"rows_only"})
+def graph_k_core(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core decomposition (k=8) of the interaction graph by iterative
+    peeling: repeatedly delete every node whose degree in the current
+    subgraph is below k until a fixpoint — what survives is the maximal
+    subgraph where everyone has >= k neighbors (the standard
+    dense-community / spam-ring screen).
+
+    Scale shape: each round is one degree aggregate + two anti-joins on
+    the node key (all partial-combinable / co-partitioned; no
+    broadcast hint — the doomed-node set starts large and AQE picks
+    the strategy), with per-round persists swapped generation-to-
+    generation and a localCheckpoint truncating lineage at exit (the
+    BFS idiom). Convergence needs <= diameter-ish rounds in practice;
+    the driver sees one integer per round. At 100 TB the refinement is
+    batched peeling (delete everything below k in one round rather
+    than recomputing exactly — same fixpoint, fewer rounds), which is
+    exactly what this loop does.
+
+    Rows-only: tests/test_graph.py pins the node set against an
+    independent pandas peeling twin and asserts the degree invariant.
+    """
+    from pyspark import StorageLevel
+
+    cur = interaction_edges(spark, sf_dir).persist(StorageLevel.MEMORY_AND_DISK)
+    generations = [cur]
+    try:
+        for _ in range(K_CORE_MAX_ITERS):
+            deg = cur.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+            bad = deg.filter(F.col("d") < K_CORE).select(F.col("src").alias("n"))
+            if bad.count() == 0:
+                break
+            nxt = (
+                cur.join(bad, cur["src"] == bad["n"], "left_anti")
+                .join(bad.withColumnRenamed("n", "m"), cur["dst"] == F.col("m"), "left_anti")
+                .persist(StorageLevel.MEMORY_AND_DISK)
+            )
+            generations.append(nxt)
+            cur = nxt
+        out = (
+            cur.groupBy("src")
+            .agg(F.count(F.lit(1)).alias("core_degree"))
+            .select(
+                F.col("src").alias("node"),
+                F.when(F.col("src") % 2 == 0, "user").otherwise("item").alias("kind"),
+                F.col("core_degree").cast("bigint").alias("core_degree"),
+            )
+        )
+        return out.localCheckpoint()
+    finally:
+        for g in generations:
+            g.unpersist(blocking=False)

@@ -1414,3 +1414,55 @@ def similarity_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= KNN_GRAPH_K)
         .select("src", "dst", "cosine", F.col("rn").cast("long"))
     )
+
+
+RP_OUT_DIM = 16
+RP_SEED = 42
+
+
+@register("similarity_random_projection", tags={"rows_only"})
+def similarity_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss random projection of the embedding corpus
+    (d=64 -> m=16) with a deterministic Rademacher (±1/√m) matrix
+    (Achlioptas 2003 — database-friendly projections: no Gaussians
+    needed, same JL guarantee). The 4x-smaller vectors preserve
+    pairwise distances within 1±ε in expectation — the cheap first
+    stage before ANN indexing or clustering at 100 TB.
+
+    Plan: the projection is a dense 64×16 matmul per row — exactly the
+    regime where an Arrow kernel beats codegen (1024-term HOF
+    expressions spend >10 s compiling — measured, HANDOFF lesson 10):
+    one mapInPandas pass, matrix built once per task from a fixed seed,
+    NO shuffle at all (embarrassingly parallel). Emits per-vector
+    original/projected norms (hash-stable scalars, not arrays — parity
+    rules); tests/test_quantize.py pins exact agreement with a numpy
+    twin and the JL norm-concentration bound corpus-wide."""
+    import numpy as np
+    import pandas as pd
+
+    out_dim, seed = RP_OUT_DIM, RP_SEED
+
+    def kernel(batches):
+        R = None
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            if R is None:
+                rng = np.random.default_rng(seed)
+                R = rng.choice([-1.0, 1.0], size=(X.shape[1], out_dim)) / np.sqrt(
+                    out_dim
+                )
+            P = X @ R
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"],
+                    "proj_norm": np.round(np.linalg.norm(P, axis=1), 6),
+                    "orig_norm": np.round(np.linalg.norm(X, axis=1), 6),
+                }
+            )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return emb.select("vec_id", "embedding").mapInPandas(
+        kernel, "vec_id long, proj_norm double, orig_norm double"
+    )

@@ -71,3 +71,39 @@ def test_label_propagation_matches_python_twin(spark, sf_dir):
             new[n] = best[0]
         labels = new
     assert got == labels
+
+
+def test_k_core_matches_pandas_peeling(spark, sf_dir):
+    """Surviving node set must equal an independent pandas peeling, and
+    every survivor must keep >= k neighbors inside the core."""
+    import pandas as pd
+
+    from go_batch_processor_spark.operators.graph import K_CORE
+
+    got = REGISTRY["graph_k_core"].fn(spark, sf_dir).toPandas()
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet")
+    ks = ev["props"].str.extract(r'"k":\s*(\d+)')[0].astype("float")
+    edges = (
+        pd.DataFrame({"u": ev["user_id"] * 2, "i": ks * 2 + 1})
+        .dropna()
+        .astype({"i": "int64"})
+        .drop_duplicates()
+    )
+    adj = {}
+    for u, i in edges.itertuples(index=False):
+        adj.setdefault(u, set()).add(i)
+        adj.setdefault(i, set()).add(u)
+    changed = True
+    while changed:
+        doomed = [n for n, nb in adj.items() if len(nb) < K_CORE]
+        changed = bool(doomed)
+        for n in doomed:
+            for m in adj[n]:
+                adj[m].discard(n)
+            del adj[n]
+    assert set(got["node"]) == set(adj.keys())
+    dmap = dict(zip(got["node"], got["core_degree"]))
+    for n, nb in adj.items():
+        assert dmap[n] == len(nb)
+        assert len(nb) >= K_CORE
+    assert ((got["node"] % 2 == 0) == (got["kind"] == "user")).all()

@@ -156,3 +156,33 @@ def test_ivfpq_artifact_cache_reused(spark, sf_dir):
     assert S._ARTIFACT_CACHE[key][2] == path_before
     assert os.path.isdir(path_before)
     assert first == again  # deterministic across cache hit
+
+
+def test_random_projection_deterministic_and_jl_bound(spark, sf_dir):
+    """Must equal the numpy twin exactly (same seed, same matrix) and
+    satisfy norm concentration: mean squared norm ratio within 15% of 1
+    and >=90% of vectors within a ±2σ band (σ of the squared ratio is
+    √(2/m) ≈ 0.35 at m=16, so ±0.7)."""
+    import numpy as np
+    import pandas as pd
+
+    from go_batch_processor_spark.operators.similarity import RP_OUT_DIM, RP_SEED
+
+    got = (
+        REGISTRY["similarity_random_projection"]
+        .fn(spark, sf_dir)
+        .toPandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    emb = pd.read_parquet(f"{sf_dir}/embeddings.parquet").sort_values("vec_id")
+    X = np.stack(emb["embedding"].to_numpy()).astype(np.float64)
+    rng = np.random.default_rng(RP_SEED)
+    R = rng.choice([-1.0, 1.0], size=(X.shape[1], RP_OUT_DIM)) / np.sqrt(RP_OUT_DIM)
+    P = X @ R
+    np.testing.assert_allclose(
+        got["proj_norm"].to_numpy(), np.linalg.norm(P, axis=1), atol=2e-6
+    )
+    ratio2 = (got["proj_norm"] / got["orig_norm"]) ** 2
+    assert abs(ratio2.mean() - 1.0) < 0.15
+    assert (abs(ratio2 - 1.0) < 0.7).mean() > 0.90
