@@ -816,3 +816,81 @@ def analytics_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("gini"),
         F.first("n").cast("bigint").alias("n_users"),
     )
+
+
+@register(
+    "analytics_basket_affinity",
+    oracle="""
+    WITH items AS (
+      SELECT DISTINCT l.l_orderkey, p.p_type
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    ),
+    n AS (SELECT count(DISTINCT l_orderkey) AS n_orders FROM items),
+    sup AS (SELECT p_type, count(*) AS c FROM items GROUP BY 1),
+    pairs AS (
+      SELECT a.p_type AS t1, b.p_type AS t2, count(*) AS c12
+      FROM items a JOIN items b
+        ON a.l_orderkey = b.l_orderkey AND a.p_type < b.p_type
+      GROUP BY 1, 2
+    )
+    SELECT t1, t2, CAST(c12 AS BIGINT) AS c12,
+           round(c12 * 1.0 / n_orders, 6)              AS support,
+           round(c12 * 1.0 / s1.c, 6)                  AS confidence,
+           round((c12 * 1.0 * n_orders) / (s1.c * s2.c), 6) AS lift
+    FROM pairs
+    JOIN sup s1 ON s1.p_type = pairs.t1
+    JOIN sup s2 ON s2.p_type = pairs.t2
+    CROSS JOIN n
+    ORDER BY lift DESC, t1, t2
+    LIMIT 15
+    """,
+)
+def analytics_basket_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association rules over co-purchased part types:
+    support, confidence, and lift per type pair, top-15 by lift — the
+    Apriori 2-itemset core.
+
+    Plan: basket items = lineitem⋈part (dimension broadcast), the pair
+    stage self-joins WITHIN orderkey (co-located after one shuffle on
+    the basket key; fanout is C(basket_size, 2), bounded by basket
+    width — never corpus-quadratic), supports re-aggregate the same
+    item frame, and the rule metrics are integer-count arithmetic in an
+    identical tree → bit-exact ordering at the k-boundary. At 100 TB
+    with unbounded vocabulary, pairs above a min-support threshold
+    first (classic Apriori prune) — the fixture's 6-type vocabulary
+    needs no prune."""
+    li = load_table(spark, sf_dir, "lineitem")
+    pa = load_table(spark, sf_dir, "part")
+    items = (
+        li.join(F.broadcast(pa), li["l_partkey"] == pa["p_partkey"])
+        .select("l_orderkey", "p_type")
+        .distinct()
+    )
+    n = items.agg(F.countDistinct("l_orderkey").alias("n_orders"))
+    sup = items.groupBy("p_type").agg(F.count(F.lit(1)).alias("c"))
+    a, b = items.alias("a"), items.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.p_type") < F.col("b.p_type")),
+        )
+        .groupBy(F.col("a.p_type").alias("t1"), F.col("b.p_type").alias("t2"))
+        .agg(F.count(F.lit(1)).alias("c12"))
+    )
+    lift = (F.col("c12") * 1.0 * F.col("n_orders")) / (F.col("s1.c") * F.col("s2.c"))
+    return (
+        pairs.join(F.broadcast(sup.alias("s1")), F.col("t1") == F.col("s1.p_type"))
+        .join(F.broadcast(sup.alias("s2")), F.col("t2") == F.col("s2.p_type"))
+        .crossJoin(F.broadcast(n))
+        .orderBy(lift.desc(), "t1", "t2")
+        .limit(15)
+        .select(
+            "t1",
+            "t2",
+            F.col("c12").cast("bigint").alias("c12"),
+            F.round(F.col("c12") * 1.0 / F.col("n_orders"), 6).alias("support"),
+            F.round(F.col("c12") * 1.0 / F.col("s1.c"), 6).alias("confidence"),
+            F.round(lift, 6).alias("lift"),
+        )
+    )

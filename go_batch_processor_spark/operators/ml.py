@@ -1229,3 +1229,79 @@ def ml_isotonic_pava(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pts.groupBy("l_returnflag").applyInPandas(
         pava, "l_returnflag string, l_quantity double, fitted double, n long"
     )
+
+
+FD_SKETCH_L = 16
+FD_TOP = 5
+
+
+def _fd_shrink(B, ell):
+    """One Frequent-Directions shrink: SVD of the stacked rows, subtract
+    the ell-th squared singular value from every direction's energy,
+    keep the surviving ell-1 directions (Liberty KDD'13)."""
+    import numpy as np
+
+    _, s, Vt = np.linalg.svd(B, full_matrices=False)
+    if len(s) < ell:
+        return B
+    delta = s[ell - 1] ** 2
+    s2 = np.sqrt(np.maximum(s**2 - delta, 0.0))
+    keep = s2 > 0
+    return (s2[keep, None] * Vt[keep])
+
+
+@register("ml_frequent_directions", oracle=None, tags={"rows_only"})
+def ml_frequent_directions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent Directions matrix sketch of the embedding corpus
+    (Liberty KDD'13): a deterministic, MERGEABLE l×d sketch B with the
+    covariance guarantee ‖AᵀA − BᵀB‖₂ ≤ ‖A‖F²/(l/2) — streaming PCA's
+    workhorse when even the d×d covariance is too big or you want
+    per-segment sketches you can union later (the same reusable-state
+    argument as agg_tdigest_quantiles, but for second moments).
+
+    Two-level plan: every partition folds its rows into an l×d sketch
+    via buffered SVD shrinks (Arrow kernel — dense linear algebra does
+    not belong in codegen), one merge task stacks the partial sketches
+    and shrinks once more, then reports the top-5 sketched singular
+    values. Shuffled state: l·d floats per partition, corpus-
+    independent. Merge order affects low-order bits (SVD), so the op is
+    rows-only; tests/test_ml.py pins the FD spectral guarantee against
+    the EXACT covariance and cross-checks the top singular values
+    against ml_pca_covariance's eigenvalues."""
+    import numpy as np
+    import pandas as pd
+
+    ell = FD_SKETCH_L
+
+    def partial(batches):
+        B = None
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            B = X if B is None else np.vstack([B, X])
+            if len(B) >= 4 * ell:
+                B = _fd_shrink(B, ell)
+        if B is not None:
+            B = _fd_shrink(B, ell) if len(B) > ell else B
+            yield pd.DataFrame({"row": list(range(len(B))), "v": list(B)})
+
+    def merge(key, pdf):
+        B = np.stack(pdf["v"].to_numpy()).astype(np.float64)
+        B = _fd_shrink(B, ell)
+        s = np.linalg.svd(B, compute_uv=False)
+        top = s[:FD_TOP]
+        return pd.DataFrame(
+            {
+                "component": list(range(1, len(top) + 1)),
+                "singular_value": np.round(top, 4),
+            }
+        )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    partials = emb.select("embedding").mapInPandas(
+        partial, "row int, v array<double>"
+    )
+    return partials.groupBy(F.lit(1).alias("g")).applyInPandas(
+        merge, "component int, singular_value double"
+    )

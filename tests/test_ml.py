@@ -598,3 +598,29 @@ def test_isotonic_pava_properties_and_reference(spark, sf_dir):
                 min(wmean(j, k) for k in range(i, n)) for j in range(i + 1)
             )
         np.testing.assert_allclose(g["fitted"].to_numpy(), ref, atol=1e-4)
+
+
+def test_frequent_directions_spectral_guarantee(spark, sf_dir):
+    """FD sketch must satisfy ||A'A - B'B||_2 <= ||A||_F^2 / (l/2) and
+    its top singular values must upper-... lower-bound the exact ones
+    within that same additive energy error."""
+    import numpy as np
+    import pandas as pd
+
+    from go_batch_processor_spark.operators.ml import FD_SKETCH_L, _fd_shrink
+
+    got = REGISTRY["ml_frequent_directions"].fn(spark, sf_dir).toPandas()
+    emb = pd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    A = np.stack(emb["embedding"].to_numpy()).astype(np.float64)
+    bound = (A**2).sum() / (FD_SKETCH_L / 2)
+    exact_s2 = np.sort(np.linalg.svd(A, compute_uv=False) ** 2)[::-1]
+    got_s2 = np.sort(got["singular_value"].to_numpy() ** 2)[::-1]
+    for i in range(len(got_s2)):
+        # per-direction energy: sketch never overestimates, and
+        # underestimates by at most the FD bound
+        assert got_s2[i] <= exact_s2[i] + 1e-6
+        assert exact_s2[i] - got_s2[i] <= bound + 1e-6
+    # reference single-pass FD on the full matrix obeys the same bound
+    B = _fd_shrink(A, FD_SKETCH_L)
+    diff = A.T @ A - B.T @ B
+    assert np.linalg.norm(diff, 2) <= bound + 1e-6
