@@ -1510,3 +1510,225 @@ def sample_balanced_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= BALANCED_CAP)
         .select("event_id", "event_type")
     )
+
+
+@register(
+    "stats_cramers_v",
+    oracle="""
+    WITH obs AS (
+      SELECT event_type, CAST(dayofweek(ts) AS BIGINT) AS dow,
+             CAST(count(*) AS DOUBLE) AS o
+      FROM events GROUP BY 1, 2
+    ),
+    tot AS (SELECT sum(o) AS n FROM obs),
+    rows_t AS (SELECT event_type, sum(o) AS rt FROM obs GROUP BY 1),
+    cols_t AS (SELECT dow, sum(o) AS ct FROM obs GROUP BY 1),
+    chi AS (
+      SELECT sum((o.o - r.rt * c.ct / t.n) * (o.o - r.rt * c.ct / t.n)
+                 / (r.rt * c.ct / t.n)) AS chi2,
+             any_value(t.n)             AS n,
+             (SELECT count(*) FROM rows_t) AS nr,
+             (SELECT count(*) FROM cols_t) AS nc
+      FROM obs o
+      JOIN rows_t r USING (event_type)
+      JOIN cols_t c USING (dow)
+      CROSS JOIN tot t
+    )
+    SELECT round(chi2, 6) AS chi2,
+           round(sqrt(chi2 / (n * (CASE WHEN nr < nc THEN nr ELSE nc END - 1))), 6)
+             AS cramers_v,
+           CAST(n AS BIGINT) AS n_events
+    FROM chi
+    """,
+)
+def stats_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cramér's V effect size for event-type × day-of-week association —
+    the scale-free companion to the chi-square test (chi2 grows with n;
+    V = sqrt(chi2 / (n·(min(r,c)−1))) stays in [0,1], so drift alerts
+    can threshold it meaningfully across datasets of different sizes).
+
+    Same plan discipline as stats_chi_square: ONE partial-combinable
+    aggregate reduces the corpus to the |types|×7 contingency table;
+    marginals re-aggregate that table; the normalization runs on a
+    1-row frame. sqrt not pow (parity rules — pow diverges in the last
+    ulp between engines)."""
+    ev = load_table(spark, sf_dir, "events")
+    obs = ev.groupBy(
+        "event_type", F.dayofweek("ts").cast("bigint").alias("dow")
+    ).agg(F.count(F.lit(1)).cast("double").alias("o"))
+    tot = obs.agg(F.sum("o").alias("n"))
+    rows_t = obs.groupBy("event_type").agg(F.sum("o").alias("rt"))
+    cols_t = obs.groupBy("dow").agg(F.sum("o").alias("ct"))
+    nr = rows_t.agg(F.count(F.lit(1)).alias("nr"))
+    nc = cols_t.agg(F.count(F.lit(1)).alias("nc"))
+    e_exp = F.col("rt") * F.col("ct") / F.col("n")
+    chi = (
+        obs.join(F.broadcast(rows_t), "event_type")
+        .join(F.broadcast(cols_t), "dow")
+        .crossJoin(F.broadcast(tot))
+        .agg(
+            F.sum((F.col("o") - e_exp) * (F.col("o") - e_exp) / e_exp).alias("chi2"),
+            F.first("n").alias("n"),
+        )
+        .crossJoin(F.broadcast(nr))
+        .crossJoin(F.broadcast(nc))
+    )
+    return chi.select(
+        F.round("chi2", 6).alias("chi2"),
+        F.round(
+            F.sqrt(
+                F.col("chi2")
+                / (F.col("n") * (F.least(F.col("nr"), F.col("nc")) - 1))
+            ),
+            6,
+        ).alias("cramers_v"),
+        F.col("n").cast("bigint").alias("n_events"),
+    )
+
+
+@register(
+    "stats_auc_roc",
+    oracle="""
+    WITH scored AS (
+      SELECT value AS score,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+      FROM events WHERE event_type IN ('purchase', 'view')
+    ),
+    ranked AS (
+      SELECT y,
+             rank() OVER (ORDER BY score)
+               + (count(*) OVER (PARTITION BY score) - 1) / 2.0 AS r
+      FROM scored
+    ),
+    agg AS (
+      SELECT sum(CASE WHEN y = 1 THEN r ELSE 0 END) AS rpos,
+             sum(y)                                  AS npos,
+             count(*) - sum(y)                       AS nneg
+      FROM ranked
+    )
+    SELECT round((rpos - npos * (npos + 1) / 2.0) / (npos * nneg), 6) AS auc,
+           CAST(npos AS BIGINT) AS n_pos, CAST(nneg AS BIGINT) AS n_neg
+    FROM agg
+    """,
+)
+def stats_auc_roc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROC-AUC of `value` as a discriminator between purchase and view
+    events, via the rank-sum identity AUC = (R⁺ − n⁺(n⁺+1)/2)/(n⁺n⁻)
+    (the Mann-Whitney U normalized — ties get the mid-rank, i.e. the
+    trapezoid convention sklearn uses).
+
+    Plan: ONE global sort-window assigns fractional ranks (the
+    tie-count window shares the same sort), then a single-row
+    aggregate. At 100 TB the exact global rank is the cost — the
+    standard approximation buckets scores into ~10k quantile bins and
+    computes the same formula on the histogram (identical to within
+    bin width); the exact form is what the oracle can check
+    bit-for-bit. The model-eval primitive for any scored pipeline."""
+    ev = load_table(spark, sf_dir, "events")
+    scored = ev.filter(F.col("event_type").isin("purchase", "view")).select(
+        F.col("value").alias("score"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("y"),
+    )
+    r = F.rank().over(Window.partitionBy().orderBy("score")) + (
+        F.count(F.lit(1)).over(Window.partitionBy("score")) - 1
+    ) / 2.0
+    ranked = scored.select("y", r.alias("r"))
+    agg = ranked.agg(
+        F.sum(F.when(F.col("y") == 1, F.col("r")).otherwise(0.0)).alias("rpos"),
+        F.sum("y").alias("npos"),
+        (F.count(F.lit(1)) - F.sum("y")).alias("nneg"),
+    )
+    return agg.select(
+        F.round(
+            (F.col("rpos") - F.col("npos") * (F.col("npos") + 1) / 2.0)
+            / (F.col("npos") * F.col("nneg")),
+            6,
+        ).alias("auc"),
+        F.col("npos").cast("bigint").alias("n_pos"),
+        F.col("nneg").cast("bigint").alias("n_neg"),
+    )
+
+
+NEG_PER_USER = 4
+
+
+@register(
+    "sample_negative_sampling",
+    oracle=f"""
+    WITH p AS (
+      SELECT DISTINCT user_id,
+             CAST(json_extract_string(props, '$.k') AS BIGINT) AS item
+      FROM events
+      WHERE json_extract_string(props, '$.k') IS NOT NULL
+    ),
+    items AS (SELECT DISTINCT item FROM p),
+    users AS (SELECT DISTINCT user_id FROM p),
+    cand AS (SELECT u.user_id, i.item FROM users u CROSS JOIN items i),
+    neg AS (
+      SELECT c.user_id, c.item FROM cand c
+      WHERE NOT EXISTS (
+        SELECT 1 FROM p WHERE p.user_id = c.user_id AND p.item = c.item
+      )
+    ),
+    r AS (
+      SELECT user_id, item,
+             row_number() OVER (PARTITION BY user_id
+               ORDER BY md5(CAST(user_id AS VARCHAR) || ':'
+                            || CAST(item AS VARCHAR)), item) AS rn
+      FROM neg
+    )
+    SELECT user_id, item AS neg_item, CAST(rn AS BIGINT) AS rn
+    FROM r WHERE rn <= {NEG_PER_USER}
+    """,
+)
+def sample_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic negative sampling for embedding / recsys training:
+    for every user, NEG_PER_USER items they did NOT interact with, chosen by
+    content-hash order — the contrastive-pair generator (word2vec /
+    two-tower training data). md5(user:item) ordering makes the draw
+    reproducible on any cluster and stable across reruns (same property
+    the sample_ family pins in test_partitioning_invariance).
+
+    Plan: positives collapse to the distinct edge list; the candidate
+    space is users × item-VOCABULARY (broadcast cross join — the small
+    side is the item dimension, bounded here), negatives are one
+    co-partitioned left_anti on the edge key, and the per-user top-k is
+    a rank window. At 100 TB with unbounded vocabularies the candidate
+    grid is replaced by rejection sampling from the hash space (draw
+    k+slack hashed items per user, anti-join once, keep k — same
+    anti-join plan, no grid); degree-weighted (popularity^0.75)
+    sampling composes by ordering over weighted hash keys."""
+    ev = load_table(spark, sf_dir, "events")
+    p = (
+        ev.select(
+            "user_id",
+            F.get_json_object("props", "$.k").cast("long").alias("item"),
+        )
+        .filter(F.col("item").isNotNull())
+        .distinct()
+    )
+    items = p.select("item").distinct()
+    users = p.select("user_id").distinct()
+    cand = users.crossJoin(F.broadcast(items))
+    neg = cand.join(p, ["user_id", "item"], "left_anti")
+    rn = F.row_number().over(
+        Window.partitionBy("user_id").orderBy(
+            F.md5(
+                F.concat(
+                    F.col("user_id").cast("string"),
+                    F.lit(":"),
+                    F.col("item").cast("string"),
+                )
+            ),
+            "item",
+        )
+    )
+    return (
+        neg.select("user_id", "item", rn.alias("rn"))
+        .filter(F.col("rn") <= NEG_PER_USER)
+        .select(
+            "user_id",
+            F.col("item").alias("neg_item"),
+            F.col("rn").cast("bigint").alias("rn"),
+        )
+    )
