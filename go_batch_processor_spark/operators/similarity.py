@@ -1466,3 +1466,101 @@ def similarity_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     return emb.select("vec_id", "embedding").mapInPandas(
         kernel, "vec_id long, proj_norm double, orig_norm double"
     )
+
+
+@register(
+    "similarity_ndcg_eval",
+    oracle=f"""
+    WITH flat AS (
+      SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
+             generate_subscripts(embedding, 1) AS i
+      FROM embeddings
+    ),
+    probe AS (SELECT i, v FROM flat WHERE vec_id = {PROBE_VEC_ID}),
+    dots AS (
+      SELECT f.vec_id, sum(f.v * p.v) AS dot, sqrt(sum(f.v * f.v)) AS nrm
+      FROM flat f JOIN probe p ON f.i = p.i
+      GROUP BY f.vec_id
+    ),
+    pn AS (SELECT sqrt(sum(v * v)) AS nrm FROM probe),
+    top AS (
+      SELECT d.vec_id, round(d.dot / (d.nrm * pn.nrm), 6) AS cosine
+      FROM dots d, pn
+      WHERE d.vec_id <> {PROBE_VEC_ID}
+      ORDER BY cosine DESC, d.vec_id ASC
+      LIMIT {TOP_K}
+    ),
+    plab AS (SELECT label FROM embeddings WHERE vec_id = {PROBE_VEC_ID}),
+    ranked AS (
+      SELECT CASE WHEN e.label = plab.label THEN 1 ELSE 0 END AS rel,
+             row_number() OVER (ORDER BY t.cosine DESC, t.vec_id) AS k
+      FROM top t JOIN embeddings e USING (vec_id) CROSS JOIN plab
+    ),
+    nrel AS (
+      SELECT count(*) AS nr FROM embeddings e, plab
+      WHERE e.label = plab.label AND e.vec_id <> {PROBE_VEC_ID}
+    ),
+    dcg AS (SELECT sum(rel / log2(k + 1.0)) AS dcg FROM ranked),
+    idcg AS (
+      SELECT sum(1.0 / log2(CAST(i AS DOUBLE) + 1.0)) AS idcg
+      FROM nrel,
+           unnest(generate_series(1, CASE WHEN nr < {TOP_K} THEN nr
+                                          ELSE {TOP_K} END)) AS t(i)
+    )
+    SELECT round(dcg.dcg, 6)             AS dcg_at_10,
+           round(dcg.dcg / idcg.idcg, 6) AS ndcg_at_10,
+           (SELECT CAST(nr AS BIGINT) FROM nrel) AS n_relevant
+    FROM dcg, idcg
+    """,
+)
+def similarity_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NDCG@10 of the brute-force cosine retriever against label-match
+    relevance (probe vec 0's label) — the ranking-quality eval every
+    retrieval/RAG pipeline reports: DCG = Σ rel_k/log₂(k+1) over the
+    retrieved list, normalized by the ideal DCG given how many relevant
+    items exist corpus-wide.
+
+    Plan: the ranked list is the existing one-scan cosine top-k
+    (TakeOrderedAndProject on the rounded score — rounding BEFORE
+    ordering keeps the k-boundary engine-stable); relevance joins the
+    vocabulary-sized label table broadcast; DCG/IDCG run on ≤10 rows
+    (IDCG's harmonic series materializes via sequence-explode of a
+    1-row frame — no table needed). Eval cost is dominated by the
+    retrieval itself, as it should be."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    probe = emb.filter(F.col("vec_id") == PROBE_VEC_ID)
+    top = cosine_topk(emb, probe, TOP_K)
+    plab = probe.select(F.col("label").alias("plabel"))
+    ranked = (
+        top.join(F.broadcast(emb.select("vec_id", "label")), "vec_id")
+        .crossJoin(F.broadcast(plab))
+        .select(
+            F.when(F.col("label") == F.col("plabel"), 1).otherwise(0).alias("rel"),
+            F.row_number()
+            .over(Window.partitionBy().orderBy(F.col("cosine").desc(), "vec_id"))
+            .alias("k"),
+        )
+    )
+    nrel = (
+        emb.crossJoin(F.broadcast(plab))
+        .filter((F.col("label") == F.col("plabel")) & (F.col("vec_id") != PROBE_VEC_ID))
+        .agg(F.count(F.lit(1)).alias("nr"))
+    )
+    dcg = ranked.agg(
+        F.sum(F.col("rel") / F.log2(F.col("k") + 1.0)).alias("dcg")
+    )
+    idcg = nrel.select(
+        F.explode(F.sequence(F.lit(1), F.least(F.col("nr"), F.lit(TOP_K)))).alias("i"),
+        "nr",
+    ).agg(
+        F.sum(1.0 / F.log2(F.col("i").cast("double") + 1.0)).alias("idcg"),
+        F.first("nr").alias("nr"),
+    )
+    return (
+        dcg.crossJoin(F.broadcast(idcg))
+        .select(
+            F.round("dcg", 6).alias("dcg_at_10"),
+            F.round(F.col("dcg") / F.col("idcg"), 6).alias("ndcg_at_10"),
+            F.col("nr").cast("bigint").alias("n_relevant"),
+        )
+    )

@@ -1732,3 +1732,129 @@ def sample_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rn").cast("bigint").alias("rn"),
         )
     )
+
+
+@register(
+    "stats_jensen_shannon",
+    oracle="""
+    WITH halves AS (
+      SELECT event_type,
+             CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00' THEN 'p'
+                  ELSE 'q' END AS half,
+             CAST(count(*) AS DOUBLE) AS c
+      FROM events GROUP BY 1, 2
+    ),
+    tot AS (SELECT half, sum(c) AS n FROM halves GROUP BY half),
+    dist AS (
+      SELECT h.event_type,
+             sum(CASE WHEN h.half = 'p' THEN h.c / t.n ELSE 0 END) AS p,
+             sum(CASE WHEN h.half = 'q' THEN h.c / t.n ELSE 0 END) AS q
+      FROM halves h JOIN tot t USING (half)
+      GROUP BY h.event_type
+    )
+    SELECT round(sum(
+             CASE WHEN p > 0 THEN 0.5 * p * ln(p / ((p + q) / 2)) ELSE 0 END
+           + CASE WHEN q > 0 THEN 0.5 * q * ln(q / ((p + q) / 2)) ELSE 0 END
+           ), 6) AS jsd_nats,
+           CAST(count(*) AS BIGINT) AS n_categories
+    FROM dist
+    """,
+)
+def stats_jensen_shannon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jensen-Shannon divergence between the event-type mix of the first
+    and second half of the month — the symmetric, bounded (≤ ln 2),
+    zero-safe drift metric (KL blows up on unseen categories; JSD's
+    mixture denominator never does), the standard distribution-shift
+    alarm between two corpus snapshots.
+
+    Plan: ONE scan aggregates (category, half) counts; normalization
+    and the divergence run on the |categories|-row frame with
+    broadcast-sized joins. The p·ln(p/m) sum is order-dependent →
+    rounded on both sides; everything before it is integer counts."""
+    ev = load_table(spark, sf_dir, "events")
+    halves = ev.groupBy(
+        "event_type",
+        F.when(F.col("ts") < F.lit("2024-01-16 00:00:00").cast("timestamp"), "p")
+        .otherwise("q")
+        .alias("half"),
+    ).agg(F.count(F.lit(1)).cast("double").alias("c"))
+    tot = halves.groupBy("half").agg(F.sum("c").alias("n"))
+    dist = (
+        halves.join(F.broadcast(tot), "half")
+        .groupBy("event_type")
+        .agg(
+            F.sum(
+                F.when(F.col("half") == "p", F.col("c") / F.col("n")).otherwise(0.0)
+            ).alias("p"),
+            F.sum(
+                F.when(F.col("half") == "q", F.col("c") / F.col("n")).otherwise(0.0)
+            ).alias("q"),
+        )
+    )
+    m = (F.col("p") + F.col("q")) / 2
+    term = F.when(F.col("p") > 0, 0.5 * F.col("p") * F.log(F.col("p") / m)).otherwise(
+        0.0
+    ) + F.when(F.col("q") > 0, 0.5 * F.col("q") * F.log(F.col("q") / m)).otherwise(0.0)
+    return dist.agg(
+        F.round(F.sum(term), 6).alias("jsd_nats"),
+        F.count(F.lit(1)).alias("n_categories"),
+    )
+
+
+@register(
+    "stats_avg_precision",
+    oracle="""
+    WITH scored AS (
+      SELECT event_id, value AS score,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+      FROM events WHERE event_type IN ('purchase', 'view')
+    ),
+    ranked AS (
+      SELECT y,
+             row_number() OVER (ORDER BY score DESC, event_id) AS k,
+             sum(y) OVER (ORDER BY score DESC, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS tp
+      FROM scored
+    )
+    SELECT round(sum(CASE WHEN y = 1 THEN tp * 1.0 / k ELSE 0 END)
+                 / sum(y), 6) AS average_precision,
+           CAST(sum(y) AS BIGINT) AS n_pos
+    FROM ranked
+    """,
+)
+def stats_avg_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Average precision (area under the precision-recall curve, the
+    retrieval/imbalanced-eval companion to stats_auc_roc): rank by
+    score descending, AP = mean over positives of precision@their-rank.
+    Fully tie-broken by event_id so the running true-positive count is
+    deterministic — sklearn's step-wise definition on a strict
+    ordering.
+
+    Plan: one global sort-window carries both the rank and the running
+    TP count (same ordering → ONE sort), then a single-row aggregate.
+    Same 100 TB note as AUC: exact global rank is the cost; the
+    quantile-binned approximation computes the same sum over a
+    histogram."""
+    ev = load_table(spark, sf_dir, "events")
+    scored = ev.filter(F.col("event_type").isin("purchase", "view")).select(
+        "event_id",
+        F.col("value").alias("score"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("y"),
+    )
+    w = Window.partitionBy().orderBy(F.col("score").desc(), "event_id")
+    ranked = scored.select(
+        "y",
+        F.row_number().over(w).alias("k"),
+        F.sum("y").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("tp"),
+    )
+    return ranked.agg(
+        F.round(
+            F.sum(
+                F.when(F.col("y") == 1, F.col("tp") * 1.0 / F.col("k")).otherwise(0.0)
+            )
+            / F.sum("y"),
+            6,
+        ).alias("average_precision"),
+        F.sum("y").cast("bigint").alias("n_pos"),
+    )
