@@ -1305,3 +1305,53 @@ def ml_frequent_directions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return partials.groupBy(F.lit(1).alias("g")).applyInPandas(
         merge, "component int, singular_value double"
     )
+
+
+KFOLDS = 5
+
+
+@register(
+    "ml_kfold_split",
+    oracle=f"""
+    WITH assigned AS (
+      SELECT o_orderkey, o_totalprice,
+             CAST(strpos('0123456789abcdef',
+                    substring(md5(CAST(o_orderkey AS VARCHAR)), 1, 1)) - 1
+                  AS BIGINT) % {KFOLDS} AS fold
+      FROM orders
+    )
+    SELECT fold,
+           CAST(count(*) AS BIGINT)        AS n,
+           round(avg(o_totalprice), 4)     AS mean_target,
+           round(stddev_samp(o_totalprice), 4) AS sd_target
+    FROM assigned GROUP BY fold
+    """,
+)
+def ml_kfold_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic k-fold cross-validation assignment by content hash
+    (first md5 nibble mod k) with per-fold target statistics — the CV
+    harness primitive: folds are reproducible on any cluster, any
+    partitioning, any rerun (no global shuffle-split state), and a new
+    row joins its fold without re-splitting the world — the property
+    that matters when the training table is rebuilt daily at 100 TB.
+
+    The per-fold stats double as a split-quality check (folds should
+    agree in mean/sd — gross imbalance means the hash key correlates
+    with the target). One narrow map + one |k|-row aggregate."""
+    od = load_table(spark, sf_dir, "orders")
+    nib = (
+        F.instr(
+            F.lit("0123456789abcdef"),
+            F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 1),
+        )
+        - 1
+    ).cast("bigint")
+    return (
+        od.select("o_totalprice", (nib % KFOLDS).alias("fold"))
+        .groupBy("fold")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("o_totalprice"), 4).alias("mean_target"),
+            F.round(F.stddev_samp("o_totalprice"), 4).alias("sd_target"),
+        )
+    )

@@ -391,3 +391,45 @@ def scalar_url_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.regexp_extract(url, r"[?&]id=([0-9]+)", 1).alias("id_param"),
         F.regexp_extract(url, r"[?&]sz=([0-9]+)", 1).alias("sz_param"),
     )
+
+
+@register(
+    "scalar_try_safe",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           TRY_CAST(l_returnflag AS BIGINT)          AS flag_as_int,
+           CASE WHEN l_quantity - 25 <> 0
+                THEN l_extendedprice / (l_quantity - 25) END AS safe_div,
+           CASE WHEN l_extendedprice - 100 > 0
+                THEN round(ln(l_extendedprice - 100), 6) END AS safe_ln,
+           CASE WHEN l_discount >= 0
+                THEN round(sqrt(l_discount), 6) END          AS safe_sqrt
+    FROM lineitem
+    """,
+)
+def scalar_try_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Error-safe scalar arithmetic under ANSI mode: try_cast for lossy
+    casts, try_divide for zero denominators, and guarded domains for
+    ln/sqrt — NULL instead of a job-killing exception. The difference
+    that matters at 100 TB: one malformed row out of a trillion must
+    not fail the job; the try_* family (plus PERMISSIVE parsing,
+    source_csv_malformed) is the engine's bad-data posture.
+
+    DuckDB has no try_divide/ln-guard, so the oracle spells the same
+    semantics with CASE guards — Spark's try_* returns NULL exactly
+    where the guards do (division by zero, non-positive log domain,
+    unparseable cast). Narrow projection, zero shuffle."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.expr("try_cast(l_returnflag AS BIGINT)").alias("flag_as_int"),
+        F.expr("try_divide(l_extendedprice, l_quantity - 25)").alias("safe_div"),
+        F.when(
+            F.col("l_extendedprice") - 100 > 0,
+            F.round(F.log(F.col("l_extendedprice") - 100), 6),
+        ).alias("safe_ln"),
+        F.when(F.col("l_discount") >= 0, F.round(F.sqrt("l_discount"), 6)).alias(
+            "safe_sqrt"
+        ),
+    )

@@ -767,3 +767,55 @@ def window_rolling_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
         "d",
         F.round(F.expr("percentile(v, 0.5)").over(w), 4).alias("p50_7d"),
     )
+
+
+@register(
+    "timeseries_rolling_zscore",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, date_trunc('day', ts) AS d, sum(value) AS v
+      FROM events GROUP BY 1, 2
+    ),
+    stats AS (
+      SELECT event_type, d, v,
+             avg(v) OVER w         AS mu,
+             stddev_samp(v) OVER w AS sd,
+             count(*) OVER w       AS nw
+      FROM daily
+      WINDOW w AS (PARTITION BY event_type ORDER BY d
+                   ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
+    )
+    SELECT event_type, d, round((v - mu) / sd, 4) AS rolling_z
+    FROM stats
+    WHERE nw >= 4 AND sd > 0 AND abs((v - mu) / sd) > 2.0
+    """,
+)
+def timeseries_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-baseline anomaly flag: each day scored against the mean
+    and stddev of the PRECEDING 7 days only (the trailing-exclusive
+    frame prevents the anomaly from polluting its own baseline — the
+    subtle bug in naive rolling z-scores), flag |z| > 2 once at least
+    4 baseline days exist.
+
+    Complements the global screens (analytics_anomaly_zscore: all-time
+    mean; analytics_robust_zscore_mad: all-time median) with the
+    level-shift-tolerant local baseline. Plan: one daily aggregate,
+    then ONE frame window per series carrying mean/sd/count — all
+    decomposable over the frame, calendar-bounded state."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("d")
+    ).agg(F.sum("value").alias("v"))
+    w = Window.partitionBy("event_type").orderBy("d").rowsBetween(-7, -1)
+    z = (F.col("v") - F.col("mu")) / F.col("sd")
+    stats = daily.select(
+        "event_type",
+        "d",
+        "v",
+        F.avg("v").over(w).alias("mu"),
+        F.stddev_samp("v").over(w).alias("sd"),
+        F.count(F.lit(1)).over(w).alias("nw"),
+    )
+    return stats.filter(
+        (F.col("nw") >= 4) & (F.col("sd") > 0) & (F.abs(z) > 2.0)
+    ).select("event_type", "d", F.round(z, 4).alias("rolling_z"))

@@ -331,3 +331,53 @@ def window_pattern_vshape(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("m2") - F.col("value"), 2).alias("drop_depth"),
         F.round(F.col("p2") - F.col("value"), 2).alias("recovery"),
     )
+
+
+@register(
+    "window_cumulative_distinct",
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN row_number() OVER (
+               PARTITION BY user_id, event_type ORDER BY ts, event_id) = 1
+             THEN 1 ELSE 0 END AS is_first
+      FROM events
+    )
+    SELECT user_id, ts, event_id,
+           CAST(sum(is_first) OVER (PARTITION BY user_id
+             ORDER BY ts, event_id) AS BIGINT) AS distinct_types_so_far
+    FROM firsts
+    """,
+)
+def window_cumulative_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running COUNT DISTINCT per user over time (how many distinct
+    event types has this user produced so far) — not expressible as a
+    distinct window aggregate (distinct doesn't decompose over frames);
+    the classic rewrite marks each (user, type)'s FIRST occurrence with
+    one row_number window, then a running sum of the markers gives the
+    cumulative distinct count exactly.
+
+    Plan: two window passes over the SAME user_id hash partitioning
+    (the second sorts a superset of the first's key — one exchange,
+    two sorts), no join, no expand. Per-user state in each frame is one
+    counter; at 100 TB this is sessionization-priced. The
+    discovery-curve primitive (new-items-seen, vocabulary growth)."""
+    ev = load_table(spark, sf_dir, "events")
+    w_first = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    w_run = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    firsts = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(F.row_number().over(w_first) == 1, 1).otherwise(0).alias("is_first"),
+    )
+    return firsts.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.sum("is_first").over(w_run).cast("bigint").alias("distinct_types_so_far"),
+    )
