@@ -25,6 +25,12 @@ INVARIANT_KEYS = [
     "stats_mann_whitney",
     "text_chunk_training_blocks",
     "similarity_knn_graph",
+    # fifth-session additions claiming content-stable determinism
+    "sample_balanced_classes",
+    "sample_negative_sampling",
+    "ml_kfold_split",
+    "agg_kmv_theta_intersect",
+    "agg_weighted_percentile",
 ]
 
 

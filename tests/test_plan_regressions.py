@@ -90,3 +90,22 @@ def test_profile_table_single_scan(spark, sf_dir):
     agg row), not a union of k scan+agg branches."""
     plan = _executed(REGISTRY["profile_table_stats"].fn(spark, sf_dir))
     assert plan.count("FileScan") == 1, plan
+
+
+def test_auc_and_ap_single_sort(spark, sf_dir):
+    """AUC's fractional rank + tie count, and AP's rank + running TP, must
+    each evaluate within at most two window nodes over one scan — a
+    per-metric rescan would double the dominant cost."""
+    for key in ("stats_auc_roc", "stats_avg_precision"):
+        plan = _executed(REGISTRY[key].fn(spark, sf_dir))
+        assert plan.count("FileScan") == 1, (key, plan)
+
+
+def test_cumulative_distinct_one_exchange_no_expand(spark, sf_dir):
+    """first-occurrence marker + running sum must share ONE user_id hash
+    exchange (second sort subsumes the first's keys) and never rewrite
+    into a distinct Expand."""
+    plan = _executed(REGISTRY["window_cumulative_distinct"].fn(spark, sf_dir))
+    assert "Expand" not in plan, plan
+    n_ex = len(re.findall(r"Exchange hashpartitioning", plan))
+    assert n_ex <= 2, plan
