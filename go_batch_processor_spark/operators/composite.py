@@ -1077,3 +1077,154 @@ def tpch_q20_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("s_name")
     )
+
+
+RRF_K = 60
+RRF_POOL = 50
+RRF_TOP = 10
+
+
+@register(
+    "search_hybrid_rrf",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+      FROM documents
+    ),
+    dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+    st AS (SELECT avg(dl) AS avgdl, count(*) AS n_docs FROM dl),
+    tf AS (
+      SELECT doc_id, term, count(*) AS tf FROM toks
+      WHERE term IN ('window', 'merge', 'vector') GROUP BY 1, 2
+    ),
+    df AS (
+      SELECT term, count(DISTINCT doc_id) AS df FROM toks
+      WHERE term IN ('window', 'merge', 'vector') GROUP BY 1
+    ),
+    bm AS (
+      SELECT tf.doc_id,
+             sum(ln(1 + (st.n_docs - df.df + 0.5) / (df.df + 0.5))
+                 * (tf.tf * 2.2)
+                 / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / st.avgdl)))
+               AS score
+      FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN st
+      GROUP BY tf.doc_id
+    ),
+    bm_rank AS (
+      SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS r
+      FROM bm ORDER BY score DESC, doc_id LIMIT {RRF_POOL}
+    ),
+    flat AS (
+      SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
+             generate_subscripts(embedding, 1) AS i
+      FROM embeddings
+    ),
+    probe AS (SELECT i, v FROM flat WHERE vec_id = 0),
+    dots AS (
+      SELECT f.vec_id, sum(f.v * p.v) AS dot, sqrt(sum(f.v * f.v)) AS nrm
+      FROM flat f JOIN probe p ON f.i = p.i GROUP BY f.vec_id
+    ),
+    pn AS (SELECT sqrt(sum(v * v)) AS nrm FROM probe),
+    cos_rank AS (
+      SELECT vec_id AS doc_id,
+             row_number() OVER (ORDER BY round(dot / (nrm * (SELECT nrm FROM pn)), 6) DESC,
+                                vec_id) AS r
+      FROM dots WHERE vec_id <> 0
+      ORDER BY round(dot / (nrm * (SELECT nrm FROM pn)), 6) DESC, vec_id
+      LIMIT {RRF_POOL}
+    ),
+    fused AS (
+      SELECT COALESCE(b.doc_id, c.doc_id) AS doc_id,
+             COALESCE(1.0 / ({RRF_K} + b.r), 0)
+           + COALESCE(1.0 / ({RRF_K} + c.r), 0) AS rrf
+      FROM bm_rank b FULL OUTER JOIN cos_rank c USING (doc_id)
+    )
+    SELECT doc_id, round(rrf, 6) AS rrf_score
+    FROM fused ORDER BY rrf DESC, doc_id LIMIT {RRF_TOP}
+    """,
+)
+def search_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid search via reciprocal-rank fusion (Cormack et al. 2009 —
+    the Elasticsearch/OpenSearch hybrid default): fuse the BM25 lexical
+    top-50 and the dense-cosine top-50 by Σ 1/(60+rank), no score
+    calibration needed (RRF's whole point — ranks are comparable when
+    raw scores are not). The retrieval composite every RAG pipeline
+    runs.
+
+    Plan: the two retrievers keep their native shapes (BM25:
+    query-filtered postings, broadcast stats; dense: one-scan brute
+    cosine TakeOrderedAndProject — the IVF-PQ path drops in for the
+    dense leg at scale), each emits a RANK-ONLY pool of 50, and the
+    fusion is a full-outer join of two 50-row frames — the expensive
+    legs never meet each other's data. Determinism: both pool
+    boundaries are engine-stable (BM25 ties exact, cosine rounded
+    before ordering), and RRF sums two exact rationals."""
+    d = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+
+    from go_batch_processor_spark.operators.similarity import (
+        PROBE_VEC_ID,
+        cosine_topk,
+    )
+    from go_batch_processor_spark.operators.text import (
+        BM25_B,
+        BM25_K1,
+        BM25_QUERY,
+    )
+
+    toks = d.select(
+        "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("term")
+    )
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    st = dl.agg(F.avg("dl").alias("avgdl"), F.count(F.lit(1)).alias("n_docs"))
+    qt = toks.filter(F.col("term").isin(*BM25_QUERY))
+    tf = qt.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df = qt.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    idf = F.log(1 + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5))
+    tf_part = (F.col("tf") * (BM25_K1 + 1)) / (
+        F.col("tf") + BM25_K1 * (1 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl"))
+    )
+    bm = (
+        tf.join(F.broadcast(df), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(st))
+        .groupBy("doc_id")
+        .agg(F.sum(idf * tf_part).alias("score"))
+    )
+    from pyspark.sql import Window
+
+    bm_rank = (
+        bm.orderBy(F.col("score").desc(), "doc_id")
+        .limit(RRF_POOL)
+        .select(
+            "doc_id",
+            F.row_number()
+            .over(Window.partitionBy().orderBy(F.col("score").desc(), "doc_id"))
+            .alias("rb"),
+        )
+    )
+    probe = emb.filter(F.col("vec_id") == PROBE_VEC_ID)
+    cos_rank = (
+        cosine_topk(emb, probe, RRF_POOL)
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            F.row_number()
+            .over(Window.partitionBy().orderBy(F.col("cosine").desc(), "vec_id"))
+            .alias("rc"),
+        )
+    )
+    fused = (
+        bm_rank.join(cos_rank, "doc_id", "full_outer")
+        .select(
+            "doc_id",
+            (
+                F.coalesce(1.0 / (RRF_K + F.col("rb")), F.lit(0.0))
+                + F.coalesce(1.0 / (RRF_K + F.col("rc")), F.lit(0.0))
+            ).alias("rrf"),
+        )
+    )
+    return (
+        fused.orderBy(F.col("rrf").desc(), "doc_id")
+        .limit(RRF_TOP)
+        .select("doc_id", F.round("rrf", 6).alias("rrf_score"))
+    )

@@ -1361,3 +1361,92 @@ def text_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("w1", "w2", F.col("c12").cast("bigint").alias("c12"),
                 F.round(pmi, 6).alias("pmi"))
     )
+
+
+BM25_QUERY = ("window", "merge", "vector")
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_TOP = 15
+_bm25_terms = ", ".join(f"'{t}'" for t in BM25_QUERY)
+
+
+@register(
+    "text_bm25_topk",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+      FROM documents
+    ),
+    dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+    stats AS (
+      SELECT avg(dl) AS avgdl, count(*) AS n_docs FROM dl
+    ),
+    tf AS (
+      SELECT doc_id, term, count(*) AS tf FROM toks
+      WHERE term IN ({_bm25_terms}) GROUP BY 1, 2
+    ),
+    df AS (
+      SELECT term, count(DISTINCT doc_id) AS df FROM toks
+      WHERE term IN ({_bm25_terms}) GROUP BY 1
+    ),
+    scored AS (
+      SELECT tf.doc_id,
+             sum(ln(1 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))
+                 * (tf.tf * ({BM25_K1} + 1))
+                 / (tf.tf + {BM25_K1}
+                    * (1 - {BM25_B} + {BM25_B} * dl.dl / s.avgdl))) AS score
+      FROM tf
+      JOIN df USING (term)
+      JOIN dl USING (doc_id)
+      CROSS JOIN stats s
+      GROUP BY tf.doc_id
+    )
+    SELECT doc_id, round(score, 6) AS bm25
+    FROM scored ORDER BY score DESC, doc_id LIMIT {BM25_TOP}
+    """,
+)
+def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 ranked retrieval (Robertson-Spärck Jones probabilistic idf +
+    Okapi tf saturation, k1=1.2 b=0.75) for a fixed keyword query —
+    THE lexical-search scoring function (Lucene/Elasticsearch default),
+    completing the retrieval family next to tf-idf and the dense
+    cosine/ANN path.
+
+    Plan: the posting stage filters the token stream to the QUERY terms
+    before any shuffle (predicate on the exploded term — the inverted-
+    index access pattern expressed relationally), so tf/df aggregates
+    are query-sized, not corpus-sized; doc lengths + corpus stats are
+    one partial-combinable aggregate; all lookups broadcast. Determinism:
+    avgdl = exact-int sum/count (bit-identical), the per-doc score sums
+    ≤|query| terms whose equal-stat ties are exactly equal → the
+    top-k boundary cannot flip between engines."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("term")
+    )
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    stats = dl.agg(
+        F.avg("dl").alias("avgdl"), F.count(F.lit(1)).alias("n_docs")
+    )
+    qt = toks.filter(F.col("term").isin(*BM25_QUERY))
+    tf = qt.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df = qt.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    idf = F.log(
+        1 + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    tf_part = (F.col("tf") * (BM25_K1 + 1)) / (
+        F.col("tf")
+        + BM25_K1 * (1 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl"))
+    )
+    scored = (
+        tf.join(F.broadcast(df), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(F.sum(idf * tf_part).alias("score"))
+    )
+    return (
+        scored.orderBy(F.col("score").desc(), "doc_id")
+        .limit(BM25_TOP)
+        .select("doc_id", F.round("score", 6).alias("bm25"))
+    )
