@@ -106,6 +106,10 @@ HEADLINE = [
     "analytics_window_funnel",
     "agg_tdigest_quantiles",
     "agg_kmv_theta_intersect",
+    "text_bm25_topk",
+    "search_hybrid_rrf",
+    "stats_auc_roc",
+    "graph_k_core",
 ]
 
 

@@ -1126,3 +1126,61 @@ def join_fuzzy_trigram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(jac >= 0.4)
         .select("name_a", "name_b", F.round(jac, 6).alias("jaccard"))
     )
+
+
+@register(
+    "join_null_safe_eq",
+    oracle="""
+    WITH l AS (
+      SELECT event_id,
+             CASE WHEN event_id % 7 = 0 THEN NULL
+                  ELSE CAST(event_id % 5 AS BIGINT) END AS k
+      FROM events WHERE event_id % 2 = 0
+    ),
+    r AS (
+      SELECT event_id,
+             CASE WHEN event_id % 11 = 0 THEN NULL
+                  ELSE CAST(event_id % 5 AS BIGINT) END AS k
+      FROM events WHERE event_id % 2 = 1
+    )
+    SELECT count(*) AS n_nullsafe,
+           (SELECT count(*) FROM l JOIN r ON l.k = r.k) AS n_plain,
+           CAST(count(*) FILTER (WHERE l.k IS NULL) AS BIGINT)
+             AS n_null_matches
+    FROM l JOIN r ON l.k IS NOT DISTINCT FROM r.k
+    """,
+)
+def join_null_safe_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equi-join (<=> / IS NOT DISTINCT FROM): NULL keys match
+    each other instead of vanishing — the semantics CDC merge and
+    SCD-key comparisons need when business keys are nullable (a plain
+    equi-join silently drops every NULL-keyed row; the count delta here
+    makes the trap measurable).
+
+    Plan note: Spark hashes <=> keys like ordinary equi-keys (NULLs
+    co-locate in one hash bucket), so the null-safe form keeps the same
+    shuffle-join shape — BUT all-NULL keys land on one partition: a
+    mostly-NULL key column is a skew hazard (salt the NULLs or filter
+    + union them separately at 100 TB)."""
+    ev = load_table(spark, sf_dir, "events")
+    mk = lambda mod, par: (
+        ev.filter(F.col("event_id") % 2 == par).select(
+            "event_id",
+            F.when(F.col("event_id") % mod == 0, None)
+            .otherwise((F.col("event_id") % 5).cast("bigint"))
+            .alias("k"),
+        )
+    )
+    l, r = mk(7, 0).alias("l"), mk(11, 1).alias("r")
+    ns = l.join(r, F.col("l.k").eqNullSafe(F.col("r.k")))
+    plain = l.join(r, F.col("l.k") == F.col("r.k")).agg(
+        F.count(F.lit(1)).alias("n_plain")
+    )
+    return ns.agg(
+        F.count(F.lit(1)).alias("n_nullsafe"),
+        F.sum(F.when(F.col("l.k").isNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_null_matches"),
+    ).crossJoin(F.broadcast(plain)).select(
+        "n_nullsafe", "n_plain", "n_null_matches"
+    )

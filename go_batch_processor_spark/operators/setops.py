@@ -67,3 +67,40 @@ def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     lo, hi = _halves(spark, sf_dir)
     return lo.select("o_custkey").subtract(hi.select("o_custkey"))
+
+
+@register(
+    "set_intersect_all",
+    oracle=f"""
+    SELECT o_custkey FROM orders WHERE o_orderdate < TIMESTAMP '{_SPLIT}'
+    INTERSECT ALL
+    SELECT o_custkey FROM orders WHERE o_orderdate >= TIMESTAMP '{_SPLIT}'
+    """,
+)
+def set_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT ALL — bag semantics: a customer with 3 orders in the
+    first half and 2 in the second appears min(3,2)=2 times (the
+    distinct variant collapses to 1). Plans as per-row counting +
+    min-multiplicity replay rather than a distinct hash join; at scale
+    the counted form (groupBy key → least of the two counts) is the
+    explicit rewrite when multiplicity matters (billing, inventory
+    reconciliation)."""
+    lo, hi = _halves(spark, sf_dir)
+    return lo.select("o_custkey").intersectAll(hi.select("o_custkey"))
+
+
+@register(
+    "set_except_all",
+    oracle=f"""
+    SELECT o_custkey FROM orders WHERE o_orderdate < TIMESTAMP '{_SPLIT}'
+    EXCEPT ALL
+    SELECT o_custkey FROM orders WHERE o_orderdate >= TIMESTAMP '{_SPLIT}'
+    """,
+)
+def set_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT ALL — bag difference: keeps max(n_left − n_right, 0)
+    copies per row, the reconciliation primitive (what's in the ledger
+    but not the statement, counted). Same counted-rewrite note as
+    INTERSECT ALL."""
+    lo, hi = _halves(spark, sf_dir)
+    return lo.select("o_custkey").exceptAll(hi.select("o_custkey"))
