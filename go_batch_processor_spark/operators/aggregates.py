@@ -581,8 +581,10 @@ def _td_compress(means, weights, delta):
 def agg_tdigest_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable t-digest quantile sketch (Dunning & Ertl) as a
     two-level Arrow pipeline: every partition streams its values into
-    a local digest (buffer 128k raw values, compress into <= delta
-    weighted centroids — bounded memory regardless of partition size),
+    a local digest (buffer 128k raw values, compress into O(delta)
+    weighted centroids — strictly < 2*delta+1 by the k0 cap argument,
+    and exact for tiny inputs; bounded memory regardless of partition
+    size),
     then one merge task unions all partial digests and interpolates the
     requested quantiles from cumulative centroid weights.
 

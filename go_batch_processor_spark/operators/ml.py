@@ -1242,9 +1242,11 @@ def _fd_shrink(B, ell):
     import numpy as np
 
     _, s, Vt = np.linalg.svd(B, full_matrices=False)
-    if len(s) < ell:
+    if len(B) <= ell and len(s) < ell:
         return B
-    delta = s[ell - 1] ** 2
+    # when rank < ell (d < ell edge case) shrink by the smallest singular
+    # value instead of skipping — otherwise a tall thin B never compresses
+    delta = s[min(ell, len(s)) - 1] ** 2
     s2 = np.sqrt(np.maximum(s**2 - delta, 0.0))
     keep = s2 > 0
     return (s2[keep, None] * Vt[keep])

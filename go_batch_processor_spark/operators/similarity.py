@@ -1564,3 +1564,121 @@ def similarity_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("nr").cast("bigint").alias("n_relevant"),
         )
     )
+
+
+KNN_CLF_K = 5
+
+
+@register(
+    "similarity_knn_classifier",
+    oracle=f"""
+    WITH flat AS (
+      SELECT vec_id, label, CAST(unnest(embedding) AS DOUBLE) AS v,
+             generate_subscripts(embedding, 1) AS i
+      FROM embeddings
+    ),
+    norms AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM flat GROUP BY vec_id),
+    dots AS (
+      SELECT a.vec_id AS src, b.vec_id AS dst, sum(a.v * b.v) AS dot
+      FROM flat a JOIN flat b ON a.i = b.i AND a.vec_id <> b.vec_id
+      GROUP BY 1, 2
+    ),
+    ranked AS (
+      SELECT d.src, e.label AS nb_label,
+             row_number() OVER (PARTITION BY d.src
+               ORDER BY round(d.dot / (na.nrm * nb.nrm), 6) DESC, d.dst) AS rn
+      FROM dots d
+      JOIN norms na ON d.src = na.vec_id
+      JOIN norms nb ON d.dst = nb.vec_id
+      JOIN embeddings e ON d.dst = e.vec_id
+    ),
+    votes AS (
+      SELECT src, nb_label, count(*) AS c FROM ranked
+      WHERE rn <= {KNN_CLF_K} GROUP BY 1, 2
+    ),
+    pred AS (
+      SELECT src, nb_label AS pred_label FROM (
+        SELECT src, nb_label,
+               row_number() OVER (PARTITION BY src
+                 ORDER BY c DESC, nb_label ASC) AS pr
+        FROM votes
+      ) WHERE pr = 1
+    )
+    SELECT e.label,
+           CAST(count(*) AS BIGINT)                            AS n,
+           CAST(sum(CASE WHEN p.pred_label = e.label THEN 1 ELSE 0 END)
+                AS BIGINT)                                     AS n_correct,
+           round(sum(CASE WHEN p.pred_label = e.label THEN 1 ELSE 0 END)
+                 * 1.0 / count(*), 4)                          AS accuracy
+    FROM pred p JOIN embeddings e ON p.src = e.vec_id
+    GROUP BY e.label
+    """,
+)
+def similarity_knn_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-out k-NN classification (k=5, cosine, majority vote
+    with deterministic count-then-smallest-label tie-break) reported as
+    per-label accuracy — the embedding-quality probe: if 5-NN can't
+    recover the label, the embedding space won't support downstream
+    clustering or retrieval either (the standard probe before spending
+    GPU time on a learned classifier).
+
+    UNBLOCKED neighbor search (unlike similarity_knn_graph's
+    label-blocked build, which would be circular as a classifier).
+    Ranking on the 6-dp-ROUNDED cosine with dst tie-break → the k-th
+    boundary is engine-stable. Scale: the all-pairs stage is the cost —
+    swap in the IVF/LSH candidate generators for the neighbor leg at
+    corpus scale; votes/argmax/accuracy are vocabulary-sized
+    aggregates."""
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", _as_double(F.col("embedding")).alias("emb")
+    )
+    a, b = e.alias("a"), e.alias("b")
+    cos = _dot(F.col("a.emb"), F.col("b.emb")) / (
+        _norm(F.col("a.emb")) * _norm(F.col("b.emb"))
+    )
+    ranked = (
+        a.join(b, F.col("a.vec_id") != F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("src"),
+            F.col("a.label").alias("true_label"),
+            F.col("b.label").alias("nb_label"),
+            F.round(cos, 6).alias("cosine"),
+            F.col("b.vec_id").alias("dst"),
+        )
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("src").orderBy(
+                    F.col("cosine").desc(), F.col("dst").asc()
+                )
+            ),
+        )
+        .filter(F.col("rn") <= KNN_CLF_K)
+    )
+    votes = ranked.groupBy("src", "true_label", "nb_label").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    pred = (
+        votes.withColumn(
+            "pr",
+            F.row_number().over(
+                Window.partitionBy("src").orderBy(
+                    F.col("c").desc(), F.col("nb_label").asc()
+                )
+            ),
+        )
+        .filter(F.col("pr") == 1)
+        .select("src", "true_label", F.col("nb_label").alias("pred_label"))
+    )
+    return pred.groupBy(F.col("true_label").alias("label")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(F.col("pred_label") == F.col("true_label"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_correct"),
+        F.round(
+            F.sum(F.when(F.col("pred_label") == F.col("true_label"), 1).otherwise(0))
+            * 1.0
+            / F.count(F.lit(1)),
+            4,
+        ).alias("accuracy"),
+    )

@@ -135,3 +135,68 @@ def test_kmv_accuracy_vs_exact_bitmap(spark, sf_dir):
         rse = 3.0 / (k**0.5)  # 3 sigma
         assert abs(got["est_union"] - union) <= rse * union + 2
         assert abs(got["est_intersect"] - inter) <= rse * union + 2
+
+
+def test_td_compress_properties_hypothesis():
+    """Property (hypothesis): for arbitrary value sets, _td_compress
+    preserves total weight exactly-ish, respects the centroid budget,
+    and keeps means within [min, max]."""
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from go_batch_processor_spark.operators.aggregates import _td_compress
+
+    @settings(max_examples=50, deadline=None)
+    @given(
+        st.lists(
+            st.floats(-1e6, 1e6, allow_nan=False, allow_infinity=False),
+            min_size=1,
+            max_size=2000,
+        ),
+        st.integers(min_value=8, max_value=200),
+    )
+    def inner(vals, delta):
+        v = np.asarray(vals, dtype=float)
+        w = np.ones(len(v))
+        m, ww = _td_compress(v, w, delta)
+        # honest k0 bound: every closed block exceeds cap - max_unit_weight,
+        # so the centroid count is < 2*delta + 1 (and never exceeds n —
+        # unit weights with cap < 2 simply stay exact)
+        assert len(m) <= min(len(v), 2 * delta + 1)
+        assert abs(sum(ww) - len(v)) < 1e-6 * max(len(v), 1)
+        assert min(m) >= v.min() - 1e-9 and max(m) <= v.max() + 1e-9
+        # weighted mean preserved (merging only averages)
+        assert abs(
+            float(np.dot(m, ww)) - float(v.sum())
+        ) <= 1e-9 * float(np.abs(v).sum()) + 1e-6
+
+    inner()
+
+
+def test_fd_shrink_properties_hypothesis():
+    """Property (hypothesis): FD shrink never increases any direction's
+    energy and keeps the spectral error within ||A||_F^2 (loose bound;
+    the tight l/2 bound is pinned on the fixture in test_ml)."""
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from go_batch_processor_spark.operators.ml import _fd_shrink
+
+    @settings(max_examples=25, deadline=None)
+    @given(st.integers(10, 60), st.integers(2, 8), st.integers(0, 2**31 - 1))
+    def inner(n, d, seed):
+        rng = np.random.default_rng(seed)
+        A = rng.normal(size=(n, d))
+        ell = min(8, n)
+        B = _fd_shrink(A, ell)
+        assert B.shape[1] == d
+        assert len(B) <= max(min(ell, n, d) - 1, 0) or len(B) <= ell
+        AtA, BtB = A.T @ A, B.T @ B
+        # sketch never overestimates energy in any direction
+        evals = np.linalg.eigvalsh(AtA - BtB)
+        assert evals.min() >= -1e-8
+        assert np.linalg.norm(AtA - BtB, 2) <= (A**2).sum() + 1e-6
+
+    inner()
