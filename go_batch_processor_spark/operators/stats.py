@@ -1858,3 +1858,56 @@ def stats_avg_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("average_precision"),
         F.sum("y").cast("bigint").alias("n_pos"),
     )
+
+
+@register(
+    "stats_qq_deciles",
+    oracle="""
+    WITH q AS (
+      SELECT quantile_cont(CASE WHEN event_type = 'click' THEN value END,
+               [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS qa,
+             quantile_cont(CASE WHEN event_type = 'view' THEN value END,
+               [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS qb
+      FROM events WHERE event_type IN ('click', 'view')
+    )
+    SELECT CAST(i AS BIGINT)                   AS decile,
+           round(qa[CAST(i AS INTEGER)], 4)    AS q_click,
+           round(qb[CAST(i AS INTEGER)], 4)    AS q_view,
+           round(qa[CAST(i AS INTEGER)] - qb[CAST(i AS INTEGER)], 4) AS qq_gap
+    FROM q, unnest(generate_series(1, 9)) AS t(i)
+    """,
+)
+def stats_qq_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decile Q-Q comparison of two distributions (click vs view values):
+    the per-quantile gap locates WHERE two samples diverge (KS gives one
+    max-gap number; the Q-Q profile says 'tails differ, body matches' —
+    the actionable drift diagnosis).
+
+    Plan: ONE scan computes both groups' nine deciles as two
+    multi-quantile sort aggregates (percentile(value, array(...)) keeps
+    it one pass per group, conditional on the group flag), then the
+    9-row Q-Q table assembles from a 1-row frame — no per-decile rescan
+    (the oracle's correlated subqueries are the readable spec, not the
+    plan)."""
+    ev = load_table(spark, sf_dir, "events")
+    qs = [i / 10.0 for i in range(1, 10)]
+    qlist = ", ".join(str(q) for q in qs)
+    one = ev.filter(F.col("event_type").isin("click", "view")).agg(
+        F.expr(
+            f"percentile(CASE WHEN event_type = 'click' THEN value END,"
+            f" array({qlist}))"
+        ).alias("qa"),
+        F.expr(
+            f"percentile(CASE WHEN event_type = 'view' THEN value END,"
+            f" array({qlist}))"
+        ).alias("qb"),
+    )
+    rows = one.select(
+        F.posexplode(F.arrays_zip("qa", "qb")).alias("pos", "z")
+    )
+    return rows.select(
+        (F.col("pos") + 1).cast("bigint").alias("decile"),
+        F.round(F.col("z.qa"), 4).alias("q_click"),
+        F.round(F.col("z.qb"), 4).alias("q_view"),
+        F.round(F.col("z.qa") - F.col("z.qb"), 4).alias("qq_gap"),
+    )

@@ -819,3 +819,72 @@ def timeseries_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stats.filter(
         (F.col("nw") >= 4) & (F.col("sd") > 0) & (F.abs(z) > 2.0)
     ).select("event_type", "d", F.round(z, 4).alias("rolling_z"))
+
+
+@register(
+    "timeseries_backtest_naive",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, date_trunc('day', ts) AS d, sum(value) AS v
+      FROM events GROUP BY 1, 2
+    ),
+    f AS (
+      SELECT event_type, d, v,
+             lag(v, 1) OVER w AS naive_fc,
+             (lag(v, 1) OVER w + lag(v, 2) OVER w + lag(v, 3) OVER w) / 3.0
+               AS sma3_fc
+      FROM daily
+      WINDOW w AS (PARTITION BY event_type ORDER BY d)
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT)                          AS n_days,
+           round(avg(abs(v - naive_fc)), 4)                  AS mae_naive,
+           round(avg(abs(v - sma3_fc)), 4)                   AS mae_sma3,
+           round(avg(abs(v - naive_fc) / abs(v)) * 100, 4)   AS mape_naive,
+           round(avg(abs(v - sma3_fc) / abs(v)) * 100, 4)    AS mape_sma3
+    FROM f
+    WHERE naive_fc IS NOT NULL AND sma3_fc IS NOT NULL AND v <> 0
+    GROUP BY event_type
+    """,
+)
+def timeseries_backtest_naive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-origin backtest of the two baseline forecasters every
+    real forecast must beat — persistence (tomorrow = today) and SMA-3 —
+    scored by MAE and MAPE per series. Publishing a model without this
+    baseline table is the classic forecasting sin; Holt-Winters
+    (timeseries_holt_winters) is this table's challenger entry.
+
+    Plan: daily aggregate, then ONE lag window per series produces both
+    forecasts (three lags share the sort), and the error metrics are a
+    partial-combinable per-series aggregate. Strictly out-of-sample by
+    construction — lag() can only see the past."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("d")
+    ).agg(F.sum("value").alias("v"))
+    w = Window.partitionBy("event_type").orderBy("d")
+    f = daily.select(
+        "event_type",
+        "v",
+        F.lag("v", 1).over(w).alias("naive_fc"),
+        (
+            (F.lag("v", 1).over(w) + F.lag("v", 2).over(w) + F.lag("v", 3).over(w))
+            / 3.0
+        ).alias("sma3_fc"),
+    )
+    f = f.filter(
+        F.col("naive_fc").isNotNull()
+        & F.col("sma3_fc").isNotNull()
+        & (F.col("v") != 0)
+    )
+    return f.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.round(F.avg(F.abs(F.col("v") - F.col("naive_fc"))), 4).alias("mae_naive"),
+        F.round(F.avg(F.abs(F.col("v") - F.col("sma3_fc"))), 4).alias("mae_sma3"),
+        F.round(
+            F.avg(F.abs(F.col("v") - F.col("naive_fc")) / F.abs(F.col("v"))) * 100, 4
+        ).alias("mape_naive"),
+        F.round(
+            F.avg(F.abs(F.col("v") - F.col("sma3_fc")) / F.abs(F.col("v"))) * 100, 4
+        ).alias("mape_sma3"),
+    )
