@@ -1911,3 +1911,89 @@ def stats_qq_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("z.qb"), 4).alias("q_view"),
         F.round(F.col("z.qa") - F.col("z.qb"), 4).alias("qq_gap"),
     )
+
+
+AUC_BINS = 1024
+
+
+@register(
+    "stats_auc_roc_binned",
+    oracle=f"""
+    WITH scored AS (
+      SELECT value AS score,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+      FROM events WHERE event_type IN ('purchase', 'view')
+    ),
+    ext AS (SELECT min(score) AS mn, max(score) AS mx FROM scored),
+    binned AS (
+      SELECT CASE WHEN e.mx = e.mn THEN 0
+                  ELSE least(CAST(floor((s.score - e.mn) / (e.mx - e.mn)
+                                        * {AUC_BINS}) AS BIGINT),
+                             {AUC_BINS} - 1) END AS b,
+             sum(s.y)            AS np,
+             count(*) - sum(s.y) AS nn
+      FROM scored s CROSS JOIN ext e
+      GROUP BY 1
+    ),
+    cum AS (
+      SELECT b, np, nn,
+             COALESCE(sum(nn) OVER (ORDER BY b
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS cum_nn
+      FROM binned
+    )
+    SELECT round(sum(np * (cum_nn + nn / 2.0))
+                 / (sum(np) * sum(nn)), 6) AS auc_binned,
+           CAST(sum(np) AS BIGINT) AS n_pos,
+           CAST(sum(nn) AS BIGINT) AS n_neg
+    FROM cum
+    """,
+)
+def stats_auc_roc_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB AUC: histogram-binned rank-sum (1024 fixed-width score
+    bins, every score in a bin treated as tied at the bin → mid-rank
+    credit (cum_neg + n_neg/2) per positive). This is the scale path
+    stats_auc_roc's docstring promises, materialized as its own oracled
+    key: NO global sort — one min/max aggregate, one |bins|-row count
+    aggregate, and a window over 1024 rows. Error vs exact AUC is
+    bounded by the per-bin tie mass (tests/test_stats_robust.py pins
+    agreement to ~1e-3 on the fixture)."""
+    ev = load_table(spark, sf_dir, "events")
+    scored = ev.filter(F.col("event_type").isin("purchase", "view")).select(
+        F.col("value").alias("score"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("y"),
+    )
+    ext = scored.agg(F.min("score").alias("mn"), F.max("score").alias("mx"))
+    b = F.when(F.col("mx") == F.col("mn"), 0).otherwise(
+        F.least(
+            F.floor(
+                (F.col("score") - F.col("mn"))
+                / (F.col("mx") - F.col("mn"))
+                * AUC_BINS
+            ).cast("bigint"),
+            F.lit(AUC_BINS - 1),
+        )
+    )
+    binned = (
+        scored.crossJoin(F.broadcast(ext))
+        .groupBy(b.alias("b"))
+        .agg(
+            F.sum("y").alias("np"),
+            (F.count(F.lit(1)) - F.sum("y")).alias("nn"),
+        )
+    )
+    w = (
+        Window.partitionBy()
+        .orderBy("b")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum = binned.withColumn("cum_nn", F.coalesce(F.sum("nn").over(w), F.lit(0)))
+    return cum.agg(
+        F.round(
+            F.sum(F.col("np") * (F.col("cum_nn") + F.col("nn") / 2.0))
+            / (F.sum("np") * F.sum("nn")),
+            6,
+        ).alias("auc_binned"),
+        F.sum("np").cast("bigint").alias("n_pos"),
+        F.sum("nn").cast("bigint").alias("n_neg"),
+    )

@@ -79,3 +79,18 @@ def test_spearman_invariant_to_monotone_transform(spark, sf_dir):
     r1 = g["l_quantity"].rank().corr(g["l_extendedprice"].rank())
     r2 = g["l_quantity"].rank().corr(np.log1p(g["l_extendedprice"]).rank())
     assert abs(r1 - r2) < 1e-12
+
+
+def test_binned_auc_close_to_exact(spark, sf_dir):
+    """The sort-free binned AUC must agree with the exact rank-sum AUC
+    within the per-bin tie-mass error (generous 5e-3 at 1024 bins)."""
+    exact = (
+        REGISTRY["stats_auc_roc"].fn(spark, sf_dir).toPandas().iloc[0]["auc"]
+    )
+    binned = (
+        REGISTRY["stats_auc_roc_binned"]
+        .fn(spark, sf_dir)
+        .toPandas()
+        .iloc[0]["auc_binned"]
+    )
+    assert abs(exact - binned) < 5e-3, (exact, binned)
