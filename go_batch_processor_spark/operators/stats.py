@@ -1997,3 +1997,89 @@ def stats_auc_roc_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("np").cast("bigint").alias("n_pos"),
         F.sum("nn").cast("bigint").alias("n_neg"),
     )
+
+
+@register(
+    "profile_expectations_check",
+    oracle="""
+    SELECT 'orderkey_unique' AS check_name,
+           CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT) AS n_violations,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           count(*) = count(DISTINCT o_orderkey) AS passed
+    FROM orders
+    UNION ALL
+    SELECT 'custkey_not_null',
+           CAST(count(*) - count(o_custkey) AS BIGINT),
+           CAST(count(*) AS BIGINT),
+           count(*) = count(o_custkey)
+    FROM orders
+    UNION ALL
+    SELECT 'status_accepted_values',
+           CAST(sum(CASE WHEN o_orderstatus NOT IN ('F', 'O', 'P')
+                         THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(count(*) AS BIGINT),
+           sum(CASE WHEN o_orderstatus NOT IN ('F', 'O', 'P')
+                    THEN 1 ELSE 0 END) = 0
+    FROM orders
+    UNION ALL
+    SELECT 'totalprice_positive',
+           CAST(sum(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(count(*) AS BIGINT),
+           sum(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) = 0
+    FROM orders
+    UNION ALL
+    SELECT 'orderdate_in_range',
+           CAST(sum(CASE WHEN o_orderdate < TIMESTAMP '1990-01-01'
+                          OR o_orderdate >= TIMESTAMP '2000-01-01'
+                         THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(count(*) AS BIGINT),
+           sum(CASE WHEN o_orderdate < TIMESTAMP '1990-01-01'
+                     OR o_orderdate >= TIMESTAMP '2000-01-01'
+                    THEN 1 ELSE 0 END) = 0
+    FROM orders
+    """,
+)
+def profile_expectations_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality expectations (the dbt-test /
+    Great-Expectations contract): uniqueness, not-null, accepted
+    values, range, and date-window checks over one table, each reported
+    as (violations, rows, passed) — the gate a 100 TB ingest runs
+    BEFORE publishing a partition.
+
+    Plan discipline identical to profile_table_stats: every expectation
+    is a conditional aggregate over the SAME single scan (one agg row
+    carrying all checks, multi-distinct via Expand), unpivoted with
+    inline(array(structs)) — k expectations never cost k scans. The
+    oracle's UNION ALL is the readable spec, not the plan."""
+    od = load_table(spark, sf_dir, "orders")
+    n = F.count(F.lit(1))
+    checks = {
+        "orderkey_unique": n - F.countDistinct("o_orderkey"),
+        "custkey_not_null": n - F.count("o_custkey"),
+        "status_accepted_values": F.sum(
+            F.when(~F.col("o_orderstatus").isin("F", "O", "P"), 1).otherwise(0)
+        ),
+        "totalprice_positive": F.sum(
+            F.when(F.col("o_totalprice") <= 0, 1).otherwise(0)
+        ),
+        "orderdate_in_range": F.sum(
+            F.when(
+                (F.col("o_orderdate") < F.lit("1990-01-01").cast("timestamp"))
+                | (F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp")),
+                1,
+            ).otherwise(0)
+        ),
+    }
+    aggs = [v.cast("bigint").alias(f"v_{k}") for k, v in checks.items()]
+    aggs.append(n.cast("bigint").alias("n_rows"))
+    one = od.agg(*aggs)
+    structs = [
+        F.struct(
+            F.lit(k).alias("check_name"),
+            F.col(f"v_{k}").alias("n_violations"),
+            F.col("n_rows").alias("n_rows"),
+            (F.col(f"v_{k}") == 0).alias("passed"),
+        )
+        for k in checks
+    ]
+    return one.select(F.inline(F.array(*structs)))
