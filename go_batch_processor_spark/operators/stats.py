@@ -2083,3 +2083,171 @@ def profile_expectations_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         for k in checks
     ]
     return one.select(F.inline(F.array(*structs)))
+
+
+@register(
+    "stats_benford_digits",
+    oracle="""
+    WITH d AS (
+      SELECT CAST(substring(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1)
+                  AS BIGINT) AS digit
+      FROM orders WHERE o_totalprice >= 1
+    ),
+    obs AS (
+      SELECT digit, CAST(count(*) AS DOUBLE) AS o FROM d GROUP BY digit
+    ),
+    tot AS (SELECT sum(o) AS n FROM obs)
+    SELECT obs.digit,
+           CAST(obs.o AS BIGINT) AS n_obs,
+           round(obs.o / tot.n, 6) AS p_obs,
+           round(ln(1.0 + 1.0 / obs.digit) / ln(10.0), 6) AS p_benford,
+           round((obs.o / tot.n - ln(1.0 + 1.0 / obs.digit) / ln(10.0))
+                 * (obs.o / tot.n - ln(1.0 + 1.0 / obs.digit) / ln(10.0))
+                 / (ln(1.0 + 1.0 / obs.digit) / ln(10.0)), 8) AS chi2_term
+    FROM obs CROSS JOIN tot
+    """,
+)
+def stats_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit audit of order totals: observed leading-
+    digit frequencies vs log10(1+1/d), with per-digit chi-square terms —
+    the data-forensics screen for fabricated or re-generated numeric
+    columns (synthetic uniform data fails it loudly, which is exactly
+    the point on a synthetic fixture: the screen MUST flag it).
+
+    Plan: a narrow digit-extraction map + a 9-row aggregate — 100 TB
+    scan-bound with a 9-key shuffle. Digit extraction goes through
+    BIGINT-then-string on both engines (double→string formatting is
+    engine-specific; integer rendering is not — the parity trap and its
+    fix in one)."""
+    od = load_table(spark, sf_dir, "orders")
+    # floor BEFORE the integer cast: DuckDB's double->BIGINT cast ROUNDS
+    # while Spark's truncates (899.99 -> 900 vs 899) — floor is identical
+    # on both engines (found as a real +-1-count divergence at sf0.01)
+    digit = F.substring(
+        F.floor("o_totalprice").cast("bigint").cast("string"), 1, 1
+    ).cast("bigint")
+    obs = (
+        od.filter(F.col("o_totalprice") >= 1)
+        .groupBy(digit.alias("digit"))
+        .agg(F.count(F.lit(1)).cast("double").alias("o"))
+    )
+    tot = obs.agg(F.sum("o").alias("n"))
+    p_obs = F.col("o") / F.col("n")
+    p_ben = F.log(1.0 + 1.0 / F.col("digit")) / F.log(F.lit(10.0))
+    return (
+        obs.crossJoin(F.broadcast(tot))
+        .select(
+            "digit",
+            F.col("o").cast("bigint").alias("n_obs"),
+            F.round(p_obs, 6).alias("p_obs"),
+            F.round(p_ben, 6).alias("p_benford"),
+            F.round((p_obs - p_ben) * (p_obs - p_ben) / p_ben, 8).alias("chi2_term"),
+        )
+    )
+
+
+JSE_K = 256
+
+
+def _jse_u(engine: str) -> str:
+    """Dyadic md5 uniform over o_custkey (join-key sampling hash)."""
+    if engine == "spark":
+        h, pos = "md5(cast(k as string))", "instr"
+    else:
+        h, pos = "md5(CAST(k AS VARCHAR))", "strpos"
+    return " + ".join(
+        f"({pos}('0123456789abcdef', substring({h}, {i}, 1)) - 1)"
+        f" / cast({16 ** i} as double)"
+        for i in range(1, 9)
+    )
+
+
+@register(
+    "stats_join_size_estimate",
+    oracle=f"""
+    WITH fa AS (SELECT o_custkey AS k, count(*) AS fa FROM orders GROUP BY 1),
+    fb AS (SELECT c_custkey AS k, count(*) AS fb FROM customer GROUP BY 1),
+    keys AS (
+      SELECT COALESCE(fa.k, fb.k) AS k,
+             COALESCE(fa.fa, 0) AS fa, COALESCE(fb.fb, 0) AS fb
+      FROM fa FULL OUTER JOIN fb USING (k)
+    ),
+    h AS (SELECT k, fa, fb, {_jse_u('duck')} AS u FROM keys),
+    s AS (SELECT * FROM h ORDER BY u, k LIMIT {JSE_K}),
+    est AS (
+      SELECT CASE WHEN (SELECT count(*) FROM keys) <= {JSE_K}
+                  THEN sum(fa * fb)
+                  ELSE round(sum(fa * fb) / max(u)) END AS est_join,
+             CAST((SELECT sum(fa.fa * fb.fb)
+                   FROM fa JOIN fb USING (k)) AS BIGINT) AS exact_join
+      FROM s
+    )
+    SELECT CAST(est_join AS BIGINT) AS est_join_size,
+           exact_join AS exact_join_size,
+           round(abs(est_join - exact_join) * 1.0
+                 / greatest(exact_join, 1), 4) AS rel_err
+    FROM est
+    """,
+)
+def stats_join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-cardinality estimation from a bottom-k key sample — the
+    cost-based-optimizer primitive: |A⋈B| = Σ_k fA(k)·fB(k), estimated
+    Horvitz-Thompson style over the {k} keys with the smallest
+    content-hash (inclusion threshold t = max sampled u; each sampled
+    key's contribution scales by 1/t). Deterministic md5 sampling makes
+    the whole estimate ORACLED — and the exact Σ fA·fB rides along so
+    the relative error is part of the contract (rel_err is itself
+    checked bit-for-bit, not just bounded).
+
+    Plan: two per-side key-frequency aggregates (partial-combinable),
+    a key-level full-outer join, bottom-k by hash =
+    TakeOrderedAndProject (the KMV merge rule again), and the exact
+    twin is one co-partitioned join of the two frequency tables — at
+    100 TB you'd skip the exact twin and keep the sketch; both shapes
+    shuffle only key-level frequency tables, never raw rows."""
+    od = load_table(spark, sf_dir, "orders")
+    cu = load_table(spark, sf_dir, "customer")
+    fa = od.groupBy(F.col("o_custkey").alias("k")).agg(F.count(F.lit(1)).alias("fa"))
+    fb = cu.groupBy(F.col("c_custkey").alias("k")).agg(F.count(F.lit(1)).alias("fb"))
+    keys = (
+        fa.join(fb, "k", "full_outer")
+        .select(
+            "k",
+            F.coalesce("fa", F.lit(0)).alias("fa"),
+            F.coalesce("fb", F.lit(0)).alias("fb"),
+        )
+    )
+    h = keys.withColumn("u", F.expr(_jse_u("spark")))
+    s = h.orderBy("u", "k").limit(JSE_K)
+    n_keys = keys.agg(F.count(F.lit(1)).alias("nk"))
+    exact = (
+        fa.join(fb, "k")
+        .agg(F.sum(F.col("fa") * F.col("fb")).cast("bigint").alias("exact_join"))
+    )
+    est = (
+        s.agg(
+            F.sum(F.col("fa") * F.col("fb")).alias("samp_sum"),
+            F.max("u").alias("t"),
+            F.count(F.lit(1)).alias("ns"),
+        )
+        .crossJoin(F.broadcast(n_keys))
+        .crossJoin(F.broadcast(exact))
+        .select(
+            F.when(F.col("nk") <= JSE_K, F.col("samp_sum"))
+            .otherwise(F.round(F.col("samp_sum") / F.col("t")))
+            .cast("bigint")
+            .alias("est_join_size"),
+            F.col("exact_join").alias("exact_join_size"),
+            F.round(
+                F.abs(
+                    F.when(F.col("nk") <= JSE_K, F.col("samp_sum"))
+                    .otherwise(F.round(F.col("samp_sum") / F.col("t")))
+                    - F.col("exact_join")
+                )
+                * 1.0
+                / F.greatest(F.col("exact_join"), F.lit(1)),
+                4,
+            ).alias("rel_err"),
+        )
+    )
+    return est
