@@ -1682,3 +1682,82 @@ def similarity_knn_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("accuracy"),
     )
+
+
+@register(
+    "similarity_embedding_drift",
+    oracle="""
+    WITH flat AS (
+      SELECT vec_id, label, vec_id % 2 AS half,
+             CAST(unnest(embedding) AS DOUBLE) AS v,
+             generate_subscripts(embedding, 1) AS i
+      FROM embeddings
+    ),
+    mu AS (
+      SELECT label, half, i, avg(v) AS m, count(*) AS n
+      FROM flat GROUP BY 1, 2, 3
+    ),
+    pairs AS (
+      SELECT a.label, a.i, a.m AS ma, b.m AS mb, a.n AS na, b.n AS nb
+      FROM mu a JOIN mu b ON a.label = b.label AND a.i = b.i
+      WHERE a.half = 0 AND b.half = 1
+    )
+    SELECT label,
+           round(sum(ma * mb)
+                 / (sqrt(sum(ma * ma)) * sqrt(sum(mb * mb))), 4)
+             AS centroid_cosine,
+           round(sqrt(sum((ma - mb) * (ma - mb))), 4) AS centroid_l2_shift,
+           CAST(any_value(na) AS BIGINT) AS n_a,
+           CAST(any_value(nb) AS BIGINT) AS n_b
+    FROM pairs GROUP BY label
+    """,
+)
+def similarity_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space drift monitor: per-label centroid cosine and L2
+    shift between two corpus snapshots (halves by vec_id parity here;
+    yesterday-vs-today partitions in production) — the cheap alarm that
+    catches a re-trained or corrupted encoder BEFORE the downstream ANN
+    index silently degrades (centroid_cosine ≈ 1 is healthy; a label
+    whose centroid rotated is the drill-down target).
+
+    Plan: ONE posexplode scan -> per-(label, half, dim) mean (partial-
+    combinable, output is |labels|·2·d rows — tiny), then the drift
+    metrics are a d-term aggregate per label on that frame. No
+    corpus-sized shuffle; 100 TB cost is the scan. Means are
+    accumulation-order sensitive in the last ulp -> metrics rounded to
+    4 on both sides (the cosine of means is stable far beyond that)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    flat = emb.select(
+        "label",
+        (F.col("vec_id") % 2).alias("half"),
+        F.posexplode(_as_double(F.col("embedding"))).alias("i", "v"),
+    )
+    mu = flat.groupBy("label", "half", "i").agg(
+        F.avg("v").alias("m"), (F.count(F.lit(1))).alias("n")
+    )
+    a = mu.filter(F.col("half") == 0).select(
+        "label", "i", F.col("m").alias("ma"), F.col("n").alias("na")
+    )
+    b = mu.filter(F.col("half") == 1).select(
+        "label", "i", F.col("m").alias("mb"), F.col("n").alias("nb")
+    )
+    return (
+        a.join(b, ["label", "i"])
+        .groupBy("label")
+        .agg(
+            F.round(
+                F.sum(F.col("ma") * F.col("mb"))
+                / (
+                    F.sqrt(F.sum(F.col("ma") * F.col("ma")))
+                    * F.sqrt(F.sum(F.col("mb") * F.col("mb")))
+                ),
+                4,
+            ).alias("centroid_cosine"),
+            F.round(
+                F.sqrt(F.sum((F.col("ma") - F.col("mb")) * (F.col("ma") - F.col("mb")))),
+                4,
+            ).alias("centroid_l2_shift"),
+            F.first("na").cast("bigint").alias("n_a"),
+            F.first("nb").cast("bigint").alias("n_b"),
+        )
+    )
