@@ -894,3 +894,91 @@ def analytics_basket_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(lift, 6).alias("lift"),
         )
     )
+
+
+@register(
+    "analytics_cohort_ltv",
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id, min(date_trunc('day', ts)) AS cohort_day
+      FROM events GROUP BY user_id
+    ),
+    rev AS (
+      SELECT e.user_id, f.cohort_day,
+             CAST(date_diff('day', f.cohort_day, date_trunc('day', e.ts))
+                  AS BIGINT) // 7 AS week_offset,
+             e.value AS v
+      FROM events e JOIN firsts f USING (user_id)
+      WHERE e.event_type = 'purchase'
+    ),
+    wk AS (
+      SELECT date_trunc('week', cohort_day) AS cohort_week,
+             week_offset,
+             sum(v) AS wk_rev
+      FROM rev GROUP BY 1, 2
+    ),
+    sizes AS (
+      SELECT date_trunc('week', cohort_day) AS cohort_week,
+             CAST(count(*) AS BIGINT) AS cohort_users
+      FROM firsts GROUP BY 1
+    )
+    SELECT w.cohort_week, CAST(w.week_offset AS BIGINT) AS week_offset,
+           s.cohort_users,
+           round(sum(w.wk_rev) OVER (PARTITION BY w.cohort_week
+                   ORDER BY w.week_offset) / s.cohort_users, 4)
+             AS cum_ltv_per_user
+    FROM wk w JOIN sizes s USING (cohort_week)
+    """,
+)
+def analytics_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort LTV curve: cumulative purchase revenue per user by signup
+    cohort (week) and weeks-since-signup — the money twin of the
+    retention triangle (analytics_retention_cohort counts heads; this
+    tracks value), the payback-period table growth teams steer by.
+
+    Plan: first-seen day via one user aggregate, revenue keyed to
+    (cohort, offset) in one partial-combinable aggregate (calendar² -
+    bounded output), cohort sizes re-aggregate the firsts frame, and
+    the cumulative sum is an ordered window over the tiny cohort grid —
+    running sums over full orderings are bit-deterministic, so only the
+    final per-user division is rounded."""
+    ev = load_table(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(
+        F.min(F.date_trunc("day", "ts")).alias("cohort_day")
+    )
+    rev = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(firsts, "user_id")
+        .select(
+            F.date_trunc("week", "cohort_day").alias("cohort_week"),
+            (
+                F.datediff(F.date_trunc("day", "ts"), F.col("cohort_day")).cast(
+                    "bigint"
+                )
+                / 7
+            )
+            .cast("bigint")
+            .alias("week_offset"),
+            F.col("value").alias("v"),
+        )
+    )
+    wk = rev.groupBy("cohort_week", "week_offset").agg(F.sum("v").alias("wk_rev"))
+    sizes = firsts.groupBy(
+        F.date_trunc("week", "cohort_day").alias("cohort_week")
+    ).agg(F.count(F.lit(1)).alias("cohort_users"))
+    w_run = (
+        Window.partitionBy("cohort_week")
+        .orderBy("week_offset")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        wk.join(F.broadcast(sizes), "cohort_week")
+        .select(
+            "cohort_week",
+            F.col("week_offset"),
+            F.col("cohort_users").cast("bigint").alias("cohort_users"),
+            F.round(
+                F.sum("wk_rev").over(w_run) / F.col("cohort_users"), 4
+            ).alias("cum_ltv_per_user"),
+        )
+    )

@@ -2251,3 +2251,57 @@ def stats_join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return est
+
+
+@register(
+    "stats_cohens_d",
+    oracle="""
+    WITH g AS (
+      SELECT event_type,
+             CAST(count(*) AS DOUBLE) AS n,
+             avg(value)               AS mu,
+             var_samp(value)          AS v
+      FROM events WHERE event_type IN ('click', 'purchase')
+      GROUP BY event_type
+    )
+    SELECT round(a.mu - b.mu, 6) AS mean_diff,
+           round((a.mu - b.mu)
+                 / sqrt(((a.n - 1) * a.v + (b.n - 1) * b.v)
+                        / (a.n + b.n - 2)), 6) AS cohens_d,
+           CAST(a.n AS BIGINT) AS n_click,
+           CAST(b.n AS BIGINT) AS n_purchase
+    FROM g a, g b
+    WHERE a.event_type = 'click' AND b.event_type = 'purchase'
+    """,
+)
+def stats_cohens_d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's d standardized effect size (pooled-variance) between two
+    groups' value distributions — the companion every t-test needs
+    (analytics_ab_ttest says WHETHER the difference is real; d says
+    whether it's big enough to care, invariant to sample size).
+
+    One partial-combinable (n, mean, variance) aggregate -> 2 rows; the
+    effect size assembles on that frame. Rounded: mean/variance are
+    accumulation-order sensitive."""
+    ev = load_table(spark, sf_dir, "events")
+    g = (
+        ev.filter(F.col("event_type").isin("click", "purchase"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("double").alias("n"),
+            F.avg("value").alias("mu"),
+            F.var_samp("value").alias("v"),
+        )
+    )
+    a = g.filter(F.col("event_type") == "click").alias("a")
+    b = g.filter(F.col("event_type") == "purchase").alias("b")
+    pooled = F.sqrt(
+        ((F.col("a.n") - 1) * F.col("a.v") + (F.col("b.n") - 1) * F.col("b.v"))
+        / (F.col("a.n") + F.col("b.n") - 2)
+    )
+    return a.crossJoin(b).select(
+        F.round(F.col("a.mu") - F.col("b.mu"), 6).alias("mean_diff"),
+        F.round((F.col("a.mu") - F.col("b.mu")) / pooled, 6).alias("cohens_d"),
+        F.col("a.n").cast("bigint").alias("n_click"),
+        F.col("b.n").cast("bigint").alias("n_purchase"),
+    )
