@@ -2305,3 +2305,123 @@ def stats_cohens_d(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("a.n").cast("bigint").alias("n_click"),
         F.col("b.n").cast("bigint").alias("n_purchase"),
     )
+
+
+@register(
+    "agg_expected_shortfall",
+    oracle="""
+    WITH var_ AS (
+      SELECT event_type, quantile_cont(value, 0.95) AS var95
+      FROM events GROUP BY event_type
+    )
+    SELECT e.event_type,
+           round(any_value(v.var95), 4)                       AS var95,
+           round(avg(e.value), 6)                             AS es95_mean_tail,
+           CAST(count(*) AS BIGINT)                           AS n_tail
+    FROM events e JOIN var_ v USING (event_type)
+    WHERE e.value >= v.var95
+    GROUP BY e.event_type
+    """,
+)
+def agg_expected_shortfall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value-at-Risk (p95) plus expected shortfall (CVaR: the mean of
+    the tail BEYOND VaR) per series — the coherent tail-risk pair
+    (VaR alone ignores how bad the tail is once entered; ES is what
+    Basel/FRTB actually require).
+
+    Plan: one exact-percentile aggregate (|groups| rows) broadcast back
+    as the tail threshold, then a filtered partial-combinable tail
+    aggregate — the corpus is scanned twice but shuffled never
+    (threshold and tail stats are both group-sized). At 100 TB:
+    approx_percentile for the threshold, same second pass."""
+    ev = load_table(spark, sf_dir, "events")
+    var_ = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.95)").alias("var95")
+    )
+    return (
+        ev.join(F.broadcast(var_), "event_type")
+        .filter(F.col("value") >= F.col("var95"))
+        .groupBy("event_type")
+        .agg(
+            F.round(F.first("var95"), 4).alias("var95"),
+            F.round(F.avg("value"), 6).alias("es95_mean_tail"),
+            F.count(F.lit(1)).alias("n_tail"),
+        )
+    )
+
+
+@register(
+    "stats_levene_test",
+    oracle="""
+    WITH med AS (
+      SELECT event_type, quantile_cont(value, 0.5) AS med
+      FROM events GROUP BY event_type
+    ),
+    z AS (
+      SELECT e.event_type, abs(e.value - m.med) AS z
+      FROM events e JOIN med m USING (event_type)
+    ),
+    g AS (
+      SELECT event_type, CAST(count(*) AS DOUBLE) AS n,
+             sum(z) AS s, sum(z * z) AS ss
+      FROM z GROUP BY event_type
+    ),
+    tot AS (SELECT sum(n) AS nt, sum(s) AS st,
+                   CAST(count(*) AS DOUBLE) AS k FROM g),
+    comb AS (
+      SELECT any_value(k) AS k, any_value(nt) AS nt,
+             sum(n * (s / n - st / nt) * (s / n - st / nt)) AS ssb,
+             sum(ss - s * s / n)                            AS ssw
+      FROM g, tot
+    )
+    SELECT CAST(k AS BIGINT)  AS k_groups,
+           CAST(nt AS BIGINT) AS n_total,
+           round((ssb / (k - 1)) / (ssw / (nt - k)), 4) AS levene_w
+    FROM comb
+    """,
+)
+def stats_levene_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brown-Forsythe/Levene test of variance homogeneity: a one-way
+    ANOVA on |x − group MEDIAN| (the robust Brown-Forsythe centering) —
+    the assumption check stats_anova_oneway itself depends on (unequal
+    variances invalidate the pooled F).
+
+    Plan composition: the median step is analytics_robust_zscore_mad's
+    broadcast-threshold shape, the F step is stats_anova_oneway's
+    sufficient-statistics shape — two tiny aggregates plus one
+    scan-bound deviation pass; nothing corpus-sized shuffles."""
+    ev = load_table(spark, sf_dir, "events")
+    med = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("med")
+    )
+    z = ev.join(F.broadcast(med), "event_type").select(
+        "event_type", F.abs(F.col("value") - F.col("med")).alias("z")
+    )
+    g = z.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("z").alias("s"),
+        F.sum(F.col("z") * F.col("z")).alias("ss"),
+    )
+    tot = g.agg(
+        F.sum("n").alias("nt"),
+        F.sum("s").alias("st"),
+        F.count(F.lit(1)).cast("double").alias("k"),
+    )
+    comb = g.crossJoin(F.broadcast(tot)).agg(
+        F.first("k").alias("k"),
+        F.first("nt").alias("nt"),
+        F.sum(
+            F.col("n")
+            * (F.col("s") / F.col("n") - F.col("st") / F.col("nt"))
+            * (F.col("s") / F.col("n") - F.col("st") / F.col("nt"))
+        ).alias("ssb"),
+        F.sum(F.col("ss") - F.col("s") * F.col("s") / F.col("n")).alias("ssw"),
+    )
+    return comb.select(
+        F.col("k").cast("bigint").alias("k_groups"),
+        F.col("nt").cast("bigint").alias("n_total"),
+        F.round(
+            (F.col("ssb") / (F.col("k") - 1)) / (F.col("ssw") / (F.col("nt") - F.col("k"))),
+            4,
+        ).alias("levene_w"),
+    )
