@@ -434,3 +434,55 @@ def test_stream_stream_interval_join_matches_batch(spark, sf_dir):
     }
     assert stream == batch
     assert stream, "fixture must contain click->purchase pairs"
+
+
+def test_streaming_windowed_topk_matches_batch_rank(spark, sf_dir, tmp_path):
+    """The foreachBatch rank epilogue over the incremental windowed count
+    must equal the batch window+rank computed directly."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from go_batch_processor_spark.catalog import load_table
+    from go_batch_processor_spark.streaming.stream_ops import (
+        streaming_windowed_topk,
+    )
+
+    got = (
+        streaming_windowed_topk(spark, sf_dir, str(tmp_path / "topk_sink"))
+        .toPandas()
+        .sort_values(["win_start", "rk"])
+        .reset_index(drop=True)
+    )
+    ev = load_table(spark, sf_dir, "events")
+    want = (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                W.partitionBy("w").orderBy(
+                    F.col("n_events").desc(), F.col("user_id")
+                )
+            ),
+        )
+        .filter(F.col("rk") <= 3)
+        .select(
+            F.col("w.start").alias("win_start"),
+            "user_id",
+            "n_events",
+            F.col("rk").cast("long").alias("rk"),
+        )
+        .toPandas()
+        .sort_values(["win_start", "rk"])
+        .reset_index(drop=True)
+    )
+    import pandas as pd
+
+    # sink round-trips win_start through a partition column (string) —
+    # normalize dtypes before compare
+    got["win_start"] = pd.to_datetime(got["win_start"])
+    want["win_start"] = pd.to_datetime(want["win_start"])
+    pd.testing.assert_frame_equal(
+        got[["win_start", "user_id", "n_events", "rk"]],
+        want[["win_start", "user_id", "n_events", "rk"]],
+    )
