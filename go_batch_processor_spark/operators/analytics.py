@@ -982,3 +982,59 @@ def analytics_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cum_ltv_per_user"),
         )
     )
+
+
+@register(
+    "analytics_pareto_share",
+    oracle="""
+    WITH per_user AS (
+      SELECT user_id, sum(value) AS x FROM events GROUP BY user_id
+    ),
+    ranked AS (
+      SELECT x,
+             row_number() OVER (ORDER BY x DESC, user_id) AS rk,
+             count(*)     OVER ()                         AS n,
+             sum(x)       OVER ()                         AS sx
+      FROM per_user
+    )
+    SELECT round(sum(CASE WHEN rk * 10 <= n THEN x ELSE 0 END)
+                 / any_value(sx), 6)  AS top10pct_share,
+           round(sum(CASE WHEN rk * 5 <= n THEN x ELSE 0 END)
+                 / any_value(sx), 6)  AS top20pct_share,
+           CAST(any_value(n) AS BIGINT) AS n_users
+    FROM ranked
+    """,
+)
+def analytics_pareto_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto concentration: the share of total value contributed by the
+    top 10% / 20% of users (the '80/20' number execs actually quote;
+    analytics_gini_concentration is its integral form).
+
+    Same plan skeleton as Gini: per-user totals, ONE global tie-broken
+    rank window, a 1-row aggregate. The rank-cutoff comparisons
+    (rk·10 ≤ n) are pure integer arithmetic — no floating boundary to
+    diverge; only the final shares are rounded."""
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(F.sum("value").alias("x"))
+    w_all = Window.partitionBy()
+    ranked = per_user.select(
+        "x",
+        F.row_number()
+        .over(Window.partitionBy().orderBy(F.col("x").desc(), "user_id"))
+        .alias("rk"),
+        F.count(F.lit(1)).over(w_all).alias("n"),
+        F.sum("x").over(w_all).alias("sx"),
+    )
+    return ranked.agg(
+        F.round(
+            F.sum(F.when(F.col("rk") * 10 <= F.col("n"), F.col("x")).otherwise(0.0))
+            / F.first("sx"),
+            6,
+        ).alias("top10pct_share"),
+        F.round(
+            F.sum(F.when(F.col("rk") * 5 <= F.col("n"), F.col("x")).otherwise(0.0))
+            / F.first("sx"),
+            6,
+        ).alias("top20pct_share"),
+        F.first("n").cast("bigint").alias("n_users"),
+    )
