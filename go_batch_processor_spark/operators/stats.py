@@ -2425,3 +2425,88 @@ def stats_levene_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("levene_w"),
     )
+
+
+@register(
+    "stats_runs_test",
+    oracle="""
+    WITH med AS (SELECT quantile_cont(value, 0.5) AS med FROM events),
+    s AS (
+      SELECT event_id, ts,
+             CASE WHEN e.value > m.med THEN 1 ELSE 0 END AS sign
+      FROM events e CROSS JOIN med m
+      WHERE e.value <> m.med
+    ),
+    runs AS (
+      SELECT sign,
+             CASE WHEN lag(sign) OVER (ORDER BY ts, event_id) IS NULL
+                    OR lag(sign) OVER (ORDER BY ts, event_id) <> sign
+                  THEN 1 ELSE 0 END AS is_start
+      FROM s
+    ),
+    agg AS (
+      SELECT CAST(sum(is_start) AS DOUBLE) AS r,
+             CAST(sum(sign) AS DOUBLE)     AS n1,
+             CAST(count(*) - sum(sign) AS DOUBLE) AS n2
+      FROM runs
+    )
+    SELECT CAST(r AS BIGINT)  AS n_runs,
+           CAST(n1 AS BIGINT) AS n_above,
+           CAST(n2 AS BIGINT) AS n_below,
+           round((r - (2 * n1 * n2 / (n1 + n2) + 1))
+                 / sqrt(2 * n1 * n2 * (2 * n1 * n2 - n1 - n2)
+                        / ((n1 + n2) * (n1 + n2) * (n1 + n2 - 1))), 4)
+             AS z_stat
+    FROM agg
+    """,
+)
+def stats_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald-Wolfowitz runs test for randomness of the value sequence in
+    time order (above/below the median): too FEW runs = clumping/trend,
+    too MANY = oscillation — the second data-forensics screen beside
+    stats_benford_digits (generated-in-order data fails it; genuinely
+    random arrival passes).
+
+    Plan: one broadcast median threshold, one ordered lag window to
+    mark run starts (run count = Σ starts — the gaps-and-islands trick,
+    no iterative scan), and the normal-approximation z on a 1-row
+    frame. Fully tie-broken ordering keeps the run count
+    engine-identical."""
+    ev = load_table(spark, sf_dir, "events")
+    med = ev.agg(F.expr("percentile(value, 0.5)").alias("med"))
+    s = (
+        ev.crossJoin(F.broadcast(med))
+        .filter(F.col("value") != F.col("med"))
+        .select(
+            "event_id",
+            "ts",
+            F.when(F.col("value") > F.col("med"), 1).otherwise(0).alias("sign"),
+        )
+    )
+    w = Window.partitionBy().orderBy("ts", "event_id")
+    runs = s.select(
+        "sign",
+        F.when(
+            F.lag("sign").over(w).isNull() | (F.lag("sign").over(w) != F.col("sign")),
+            1,
+        )
+        .otherwise(0)
+        .alias("is_start"),
+    )
+    agg = runs.agg(
+        F.sum("is_start").cast("double").alias("r"),
+        F.sum("sign").cast("double").alias("n1"),
+        (F.count(F.lit(1)) - F.sum("sign")).cast("double").alias("n2"),
+    )
+    n1, n2, r = F.col("n1"), F.col("n2"), F.col("r")
+    mu = 2 * n1 * n2 / (n1 + n2) + 1
+    var = (
+        2 * n1 * n2 * (2 * n1 * n2 - n1 - n2)
+        / ((n1 + n2) * (n1 + n2) * (n1 + n2 - 1))
+    )
+    return agg.select(
+        r.cast("bigint").alias("n_runs"),
+        n1.cast("bigint").alias("n_above"),
+        n2.cast("bigint").alias("n_below"),
+        F.round((r - mu) / F.sqrt(var), 4).alias("z_stat"),
+    )

@@ -888,3 +888,88 @@ def timeseries_backtest_naive(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.avg(F.abs(F.col("v") - F.col("sma3_fc")) / F.abs(F.col("v"))) * 100, 4
         ).alias("mape_sma3"),
     )
+
+
+@register(
+    "timeseries_ljung_box",
+    oracle="""
+    WITH hourly AS (
+      SELECT date_trunc('hour', ts) AS h, sum(value) AS v
+      FROM events GROUP BY 1
+    ),
+    x1 AS (SELECT h, v, avg(v) OVER () AS mu FROM hourly),
+    x2 AS (
+      SELECT h, v, mu,
+             sum((v - mu) * (v - mu)) OVER () AS den,
+             row_number() OVER (ORDER BY h)   AS rn,
+             count(*) OVER ()                 AS n
+      FROM x1
+    ),
+    acf AS (
+      SELECT CAST(a.rn - b.rn AS BIGINT) AS lag_h,
+             sum((a.v - a.mu) * (b.v - b.mu)) / any_value(a.den) AS r,
+             any_value(a.n) AS n
+      FROM x2 a JOIN x2 b ON a.rn - b.rn BETWEEN 1 AND 12
+      GROUP BY a.rn - b.rn
+    )
+    SELECT round(any_value(n) * (any_value(n) + 2)
+                 * sum(r * r / (n - lag_h)), 4) AS q_stat,
+           CAST(count(*) AS BIGINT)             AS dof,
+           CAST(any_value(n) AS BIGINT)         AS n_obs
+    FROM acf
+    """,
+)
+def timeseries_ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ljung-Box portmanteau test, Q = n(n+2)·Σ_k r_k²/(n−k) over lags
+    1..12 — the 'is there ANY autocorrelation left' diagnostic that
+    closes the Box-Jenkins loop timeseries_acf opens (run it on model
+    residuals; a small Q certifies the model captured the dynamics).
+
+    Plan: identical skeleton to timeseries_acf (one corpus aggregate to
+    the hourly series, windows-over-agg for mean/denominator, banded
+    rn-self-join for the lag products) with one extra 12-row aggregate
+    on top — the corpus is still touched exactly once."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(F.date_trunc("hour", "ts").alias("h")).agg(
+        F.sum("value").alias("v")
+    )
+    w_all = Window.partitionBy()
+    x1 = hourly.select("h", "v", F.avg("v").over(w_all).alias("mu"))
+    x2 = x1.select(
+        "h",
+        "v",
+        "mu",
+        F.sum((F.col("v") - F.col("mu")) * (F.col("v") - F.col("mu")))
+        .over(w_all)
+        .alias("den"),
+        F.row_number().over(Window.partitionBy().orderBy("h")).alias("rn"),
+        F.count(F.lit(1)).over(w_all).alias("n"),
+    )
+    a, b = x2.alias("a"), x2.alias("b")
+    acf = (
+        a.join(
+            b,
+            (F.col("a.rn") - F.col("b.rn") >= 1)
+            & (F.col("a.rn") - F.col("b.rn") <= 12),
+        )
+        .groupBy((F.col("a.rn") - F.col("b.rn")).alias("lag_h"))
+        .agg(
+            (
+                F.sum(
+                    (F.col("a.v") - F.col("a.mu")) * (F.col("b.v") - F.col("b.mu"))
+                )
+                / F.first(F.col("a.den"))
+            ).alias("r"),
+            F.first(F.col("a.n")).alias("n"),
+        )
+    )
+    return acf.agg(
+        F.round(
+            F.first("n")
+            * (F.first("n") + 2)
+            * F.sum(F.col("r") * F.col("r") / (F.col("n") - F.col("lag_h"))),
+            4,
+        ).alias("q_stat"),
+        F.count(F.lit(1)).alias("dof"),
+        F.first("n").cast("bigint").alias("n_obs"),
+    )
