@@ -1038,3 +1038,70 @@ def analytics_pareto_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("top20pct_share"),
         F.first("n").cast("bigint").alias("n_users"),
     )
+
+
+@register(
+    "analytics_conversion_latency",
+    oracle="""
+    WITH touches AS (
+      SELECT user_id, ts, min(event_type) AS touch_type
+      FROM events WHERE event_type IN ('view', 'click')
+      GROUP BY user_id, ts
+    ),
+    purchases AS (
+      SELECT user_id, ts FROM events WHERE event_type = 'purchase'
+    ),
+    lat AS (
+      SELECT date_diff('microsecond', t.ts, p.ts) / 1000000.0 AS lat_s
+      FROM purchases p
+      ASOF JOIN touches t ON p.user_id = t.user_id AND p.ts >= t.ts
+    )
+    SELECT CAST(count(*) AS BIGINT)            AS n_conversions,
+           round(quantile_cont(lat_s, 0.5), 4) AS p50_s,
+           round(quantile_cont(lat_s, 0.9), 4) AS p90_s,
+           round(quantile_cont(lat_s, 0.99), 4) AS p99_s
+    FROM lat
+    """,
+)
+def analytics_conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion-latency distribution: p50/p90/p99 of the gap between a
+    purchase and the user's most recent preceding touch (view/click) —
+    the percentile companion to analytics_attribution_last_touch's
+    average (latency is heavy-tailed; the median and the p99 tell
+    different stories and the mean tells neither).
+
+    Plan: the backward as-of join IS the engine's one-shuffle
+    union+window machinery (joins.asof_join), then one exact-percentile
+    aggregate over the |purchases|-row latency frame. Same 100 TB note
+    as every exact percentile here: approx_percentile slots in
+    unchanged."""
+    from go_batch_processor_spark.operators.joins import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    touches = (
+        ev.filter(F.col("event_type").isin("view", "click"))
+        .groupBy("user_id", "ts")
+        .agg(F.min("event_type").alias("touch_type"))
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("p_ts")
+    )
+    joined = asof_join(
+        purchases,
+        touches.select("user_id", F.col("ts").alias("t_ts"), "touch_type"),
+        on_time=("p_ts", "t_ts"),
+        by=("user_id", "user_id"),
+        value_cols=["t_ts"],
+    )
+    lat = joined.filter(F.col("asof_t_ts").isNotNull()).select(
+        (
+            (F.unix_micros(F.col("p_ts")) - F.unix_micros(F.col("asof_t_ts")))
+            / 1000000.0
+        ).alias("lat_s")
+    )
+    return lat.agg(
+        F.count(F.lit(1)).alias("n_conversions"),
+        F.round(F.expr("percentile(lat_s, 0.5)"), 4).alias("p50_s"),
+        F.round(F.expr("percentile(lat_s, 0.9)"), 4).alias("p90_s"),
+        F.round(F.expr("percentile(lat_s, 0.99)"), 4).alias("p99_s"),
+    )

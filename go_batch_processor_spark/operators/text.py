@@ -1450,3 +1450,100 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(BM25_TOP)
         .select("doc_id", F.round("score", 6).alias("bm25"))
     )
+
+
+@register(
+    "text_heaps_law_fit",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+      FROM documents
+    ),
+    doc_tokens AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tok FROM toks GROUP BY 1
+    ),
+    firsts AS (
+      SELECT term, min(doc_id) AS first_doc FROM toks GROUP BY term
+    ),
+    new_terms AS (
+      SELECT first_doc AS doc_id, CAST(count(*) AS BIGINT) AS n_new
+      FROM firsts GROUP BY 1
+    ),
+    curve AS (
+      SELECT d.doc_id,
+             sum(d.n_tok) OVER (ORDER BY d.doc_id)             AS n_cum,
+             sum(COALESCE(t.n_new, 0)) OVER (ORDER BY d.doc_id) AS v_cum
+      FROM doc_tokens d LEFT JOIN new_terms t USING (doc_id)
+    ),
+    ll AS (
+      SELECT ln(CAST(n_cum AS DOUBLE)) AS x, ln(CAST(v_cum AS DOUBLE)) AS y
+      FROM curve WHERE n_cum > 0 AND v_cum > 0
+    ),
+    fit AS (
+      SELECT CAST(count(*) AS DOUBLE) AS n, sum(x) AS sx, sum(y) AS sy,
+             sum(x * x) AS sxx, sum(x * y) AS sxy
+      FROM ll
+    )
+    SELECT round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS beta,
+           round(exp((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx)
+                     / n), 4) AS k_coef,
+           CAST(n AS BIGINT) AS n_points
+    FROM fit
+    """,
+)
+def text_heaps_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law fit V(n) = K·n^β of vocabulary growth over the corpus
+    in doc_id order — the companion of text_zipf_fit (Zipf describes
+    the frequency distribution, Heaps its integral: how fast NEW types
+    appear) and the number that sizes tokenizer vocabularies and
+    predicts OOV rates as a 100 TB corpus grows.
+
+    Plan: the cumulative-distinct trick at corpus scale — each term's
+    FIRST document is one aggregate (never a per-prefix rescan), new
+    types per doc re-aggregate that frame, and the growth curve is two
+    running sums over the |docs|-row frame; the log-log OLS consumes
+    sufficient statistics of that same tiny frame. Integer counts
+    everywhere until the final fit → rounded once."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("term")
+    )
+    doc_tokens = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_tok"))
+    firsts = toks.groupBy("term").agg(F.min("doc_id").alias("first_doc"))
+    new_terms = firsts.groupBy(F.col("first_doc").alias("doc_id")).agg(
+        F.count(F.lit(1)).alias("n_new")
+    )
+    w_run = (
+        Window.partitionBy()
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    curve = (
+        doc_tokens.join(new_terms, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.sum("n_tok").over(w_run).alias("n_cum"),
+            F.sum(F.coalesce("n_new", F.lit(0))).over(w_run).alias("v_cum"),
+        )
+    )
+    ll = curve.filter((F.col("n_cum") > 0) & (F.col("v_cum") > 0)).select(
+        F.log(F.col("n_cum").cast("double")).alias("x"),
+        F.log(F.col("v_cum").cast("double")).alias("y"),
+    )
+    fit = ll.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    beta = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return fit.select(
+        F.round(beta, 6).alias("beta"),
+        F.round(F.exp((F.col("sy") - beta * F.col("sx")) / F.col("n")), 4).alias(
+            "k_coef"
+        ),
+        F.col("n").cast("bigint").alias("n_points"),
+    )
