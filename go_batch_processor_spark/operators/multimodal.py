@@ -19,7 +19,7 @@ from collections.abc import Iterator
 
 import pandas as pd
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -452,3 +452,63 @@ def multimodal_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     return media_table(spark, sf_dir).mapInPandas(batches, schema)
+
+
+SHOT_DELTA = 40  # luma-jump threshold for a cut
+
+
+@register(
+    "multimodal_shot_boundaries",
+    oracle=f"""
+    WITH samples AS (
+      SELECT doc_id,
+             ord(unnest(string_split_regex(text, ''))) AS v,
+             generate_subscripts(string_split_regex(text, ''), 1) AS i
+      FROM documents
+    ),
+    d AS (
+      SELECT doc_id, i, v,
+             lag(v) OVER (PARTITION BY doc_id ORDER BY i) AS pv
+      FROM samples
+    )
+    SELECT doc_id AS media_id,
+           CAST(i - 1 AS BIGINT)    AS frame_idx,
+           CAST(abs(v - pv) AS BIGINT) AS delta
+    FROM d WHERE pv IS NOT NULL AND abs(v - pv) >= {SHOT_DELTA}
+    """,
+)
+def multimodal_shot_boundaries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video shot-boundary (cut) detection shape: per-frame mean-luma
+    deltas against the previous frame, boundary where the jump exceeds
+    a threshold — the standard first pass of video preprocessing
+    (keyframe selection then feeds multimodal_frame_sample /
+    decode_media). Per the multimodal mandate the decode is a
+    deterministic fake (document bytes stand in for per-frame luma);
+    the Spark-side plumbing — per-media ordered frame stream, lag
+    window co-partitioned on media_id, threshold filter — is exactly
+    the real pipeline's shape and is what the oracle pins.
+
+    Plan: one explode (frames stay with their media partition), one
+    media_id window (bounded per-media state), a narrow filter. At
+    100 TB frames-per-media is the partition bound — a 10-hour video
+    explodes to ~1M rows in ONE partition's window; the production
+    refinement splits media into chunked segments with 1-frame overlap
+    (same boundaries, bounded partitions)."""
+    d = load_table(spark, sf_dir, "documents")
+    frames = d.select(
+        F.col("doc_id").alias("media_id"),
+        F.posexplode(F.split("text", "")).alias("frame_idx", "ch"),
+    ).select("media_id", "frame_idx", F.ascii("ch").alias("v"))
+    w = Window.partitionBy("media_id").orderBy("frame_idx")
+    dd = frames.withColumn("pv", F.lag("v").over(w))
+    return (
+        dd.filter(
+            F.col("pv").isNotNull()
+            & (F.abs(F.col("v") - F.col("pv")) >= SHOT_DELTA)
+        )
+        .select(
+            "media_id",
+            F.col("frame_idx").cast("bigint").alias("frame_idx"),
+            F.abs(F.col("v") - F.col("pv")).cast("bigint").alias("delta"),
+        )
+    )
