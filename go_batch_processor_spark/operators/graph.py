@@ -485,3 +485,49 @@ def graph_k_core(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         for g in generations:
             g.unpersist(blocking=False)
+
+
+@register("graph_modularity", oracle=None, tags={"rows_only"})
+def graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman modularity Q = Σ_c (e_c/m − (d_c/2m)²) of the label-
+    propagation communities over the interaction graph — the standard
+    'are these communities real' score (Q≈0: no better than random
+    wiring; Q>0.3: strong structure), closing the loop on
+    graph_label_propagation (which finds communities but never grades
+    them).
+
+    Plan: labels come from the existing LPA pass (iterative,
+    vocabulary-sized state); modularity itself is ONE join of the edge
+    list to the label map (co-partitioned on node) and two
+    community-level aggregates — intra-community edge mass e_c and
+    degree mass d_c — then a 1-row reduction. Rows-only (LPA is
+    iterative, not SQL-expressible); tests/test_graph.py pins Q against
+    a pure-Python computation on the same labels."""
+    edges = interaction_edges(spark, sf_dir)
+    labels = label_propagation(edges)
+    # m = number of undirected edges; edges frame holds both directions
+    two_m = edges.count()
+    lab_src = labels.select(F.col("node").alias("src"), F.col("label").alias("ls"))
+    lab_dst = labels.select(F.col("node").alias("dst"), F.col("label").alias("ld"))
+    e = edges.join(lab_src, "src").join(lab_dst, "dst")
+    intra = (
+        e.filter(F.col("ls") == F.col("ld"))
+        .groupBy(F.col("ls").alias("label"))
+        .agg(F.count(F.lit(1)).alias("directed_intra"))
+    )
+    deg = e.groupBy(F.col("ls").alias("label")).agg(
+        F.count(F.lit(1)).alias("deg_mass")
+    )
+    per_c = deg.join(intra, "label", "left").select(
+        "label",
+        (F.coalesce("directed_intra", F.lit(0)) / two_m).alias("e_frac"),
+        ((F.col("deg_mass") / two_m) * (F.col("deg_mass") / two_m)).alias("d2"),
+    )
+    q = per_c.agg(
+        F.round(
+            F.sum(F.col("e_frac") - F.col("d2")),
+            6,
+        ).alias("modularity_q"),
+        F.count(F.lit(1)).alias("n_communities"),
+    )
+    return q

@@ -107,3 +107,35 @@ def test_k_core_matches_pandas_peeling(spark, sf_dir):
         assert dmap[n] == len(nb)
         assert len(nb) >= K_CORE
     assert ((got["node"] % 2 == 0) == (got["kind"] == "user")).all()
+
+
+def test_modularity_matches_python_twin(spark, sf_dir):
+    """Q must equal the direct formula computed in Python on the SAME
+    LPA labels, and sit in the valid range [-0.5, 1]."""
+    from go_batch_processor_spark.operators.graph import (
+        interaction_edges,
+        label_propagation,
+    )
+
+    edges_df = interaction_edges(spark, sf_dir)
+    labels = {
+        r["node"]: r["label"]
+        for r in label_propagation(edges_df).collect()
+    }
+    edges = [(r["src"], r["dst"]) for r in edges_df.collect()]
+    two_m = len(edges)
+    from collections import defaultdict
+
+    e_c: dict = defaultdict(int)
+    d_c: dict = defaultdict(int)
+    for s, d in edges:
+        d_c[labels[s]] += 1
+        if labels[s] == labels[d]:
+            e_c[labels[s]] += 1
+    q_want = sum(
+        e_c[c] / two_m - (d_c[c] / two_m) ** 2 for c in d_c
+    )
+    got = REGISTRY["graph_modularity"].fn(spark, sf_dir).toPandas().iloc[0]
+    assert abs(got["modularity_q"] - q_want) < 1e-4, (got["modularity_q"], q_want)
+    assert -0.5 <= got["modularity_q"] <= 1.0
+    assert got["n_communities"] == len(d_c)
