@@ -2510,3 +2510,90 @@ def stats_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         n2.cast("bigint").alias("n_below"),
         F.round((r - mu) / F.sqrt(var), 4).alias("z_stat"),
     )
+
+
+@register(
+    "stats_partial_correlation",
+    oracle="""
+    WITH c AS (
+      SELECT corr(l_quantity, l_extendedprice)  AS r_xy,
+             corr(l_quantity, l_discount)       AS r_xz,
+             corr(l_extendedprice, l_discount)  AS r_yz,
+             CAST(count(*) AS BIGINT)           AS n
+      FROM lineitem
+    )
+    SELECT round(r_xy, 6) AS r_xy,
+           round((r_xy - r_xz * r_yz)
+                 / sqrt((1 - r_xz * r_xz) * (1 - r_yz * r_yz)), 6)
+             AS partial_r_xy_given_z,
+           n
+    FROM c
+    """,
+)
+def stats_partial_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order partial correlation: corr(quantity, price)
+    CONTROLLING for discount — r_xy·z = (r_xy − r_xz·r_yz) /
+    √((1−r_xz²)(1−r_yz²)). The confounder screen: a raw correlation
+    that collapses once z is partialled out was z's doing all along
+    (the Simpson's-paradox detector in one number).
+
+    Plan: all three pairwise correlations are co-moment aggregates of
+    ONE scan (one partial-combinable pass, 1-row output); the partial-r
+    algebra runs on that row. Rounded 6: co-moment accumulation order."""
+    li = load_table(spark, sf_dir, "lineitem")
+    c = li.agg(
+        F.corr("l_quantity", "l_extendedprice").alias("r_xy"),
+        F.corr("l_quantity", "l_discount").alias("r_xz"),
+        F.corr("l_extendedprice", "l_discount").alias("r_yz"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    return c.select(
+        F.round("r_xy", 6).alias("r_xy"),
+        F.round(
+            (F.col("r_xy") - F.col("r_xz") * F.col("r_yz"))
+            / F.sqrt(
+                (1 - F.col("r_xz") * F.col("r_xz"))
+                * (1 - F.col("r_yz") * F.col("r_yz"))
+            ),
+            6,
+        ).alias("partial_r_xy_given_z"),
+        F.col("n").cast("bigint").alias("n"),
+    )
+
+
+@register(
+    "agg_pythagorean_means",
+    oracle="""
+    SELECT l_returnflag,
+           round(avg(l_extendedprice), 4)                    AS arith_mean,
+           round(exp(avg(ln(l_extendedprice))), 4)           AS geo_mean,
+           round(count(*) / sum(1.0 / l_extendedprice), 4)   AS harm_mean,
+           CAST(count(*) AS BIGINT)                          AS n
+    FROM lineitem WHERE l_extendedprice > 0
+    GROUP BY l_returnflag
+    """,
+)
+def agg_pythagorean_means(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The three Pythagorean means per group: arithmetic, geometric
+    (exp∘avg∘ln — the right average for growth rates and multiplicative
+    factors), harmonic (the right average for rates like price-per-unit
+    or speeds). Averaging ratios arithmetically is the classic
+    analytics bug; having all three side-by-side (AM ≥ GM ≥ HM always)
+    makes the choice explicit and the inequality a built-in sanity
+    check.
+
+    One partial-combinable aggregate; ln/reciprocal are per-row
+    (bit-exact), the shuffled sums order-dependent → rounded 4."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_extendedprice") > 0)
+        .groupBy("l_returnflag")
+        .agg(
+            F.round(F.avg("l_extendedprice"), 4).alias("arith_mean"),
+            F.round(F.exp(F.avg(F.log("l_extendedprice"))), 4).alias("geo_mean"),
+            F.round(
+                F.count(F.lit(1)) / F.sum(1.0 / F.col("l_extendedprice")), 4
+            ).alias("harm_mean"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
