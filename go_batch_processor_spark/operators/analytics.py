@@ -1105,3 +1105,119 @@ def analytics_conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.expr("percentile(lat_s, 0.9)"), 4).alias("p90_s"),
         F.round(F.expr("percentile(lat_s, 0.99)"), 4).alias("p99_s"),
     )
+
+
+@register(
+    "analytics_peak_concurrency",
+    oracle="""
+    WITH marked AS (
+      SELECT user_id, ts,
+             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id
+                    ORDER BY ts, event_id) > INTERVAL 30 MINUTE
+                    OR lag(ts) OVER (PARTITION BY user_id
+                         ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS is_start
+      FROM events
+    ),
+    sess AS (
+      SELECT user_id,
+             min(ts) AS s_start,
+             max(ts) + INTERVAL 30 MINUTE AS s_end
+      FROM (
+        SELECT user_id, ts,
+               sum(is_start) OVER (PARTITION BY user_id
+                 ORDER BY ts) AS sid
+        FROM marked
+      )
+      GROUP BY user_id, sid
+    ),
+    deltas AS (
+      SELECT s_start AS t, 1 AS d FROM sess
+      UNION ALL
+      SELECT s_end AS t, -1 AS d FROM sess
+    ),
+    sweep AS (
+      SELECT t,
+             sum(d) OVER (ORDER BY t, d DESC) AS concurrent
+      FROM deltas
+    )
+    SELECT CAST(max(concurrent) AS BIGINT) AS peak_concurrent,
+           (SELECT min(t) FROM sweep s2
+            WHERE s2.concurrent = (SELECT max(concurrent) FROM sweep))
+             AS peak_time,
+           (SELECT CAST(count(*) AS BIGINT) FROM sess) AS n_sessions
+    FROM sweep
+    """,
+)
+def analytics_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrent sessions (30-min-inactivity sessionization, then
+    the +1/−1 sweep line): the capacity-planning number — how many
+    users were live AT ONCE, and when.
+
+    Plan: sessionization is the gaps-and-islands pass (one user window);
+    the sweep is a union of +1 start / −1 end deltas with ONE global
+    ordered running sum (end-before-start tie order d DESC so a session
+    ending exactly when another starts counts both — the standard
+    closed-open convention made explicit). At 100 TB the global sweep
+    sorts 2·|sessions| tiny rows — sessions, not events; for
+    multi-tenant sharding, sweep per tenant partition and take the max
+    of maxes. Running sums over full orderings are bit-deterministic."""
+    ev = load_table(spark, sf_dir, "events")
+    w_u = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    marked = ev.select(
+        "user_id",
+        "ts",
+        F.when(
+            F.lag("ts").over(w_u).isNull()
+            | (
+                F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w_u))
+                > 30 * 60 * 1_000_000
+            ),
+            1,
+        )
+        .otherwise(0)
+        .alias("is_start"),
+    )
+    sess = (
+        marked.withColumn(
+            "sid",
+            F.sum("is_start").over(
+                Window.partitionBy("user_id")
+                .orderBy("ts")
+                .rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+        .groupBy("user_id", "sid")
+        .agg(
+            F.min("ts").alias("s_start"),
+            (F.max("ts") + F.expr("INTERVAL 30 MINUTES")).alias("s_end"),
+        )
+    )
+    deltas = sess.select(F.col("s_start").alias("t"), F.lit(1).alias("d")).unionByName(
+        sess.select(F.col("s_end").alias("t"), F.lit(-1).alias("d"))
+    )
+    sweep = deltas.select(
+        "t",
+        F.sum("d")
+        .over(
+            Window.partitionBy()
+            .orderBy(F.col("t"), F.col("d").desc())
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        .alias("concurrent"),
+    )
+    peak = sweep.agg(F.max("concurrent").alias("pk"))
+    peak_time = (
+        sweep.join(F.broadcast(peak), sweep["concurrent"] == peak["pk"])
+        .agg(F.min("t").alias("peak_time"))
+    )
+    n_sess = sess.agg(F.count(F.lit(1)).alias("n_sessions"))
+    return (
+        peak.crossJoin(F.broadcast(peak_time))
+        .crossJoin(F.broadcast(n_sess))
+        .select(
+            F.col("pk").cast("bigint").alias("peak_concurrent"),
+            "peak_time",
+            F.col("n_sessions").cast("bigint").alias("n_sessions"),
+        )
+    )
