@@ -1,0 +1,90 @@
+"""Distributed exact global row-numbering — the two-pass replacement for
+``Window.partitionBy().orderBy(...)`` (which funnels the whole frame
+through ONE task; |rows| is unbounded at 100 TB, so a global-rank window
+is the canonical scale straggler).
+
+Plan shape (3 jobs total, all parallel):
+
+1. **Boundary sample** — ``approxQuantile`` on the ordering key collects
+   up to ``nbuckets-1`` boundary doubles (a bounded driver artifact, like
+   the codebook/centroid collects elsewhere in this repo). The bucket of
+   a row is then a pure LITERAL expression (count of boundaries below /
+   above the key), so every later stage is deterministic regardless of
+   partitioning, caching, or re-execution — no ``spark_partition_id``,
+   whose value can differ between the count pass and the rank pass.
+2. **Exact bucket counts** — one partial-combinable ``groupBy(bucket)``
+   count; ≤ ``nbuckets`` rows collected and turned into cumulative
+   offsets inlined as a literal map.
+3. **Main plan** — ``row_number`` over ``Window.partitionBy(bucket)``:
+   each bucket sorts in its own task (quantile boundaries keep buckets
+   balanced), and the global rank is ``offset[bucket] + local_rank`` —
+   a scalar lookup, no join, no second branch in the executed plan.
+
+Ties on the bucketing key never split across buckets (bucket is a
+function of the key alone), so any tiebreak columns in ``order_cols``
+stay inside one task's sort and the composite global order is exact.
+
+Cost note: the input frame is evaluated three times (sample, counts,
+final). Callers rank AGGREGATE frames (per-user totals), where two extra
+partial-combinable scans are linear and parallel — vs. the single-task
+window they replace, which serializes the whole frame through one core.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+DEFAULT_RANK_BUCKETS = 64
+
+
+def distributed_row_number(
+    df: DataFrame,
+    key: str,
+    order_cols: list[Column],
+    out: str,
+    *,
+    descending: bool = False,
+    nbuckets: int = DEFAULT_RANK_BUCKETS,
+) -> tuple[DataFrame, int]:
+    """Add an exact global ``row_number`` column ``out`` ordered by
+    ``order_cols`` (whose leading sort key must be the numeric column
+    ``key``, ascending unless ``descending``), without any single-task
+    window. Returns ``(frame_with_rank, total_row_count)``.
+
+    ``key`` must be non-null and castable to double (boundary sampling);
+    ``order_cols`` must make the ordering total (pass a tiebreak) for the
+    rank to be deterministic.
+    """
+    probs = [i / nbuckets for i in range(1, nbuckets)]
+    bounds = sorted(set(df.approxQuantile(key, probs, 0.001)))
+    kd = F.col(key).cast("double")
+    if bounds:
+        barr = F.array(*[F.lit(float(b)) for b in bounds])
+        if descending:
+            bucket = F.size(F.filter(barr, lambda b: kd < b))
+        else:
+            bucket = F.size(F.filter(barr, lambda b: kd > b))
+    else:
+        bucket = F.lit(0)
+    bdf = df.withColumn("__bkt", bucket)
+
+    counts = {r["__bkt"]: r["cnt"] for r in
+              bdf.groupBy("__bkt").agg(F.count(F.lit(1)).alias("cnt")).collect()}
+    offsets, acc = {}, 0
+    for b in sorted(counts):
+        offsets[b] = acc
+        acc += counts[b]
+    if offsets:
+        off_map = F.create_map(
+            *[c for b, o in offsets.items() for c in (F.lit(b), F.lit(o))]
+        )
+        off = F.element_at(off_map, F.col("__bkt"))
+    else:  # empty input frame
+        off = F.lit(0)
+
+    w = Window.partitionBy("__bkt").orderBy(*order_cols)
+    ranked = bdf.withColumn(
+        out, (off + F.row_number().over(w)).cast("long")
+    ).drop("__bkt")
+    return ranked, acc

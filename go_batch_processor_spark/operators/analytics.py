@@ -15,6 +15,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from go_batch_processor_spark.catalog import load_table
+from go_batch_processor_spark.dist_rank import distributed_row_number
 from go_batch_processor_spark.registry import register
 
 
@@ -437,13 +438,16 @@ def analytics_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic user_id tiebreaks in every ntile ordering (without
     them quartile boundaries flap between engines).
 
-    Scale note: the ntile windows are global but run over the AGGREGATE
-    (one row per user) — |users| rows, the documented
-    window-over-agg-output exception, not a fact-table straggler. The
-    corpus-sized op is the single per-user aggregate.
+    Scale note: global ntile over |users| rows is unbounded at 100 TB,
+    so each quartile is computed as ntile's EXACT closed form over the
+    two-pass distributed global rank (literal quantile buckets +
+    per-bucket parallel row_number + literal offsets; dist_rank.py —
+    the round-5 straggler fix): with n known exactly driver-side,
+    ntile(4) of rank rn is pure integer arithmetic (first n%4 buckets
+    get ⌈n/4⌉ rows, the rest ⌊n/4⌋). The three rank passes chain on one
+    frame — the executed plan is scan → per-user agg → three per-bucket
+    window sorts (each parallel across ~64 balanced buckets) → project.
     """
-    from pyspark.sql import Window
-
     ev = load_table(spark, sf_dir, "events")
     base = ev.groupBy("user_id").agg(
         F.datediff(
@@ -452,17 +456,41 @@ def analytics_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("frequency"),
         F.round(F.sum("value"), 2).alias("monetary"),
     )
-    wr = Window.orderBy(F.col("recency_days").asc(), F.col("user_id").asc())
-    wf = Window.orderBy(F.col("frequency").desc(), F.col("user_id").asc())
-    wm = Window.orderBy(F.col("monetary").desc(), F.col("user_id").asc())
-    return base.select(
+    r1, n = distributed_row_number(
+        base, "recency_days",
+        [F.col("recency_days").asc(), F.col("user_id").asc()], "__rn_r",
+    )
+    r2, _ = distributed_row_number(
+        r1, "frequency",
+        [F.col("frequency").desc(), F.col("user_id").asc()], "__rn_f",
+        descending=True,
+    )
+    r3, _ = distributed_row_number(
+        r2, "monetary",
+        [F.col("monetary").desc(), F.col("user_id").asc()], "__rn_m",
+        descending=True,
+    )
+
+    def ntile4(rn):
+        # ntile(4) closed form: with q, r = divmod(n, 4), the first r
+        # buckets hold q+1 rows; integer-exact (divisions of ints are
+        # never within 1e-11 of a wrong integer boundary at this scale).
+        q, r = divmod(n, 4)
+        if q == 0:
+            return rn.cast("int")
+        head = r * (q + 1)
+        b1 = ((rn + q) / (q + 1)).cast("long")  # ceil(rn / (q+1))
+        b2 = F.lit(r) + ((rn - head + q - 1) / q).cast("long")
+        return F.when(rn <= F.lit(head), b1).otherwise(b2).cast("int")
+
+    return r3.select(
         "user_id",
         "recency_days",
         "frequency",
         "monetary",
-        F.ntile(4).over(wr).alias("r_quartile"),
-        F.ntile(4).over(wf).alias("f_quartile"),
-        F.ntile(4).over(wm).alias("m_quartile"),
+        ntile4(F.col("__rn_r")).alias("r_quartile"),
+        ntile4(F.col("__rn_f")).alias("f_quartile"),
+        ntile4(F.col("__rn_m")).alias("m_quartile"),
     )
 
 
@@ -794,27 +822,26 @@ def analytics_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     ascending-sorted user totals.
 
     Plan: corpus -> per-user totals (one partial-combinable shuffle),
-    then ONE global sort-window assigns dense ranks (ties broken by
-    user_id so i·x is deterministic), and a single-row aggregate closes
-    it. The global sort over |users| rows is the scale cost — at 100 TB
-    the binned approximation (Gini from a 1k-bucket histogram of user
-    totals) replaces the exact rank; exact is what the oracle checks."""
+    then EXACT global ranks via the two-pass distributed ranking helper
+    (ties broken by user_id; Σ i·x is tie-order-invariant anyway since
+    equal x contribute x·Σi regardless of order within the tie): literal
+    quantile-bucket boundaries, per-bucket parallel row_number, literal
+    cumulative offsets — NO single-task global window over the |users|
+    frame (the round-5 straggler finding). A single-row aggregate closes
+    it."""
     ev = load_table(spark, sf_dir, "events")
     per_user = ev.groupBy("user_id").agg(F.sum("value").alias("x"))
-    w_all = Window.partitionBy()
-    ranked = per_user.select(
-        "x",
-        F.row_number().over(Window.partitionBy().orderBy("x", "user_id")).alias("i"),
-        F.count(F.lit(1)).over(w_all).alias("n"),
-        F.sum("x").over(w_all).alias("sx"),
+    ranked, _n = distributed_row_number(
+        per_user, "x", [F.col("x").asc(), F.col("user_id").asc()], "i"
     )
+    n = F.count(F.lit(1))
     return ranked.agg(
         F.round(
-            2.0 * F.sum(F.col("i") * F.col("x")) / (F.first("n") * F.first("sx"))
-            - (F.first("n") + 1.0) / F.first("n"),
+            2.0 * F.sum(F.col("i") * F.col("x")) / (n * F.sum("x"))
+            - (n + 1.0) / n,
             6,
         ).alias("gini"),
-        F.first("n").cast("bigint").alias("n_users"),
+        n.cast("bigint").alias("n_users"),
     )
 
 
@@ -1010,33 +1037,35 @@ def analytics_pareto_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     top 10% / 20% of users (the '80/20' number execs actually quote;
     analytics_gini_concentration is its integral form).
 
-    Same plan skeleton as Gini: per-user totals, ONE global tie-broken
-    rank window, a 1-row aggregate. The rank-cutoff comparisons
-    (rk·10 ≤ n) are pure integer arithmetic — no floating boundary to
-    diverge; only the final shares are rounded."""
+    Same plan skeleton as Gini: per-user totals, then EXACT descending
+    global ranks via the two-pass distributed helper (literal quantile
+    buckets + per-bucket parallel row_number + literal offsets — no
+    single-task window; round-5 straggler fix), and a 1-row aggregate.
+    The helper also returns the exact total n as a driver-side literal,
+    so the rank-cutoff comparisons (rk·10 ≤ n) stay pure integer
+    arithmetic — no floating boundary to diverge; only the final shares
+    are rounded."""
     ev = load_table(spark, sf_dir, "events")
     per_user = ev.groupBy("user_id").agg(F.sum("value").alias("x"))
-    w_all = Window.partitionBy()
-    ranked = per_user.select(
+    ranked, n = distributed_row_number(
+        per_user,
         "x",
-        F.row_number()
-        .over(Window.partitionBy().orderBy(F.col("x").desc(), "user_id"))
-        .alias("rk"),
-        F.count(F.lit(1)).over(w_all).alias("n"),
-        F.sum("x").over(w_all).alias("sx"),
+        [F.col("x").desc(), F.col("user_id").asc()],
+        "rk",
+        descending=True,
     )
     return ranked.agg(
         F.round(
-            F.sum(F.when(F.col("rk") * 10 <= F.col("n"), F.col("x")).otherwise(0.0))
-            / F.first("sx"),
+            F.sum(F.when(F.col("rk") * 10 <= F.lit(n), F.col("x")).otherwise(0.0))
+            / F.sum("x"),
             6,
         ).alias("top10pct_share"),
         F.round(
-            F.sum(F.when(F.col("rk") * 5 <= F.col("n"), F.col("x")).otherwise(0.0))
-            / F.first("sx"),
+            F.sum(F.when(F.col("rk") * 5 <= F.lit(n), F.col("x")).otherwise(0.0))
+            / F.sum("x"),
             6,
         ).alias("top20pct_share"),
-        F.first("n").cast("bigint").alias("n_users"),
+        F.lit(n).cast("bigint").alias("n_users"),
     )
 
 

@@ -1112,27 +1112,63 @@ def stats_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     (fractional rank = min-rank + (tie_count - 1)/2, the textbook
     mid-rank), then Pearson corr over the ranks.
 
-    Plan: two rank windows share one sort per ordering key inside the
-    group partition (two window nodes, same partition shuffle), then a
-    partial-combinable corr aggregate. At 100 TB exact dense ranking is
-    a per-group sort — groups here are the 3 returnflags, so each sort
-    is a range-partitioned global sort within the group; for truly
-    hot groups the approx alternative is bucketed rank via
-    approx_percentile bins. Rounded to 6: co-moment accumulation order
-    differs across engines/partitions."""
+    Plan (round-5 straggler fix — NO rank window ever touches raw
+    lineitem rows): compress the corpus to the distinct joint frame
+    (group, quantity, price) with multiplicities in ONE
+    partial-combinable shuffle; fractional ranks then come from
+    cumulative counts over the two DISTINCT-value marginals
+    (mid-rank = cum_before + (c+1)/2) — the exact trick
+    stats_ks_two_sample / stats_mann_whitney use. The cumulative
+    windows run over vocabulary-sized marginals (≤50 quantities, ~|part
+    catalog| prices per group), never corpus rows; the rank tables join
+    back onto the compressed joint frame, and rho is the weighted
+    Pearson over CENTERED ranks (the mean fractional rank of a complete
+    ranking is exactly (n+1)/2, so centering is analytic, not
+    empirical — no large-moment cancellation). Rounded to 6: co-moment
+    accumulation order differs across engines/partitions."""
     li = load_table(spark, sf_dir, "lineitem")
+    joint = li.groupBy("l_returnflag", "l_quantity", "l_extendedprice").agg(
+        F.count(F.lit(1)).alias("w")
+    )
+    # Marginal fractional (mid) ranks from cumulative distinct-value counts.
     w_q = Window.partitionBy("l_returnflag").orderBy("l_quantity")
+    qr = (
+        joint.groupBy("l_returnflag", "l_quantity")
+        .agg(F.sum("w").alias("c"))
+        .select(
+            "l_returnflag",
+            "l_quantity",
+            (F.sum("c").over(w_q) - F.col("c") + (F.col("c") + 1) / 2.0).alias("rq"),
+        )
+    )
     w_p = Window.partitionBy("l_returnflag").orderBy("l_extendedprice")
-    t_q = Window.partitionBy("l_returnflag", "l_quantity")
-    t_p = Window.partitionBy("l_returnflag", "l_extendedprice")
-    r = li.select(
-        "l_returnflag",
-        (F.rank().over(w_q) + (F.count(F.lit(1)).over(t_q) - 1) / 2.0).alias("rq"),
-        (F.rank().over(w_p) + (F.count(F.lit(1)).over(t_p) - 1) / 2.0).alias("rp"),
+    pr = (
+        joint.groupBy("l_returnflag", "l_extendedprice")
+        .agg(F.sum("w").alias("c"))
+        .select(
+            "l_returnflag",
+            "l_extendedprice",
+            (F.sum("c").over(w_p) - F.col("c") + (F.col("c") + 1) / 2.0).alias("rp"),
+        )
+    )
+    totals = joint.groupBy("l_returnflag").agg(F.sum("w").alias("n_g"))
+    r = (
+        joint.join(qr, ["l_returnflag", "l_quantity"])
+        .join(pr, ["l_returnflag", "l_extendedprice"])
+        .join(F.broadcast(totals), "l_returnflag")
+        .withColumn("crq", F.col("rq") - (F.col("n_g") + 1) / 2.0)
+        .withColumn("crp", F.col("rp") - (F.col("n_g") + 1) / 2.0)
     )
     return r.groupBy("l_returnflag").agg(
-        F.round(F.corr("rq", "rp"), 6).alias("spearman_rho"),
-        F.count(F.lit(1)).alias("n"),
+        F.round(
+            F.sum(F.col("w") * F.col("crq") * F.col("crp"))
+            / F.sqrt(
+                F.sum(F.col("w") * F.col("crq") * F.col("crq"))
+                * F.sum(F.col("w") * F.col("crp") * F.col("crp"))
+            ),
+            6,
+        ).alias("spearman_rho"),
+        F.sum("w").cast("bigint").alias("n"),
     )
 
 

@@ -1,0 +1,63 @@
+"""dist_rank.distributed_row_number == the single-task global window it
+replaces (exactness contract for the round-5 straggler fix), plus plan
+shape: the row_number window must be hash-partitioned on the bucket
+column, never SinglePartition."""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from go_batch_processor_spark.dist_rank import distributed_row_number
+
+
+def _events_per_user(spark, sf_dir):
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return ev.groupBy("user_id").agg(F.sum("value").alias("x"))
+
+
+def test_asc_matches_global_window(spark, sf_dir):
+    df = _events_per_user(spark, sf_dir)
+    got, n = distributed_row_number(
+        df, "x", [F.col("x").asc(), F.col("user_id").asc()], "rn", nbuckets=8
+    )
+    w = Window.partitionBy().orderBy(F.col("x").asc(), F.col("user_id").asc())
+    want = df.withColumn("rn", F.row_number().over(w).cast("long"))
+    assert n == df.count()
+    g = {r["user_id"]: r["rn"] for r in got.collect()}
+    e = {r["user_id"]: r["rn"] for r in want.collect()}
+    assert g == e
+
+
+def test_desc_matches_global_window_with_ties(spark, sf_dir):
+    # Integer key with heavy ties (event counts), descending order.
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    df = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("k"))
+    got, n = distributed_row_number(
+        df, "k", [F.col("k").desc(), F.col("user_id").asc()], "rn",
+        descending=True, nbuckets=8,
+    )
+    w = Window.partitionBy().orderBy(F.col("k").desc(), F.col("user_id").asc())
+    want = df.withColumn("rn", F.row_number().over(w).cast("long"))
+    g = {r["user_id"]: r["rn"] for r in got.collect()}
+    e = {r["user_id"]: r["rn"] for r in want.collect()}
+    assert g == e and n == len(e)
+
+
+def test_constant_key_degenerates_to_one_bucket(spark, sf_dir):
+    df = _events_per_user(spark, sf_dir).withColumn("x", F.lit(1.0))
+    got, n = distributed_row_number(
+        df, "x", [F.col("x").asc(), F.col("user_id").asc()], "rn", nbuckets=8
+    )
+    rns = sorted(r["rn"] for r in got.collect())
+    assert rns == list(range(1, n + 1))
+
+
+def test_plan_has_no_single_partition_window(spark, sf_dir):
+    df = _events_per_user(spark, sf_dir)
+    got, _ = distributed_row_number(
+        df, "x", [F.col("x").asc(), F.col("user_id").asc()], "rn", nbuckets=8
+    )
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "hashpartitioning(__bkt" in plan
+    assert "SinglePartition" not in plan
