@@ -117,7 +117,14 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else -1.0
-    spark = get_spark(app_name="gbp-spark-bench")
+    # No console progress bars: interleaved \r progress lines inflate the
+    # captured output and can push the final JSON line past the driver's
+    # tail window (BENCH_r05 was truncated mid-dict for exactly this
+    # reason — see VERDICT round 5, "What's missing" #4).
+    spark = get_spark(
+        app_name="gbp-spark-bench",
+        extra_conf={"spark.ui.showConsoleProgress": "false"},
+    )
     _ensure_loaded()
 
     # Warm-up (not measured): run every headline query once at the smallest
@@ -153,7 +160,26 @@ def main() -> None:
                 "sf": sf,
                 "runs": n_runs,
             }
-        )
+        ),
+        flush=True,
+    )
+    # Compact total-only line AFTER the per-query dict: the per-query line
+    # grows with the headline list (75+ queries) and the driver captures a
+    # bounded tail of stdout, so a long first line can be truncated
+    # mid-dict. This short trailer always fits the tail window, keeping
+    # the headline number recoverable even if the detail line is cut.
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_sec",
+                "value": total,
+                "unit": "sec",
+                "sf": sf,
+                "runs": n_runs,
+                "n_queries": len(times),
+            }
+        ),
+        flush=True,
     )
 
 

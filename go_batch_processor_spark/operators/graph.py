@@ -459,11 +459,13 @@ def graph_k_core(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     cur = interaction_edges(spark, sf_dir).persist(StorageLevel.MEMORY_AND_DISK)
     generations = [cur]
+    converged = False
     try:
         for _ in range(K_CORE_MAX_ITERS):
             deg = cur.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
             bad = deg.filter(F.col("d") < K_CORE).select(F.col("src").alias("n"))
             if bad.count() == 0:
+                converged = True
                 break
             nxt = (
                 cur.join(bad, cur["src"] == bad["n"], "left_anti")
@@ -472,6 +474,16 @@ def graph_k_core(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             generations.append(nxt)
             cur = nxt
+        if not converged:
+            # The peeling fixpoint was NOT reached inside the iteration
+            # cap — the returned subgraph would be a superset of the
+            # true k-core. Fail loudly rather than return a wrong answer
+            # silently (ADVICE r5). The cap exists only as a runaway
+            # guard; real graphs converge in <= diameter-ish rounds.
+            raise RuntimeError(
+                f"graph_k_core: no fixpoint after {K_CORE_MAX_ITERS} "
+                f"peeling rounds (k={K_CORE}); raise K_CORE_MAX_ITERS"
+            )
         out = (
             cur.groupBy("src")
             .agg(F.count(F.lit(1)).alias("core_degree"))

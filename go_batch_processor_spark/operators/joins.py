@@ -1254,8 +1254,16 @@ def join_fuzzy_trigram_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("sz"),
         F.sort_array(F.collect_set("g")).alias("gs"),
     )
+    # Prefix length sz - ceil(tau*sz) + 1 via INTEGER arithmetic: tau as
+    # the exact fraction 2/5, ceil(2*sz/5) = (2*sz + 4) div 5. A float
+    # F.ceil(0.4 * sz) could round just above an exact integer and
+    # silently shorten the prefix by one gram, breaking the lossless
+    # pigeonhole guarantee (false negatives) — ADVICE r5.
+    tau_num, tau_den = 2, 5
+    assert abs(tau_num / tau_den - tau) < 1e-12
+    ceil_tau_sz = F.expr(f"({tau_num} * sz + {tau_den - 1}) div {tau_den}")
     index = ranked.join(F.broadcast(szs.select("name", "sz")), "name").filter(
-        F.col("rk") <= F.col("sz") - F.ceil(tau * F.col("sz")) + 1
+        F.col("rk") <= F.col("sz") - ceil_tau_sz + 1
     )
     a = index.select(F.col("name").alias("name_a"), "g")
     b = index.select(F.col("name").alias("name_b"), "g")

@@ -1549,15 +1549,22 @@ def similarity_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     dcg = ranked.agg(
         F.sum(F.col("rel") / F.log2(F.col("k") + 1.0)).alias("dcg")
     )
+    # nr = 0 guard (ADVICE r5): Spark's sequence(1, 0) is a DESCENDING
+    # [1, 0] (the i=0 term divides by log2(1) = 0) while DuckDB's
+    # generate_series(1, 0) is empty. Emit an empty array when nr < 1 so
+    # both engines agree: 0-row aggregate → NULL idcg → NULL ndcg.
+    # n_relevant comes from nrel directly so it stays 0 (not NULL).
     idcg = nrel.select(
-        F.explode(F.sequence(F.lit(1), F.least(F.col("nr"), F.lit(TOP_K)))).alias("i"),
-        "nr",
-    ).agg(
-        F.sum(1.0 / F.log2(F.col("i").cast("double") + 1.0)).alias("idcg"),
-        F.first("nr").alias("nr"),
-    )
+        F.explode(
+            F.when(
+                F.col("nr") >= 1,
+                F.sequence(F.lit(1), F.least(F.col("nr"), F.lit(TOP_K))),
+            ).otherwise(F.array().cast("array<int>"))
+        ).alias("i")
+    ).agg(F.sum(1.0 / F.log2(F.col("i").cast("double") + 1.0)).alias("idcg"))
     return (
         dcg.crossJoin(F.broadcast(idcg))
+        .crossJoin(F.broadcast(nrel))
         .select(
             F.round("dcg", 6).alias("dcg_at_10"),
             F.round(F.col("dcg") / F.col("idcg"), 6).alias("ndcg_at_10"),

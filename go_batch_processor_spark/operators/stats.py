@@ -1416,10 +1416,18 @@ def stats_entropy_mutual_info(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB the only data-sized stage is the joint count; high-cardinality
     variables swap in the Miller-Madow or sketch estimators (noted)."""
     ev = load_table(spark, sf_dir, "events")
-    j = ev.groupBy(
-        "event_type", F.hour("ts").cast("bigint").alias("hr")
-    ).agg(F.count(F.lit(1)).cast("double").alias("c"))
-    j = j.cache()
+    # ONE scan reduces events to the ≤|types|×24-row joint contingency;
+    # collect it as a bounded driver artifact (same idiom as centroids /
+    # codebooks elsewhere) and rebuild a local frame for the entropy
+    # arithmetic. This replaces a j.cache() that was never unpersisted
+    # (leaked storage across invocations — ADVICE r5) and still avoids
+    # re-scanning events once per marginal.
+    j_rows = (
+        ev.groupBy("event_type", F.hour("ts").cast("bigint").alias("hr"))
+        .agg(F.count(F.lit(1)).cast("double").alias("c"))
+        .collect()
+    )
+    j = spark.createDataFrame(j_rows, "event_type string, hr bigint, c double")
     tot = j.agg(F.sum("c").alias("n"))
     mx = j.groupBy("event_type").agg(F.sum("c").alias("cx"))
     my = j.groupBy("hr").agg(F.sum("c").alias("cy"))

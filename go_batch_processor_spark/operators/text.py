@@ -955,8 +955,12 @@ def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: the corpus reduces to the word-frequency table in ONE
     partial-combinable agg (vocabulary-bounded, not corpus-bounded); the
-    rank window and the regr_* fit run over that agg-sized table. The
-    unpartitioned rank window is the documented agg-sized exception.
+    top-{ZIPF_TOP} cut happens FIRST via orderBy+limit (a
+    TakeOrderedAndProject — per-partition top-k partials, k-sized driver
+    merge, never a full-vocabulary sort), so the unpartitioned rank
+    window runs over <= {ZIPF_TOP} rows instead of the whole vocabulary
+    (round-5 verdict item 7). Ranks over the top-k slice equal global
+    ranks because the limit uses the identical total order.
     Deterministic rank tiebreak (freq DESC, word ASC) on both sides.
     """
     d = load_table(spark, sf_dir, "documents")
@@ -966,10 +970,9 @@ def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("word")
         .agg(F.count(F.lit(1)).cast("double").alias("f"))
     )
+    top = wf.orderBy(F.col("f").desc(), F.col("word").asc()).limit(ZIPF_TOP)
     w = Window.orderBy(F.col("f").desc(), F.col("word").asc())
-    ranked = wf.select(
-        "f", F.row_number().over(w).cast("double").alias("r")
-    ).filter(F.col("r") <= ZIPF_TOP)
+    ranked = top.select("f", F.row_number().over(w).cast("double").alias("r"))
     return ranked.agg(
         F.round(F.regr_slope(F.log("f"), F.log("r")), 6).alias("zipf_slope"),
         F.round(F.regr_r2(F.log("f"), F.log("r")), 6).alias("fit_r2"),

@@ -8,6 +8,7 @@ output against the batch twins where semantics allow).
 
 from __future__ import annotations
 
+import shutil
 import tempfile
 import uuid
 
@@ -169,6 +170,7 @@ def streaming_windowed_topk(
     sink_dir: str,
     k: int = 3,
     watermark: str = "1 hour",
+    checkpoint_dir: str | None = None,
 ):
     """Continuously-maintained top-k (top-k users per 1-hour window by
     event count) — the rank-over-stream pattern Structured Streaming
@@ -181,9 +183,16 @@ def streaming_windowed_topk(
     This is the canonical split of a continuous query into its
     incremental core + a tiny non-incremental epilogue: the rank runs
     over |windows|·|users-per-window| updated rows per tick, never the
-    stream history, and the sink stays correct under replay because the
-    epilogue is deterministic in the aggregate state (exactly-once via
-    overwrite-by-partition).
+    stream history. The epilogue rewrites the WHOLE sink each tick
+    (static full overwrite) — correct precisely because outputMode is
+    "complete", so every tick's batch_df holds every live window; a
+    switch to "update" mode would require dynamic partition overwrite
+    (spark.sql.sources.partitionOverwriteMode=dynamic) or windows absent
+    from a batch would be dropped from the sink.
+
+    A caller-supplied checkpoint_dir enables restart/resume across
+    invocations; when omitted a private tempdir is used and removed
+    after the availableNow run terminates.
 
     Returns the final ranked result read back from the sink."""
     from pyspark.sql import Window as W
@@ -217,14 +226,18 @@ def streaming_windowed_topk(
             .parquet(sink_dir)
         )
 
-    query = (
-        counts.writeStream.outputMode("complete")
-        .foreachBatch(epilogue)
-        .option(
-            "checkpointLocation", tempfile.mkdtemp(prefix="gbp_topk_ckpt_")
+    own_ckpt = checkpoint_dir is None
+    ckpt = checkpoint_dir or tempfile.mkdtemp(prefix="gbp_topk_ckpt_")
+    try:
+        query = (
+            counts.writeStream.outputMode("complete")
+            .foreachBatch(epilogue)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
         )
-        .trigger(availableNow=True)
-        .start()
-    )
-    query.awaitTermination()
+        query.awaitTermination()
+    finally:
+        if own_ckpt:
+            shutil.rmtree(ckpt, ignore_errors=True)
     return spark.read.parquet(sink_dir)

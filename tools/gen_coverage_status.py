@@ -88,6 +88,17 @@ def main() -> None:
     cov_path = os.path.join(ROOT, "COVERAGE.md")
     with open(cov_path) as fh:
         text = fh.read()
+    # Keep the hand-written prose header's counts in sync too (round-5
+    # verdict item 5: the "N registered queries" sentence drifted from the
+    # registry while the generated table was current).
+    n_oracled = sum(1 for q in REGISTRY.values() if q.oracle is not None)
+    text = re.sub(
+        r"\d+ registered queries \(\d+ DuckDB-oracled, \d+ rows-only\)",
+        f"{len(REGISTRY)} registered queries ({n_oracled} DuckDB-oracled, "
+        f"{len(REGISTRY) - n_oracled} rows-only)",
+        text,
+        count=1,
+    )
     if BEGIN in text:
         text = re.sub(
             re.escape(BEGIN) + r".*?" + re.escape(END), block, text, flags=re.S
