@@ -110,6 +110,9 @@ HEADLINE = [
     "search_hybrid_rrf",
     "stats_auc_roc",
     "graph_k_core",
+    # round 6 additions
+    "stats_permutation_test",
+    "stats_benjamini_hochberg",
 ]
 
 

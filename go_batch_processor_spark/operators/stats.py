@@ -2641,3 +2641,396 @@ def agg_pythagorean_means(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n"),
         )
     )
+
+
+PERM_R = 199  # randomization replicates; p granularity = 1/(R+1) = 1/200
+
+
+@register(
+    "stats_permutation_test",
+    oracle=f"""
+    WITH obs AS (
+      SELECT sum(CASE WHEN event_type = 'purchase'
+                      THEN CAST(round(value * 100) AS BIGINT) END) AS ca,
+             count(CASE WHEN event_type = 'purchase' THEN 1 END)   AS na,
+             sum(CASE WHEN event_type = 'click'
+                      THEN CAST(round(value * 100) AS BIGINT) END) AS cb,
+             count(CASE WHEN event_type = 'click' THEN 1 END)      AS nb
+      FROM events WHERE event_type IN ('purchase', 'click')
+    ),
+    reps AS (SELECT unnest(range(0, {PERM_R})) AS b),
+    assigned AS (
+      SELECT r.b,
+             CAST(round(e.value * 100) AS BIGINT) AS cents,
+             ({_boot_u('duck')})
+               < CAST(o.na AS DOUBLE) / (o.na + o.nb) AS to_a
+      FROM events e, reps r, obs o
+      WHERE e.event_type IN ('purchase', 'click')
+    ),
+    tdist AS (
+      SELECT b,
+             CAST(sum(CASE WHEN to_a THEN cents END) AS DOUBLE)
+               / count(CASE WHEN to_a THEN 1 END) / 100.0
+             - CAST(sum(CASE WHEN NOT to_a THEN cents END) AS DOUBLE)
+               / count(CASE WHEN NOT to_a THEN 1 END) / 100.0 AS t
+      FROM assigned GROUP BY b
+    ),
+    tobs AS (
+      SELECT CAST(ca AS DOUBLE) / na / 100.0
+             - CAST(cb AS DOUBLE) / nb / 100.0 AS t0, na, nb
+      FROM obs
+    )
+    SELECT round(t0, 6) AS t_obs_diff,
+           round((1.0 + count(CASE WHEN abs(t) >= abs(t0) THEN 1 END))
+                 / ({PERM_R} + 1.0), 6) AS p_value,
+           CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+           CAST({PERM_R} AS BIGINT) AS n_reps
+    FROM tdist, tobs
+    GROUP BY t0, na, nb
+    """,
+)
+def stats_permutation_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Randomization test for the purchase-vs-click mean-value difference:
+    the label-exchangeability null is simulated by RE-ASSIGNING each
+    pooled row to group A with probability n_a/n per replicate, and the
+    two-sided p-value is (1 + #{|T_r| >= |T_obs|}) / (R+1).
+
+    This is the UNCONDITIONAL randomization variant (replicate group
+    sizes are Binomial around the observed sizes, not fixed): an exact
+    permutation conditions on the sizes but needs a global shuffle of
+    labels per replicate — a non-starter at 100 TB. I.i.d. reassignment
+    makes each replicate a pure per-row map, so the whole null
+    distribution is ONE broadcast range cross + ONE partial-combinable
+    groupBy(b) — the same zero-shuffle resampling scheme as
+    stats_bootstrap_poisson_ci (Chamandy et al. 2012), and the p-value
+    converges to the exact-permutation p at O(1/sqrt(n)).
+
+    Determinism: assignment inverts the exact dyadic md5 uniform keyed
+    on (event_id, replicate); replicate means divide EXACT integer-cent
+    sums (2-decimal money rule), so T_r and the >= comparison are
+    bit-identical cross-engine. The fact table is scanned twice (the
+    observed-statistic aggregate, then the replicate pass); the second
+    scan is the only data-sized stage.
+    """
+    from go_batch_processor_spark.operators.dedup import _spread
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("purchase", "click")
+    )
+    cents = F.round(F.col("value") * 100).cast("long")
+    obs = ev.agg(
+        F.sum(F.when(F.col("event_type") == "purchase", cents)).alias("ca"),
+        F.count(F.when(F.col("event_type") == "purchase", 1)).alias("na"),
+        F.sum(F.when(F.col("event_type") == "click", cents)).alias("cb"),
+        F.count(F.when(F.col("event_type") == "click", 1)).alias("nb"),
+    )
+    reps = spark.range(PERM_R).select(F.col("id").alias("b"))
+    # _spread before the R-fold amplification (single-row-group fixture
+    # scans are 1 task; see stats_bootstrap_poisson_ci).
+    assigned = (
+        _spread(ev)
+        .crossJoin(F.broadcast(reps))
+        .crossJoin(F.broadcast(obs))
+        .select(
+            "b",
+            cents.alias("cents"),
+            (
+                F.expr(_boot_u("spark"))
+                < F.col("na").cast("double") / (F.col("na") + F.col("nb"))
+            ).alias("to_a"),
+        )
+    )
+    tdist = assigned.groupBy("b").agg(
+        (
+            F.sum(F.when(F.col("to_a"), F.col("cents"))).cast("double")
+            / F.count(F.when(F.col("to_a"), 1))
+            / 100.0
+            - F.sum(F.when(~F.col("to_a"), F.col("cents"))).cast("double")
+            / F.count(F.when(~F.col("to_a"), 1))
+            / 100.0
+        ).alias("t")
+    )
+    tobs = obs.select(
+        (
+            F.col("ca").cast("double") / F.col("na") / 100.0
+            - F.col("cb").cast("double") / F.col("nb") / 100.0
+        ).alias("t0"),
+        "na",
+        "nb",
+    )
+    return (
+        tdist.crossJoin(F.broadcast(tobs))
+        .groupBy("t0", "na", "nb")
+        .agg(
+            F.round(
+                (
+                    1.0
+                    + F.count(F.when(F.abs(F.col("t")) >= F.abs(F.col("t0")), 1))
+                )
+                / float(PERM_R + 1),
+                6,
+            ).alias("p_value")
+        )
+        .select(
+            F.round("t0", 6).alias("t_obs_diff"),
+            "p_value",
+            F.col("na").cast("bigint").alias("n_a"),
+            F.col("nb").cast("bigint").alias("n_b"),
+            F.lit(PERM_R).cast("bigint").alias("n_reps"),
+        )
+    )
+
+
+BH_Q = 0.05  # FDR target
+
+
+@register(
+    "stats_benjamini_hochberg",
+    oracle=f"""
+    WITH j AS (
+      SELECT event_type, CAST(hour(ts) AS BIGINT) AS hr, count(*) AS c
+      FROM events GROUP BY 1, 2
+    ),
+    types AS (SELECT DISTINCT event_type FROM j),
+    hours AS (SELECT DISTINCT hr FROM j),
+    grid AS (
+      SELECT t.event_type, h.hr, COALESCE(j.c, 0) AS c
+      FROM types t CROSS JOIN hours h
+      LEFT JOIN j ON j.event_type = t.event_type AND j.hr = h.hr
+    ),
+    m1 AS (
+      SELECT event_type, hr, c,
+             sum(c) OVER (PARTITION BY hr)         AS tot_h,
+             sum(c) OVER (PARTITION BY event_type) AS n_t,
+             sum(c) OVER ()                        AS n
+      FROM grid
+    ),
+    m2 AS (
+      SELECT event_type, n_t, n,
+             sum(c) OVER (PARTITION BY event_type ORDER BY hr
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cum_t,
+             sum(tot_h - c) OVER (PARTITION BY event_type ORDER BY hr
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cum_r
+      FROM m1
+    ),
+    ks AS (
+      SELECT event_type, n_t, n - n_t AS n_r,
+             max(abs(CAST(cum_t AS DOUBLE) / n_t
+                     - CAST(cum_r AS DOUBLE) / (n - n_t))) AS d
+      FROM m2 GROUP BY event_type, n_t, n
+    ),
+    pv AS (
+      SELECT event_type, n_t, d,
+             round(least(1.0, 2.0 * exp(
+               -2.0 * d * d * (CAST(n_t AS DOUBLE) * n_r / (n_t + n_r))
+             )), 9) AS p,
+             count(*) OVER () AS m
+      FROM ks
+    ),
+    ranked AS (
+      SELECT event_type, n_t, d, p, m,
+             row_number() OVER (ORDER BY p, event_type) AS i
+      FROM pv
+    )
+    SELECT event_type, CAST(n_t AS BIGINT) AS n_obs,
+           round(d, 6) AS ks_d,
+           round(p, 6) AS p_raw,
+           round(least(1.0, min(p * m / i) OVER (
+             ORDER BY i ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING
+           )), 6) AS p_adj,
+           CAST(CASE WHEN least(1.0, min(p * m / i) OVER (
+             ORDER BY i ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING
+           )) <= {BH_Q} THEN 1 ELSE 0 END AS BIGINT) AS rejected
+    FROM ranked
+    """,
+)
+def stats_benjamini_hochberg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiple-testing control for a metric sweep: per event type, a
+    two-sample KS test of the hour-of-day distribution against all OTHER
+    types pooled (is this event's temporal profile different?), then the
+    Benjamini-Hochberg step-up FDR adjustment across the family —
+    p_adj_i = min_{{j>=i}} p_j*m/j, reject at q={BH_Q}. This is how a
+    pipeline sweeps hundreds of segments for drift without drowning in
+    false positives.
+
+    Scale shape: one scan reduces the corpus to the |types|x24 joint
+    contingency; the DENSE grid (types x hours cross of two distinct
+    frames, zeros filled) guarantees both CDFs advance on every support
+    point (a missing (t,h) cell would silently skip a step of the rest-
+    pool CDF); every window thereafter runs on that agg-sized frame.
+    The p-value is the one-term Kolmogorov asymptotic 2*exp(-2*ne*D^2)
+    clamped to 1 (ne = harmonic sample size) — conservative on a
+    24-point discrete support, which is the safe direction for a
+    screening test.
+
+    Determinism: D comes from exact integer cumulative counts; p is
+    rounded to 9 BEFORE the BH rank ordering so a last-ulp exp()
+    difference between the JVM's and DuckDB's libm can never flip the
+    rank order or the min-suffix arithmetic; display rounds to 6.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    j = ev.groupBy("event_type", F.hour("ts").cast("bigint").alias("hr")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    types = j.select("event_type").distinct()
+    hours = j.select("hr").distinct()
+    grid = (
+        types.crossJoin(hours)
+        .join(j, ["event_type", "hr"], "left")
+        .select("event_type", "hr", F.coalesce("c", F.lit(0)).alias("c"))
+    )
+    m1 = grid.select(
+        "event_type",
+        "hr",
+        "c",
+        F.sum("c").over(Window.partitionBy("hr")).alias("tot_h"),
+        F.sum("c").over(Window.partitionBy("event_type")).alias("n_t"),
+        F.sum("c").over(Window.partitionBy()).alias("n"),
+    )
+    wcum = (
+        Window.partitionBy("event_type")
+        .orderBy("hr")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    m2 = m1.select(
+        "event_type",
+        "n_t",
+        "n",
+        F.sum("c").over(wcum).alias("cum_t"),
+        F.sum(F.col("tot_h") - F.col("c")).over(wcum).alias("cum_r"),
+    )
+    ks = m2.groupBy("event_type", "n_t", "n").agg(
+        F.max(
+            F.abs(
+                F.col("cum_t").cast("double") / F.col("n_t")
+                - F.col("cum_r").cast("double") / (F.col("n") - F.col("n_t"))
+            )
+        ).alias("d")
+    )
+    pv = ks.select(
+        "event_type",
+        "n_t",
+        "d",
+        F.round(
+            F.least(
+                F.lit(1.0),
+                2.0
+                * F.exp(
+                    -2.0
+                    * F.col("d")
+                    * F.col("d")
+                    * (
+                        F.col("n_t").cast("double")
+                        * (F.col("n") - F.col("n_t"))
+                        / F.col("n")
+                    )
+                ),
+            ),
+            9,
+        ).alias("p"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("m"),
+    )
+    ranked = pv.select(
+        "*",
+        F.row_number().over(Window.orderBy("p", "event_type")).alias("i"),
+    )
+    wsuf = Window.orderBy("i").rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    padj = F.least(
+        F.lit(1.0), F.min(F.col("p") * F.col("m") / F.col("i")).over(wsuf)
+    )
+    return ranked.select(
+        "event_type",
+        F.col("n_t").cast("bigint").alias("n_obs"),
+        F.round("d", 6).alias("ks_d"),
+        F.round("p", 6).alias("p_raw"),
+        F.round(padj, 6).alias("p_adj"),
+        F.when(padj <= BH_Q, 1).otherwise(0).cast("bigint").alias("rejected"),
+    )
+
+
+@register(
+    "stats_mcnemar",
+    oracle="""
+    WITH span AS (
+      SELECT (epoch_us(min(ts)) + epoch_us(max(ts))) / 2.0 AS mid FROM events
+    ),
+    pairs AS (
+      SELECT e.user_id,
+             max(CASE WHEN e.event_type = 'click'
+                       AND epoch_us(e.ts) < s.mid THEN 1 ELSE 0 END) AS x,
+             max(CASE WHEN e.event_type = 'click'
+                       AND epoch_us(e.ts) >= s.mid THEN 1 ELSE 0 END) AS y
+      FROM events e, span s
+      GROUP BY e.user_id
+    )
+    SELECT CAST(sum(CASE WHEN x = 1 AND y = 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS b_yes_no,
+           CAST(sum(CASE WHEN x = 0 AND y = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS c_no_yes,
+           round(
+             CASE WHEN sum(CASE WHEN x <> y THEN 1 ELSE 0 END) > 0
+                  THEN power(abs(CAST(sum(CASE WHEN x = 1 AND y = 0
+                                             THEN 1 ELSE 0 END) AS DOUBLE)
+                               - sum(CASE WHEN x = 0 AND y = 1
+                                          THEN 1 ELSE 0 END)) - 1.0, 2)
+                       / sum(CASE WHEN x <> y THEN 1 ELSE 0 END)
+             END, 6) AS mcnemar_cc,
+           CAST(count(*) AS BIGINT) AS n_users
+    FROM pairs
+    """,
+)
+def stats_mcnemar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """McNemar's test (continuity-corrected) on paired binary outcomes:
+    for every user, did-they-click in the first half of the observation
+    window vs the second half (the midpoint of the global ts span splits
+    the paired periods). Only the DISCORDANT pairs carry information —
+    chi2_cc = (|b - c| - 1)^2 / (b + c) with b = (yes,no), c = (no,yes)
+    — which is the standard before/after test for a rollout or UI change
+    where each user is their own control.
+
+    Scale shape: the global span midpoint is a 1-row broadcast; the
+    paired outcomes are ONE partial-combinable per-user aggregate (max
+    of conditionals — no ordering, no window); the 2x2 cell counts are
+    one global aggregate of that. Nothing data-sized survives the first
+    groupBy. The statistic guards b + c = 0 (no discordant pairs -> NULL
+    rather than a divide-by-zero).
+
+    Determinism: epoch MICROSECONDS (unix_micros / epoch_us) on both
+    sides — whole-second unix_timestamp would truncate the fixture's
+    fractional timestamps and disagree with DuckDB's fractional epoch()
+    for events inside the midpoint's boundary second; integer-microsecond
+    epochs and their IEEE-exact midpoint average carry no such edge.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    span = ev.agg(
+        ((F.unix_micros(F.min("ts")) + F.unix_micros(F.max("ts"))) / 2.0).alias(
+            "mid"
+        )
+    )
+    click = F.col("event_type") == "click"
+    es = F.unix_micros("ts").cast("double")
+    pairs = (
+        ev.crossJoin(F.broadcast(span))
+        .groupBy("user_id")
+        .agg(
+            F.max(F.when(click & (es < F.col("mid")), 1).otherwise(0)).alias("x"),
+            F.max(F.when(click & (es >= F.col("mid")), 1).otherwise(0)).alias("y"),
+        )
+    )
+    b = F.sum(F.when((F.col("x") == 1) & (F.col("y") == 0), 1).otherwise(0))
+    c = F.sum(F.when((F.col("x") == 0) & (F.col("y") == 1), 1).otherwise(0))
+    disc = F.sum(F.when(F.col("x") != F.col("y"), 1).otherwise(0))
+    return pairs.agg(
+        b.cast("bigint").alias("b_yes_no"),
+        c.cast("bigint").alias("c_no_yes"),
+        F.round(
+            F.when(
+                disc > 0,
+                F.pow(F.abs(b.cast("double") - c) - 1.0, 2) / disc,
+            ),
+            6,
+        ).alias("mcnemar_cc"),
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+    )
