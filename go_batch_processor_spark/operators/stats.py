@@ -3034,3 +3034,252 @@ def stats_mcnemar(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("mcnemar_cc"),
         F.count(F.lit(1)).cast("bigint").alias("n_users"),
     )
+
+
+@register(
+    "stats_psi_population_stability",
+    oracle="""
+    WITH binned AS (
+      SELECT least(9, CAST(floor(o_totalprice / 50000.0) AS BIGINT)) AS bin,
+             CASE WHEN o_orderdate <  TIMESTAMP '1998-01-01' THEN 1 ELSE 0 END
+               AS is_expected,
+             CASE WHEN o_orderdate >= TIMESTAMP '1998-01-01' THEN 1 ELSE 0 END
+               AS is_actual
+      FROM orders
+    ),
+    cells AS (
+      SELECT bin,
+             CAST(sum(is_expected) AS BIGINT) AS n_expected,
+             CAST(sum(is_actual)   AS BIGINT) AS n_actual
+      FROM binned GROUP BY bin
+    ),
+    probs AS (
+      SELECT bin, n_expected, n_actual,
+             (n_expected + 0.5) / (sum(n_expected) OVER () + 5.0) AS p_e,
+             (n_actual   + 0.5) / (sum(n_actual)   OVER () + 5.0) AS p_a
+      FROM cells
+    ),
+    terms AS (
+      SELECT bin, n_expected, n_actual,
+             (p_a - p_e) * ln(p_a / p_e) AS term
+      FROM probs
+    )
+    SELECT bin, n_expected, n_actual,
+           round(term, 6)                AS psi_term,
+           round(sum(term) OVER (), 6)   AS psi_total
+    FROM terms
+    """,
+)
+def stats_psi_population_stability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index between a baseline and a current
+    population — THE standard ML-ops drift monitor for a model input or
+    score column. Baseline = orders before 1998-01-01, current = orders
+    after; the monitored feature is o_totalprice in ten fixed-width bins
+    (50k each, top bin open). PSI = Σ_bins (p_a − p_e)·ln(p_a/p_e) with
+    +0.5/+5 Laplace smoothing so an empty bin on either side contributes
+    a finite penalty instead of ±inf (the standard production guard —
+    at 100 TB some score bin is always transiently empty in one period).
+
+    Scale shape: ONE partial-combinable conditional aggregate over the
+    fact scan produces ≤10 cells; the smoothed probabilities and the PSI
+    total are windows over that 10-row agg output (lesson: windows over
+    agg output, never a second aggregate of the same frame). Nothing
+    data-sized crosses the shuffle — the plan is a scan + one groupBy.
+    """
+    od = load_table(spark, sf_dir, "orders")
+    cut = F.lit("1998-01-01").cast("timestamp")
+    binned = od.select(
+        F.least(
+            F.lit(9), F.floor(F.col("o_totalprice") / 50000.0).cast("bigint")
+        ).alias("bin"),
+        F.when(F.col("o_orderdate") < cut, 1).otherwise(0).alias("is_expected"),
+        F.when(F.col("o_orderdate") >= cut, 1).otherwise(0).alias("is_actual"),
+    )
+    cells = binned.groupBy("bin").agg(
+        F.sum("is_expected").cast("bigint").alias("n_expected"),
+        F.sum("is_actual").cast("bigint").alias("n_actual"),
+    )
+    w_all = Window.partitionBy()
+    probs = cells.select(
+        "bin",
+        "n_expected",
+        "n_actual",
+        (
+            (F.col("n_expected") + 0.5)
+            / (F.sum("n_expected").over(w_all) + 5.0)
+        ).alias("p_e"),
+        (
+            (F.col("n_actual") + 0.5) / (F.sum("n_actual").over(w_all) + 5.0)
+        ).alias("p_a"),
+    )
+    terms = probs.select(
+        "bin",
+        "n_expected",
+        "n_actual",
+        ((F.col("p_a") - F.col("p_e")) * F.log(F.col("p_a") / F.col("p_e"))).alias(
+            "term"
+        ),
+    )
+    return terms.select(
+        "bin",
+        "n_expected",
+        "n_actual",
+        F.round("term", 6).alias("psi_term"),
+        F.round(F.sum("term").over(w_all), 6).alias("psi_total"),
+    )
+
+
+@register(
+    "ml_calibration_ece",
+    oracle="""
+    WITH scored AS (
+      SELECT o_totalprice / (o_totalprice + 150000.0) AS p,
+             CASE WHEN o_orderstatus = 'F' THEN 1.0 ELSE 0.0 END AS y
+      FROM orders
+    ),
+    cells AS (
+      SELECT least(9, CAST(floor(p * 10.0) AS BIGINT)) AS bin,
+             CAST(count(*) AS BIGINT) AS n,
+             avg(p) AS conf,
+             avg(y) AS acc
+      FROM scored GROUP BY 1
+    )
+    SELECT bin, n,
+           round(conf, 6)                          AS avg_confidence,
+           round(acc, 6)                           AS avg_accuracy,
+           round(abs(conf - acc), 6)               AS gap,
+           round(sum(n * abs(conf - acc)) OVER ()
+                   / sum(n) OVER (), 6)            AS ece
+    FROM cells
+    """,
+)
+def ml_calibration_ece(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Expected Calibration Error of a probabilistic classifier — the
+    reliability-diagram summary every model-eval pipeline reports. The
+    deterministic stand-in model scores each order with
+    p = price/(price+150k) (a monotone rational link, chosen over a
+    logistic so Spark and DuckDB share bit-exact arithmetic — no libm
+    exp on either side) and the label is o_orderstatus = 'F'. Ten
+    equal-width probability bins; per bin the mean confidence vs the
+    empirical accuracy; ECE = Σ n_b/N · |conf_b − acc_b|.
+
+    Scale shape: one conditional projection + ONE partial-combinable
+    groupBy reduce the fact table to ≤10 cells; the N-weighted ECE
+    total is a window over that agg output. The gap and ECE are
+    computed from the UNROUNDED bin means on both sides, then rounded
+    once at the edge — rounding the inputs first would compound.
+    """
+    od = load_table(spark, sf_dir, "orders")
+    scored = od.select(
+        (F.col("o_totalprice") / (F.col("o_totalprice") + 150000.0)).alias("p"),
+        F.when(F.col("o_orderstatus") == "F", 1.0).otherwise(0.0).alias("y"),
+    )
+    cells = scored.groupBy(
+        F.least(F.lit(9), F.floor(F.col("p") * 10.0).cast("bigint")).alias("bin")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.avg("p").alias("conf"),
+        F.avg("y").alias("acc"),
+    )
+    w_all = Window.partitionBy()
+    gap = F.abs(F.col("conf") - F.col("acc"))
+    return cells.select(
+        "bin",
+        "n",
+        F.round("conf", 6).alias("avg_confidence"),
+        F.round("acc", 6).alias("avg_accuracy"),
+        F.round(gap, 6).alias("gap"),
+        F.round(
+            F.sum(F.col("n") * gap).over(w_all) / F.sum("n").over(w_all), 6
+        ).alias("ece"),
+    )
+
+
+@register(
+    "feature_woe_iv",
+    oracle="""
+    WITH cells AS (
+      SELECT o_orderpriority AS feature_value,
+             CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_good,
+             CAST(sum(CASE WHEN o_orderstatus <> 'F' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_bad
+      FROM orders GROUP BY 1
+    ),
+    rates AS (
+      SELECT feature_value, n_good, n_bad,
+             (n_good + 0.5) / (sum(n_good) OVER () + 0.5 * count(*) OVER ())
+               AS g,
+             (n_bad  + 0.5) / (sum(n_bad)  OVER () + 0.5 * count(*) OVER ())
+               AS b
+      FROM cells
+    ),
+    terms AS (
+      SELECT feature_value, n_good, n_bad,
+             ln(g / b)           AS woe,
+             (g - b) * ln(g / b) AS iv_term
+      FROM rates
+    )
+    SELECT feature_value, n_good, n_bad,
+           round(woe, 6)                  AS woe,
+           round(iv_term, 6)              AS iv_term,
+           round(sum(iv_term) OVER (), 6) AS iv_total
+    FROM terms
+    ORDER BY feature_value
+    """,
+)
+def feature_woe_iv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight of Evidence + Information Value of a categorical feature
+    against a binary target — the classic credit-scoring / feature-
+    selection screen. Feature = o_orderpriority (5 levels), target
+    'good' = finished orders (o_orderstatus = 'F').
+    WoE_i = ln((g_i/G)/(b_i/B)) with +0.5 Laplace smoothing per cell
+    (denominators grow by 0.5·|levels| so the smoothed rates still sum
+    to 1); IV = Σ (g_i/G − b_i/B)·WoE_i. |IV| < 0.02 ⇒ the feature
+    carries no signal — which is the expected verdict here, making this
+    a true negative-control fixture for the screen.
+
+    Scale shape: ONE conditional-sum groupBy collapses the fact table
+    to |levels| rows; totals and the IV sum are windows over that tiny
+    agg output. Cardinality of the feature bounds everything after the
+    single shuffle, so a 100 TB fact with a 10k-level feature still
+    ends in a 10k-row frame.
+    """
+    od = load_table(spark, sf_dir, "orders")
+    good = F.when(F.col("o_orderstatus") == "F", 1).otherwise(0)
+    cells = od.groupBy(F.col("o_orderpriority").alias("feature_value")).agg(
+        F.sum(good).cast("bigint").alias("n_good"),
+        F.sum(1 - good).cast("bigint").alias("n_bad"),
+    )
+    w_all = Window.partitionBy()
+    n_levels = F.count(F.lit(1)).over(w_all)
+    rates = cells.select(
+        "feature_value",
+        "n_good",
+        "n_bad",
+        (
+            (F.col("n_good") + 0.5)
+            / (F.sum("n_good").over(w_all) + 0.5 * n_levels)
+        ).alias("g"),
+        (
+            (F.col("n_bad") + 0.5)
+            / (F.sum("n_bad").over(w_all) + 0.5 * n_levels)
+        ).alias("b"),
+    )
+    terms = rates.select(
+        "feature_value",
+        "n_good",
+        "n_bad",
+        F.log(F.col("g") / F.col("b")).alias("woe"),
+        ((F.col("g") - F.col("b")) * F.log(F.col("g") / F.col("b"))).alias(
+            "iv_term"
+        ),
+    )
+    return terms.select(
+        "feature_value",
+        "n_good",
+        "n_bad",
+        F.round("woe", 6).alias("woe"),
+        F.round("iv_term", 6).alias("iv_term"),
+        F.round(F.sum("iv_term").over(w_all), 6).alias("iv_total"),
+    ).orderBy("feature_value")
