@@ -649,3 +649,116 @@ def agg_tdigest_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         partials.groupBy(F.lit(1).alias("g"))
         .applyInPandas(merge, "q double, est double, n long")
     )
+
+
+CMS_DEPTH = 4  # independent hash rows
+CMS_WIDTH = 256  # buckets per row (two md5 hex nibbles)
+CMS_TOP = 10  # report the top-N hottest keys
+
+
+@register(
+    "agg_count_min_sketch",
+    oracle=f"""
+    WITH keyed AS (
+      SELECT CAST(user_id AS VARCHAR) AS k FROM events
+    ),
+    cells AS (
+      SELECT i.i AS i,
+             (strpos('0123456789abcdef',
+                     substr(md5(i.i || ':' || k), 1, 1)) - 1) * 16
+             + (strpos('0123456789abcdef',
+                       substr(md5(i.i || ':' || k), 2, 1)) - 1) AS bucket,
+             CAST(count(*) AS BIGINT) AS cell_n
+      FROM keyed, (SELECT unnest(range({CMS_DEPTH})) AS i) i
+      GROUP BY 1, 2
+    ),
+    truth AS (
+      SELECT k, CAST(count(*) AS BIGINT) AS true_n
+      FROM keyed GROUP BY k
+    ),
+    est AS (
+      SELECT t.k, t.true_n, min(c.cell_n) AS cms_est
+      FROM truth t, (SELECT unnest(range({CMS_DEPTH})) AS i) i
+      JOIN cells c
+        ON c.i = i.i
+       AND c.bucket = (strpos('0123456789abcdef',
+                              substr(md5(i.i || ':' || t.k), 1, 1)) - 1) * 16
+                      + (strpos('0123456789abcdef',
+                                substr(md5(i.i || ':' || t.k), 2, 1)) - 1)
+      GROUP BY t.k, t.true_n
+    )
+    SELECT k, true_n, cms_est,
+           CAST(cms_est - true_n AS BIGINT) AS overestimate
+    FROM est
+    ORDER BY true_n DESC, k ASC
+    LIMIT {CMS_TOP}
+    """,
+)
+def agg_count_min_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch (Cormode & Muthukrishnan 2005) heavy-hitter
+    frequency estimation, built explicitly from {CMS_DEPTH} md5 hash
+    rows × {CMS_WIDTH} buckets so the sketch itself is a DataFrame and
+    the one-sided error guarantee (estimate ≥ truth, overshoot ≤ εN
+    w.h.p.) is CHECKABLE against the exact counts in the same query —
+    the output carries both. Content-stable md5 bucketing keeps the
+    sketch identical on any engine or partitioning (deterministic, so
+    the whole pipeline is DuckDB-oracled — rare for a sketch operator).
+
+    Scale shape: the build is one explode({CMS_DEPTH}) + one
+    partial-combinable (row, bucket) count — per-partition state
+    collapses to ≤{CMS_DEPTH}×{CMS_WIDTH} cells BEFORE the shuffle, so
+    a 100 TB stream shuffles ~1k rows per partition regardless of key
+    cardinality (this is why CMS exists). The probe side re-derives
+    each key's buckets and joins the ≤1k-cell sketch as a BROADCAST;
+    the exact `truth` counts here are only the verification harness —
+    a production probe touches the sketch alone.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    keyed = ev.select(F.col("user_id").cast("string").alias("k"))
+    hexa = F.lit("0123456789abcdef")
+
+    def bucket(i_col, k_col):
+        h = F.md5(F.concat(i_col.cast("string"), F.lit(":"), k_col))
+        return (
+            (F.instr(hexa, F.substring(h, 1, 1)) - 1) * 16
+            + (F.instr(hexa, F.substring(h, 2, 1)) - 1)
+        ).cast("bigint")
+
+    rows = keyed.select(
+        "k", F.explode(F.sequence(F.lit(0), F.lit(CMS_DEPTH - 1))).alias("i")
+    )
+    cells = rows.groupBy(
+        F.col("i").cast("bigint").alias("i"),
+        bucket(F.col("i"), F.col("k")).alias("bucket"),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("cell_n"))
+
+    truth = keyed.groupBy("k").agg(
+        F.count(F.lit(1)).cast("bigint").alias("true_n")
+    )
+    probe = truth.select(
+        "k",
+        "true_n",
+        F.explode(F.sequence(F.lit(0), F.lit(CMS_DEPTH - 1))).alias("i"),
+    ).select(
+        "k",
+        "true_n",
+        F.col("i").cast("bigint").alias("i"),
+        bucket(F.col("i"), F.col("k")).alias("bucket"),
+    )
+    est = (
+        probe.join(F.broadcast(cells), ["i", "bucket"])
+        .groupBy("k", "true_n")
+        .agg(F.min("cell_n").alias("cms_est"))
+    )
+    return (
+        est.select(
+            "k",
+            "true_n",
+            "cms_est",
+            (F.col("cms_est") - F.col("true_n")).cast("bigint").alias(
+                "overestimate"
+            ),
+        )
+        .orderBy(F.col("true_n").desc(), F.col("k").asc())
+        .limit(CMS_TOP)
+    )

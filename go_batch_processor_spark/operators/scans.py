@@ -369,3 +369,57 @@ def sink_compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
         "overwrite"
     ).parquet(compact)
     return spark.read.schema(d.schema).parquet(compact)
+
+
+BINFILE_DOCS = 200  # bounded corpus slice written as individual .bin files
+
+
+@register(
+    "source_binaryfile_scan",
+    oracle=f"""
+    WITH take AS (
+      SELECT doc_id, text FROM documents ORDER BY doc_id LIMIT {BINFILE_DOCS}
+    )
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+           md5(text)                          AS content_md5
+    FROM take
+    """,
+)
+def source_binaryfile_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`binaryFile` source — the ingestion path for opaque media blobs
+    (images/audio/video) that the multimodal operators consume: every
+    file becomes one row of (path, modificationTime, length, content).
+    Here the first {BINFILE_DOCS} documents are materialized as real
+    .bin files (UTF-8 bytes), scanned back through the binaryFile
+    reader, and verified byte-for-byte via length + md5 against the
+    originating table — which makes a binary ingestion path
+    DuckDB-oracle-checkable.
+
+    Scale shape: binaryFile is a standard FileScan — distributed,
+    partition-balanced by file size, column-pruned (dropping `content`
+    prunes actual I/O via the PathFilter). The write side here is a
+    bounded {BINFILE_DOCS}-doc driver artifact (test harness only);
+    production blobs land via their own writers. For millions of small
+    blobs prefer fewer, larger containers (parquet binary columns —
+    see the multimodal family) — binaryFile listing is O(files) on the
+    driver, the documented small-files hazard.
+    """
+    import shutil
+
+    d = load_table(spark, sf_dir, "documents")
+    take = d.orderBy("doc_id").limit(BINFILE_DOCS).select("doc_id", "text")
+    out = _sink_path(spark, "gbp_src_binfile")
+    shutil.rmtree(out, ignore_errors=True)
+    os.makedirs(out, exist_ok=True)
+    for row in take.collect():  # bounded: BINFILE_DOCS small docs
+        with open(os.path.join(out, f"doc_{row['doc_id']}.bin"), "wb") as f:
+            f.write(row["text"].encode("utf-8"))
+    back = spark.read.format("binaryFile").load(out)
+    return back.select(
+        F.regexp_extract(
+            F.col("path"), r"doc_(\d+)\.bin$", 1
+        ).cast("bigint").alias("doc_id"),
+        F.col("length").cast("bigint").alias("byte_len"),
+        F.md5("content").alias("content_md5"),
+    )

@@ -3283,3 +3283,329 @@ def feature_woe_iv(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("iv_term", 6).alias("iv_term"),
         F.round(F.sum("iv_term").over(w_all), 6).alias("iv_total"),
     ).orderBy("feature_value")
+
+
+@register(
+    "stats_proportion_ztest",
+    oracle="""
+    WITH span AS (
+      SELECT (epoch_us(min(ts)) + epoch_us(max(ts))) / 2.0 AS mid FROM events
+    ),
+    sides AS (
+      SELECT CASE WHEN epoch_us(e.ts) < s.mid THEN 0 ELSE 1 END AS side,
+             CASE WHEN e.event_type = 'purchase' THEN 1 ELSE 0 END AS hit
+      FROM events e, span s
+    ),
+    cells AS (
+      SELECT CAST(sum(CASE WHEN side = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+             CAST(sum(CASE WHEN side = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+             CAST(sum(CASE WHEN side = 0 THEN hit ELSE 0 END) AS BIGINT) AS x1,
+             CAST(sum(CASE WHEN side = 1 THEN hit ELSE 0 END) AS BIGINT) AS x2
+      FROM sides
+    )
+    SELECT n1, n2,
+           round(x1 * 1.0 / n1, 6) AS p1,
+           round(x2 * 1.0 / n2, 6) AS p2,
+           round((x1 * 1.0 / n1 - x2 * 1.0 / n2)
+                 / sqrt(((x1 + x2) * 1.0 / (n1 + n2))
+                        * (1 - (x1 + x2) * 1.0 / (n1 + n2))
+                        * (1.0 / n1 + 1.0 / n2)), 6) AS z
+    FROM cells
+    """,
+)
+def stats_proportion_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion pooled z-test — the workhorse A/B significance
+    check: did the purchase rate differ between the first and second
+    half of the observation window? z = (p̂1 − p̂2) /
+    √(p̂(1−p̂)(1/n1 + 1/n2)) with p̂ the pooled rate.
+
+    Scale shape: the span midpoint is a 1-row broadcast; all four cell
+    counts come from ONE partial-combinable conditional aggregate over
+    the fact scan — integers until the final closed-form statistic, so
+    parity is exact regardless of partitioning. Epoch microseconds on
+    both sides (whole-second truncation would disagree with DuckDB's
+    fractional epoch at the boundary second).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    span = ev.agg(
+        ((F.unix_micros(F.min("ts")) + F.unix_micros(F.max("ts"))) / 2.0).alias(
+            "mid"
+        )
+    )
+    es = F.unix_micros("ts").cast("double")
+    hit = F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+    first = es < F.col("mid")
+    cells = ev.crossJoin(F.broadcast(span)).agg(
+        F.sum(F.when(first, 1).otherwise(0)).cast("bigint").alias("n1"),
+        F.sum(F.when(~first, 1).otherwise(0)).cast("bigint").alias("n2"),
+        F.sum(F.when(first, hit).otherwise(0)).cast("bigint").alias("x1"),
+        F.sum(F.when(~first, hit).otherwise(0)).cast("bigint").alias("x2"),
+    )
+    p1 = F.col("x1") * 1.0 / F.col("n1")
+    p2 = F.col("x2") * 1.0 / F.col("n2")
+    pp = (F.col("x1") + F.col("x2")) * 1.0 / (F.col("n1") + F.col("n2"))
+    return cells.select(
+        "n1",
+        "n2",
+        F.round(p1, 6).alias("p1"),
+        F.round(p2, 6).alias("p2"),
+        F.round(
+            (p1 - p2)
+            / F.sqrt(pp * (1 - pp) * (1.0 / F.col("n1") + 1.0 / F.col("n2"))),
+            6,
+        ).alias("z"),
+    )
+
+
+@register(
+    "stats_cohens_kappa",
+    oracle="""
+    WITH rated AS (
+      SELECT CASE WHEN n_chars > 300 THEN 1 ELSE 0 END AS r1,
+             CASE WHEN lang = 'en'   THEN 1 ELSE 0 END AS r2
+      FROM documents
+    ),
+    cells AS (
+      SELECT CAST(count(*) AS BIGINT)       AS n,
+             CAST(sum(r1 * r2) AS BIGINT)   AS both_yes,
+             CAST(sum(r1) AS BIGINT)        AS r1_yes,
+             CAST(sum(r2) AS BIGINT)        AS r2_yes
+      FROM rated
+    )
+    SELECT n, both_yes, r1_yes, r2_yes,
+           round((both_yes + (n - r1_yes - r2_yes + both_yes)) * 1.0 / n, 6)
+             AS po,
+           round((r1_yes * 1.0 / n) * (r2_yes * 1.0 / n)
+                 + ((n - r1_yes) * 1.0 / n) * ((n - r2_yes) * 1.0 / n), 6)
+             AS pe,
+           round(((both_yes + (n - r1_yes - r2_yes + both_yes)) * 1.0 / n
+                  - ((r1_yes * 1.0 / n) * (r2_yes * 1.0 / n)
+                     + ((n - r1_yes) * 1.0 / n) * ((n - r2_yes) * 1.0 / n)))
+                 / (1 - ((r1_yes * 1.0 / n) * (r2_yes * 1.0 / n)
+                         + ((n - r1_yes) * 1.0 / n)
+                           * ((n - r2_yes) * 1.0 / n))), 6) AS kappa
+    FROM cells
+    """,
+)
+def stats_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa — chance-corrected agreement between two binary
+    raters, the standard metric for validating an LLM-judge or a cheap
+    heuristic labeler against a gold rater before trusting it at corpus
+    scale. Raters here: "document is long" (n_chars > 300) vs "document
+    is English" — κ = (p_o − p_e)/(1 − p_e) with p_e the agreement two
+    independent raters with these marginals would produce by chance.
+
+    Scale shape: ONE partial-combinable aggregate produces the four
+    sufficient counts (n, both-yes, each rater's yes); the 2×2 table,
+    both agreement probabilities, and κ are closed-form arithmetic on
+    that single row. Integer counts until the final division — exact
+    parity at any partitioning.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    r1 = F.when(F.col("n_chars") > 300, 1).otherwise(0)
+    r2 = F.when(F.col("lang") == "en", 1).otherwise(0)
+    cells = d.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(r1 * r2).cast("bigint").alias("both_yes"),
+        F.sum(r1).cast("bigint").alias("r1_yes"),
+        F.sum(r2).cast("bigint").alias("r2_yes"),
+    )
+    n = F.col("n")
+    po = (
+        F.col("both_yes") + (n - F.col("r1_yes") - F.col("r2_yes") + F.col("both_yes"))
+    ) * 1.0 / n
+    pe = (F.col("r1_yes") * 1.0 / n) * (F.col("r2_yes") * 1.0 / n) + (
+        (n - F.col("r1_yes")) * 1.0 / n
+    ) * ((n - F.col("r2_yes")) * 1.0 / n)
+    return cells.select(
+        "n",
+        "both_yes",
+        "r1_yes",
+        "r2_yes",
+        F.round(po, 6).alias("po"),
+        F.round(pe, 6).alias("pe"),
+        F.round((po - pe) / (1 - pe), 6).alias("kappa"),
+    )
+
+
+@register(
+    "stats_nelson_aalen",
+    oracle="""
+    WITH users AS (
+      SELECT user_id,
+             min(ts) AS t0,
+             min(CASE WHEN event_type = 'purchase' THEN ts END) AS tp
+      FROM events GROUP BY user_id
+    ),
+    subjects AS (
+      SELECT CASE WHEN tp IS NOT NULL
+                   AND date_diff('second', t0, tp) < 48 * 3600
+                  THEN CAST(floor(date_diff('second', t0, tp) / 3600.0)
+                            AS BIGINT)
+                  ELSE CAST(48 AS BIGINT) END AS dur_h,
+             CASE WHEN tp IS NOT NULL
+                   AND date_diff('second', t0, tp) < 48 * 3600
+                  THEN 1 ELSE 0 END AS converted
+      FROM users
+    ),
+    per_dur AS (
+      SELECT dur_h,
+             CAST(sum(converted) AS BIGINT)     AS n_events,
+             CAST(sum(1 - converted) AS BIGINT) AS n_censored
+      FROM subjects GROUP BY dur_h
+    ),
+    risk AS (
+      SELECT dur_h, n_events,
+             CAST((SELECT count(*) FROM subjects) AS BIGINT)
+               - coalesce(sum(n_events + n_censored) OVER (
+                   ORDER BY dur_h
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                 ), 0) AS n_risk
+      FROM per_dur
+    )
+    SELECT dur_h, n_risk, n_events,
+           round(sum(n_events * 1.0 / n_risk) OVER w, 6)        AS cum_hazard,
+           round(sum(n_events * 1.0 / (n_risk * n_risk)) OVER w, 6)
+             AS var_hazard
+    FROM risk WHERE n_events > 0
+    WINDOW w AS (ORDER BY dur_h ROWS BETWEEN UNBOUNDED PRECEDING
+                 AND CURRENT ROW)
+    ORDER BY dur_h
+    """,
+)
+def stats_nelson_aalen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nelson–Aalen cumulative-hazard estimator — the additive
+    companion to stats_kaplan_meier on the IDENTICAL risk-set
+    construction (time-to-conversion in hours, administrative censoring
+    at 48 h): H(t) = Σ_{d_i≤t} e_i/n_i with the Poisson-approximation
+    variance Σ e_i/n_i². Preferred over −ln(KM) when hazards are the
+    modelling target (Aalen 1978); exp(−H) is the Breslow survival
+    estimate.
+
+    Scale shape: identical to the KM plan — one per-user conditional
+    min-aggregate, one per-duration-hour aggregate, then ordered
+    windows over the ≤49-row duration frame (the documented
+    small-window exception). The running sums are over the
+    deterministic duration order, so doubles are bit-exact across
+    engines. Cited alongside stats_kaplan_meier so a user can check
+    −ln(S) ≈ H in one query pair.
+    """
+    horizon_h = 48
+    ev = load_table(spark, sf_dir, "events")
+    users = ev.groupBy("user_id").agg(
+        F.min("ts").alias("t0"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias("tp"),
+    )
+    gap_s = F.unix_seconds(F.col("tp")) - F.unix_seconds(F.col("t0"))
+    is_event = F.col("tp").isNotNull() & (gap_s < horizon_h * 3600)
+    subjects = users.select(
+        F.when(is_event, F.floor(gap_s / 3600.0))
+        .otherwise(F.lit(horizon_h))
+        .cast("bigint")
+        .alias("dur_h"),
+        F.when(is_event, 1).otherwise(0).alias("converted"),
+    )
+    per_dur = subjects.groupBy("dur_h").agg(
+        F.sum("converted").cast("bigint").alias("n_events"),
+        F.sum(1 - F.col("converted")).cast("bigint").alias("n_censored"),
+    )
+    w_all = Window.partitionBy()
+    w_prev = Window.partitionBy().orderBy("dur_h").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    risk = per_dur.select(
+        "dur_h",
+        "n_events",
+        (
+            F.sum(F.col("n_events") + F.col("n_censored")).over(w_all)
+            - F.coalesce(
+                F.sum(F.col("n_events") + F.col("n_censored")).over(w_prev),
+                F.lit(0),
+            )
+        ).alias("n_risk"),
+    )
+    w_run = Window.partitionBy().orderBy("dur_h").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return (
+        risk.filter(F.col("n_events") > 0)
+        .select(
+            "dur_h",
+            "n_risk",
+            "n_events",
+            F.round(
+                F.sum(F.col("n_events") * 1.0 / F.col("n_risk")).over(w_run), 6
+            ).alias("cum_hazard"),
+            F.round(
+                F.sum(
+                    F.col("n_events") * 1.0 / (F.col("n_risk") * F.col("n_risk"))
+                ).over(w_run),
+                6,
+            ).alias("var_hazard"),
+        )
+        .orderBy("dur_h")
+    )
+
+
+@register(
+    "feature_quantile_binning",
+    oracle="""
+    WITH q AS (
+      SELECT quantile_cont(o_totalprice, [0.25, 0.5, 0.75]) AS qs
+      FROM orders
+    ),
+    binned AS (
+      SELECT CASE WHEN o_totalprice <= qs[1] THEN 0
+                  WHEN o_totalprice <= qs[2] THEN 1
+                  WHEN o_totalprice <= qs[3] THEN 2
+                  ELSE 3 END AS bin,
+             o_totalprice AS p
+      FROM orders, q
+    )
+    SELECT bin,
+           CAST(count(*) AS BIGINT) AS n,
+           round(min(p), 2) AS lo,
+           round(max(p), 2) AS hi
+    FROM binned GROUP BY bin ORDER BY bin
+    """,
+)
+def feature_quantile_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equal-frequency (quartile) binning of a numeric feature — the
+    standard discretization step before WoE encoding, monotonic-risk
+    checks, or decision-table features. Boundaries are the EXACT
+    interpolated quartiles of o_totalprice (both engines use the same
+    type-7 linear interpolation); each row lands in the bucket of the
+    first boundary ≥ its value.
+
+    Scale shape: the three boundaries come from one percentile
+    aggregate (Spark's exact percentile is a sort-based agg — at 100 TB
+    swap in approx_percentile(…, 1e-4) for one-pass boundaries; the
+    assignment plan is unchanged) and ride a 1-row BROADCAST cross into
+    a stateless per-row CASE; the per-bin profile is one
+    partial-combinable groupBy of ≤4 cells. Comparison safety: the
+    interpolated boundary is either exactly a data value or strictly
+    between two values ≥0.01 apart, so an engine-side ulp difference in
+    the interpolation cannot flip any row's bucket.
+    """
+    od = load_table(spark, sf_dir, "orders")
+    q = od.agg(
+        F.percentile("o_totalprice", F.lit([0.25, 0.5, 0.75])).alias("qs")
+    )
+    p = F.col("o_totalprice")
+    binned = od.crossJoin(F.broadcast(q)).select(
+        F.when(p <= F.col("qs")[0], 0)
+        .when(p <= F.col("qs")[1], 1)
+        .when(p <= F.col("qs")[2], 2)
+        .otherwise(3)
+        .alias("bin"),
+        p.alias("p"),
+    )
+    return (
+        binned.groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.round(F.min("p"), 2).alias("lo"),
+            F.round(F.max("p"), 2).alias("hi"),
+        )
+        .orderBy("bin")
+    )

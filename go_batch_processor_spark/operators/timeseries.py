@@ -1114,3 +1114,87 @@ def timeseries_pacf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d5.select(
         *[F.round(f"p{k}", 6).alias(f"pacf_{k}") for k in range(1, 6)]
     )
+
+
+@register(
+    "stats_dickey_fuller",
+    oracle="""
+    WITH hourly AS (
+      SELECT date_trunc('hour', ts) AS h, sum(value) AS v
+      FROM events GROUP BY 1
+    ),
+    lagged AS (
+      SELECT v - lag(v) OVER (ORDER BY h) AS dy,
+             lag(v) OVER (ORDER BY h)     AS x
+      FROM hourly
+    ),
+    suff AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             sum(x)      AS sx,  sum(dy)     AS sy,
+             sum(x * x)  AS sxx, sum(dy * dy) AS syy,
+             sum(x * dy) AS sxy
+      FROM lagged WHERE dy IS NOT NULL
+    ),
+    fit AS (
+      SELECT n,
+             (sxy - sx * sy / n) / (sxx - sx * sx / n) AS beta,
+             sy / n - (sxy - sx * sy / n) / (sxx - sx * sx / n) * sx / n
+               AS alpha,
+             (syy - sy * sy / n)
+               - (sxy - sx * sy / n) / (sxx - sx * sx / n)
+                 * (sxy - sx * sy / n) AS sse,
+             sxx - sx * sx / n AS sxx_c
+      FROM suff
+    )
+    SELECT n,
+           round(beta, 6)  AS beta,
+           round(alpha, 6) AS alpha,
+           round(beta / sqrt(sse / (n - 2) / sxx_c), 6) AS df_stat
+    FROM fit
+    """,
+)
+def stats_dickey_fuller(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dickey–Fuller unit-root test (constant, no trend) on the hourly
+    metric series: regress Δx_t on x_{t−1}; the t-statistic of the slope
+    is the DF statistic (strongly negative ⇒ mean-reverting/stationary;
+    near 0 ⇒ random walk — compare against the DF critical values, not
+    Student-t). The stationarity gate that should precede any ARMA-style
+    modelling of the series (companions: timeseries_acf/pacf/ljung_box).
+
+    Scale shape: the fact stream reduces to |hours| rows in ONE
+    partial-combinable aggregate; the lag is a window over that bounded
+    agg output; the regression needs only SIX sufficient statistics
+    (n, Σx, Σy, Σx², Σy², Σxy) from one further aggregate, and the
+    slope/intercept/SSE/t-stat are closed-form arithmetic on that single
+    row (SSE via Syy − β̂·Sxy — no residual second pass). Identical
+    expression trees on both engines; rounded once at the edge.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(F.date_trunc("hour", "ts").alias("h")).agg(
+        F.sum("value").alias("v")
+    )
+    w_ord = Window.partitionBy().orderBy("h")
+    lagged = hourly.select(
+        (F.col("v") - F.lag("v").over(w_ord)).alias("dy"),
+        F.lag("v").over(w_ord).alias("x"),
+    ).filter(F.col("dy").isNotNull())
+    suff = lagged.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("dy").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("dy") * F.col("dy")).alias("syy"),
+        F.sum(F.col("x") * F.col("dy")).alias("sxy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxx, syy, sxy = F.col("sxx"), F.col("syy"), F.col("sxy")
+    beta = (sxy - sx * sy / n) / (sxx - sx * sx / n)
+    alpha = sy / n - beta * sx / n
+    sse = (syy - sy * sy / n) - beta * (sxy - sx * sy / n)
+    sxx_c = sxx - sx * sx / n
+    return suff.select(
+        "n",
+        F.round(beta, 6).alias("beta"),
+        F.round(alpha, 6).alias("alpha"),
+        F.round(beta / F.sqrt(sse / (n - 2) / sxx_c), 6).alias("df_stat"),
+    )
