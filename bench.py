@@ -113,6 +113,11 @@ HEADLINE = [
     # round 6 additions
     "stats_permutation_test",
     "stats_benjamini_hochberg",
+    "stats_psi_population_stability",
+    "ml_calibration_ece",
+    "timeseries_pacf",
+    "agg_count_min_sketch",
+    "stats_hurst_exponent",
 ]
 
 

@@ -702,7 +702,9 @@ def agg_count_min_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     w.h.p.) is CHECKABLE against the exact counts in the same query —
     the output carries both. Content-stable md5 bucketing keeps the
     sketch identical on any engine or partitioning (deterministic, so
-    the whole pipeline is DuckDB-oracled — rare for a sketch operator).
+    the whole pipeline is DuckDB-oracled — rare for a sketch operator;
+    agg_count_min_topk is the production JVM-hash sibling whose
+    guarantees are pytest-pinned instead).
 
     Scale shape: the build is one explode({CMS_DEPTH}) + one
     partial-combinable (row, bucket) count — per-partition state

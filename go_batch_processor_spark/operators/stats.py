@@ -3570,12 +3570,14 @@ def stats_nelson_aalen(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def feature_quantile_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Equal-frequency (quartile) binning of a numeric feature — the
-    standard discretization step before WoE encoding, monotonic-risk
-    checks, or decision-table features. Boundaries are the EXACT
-    interpolated quartiles of o_totalprice (both engines use the same
-    type-7 linear interpolation); each row lands in the bucket of the
-    first boundary ≥ its value.
+    """Equal-frequency (quartile) binning of a numeric feature against
+    GLOBAL boundaries — the standard discretization step before WoE
+    encoding, monotonic-risk checks, or decision-table features
+    (feature_quantile_bucketize is the per-group sibling: its
+    boundaries ride an equi-join; these ride a 1-row broadcast).
+    Boundaries are the EXACT interpolated quartiles of o_totalprice
+    (both engines use the same type-7 linear interpolation); each row
+    lands in the bucket of the first boundary ≥ its value.
 
     Scale shape: the three boundaries come from one percentile
     aggregate (Spark's exact percentile is a sort-based agg — at 100 TB

@@ -1198,3 +1198,206 @@ def stats_dickey_fuller(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(alpha, 6).alias("alpha"),
         F.round(beta / F.sqrt(sse / (n - 2) / sxx_c), 6).alias("df_stat"),
     )
+
+
+HURST_SIZES = [16, 32, 64, 128]  # R/S block sizes (powers of two)
+
+
+@register(
+    "stats_hurst_exponent",
+    oracle=f"""
+    WITH hourly AS (
+      SELECT date_trunc('hour', ts) AS h, sum(value) AS v
+      FROM events GROUP BY 1
+    ),
+    seq AS (
+      SELECT v, row_number() OVER (ORDER BY h) AS rn,
+             count(*) OVER () AS n
+      FROM hourly
+    ),
+    sized AS (
+      SELECT s.s, (rn - 1) // s.s AS blk, rn, v
+      FROM seq, (SELECT unnest([{", ".join(map(str, HURST_SIZES))}]) AS s) s
+      WHERE (rn - 1) // s.s < n // s.s
+    ),
+    centered AS (
+      SELECT s, blk, rn, v,
+             avg(v) OVER (PARTITION BY s, blk) AS m
+      FROM sized
+    ),
+    cum AS (
+      SELECT s, blk, v, m,
+             sum(v - m) OVER (PARTITION BY s, blk ORDER BY rn
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND CURRENT ROW) AS z
+      FROM centered
+    ),
+    per_block AS (
+      SELECT s, blk,
+             max(z) - min(z)  AS r,
+             stddev_pop(v)    AS sd
+      FROM cum GROUP BY s, blk
+    ),
+    per_size AS (
+      SELECT s, avg(r / sd) AS rs
+      FROM per_block WHERE sd > 0 AND r > 0
+      GROUP BY s
+    ),
+    suff AS (
+      SELECT CAST(count(*) AS BIGINT) AS k,
+             sum(ln(CAST(s AS DOUBLE)))           AS sx,
+             sum(ln(rs))                          AS sy,
+             sum(ln(CAST(s AS DOUBLE)) * ln(CAST(s AS DOUBLE))) AS sxx,
+             sum(ln(CAST(s AS DOUBLE)) * ln(rs))  AS sxy
+      FROM per_size
+    )
+    SELECT k AS n_sizes,
+           round((sxy - sx * sy / k) / (sxx - sx * sx / k), 6) AS hurst,
+           round(exp((sy - (sxy - sx * sy / k) / (sxx - sx * sx / k) * sx)
+                     / k), 6) AS rs_scale
+    FROM suff
+    """,
+)
+def stats_hurst_exponent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hurst exponent via classical rescaled-range (R/S) analysis
+    (Hurst 1951 / Mandelbrot–Wallis): for block sizes
+    {HURST_SIZES}, split the hourly series into complete blocks,
+    compute each block's range of cumulative mean-deviations over its
+    population std, average R/S per size, and fit
+    log(R/S) = H·log(n) + c. H≈0.5 ⇒ independent increments, H>0.5 ⇒
+    long-range persistence — the long-memory diagnostic that decides
+    whether naive confidence intervals on the series are trustworthy.
+
+    Scale shape: the stream collapses to |hours| rows in one aggregate;
+    the size fan-out is a {len(HURST_SIZES)}× explode of that bounded
+    frame; block means and cumulative deviations are windows PARTITIONED
+    BY (size, block) — genuinely parallel, no global window over raw
+    data (the only global pass is row_number over the agg output, the
+    documented small-frame exception). The final fit consumes
+    {len(HURST_SIZES)} points via the same sufficient-stats closed form
+    as stats_dickey_fuller. Degenerate blocks (zero variance or zero
+    range) are excluded on both sides before the log.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(F.date_trunc("hour", "ts").alias("h")).agg(
+        F.sum("value").alias("v")
+    )
+    w_all = Window.partitionBy()
+    seq = hourly.select(
+        "v",
+        F.row_number().over(Window.partitionBy().orderBy("h")).alias("rn"),
+        F.count(F.lit(1)).over(w_all).alias("n"),
+    )
+    sized = (
+        seq.withColumn(
+            "s", F.explode(F.array(*[F.lit(s) for s in HURST_SIZES]))
+        )
+        .withColumn("blk", ((F.col("rn") - 1) / F.col("s")).cast("bigint"))
+        .filter(F.col("blk") < (F.col("n") / F.col("s")).cast("bigint"))
+        .select("s", "blk", "rn", "v")
+    )
+    w_blk = Window.partitionBy("s", "blk")
+    centered = sized.withColumn("m", F.avg("v").over(w_blk))
+    cum = centered.withColumn(
+        "z",
+        F.sum(F.col("v") - F.col("m")).over(
+            Window.partitionBy("s", "blk")
+            .orderBy("rn")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    per_block = cum.groupBy("s", "blk").agg(
+        (F.max("z") - F.min("z")).alias("r"),
+        F.stddev_pop("v").alias("sd"),
+    )
+    per_size = (
+        per_block.filter((F.col("sd") > 0) & (F.col("r") > 0))
+        .groupBy("s")
+        .agg(F.avg(F.col("r") / F.col("sd")).alias("rs"))
+    )
+    lx = F.log(F.col("s").cast("double"))
+    ly = F.log("rs")
+    suff = per_size.agg(
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        F.sum(lx).alias("sx"),
+        F.sum(ly).alias("sy"),
+        F.sum(lx * lx).alias("sxx"),
+        F.sum(lx * ly).alias("sxy"),
+    )
+    k, sx, sy = F.col("k"), F.col("sx"), F.col("sy")
+    sxx, sxy = F.col("sxx"), F.col("sxy")
+    slope = (sxy - sx * sy / k) / (sxx - sx * sx / k)
+    return suff.select(
+        k.alias("n_sizes"),
+        F.round(slope, 6).alias("hurst"),
+        F.round(F.exp((sy - slope * sx) / k), 6).alias("rs_scale"),
+    )
+
+
+EVT_GAMMA = 0.5772156649015329  # Euler-Mascheroni
+EVT_PI = 3.141592653589793
+EVT_RETURN_T = 100  # return period in blocks (days)
+
+
+@register(
+    "stats_extreme_value_gumbel",
+    oracle=f"""
+    WITH hourly AS (
+      SELECT date_trunc('hour', ts) AS h, sum(value) AS v
+      FROM events GROUP BY 1
+    ),
+    maxima AS (
+      SELECT date_trunc('day', h) AS d, max(v) AS mx
+      FROM hourly GROUP BY 1
+    ),
+    mom AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_blocks,
+             avg(mx)          AS m,
+             stddev_samp(mx)  AS sd
+      FROM maxima
+    )
+    SELECT n_blocks,
+           round(sd * sqrt(6.0) / {EVT_PI}, 6)                    AS beta,
+           round(m - {EVT_GAMMA} * (sd * sqrt(6.0) / {EVT_PI}), 6) AS mu,
+           round((m - {EVT_GAMMA} * (sd * sqrt(6.0) / {EVT_PI}))
+                 - (sd * sqrt(6.0) / {EVT_PI})
+                   * ln(-ln(1.0 - 1.0 / {EVT_RETURN_T})), 6)
+             AS return_level_{EVT_RETURN_T}
+    FROM mom
+    """,
+)
+def stats_extreme_value_gumbel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gumbel (EV-I) extreme-value fit on daily block maxima of the
+    hourly metric, by the method of moments: β̂ = s·√6/π,
+    μ̂ = x̄ − γβ̂ (γ = Euler–Mascheroni), plus the {EVT_RETURN_T}-day
+    return level μ̂ − β̂·ln(−ln(1−1/T)) — "the hourly load exceeded once
+    per {EVT_RETURN_T} days", the capacity-planning number a P99 cannot
+    give you (quantiles interpolate inside the sample; EVT extrapolates
+    the tail law beyond it).
+
+    Scale shape: two nested partial-combinable aggregates (hour, then
+    day-max) collapse 100 TB to |days| rows; the moment fit is one
+    1-row aggregate and closed-form arithmetic — every constant (π, γ)
+    is a shared literal so both engines evaluate the identical tree.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(F.date_trunc("hour", "ts").alias("h")).agg(
+        F.sum("value").alias("v")
+    )
+    maxima = hourly.groupBy(F.date_trunc("day", "h").alias("d")).agg(
+        F.max("v").alias("mx")
+    )
+    mom = maxima.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_blocks"),
+        F.avg("mx").alias("m"),
+        F.stddev_samp("mx").alias("sd"),
+    )
+    beta = F.col("sd") * F.sqrt(F.lit(6.0)) / EVT_PI
+    mu = F.col("m") - EVT_GAMMA * beta
+    rl = mu - beta * F.log(-F.log(1.0 - 1.0 / F.lit(EVT_RETURN_T)))
+    return mom.select(
+        "n_blocks",
+        F.round(beta, 6).alias("beta"),
+        F.round(mu, 6).alias("mu"),
+        F.round(rl, 6).alias(f"return_level_{EVT_RETURN_T}"),
+    )
