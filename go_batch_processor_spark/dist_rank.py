@@ -88,3 +88,77 @@ def distributed_row_number(
         out, (off + F.row_number().over(w)).cast("long")
     ).drop("__bkt")
     return ranked, acc
+
+
+def distributed_group_cumsum(
+    df: DataFrame,
+    group: str,
+    key: str,
+    val: str,
+    out: str,
+    *,
+    nbuckets: int = DEFAULT_RANK_BUCKETS,
+) -> DataFrame:
+    """Add an exact per-``group`` running sum of ``val`` ordered by the
+    numeric column ``key`` (inclusive of the current row), without a
+    per-group single-task window — the cumulative-sum sibling of
+    ``distributed_row_number`` for the case where the per-group frame
+    itself is unbounded (e.g. a near-unique value marginal: |distinct
+    prices| grows with the corpus, so ``Window.partitionBy(group)
+    .orderBy(key)`` is one task per group value no matter how much the
+    frame was compressed first).
+
+    Same 3-pass shape: literal quantile boundaries bucket the key (a
+    function of the key alone, so ties never straddle buckets), one
+    partial-combinable (group, bucket) count pass collects ≤
+    |groups|·nbuckets offset rows, and the running sum runs inside
+    (group, bucket) partitions with the group's preceding-bucket total
+    added as a literal-map lookup. ``(group, key)`` pairs must be
+    distinct in ``df`` (it is a marginal/aggregate frame), keeping the
+    within-bucket order total.
+    """
+    probs = [i / nbuckets for i in range(1, nbuckets)]
+    bounds = sorted(set(df.approxQuantile(key, probs, 0.001)))
+    kd = F.col(key).cast("double")
+    if bounds:
+        barr = F.array(*[F.lit(float(b)) for b in bounds])
+        bucket = F.size(F.filter(barr, lambda b: kd > b))
+    else:
+        bucket = F.lit(0)
+    bdf = df.withColumn("__bkt", bucket)
+
+    totals = (
+        bdf.groupBy(group, "__bkt")
+        .agg(F.sum(val).alias("t"))
+        .collect()
+    )
+    per_group: dict[object, dict[int, float]] = {}
+    for r in totals:
+        per_group.setdefault(r[group], {})[r["__bkt"]] = r["t"]
+    entries = []
+    for g, bks in per_group.items():
+        acc = 0
+        for b in sorted(bks):
+            entries.extend(
+                (F.concat(F.lit(str(g)), F.lit(":"), F.lit(str(b))), F.lit(acc))
+            )
+            acc += bks[b]
+    if entries:
+        off_map = F.create_map(*entries)
+        off = F.element_at(
+            off_map,
+            F.concat(
+                F.col(group).cast("string"),
+                F.lit(":"),
+                F.col("__bkt").cast("string"),
+            ),
+        )
+    else:  # empty input frame
+        off = F.lit(0)
+
+    w = (
+        Window.partitionBy(group, "__bkt")
+        .orderBy(key)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return bdf.withColumn(out, off + F.sum(val).over(w)).drop("__bkt")

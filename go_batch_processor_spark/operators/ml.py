@@ -28,7 +28,7 @@ from collections.abc import Iterator
 
 import pandas as pd
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from go_batch_processor_spark.catalog import load_table
@@ -1357,3 +1357,148 @@ def ml_kfold_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.stddev_samp("o_totalprice"), 4).alias("sd_target"),
         )
     )
+
+
+def _langid_guess_sql() -> str:
+    """The text_langid decision rule as a SQL CASE (shared profiles)."""
+    from go_batch_processor_spark.operators.text import _profile_score_sql
+
+    en = _profile_score_sql("w", "en")
+    de = _profile_score_sql("w", "de")
+    es = _profile_score_sql("w", "es")
+    return f"""
+      CASE WHEN {en} >= {de} AND {en} >= {es} AND {en} > 0 THEN 'en'
+           WHEN {de} >= {es} AND {de} > 0 THEN 'de'
+           WHEN {es} > 0 THEN 'es'
+           ELSE 'unknown' END
+    """
+
+
+def _confusion_oracle() -> str:
+    return f"""
+    WITH t0 AS (SELECT lang, string_split(text, ' ') AS w FROM documents),
+    pred AS (SELECT lang AS truth, {_langid_guess_sql()} AS guess FROM t0),
+    cells AS (
+      SELECT truth, guess, CAST(count(*) AS BIGINT) AS n
+      FROM pred GROUP BY 1, 2
+    ),
+    t AS (SELECT truth AS class, CAST(sum(n) AS BIGINT) AS n_true
+          FROM cells GROUP BY 1),
+    p AS (SELECT guess AS class, CAST(sum(n) AS BIGINT) AS n_pred
+          FROM cells GROUP BY 1),
+    d AS (SELECT truth AS class, CAST(sum(n) AS BIGINT) AS tp
+          FROM cells WHERE truth = guess GROUP BY 1),
+    per AS (
+      SELECT coalesce(t.class, p.class) AS class,
+             CAST(coalesce(t.n_true, 0) AS BIGINT) AS n_true,
+             CAST(coalesce(p.n_pred, 0) AS BIGINT) AS n_pred,
+             CAST(coalesce(d.tp, 0) AS BIGINT)     AS tp
+      FROM t FULL OUTER JOIN p ON t.class = p.class
+      LEFT JOIN d ON coalesce(t.class, p.class) = d.class
+    )
+    SELECT class, n_true, n_pred, tp,
+           round(CASE WHEN n_pred > 0 THEN tp * 1.0 / n_pred END, 6)
+             AS precision,
+           round(CASE WHEN n_true > 0 THEN tp * 1.0 / n_true END, 6)
+             AS recall,
+           round(CASE WHEN n_pred > 0 AND n_true > 0 THEN
+                   CASE WHEN tp > 0 THEN
+                     2.0 * (tp * 1.0 / n_pred) * (tp * 1.0 / n_true)
+                       / (tp * 1.0 / n_pred + tp * 1.0 / n_true)
+                   ELSE 0.0 END
+                 END, 6) AS f1,
+           round(sum(tp) OVER () * 1.0 / sum(n_true) OVER (), 6) AS accuracy
+    FROM per ORDER BY class
+"""
+
+
+@register(
+    "ml_confusion_metrics",
+    oracle=_confusion_oracle(),
+)
+def ml_confusion_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-class confusion-matrix metrics (precision / recall / F1 +
+    overall accuracy) of the text_langid heuristic against the labeled
+    lang column — the eval table every classifier pipeline ends with.
+    Classes = union of true and predicted labels, so classes the model
+    never predicts (fr, zh here) still appear with recall 0 — the
+    failure mode a predicted-classes-only report silently hides.
+
+    Scale shape: prediction is a stateless per-row projection; the
+    confusion matrix is ONE partial-combinable groupBy to ≤|classes|²
+    cells; truth/prediction marginals and the diagonal are three tiny
+    aggregates of those cells, stitched with a full outer join on the
+    class label; accuracy is a window over the ≤|classes|-row output.
+    Integer counts throughout — exact parity at any partitioning.
+    """
+    from go_batch_processor_spark.operators.text import LANG_PROFILES
+
+    d = load_table(spark, sf_dir, "documents")
+    w = F.split("text", " ")
+
+    def score(lang: str) -> Column:
+        return F.size(F.filter(w, lambda x: x.isin(*LANG_PROFILES[lang]))).cast(
+            "long"
+        )
+
+    s_en, s_de, s_es = score("en"), score("de"), score("es")
+    guess = (
+        F.when((s_en >= s_de) & (s_en >= s_es) & (s_en > 0), "en")
+        .when((s_de >= s_es) & (s_de > 0), "de")
+        .when(s_es > 0, "es")
+        .otherwise("unknown")
+    )
+    cells = (
+        d.select(F.col("lang").alias("truth"), guess.alias("guess"))
+        .groupBy("truth", "guess")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    t = cells.groupBy(F.col("truth").alias("class")).agg(
+        F.sum("n").cast("bigint").alias("n_true")
+    )
+    p = cells.groupBy(F.col("guess").alias("class")).agg(
+        F.sum("n").cast("bigint").alias("n_pred")
+    )
+    diag = (
+        cells.filter(F.col("truth") == F.col("guess"))
+        .groupBy(F.col("truth").alias("class"))
+        .agg(F.sum("n").cast("bigint").alias("tp"))
+    )
+    per = (
+        t.join(p, "class", "full_outer")
+        .join(diag, "class", "left_outer")
+        .select(
+            "class",
+            F.coalesce("n_true", F.lit(0)).cast("bigint").alias("n_true"),
+            F.coalesce("n_pred", F.lit(0)).cast("bigint").alias("n_pred"),
+            F.coalesce("tp", F.lit(0)).cast("bigint").alias("tp"),
+        )
+    )
+    w_all = Window.partitionBy()
+    prec = F.when(
+        F.col("n_pred") > 0, F.col("tp") * 1.0 / F.col("n_pred")
+    )
+    rec = F.when(F.col("n_true") > 0, F.col("tp") * 1.0 / F.col("n_true"))
+    f1 = F.when(
+        (F.col("n_pred") > 0)
+        & (F.col("n_true") > 0)
+        & (F.col("tp") > 0),
+        2.0
+        * (F.col("tp") * 1.0 / F.col("n_pred"))
+        * (F.col("tp") * 1.0 / F.col("n_true"))
+        / (F.col("tp") * 1.0 / F.col("n_pred") + F.col("tp") * 1.0 / F.col("n_true")),
+    ).otherwise(
+        F.when((F.col("n_pred") > 0) & (F.col("n_true") > 0), 0.0)
+    )
+    return per.select(
+        "class",
+        "n_true",
+        "n_pred",
+        "tp",
+        F.round(prec, 6).alias("precision"),
+        F.round(rec, 6).alias("recall"),
+        F.round(f1, 6).alias("f1"),
+        F.round(
+            F.sum("tp").over(w_all) * 1.0 / F.sum("n_true").over(w_all), 6
+        ).alias("accuracy"),
+    ).orderBy("class")

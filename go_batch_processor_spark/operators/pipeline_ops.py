@@ -258,3 +258,57 @@ def stream_mv_join_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").cast("long").alias("n"),
         F.round("s", 2).alias("s"),
     )
+
+
+@register(
+    "stream_windowed_topk",
+    oracle="""
+    WITH counts AS (
+      SELECT date_trunc('hour', ts) AS win_start, user_id,
+             CAST(count(*) AS BIGINT) AS n_events
+      FROM events GROUP BY 1, 2
+    ),
+    ranked AS (
+      SELECT win_start, user_id, n_events,
+             CAST(row_number() OVER (PARTITION BY win_start
+                                     ORDER BY n_events DESC, user_id)
+                  AS BIGINT) AS rk
+      FROM counts
+    )
+    SELECT win_start, user_id, n_events, rk FROM ranked WHERE rk <= 3
+    """,
+)
+def stream_windowed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuously-maintained per-window top-k — the rank-over-stream
+    pattern Structured Streaming cannot express incrementally: the
+    streaming half is a plain watermarked windowed count (incremental,
+    bounded state) and each foreachBatch tick re-ranks only the updated
+    frame into a parquet sink partitioned by window start (see
+    streaming/stream_ops.py::streaming_windowed_topk for the
+    complete-mode overwrite contract). The oracle is the equivalent
+    batch rank — the whole point of the split: the streamed sink must
+    equal the batch answer at every availableNow quiescence.
+    """
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    from go_batch_processor_spark.streaming.stream_ops import (
+        streaming_windowed_topk,
+    )
+
+    sink = _tempfile.mkdtemp(prefix="gbp_topk_sink_")
+    try:
+        out = streaming_windowed_topk(spark, sf_dir, sink)
+        # Materialize away from the about-to-vanish sink dir.
+        rows = out.select(
+            F.col("win_start").cast("timestamp"),
+            F.col("user_id").cast("long"),
+            F.col("n_events").cast("long"),
+            F.col("rk").cast("long"),
+        )
+        pdf = rows.toPandas()
+    finally:
+        _shutil.rmtree(sink, ignore_errors=True)
+    return spark.createDataFrame(pdf, schema=rows.schema).select(
+        "win_start", "user_id", "n_events", "rk"
+    )

@@ -1088,6 +1088,9 @@ def agg_hll_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SPEARMAN_WINDOW_MAX = 2_000_000  # per-group-window regime cap (rows)
+
+
 @register(
     "stats_spearman_corr",
     oracle="""
@@ -1118,9 +1121,13 @@ def stats_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     partial-combinable shuffle; fractional ranks then come from
     cumulative counts over the two DISTINCT-value marginals
     (mid-rank = cum_before + (c+1)/2) — the exact trick
-    stats_ks_two_sample / stats_mann_whitney use. The cumulative
-    windows run over vocabulary-sized marginals (≤50 quantities, ~|part
-    catalog| prices per group), never corpus rows; the rank tables join
+    stats_ks_two_sample / stats_mann_whitney use. The quantity
+    marginal is value-domain-bounded (≤50 rows per group) so a plain
+    cumulative window is safe; the PRICE marginal is near-unique and
+    grows with the corpus, so its cumulative counts come from the
+    two-pass distributed cumsum (dist_rank.distributed_group_cumsum:
+    literal quantile buckets + per-(group,bucket) offsets — no
+    per-group single-task window); the rank tables join
     back onto the compressed joint frame, and rho is the weighted
     Pearson over CENTERED ranks (the mean fractional rank of a complete
     ranking is exactly (n+1)/2, so centering is analytic, not
@@ -1130,6 +1137,12 @@ def stats_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     joint = li.groupBy("l_returnflag", "l_quantity", "l_extendedprice").agg(
         F.count(F.lit(1)).alias("w")
     )
+    # Every downstream branch (both marginals, group totals, the final
+    # join-back, plus the cumsum helper's 3 passes) re-derives from the
+    # compressed joint frame; truncate its lineage ONCE so the corpus
+    # groupBy runs a single time (same pattern as
+    # graph_bfs_shortest_paths' per-hop checkpoint).
+    joint = joint.localCheckpoint(eager=True)
     # Marginal fractional (mid) ranks from cumulative distinct-value counts.
     w_q = Window.partitionBy("l_returnflag").orderBy("l_quantity")
     qr = (
@@ -1141,15 +1154,29 @@ def stats_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.sum("c").over(w_q) - F.col("c") + (F.col("c") + 1) / 2.0).alias("rq"),
         )
     )
-    w_p = Window.partitionBy("l_returnflag").orderBy("l_extendedprice")
-    pr = (
-        joint.groupBy("l_returnflag", "l_extendedprice")
-        .agg(F.sum("w").alias("c"))
-        .select(
-            "l_returnflag",
-            "l_extendedprice",
-            (F.sum("c").over(w_p) - F.col("c") + (F.col("c") + 1) / 2.0).alias("rp"),
+    # Price marginal: l_extendedprice is near-unique, so its distinct
+    # marginal GROWS with the corpus — a per-group cumulative window is
+    # one task per return flag. Regime split (same pattern as
+    # graph_jaccard_link_prediction): below SPEARMAN_WINDOW_MAX rows the
+    # per-group window is cheapest (fewer jobs); above it, the two-pass
+    # distributed cumsum (dist_rank.distributed_group_cumsum) keeps the
+    # cumulative counts parallel. Both paths are exact and identical.
+    from go_batch_processor_spark.dist_rank import distributed_group_cumsum
+
+    pm = joint.groupBy("l_returnflag", "l_extendedprice").agg(
+        F.sum("w").alias("c")
+    )
+    if pm.count() <= SPEARMAN_WINDOW_MAX:
+        w_p = Window.partitionBy("l_returnflag").orderBy("l_extendedprice")
+        pm = pm.withColumn("cum", F.sum("c").over(w_p))
+    else:
+        pm = distributed_group_cumsum(
+            pm, "l_returnflag", "l_extendedprice", "c", "cum"
         )
+    pr = pm.select(
+        "l_returnflag",
+        "l_extendedprice",
+        (F.col("cum") - F.col("c") + (F.col("c") + 1) / 2.0).alias("rp"),
     )
     totals = joint.groupBy("l_returnflag").agg(F.sum("w").alias("n_g"))
     r = (
@@ -3610,4 +3637,78 @@ def feature_quantile_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.max("p"), 2).alias("hi"),
         )
         .orderBy("bin")
+    )
+
+
+@register(
+    "profile_join_key_skew",
+    oracle="""
+    WITH per_key AS (
+      SELECT user_id, CAST(count(*) AS BIGINT) AS c
+      FROM events GROUP BY user_id
+    ),
+    shared AS (
+      SELECT c, c * 1.0 / sum(c) OVER () AS sh FROM per_key
+    ),
+    prof AS (
+      SELECT CAST(count(*) AS BIGINT)  AS n_keys,
+             CAST(sum(c) AS BIGINT)    AS n_rows,
+             CAST(max(c) AS BIGINT)    AS max_cnt,
+             quantile_cont(c, 0.99)    AS p99_cnt,
+             sum(sh * ln(sh))          AS neg_entropy
+      FROM shared
+    )
+    SELECT n_keys, n_rows, max_cnt,
+           round(p99_cnt, 2)                              AS p99_cnt,
+           round(max_cnt * 1.0 / (n_rows * 1.0 / n_keys), 6) AS skew_ratio,
+           round(max_cnt * 1.0 / n_rows, 6)               AS top1_share,
+           round(-neg_entropy / ln(n_keys), 6)            AS norm_entropy
+    FROM prof
+    """,
+)
+def profile_join_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew profile — the pre-flight check before hash-joining
+    or aggregating on a candidate key at 100 TB: per-key cardinality
+    profile (max / p99 / skew ratio = hottest key vs mean), the hottest
+    key's row share, and the normalized Shannon entropy of the key
+    distribution (1.0 = perfectly uniform, → 0 = one key dominates).
+    skew_ratio ≫ 10 or norm_entropy ≪ 1 says: salt the key, broadcast
+    the other side, or rely on AQE's skew-join split (whose threshold
+    semantics this profile feeds; see tests/test_join_plans.py for the
+    pinned AQE split).
+
+    Scale shape: ONE partial-combinable count per key (the same shuffle
+    the prospective join would pay, on a 1-column projection), then a
+    single aggregate over the per-key frame; the entropy term uses a
+    window-total inside the same aggregate input so no second scan. The
+    exact p99 percentile is sort-based over |keys| — swap for
+    approx_percentile at extreme cardinalities; every other statistic
+    is one-pass.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    per_key = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    w_all = Window.partitionBy()
+    share = F.col("c") * 1.0 / F.sum("c").over(w_all)
+    shared = per_key.select("c", share.alias("sh"))
+    prof = shared.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_keys"),
+        F.sum("c").cast("bigint").alias("n_rows"),
+        F.max("c").cast("bigint").alias("max_cnt"),
+        F.percentile("c", F.lit(0.99)).alias("p99_cnt"),
+        F.sum(F.col("sh") * F.log("sh")).alias("neg_entropy"),
+    )
+    return prof.select(
+        "n_keys",
+        "n_rows",
+        "max_cnt",
+        F.round("p99_cnt", 2).alias("p99_cnt"),
+        F.round(
+            F.col("max_cnt") * 1.0 / (F.col("n_rows") * 1.0 / F.col("n_keys")), 6
+        ).alias("skew_ratio"),
+        F.round(F.col("max_cnt") * 1.0 / F.col("n_rows"), 6).alias("top1_share"),
+        F.round(-F.col("neg_entropy") / F.log(F.col("n_keys").cast("double")), 6).alias(
+            "norm_entropy"
+        ),
     )

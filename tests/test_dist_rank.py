@@ -61,3 +61,45 @@ def test_plan_has_no_single_partition_window(spark, sf_dir):
     plan = got._jdf.queryExecution().executedPlan().toString()
     assert "hashpartitioning(__bkt" in plan
     assert "SinglePartition" not in plan
+
+
+def test_group_cumsum_matches_window(spark, sf_dir):
+    """distributed_group_cumsum == the per-group cumulative window it
+    replaces (the stats_spearman_corr price-marginal scale path)."""
+    from go_batch_processor_spark.dist_rank import distributed_group_cumsum
+    from go_batch_processor_spark.catalog import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    pm = li.groupBy("l_returnflag", "l_extendedprice").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    got = distributed_group_cumsum(
+        pm, "l_returnflag", "l_extendedprice", "c", "cum", nbuckets=8
+    )
+    w = Window.partitionBy("l_returnflag").orderBy("l_extendedprice")
+    want = pm.withColumn("cum", F.sum("c").over(w))
+    g = {
+        (r["l_returnflag"], r["l_extendedprice"]): r["cum"]
+        for r in got.collect()
+    }
+    e = {
+        (r["l_returnflag"], r["l_extendedprice"]): r["cum"]
+        for r in want.collect()
+    }
+    assert g == e and len(g) > 0
+
+
+def test_group_cumsum_plan_is_bucket_parallel(spark, sf_dir):
+    from go_batch_processor_spark.dist_rank import distributed_group_cumsum
+    from go_batch_processor_spark.catalog import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    pm = li.groupBy("l_returnflag", "l_extendedprice").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    got = distributed_group_cumsum(
+        pm, "l_returnflag", "l_extendedprice", "c", "cum", nbuckets=8
+    )
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "__bkt" in plan
+    assert "SinglePartition" not in plan
