@@ -1088,7 +1088,7 @@ def agg_hll_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-SPEARMAN_WINDOW_MAX = 2_000_000  # per-group-window regime cap (rows)
+SPEARMAN_WINDOW_MAX = 2_000_000  # corpus-rows cap for the window regime
 
 
 @register(
@@ -1134,15 +1134,21 @@ def stats_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     empirical — no large-moment cancellation). Rounded to 6: co-moment
     accumulation order differs across engines/partitions."""
     li = load_table(spark, sf_dir, "lineitem")
+    # Regime probe FIRST (a parquet row-count is metadata-cheap — no
+    # shuffle): the distinct price marginal is bounded by |corpus|, so
+    # below the window cap the whole query stays lazy (no checkpoint,
+    # no extra jobs) and matches the small-scale-optimal plan exactly.
+    big = li.count() > SPEARMAN_WINDOW_MAX
     joint = li.groupBy("l_returnflag", "l_quantity", "l_extendedprice").agg(
         F.count(F.lit(1)).alias("w")
     )
-    # Every downstream branch (both marginals, group totals, the final
-    # join-back, plus the cumsum helper's 3 passes) re-derives from the
-    # compressed joint frame; truncate its lineage ONCE so the corpus
-    # groupBy runs a single time (same pattern as
-    # graph_bfs_shortest_paths' per-hop checkpoint).
-    joint = joint.localCheckpoint(eager=True)
+    if big:
+        # Every downstream branch (both marginals, group totals, the
+        # final join-back, plus the cumsum helper's 3 passes) re-derives
+        # from the compressed joint frame; truncate its lineage ONCE so
+        # the corpus groupBy runs a single time (same pattern as
+        # graph_bfs_shortest_paths' per-hop checkpoint).
+        joint = joint.localCheckpoint(eager=True)
     # Marginal fractional (mid) ranks from cumulative distinct-value counts.
     w_q = Window.partitionBy("l_returnflag").orderBy("l_quantity")
     qr = (
@@ -1166,7 +1172,7 @@ def stats_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     pm = joint.groupBy("l_returnflag", "l_extendedprice").agg(
         F.sum("w").alias("c")
     )
-    if pm.count() <= SPEARMAN_WINDOW_MAX:
+    if not big:
         w_p = Window.partitionBy("l_returnflag").orderBy("l_extendedprice")
         pm = pm.withColumn("cum", F.sum("c").over(w_p))
     else:
@@ -3711,4 +3717,120 @@ def profile_join_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(-F.col("neg_entropy") / F.log(F.col("n_keys").cast("double")), 6).alias(
             "norm_entropy"
         ),
+    )
+
+
+K_ANON = 5  # privacy threshold: equivalence classes smaller than this leak
+
+
+@register(
+    "profile_k_anonymity",
+    oracle=f"""
+    WITH classes AS (
+      SELECT c_nationkey, c_mktsegment,
+             CAST(count(*) AS BIGINT) AS class_size
+      FROM customer GROUP BY 1, 2
+    )
+    SELECT CAST(count(*) AS BIGINT)                       AS n_classes,
+           CAST(min(class_size) AS BIGINT)                AS k_anonymity,
+           CAST(sum(CASE WHEN class_size < {K_ANON}
+                         THEN 1 ELSE 0 END) AS BIGINT)    AS n_unsafe_classes,
+           CAST(sum(CASE WHEN class_size < {K_ANON}
+                         THEN class_size ELSE 0 END) AS BIGINT)
+             AS n_unsafe_rows,
+           round(sum(CASE WHEN class_size < {K_ANON}
+                          THEN class_size ELSE 0 END) * 1.0
+                 / sum(class_size), 6)                    AS unsafe_row_share
+    FROM classes
+    """,
+)
+def profile_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit of a quasi-identifier tuple — the
+    data-governance gate before releasing or training on a table with
+    indirect identifiers: the dataset is k-anonymous for the QI set
+    (nation, market segment) where k = the SMALLEST equivalence-class
+    size; classes below the threshold ({K_ANON}) are re-identification
+    risks and their row share is the suppression/generalization budget.
+
+    Scale shape: ONE partial-combinable groupBy on the QI columns
+    collapses the table to |QI-cross| classes; the audit summary is a
+    single aggregate of that class table. Integer counts only — exact
+    at any partitioning. At 100 TB the class table is bounded by the
+    QI domain product, not the row count — the same reason k-anonymity
+    is computable at all.
+    """
+    c = load_table(spark, sf_dir, "customer")
+    classes = c.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.count(F.lit(1)).cast("bigint").alias("class_size")
+    )
+    unsafe = F.col("class_size") < K_ANON
+    return classes.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_classes"),
+        F.min("class_size").cast("bigint").alias("k_anonymity"),
+        F.sum(F.when(unsafe, 1).otherwise(0)).cast("bigint").alias(
+            "n_unsafe_classes"
+        ),
+        F.sum(F.when(unsafe, F.col("class_size")).otherwise(0))
+        .cast("bigint")
+        .alias("n_unsafe_rows"),
+        F.round(
+            F.sum(F.when(unsafe, F.col("class_size")).otherwise(0)) * 1.0
+            / F.sum("class_size"),
+            6,
+        ).alias("unsafe_row_share"),
+    )
+
+
+DECAY_HALF_LIFE_H = 168.0  # one week, in hours
+
+
+@register(
+    "feature_time_decay_score",
+    oracle=f"""
+    WITH ref AS (SELECT epoch_us(max(ts)) / 3600.0e6 AS t_ref FROM events),
+    scored AS (
+      SELECT e.user_id,
+             e.value * exp(-0.6931471805599453
+                           * (r.t_ref - epoch_us(e.ts) / 3600.0e6)
+                           / {DECAY_HALF_LIFE_H}) AS sc
+      FROM events e, ref r
+    )
+    SELECT user_id,
+           round(sum(sc), 6)        AS decayed_score,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM scored
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+)
+def feature_time_decay_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially time-decayed engagement score per user at the
+    corpus's reference time (its max timestamp): Σ value·2^(−Δt/h)
+    with a {DECAY_HALF_LIFE_H:.0f}-hour half-life — the standard
+    recency-weighted feature for ranking/recsys models, where an event
+    last week counts half of one today.
+
+    Scale shape: the reference time is a 1-row broadcast; the decayed
+    contribution is a stateless per-row expression, and the score is
+    ONE partial-combinable per-user aggregate — the exponential's
+    additivity is what makes the decayed sum distributable with no
+    ordering at all (contrast timeseries_ewma, whose recursive form
+    needs sequence order). Δt in fractional hours from integer
+    microseconds on both engines; half-life via ln2 literal.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    ref = ev.agg((F.unix_micros(F.max("ts")) / 3600.0e6).alias("t_ref"))
+    sc = F.col("value") * F.exp(
+        -0.6931471805599453
+        * (F.col("t_ref") - F.unix_micros(F.col("ts")) / 3600.0e6)
+        / DECAY_HALF_LIFE_H
+    )
+    return (
+        ev.crossJoin(F.broadcast(ref))
+        .groupBy("user_id")
+        .agg(
+            F.round(F.sum(sc), 6).alias("decayed_score"),
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        )
+        .orderBy("user_id")
     )

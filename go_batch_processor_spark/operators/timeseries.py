@@ -1401,3 +1401,124 @@ def stats_extreme_value_gumbel(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(mu, 6).alias("mu"),
         F.round(rl, 6).alias(f"return_level_{EVT_RETURN_T}"),
     )
+
+
+@register(
+    "stats_granger_causality",
+    oracle="""
+    WITH hourly AS (
+      SELECT date_trunc('hour', ts) AS h,
+             coalesce(sum(CASE WHEN event_type = 'click'
+                               THEN value END), 0.0)    AS x,
+             coalesce(sum(CASE WHEN event_type = 'purchase'
+                               THEN value END), 0.0)    AS y
+      FROM events GROUP BY 1
+    ),
+    lagged AS (
+      SELECT y,
+             lag(y) OVER (ORDER BY h) AS z1,
+             lag(x) OVER (ORDER BY h) AS z2
+      FROM hourly
+    ),
+    suff AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             sum(z1) AS s1, sum(z2) AS s2, sum(y) AS sy,
+             sum(z1 * z1) AS s11, sum(z2 * z2) AS s22,
+             sum(z1 * z2) AS s12,
+             sum(z1 * y)  AS s1y, sum(z2 * y) AS s2y,
+             sum(y * y)   AS syy
+      FROM lagged WHERE z1 IS NOT NULL
+    ),
+    cent AS (
+      SELECT n,
+             s11 - s1 * s1 / n AS c11,
+             s22 - s2 * s2 / n AS c22,
+             s12 - s1 * s2 / n AS c12,
+             s1y - s1 * sy / n AS c1y,
+             s2y - s2 * sy / n AS c2y,
+             syy - sy * sy / n AS cyy
+      FROM suff
+    ),
+    fit AS (
+      SELECT n,
+             (c1y * c22 - c2y * c12) / (c11 * c22 - c12 * c12) AS b,
+             (c2y * c11 - c1y * c12) / (c11 * c22 - c12 * c12) AS c,
+             cyy - (c1y * c22 - c2y * c12) / (c11 * c22 - c12 * c12) * c1y
+                 - (c2y * c11 - c1y * c12) / (c11 * c22 - c12 * c12) * c2y
+               AS sse_u,
+             cyy - c1y * c1y / c11 AS sse_r
+      FROM cent
+    )
+    SELECT n,
+           round(b, 6) AS beta_y_lag,
+           round(c, 6) AS beta_x_lag,
+           round((sse_r - sse_u) * (n - 3) / sse_u, 6) AS f_stat
+    FROM fit
+    """,
+)
+def stats_granger_causality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Granger causality (lag-1) of the hourly click-value series on the
+    hourly purchase-value series: does adding x_{t−1} (clicks) to an
+    AR(1) model of y_t (purchases) reduce SSE more than chance?
+    F = (SSE_r − SSE_u)/(SSE_u/(n−3)) — the standard
+    does-this-leading-indicator-help test before wiring a feature into
+    a forecasting model. (Predictive precedence, not true causation.)
+
+    Scale shape: both series come from ONE conditional aggregate over
+    the fact scan (no second pass per series); the lags are windows
+    over the bounded |hours| frame; the bivariate OLS needs TEN
+    sufficient statistics from one aggregate, and both the restricted
+    and unrestricted fits are Cramer's-rule arithmetic on that single
+    row — no iteration, no matrix library, identical expression trees
+    on both engines.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(F.date_trunc("hour", "ts").alias("h")).agg(
+        F.coalesce(
+            F.sum(F.when(F.col("event_type") == "click", F.col("value"))),
+            F.lit(0.0),
+        ).alias("x"),
+        F.coalesce(
+            F.sum(F.when(F.col("event_type") == "purchase", F.col("value"))),
+            F.lit(0.0),
+        ).alias("y"),
+    )
+    w_ord = Window.partitionBy().orderBy("h")
+    lagged = hourly.select(
+        "y",
+        F.lag("y").over(w_ord).alias("z1"),
+        F.lag("x").over(w_ord).alias("z2"),
+    ).filter(F.col("z1").isNotNull())
+    suff = lagged.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("z1").alias("s1"),
+        F.sum("z2").alias("s2"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("z1") * F.col("z1")).alias("s11"),
+        F.sum(F.col("z2") * F.col("z2")).alias("s22"),
+        F.sum(F.col("z1") * F.col("z2")).alias("s12"),
+        F.sum(F.col("z1") * F.col("y")).alias("s1y"),
+        F.sum(F.col("z2") * F.col("y")).alias("s2y"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    n = F.col("n")
+    cent = suff.select(
+        "n",
+        (F.col("s11") - F.col("s1") * F.col("s1") / n).alias("c11"),
+        (F.col("s22") - F.col("s2") * F.col("s2") / n).alias("c22"),
+        (F.col("s12") - F.col("s1") * F.col("s2") / n).alias("c12"),
+        (F.col("s1y") - F.col("s1") * F.col("sy") / n).alias("c1y"),
+        (F.col("s2y") - F.col("s2") * F.col("sy") / n).alias("c2y"),
+        (F.col("syy") - F.col("sy") * F.col("sy") / n).alias("cyy"),
+    )
+    det = F.col("c11") * F.col("c22") - F.col("c12") * F.col("c12")
+    b = (F.col("c1y") * F.col("c22") - F.col("c2y") * F.col("c12")) / det
+    c = (F.col("c2y") * F.col("c11") - F.col("c1y") * F.col("c12")) / det
+    sse_u = F.col("cyy") - b * F.col("c1y") - c * F.col("c2y")
+    sse_r = F.col("cyy") - F.col("c1y") * F.col("c1y") / F.col("c11")
+    return cent.select(
+        "n",
+        F.round(b, 6).alias("beta_y_lag"),
+        F.round(c, 6).alias("beta_x_lag"),
+        F.round((sse_r - sse_u) * (F.col("n") - 3) / sse_u, 6).alias("f_stat"),
+    )

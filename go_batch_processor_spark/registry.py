@@ -20,6 +20,7 @@ Parity rules (SURVEY.md §7.5 "oracle parity traps"):
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 from dataclasses import dataclass, field
 
@@ -149,15 +150,20 @@ def driver_sample_order(names: list[str]) -> list[str]:
     2. keys never driver-checked;
     3. everything else, least-checked first.
 
-    Tiebreak within a tier: forward insertion order for never-checked
-    (longest-waiting first), reverse for checked (most-recently-touched
-    modules re-verify soonest after edits). The rotation self-corrects:
-    whatever misses a sample has a strictly lower check count next round,
-    and a red that goes green drops out of tier 1 automatically.
-    Deterministic for a given set of round files.
+    Tiebreak within a tier: never-checked keys order by the round they
+    were first registered (tools/key_first_seen.json — longest-waiting
+    first; a key missing from the file is treated as newest so freshly
+    added operators never displace the older unverified backlog), then
+    insertion order; checked keys reverse insertion order
+    (most-recently-touched modules re-verify soonest after edits). The
+    rotation self-corrects: whatever misses a sample has a strictly
+    lower check count next round, and a red that goes green drops out
+    of tier 1 automatically. Deterministic for a given set of round
+    files. Run tools/stamp_first_seen.py each round to record new keys.
     """
     counts, latest_fail = _driver_check_history()
     idx = {n: i for i, n in enumerate(names)}
+    first_seen = _key_first_seen()
 
     def key(n: str) -> tuple:
         c = counts.get(n, 0)
@@ -167,10 +173,24 @@ def driver_sample_order(names: list[str]) -> list[str]:
             tier = 1
         else:
             tier = 2
-        tie = idx[n] if c == 0 else -idx[n]
+        tie = (first_seen.get(n, 99), idx[n]) if c == 0 else (0, -idx[n])
         return (tier, c, tie)
 
     return sorted(names, key=key)
+
+
+def _key_first_seen() -> dict[str, int]:
+    """Round each key first entered the registry (see
+    tools/stamp_first_seen.py); {} when the data file is absent."""
+    import json
+
+    path = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                        "tools", "key_first_seen.json")
+    try:
+        with open(path) as f:
+            return {k: int(v) for k, v in json.load(f).items()}
+    except (OSError, ValueError):
+        return {}
 
 
 def all_queries() -> dict[str, QueryFn]:
