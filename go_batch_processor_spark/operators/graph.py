@@ -74,13 +74,89 @@ def pagerank(edges: DataFrame, iters: int = PR_ITERS, d: float = PR_DAMPING) -> 
         ed.unpersist(blocking=False)
 
 
-@register("graph_pagerank", tags={"rows_only"})
+_PAGERANK_ORACLE = """
+    WITH pairs AS (
+      SELECT DISTINCT user_id * 2 AS u,
+             CAST(props->>'k' AS BIGINT) * 2 + 1 AS i
+      FROM events WHERE props->>'k' IS NOT NULL
+    ),
+    edges AS (
+      SELECT u AS src, i AS dst FROM pairs
+      UNION ALL
+      SELECT i AS src, u AS dst FROM pairs
+    ),
+    deg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg FROM edges GROUP BY src),
+    nodes AS (SELECT DISTINCT src AS node FROM edges),
+    nn AS (SELECT count(*) AS n FROM nodes),
+    r0 AS (SELECT node, 1.0 / (SELECT n FROM nn) AS rank FROM nodes),
+    r1 AS (
+      SELECT e.dst AS node,
+             (1 - 0.85) / (SELECT n FROM nn)
+               + 0.85 * sum(r.rank / dg.deg) AS rank
+      FROM edges e
+      JOIN deg dg ON e.src = dg.src
+      JOIN r0 r ON e.src = r.node
+      GROUP BY e.dst
+    ),
+    r2 AS (
+      SELECT e.dst AS node,
+             (1 - 0.85) / (SELECT n FROM nn)
+               + 0.85 * sum(r.rank / dg.deg) AS rank
+      FROM edges e
+      JOIN deg dg ON e.src = dg.src
+      JOIN r1 r ON e.src = r.node
+      GROUP BY e.dst
+    ),
+    r3 AS (
+      SELECT e.dst AS node,
+             (1 - 0.85) / (SELECT n FROM nn)
+               + 0.85 * sum(r.rank / dg.deg) AS rank
+      FROM edges e
+      JOIN deg dg ON e.src = dg.src
+      JOIN r2 r ON e.src = r.node
+      GROUP BY e.dst
+    ),
+    r4 AS (
+      SELECT e.dst AS node,
+             (1 - 0.85) / (SELECT n FROM nn)
+               + 0.85 * sum(r.rank / dg.deg) AS rank
+      FROM edges e
+      JOIN deg dg ON e.src = dg.src
+      JOIN r3 r ON e.src = r.node
+      GROUP BY e.dst
+    ),
+    r5 AS (
+      SELECT e.dst AS node,
+             (1 - 0.85) / (SELECT n FROM nn)
+               + 0.85 * sum(r.rank / dg.deg) AS rank
+      FROM edges e
+      JOIN deg dg ON e.src = dg.src
+      JOIN r4 r ON e.src = r.node
+      GROUP BY e.dst
+    ),
+    final AS (
+      SELECT CASE WHEN node % 2 = 0 THEN 'user' ELSE 'item' END AS kind,
+             CAST(floor(node / 2.0) AS BIGINT) AS entity_id,
+             round(rank, 8) AS rank
+      FROM r5
+    )
+    SELECT kind, entity_id, rank
+    FROM final
+    ORDER BY rank DESC, kind ASC, entity_id ASC
+    LIMIT 20
+    """
+
+
+@register("graph_pagerank", oracle=_PAGERANK_ORACLE)
 def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank over the bipartite user-item engagement graph: the top-20
     most central nodes across both sides (which side dominates depends on
-    the degree distribution at a given SF). Rows-only (iterative);
-    tests/test_graph.py asserts agreement with a numpy power-iteration
-    twin and that rank mass is conserved."""
+    the degree distribution at a given SF). FULLY ORACLED despite being
+    iterative: the fixed {PR_ITERS}-step power iteration unrolls into
+    chained CTEs on the DuckDB side (one join+groupBy per step — the
+    exact dataflow the Spark loop executes), so the driver checks every
+    rank value, not just row counts. tests/test_graph.py additionally
+    pins a numpy power-iteration twin and rank-mass conservation."""
     ranks = pagerank(interaction_edges(spark, sf_dir))
     return (
         ranks.select(
@@ -141,12 +217,105 @@ def label_propagation(edges: DataFrame, iters: int = LPA_ITERS) -> DataFrame:
         ed.unpersist(blocking=False)
 
 
-@register("graph_label_propagation", tags={"rows_only"})
+_LPA_CTE_PREFIX = """
+    WITH pairs AS (
+      SELECT DISTINCT user_id * 2 AS u,
+             CAST(props->>'k' AS BIGINT) * 2 + 1 AS i
+      FROM events WHERE props->>'k' IS NOT NULL
+    ),
+    edges AS (
+      SELECT u AS src, i AS dst FROM pairs
+      UNION ALL
+      SELECT i AS src, u AS dst FROM pairs
+    ),
+    l0 AS (SELECT DISTINCT src AS node, src AS label FROM edges),
+    c1 AS (
+      SELECT e.dst AS dst, l.label AS label, CAST(count(*) AS BIGINT) AS cnt
+      FROM edges e JOIN l0 l ON e.src = l.node
+      GROUP BY 1, 2
+    ),
+    l1 AS (
+      SELECT dst AS node, label FROM (
+        SELECT dst, label,
+               row_number() OVER (PARTITION BY dst
+                                  ORDER BY cnt DESC, label ASC) AS rn
+        FROM c1
+      ) WHERE rn = 1
+    ),
+    c2 AS (
+      SELECT e.dst AS dst, l.label AS label, CAST(count(*) AS BIGINT) AS cnt
+      FROM edges e JOIN l1 l ON e.src = l.node
+      GROUP BY 1, 2
+    ),
+    l2 AS (
+      SELECT dst AS node, label FROM (
+        SELECT dst, label,
+               row_number() OVER (PARTITION BY dst
+                                  ORDER BY cnt DESC, label ASC) AS rn
+        FROM c2
+      ) WHERE rn = 1
+    ),
+    c3 AS (
+      SELECT e.dst AS dst, l.label AS label, CAST(count(*) AS BIGINT) AS cnt
+      FROM edges e JOIN l2 l ON e.src = l.node
+      GROUP BY 1, 2
+    ),
+    l3 AS (
+      SELECT dst AS node, label FROM (
+        SELECT dst, label,
+               row_number() OVER (PARTITION BY dst
+                                  ORDER BY cnt DESC, label ASC) AS rn
+        FROM c3
+      ) WHERE rn = 1
+    ),
+    c4 AS (
+      SELECT e.dst AS dst, l.label AS label, CAST(count(*) AS BIGINT) AS cnt
+      FROM edges e JOIN l3 l ON e.src = l.node
+      GROUP BY 1, 2
+    ),
+    l4 AS (
+      SELECT dst AS node, label FROM (
+        SELECT dst, label,
+               row_number() OVER (PARTITION BY dst
+                                  ORDER BY cnt DESC, label ASC) AS rn
+        FROM c4
+      ) WHERE rn = 1
+    ),
+    c5 AS (
+      SELECT e.dst AS dst, l.label AS label, CAST(count(*) AS BIGINT) AS cnt
+      FROM edges e JOIN l4 l ON e.src = l.node
+      GROUP BY 1, 2
+    ),
+    l5 AS (
+      SELECT dst AS node, label FROM (
+        SELECT dst, label,
+               row_number() OVER (PARTITION BY dst
+                                  ORDER BY cnt DESC, label ASC) AS rn
+        FROM c5
+      ) WHERE rn = 1
+    )"""
+
+_LPA_ORACLE = _LPA_CTE_PREFIX + """,
+    sizes AS (
+      SELECT label, CAST(count(*) AS BIGINT) AS n_members
+      FROM l5 GROUP BY label
+    )
+    SELECT label, n_members FROM sizes
+    ORDER BY n_members DESC, label ASC
+    LIMIT 20
+    """
+
+
+@register("graph_label_propagation", oracle=_LPA_ORACLE)
 def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Community detection on the user-item engagement graph via label
-    propagation: the top-20 communities by size. Rows-only (iterative);
-    tests/test_graph.py asserts exact agreement with a pure-Python
-    synchronous-LPA twin."""
+    propagation: the top-20 communities by size. FULLY ORACLED despite
+    being iterative: the synchronous update with its deterministic
+    most-frequent-then-smallest-label rule is pure integer dataflow, so
+    the fixed {LPA_ITERS} rounds unroll into chained count+argmax CTE
+    pairs on the DuckDB side and every community size is value-checked.
+    tests/test_graph.py additionally pins a pure-Python synchronous-LPA
+    twin."""
     labels = label_propagation(interaction_edges(spark, sf_dir))
     return (
         labels.groupBy("label")
@@ -499,7 +668,37 @@ def graph_k_core(spark: SparkSession, sf_dir: str) -> DataFrame:
             g.unpersist(blocking=False)
 
 
-@register("graph_modularity", oracle=None, tags={"rows_only"})
+
+
+_MODULARITY_ORACLE = _LPA_CTE_PREFIX + """,
+    two_m AS (SELECT CAST(count(*) AS BIGINT) AS m2 FROM edges),
+    lab AS (
+      SELECT e.src, e.dst, ls.label AS ls, ld.label AS ld
+      FROM edges e
+      JOIN l5 ls ON e.src = ls.node
+      JOIN l5 ld ON e.dst = ld.node
+    ),
+    intra AS (
+      SELECT ls AS label, CAST(count(*) AS BIGINT) AS di
+      FROM lab WHERE ls = ld GROUP BY 1
+    ),
+    deg AS (
+      SELECT ls AS label, CAST(count(*) AS BIGINT) AS dm
+      FROM lab GROUP BY 1
+    ),
+    per_c AS (
+      SELECT d.label,
+             coalesce(i.di, 0) * 1.0 / (SELECT m2 FROM two_m) AS e_frac,
+             (d.dm * 1.0 / (SELECT m2 FROM two_m))
+               * (d.dm * 1.0 / (SELECT m2 FROM two_m)) AS d2
+      FROM deg d LEFT JOIN intra i ON d.label = i.label
+    )
+    SELECT round(sum(e_frac - d2), 6) AS modularity_q,
+           CAST(count(*) AS BIGINT)   AS n_communities
+    FROM per_c
+    """
+
+@register("graph_modularity", oracle=_MODULARITY_ORACLE)
 def graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Newman modularity Q = Σ_c (e_c/m − (d_c/2m)²) of the label-
     propagation communities over the interaction graph — the standard
@@ -512,9 +711,11 @@ def graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     vocabulary-sized state); modularity itself is ONE join of the edge
     list to the label map (co-partitioned on node) and two
     community-level aggregates — intra-community edge mass e_c and
-    degree mass d_c — then a 1-row reduction. Rows-only (LPA is
-    iterative, not SQL-expressible); tests/test_graph.py pins Q against
-    a pure-Python computation on the same labels."""
+    degree mass d_c — then a 1-row reduction. FULLY ORACLED: the
+    label assignment reuses the unrolled-LPA CTE chain (integer
+    dataflow, deterministic tiebreak) and the Q formula is closed-form
+    over the community aggregates; tests/test_graph.py additionally
+    pins Q against a pure-Python computation on the same labels."""
     edges = interaction_edges(spark, sf_dir)
     labels = label_propagation(edges)
     # m = number of undirected edges; edges frame holds both directions

@@ -335,26 +335,57 @@ def _ewma_kernel(pdf):
     nondeterministic across runs (repo-wide ts-order rule,
     tests/test_ts_ties.py)."""
     pdf = pdf.sort_values(["ts", "event_id"])
-    pdf["ewma"] = pdf["value"].ewm(alpha=EWMA_ALPHA, adjust=False).mean().round(6)
+    # Unrounded: the operator rounds JVM-side (HALF_UP, matching
+    # DuckDB's half-away-from-zero) — pandas .round is banker's and
+    # disagrees with the oracle at exact half-points.
+    pdf["ewma"] = pdf["value"].ewm(alpha=EWMA_ALPHA, adjust=False).mean()
     return pdf[["user_id", "event_id", "ts", "ewma"]]
 
 
-@register("timeseries_ewma", tags={"rows_only"})
+_EWMA_ORACLE = """
+    WITH RECURSIVE seq AS (
+      SELECT user_id, event_id, ts, value,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn
+      FROM events
+    ),
+    rec AS (
+      SELECT user_id, event_id, ts, rn, value, value AS y
+      FROM seq WHERE rn = 1
+      UNION ALL
+      SELECT s.user_id, s.event_id, s.ts, s.rn, s.value,
+             0.3 * s.value + 0.7 * r.y AS y
+      FROM rec r JOIN seq s ON s.user_id = r.user_id AND s.rn = r.rn + 1
+    )
+    SELECT user_id, event_id, ts, round(y, 6) AS ewma FROM rec
+    """
+
+
+@register("timeseries_ewma", oracle=_EWMA_ORACLE)
 def timeseries_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exponentially weighted moving average per user over event time.
 
     Scale shape: ONE shuffle on user_id, then each group runs its
     sequential recursion inside an Arrow batch; state is O(1) per group.
-    Rows-only (recursive semantics have no stable ANSI-SQL twin);
-    tests/test_timeseries_ewma.py pins exact equality against a pandas
-    groupby twin and the recursion's closed form.
+    FULLY ORACLED, bit-exactly: the DuckDB twin is a RECURSIVE CTE
+    running the identical y_t = a*x_t + (1-a)*y_{t-1} recursion in the
+    identical (ts, event_id) order, so the doubles agree to the last
+    ulp (measured: pandas ewm(adjust=False) == the naive recursion
+    bit-for-bit; a banded closed-form twin was tried first and FAILED —
+    early-sequence EWMA values sit exactly on decimal half-points where
+    a 1-ulp order-of-summation difference flips the 6-decimal round).
+    Rounding happens JVM-side (not in the pandas kernel: pandas .round
+    is banker's; Spark round and DuckDB round agree with each other at
+    exact halves). tests/test_timeseries_ewma.py additionally pins
+    exact equality against a pandas groupby twin.
     """
     ev = load_table(spark, sf_dir, "events").select(
         "user_id", "event_id", "ts", "value"
     )
-    return ev.groupBy("user_id").applyInPandas(
+    raw = ev.groupBy("user_id").applyInPandas(
         _ewma_kernel, "user_id long, event_id long, ts timestamp, ewma double"
     )
+    return raw.withColumn("ewma", F.round("ewma", 6))
 
 
 HOLT_ALPHA = 0.4  # level smoothing
@@ -386,27 +417,59 @@ def _holt_kernel(pdf):
         level[i], trend[i] = l_c, b_c
         l_p, b_p = l_c, b_c
     out = pdf[["user_id", "event_id", "ts"]].copy()
-    out["level"] = [round(v, 6) for v in level]
-    out["trend"] = [round(v, 6) for v in trend]
+    # Unrounded: the operator rounds JVM-side (decimal-aware, agrees
+    # with DuckDB at exact half-points; Python round() is banker's).
+    out["level"] = level
+    out["trend"] = trend
     return out
 
 
-@register("timeseries_holt_winters", tags={"rows_only"})
+_HOLT_ORACLE = """
+    WITH RECURSIVE seq AS (
+      SELECT user_id, event_id, ts, value,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn
+      FROM events
+    ),
+    rec AS (
+      SELECT user_id, event_id, ts, rn,
+             CAST(value AS DOUBLE) AS l, CAST(0.0 AS DOUBLE) AS b
+      FROM seq WHERE rn = 1
+      UNION ALL
+      SELECT s.user_id, s.event_id, s.ts, s.rn,
+             0.4 * s.value + 0.6 * (r.l + r.b) AS l,
+             0.2 * ((0.4 * s.value + 0.6 * (r.l + r.b)) - r.l)
+               + 0.8 * r.b AS b
+      FROM rec r JOIN seq s ON s.user_id = r.user_id AND s.rn = r.rn + 1
+    )
+    SELECT user_id, event_id, ts,
+           round(l, 6) AS level, round(b, 6) AS trend
+    FROM rec
+    """
+
+
+@register("timeseries_holt_winters", oracle=_HOLT_ORACLE)
 def timeseries_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Holt double exponential smoothing (level + linear trend) per user
     over event time — the forecasting-grade smoother one step past EWMA.
 
     Scale shape: identical to timeseries_ewma — ONE shuffle on user_id,
     per-group sequential recursion inside an Arrow batch, O(1) state per
-    group. Rows-only (recursive); tests/test_timeseries_ewma.py pins
-    exact equality against a pandas twin plus the closed-form second
-    step."""
+    group. FULLY ORACLED bit-exactly via a RECURSIVE CTE running the
+    identical two-state recursion in the identical (ts, event_id) order
+    (1−α and 1−β round to the literal doubles 0.6/0.8, so the literals
+    ARE the kernel's coefficients); rounding is JVM-side for the same
+    half-point reason as timeseries_ewma. tests/test_timeseries_ewma.py
+    additionally pins a pandas twin plus the closed-form second step."""
     ev = load_table(spark, sf_dir, "events").select(
         "user_id", "event_id", "ts", "value"
     )
-    return ev.groupBy("user_id").applyInPandas(
+    raw = ev.groupBy("user_id").applyInPandas(
         _holt_kernel,
         "user_id long, event_id long, ts timestamp, level double, trend double",
+    )
+    return raw.withColumn("level", F.round("level", 6)).withColumn(
+        "trend", F.round("trend", 6)
     )
 
 

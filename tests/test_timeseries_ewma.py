@@ -21,11 +21,14 @@ def test_ewma_matches_pandas_twin(spark, sf_dir):
         .toPandas()
         .sort_values(["user_id", "ts", "event_id"])
     )
-    pdf["ewma"] = (
-        pdf.groupby("user_id")["value"]
-        .transform(lambda s: s.ewm(alpha=EWMA_ALPHA, adjust=False).mean())
-        .round(6)
+    import numpy as np
+
+    raw = pdf.groupby("user_id")["value"].transform(
+        lambda s: s.ewm(alpha=EWMA_ALPHA, adjust=False).mean()
     )
+    # Half-away-from-zero, matching the operator's JVM-side F.round
+    # (pandas .round is banker's and diverges at exact half-points).
+    pdf["ewma"] = np.sign(raw) * np.floor(np.abs(raw) * 1e6 + 0.5) / 1e6
     want = {
         (r.user_id, r.event_id): r.ewma for r in pdf.itertuples()
     }
