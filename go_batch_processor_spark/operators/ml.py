@@ -1464,9 +1464,11 @@ def ml_confusion_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("truth").alias("class"))
         .agg(F.sum("n").cast("bigint").alias("tp"))
     )
+    # full_outer cannot broadcast, but the frames are ≤|classes| rows —
+    # the left_outer diag join can and should.
     per = (
         t.join(p, "class", "full_outer")
-        .join(diag, "class", "left_outer")
+        .join(F.broadcast(diag), "class", "left_outer")
         .select(
             "class",
             F.coalesce("n_true", F.lit(0)).cast("bigint").alias("n_true"),

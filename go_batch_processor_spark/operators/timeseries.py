@@ -1585,3 +1585,306 @@ def stats_granger_causality(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(c, 6).alias("beta_x_lag"),
         F.round((sse_r - sse_u) * (F.col("n") - 3) / sse_u, 6).alias("f_stat"),
     )
+
+
+@register(
+    "stats_durbin_watson",
+    oracle="""
+    WITH hourly AS (
+      SELECT date_trunc('hour', ts) AS h, sum(value) AS v
+      FROM events GROUP BY 1
+    ),
+    seq AS (
+      SELECT v, CAST(row_number() OVER (ORDER BY h) AS DOUBLE) AS t
+      FROM hourly
+    ),
+    suff AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             sum(t) AS st, sum(v) AS sv,
+             sum(t * t) AS stt, sum(t * v) AS stv
+      FROM seq
+    ),
+    fit AS (
+      SELECT n,
+             (stv - st * sv / n) / (stt - st * st / n) AS b,
+             sv / n - (stv - st * sv / n) / (stt - st * st / n) * st / n
+               AS a
+      FROM suff
+    ),
+    resid AS (
+      SELECT s.v - f.a - f.b * s.t AS e,
+             lag(s.v - f.a - f.b * s.t) OVER (ORDER BY s.t) AS e_prev,
+             f.n AS n
+      FROM seq s, fit f
+    )
+    SELECT any_value(n) AS n,
+           round(sum(CASE WHEN e_prev IS NOT NULL
+                          THEN (e - e_prev) * (e - e_prev) END)
+                 / sum(e * e), 6) AS dw,
+           round(1.0 - (sum(CASE WHEN e_prev IS NOT NULL
+                                 THEN (e - e_prev) * (e - e_prev) END)
+                        / sum(e * e)) / 2.0, 6) AS rho_approx
+    FROM resid
+    """,
+)
+def stats_durbin_watson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Durbin–Watson statistic of the hourly series' linear-trend
+    residuals: DW = Σ(e_t−e_{t−1})²/Σe² — the classic did-my-regression
+    miss-serial-correlation diagnostic (≈2 = independent residuals,
+    →0 = positive autocorrelation ⇒ the trend fit's standard errors are
+    fiction). Completes the regression-diagnostics suite alongside
+    stats_dickey_fuller (unit root) and timeseries_ljung_box
+    (portmanteau): DW asks the question OF a fit, not of the raw series.
+
+    Scale shape: hourly reduction → 4 sufficient statistics in one
+    aggregate → closed-form slope/intercept broadcast as a 1-row cross
+    → stateless per-row residuals → one lag window over the bounded
+    |hours| frame → one final aggregate. Identical expression trees on
+    both engines; rounded once.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(F.date_trunc("hour", "ts").alias("h")).agg(
+        F.sum("value").alias("v")
+    )
+    seq = hourly.select(
+        "v",
+        F.row_number()
+        .over(Window.partitionBy().orderBy("h"))
+        .cast("double")
+        .alias("t"),
+    )
+    suff = seq.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("t").alias("st"),
+        F.sum("v").alias("sv"),
+        F.sum(F.col("t") * F.col("t")).alias("stt"),
+        F.sum(F.col("t") * F.col("v")).alias("stv"),
+    )
+    n = F.col("n")
+    b = (F.col("stv") - F.col("st") * F.col("sv") / n) / (
+        F.col("stt") - F.col("st") * F.col("st") / n
+    )
+    fit = suff.select(n.alias("n"), b.alias("b"), (F.col("sv") / n - b * F.col("st") / n).alias("a"))
+    e = F.col("v") - F.col("a") - F.col("b") * F.col("t")
+    resid = seq.crossJoin(F.broadcast(fit)).select(
+        e.alias("e"),
+        F.lag(e).over(Window.partitionBy().orderBy("t")).alias("e_prev"),
+        "n",
+    )
+    de2 = F.sum(
+        F.when(
+            F.col("e_prev").isNotNull(),
+            (F.col("e") - F.col("e_prev")) * (F.col("e") - F.col("e_prev")),
+        )
+    )
+    se2 = F.sum(F.col("e") * F.col("e"))
+    return resid.agg(
+        F.first("n").alias("n"),
+        F.round(de2 / se2, 6).alias("dw"),
+        F.round(1.0 - (de2 / se2) / 2.0, 6).alias("rho_approx"),
+    )
+
+
+@register(
+    "analytics_seasonality_strength",
+    oracle=f"""
+    WITH hourly AS (
+      SELECT date_trunc('hour', ts) AS hour,
+             sum(CAST(round(value * 100) AS BIGINT)) / count(*) / 100.0 AS v
+      FROM events
+      GROUP BY 1
+    ),
+    trended AS (
+      SELECT hour, v,
+             CASE WHEN count(*) OVER w = {2 * STL_HALF + 1}
+                  THEN avg(v) OVER w END AS trend
+      FROM hourly
+      WINDOW w AS (ORDER BY hour
+                   ROWS BETWEEN {STL_HALF} PRECEDING AND {STL_HALF} FOLLOWING)
+    ),
+    seasonal AS (
+      SELECT extract(hour FROM hour) AS hod, avg(v) AS s
+      FROM hourly GROUP BY 1
+    ),
+    overall AS (SELECT avg(v) AS mu FROM hourly),
+    comps AS (
+      SELECT t.v - t.trend - (s.s - o.mu) AS r,
+             t.v - t.trend                AS detrended,
+             t.v - (s.s - o.mu)           AS deseasoned
+      FROM trended t
+      JOIN seasonal s ON s.hod = extract(hour FROM t.hour)
+      CROSS JOIN overall o
+      WHERE t.trend IS NOT NULL
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n,
+           round(greatest(0.0, 1.0 - var_samp(r) / var_samp(detrended)), 6)
+             AS seasonal_strength,
+           round(greatest(0.0, 1.0 - var_samp(r) / var_samp(deseasoned)), 6)
+             AS trend_strength
+    FROM comps
+    """,
+)
+def analytics_seasonality_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal and trend strength (Hyndman & Athanasopoulos, FPP3
+    §4.3) of the hourly metric: F_s = max(0, 1 − Var(R)/Var(S+R)) and
+    F_t = max(0, 1 − Var(R)/Var(T+R)) over the SAME classical additive
+    decomposition as timeseries_seasonal_decompose — one number per
+    component answering "is this series worth a seasonal model", the
+    triage step before fitting Holt-Winters or a seasonal ARIMA across
+    thousands of series.
+
+    Scale shape: identical to the decompose op (one fact scan, windows
+    over the hourly agg output, identical exact-integer-cents hourly
+    mean so the doubles are bit-identical) plus one final variance
+    aggregate over the component frame. Edge rows without a full
+    25-point trend window are excluded on both sides.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(F.date_trunc("hour", "ts").alias("hour")).agg(
+        (
+            F.sum(F.round(F.col("value") * 100).cast("bigint"))
+            / F.count(F.lit(1))
+            / 100.0
+        ).alias("v")
+    )
+    w_ma = (
+        Window.partitionBy()
+        .orderBy("hour")
+        .rowsBetween(-STL_HALF, STL_HALF)
+    )
+    trended = hourly.select(
+        "hour",
+        "v",
+        F.when(
+            F.count(F.lit(1)).over(w_ma) == 2 * STL_HALF + 1,
+            F.avg("v").over(w_ma),
+        ).alias("trend"),
+    )
+    w_hod = Window.partitionBy(F.hour("hour"))
+    w_all = Window.partitionBy()
+    comps = (
+        trended.withColumn("s", F.avg("v").over(w_hod))
+        .withColumn("mu", F.avg("v").over(w_all))
+        .filter(F.col("trend").isNotNull())
+        .select(
+            (
+                F.col("v") - F.col("trend") - (F.col("s") - F.col("mu"))
+            ).alias("r"),
+            (F.col("v") - F.col("trend")).alias("detrended"),
+            (F.col("v") - (F.col("s") - F.col("mu"))).alias("deseasoned"),
+        )
+    )
+    return comps.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.round(
+            F.greatest(
+                F.lit(0.0),
+                1.0 - F.var_samp("r") / F.var_samp("detrended"),
+            ),
+            6,
+        ).alias("seasonal_strength"),
+        F.round(
+            F.greatest(
+                F.lit(0.0),
+                1.0 - F.var_samp("r") / F.var_samp("deseasoned"),
+            ),
+            6,
+        ).alias("trend_strength"),
+    )
+
+
+ROLL_CORR_H = 72  # trailing window width in present hourly buckets
+
+
+@register(
+    "timeseries_rolling_corr",
+    oracle=f"""
+    WITH hourly AS (
+      SELECT date_trunc('hour', ts) AS h,
+             coalesce(sum(CASE WHEN event_type = 'click'
+                               THEN value END), 0.0)    AS x,
+             coalesce(sum(CASE WHEN event_type = 'purchase'
+                               THEN value END), 0.0)    AS y
+      FROM events GROUP BY 1
+    )
+    , winsums AS (
+      SELECT h,
+             count(*) OVER w        AS cnt,
+             sum(x) OVER w          AS sx,
+             sum(y) OVER w          AS sy,
+             sum(x * x) OVER w      AS sxx,
+             sum(y * y) OVER w      AS syy,
+             sum(x * y) OVER w      AS sxy
+      FROM hourly
+      WINDOW w AS (ORDER BY h ROWS BETWEEN {ROLL_CORR_H - 1} PRECEDING
+                   AND CURRENT ROW)
+    )
+    SELECT h,
+           round(CASE WHEN cnt >= 2
+                       AND sxx - sx * sx / cnt > 0
+                       AND syy - sy * sy / cnt > 0
+                      THEN (sxy - sx * sy / cnt)
+                           / sqrt((sxx - sx * sx / cnt)
+                                  * (syy - sy * sy / cnt)) END, 6)
+             AS roll_corr,
+           CAST(cnt AS BIGINT) AS n_win
+    FROM winsums
+    ORDER BY h
+    """,
+)
+def timeseries_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling {ROLL_CORR_H}-hour correlation between the click-value
+    and purchase-value hourly series — the relationship-drift monitor
+    (a stable lead indicator whose rolling correlation decays is the
+    canonical sign a model's feature has gone stale; pairs with
+    stats_granger_causality, which tests the relationship ONCE,
+    globally).
+
+    Scale shape: both series come from ONE conditional aggregate; the
+    rolling Pearson runs as a FRAME window (corr is a built-in window
+    aggregate in both engines) over the bounded |hours| frame — the
+    documented small-window exception. Positional window (last
+    {ROLL_CORR_H} PRESENT buckets); run timeseries_gapfill first for
+    strict calendar windows on sparse series.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(F.date_trunc("hour", "ts").alias("h")).agg(
+        F.coalesce(
+            F.sum(F.when(F.col("event_type") == "click", F.col("value"))),
+            F.lit(0.0),
+        ).alias("x"),
+        F.coalesce(
+            F.sum(F.when(F.col("event_type") == "purchase", F.col("value"))),
+            F.lit(0.0),
+        ).alias("y"),
+    )
+    w = (
+        Window.partitionBy()
+        .orderBy("h")
+        .rowsBetween(-(ROLL_CORR_H - 1), 0)
+    )
+    # Explicit sufficient-stats Pearson instead of corr() OVER: the
+    # built-in window corr divides by zero on 1-row frames under ANSI
+    # mode, and the explicit guard keeps both engines' NULL semantics
+    # identical (n < 2 or zero variance -> NULL).
+    sums = hourly.select(
+        "h",
+        F.count(F.lit(1)).over(w).alias("cnt"),
+        F.sum("x").over(w).alias("sx"),
+        F.sum("y").over(w).alias("sy"),
+        F.sum(F.col("x") * F.col("x")).over(w).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).over(w).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).over(w).alias("sxy"),
+    )
+    cnt = F.col("cnt")
+    vx = F.col("sxx") - F.col("sx") * F.col("sx") / cnt
+    vy = F.col("syy") - F.col("sy") * F.col("sy") / cnt
+    cov = F.col("sxy") - F.col("sx") * F.col("sy") / cnt
+    return sums.select(
+        "h",
+        F.round(
+            F.when((cnt >= 2) & (vx > 0) & (vy > 0), cov / F.sqrt(vx * vy)),
+            6,
+        ).alias("roll_corr"),
+        cnt.cast("bigint").alias("n_win"),
+    ).orderBy("h")
