@@ -118,6 +118,9 @@ HEADLINE = [
     "timeseries_pacf",
     "agg_count_min_sketch",
     "stats_hurst_exponent",
+    "graph_pagerank",
+    "stats_granger_causality",
+    "text_ngram_novelty",
 ]
 
 

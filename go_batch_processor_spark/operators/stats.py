@@ -3834,3 +3834,175 @@ def feature_time_decay_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+TOST_MARGIN = 5.0  # equivalence margin on the mean event value
+TOST_Z_CRIT = 1.6448536269514722  # one-sided z at alpha = 0.05
+
+
+@register(
+    "stats_tost_equivalence",
+    oracle=f"""
+    WITH span AS (
+      SELECT (epoch_us(min(ts)) + epoch_us(max(ts))) / 2.0 AS mid FROM events
+    ),
+    cells AS (
+      SELECT CAST(sum(CASE WHEN epoch_us(e.ts) < s.mid
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+             CAST(sum(CASE WHEN epoch_us(e.ts) >= s.mid
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+             sum(CASE WHEN epoch_us(e.ts) < s.mid THEN e.value END)  AS s1,
+             sum(CASE WHEN epoch_us(e.ts) >= s.mid THEN e.value END) AS s2,
+             sum(CASE WHEN epoch_us(e.ts) < s.mid
+                      THEN e.value * e.value END)  AS q1,
+             sum(CASE WHEN epoch_us(e.ts) >= s.mid
+                      THEN e.value * e.value END)  AS q2
+      FROM events e, span s
+    ),
+    fit AS (
+      SELECT n1, n2,
+             s1 / n1 - s2 / n2 AS diff,
+             sqrt((q1 - s1 * s1 / n1) / (n1 - 1) / n1
+                  + (q2 - s2 * s2 / n2) / (n2 - 1) / n2) AS se
+      FROM cells
+    )
+    SELECT n1, n2,
+           round(diff, 6)                          AS mean_diff,
+           round((diff + {TOST_MARGIN}) / se, 6)   AS t_lower,
+           round((diff - {TOST_MARGIN}) / se, 6)   AS t_upper,
+           ((diff + {TOST_MARGIN}) / se > {TOST_Z_CRIT}
+            AND (diff - {TOST_MARGIN}) / se < -{TOST_Z_CRIT}) AS equivalent
+    FROM fit
+    """,
+)
+def stats_tost_equivalence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TOST equivalence test (two one-sided tests, Schuirmann 1987) on
+    the mean event value between the first and second half of the
+    window: unlike a significance test — which can only FAIL to find a
+    difference — TOST positively demonstrates the means are within
+    ±{TOST_MARGIN} of each other, the question an infra migration or
+    model swap actually asks ("prove the metric did NOT move"). Both
+    one-sided z-statistics must clear the α=0.05 critical value.
+
+    Scale shape: the midpoint is a 1-row broadcast; all six sufficient
+    statistics (counts, sums, sums of squares per side) come from ONE
+    partial-combinable conditional aggregate; Welch's standard error
+    and both statistics are closed-form arithmetic on that single row.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    span = ev.agg(
+        ((F.unix_micros(F.min("ts")) + F.unix_micros(F.max("ts"))) / 2.0).alias(
+            "mid"
+        )
+    )
+    es = F.unix_micros("ts").cast("double")
+    first = es < F.col("mid")
+    v = F.col("value")
+    cells = ev.crossJoin(F.broadcast(span)).agg(
+        F.sum(F.when(first, 1).otherwise(0)).cast("bigint").alias("n1"),
+        F.sum(F.when(~first, 1).otherwise(0)).cast("bigint").alias("n2"),
+        F.sum(F.when(first, v)).alias("s1"),
+        F.sum(F.when(~first, v)).alias("s2"),
+        F.sum(F.when(first, v * v)).alias("q1"),
+        F.sum(F.when(~first, v * v)).alias("q2"),
+    )
+    n1, n2 = F.col("n1"), F.col("n2")
+    diff = F.col("s1") / n1 - F.col("s2") / n2
+    se = F.sqrt(
+        (F.col("q1") - F.col("s1") * F.col("s1") / n1) / (n1 - 1) / n1
+        + (F.col("q2") - F.col("s2") * F.col("s2") / n2) / (n2 - 1) / n2
+    )
+    fit = cells.select("n1", "n2", diff.alias("diff"), se.alias("se"))
+    d, s = F.col("diff"), F.col("se")
+    return fit.select(
+        "n1",
+        "n2",
+        F.round(d, 6).alias("mean_diff"),
+        F.round((d + TOST_MARGIN) / s, 6).alias("t_lower"),
+        F.round((d - TOST_MARGIN) / s, 6).alias("t_upper"),
+        (
+            ((d + TOST_MARGIN) / s > TOST_Z_CRIT)
+            & ((d - TOST_MARGIN) / s < -TOST_Z_CRIT)
+        ).alias("equivalent"),
+    )
+
+
+CRC_NIB_A = "0"  # sample A: md5 nibble-1 bucket
+CRC_NIB_B = "1"  # sample B: disjoint hash position, overlapping membership
+
+
+@register(
+    "stats_capture_recapture",
+    oracle="""
+    WITH seen AS (
+      SELECT DISTINCT user_id,
+             substr(md5('a:' || CAST(user_id AS VARCHAR)), 1, 1) IN
+               ('0','1','2','3') AS in_a,
+             substr(md5('b:' || CAST(user_id AS VARCHAR)), 1, 1) IN
+               ('0','1','2','3') AS in_b
+      FROM events
+    ),
+    cells AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_true,
+             CAST(sum(CASE WHEN in_a THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+             CAST(sum(CASE WHEN in_b THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+             CAST(sum(CASE WHEN in_a AND in_b THEN 1 ELSE 0 END)
+                  AS BIGINT) AS m
+      FROM seen
+    )
+    SELECT n1, n2, m, n_true,
+           round(CASE WHEN m > 0 THEN n1 * 1.0 * n2 / m END, 2)
+             AS lincoln_petersen,
+           round((n1 + 1.0) * (n2 + 1.0) / (m + 1.0) - 1.0, 2)
+             AS chapman
+    FROM cells
+    """,
+)
+def stats_capture_recapture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Capture–recapture population estimate (Lincoln–Petersen + the
+    bias-corrected Chapman estimator): two independent deterministic
+    ~25% hash-samples of the distinct-user population; the overlap size
+    estimates the TRUE population as N̂ = n1·n2/m. The ecology trick is
+    the cheap cardinality cross-check for dedup pipelines — two shards'
+    samples estimate the global distinct count without ever holding the
+    full key set, and the output carries the exact truth beside the
+    estimate so the error is visible in-query.
+
+    Scale shape: one distinct-key reduction (the same shuffle any
+    distinct count pays), membership flags are stateless md5
+    expressions, and the estimate is a single conditional aggregate.
+    Content-stable hashing keeps both "captures" identical on any
+    engine or partitioning — which is what makes this oracle-able.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    uid = F.col("user_id").cast("string")
+    bucket = "0123"
+    in_a = F.substring(F.md5(F.concat(F.lit("a:"), uid)), 1, 1).isin(*bucket)
+    in_b = F.substring(F.md5(F.concat(F.lit("b:"), uid)), 1, 1).isin(*bucket)
+    seen = ev.select("user_id").distinct().select(
+        in_a.alias("in_a"), in_b.alias("in_b")
+    )
+    cells = seen.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_true"),
+        F.sum(F.when(F.col("in_a"), 1).otherwise(0)).cast("bigint").alias("n1"),
+        F.sum(F.when(F.col("in_b"), 1).otherwise(0)).cast("bigint").alias("n2"),
+        F.sum(F.when(F.col("in_a") & F.col("in_b"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("m"),
+    )
+    return cells.select(
+        "n1",
+        "n2",
+        "m",
+        "n_true",
+        F.round(
+            F.when(
+                F.col("m") > 0, F.col("n1") * 1.0 * F.col("n2") / F.col("m")
+            ),
+            2,
+        ).alias("lincoln_petersen"),
+        F.round(
+            (F.col("n1") + 1.0) * (F.col("n2") + 1.0) / (F.col("m") + 1.0) - 1.0,
+            2,
+        ).alias("chapman"),
+    )

@@ -1550,3 +1550,64 @@ def text_heaps_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.col("n").cast("bigint").alias("n_points"),
     )
+
+
+@register(
+    "text_ngram_novelty",
+    oracle="""
+    WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    sh AS (
+      SELECT doc_id,
+             unnest(list_distinct(list_transform(range(1, len(w) - 1),
+                    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS shingle
+      FROM words
+    ),
+    firsts AS (
+      SELECT shingle, min(doc_id) AS first_doc FROM sh GROUP BY shingle
+    )
+    SELECT s.doc_id,
+           CAST(count(*) AS BIGINT) AS n_grams,
+           CAST(sum(CASE WHEN f.first_doc = s.doc_id THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_novel,
+           round(sum(CASE WHEN f.first_doc = s.doc_id THEN 1 ELSE 0 END)
+                 * 1.0 / count(*), 6) AS novelty
+    FROM sh s JOIN firsts f ON s.shingle = f.shingle
+    GROUP BY s.doc_id
+    ORDER BY s.doc_id
+    """,
+)
+def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document trigram novelty against the corpus-so-far (doc_id
+    order): the fraction of a document's distinct word 3-grams whose
+    FIRST corpus occurrence is in that document. The curation signal
+    behind dedup-aware data mixing — a late document with novelty ≈ 0
+    is pure rehash (drop or down-weight it); pairs with
+    text_contamination_ngram (which checks overlap against a FIXED
+    reference set, not the rolling corpus).
+
+    Scale shape: one explode to distinct (doc, shingle) pairs, one
+    partial-combinable min-aggregate per shingle (the global
+    first-occurrence table — vocabulary-sized, the same trick as
+    window_cumulative_distinct), one co-partitioned join back on
+    shingle, one per-doc aggregate. No windows, no sorts; both
+    shuffles key on the shingle/doc hash. Integer counts — exact.
+    """
+    from go_batch_processor_spark.operators.dedup import _word_ngrams
+
+    d = load_table(spark, sf_dir, "documents")
+    sh = d.select(
+        "doc_id",
+        F.explode(_word_ngrams(F.split("text", " "), 3)).alias("shingle"),
+    )
+    firsts = sh.groupBy("shingle").agg(F.min("doc_id").alias("first_doc"))
+    novel = F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+    return (
+        sh.join(firsts, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_grams"),
+            F.sum(novel).cast("bigint").alias("n_novel"),
+            F.round(F.sum(novel) * 1.0 / F.count(F.lit(1)), 6).alias("novelty"),
+        )
+        .orderBy("doc_id")
+    )
