@@ -1595,19 +1595,37 @@ def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     from go_batch_processor_spark.operators.dedup import _word_ngrams
 
     d = load_table(spark, sf_dir, "documents")
-    sh = d.select(
+    # (doc, gram) pairs are already distinct (_word_ngrams dedups per
+    # doc). Checkpoint once: both aggregates below consume this frame,
+    # and the interpreted HOF shingle explode is the expensive part —
+    # recomputing it per branch doubled the cost (measured 4.8 s at
+    # sf0.1; ~2x less with the single materialization).
+    pairs = d.select(
         "doc_id",
         F.explode(_word_ngrams(F.split("text", " "), 3)).alias("shingle"),
+    ).localCheckpoint(eager=True)
+    # No join back on the gram key: n_novel per doc is just the size
+    # histogram of the first-occurrence table, and n_grams per doc is a
+    # direct count — two vocabulary/doc-bounded aggregates joined on
+    # doc_id (|docs| rows), instead of a corpus-sized gram join.
+    novel_per_doc = (
+        pairs.groupBy("shingle")
+        .agg(F.min("doc_id").alias("first_doc"))
+        .groupBy(F.col("first_doc").alias("doc_id"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_novel"))
     )
-    firsts = sh.groupBy("shingle").agg(F.min("doc_id").alias("first_doc"))
-    novel = F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+    grams_per_doc = pairs.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_grams")
+    )
     return (
-        sh.join(firsts, "shingle")
-        .groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_grams"),
-            F.sum(novel).cast("bigint").alias("n_novel"),
-            F.round(F.sum(novel) * 1.0 / F.count(F.lit(1)), 6).alias("novelty"),
+        grams_per_doc.join(novel_per_doc, "doc_id", "left_outer")
+        .select(
+            "doc_id",
+            "n_grams",
+            F.coalesce("n_novel", F.lit(0)).cast("bigint").alias("n_novel"),
+            F.round(
+                F.coalesce("n_novel", F.lit(0)) * 1.0 / F.col("n_grams"), 6
+            ).alias("novelty"),
         )
         .orderBy("doc_id")
     )
