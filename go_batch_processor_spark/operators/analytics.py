@@ -1250,3 +1250,112 @@ def analytics_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_sessions").cast("bigint").alias("n_sessions"),
         )
     )
+
+
+@register(
+    "analytics_diff_in_diff",
+    oracle="""
+    WITH marked AS (
+      SELECT o_totalprice AS y,
+             CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                  THEN 1 ELSE 0 END AS treated,
+             CASE WHEN o_orderdate >= TIMESTAMP '1998-01-01'
+                  THEN 1 ELSE 0 END AS post
+      FROM orders
+    ),
+    cells AS (
+      SELECT treated, post,
+             CAST(count(*) AS BIGINT) AS n,
+             sum(y)     AS s,
+             sum(y * y) AS q
+      FROM marked GROUP BY treated, post
+    ),
+    stats AS (
+      SELECT treated, post, n,
+             s / n AS mean,
+             (q - s * s / n) / (n - 1) / n AS mean_var
+      FROM cells
+    ),
+    wide AS (
+      SELECT
+        max(CASE WHEN treated = 1 AND post = 1 THEN mean END) AS m_t1,
+        max(CASE WHEN treated = 1 AND post = 0 THEN mean END) AS m_t0,
+        max(CASE WHEN treated = 0 AND post = 1 THEN mean END) AS m_c1,
+        max(CASE WHEN treated = 0 AND post = 0 THEN mean END) AS m_c0,
+        sum(mean_var)                                         AS var_did,
+        CAST(sum(n) AS BIGINT)                                AS n_total
+      FROM stats
+    )
+    SELECT n_total,
+           round(m_t1 - m_t0, 6)                       AS delta_treated,
+           round(m_c1 - m_c0, 6)                       AS delta_control,
+           round((m_t1 - m_t0) - (m_c1 - m_c0), 6)     AS did,
+           round(sqrt(var_did), 6)                     AS se,
+           round(((m_t1 - m_t0) - (m_c1 - m_c0))
+                 / sqrt(var_did), 6)                   AS z
+    FROM wide
+    """,
+)
+def analytics_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences estimator: did the high-priority
+    segment's mean order value move differently across the 1998-01-01
+    boundary than the low-priority segment's? DID = (ȳ_T,post −
+    ȳ_T,pre) − (ȳ_C,post − ȳ_C,pre), with the Welch-style standard
+    error √Σ s²_cell/n_cell over the four cells — the work-horse causal
+    estimator when a rollout hits one segment and the other serves as
+    the parallel-trends control. (On this fixture the expected answer
+    is ≈ 0 — priorities are assigned independently of date — making it
+    a true negative control.)
+
+    Scale shape: ONE partial-combinable conditional aggregate produces
+    the four cells' sufficient statistics (n, Σy, Σy²); the 2×2 pivot,
+    the estimator, and its z are closed-form arithmetic over FOUR rows.
+    Nothing data-sized survives the single shuffle.
+    """
+    od = load_table(spark, sf_dir, "orders")
+    marked = od.select(
+        F.col("o_totalprice").alias("y"),
+        F.when(
+            F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1
+        ).otherwise(0).alias("treated"),
+        F.when(
+            F.col("o_orderdate") >= F.lit("1998-01-01").cast("timestamp"), 1
+        ).otherwise(0).alias("post"),
+    )
+    cells = marked.groupBy("treated", "post").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("y").alias("s"),
+        F.sum(F.col("y") * F.col("y")).alias("q"),
+    )
+    n, s, q = F.col("n"), F.col("s"), F.col("q")
+    stats = cells.select(
+        "treated",
+        "post",
+        "n",
+        (s / n).alias("mean"),
+        ((q - s * s / n) / (n - 1) / n).alias("mean_var"),
+    )
+
+    def cell_mean(t: int, p: int):
+        return F.max(
+            F.when((F.col("treated") == t) & (F.col("post") == p), F.col("mean"))
+        )
+
+    wide = stats.agg(
+        cell_mean(1, 1).alias("m_t1"),
+        cell_mean(1, 0).alias("m_t0"),
+        cell_mean(0, 1).alias("m_c1"),
+        cell_mean(0, 0).alias("m_c0"),
+        F.sum("mean_var").alias("var_did"),
+        F.sum("n").cast("bigint").alias("n_total"),
+    )
+    dt = F.col("m_t1") - F.col("m_t0")
+    dc = F.col("m_c1") - F.col("m_c0")
+    return wide.select(
+        "n_total",
+        F.round(dt, 6).alias("delta_treated"),
+        F.round(dc, 6).alias("delta_control"),
+        F.round(dt - dc, 6).alias("did"),
+        F.round(F.sqrt(F.col("var_did")), 6).alias("se"),
+        F.round((dt - dc) / F.sqrt(F.col("var_did")), 6).alias("z"),
+    )

@@ -1289,3 +1289,120 @@ def join_fuzzy_trigram_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return verified.filter(jac >= tau).select(
         "name_a", "name_b", F.round(jac, 6).alias("jaccard")
     )
+
+
+GRID_CELL = 50.0  # grid-file cell width == the search radius
+GRID_TOPK = 20  # closest pairs reported
+
+
+@register(
+    "join_spatial_grid",
+    oracle=f"""
+    WITH cust AS (
+      SELECT c_custkey AS id,
+             (strpos('0123456789abcdef',
+                     substr(md5('x:' || CAST(c_custkey AS VARCHAR)), 1, 1)) - 1)
+               * 64.0
+             + (strpos('0123456789abcdef',
+                       substr(md5('x:' || CAST(c_custkey AS VARCHAR)), 2, 1)) - 1)
+               * 4.0 AS x,
+             (strpos('0123456789abcdef',
+                     substr(md5('y:' || CAST(c_custkey AS VARCHAR)), 1, 1)) - 1)
+               * 64.0
+             + (strpos('0123456789abcdef',
+                       substr(md5('y:' || CAST(c_custkey AS VARCHAR)), 2, 1)) - 1)
+               * 4.0 AS y
+      FROM customer
+    ),
+    supp AS (
+      SELECT s_suppkey AS id,
+             (strpos('0123456789abcdef',
+                     substr(md5('x:s' || CAST(s_suppkey AS VARCHAR)), 1, 1)) - 1)
+               * 64.0
+             + (strpos('0123456789abcdef',
+                       substr(md5('x:s' || CAST(s_suppkey AS VARCHAR)), 2, 1)) - 1)
+               * 4.0 AS x,
+             (strpos('0123456789abcdef',
+                     substr(md5('y:s' || CAST(s_suppkey AS VARCHAR)), 1, 1)) - 1)
+               * 64.0
+             + (strpos('0123456789abcdef',
+                       substr(md5('y:s' || CAST(s_suppkey AS VARCHAR)), 2, 1)) - 1)
+               * 4.0 AS y
+      FROM supplier
+    ),
+    pairs AS (
+      SELECT s.id AS supp_id, c.id AS cust_id,
+             (s.x - c.x) * (s.x - c.x) + (s.y - c.y) * (s.y - c.y) AS d2
+      FROM supp s
+      JOIN cust c
+        ON CAST(floor(c.x / {GRID_CELL}) AS BIGINT)
+             BETWEEN CAST(floor(s.x / {GRID_CELL}) AS BIGINT) - 1
+                 AND CAST(floor(s.x / {GRID_CELL}) AS BIGINT) + 1
+       AND CAST(floor(c.y / {GRID_CELL}) AS BIGINT)
+             BETWEEN CAST(floor(s.y / {GRID_CELL}) AS BIGINT) - 1
+                 AND CAST(floor(s.y / {GRID_CELL}) AS BIGINT) + 1
+      WHERE (s.x - c.x) * (s.x - c.x) + (s.y - c.y) * (s.y - c.y)
+              <= {GRID_CELL} * {GRID_CELL}
+    )
+    SELECT supp_id, cust_id, round(sqrt(d2), 6) AS dist
+    FROM pairs
+    ORDER BY d2 ASC, supp_id ASC, cust_id ASC
+    LIMIT {GRID_TOPK}
+    """,
+)
+def join_spatial_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grid-file spatial join (radius search): suppliers and customers
+    get deterministic md5-derived planar coordinates in [0,1020)², and
+    each supplier finds all customers within {GRID_CELL} units by
+    joining its 3×3 NEIGHBORHOOD of grid cells (cell width == radius,
+    the classic grid-file guarantee: every within-radius pair shares a
+    cell or touches an adjacent one), then exact-distance filtering.
+    The {GRID_TOPK} closest pairs come out. This is how a distributed
+    engine does proximity joins without a cartesian product — the same
+    pattern as the banded trigram join, in 2-D.
+
+    Scale shape: the 9-cell expansion is the join condition itself (a
+    range predicate on the cell ids, which Spark executes as a
+    broadcast-able range join on the compact supplier side or a
+    shuffle on cell id); candidate pairs are bounded by points-per-cell
+    density, NEVER |S|×|C|. Planar squared distance only — no trig, so
+    both engines share exact arithmetic (a haversine variant needs
+    libm sin/cos whose last-ulp behavior is engine-specific). The
+    final top-k is a TakeOrderedAndProject, not a global sort.
+    """
+    hexa = F.lit("0123456789abcdef")
+
+    def coord(prefix: str, key) -> Column:
+        h = F.md5(F.concat(F.lit(prefix), key.cast("string")))
+        return (
+            (F.instr(hexa, F.substring(h, 1, 1)) - 1) * 64.0
+            + (F.instr(hexa, F.substring(h, 2, 1)) - 1) * 4.0
+        )
+
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("cust_id"),
+        coord("x:", F.col("c_custkey")).alias("cx"),
+        coord("y:", F.col("c_custkey")).alias("cy"),
+    )
+    s = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("supp_id"),
+        coord("x:s", F.col("s_suppkey")).alias("sx"),
+        coord("y:s", F.col("s_suppkey")).alias("sy"),
+    )
+    cell = lambda v: F.floor(v / GRID_CELL).cast("bigint")  # noqa: E731
+    d2 = (F.col("sx") - F.col("cx")) * (F.col("sx") - F.col("cx")) + (
+        F.col("sy") - F.col("cy")
+    ) * (F.col("sy") - F.col("cy"))
+    pairs = s.join(
+        c,
+        cell(F.col("cx")).between(cell(F.col("sx")) - 1, cell(F.col("sx")) + 1)
+        & cell(F.col("cy")).between(cell(F.col("sy")) - 1, cell(F.col("sy")) + 1),
+    ).filter(d2 <= GRID_CELL * GRID_CELL)
+    return (
+        pairs.select(
+            "supp_id", "cust_id", F.round(F.sqrt(d2), 6).alias("dist"), d2.alias("d2")
+        )
+        .orderBy(F.col("d2").asc(), F.col("supp_id").asc(), F.col("cust_id").asc())
+        .limit(GRID_TOPK)
+        .drop("d2")
+    )

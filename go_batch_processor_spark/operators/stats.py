@@ -4006,3 +4006,102 @@ def stats_capture_recapture(spark: SparkSession, sf_dir: str) -> DataFrame:
             2,
         ).alias("chapman"),
     )
+
+
+@register(
+    "stats_cuped_variance_reduction",
+    oracle="""
+    WITH span AS (
+      SELECT (epoch_us(min(ts)) + epoch_us(max(ts))) / 2.0 AS mid FROM events
+    ),
+    per_user AS (
+      SELECT e.user_id,
+             sum(CASE WHEN epoch_us(e.ts) <  s.mid THEN e.value ELSE 0 END)
+               AS x,
+             sum(CASE WHEN epoch_us(e.ts) >= s.mid THEN e.value ELSE 0 END)
+               AS y
+      FROM events e, span s
+      GROUP BY e.user_id
+    ),
+    suff AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             sum(x) AS sx, sum(y) AS sy,
+             sum(x * x) AS sxx, sum(y * y) AS syy, sum(x * y) AS sxy
+      FROM per_user
+    ),
+    fit AS (
+      SELECT n,
+             (sxy - sx * sy / n) / (sxx - sx * sx / n)      AS theta,
+             (syy - sy * sy / n) / (n - 1)                  AS var_y,
+             (sxy - sx * sy / n) * (sxy - sx * sy / n)
+               / (sxx - sx * sx / n) / (syy - sy * sy / n)  AS rho2
+      FROM suff
+    )
+    SELECT n,
+           round(theta, 6)                 AS theta,
+           round(var_y, 6)                 AS var_y,
+           round(var_y * (1 - rho2), 6)    AS var_y_cuped,
+           round(rho2, 6)                  AS variance_reduction
+    FROM fit
+    """,
+)
+def stats_cuped_variance_reduction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED (Controlled-experiment Using Pre-Experiment Data, Deng et
+    al. 2013): adjust each user's experiment-period metric y by their
+    pre-period covariate x — y' = y − θ(x − x̄) with θ = cov(x,y)/var(x)
+    — shrinking metric variance by exactly ρ², the squared pre/post
+    correlation. The single highest-leverage trick in online
+    experimentation (a ρ² of 0.5 halves the traffic an A/B test
+    needs); this operator reports θ, the raw and CUPED-adjusted metric
+    variances, and the achieved reduction. Completes the
+    experimentation suite (t/z-tests, TOST, DID, permutation).
+
+    Scale shape: one per-user conditional aggregate (the same shuffle
+    any per-user metric pays), then FIVE sufficient statistics in one
+    aggregate and closed-form θ/ρ² — identical expression trees on
+    both engines, nothing data-sized past the first groupBy.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    span = ev.agg(
+        ((F.unix_micros(F.min("ts")) + F.unix_micros(F.max("ts"))) / 2.0).alias(
+            "mid"
+        )
+    )
+    es = F.unix_micros("ts").cast("double")
+    per_user = (
+        ev.crossJoin(F.broadcast(span))
+        .groupBy("user_id")
+        .agg(
+            F.sum(F.when(es < F.col("mid"), F.col("value")).otherwise(0)).alias(
+                "x"
+            ),
+            F.sum(
+                F.when(es >= F.col("mid"), F.col("value")).otherwise(0)
+            ).alias("y"),
+        )
+    )
+    suff = per_user.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    n = F.col("n")
+    cxx = F.col("sxx") - F.col("sx") * F.col("sx") / n
+    cyy = F.col("syy") - F.col("sy") * F.col("sy") / n
+    cxy = F.col("sxy") - F.col("sx") * F.col("sy") / n
+    fit = suff.select(
+        "n",
+        (cxy / cxx).alias("theta"),
+        (cyy / (n - 1)).alias("var_y"),
+        (cxy * cxy / cxx / cyy).alias("rho2"),
+    )
+    return fit.select(
+        "n",
+        F.round("theta", 6).alias("theta"),
+        F.round("var_y", 6).alias("var_y"),
+        F.round(F.col("var_y") * (1 - F.col("rho2")), 6).alias("var_y_cuped"),
+        F.round("rho2", 6).alias("variance_reduction"),
+    )
