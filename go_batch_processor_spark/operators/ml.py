@@ -1504,3 +1504,93 @@ def ml_confusion_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("tp").over(w_all) * 1.0 / F.sum("n_true").over(w_all), 6
         ).alias("accuracy"),
     ).orderBy("class")
+
+
+THRESH_STEPS = 19  # thresholds 0.05 .. 0.95
+
+
+@register(
+    "ml_threshold_tuning",
+    oracle=f"""
+    WITH scored AS (
+      SELECT o_totalprice / (o_totalprice + 150000.0) AS p,
+             CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y
+      FROM orders
+    ),
+    grid AS (
+      SELECT (i.i + 1) * 0.05 AS thr
+      FROM (SELECT unnest(range({THRESH_STEPS})) AS i) i
+    ),
+    cells AS (
+      SELECT g.thr,
+             CAST(sum(CASE WHEN s.p >= g.thr AND s.y = 1
+                           THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+             CAST(sum(CASE WHEN s.p >= g.thr AND s.y = 0
+                           THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+             CAST(sum(CASE WHEN s.p < g.thr AND s.y = 1
+                           THEN 1 ELSE 0 END) AS BIGINT) AS fn
+      FROM scored s, grid g
+      GROUP BY g.thr
+    )
+    SELECT round(thr, 2) AS threshold, tp, fp, fn,
+           round(CASE WHEN tp + fp > 0
+                      THEN tp * 1.0 / (tp + fp) END, 6) AS precision,
+           round(CASE WHEN tp + fn > 0
+                      THEN tp * 1.0 / (tp + fn) END, 6) AS recall,
+           round(CASE WHEN 2 * tp + fp + fn > 0
+                      THEN 2.0 * tp / (2 * tp + fp + fn) END, 6) AS f1
+    FROM cells
+    ORDER BY threshold
+    """,
+)
+def ml_threshold_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decision-threshold sweep for a probabilistic classifier: the
+    full precision/recall/F1 curve over a {THRESH_STEPS}-point
+    threshold grid (same deterministic stand-in model as
+    ml_calibration_ece) — the table you read the operating point off
+    before shipping a binary decision rule; argmax-F1 is row 1 of an
+    ORDER BY f1 DESC over this output.
+
+    Scale shape: the grid rides a broadcast cross (each row evaluates
+    all {THRESH_STEPS} thresholds map-side), and the entire sweep is
+    ONE partial-combinable groupBy producing {THRESH_STEPS}×3 integer
+    cells — one scan for the whole curve, vs the naive
+    one-filter-per-threshold loop's {THRESH_STEPS} scans. F1 uses the
+    2tp/(2tp+fp+fn) form: integer arithmetic until the final division.
+    """
+    od = load_table(spark, sf_dir, "orders")
+    scored = od.select(
+        (F.col("o_totalprice") / (F.col("o_totalprice") + 150000.0)).alias("p"),
+        F.when(F.col("o_orderstatus") == "F", 1).otherwise(0).alias("y"),
+    )
+    grid = spark.range(THRESH_STEPS).select(
+        ((F.col("id") + 1) * 0.05).alias("thr")
+    )
+    hit = F.col("p") >= F.col("thr")
+    cells = (
+        scored.crossJoin(F.broadcast(grid))
+        .groupBy("thr")
+        .agg(
+            F.sum(F.when(hit & (F.col("y") == 1), 1).otherwise(0))
+            .cast("bigint")
+            .alias("tp"),
+            F.sum(F.when(hit & (F.col("y") == 0), 1).otherwise(0))
+            .cast("bigint")
+            .alias("fp"),
+            F.sum(F.when(~hit & (F.col("y") == 1), 1).otherwise(0))
+            .cast("bigint")
+            .alias("fn"),
+        )
+    )
+    tp, fp, fn = F.col("tp"), F.col("fp"), F.col("fn")
+    return cells.select(
+        F.round("thr", 2).alias("threshold"),
+        "tp",
+        "fp",
+        "fn",
+        F.round(F.when(tp + fp > 0, tp * 1.0 / (tp + fp)), 6).alias("precision"),
+        F.round(F.when(tp + fn > 0, tp * 1.0 / (tp + fn)), 6).alias("recall"),
+        F.round(
+            F.when(2 * tp + fp + fn > 0, 2.0 * tp / (2 * tp + fp + fn)), 6
+        ).alias("f1"),
+    ).orderBy("threshold")

@@ -4105,3 +4105,62 @@ def stats_cuped_variance_reduction(spark: SparkSession, sf_dir: str) -> DataFram
         F.round(F.col("var_y") * (1 - F.col("rho2")), 6).alias("var_y_cuped"),
         F.round("rho2", 6).alias("variance_reduction"),
     )
+
+
+@register(
+    "stats_negative_binomial_fit",
+    oracle="""
+    WITH per_user AS (
+      SELECT user_id, CAST(count(*) AS BIGINT) AS k
+      FROM events GROUP BY user_id
+    ),
+    mom AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_users,
+             avg(k)        AS m,
+             var_samp(k)   AS s2
+      FROM per_user
+    )
+    SELECT n_users,
+           round(m, 6)  AS mean_events,
+           round(s2, 6) AS var_events,
+           round(s2 / m, 6) AS dispersion_index,
+           round(CASE WHEN s2 > m THEN m * m / (s2 - m) END, 6) AS nb_r,
+           round(CASE WHEN s2 > m THEN m / s2 END, 6)           AS nb_p,
+           s2 > m AS overdispersed
+    FROM mom
+    """,
+)
+def stats_negative_binomial_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Negative-binomial fit of the per-user event-count distribution by
+    the method of moments: r̂ = m²/(s²−m), p̂ = m/s². The standard model
+    for overdispersed activity counts — a Poisson fit (variance ==
+    mean) underestimates the heavy tail that a few power users create,
+    and the dispersion index s²/m ≫ 1 is the one-number check that you
+    need NB (or a mixed model) before simulating load or computing
+    per-user rate limits. Guards the Poisson-or-underdispersed case
+    (s² ≤ m → NULL parameters, overdispersed = false).
+
+    Scale shape: one per-user count (partial-combinable), one moment
+    aggregate over the per-user frame, closed-form parameters on a
+    single row. Integer counts into the moment pass — the only doubles
+    are the final two moments, rounded once.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("k")
+    )
+    mom = per_user.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+        F.avg("k").alias("m"),
+        F.var_samp("k").alias("s2"),
+    )
+    m, s2 = F.col("m"), F.col("s2")
+    return mom.select(
+        "n_users",
+        F.round(m, 6).alias("mean_events"),
+        F.round(s2, 6).alias("var_events"),
+        F.round(s2 / m, 6).alias("dispersion_index"),
+        F.round(F.when(s2 > m, m * m / (s2 - m)), 6).alias("nb_r"),
+        F.round(F.when(s2 > m, m / s2), 6).alias("nb_p"),
+        (s2 > m).alias("overdispersed"),
+    )

@@ -8,6 +8,8 @@ fns / regexp) — zero Python in the row path, full codegen.
 
 from __future__ import annotations
 
+import pandas as pd
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -1629,3 +1631,41 @@ def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@register("text_compression_ratio", tags={"rows_only"})
+def text_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document zlib compression ratio — the classic cheap quality/
+    repetition signal from the C4/Gopher filtering recipes: natural
+    prose compresses to ~0.3–0.6 of its size; boilerplate, keyword
+    stuffing, and template spam compress far smaller (highly
+    repetitive), while random noise barely compresses at all. Filter
+    rule of thumb: drop the extreme tails on both ends.
+
+    Scale shape: a stateless per-row kernel behind an Arrow-batched
+    pandas UDF (zlib is not expressible in Spark SQL — this is the
+    documented legitimate Python boundary, vectorized per batch, no
+    shuffle at all; the scan partitioning is the parallelism). The
+    level-6 deflate is deterministic for a given zlib, so the operator
+    is stable across runs; rows-only because no SQL engine exposes the
+    same codec (tests/test_round6_invariants.py pins a python-zlib
+    twin and the prose-vs-repetition ordering).
+    """
+    @F.pandas_udf("double")
+    def ratio(texts: pd.Series) -> pd.Series:
+        import zlib
+
+        return texts.map(
+            lambda t: round(
+                len(zlib.compress(t.encode("utf-8"), 6))
+                / max(1, len(t.encode("utf-8"))),
+                6,
+            )
+        )
+
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.col("n_chars").cast("bigint").alias("n_chars"),
+        ratio(F.col("text")).alias("compression_ratio"),
+    ).orderBy("doc_id")

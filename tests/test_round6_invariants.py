@@ -94,3 +94,33 @@ def test_markov_rows_normalize(spark, sf_dir):
     sums = pdf.groupby("from_type")["p_transition"].sum()
     # p is rounded to 4 dp per cell; a 5-dst row can drift 5e-4/2
     assert ((sums - 1.0).abs() < 1e-3).all()
+
+
+def test_compression_ratio_matches_zlib_twin(spark, sf_dir):
+    """Operator == python zlib on the same rows; repetition compresses
+    harder than prose."""
+    import zlib
+
+    import pandas as pd
+
+    got = _run("text_compression_ratio", spark, sf_dir)
+    docs = (
+        REGISTRY["scan_parquet"].fn(spark, sf_dir).sparkSession.read.parquet(
+            f"{sf_dir}/documents.parquet"
+        )
+        .select("doc_id", "text")
+        .toPandas()
+    )
+    twin = {
+        r.doc_id: round(
+            len(zlib.compress(r.text.encode("utf-8"), 6))
+            / max(1, len(r.text.encode("utf-8"))),
+            6,
+        )
+        for r in docs.itertuples()
+    }
+    for r in got.itertuples():
+        assert twin[r.doc_id] == r.compression_ratio
+    # a highly repetitive string compresses far harder than the corpus
+    rep = len(zlib.compress(b"spam " * 200, 6)) / 1000.0
+    assert rep < got["compression_ratio"].min()
