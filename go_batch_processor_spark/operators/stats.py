@@ -407,6 +407,9 @@ def stats_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
     obs = d.groupBy("lang", "source").agg(
         F.count(F.lit(1)).cast("double").alias("o")
     )
+    # Four downstream branches re-aggregate the tiny contingency frame;
+    # truncate lineage once so the doc scan runs a single time.
+    obs = obs.localCheckpoint(eager=True)
     rows_t = obs.groupBy("lang").agg(F.sum("o").alias("rt"))
     cols_t = obs.groupBy("source").agg(F.sum("o").alias("ct"))
     tot = obs.agg(F.sum("o").alias("n"))
@@ -1633,6 +1636,10 @@ def stats_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
     obs = ev.groupBy(
         "event_type", F.dayofweek("ts").cast("bigint").alias("dow")
     ).agg(F.count(F.lit(1)).cast("double").alias("o"))
+    # Five downstream branches re-aggregate this |types|x7 frame — each
+    # would re-run the corpus groupBy. Truncate lineage once (the same
+    # measured fix as stats_spearman_corr's joint frame).
+    obs = obs.localCheckpoint(eager=True)
     tot = obs.agg(F.sum("o").alias("n"))
     rows_t = obs.groupBy("event_type").agg(F.sum("o").alias("rt"))
     cols_t = obs.groupBy("dow").agg(F.sum("o").alias("ct"))
@@ -4163,4 +4170,72 @@ def stats_negative_binomial_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.when(s2 > m, m * m / (s2 - m)), 6).alias("nb_r"),
         F.round(F.when(s2 > m, m / s2), 6).alias("nb_p"),
         (s2 > m).alias("overdispersed"),
+    )
+
+
+POWER_Z_ALPHA = 1.959963984540054  # two-sided alpha = 0.05
+POWER_Z_BETA = 0.8416212335729143  # power = 0.80
+POWER_MDE_PCT = [0.01, 0.02, 0.05, 0.10]  # minimum detectable effects
+
+
+@register(
+    "stats_power_sample_size",
+    oracle=f"""
+    WITH mom AS (
+      SELECT avg(value) AS m, var_samp(value) AS s2,
+             CAST(count(*) AS BIGINT) AS n_obs
+      FROM events
+    ),
+    grid AS (
+      SELECT unnest([{", ".join(str(x) for x in POWER_MDE_PCT)}]) AS mde
+    )
+    SELECT round(g.mde, 2) AS mde_pct,
+           round(m.m * g.mde, 6) AS delta_abs,
+           CAST(ceil(2.0 * m.s2
+                     * ({POWER_Z_ALPHA} + {POWER_Z_BETA})
+                     * ({POWER_Z_ALPHA} + {POWER_Z_BETA})
+                     / (m.m * g.mde) / (m.m * g.mde)) AS BIGINT)
+             AS n_per_arm,
+           m.n_obs
+    FROM grid g, mom m
+    ORDER BY mde_pct
+    """,
+)
+def stats_power_sample_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B test sample-size calculator fed by the metric's OWN observed
+    moments: per-arm n = 2σ²(z_{{α/2}}+z_β)²/δ² for detecting a relative
+    lift of 1/2/5/10% of the current mean at α=0.05, power=0.80 — the
+    first question every experiment review asks ("how long must this
+    run?"), answered from the live variance instead of a guess. Read
+    against n_obs to see which effects are even detectable with today's
+    traffic.
+
+    Scale shape: one moment aggregate over the fact scan; the MDE grid
+    is a 4-row broadcast cross and the formula is closed-form literals
+    (z-values inlined on both engines). Rounded once at the edge; the
+    ceil() goes through BIGINT identically on both sides (DuckDB
+    ceil(double) is exact here because n fits well inside 2^53).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    mom = ev.agg(
+        F.avg("value").alias("m"),
+        F.var_samp("value").alias("s2"),
+        F.count(F.lit(1)).cast("bigint").alias("n_obs"),
+    )
+    grid = spark.createDataFrame(
+        [(x,) for x in POWER_MDE_PCT], "mde double"
+    )
+    z2 = (POWER_Z_ALPHA + POWER_Z_BETA) * (POWER_Z_ALPHA + POWER_Z_BETA)
+    delta = F.col("m") * F.col("mde")
+    return (
+        grid.crossJoin(F.broadcast(mom))
+        .select(
+            F.round("mde", 2).alias("mde_pct"),
+            F.round(delta, 6).alias("delta_abs"),
+            F.ceil(2.0 * F.col("s2") * z2 / delta / delta)
+            .cast("bigint")
+            .alias("n_per_arm"),
+            "n_obs",
+        )
+        .orderBy("mde_pct")
     )
