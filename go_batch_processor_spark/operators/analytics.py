@@ -1359,3 +1359,119 @@ def analytics_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sqrt(F.col("var_did")), 6).alias("se"),
         F.round((dt - dc) / F.sqrt(F.col("var_did")), 6).alias("z"),
     )
+
+
+@register(
+    "analytics_attribution_linear",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type, value,
+             coalesce(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                        OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND 1 PRECEDING), 0) AS seg
+      FROM events
+    ),
+    touches AS (
+      SELECT user_id, seg, event_type AS touch_type,
+             CAST(count(*) AS BIGINT) AS n_t
+      FROM seq WHERE event_type IN ('view', 'click')
+      GROUP BY 1, 2, 3
+    ),
+    ttot AS (
+      SELECT user_id, seg, CAST(sum(n_t) AS BIGINT) AS n_tot
+      FROM touches GROUP BY 1, 2
+    ),
+    purch AS (
+      SELECT user_id, seg, value FROM seq WHERE event_type = 'purchase'
+    ),
+    credited AS (
+      SELECT t.touch_type,
+             p.value * t.n_t / tt.n_tot AS credit,
+             p.user_id, p.seg
+      FROM purch p
+      JOIN ttot tt ON p.user_id = tt.user_id AND p.seg = tt.seg
+      JOIN touches t ON p.user_id = t.user_id AND p.seg = t.seg
+    ),
+    direct AS (
+      SELECT 'direct' AS touch_type, p.value AS credit, p.user_id, p.seg
+      FROM purch p
+      LEFT JOIN ttot tt ON p.user_id = tt.user_id AND p.seg = tt.seg
+      WHERE tt.n_tot IS NULL
+    )
+    SELECT touch_type,
+           round(sum(credit), 4)                      AS total_credit,
+           CAST(count(*) AS BIGINT)                   AS n_credit_rows
+    FROM (SELECT * FROM credited UNION ALL SELECT * FROM direct)
+    GROUP BY touch_type
+    ORDER BY touch_type
+    """,
+)
+def analytics_attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear (equal-credit) multi-touch attribution: each purchase's
+    value splits evenly across ALL of the user's view/click touches
+    since their previous purchase; purchases with no preceding touch in
+    their segment credit a 'direct' bucket. The fairness-spectrum
+    counterpart to analytics_attribution_last_touch (which gives the
+    final touch everything) — run both and the gap between them bounds
+    every position-weighted scheme in between.
+
+    Scale shape: segment ids come from ONE exclusive running sum per
+    user (the purchase counter — hash-partitioned by user, parallel);
+    everything after operates on per-(user, segment) AGGREGATES: touch
+    type counts, segment totals, and two co-partitioned joins keyed on
+    (user, seg). Credit arithmetic value·n_t/n_tot is exact integer
+    ratios times the 2-decimal value; sums rounded once at the edge.
+    Tie order inside a user is (ts, event_id) — the repo-wide
+    deterministic sequence rule.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w_seg = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    seq = ev.select(
+        "user_id",
+        "event_type",
+        "value",
+        F.coalesce(
+            F.sum(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            ).over(w_seg),
+            F.lit(0),
+        ).alias("seg"),
+    )
+    touches = (
+        seq.filter(F.col("event_type").isin("view", "click"))
+        .groupBy("user_id", "seg", F.col("event_type").alias("touch_type"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_t"))
+    )
+    ttot = touches.groupBy("user_id", "seg").agg(
+        F.sum("n_t").cast("bigint").alias("n_tot")
+    )
+    purch = seq.filter(F.col("event_type") == "purchase").select(
+        "user_id", "seg", "value"
+    )
+    credited = (
+        purch.join(ttot, ["user_id", "seg"])
+        .join(touches, ["user_id", "seg"])
+        .select(
+            "touch_type",
+            (F.col("value") * F.col("n_t") / F.col("n_tot")).alias("credit"),
+        )
+    )
+    direct = (
+        purch.join(ttot, ["user_id", "seg"], "left_outer")
+        .filter(F.col("n_tot").isNull())
+        .select(F.lit("direct").alias("touch_type"), F.col("value").alias("credit"))
+    )
+    return (
+        credited.unionByName(direct)
+        .groupBy("touch_type")
+        .agg(
+            F.round(F.sum("credit"), 4).alias("total_credit"),
+            F.count(F.lit(1)).cast("bigint").alias("n_credit_rows"),
+        )
+        .orderBy("touch_type")
+    )

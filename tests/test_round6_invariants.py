@@ -124,3 +124,19 @@ def test_compression_ratio_matches_zlib_twin(spark, sf_dir):
     # a highly repetitive string compresses far harder than the corpus
     rep = len(zlib.compress(b"spam " * 200, 6)) / 1000.0
     assert rep < got["compression_ratio"].min()
+
+
+def test_linear_attribution_conserves_value(spark, sf_dir):
+    """Linear credit + direct bucket == total purchase value exactly."""
+    from pyspark.sql import functions as F
+    from go_batch_processor_spark.catalog import load_table
+
+    got = _run("analytics_attribution_linear", spark, sf_dir)
+    total_credit = float(got["total_credit"].sum())
+    truth = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .agg(F.sum("value"))
+        .collect()[0][0]
+    )
+    assert abs(total_credit - float(truth)) < 1e-2
