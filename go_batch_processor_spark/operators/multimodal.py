@@ -512,3 +512,65 @@ def multimodal_shot_boundaries(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.abs(F.col("v") - F.col("pv")).cast("bigint").alias("delta"),
         )
     )
+
+
+@register(
+    "multimodal_text_embedding_join",
+    oracle="""
+    WITH joined AS (
+      SELECT d.lang,
+             d.n_chars,
+             sqrt(list_sum(list_transform(e.embedding,
+                                          x -> CAST(x AS DOUBLE)
+                                               * CAST(x AS DOUBLE))))
+               AS l2
+      FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+    )
+    SELECT lang,
+           CAST(count(*) AS BIGINT)  AS n,
+           round(avg(n_chars), 4)    AS avg_chars,
+           round(avg(l2), 6)         AS avg_norm,
+           round(corr(n_chars, l2), 6) AS chars_norm_corr
+    FROM joined
+    GROUP BY lang ORDER BY lang
+    """,
+)
+def multimodal_text_embedding_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-modal join: every document joined to its embedding row
+    (doc_id = vec_id — the contract a multimodal ingest pipeline must
+    maintain), then a per-language profile of text length vs embedding
+    L2 norm and their correlation — the cheap sanity check that the
+    embedding stage actually saw the text it was keyed to (a norm that
+    does not vary with content length at all usually means zero-padded
+    or misaligned vectors).
+
+    Scale shape: one equi-join on the id (co-partitioned; at 100 TB
+    both sides bucket by the id so this is the zero-shuffle layout),
+    the norm is a sequential JVM fold over the 64-dim array (F.aggregate
+    — deterministic order, so the doubles match DuckDB's list fold
+    bit-for-bit), and the profile is one partial-combinable groupBy of
+    ≤|langs| cells. corr here is a plain aggregate (not the windowed
+    form), which both engines define identically for n ≥ 2.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    e = load_table(spark, sf_dir, "embeddings")
+    l2 = F.sqrt(
+        F.aggregate(
+            "embedding",
+            F.lit(0.0),
+            lambda acc, x: acc + x.cast("double") * x.cast("double"),
+        )
+    )
+    joined = d.join(e, d.doc_id == e.vec_id).select(
+        "lang", "n_chars", l2.alias("l2")
+    )
+    return (
+        joined.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+            F.round(F.avg("l2"), 6).alias("avg_norm"),
+            F.round(F.corr("n_chars", "l2"), 6).alias("chars_norm_corr"),
+        )
+        .orderBy("lang")
+    )

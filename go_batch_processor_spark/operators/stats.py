@@ -4239,3 +4239,160 @@ def stats_power_sample_size(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("mde_pct")
     )
+
+
+@register(
+    "stats_ab_srm_check",
+    oracle="""
+    WITH assigned AS (
+      SELECT DISTINCT user_id,
+             CASE WHEN strpos('01234567',
+                              substr(md5('arm:' || CAST(user_id AS VARCHAR)),
+                                     1, 1)) > 0
+                  THEN 'treatment' ELSE 'control' END AS arm
+      FROM events
+    ),
+    cells AS (
+      SELECT CAST(sum(CASE WHEN arm = 'treatment' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_t,
+             CAST(sum(CASE WHEN arm = 'control' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_c
+      FROM assigned
+    )
+    SELECT n_t, n_c,
+           round((n_t - (n_t + n_c) / 2.0) * (n_t - (n_t + n_c) / 2.0)
+                   / ((n_t + n_c) / 2.0)
+                 + (n_c - (n_t + n_c) / 2.0) * (n_c - (n_t + n_c) / 2.0)
+                   / ((n_t + n_c) / 2.0), 6) AS srm_chi2,
+           ((n_t - (n_t + n_c) / 2.0) * (n_t - (n_t + n_c) / 2.0)
+              / ((n_t + n_c) / 2.0)
+            + (n_c - (n_t + n_c) / 2.0) * (n_c - (n_t + n_c) / 2.0)
+              / ((n_t + n_c) / 2.0)) > 3.841458820694124 AS srm_flag
+    FROM cells
+    """,
+)
+def stats_ab_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample-ratio-mismatch check — the experiment health gate that
+    must pass BEFORE anyone reads a metric: users are assigned to arms
+    by a deterministic md5 coin (8/16 nibbles = treatment, the intended
+    50/50), and the observed split is chi-square-tested against it.
+    srm_flag true (χ² > 3.84, α=0.05) means the assignment or logging
+    pipeline is dropping one arm's users and every downstream readout
+    is untrustworthy — the single most common silent A/B failure.
+
+    Scale shape: one distinct-user reduction, a stateless md5
+    assignment expression, one conditional count aggregate, closed-form
+    χ² on a single row. The hash assignment is the same one a real
+    bucketing service computes — so this operator doubles as the
+    bucketing function's own unit test at corpus scale.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    arm = F.when(
+        F.instr(
+            F.lit("01234567"),
+            F.substring(
+                F.md5(F.concat(F.lit("arm:"), F.col("user_id").cast("string"))),
+                1,
+                1,
+            ),
+        )
+        > 0,
+        "treatment",
+    ).otherwise("control")
+    assigned = ev.select("user_id").distinct().select(arm.alias("arm"))
+    cells = assigned.agg(
+        F.sum(F.when(F.col("arm") == "treatment", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_t"),
+        F.sum(F.when(F.col("arm") == "control", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_c"),
+    )
+    n_t, n_c = F.col("n_t"), F.col("n_c")
+    exp = (n_t + n_c) / 2.0
+    chi2 = (n_t - exp) * (n_t - exp) / exp + (n_c - exp) * (n_c - exp) / exp
+    return cells.select(
+        "n_t",
+        "n_c",
+        F.round(chi2, 6).alias("srm_chi2"),
+        (chi2 > 3.841458820694124).alias("srm_flag"),
+    )
+
+
+@register(
+    "stats_delta_method_ratio",
+    oracle="""
+    WITH per_user AS (
+      SELECT user_id,
+             sum(CASE WHEN event_type = 'purchase' THEN value ELSE 0 END)
+               AS rev,
+             CAST(count(*) AS BIGINT) AS sessions
+      FROM events GROUP BY user_id
+    ),
+    suff AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             avg(rev)                AS mx,
+             avg(sessions)           AS my,
+             var_samp(rev)           AS vx,
+             var_samp(sessions)      AS vy,
+             covar_samp(rev, sessions) AS cxy
+      FROM per_user
+    )
+    SELECT n,
+           round(mx / my, 6) AS ratio,
+           round((vx / (my * my)
+                  - 2.0 * mx * cxy / (my * my * my)
+                  + mx * mx * vy / (my * my * my * my)) / n, 6)
+             AS var_ratio_delta,
+           round(sqrt((vx / (my * my)
+                       - 2.0 * mx * cxy / (my * my * my)
+                       + mx * mx * vy / (my * my * my * my)) / n), 6)
+             AS se_ratio
+    FROM suff
+    """,
+)
+def stats_delta_method_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta-method variance of a RATIO metric (revenue per session):
+    Var(x̄/ȳ) ≈ (Vx/ȳ² − 2x̄·Cxy/ȳ³ + x̄²·Vy/ȳ⁴)/n. Ratio metrics are
+    the norm in experimentation (revenue/session, clicks/query) and
+    naive per-row variance is WRONG because numerator and denominator
+    are correlated per user — the delta method is the standard
+    correction (Deng et al. 2017) every A/B platform implements. Pairs
+    with stats_cuped_variance_reduction in the experimentation suite.
+
+    Scale shape: one per-user conditional aggregate, then a single
+    moment aggregate (means, variances, covariance) and closed-form
+    arithmetic on one row. covar_samp/var_samp are plain aggregates
+    both engines define identically; rounded once at the edge.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.sum(
+            F.when(F.col("event_type") == "purchase", F.col("value")).otherwise(
+                0
+            )
+        ).alias("rev"),
+        F.count(F.lit(1)).cast("bigint").alias("sessions"),
+    )
+    suff = per_user.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.avg("rev").alias("mx"),
+        F.avg("sessions").alias("my"),
+        F.var_samp("rev").alias("vx"),
+        F.var_samp("sessions").alias("vy"),
+        F.covar_samp("rev", "sessions").alias("cxy"),
+    )
+    n = F.col("n")
+    mx, my = F.col("mx"), F.col("my")
+    vx, vy, cxy = F.col("vx"), F.col("vy"), F.col("cxy")
+    var_ratio = (
+        vx / (my * my)
+        - 2.0 * mx * cxy / (my * my * my)
+        + mx * mx * vy / (my * my * my * my)
+    ) / n
+    return suff.select(
+        "n",
+        F.round(mx / my, 6).alias("ratio"),
+        F.round(var_ratio, 6).alias("var_ratio_delta"),
+        F.round(F.sqrt(var_ratio), 6).alias("se_ratio"),
+    )
