@@ -1475,3 +1475,89 @@ def analytics_attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("touch_type")
     )
+
+
+@register(
+    "analytics_audience_overlap",
+    oracle="""
+    WITH membership AS (
+      SELECT DISTINCT user_id, event_type FROM events
+    ),
+    sizes AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n
+      FROM membership GROUP BY event_type
+    ),
+    inter AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b,
+             CAST(count(*) AS BIGINT) AS n_both
+      FROM membership a
+      JOIN membership b
+        ON a.user_id = b.user_id AND a.event_type < b.event_type
+      GROUP BY 1, 2
+    )
+    SELECT i.type_a, i.type_b, sa.n AS n_a, sb.n AS n_b, i.n_both,
+           round(i.n_both * 1.0 / (sa.n + sb.n - i.n_both), 6) AS jaccard
+    FROM inter i
+    JOIN sizes sa ON i.type_a = sa.event_type
+    JOIN sizes sb ON i.type_b = sb.event_type
+    ORDER BY type_a, type_b
+    """,
+)
+def analytics_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audience-overlap matrix: Jaccard similarity of the user sets
+    behind every pair of event types — the segmentation question
+    ("are clickers and purchasers the same people?") that drives
+    budget-allocation and dedup decisions across channels. Exact (the
+    type cardinality is small); agg_kmv_theta_intersect is the sketch
+    path when the segment key is unbounded.
+
+    Scale shape: one distinct (user, type) reduction; the pair
+    intersections come from a SELF-JOIN keyed on user_id —
+    co-partitioned, with per-user fan-out bounded by |types|² (≤25
+    rows per user here), so the join output is linear in users, never
+    |users|². Segment sizes broadcast back onto the ≤C(|types|,2)-row
+    result. Integer counts — exact at any partitioning.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    membership = ev.select("user_id", "event_type").distinct()
+    sizes = membership.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    a = membership.alias("a")
+    b = membership.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.event_type") < F.col("b.event_type")),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("type_a"),
+            F.col("b.event_type").alias("type_b"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_both"))
+    )
+    sa = sizes.select(
+        F.col("event_type").alias("type_a"), F.col("n").alias("n_a")
+    )
+    sb = sizes.select(
+        F.col("event_type").alias("type_b"), F.col("n").alias("n_b")
+    )
+    return (
+        inter.join(F.broadcast(sa), "type_a")
+        .join(F.broadcast(sb), "type_b")
+        .select(
+            "type_a",
+            "type_b",
+            "n_a",
+            "n_b",
+            "n_both",
+            F.round(
+                F.col("n_both")
+                * 1.0
+                / (F.col("n_a") + F.col("n_b") - F.col("n_both")),
+                6,
+            ).alias("jaccard"),
+        )
+        .orderBy("type_a", "type_b")
+    )

@@ -10,6 +10,8 @@ the standard bipartite engagement graph.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -744,3 +746,182 @@ def graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_communities"),
     )
     return q
+
+
+HITS_ITERS = 4
+HITS_TOP_K = 20
+
+_HITS_ORACLE = """
+    WITH pairs AS MATERIALIZED (
+      SELECT DISTINCT user_id AS u,
+             CAST(props->>'k' AS BIGINT) AS i
+      FROM events WHERE props->>'k' IS NOT NULL
+    ),
+    h0 AS MATERIALIZED (
+      SELECT u AS node,
+             1.0 / sqrt((SELECT count(DISTINCT u) FROM pairs)) AS score
+      FROM (SELECT DISTINCT u FROM pairs)
+    ),
+    a1 AS MATERIALIZED (
+      SELECT p.i AS node, sum(h.score) AS s
+      FROM pairs p JOIN h0 h ON p.u = h.node GROUP BY p.i
+    ),
+    an1 AS MATERIALIZED (
+      SELECT node, s / n.nr AS score
+      FROM a1, (SELECT sqrt(sum(s * s)) AS nr FROM a1) n
+    ),
+    hh1 AS MATERIALIZED (
+      SELECT p.u AS node, sum(a.score) AS s
+      FROM pairs p JOIN an1 a ON p.i = a.node GROUP BY p.u
+    ),
+    h1 AS MATERIALIZED (
+      SELECT node, s / n.nr AS score
+      FROM hh1, (SELECT sqrt(sum(s * s)) AS nr FROM hh1) n
+    ),
+    a2 AS MATERIALIZED (
+      SELECT p.i AS node, sum(h.score) AS s
+      FROM pairs p JOIN h1 h ON p.u = h.node GROUP BY p.i
+    ),
+    an2 AS MATERIALIZED (
+      SELECT node, s / n.nr AS score
+      FROM a2, (SELECT sqrt(sum(s * s)) AS nr FROM a2) n
+    ),
+    hh2 AS MATERIALIZED (
+      SELECT p.u AS node, sum(a.score) AS s
+      FROM pairs p JOIN an2 a ON p.i = a.node GROUP BY p.u
+    ),
+    h2 AS MATERIALIZED (
+      SELECT node, s / n.nr AS score
+      FROM hh2, (SELECT sqrt(sum(s * s)) AS nr FROM hh2) n
+    ),
+    a3 AS MATERIALIZED (
+      SELECT p.i AS node, sum(h.score) AS s
+      FROM pairs p JOIN h2 h ON p.u = h.node GROUP BY p.i
+    ),
+    an3 AS MATERIALIZED (
+      SELECT node, s / n.nr AS score
+      FROM a3, (SELECT sqrt(sum(s * s)) AS nr FROM a3) n
+    ),
+    hh3 AS MATERIALIZED (
+      SELECT p.u AS node, sum(a.score) AS s
+      FROM pairs p JOIN an3 a ON p.i = a.node GROUP BY p.u
+    ),
+    h3 AS MATERIALIZED (
+      SELECT node, s / n.nr AS score
+      FROM hh3, (SELECT sqrt(sum(s * s)) AS nr FROM hh3) n
+    ),
+    a4 AS MATERIALIZED (
+      SELECT p.i AS node, sum(h.score) AS s
+      FROM pairs p JOIN h3 h ON p.u = h.node GROUP BY p.i
+    ),
+    an4 AS MATERIALIZED (
+      SELECT node, s / n.nr AS score
+      FROM a4, (SELECT sqrt(sum(s * s)) AS nr FROM a4) n
+    ),
+    hh4 AS MATERIALIZED (
+      SELECT p.u AS node, sum(a.score) AS s
+      FROM pairs p JOIN an4 a ON p.i = a.node GROUP BY p.u
+    ),
+    h4 AS MATERIALIZED (
+      SELECT node, s / n.nr AS score
+      FROM hh4, (SELECT sqrt(sum(s * s)) AS nr FROM hh4) n
+    ),
+    hubs AS (
+      SELECT 'hub' AS kind, node AS entity_id, round(score, 8) AS score
+      FROM h4
+    ),
+    auths AS (
+      SELECT 'authority' AS kind, node AS entity_id, round(score, 8) AS score
+      FROM an4
+    )
+    SELECT kind, entity_id, score
+    FROM (SELECT * FROM hubs UNION ALL SELECT * FROM auths)
+    ORDER BY score DESC, kind ASC, entity_id ASC
+    LIMIT 20
+    """
+
+
+@register("graph_hits", oracle=_HITS_ORACLE)
+def graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs-and-authorities (Kleinberg 1999) on the bipartite
+    user->item engagement graph: hub scores for users (engage with many
+    good items), authority scores for items (engaged by many good
+    users) — the asymmetric centrality PageRank's single score cannot
+    express on a bipartite graph. Top-20 across both sides. FULLY
+    ORACLED like graph_pagerank: the fixed {HITS_ITERS} mutual-
+    reinforcement iterations (with per-step L2 normalization) unroll
+    into chained CTEs.
+
+    Scale shape: per iteration one edges-scores join + one partial-
+    combinable groupBy per side (the same co-partitioned iterative-join
+    pattern as pagerank), and the L2 norm is a 1-row aggregate
+    broadcast back as a scalar — nothing data-sized reaches the
+    driver. Lineage is truncated EAGERLY every iteration: the
+    normalization references its input twice (frame + norm), so a lazy
+    plan doubles per step (measured: the lazy variant never finished;
+    the oracle needs AS MATERIALIZED on its CTEs for the same reason).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    pairs = (
+        ev.select(
+            F.col("user_id").alias("u"),
+            F.get_json_object("props", "$.k").cast("long").alias("i"),
+        )
+        .filter(F.col("i").isNotNull())
+        .distinct()
+    )
+    from pyspark import StorageLevel
+
+    pairs = pairs.persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        n_users = pairs.select("u").distinct().count()
+        hubs = pairs.select("u").distinct().select(
+            F.col("u").alias("node"),
+            F.lit(1.0 / math.sqrt(n_users)).alias("score"),
+        )
+
+        def l2_normalize(df):
+            nrm = df.agg(F.sqrt(F.sum(F.col("s") * F.col("s"))).alias("nr"))
+            return df.crossJoin(F.broadcast(nrm)).select(
+                "node", (F.col("s") / F.col("nr")).alias("score")
+            )
+
+        auths = None
+        for it in range(HITS_ITERS):
+            a_raw = (
+                pairs.join(hubs, pairs.u == hubs.node)
+                .groupBy(F.col("i").alias("node"))
+                .agg(F.sum("score").alias("s"))
+            )
+            auths = l2_normalize(a_raw)
+            h_raw = (
+                pairs.join(auths, pairs.i == auths.node)
+                .groupBy(F.col("u").alias("node"))
+                .agg(F.sum("score").alias("s"))
+            )
+            hubs = l2_normalize(h_raw)
+            # EAGER truncation every iteration: l2_normalize references
+            # its input twice (frame + its norm aggregate), so a lazy
+            # plan doubles per normalization — 2^(2*iters) recomputes
+            # without this (measured: the lazy variant never finished).
+            hubs = hubs.localCheckpoint(eager=True)
+            auths = auths.localCheckpoint(eager=True)
+        out = hubs.select(
+            F.lit("hub").alias("kind"),
+            F.col("node").alias("entity_id"),
+            F.round("score", 8).alias("score"),
+        ).unionByName(
+            auths.select(
+                F.lit("authority").alias("kind"),
+                F.col("node").alias("entity_id"),
+                F.round("score", 8).alias("score"),
+            )
+        )
+        return (
+            out.orderBy(
+                F.col("score").desc(), F.col("kind").asc(), F.col("entity_id").asc()
+            )
+            .limit(HITS_TOP_K)
+        )
+    finally:
+        pairs.unpersist(blocking=False)
