@@ -4396,3 +4396,69 @@ def stats_delta_method_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(var_ratio, 6).alias("var_ratio_delta"),
         F.round(F.sqrt(var_ratio), 6).alias("se_ratio"),
     )
+
+
+TRIM_ALPHA = 0.05  # fraction clipped from EACH tail
+
+
+@register(
+    "stats_trimmed_winsorized_mean",
+    oracle=f"""
+    WITH q AS (
+      SELECT quantile_cont(value, [{TRIM_ALPHA}, {1 - TRIM_ALPHA}]) AS qs
+      FROM events
+    ),
+    clipped AS (
+      SELECT e.value AS v, q.qs[1] AS lo, q.qs[2] AS hi
+      FROM events e, q
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n,
+           round(avg(v), 6) AS raw_mean,
+           round(avg(CASE WHEN v < lo THEN lo
+                          WHEN v > hi THEN hi ELSE v END), 6)
+             AS winsorized_mean,
+           round(sum(CASE WHEN v >= lo AND v <= hi THEN v END)
+                 / sum(CASE WHEN v >= lo AND v <= hi THEN 1 END), 6)
+             AS trimmed_mean,
+           round(any_value(lo), 6) AS clip_lo,
+           round(any_value(hi), 6) AS clip_hi
+    FROM clipped
+    """,
+)
+def stats_trimmed_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust means of the event metric: {TRIM_ALPHA:.0%}-winsorized
+    (tails clamped to the 5th/95th percentiles) and {TRIM_ALPHA:.0%}-
+    trimmed (tails dropped), next to the raw mean — the experimentation
+    standard for metrics a few whale values dominate (a raw mean
+    diff moves with one outlier; the winsorized diff doesn't). The
+    companions to analytics_robust_zscore_mad on the location side.
+
+    Scale shape: exact percentile boundaries from one sort-based
+    aggregate (swap approx_percentile at extreme scale — the clip plan
+    is unchanged) ride a 1-row broadcast into a stateless clamp, then
+    ONE conditional aggregate computes all three means. Comparison
+    safety at the boundaries is the feature_quantile_binning argument:
+    the interpolated cut is either a data value or strictly between
+    two values, so an engine-side ulp cannot reclassify a row.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    q = ev.agg(
+        F.percentile("value", F.lit([TRIM_ALPHA, 1 - TRIM_ALPHA])).alias("qs")
+    ).select(F.col("qs")[0].alias("lo"), F.col("qs")[1].alias("hi"))
+    clipped = ev.crossJoin(F.broadcast(q)).select(
+        F.col("value").alias("v"), "lo", "hi"
+    )
+    v, lo, hi = F.col("v"), F.col("lo"), F.col("hi")
+    inside = (v >= lo) & (v <= hi)
+    return clipped.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.round(F.avg(v), 6).alias("raw_mean"),
+        F.round(
+            F.avg(F.when(v < lo, lo).when(v > hi, hi).otherwise(v)), 6
+        ).alias("winsorized_mean"),
+        F.round(
+            F.sum(F.when(inside, v)) / F.sum(F.when(inside, 1)), 6
+        ).alias("trimmed_mean"),
+        F.round(F.first("lo"), 6).alias("clip_lo"),
+        F.round(F.first("hi"), 6).alias("clip_hi"),
+    )
