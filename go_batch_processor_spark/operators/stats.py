@@ -4462,3 +4462,216 @@ def stats_trimmed_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame
         F.round(F.first("lo"), 6).alias("clip_lo"),
         F.round(F.first("hi"), 6).alias("clip_hi"),
     )
+
+
+@register(
+    "stats_kruskal_wallis",
+    oracle="""
+    WITH counts AS (
+      SELECT round(value, 2) AS v,
+             sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)    AS c1,
+             sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)     AS c2,
+             sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS c3
+      FROM events
+      WHERE event_type IN ('click', 'view', 'purchase')
+      GROUP BY 1
+    ),
+    ranked AS (
+      SELECT c1, c2, c3, c1 + c2 + c3 AS t,
+             coalesce(sum(c1 + c2 + c3) OVER (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               + (c1 + c2 + c3 + 1) / 2.0 AS avg_rank
+      FROM counts
+    ),
+    agg AS (
+      SELECT sum(c1 * avg_rank) AS r1,
+             sum(c2 * avg_rank) AS r2,
+             sum(c3 * avg_rank) AS r3,
+             sum(c1) AS n1, sum(c2) AS n2, sum(c3) AS n3,
+             sum(CAST(t AS DOUBLE) * t * t - t) AS tie_term
+      FROM ranked
+    ),
+    fit AS (
+      SELECT n1, n2, n3, n1 + n2 + n3 AS n,
+             (12.0 / ((n1 + n2 + n3) * (n1 + n2 + n3 + 1.0))
+              * (r1 * r1 / n1 + r2 * r2 / n2 + r3 * r3 / n3)
+              - 3.0 * (n1 + n2 + n3 + 1.0)) AS h_raw,
+             1.0 - tie_term
+                   / (CAST(n1 + n2 + n3 AS DOUBLE) * (n1 + n2 + n3)
+                      * (n1 + n2 + n3) - (n1 + n2 + n3)) AS c_tie
+      FROM agg
+    )
+    SELECT CAST(n1 AS BIGINT) AS n1,
+           CAST(n2 AS BIGINT) AS n2,
+           CAST(n3 AS BIGINT) AS n3,
+           round(h_raw, 6)          AS h_uncorrected,
+           round(h_raw / c_tie, 6)  AS h_stat,
+           h_raw / c_tie > 5.991464547107979 AS reject_05
+    FROM fit
+    """,
+)
+def stats_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kruskal–Wallis H — the k-group generalization of
+    stats_mann_whitney (one-way ANOVA on ranks): do the click / view /
+    purchase value distributions share a location? Tie-corrected
+    (H / (1 − Σ(t³−t)/(N³−N))) and compared against the χ²₂ 5%
+    critical value. Completes the nonparametric suite (MW for 2 groups,
+    KW for k, KS for shape, ANOVA for the parametric twin).
+
+    Scale shape: the identical distinct-value compression as
+    stats_mann_whitney / stats_ks_two_sample — the corpus collapses to
+    the |distinct values| marginal in ONE partial-combinable
+    conditional aggregate, mid-ranks come from the cumulative count
+    window over that vocabulary-sized frame, and the rank sums are one
+    more aggregate. No rank window ever touches raw rows; integer
+    counts until the closed-form H.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    grp = {
+        "c1": "click",
+        "c2": "view",
+        "c3": "purchase",
+    }
+    counts = (
+        ev.filter(F.col("event_type").isin(*grp.values()))
+        .groupBy(F.round("value", 2).alias("v"))
+        .agg(
+            *[
+                F.sum(
+                    F.when(F.col("event_type") == t, 1).otherwise(0)
+                ).alias(c)
+                for c, t in grp.items()
+            ]
+        )
+    )
+    t = F.col("c1") + F.col("c2") + F.col("c3")
+    w_prev = (
+        Window.partitionBy()
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    ranked = counts.select(
+        "c1",
+        "c2",
+        "c3",
+        t.alias("t"),
+        (
+            F.coalesce(F.sum(t).over(w_prev), F.lit(0)) + (t + 1) / 2.0
+        ).alias("avg_rank"),
+    )
+    agg = ranked.agg(
+        F.sum(F.col("c1") * F.col("avg_rank")).alias("r1"),
+        F.sum(F.col("c2") * F.col("avg_rank")).alias("r2"),
+        F.sum(F.col("c3") * F.col("avg_rank")).alias("r3"),
+        F.sum("c1").alias("n1"),
+        F.sum("c2").alias("n2"),
+        F.sum("c3").alias("n3"),
+        F.sum(F.col("t").cast("double") * F.col("t") * F.col("t") - F.col("t")).alias(
+            "tie_term"
+        ),
+    )
+    n1, n2, n3 = F.col("n1"), F.col("n2"), F.col("n3")
+    n = n1 + n2 + n3
+    h_raw = (
+        12.0
+        / (n * (n + 1.0))
+        * (
+            F.col("r1") * F.col("r1") / n1
+            + F.col("r2") * F.col("r2") / n2
+            + F.col("r3") * F.col("r3") / n3
+        )
+        - 3.0 * (n + 1.0)
+    )
+    c_tie = 1.0 - F.col("tie_term") / (n.cast("double") * n * n - n)
+    fit = agg.select(
+        n1.alias("n1"),
+        n2.alias("n2"),
+        n3.alias("n3"),
+        h_raw.alias("h_raw"),
+        c_tie.alias("c_tie"),
+    )
+    return fit.select(
+        F.col("n1").cast("bigint").alias("n1"),
+        F.col("n2").cast("bigint").alias("n2"),
+        F.col("n3").cast("bigint").alias("n3"),
+        F.round("h_raw", 6).alias("h_uncorrected"),
+        F.round(F.col("h_raw") / F.col("c_tie"), 6).alias("h_stat"),
+        (F.col("h_raw") / F.col("c_tie") > 5.991464547107979).alias("reject_05"),
+    )
+
+
+@register(
+    "stats_friedman_test",
+    oracle="""
+    WITH cells AS (
+      SELECT CAST(dayofweek(ts) AS BIGINT) AS blk,
+             event_type AS trt,
+             round(avg(value), 6) AS m
+      FROM events GROUP BY 1, 2
+    ),
+    ranked AS (
+      SELECT blk, trt,
+             CAST(row_number() OVER (PARTITION BY blk
+                                     ORDER BY m, trt) AS DOUBLE) AS r
+      FROM cells
+    ),
+    rsums AS (
+      SELECT trt, sum(r) AS rj,
+             CAST(count(*) AS BIGINT) AS b
+      FROM ranked GROUP BY trt
+    ),
+    fit AS (
+      SELECT any_value(b) AS b,
+             CAST(count(*) AS BIGINT) AS k,
+             sum(rj * rj) AS sum_rj2
+      FROM rsums
+    )
+    SELECT b, k,
+           round(12.0 / (b * k * (k + 1.0)) * sum_rj2
+                 - 3.0 * b * (k + 1.0), 6) AS chi2_f,
+           (12.0 / (b * k * (k + 1.0)) * sum_rj2
+            - 3.0 * b * (k + 1.0)) > 9.487729036781154 AS reject_05
+    FROM fit
+    """,
+)
+def stats_friedman_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Friedman test — the repeated-measures (blocked) companion to
+    stats_kruskal_wallis: within each day-of-week block, rank the five
+    event types by mean value; if the rank sums diverge across blocks
+    more than chance allows (χ²_F > χ²₄ at 5%), the event-type effect
+    is real AFTER removing the day-of-week effect — the
+    paired/nonparametric two-way design KW cannot express.
+
+    Scale shape: the corpus collapses to the 7×5 cell table in ONE
+    partial-combinable aggregate; ranking runs as a window PARTITIONED
+    BY block over ≤k rows (parallel, bounded by the treatment count);
+    everything after is two tiny aggregates. Cell means are rounded to
+    6 BEFORE ranking on both sides, with the treatment name as the
+    deterministic tiebreak — so the rank permutation is bit-identical
+    across engines even when two cell means collide at the grid.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    cells = ev.groupBy(
+        F.dayofweek("ts").cast("bigint").alias("blk"),
+        F.col("event_type").alias("trt"),
+    ).agg(F.round(F.avg("value"), 6).alias("m"))
+    w_blk = Window.partitionBy("blk").orderBy("m", "trt")
+    ranked = cells.select(
+        "blk", "trt", F.row_number().over(w_blk).cast("double").alias("r")
+    )
+    rsums = ranked.groupBy("trt").agg(
+        F.sum("r").alias("rj"), F.count(F.lit(1)).cast("bigint").alias("b")
+    )
+    fit = rsums.agg(
+        F.first("b").alias("b"),
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        F.sum(F.col("rj") * F.col("rj")).alias("sum_rj2"),
+    )
+    b, k = F.col("b"), F.col("k")
+    chi2 = 12.0 / (b * k * (k + 1.0)) * F.col("sum_rj2") - 3.0 * b * (k + 1.0)
+    return fit.select(
+        "b",
+        "k",
+        F.round(chi2, 6).alias("chi2_f"),
+        (chi2 > 9.487729036781154).alias("reject_05"),
+    )
