@@ -1594,3 +1594,99 @@ def ml_threshold_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(2 * tp + fp + fn > 0, 2.0 * tp / (2 * tp + fp + fn)), 6
         ).alias("f1"),
     ).orderBy("threshold")
+
+
+@register(
+    "ml_brier_decomposition",
+    oracle="""
+    WITH scored AS (
+      SELECT o_totalprice / (o_totalprice + 150000.0) AS p,
+             CASE WHEN o_orderstatus = 'F' THEN 1.0 ELSE 0.0 END AS y
+      FROM orders
+    ),
+    base AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             avg(y)                   AS ybar,
+             avg((p - y) * (p - y))   AS brier
+      FROM scored
+    ),
+    cells AS (
+      SELECT least(9, CAST(floor(p * 10.0) AS BIGINT)) AS bin,
+             CAST(count(*) AS BIGINT) AS nb,
+             avg(p) AS conf,
+             avg(y) AS acc
+      FROM scored GROUP BY 1
+    ),
+    decomp AS (
+      SELECT sum(nb * (conf - acc) * (conf - acc)) AS rel_num,
+             sum(nb * (acc - b.ybar) * (acc - b.ybar)) AS res_num,
+             any_value(b.n) AS n, any_value(b.ybar) AS ybar,
+             any_value(b.brier) AS brier
+      FROM cells, base b
+    )
+    SELECT n,
+           round(brier, 6)                     AS brier_score,
+           round(rel_num / n, 6)               AS reliability,
+           round(res_num / n, 6)               AS resolution,
+           round(ybar * (1.0 - ybar), 6)       AS uncertainty
+    FROM decomp
+    """,
+)
+def ml_brier_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brier score with the Murphy (1973) three-term decomposition:
+    Brier ≈ reliability − resolution + uncertainty over the same
+    10-bin partition as ml_calibration_ece. The proper-scoring-rule
+    view ECE alone cannot give: reliability is the calibration error
+    (lower better), resolution is the discrimination the model earns
+    (higher better), uncertainty is the irreducible base-rate floor —
+    so two equally-calibrated models are separated by resolution. Same
+    deterministic rational-link stand-in model, so the whole family
+    (ECE, threshold sweep, Brier) reads off ONE model's behavior.
+
+    Scale shape: two partial-combinable aggregates over the scan (the
+    global moments and the ≤10 bin cells) joined on a 1-row broadcast;
+    every term is closed-form on ≤10 rows. The binned decomposition's
+    within-bin variance term is the (small) gap between brier_score and
+    rel − res + unc — reported raw so the identity can be checked.
+    """
+    od = load_table(spark, sf_dir, "orders")
+    scored = od.select(
+        (F.col("o_totalprice") / (F.col("o_totalprice") + 150000.0)).alias("p"),
+        F.when(F.col("o_orderstatus") == "F", 1.0).otherwise(0.0).alias("y"),
+    )
+    base = scored.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.avg("y").alias("ybar"),
+        F.avg((F.col("p") - F.col("y")) * (F.col("p") - F.col("y"))).alias(
+            "brier"
+        ),
+    )
+    cells = scored.groupBy(
+        F.least(F.lit(9), F.floor(F.col("p") * 10.0).cast("bigint")).alias("bin")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("nb"),
+        F.avg("p").alias("conf"),
+        F.avg("y").alias("acc"),
+    )
+    decomp = cells.crossJoin(F.broadcast(base)).agg(
+        F.sum(
+            F.col("nb")
+            * (F.col("conf") - F.col("acc"))
+            * (F.col("conf") - F.col("acc"))
+        ).alias("rel_num"),
+        F.sum(
+            F.col("nb")
+            * (F.col("acc") - F.col("ybar"))
+            * (F.col("acc") - F.col("ybar"))
+        ).alias("res_num"),
+        F.first("n").alias("n"),
+        F.first("ybar").alias("ybar"),
+        F.first("brier").alias("brier"),
+    )
+    return decomp.select(
+        "n",
+        F.round("brier", 6).alias("brier_score"),
+        F.round(F.col("rel_num") / F.col("n"), 6).alias("reliability"),
+        F.round(F.col("res_num") / F.col("n"), 6).alias("resolution"),
+        F.round(F.col("ybar") * (1.0 - F.col("ybar")), 6).alias("uncertainty"),
+    )
