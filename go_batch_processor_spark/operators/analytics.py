@@ -1561,3 +1561,72 @@ def analytics_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("type_a", "type_b")
     )
+
+
+@register(
+    "analytics_repeat_purchase_rate",
+    oracle="""
+    WITH per_user AS (
+      SELECT user_id,
+             CAST(count(*) AS BIGINT) AS n_purch,
+             min(ts) AS first_p,
+             min(CASE WHEN rn = 2 THEN ts END) AS second_p
+      FROM (
+        SELECT user_id, ts,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS rn
+        FROM events WHERE event_type = 'purchase'
+      )
+      GROUP BY user_id
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_buyers,
+           CAST(sum(CASE WHEN n_purch >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_repeat,
+           round(sum(CASE WHEN n_purch >= 2 THEN 1 ELSE 0 END) * 1.0
+                 / count(*), 6) AS repeat_rate,
+           round(quantile_cont(
+                   CASE WHEN second_p IS NOT NULL
+                        THEN date_diff('second', first_p, second_p) / 3600.0
+                   END, 0.5), 6) AS median_hours_to_second
+    FROM per_user
+    """,
+)
+def analytics_repeat_purchase_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repeat-purchase rate and median time to second purchase — the
+    two numbers every commerce retention review opens with (one-time
+    buyers vs loyalists, and how long the second conversion takes; the
+    distribution-level companions are stats_kaplan_meier /
+    analytics_retention_cohort).
+
+    Scale shape: purchases are filtered FIRST (pushdown), the per-user
+    first/second timestamps come from one rank window partitioned by
+    user (hash-parallel) folded into a per-user conditional aggregate,
+    and the summary is one aggregate over the buyer frame with an
+    exact median (swap approx_percentile at extreme buyer counts —
+    the plan above it is unchanged). Gap hours from integer seconds,
+    divided once — exact parity.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ranked = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select("user_id", "ts", F.row_number().over(w).alias("rn"))
+    )
+    per_user = ranked.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_purch"),
+        F.min("ts").alias("first_p"),
+        F.min(F.when(F.col("rn") == 2, F.col("ts"))).alias("second_p"),
+    )
+    repeat = F.when(F.col("n_purch") >= 2, 1).otherwise(0)
+    gap_h = F.when(
+        F.col("second_p").isNotNull(),
+        (F.unix_seconds("second_p") - F.unix_seconds("first_p")) / 3600.0,
+    )
+    return per_user.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_buyers"),
+        F.sum(repeat).cast("bigint").alias("n_repeat"),
+        F.round(F.sum(repeat) * 1.0 / F.count(F.lit(1)), 6).alias("repeat_rate"),
+        F.round(F.percentile(gap_h, F.lit(0.5)), 6).alias(
+            "median_hours_to_second"
+        ),
+    )
