@@ -464,6 +464,56 @@ def graph_bfs_shortest_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         edges.unpersist(blocking=False)
 
 
+def _jaccard_selfjoin_scored(
+    pairs: DataFrame, max_item_degree: int | None = None
+) -> DataFrame:
+    """General-regime (unbounded vocabulary) Jaccard pair scorer: the
+    classic item-keyed similarity self-join over the distinct (user_id,
+    i) edge list, returning (u1, u2, c, d1, d2).
+
+    ``max_item_degree`` is the hot-item mitigation for 100 TB runs: an
+    item interacted with by d users generates C(d, 2) candidate pairs in
+    the self-join, so ONE viral item (d = 10M) is an O(d^2) straggler
+    task. Items above the cap are dropped from PAIR GENERATION only —
+    user degrees (the Jaccard denominators) still count every item, so
+    scores of surviving pairs shift by at most c_hot/(d1+d2-c) where
+    c_hot is commons-via-hot-items-only; a hot item shared by millions
+    carries ~zero link signal (everyone has it), which is why degree
+    capping is the standard production mitigation (cf. cosine-similarity
+    DIMSUM / frequent-token dropping in similarity self-joins). Default
+    None = exact (the registered oracle's semantics); the SCALE.md
+    100 TB recipe turns it on.
+    """
+    if max_item_degree is not None:
+        hot = (
+            pairs.groupBy("i")
+            .agg(F.count(F.lit(1)).alias("item_d"))
+            .filter(F.col("item_d") > max_item_degree)
+            .select("i")
+        )
+        # Hot-item set is tiny by construction (only items above the cap)
+        # -> broadcast anti-join, no extra shuffle of the edge list.
+        gen = pairs.join(F.broadcast(hot), "i", "left_anti")
+    else:
+        gen = pairs
+    ap = gen.select(F.col("user_id").alias("u1"), "i")
+    bp = gen.select(F.col("user_id").alias("u2"), "i")
+    common = (
+        ap.join(bp, "i")
+        .filter(F.col("u1") < F.col("u2"))
+        .groupBy("u1", "u2")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    deg = pairs.groupBy("user_id").agg(F.count(F.lit(1)).alias("d"))
+    return common.join(
+        F.broadcast(deg.select(F.col("user_id").alias("u1"), F.col("d").alias("d1"))),
+        "u1",
+    ).join(
+        F.broadcast(deg.select(F.col("user_id").alias("u2"), F.col("d").alias("d2"))),
+        "u2",
+    )
+
+
 @register(
     "graph_jaccard_link_prediction",
     oracle="""
@@ -515,11 +565,14 @@ def graph_jaccard_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame
       similarity-self-join — the distinct edge list joins itself on
       item (co-located after one shuffle), `u1 < u2` canonicalizes,
       common-counts aggregate partial-combinably, degree lookups
-      broadcast. 100 TB caveat stated honestly: a viral item with 10M
-      interactors is O(d²) death; production mitigations are a degree
-      cap on hot items (they carry ~zero Jaccard signal) or the
-      banded-minhash pair generator (`dedup_near_minhash`). Neither
-      changes the score formula.
+      broadcast. 100 TB hazard: a viral item with 10M interactors is
+      O(d²) death in pair generation. The mitigation IS implemented —
+      `_jaccard_selfjoin_scored(pairs, max_item_degree=...)` drops
+      items above the cap from pair generation only (denominators keep
+      every item; hot items carry ~zero Jaccard signal). Default off
+      here so the registered oracle stays exact; the SCALE.md recipe
+      sets it at scale. Alternative exact-ish generator: the
+      banded-minhash pairer (`dedup_near_minhash`).
 
     The top-20 is TakeOrderedAndProject on either path."""
     e = load_table(spark, sf_dir, "events")
@@ -571,22 +624,7 @@ def graph_jaccard_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame
             .filter(F.col("c") >= 1)
         )
     else:
-        ap = pairs.select(F.col("user_id").alias("u1"), "i")
-        bp = pairs.select(F.col("user_id").alias("u2"), "i")
-        common = (
-            ap.join(bp, "i")
-            .filter(F.col("u1") < F.col("u2"))
-            .groupBy("u1", "u2")
-            .agg(F.count(F.lit(1)).alias("c"))
-        )
-        deg = pairs.groupBy("user_id").agg(F.count(F.lit(1)).alias("d"))
-        scored = common.join(
-            F.broadcast(deg.select(F.col("user_id").alias("u1"), F.col("d").alias("d1"))),
-            "u1",
-        ).join(
-            F.broadcast(deg.select(F.col("user_id").alias("u2"), F.col("d").alias("d2"))),
-            "u2",
-        )
+        scored = _jaccard_selfjoin_scored(pairs, max_item_degree=None)
     out = scored.select(
         "u1",
         "u2",

@@ -1080,10 +1080,26 @@ def ml_als_factorize(spark: SparkSession, sf_dir: str) -> DataFrame:
         .persist()
     )
     try:
-        items = [r.i for r in ratings.select("i").distinct().collect()]
-        V = spark.createDataFrame(
-            [(int(i), _als_init_factor(int(i))) for i in sorted(items)],
-            "id long, f array<double>",
+        # Item-factor init stays DISTRIBUTED: _als_init_factor's integer
+        # arithmetic expressed as a transform(sequence(...)) column over
+        # distinct item ids. Collecting the item vocabulary to the driver
+        # (the r06 version) is a driver OOM at 100 TB (10^7-10^8 items);
+        # this is the same plan with zero driver materialization.
+        V = (
+            ratings.select(F.col("i").alias("id"))
+            .distinct()
+            .select(
+                "id",
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(ALS_F - 1)),
+                    lambda j: (
+                        (F.col("id") * F.lit(2654435761) + j * F.lit(40503))
+                        % 1000
+                    )
+                    / 1000.0
+                    + 0.1,
+                ).alias("f"),
+            )
         )
         U = None
         for _ in range(ALS_SWEEPS):

@@ -786,17 +786,15 @@ def stats_bootstrap_poisson_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     km AS (
       SELECT dur_h, n_events, n_risk,
-             1.0 - n_events * 1.0 / n_risk AS factor
+             CAST(1.0 - n_events * 1.0 / n_risk AS DOUBLE) AS factor
       FROM risk WHERE n_events > 0
     )
-    SELECT dur_h, n_risk, n_events,
-           CASE WHEN min(factor) OVER w = 0 THEN 0.0
-                ELSE round(exp(sum(ln(factor)) OVER w), 6)
-           END AS survival
-    FROM km
-    WINDOW w AS (ORDER BY dur_h ROWS BETWEEN UNBOUNDED PRECEDING
-                 AND CURRENT ROW)
-    ORDER BY dur_h
+    SELECT a.dur_h, a.n_risk, a.n_events,
+           round(list_reduce(list(b.factor ORDER BY b.dur_h),
+                             (x, y) -> x * y), 6) AS survival
+    FROM km a JOIN km b ON b.dur_h <= a.dur_h
+    GROUP BY a.dur_h, a.n_risk, a.n_events
+    ORDER BY a.dur_h
     """,
 )
 def stats_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -819,10 +817,13 @@ def stats_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
     one row per DISTINCT duration hour — so the unpartitioned KM window
     runs over an aggregate-sized frame (<= follow-up horizon rows; the
     documented small-window exception, same as KS/seasonal-decompose),
-    never the raw stream. The survival product is exp(Σ ln factor)
-    under the deterministic duration ordering, so the doubles are
-    bit-exact across engines; a zero factor (everyone at risk converts
-    in the same hour) is handled by a running-min guard, not ln(0)."""
+    never the raw stream. The survival product is an ORDERED left fold
+    of IEEE double multiplications on BOTH engines (Spark: aggregate()
+    over the <=horizon-row collect_list frame; DuckDB: list_reduce over
+    an ordered list aggregate) — never exp(Σ ln factor), because ln/exp
+    are libm calls whose last bit varies per host/toolchain (the r06
+    driver red on this key), while double multiply is bit-deterministic
+    everywhere. A zero factor needs no guard: the product is exactly 0."""
     horizon_h = 48
     ev = load_table(spark, sf_dir, "events")
     users = ev.groupBy("user_id").agg(
@@ -878,9 +879,14 @@ def stats_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
             "dur_h",
             "n_risk",
             "n_events",
-            F.when(F.min("factor").over(w_run) == 0, F.lit(0.0))
-            .otherwise(F.round(F.exp(F.sum(F.log("factor")).over(w_run)), 6))
-            .alias("survival"),
+            F.round(
+                F.aggregate(
+                    F.collect_list("factor").over(w_run),
+                    F.lit(1.0),
+                    lambda acc, x: acc * x,
+                ),
+                6,
+            ).alias("survival"),
         )
         .orderBy("dur_h")
     )
@@ -4674,4 +4680,226 @@ def stats_friedman_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         "k",
         F.round(chi2, 6).alias("chi2_f"),
         (chi2 > 9.487729036781154).alias("reject_05"),
+    )
+
+
+COX_ITERS = 6  # Newton steps on the partial likelihood (p=2 converges ~4)
+
+
+@register("stats_cox_ph", tags={"rows_only"})
+def stats_cox_ph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cox proportional-hazards regression (Cox 1972) on time-to-
+    conversion with Breslow tie handling — the model that completes the
+    survival suite: stats_kaplan_meier draws the curve,
+    stats_log_rank_test screens ONE binary split, Cox estimates the
+    continuous-covariate log hazard ratios jointly. Covariates here:
+    x1 = the odd-user cohort indicator (so beta_1 is the modelled
+    version of the log-rank comparison) and x2 = first-touch hour of
+    day scaled to [0,1] (an exogenous baseline covariate).
+
+    Estimation is Newton on the Breslow partial log-likelihood
+      l(b) = sum_t [ sum_{events at t} x·b  −  d_t · ln S0(t) ],
+      S0(t) = sum_{j at risk at t} exp(x_j·b),
+    with gradient  ex_t − d_t·S1/S0  and Hessian
+    −d_t·(S2/S0 − (S1/S0)(S1/S0)^T) accumulated per event time.
+
+    Scale shape — EXACTLY the ml_logreg_irls sufficient-stats pattern
+    composed with the KM risk-set machinery: per iteration, beta enters
+    as literals, one whole-stage-codegen groupBy(dur_h) aggregate
+    reduces the per-user frame to <= horizon+1 rows carrying
+    (d_t, ex_k, S-partials), reverse running sums over that tiny frame
+    build the at-risk S0/S1/S2 (no second pass over subjects), and ONE
+    O(p^2) collect feeds the driver-local solve. No Python in the data
+    path; iters × (1 shuffle + 1 tiny window) total. The per-user
+    projection is persisted once so iterations never re-scan events.
+
+    Rows-only (iterative; exp-of-dot-product is libm so no bit-exact
+    SQL twin — the KM lesson): tests/test_stats_survival.py pins betas,
+    hazard ratios and the converged partial log-likelihood against an
+    independent numpy Breslow-Newton twin on the same subjects.
+    Reference scope: go-batch-processor processes batches of records
+    (batch_processor.go:115-145); survival modelling is north-star
+    extension surface.
+    """
+    import math
+
+    import numpy as np
+
+    horizon_h = 48
+    ev = load_table(spark, sf_dir, "events")
+    users = ev.groupBy("user_id").agg(
+        F.min("ts").alias("t0"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias("tp"),
+    )
+    gap_s = F.unix_seconds(F.col("tp")) - F.unix_seconds(F.col("t0"))
+    is_event = F.col("tp").isNotNull() & (gap_s < horizon_h * 3600)
+    subjects = users.select(
+        F.when(is_event, F.floor(gap_s / 3600.0))
+        .otherwise(F.lit(horizon_h))
+        .cast("bigint")
+        .alias("dur_h"),
+        F.when(is_event, 1.0).otherwise(0.0).alias("e"),
+        (F.col("user_id") % 2).cast("double").alias("x1"),
+        (F.hour("t0") / F.lit(23.0)).alias("x2"),
+    ).persist()
+    try:
+        p = 2
+        xs = [F.col("x1"), F.col("x2")]
+        beta = np.zeros(p)
+        w_rest = (
+            Window.partitionBy()
+            .orderBy("dur_h")
+            .rowsBetween(0, Window.unboundedFollowing)
+        )
+        pair_idx = [(k, l) for k in range(p) for l in range(k, p)]
+        for _ in range(COX_ITERS):
+            xb = F.lit(0.0)
+            for k in range(p):
+                xb = xb + F.lit(float(beta[k])) * xs[k]
+            s = F.exp(xb)
+            aggs = [F.sum("e").alias("d"), F.sum(s).alias("s0")]
+            for k in range(p):
+                aggs.append(F.sum(xs[k] * s).alias(f"s1_{k}"))
+                aggs.append(F.sum(F.col("e") * xs[k]).alias(f"ex_{k}"))
+            for k, l in pair_idx:
+                aggs.append(F.sum(xs[k] * xs[l] * s).alias(f"s2_{k}_{l}"))
+            per_dur = subjects.groupBy("dur_h").agg(*aggs)
+            risk_cols = (
+                ["s0"]
+                + [f"s1_{k}" for k in range(p)]
+                + [f"s2_{k}_{l}" for k, l in pair_idx]
+            )
+            risk = per_dur.select(
+                "dur_h",
+                "d",
+                *[F.col(f"ex_{k}") for k in range(p)],
+                *[F.sum(c).over(w_rest).alias(f"R_{c}") for c in risk_cols],
+            ).filter(F.col("d") > 0)
+            S0 = F.col("R_s0")
+            g_aggs = [
+                F.sum(
+                    F.col(f"ex_{k}") - F.col("d") * F.col(f"R_s1_{k}") / S0
+                ).alias(f"g_{k}")
+                for k in range(p)
+            ]
+            for k, l in pair_idx:
+                g_aggs.append(
+                    F.sum(
+                        F.col("d")
+                        * (
+                            F.col(f"R_s2_{k}_{l}") / S0
+                            - F.col(f"R_s1_{k}") * F.col(f"R_s1_{l}") / (S0 * S0)
+                        )
+                    ).alias(f"h_{k}_{l}")
+                )
+            row = risk.agg(*g_aggs).collect()[0]
+            g = np.array([row[f"g_{k}"] for k in range(p)])
+            H = np.empty((p, p))
+            for k, l in pair_idx:
+                H[k, l] = H[l, k] = row[f"h_{k}_{l}"]
+            beta = beta + np.linalg.solve(H, g)
+        # converged Breslow partial log-likelihood, same one-agg shape
+        xb = F.lit(0.0)
+        for k in range(p):
+            xb = xb + F.lit(float(beta[k])) * xs[k]
+        per_dur = subjects.groupBy("dur_h").agg(
+            F.sum("e").alias("d"),
+            F.sum(F.exp(xb)).alias("s0"),
+            F.sum(F.col("e") * xb).alias("exb"),
+        )
+        ll = (
+            per_dur.select(
+                "d", "exb", F.sum("s0").over(w_rest).alias("S0")
+            )
+            .filter(F.col("d") > 0)
+            .agg(F.sum(F.col("exb") - F.col("d") * F.log("S0")).alias("ll"))
+            .collect()[0]["ll"]
+        )
+    finally:
+        subjects.unpersist(blocking=False)
+    terms = ["grp_odd_user", "first_touch_hour"]
+    out = [
+        row
+        for k, t in enumerate(terms)
+        for row in (
+            (f"beta_{t}", float(round(beta[k], 6))),
+            (f"hr_{t}", float(round(math.exp(beta[k]), 6))),
+        )
+    ] + [("partial_ll", float(round(ll, 4)))]
+    return spark.createDataFrame(out, "term string, value double")
+
+
+def _fisher_exact_p(a: int, b: int, c: int, d: int) -> float:
+    """Two-sided Fisher exact p for a 2x2 table [[a,b],[c,d]] — sum of
+    all hypergeometric outcomes no more probable than the observed one
+    (the scipy/R convention).
+
+    Numerics: pmf over the support is built by the standard recurrence
+    from the observed cell (pure IEEE multiply/divide ratios of
+    integers — no lgamma, the libm lesson), then normalized by the
+    total mass so the absolute scale never needs a factorial."""
+    r1, r2, c1 = a + b, c + d, a + c
+    lo, hi = max(0, c1 - r2), min(c1, r1)
+    # unnormalized pmf via ratio recurrence: pmf(k+1)/pmf(k) =
+    # ((r1-k)(c1-k)) / ((k+1)(r2-c1+k+1))
+    vals = {a: 1.0}
+    cur = 1.0
+    for k in range(a, hi):
+        cur *= (r1 - k) * (c1 - k) / ((k + 1.0) * (r2 - c1 + k + 1.0))
+        vals[k + 1] = cur
+    cur = 1.0
+    for k in range(a, lo, -1):
+        cur *= k * (r2 - c1 + k) / ((r1 - k + 1.0) * (c1 - k + 1.0))
+        vals[k - 1] = cur
+    total = sum(vals.values())
+    p_obs = vals[a]
+    return min(1.0, sum(v for v in vals.values() if v <= p_obs * (1 + 1e-7)) / total)
+
+
+@register("stats_fisher_exact", tags={"rows_only"})
+def stats_fisher_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fisher exact test on the 2x2 cohort-x-conversion table (even/odd
+    user cohort vs converted-within-48h, the same split stats_log_rank
+    and stats_cox_ph model) — the EXACT small-sample companion to
+    stats_chi_square: valid at any cell count because it conditions on
+    the margins (the hypergeometric null) instead of a large-sample
+    approximation.
+
+    Scale shape: the 100 TB fact table reduces to FOUR integers in one
+    partial-combinable aggregate (conditional-sum contingency — the
+    single-scan idiom of stats_chi_square/stats_mcnemar); the exact
+    hypergeometric tail is then a bounded driver-side computation over
+    the <= min(margins) support — the canonical "sufficient statistics
+    to the driver" pattern. No per-row Python anywhere.
+
+    Rows-only: the exact tail needs factorial-scale mass ratios that
+    have no libm-free SQL twin (lgamma's last bit varies per host — the
+    KM lesson); tests/test_stats_survival.py pins the p-value against an
+    independent math.lgamma twin and scipy's documented convention
+    cases. Driver-side arithmetic is the pure-ratio recurrence, so the
+    result is deterministic IEEE on every host.
+    """
+    horizon_h = 48
+    ev = load_table(spark, sf_dir, "events")
+    users = ev.groupBy("user_id").agg(
+        F.min("ts").alias("t0"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias("tp"),
+    )
+    gap_s = F.unix_seconds(F.col("tp")) - F.unix_seconds(F.col("t0"))
+    conv = (
+        F.col("tp").isNotNull() & (gap_s < horizon_h * 3600)
+    ).cast("int")
+    odd = (F.col("user_id") % 2 == 1).cast("int")
+    cells = users.agg(
+        F.sum((1 - odd) * conv).alias("a"),
+        F.sum((1 - odd) * (1 - conv)).alias("b"),
+        F.sum(odd * conv).alias("c"),
+        F.sum(odd * (1 - conv)).alias("d"),
+    ).collect()[0]
+    a, b, c, d = int(cells.a), int(cells.b), int(cells.c), int(cells.d)
+    p = _fisher_exact_p(a, b, c, d)
+    orat = (a * d) / (b * c) if b * c > 0 else float("inf")
+    return spark.createDataFrame(
+        [(a, b, c, d, float(round(orat, 6)), float(round(p, 8)))],
+        "a bigint, b bigint, c bigint, d bigint, odds_ratio double, p_two_sided double",
     )

@@ -1669,3 +1669,98 @@ def text_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_chars").cast("bigint").alias("n_chars"),
         ratio(F.col("text")).alias("compression_ratio"),
     ).orderBy("doc_id")
+
+
+PSEUDO_SENT_WORDS = 15  # pseudo-sentence length for unpunctuated corpora
+
+
+@register(
+    "text_readability",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id,
+             string_split(text, ' ') AS w,
+             len(regexp_extract_all(text, '[aeiouy]+')) AS n_syll
+      FROM documents
+    ),
+    m AS (
+      SELECT doc_id,
+             CAST(len(w) AS BIGINT) AS n_words,
+             CAST(n_syll AS BIGINT) AS n_syll,
+             CAST(len(list_filter(w,
+                    x -> len(regexp_extract_all(x, '[aeiouy]+')) >= 3))
+                  AS BIGINT) AS n_poly,
+             CAST(ceil(len(w) * 1.0 / {PSEUDO_SENT_WORDS}) AS BIGINT)
+               AS n_sent
+      FROM t
+    )
+    SELECT doc_id, n_words, n_syll, n_poly,
+           round(n_syll * 1.0 / n_words, 4) AS syll_per_word,
+           floor((206.835 - 1.015 * (n_words * 1.0 / n_sent)
+                 - 84.6 * (n_syll * 1.0 / n_words)) * 10000 + 0.5) / 10000.0
+             AS flesch,
+           floor((0.39 * (n_words * 1.0 / n_sent)
+                 + 11.8 * (n_syll * 1.0 / n_words) - 15.59) * 10000 + 0.5)
+             / 10000.0 AS fk_grade
+    FROM m
+    ORDER BY doc_id
+    """,
+)
+def text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document readability metrics — Flesch reading ease and
+    Flesch-Kincaid grade (Kincaid et al. 1975) — the classic
+    quality-filter companions to the Gopher/C4 signals
+    (text_repetition_gopher, text_quality_score) in an LLM training-data
+    pipeline.
+
+    Syllables are approximated as vowel-group runs ([aeiouy]+), the
+    standard punctuation-free heuristic; the corpus has no sentence
+    punctuation, so sentences are PSEUDO-sentences of 15 words
+    (documented normalization — the formulas stay monotone in word
+    length/syllable density, which is what a quality filter thresholds
+    on).
+
+    Scale shape: pure per-row regexp + higher-order array functions
+    inside whole-stage codegen — zero shuffle, zero Python; the plan is
+    scan -> project, embarrassingly parallel at any corpus size. The
+    ORDER BY is presentation-only (the driver compare sorts anyway).
+
+    Reference scope: go-batch-processor's Processor transforms record
+    batches (batch_processor.go:147-167); per-record derived metrics are
+    the Spark-native equivalent surface.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    w = F.split(F.col("text"), " ")
+    n_words = F.size(w).cast("bigint")
+    n_syll = F.size(F.regexp_extract_all("text", F.lit("[aeiouy]+"), F.lit(0))).cast(
+        "bigint"
+    )
+    n_poly = F.size(
+        F.filter(
+            w,
+            lambda x: F.size(F.regexp_extract_all(x, F.lit("[aeiouy]+"), F.lit(0)))
+            >= 3,
+        )
+    ).cast("bigint")
+    n_sent = F.ceil(n_words * 1.0 / PSEUDO_SENT_WORDS).cast("bigint")
+    asl = n_words * 1.0 / n_sent
+    spw = n_syll * 1.0 / n_words
+    # flesch/fk_grade mix decimal constants with small-denominator
+    # rationals, so values land adversarially close to 1e-4 half-points
+    # where the engines' round() IMPLEMENTATIONS diverge on the SAME
+    # double (Spark: BigDecimal-of-exact-value HALF_UP; DuckDB:
+    # x*10^4 then nearest — the multiply re-rounds). floor(x*1e4+0.5)/1e4
+    # spelled out on both sides is pure IEEE (multiply/add/floor) and
+    # therefore bit-deterministic across engines.
+    def round4(c):
+        return F.floor(c * 10000 + 0.5) / 10000.0
+
+    return d.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        n_syll.alias("n_syll"),
+        n_poly.alias("n_poly"),
+        F.round(spw, 4).alias("syll_per_word"),
+        round4(206.835 - 1.015 * asl - 84.6 * spw).alias("flesch"),
+        round4(0.39 * asl + 11.8 * spw - 15.59).alias("fk_grade"),
+    ).orderBy("doc_id")

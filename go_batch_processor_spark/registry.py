@@ -150,6 +150,12 @@ def driver_sample_order(names: list[str]) -> list[str]:
     2. keys never driver-checked;
     3. everything else, least-checked first.
 
+    Within every tier, ORACLED keys order before rows-only keys: a
+    rows-only key can only ever produce a ``no_oracle`` row (a weak
+    runs-at-all signal), so spending one of the driver's 50 sample slots
+    on it while an oracled key still lacks a green row wastes the slot
+    (r06 burnt 14/50 slots this way — see VERDICT round 6, fix #4).
+
     Tiebreak within a tier: never-checked keys order by the round they
     were first registered (tools/key_first_seen.json — longest-waiting
     first; a key missing from the file is treated as newest so freshly
@@ -173,8 +179,10 @@ def driver_sample_order(names: list[str]) -> list[str]:
             tier = 1
         else:
             tier = 2
+        spec = REGISTRY.get(n)
+        rows_only = 1 if (spec is not None and spec.oracle is None) else 0
         tie = (first_seen.get(n, 99), idx[n]) if c == 0 else (0, -idx[n])
-        return (tier, c, tie)
+        return (tier, rows_only, c, tie)
 
     return sorted(names, key=key)
 

@@ -139,3 +139,71 @@ def test_modularity_matches_python_twin(spark, sf_dir):
     assert abs(got["modularity_q"] - q_want) < 1e-4, (got["modularity_q"], q_want)
     assert -0.5 <= got["modularity_q"] <= 1.0
     assert got["n_communities"] == len(d_c)
+
+
+def test_jaccard_degree_cap_bounds_hot_item_pairs(spark):
+    """The max_item_degree cap (VERDICT r6 fix #5, graph.py hazard note):
+    a manufactured hot item must generate ZERO candidate pairs when the
+    cap is on, while cold-item pairs score IDENTICALLY with the cap on
+    or off (denominators always count every item)."""
+    from itertools import combinations
+
+    from go_batch_processor_spark.operators.graph import (
+        _jaccard_selfjoin_scored,
+    )
+
+    # 40 users all share hot item 999 (C(40,2)=780 pairs via it alone);
+    # users 0/1 additionally co-interact on cold items 1 and 2.
+    rows = [(u, 999) for u in range(40)]
+    rows += [(0, 1), (1, 1), (0, 2), (1, 2)]
+    pairs = spark.createDataFrame(rows, "user_id long, i long")
+
+    uncapped = {
+        (r.u1, r.u2): (r.c, r.d1, r.d2)
+        for r in _jaccard_selfjoin_scored(pairs).collect()
+    }
+    capped = {
+        (r.u1, r.u2): (r.c, r.d1, r.d2)
+        for r in _jaccard_selfjoin_scored(pairs, max_item_degree=10).collect()
+    }
+
+    # uncapped: every user pair co-occurs (via the hot item)
+    assert len(uncapped) == len(list(combinations(range(40), 2)))
+    # capped: only the cold-item pair survives pair GENERATION, and its
+    # common count excludes the hot item while degrees still include it
+    assert set(capped) == {(0, 1)}
+    assert capped[(0, 1)] == (2, 3, 3)
+    # uncapped twin for the same pair counts the hot-item common too
+    assert uncapped[(0, 1)] == (3, 3, 3)
+
+
+def test_jaccard_degree_cap_off_matches_registered_query(spark, sf_dir):
+    """Cap=None must reproduce the registered query's general regime
+    bit-for-bit (same scored frame the oracle checks)."""
+    from pyspark.sql import functions as F
+
+    from go_batch_processor_spark.operators.graph import (
+        _jaccard_selfjoin_scored,
+    )
+    from go_batch_processor_spark.operators.scans import load_table
+
+    e = load_table(spark, sf_dir, "events")
+    pairs = (
+        e.select(
+            "user_id",
+            F.get_json_object("props", "$.k").cast("long").alias("i"),
+        )
+        .filter(F.col("i").isNotNull())
+        .distinct()
+    )
+    base = {
+        (r.u1, r.u2): (r.c, r.d1, r.d2)
+        for r in _jaccard_selfjoin_scored(pairs).collect()
+    }
+    # a cap above the max item degree is a no-op by construction
+    max_d = pairs.groupBy("i").count().agg(F.max("count")).collect()[0][0]
+    capped = {
+        (r.u1, r.u2): (r.c, r.d1, r.d2)
+        for r in _jaccard_selfjoin_scored(pairs, max_item_degree=int(max_d)).collect()
+    }
+    assert base == capped
