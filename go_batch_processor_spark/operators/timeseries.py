@@ -1888,3 +1888,158 @@ def timeseries_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("roll_corr"),
         cnt.cast("bigint").alias("n_win"),
     ).orderBy("h")
+
+
+LOESS_HALF = 12  # loess window half-width: 25-point local linear fits
+
+
+def _loess_wt_sql(r: str) -> str:
+    """Tricube weight (1-|d/(h+1)|^3)^3 as explicit multiplications —
+    no pow() (libm) anywhere, so the doubles are bit-identical across
+    engines."""
+    u = f"(abs({r} - rn) / {LOESS_HALF + 1}.0)"
+    c = f"(1 - {u}*{u}*{u})"
+    return f"({c}*{c}*{c})"
+
+
+_W_R = _loess_wt_sql("r")
+_W_S = _loess_wt_sql("s[1]")
+
+
+@register(
+    "timeseries_stl_loess",
+    oracle=f"""
+    WITH hourly AS (
+      SELECT date_trunc('hour', ts) AS hour,
+             sum(CAST(round(value * 100) AS BIGINT)) / count(*) / 100.0 AS v
+      FROM events
+      GROUP BY 1
+    ),
+    idx AS (
+      SELECT hour, v, row_number() OVER (ORDER BY hour) AS rn FROM hourly
+    ),
+    frames AS (
+      SELECT hour, v, rn,
+             list(rn) OVER w AS rns,
+             list(v)  OVER w AS ys
+      FROM idx
+      WINDOW w AS (ORDER BY hour ROWS BETWEEN {LOESS_HALF} PRECEDING
+                   AND {LOESS_HALF} FOLLOWING)
+    ),
+    fit AS (
+      SELECT hour, v,
+        list_reduce(list_transform(rns, r -> {_W_R}), (a, b) -> a + b) AS s0,
+        list_reduce(list_transform(rns, r -> {_W_R} * (r - rn)),
+                    (a, b) -> a + b) AS s1,
+        list_reduce(list_transform(rns, r -> {_W_R} * (r - rn) * (r - rn)),
+                    (a, b) -> a + b) AS s2,
+        list_reduce(list_transform(list_zip(rns, ys), s -> {_W_S} * s[2]),
+                    (a, b) -> a + b) AS t0,
+        list_reduce(list_transform(list_zip(rns, ys),
+                                   s -> {_W_S} * (s[1] - rn) * s[2]),
+                    (a, b) -> a + b) AS t1
+      FROM frames
+    ),
+    trended AS (
+      SELECT hour, v,
+             (s2 * t0 - s1 * t1) / (s0 * s2 - s1 * s1) AS trend
+      FROM fit
+    ),
+    seas AS (
+      SELECT hour, v, trend,
+             avg(v - trend) OVER (PARTITION BY extract(hour FROM hour))
+               - avg(v - trend) OVER () AS seasonal
+      FROM trended
+    )
+    SELECT hour, round(v, 4) AS v, round(trend, 4) AS trend,
+           round(seasonal, 4) AS seasonal,
+           round(v - trend - seasonal, 4) AS resid
+    FROM seas
+    """,
+)
+def timeseries_stl_loess(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STL-style decomposition with a genuine LOESS trend (Cleveland et
+    al. 1990): per-hour series -> 25-point tricube-weighted LOCAL LINEAR
+    regression for the trend (not a moving average — loess follows
+    curvature and, unlike `timeseries_seasonal_decompose`'s centered MA,
+    is defined at the series EDGES because the asymmetric-window
+    weighted fit stays well-posed), then a mean-centered hour-of-day
+    seasonal profile of the DETRENDED series, residual = v - T - S.
+    One loess pass + one seasonal pass = the first STL inner-loop
+    iteration; full STL iterates these, changing no data-flow shape.
+
+    Per point i the fitted value is the d=0 evaluation of the weighted
+    least-squares line: (S2*T0 - S1*T1)/(S0*S2 - S1^2) with
+    S_m = sum(w_j d_j^m), T_m = sum(w_j d_j^m y_j), d_j = j - i,
+    w_j = tricube(|d_j|/(h+1)).
+
+    Plan/determinism shape: the fact table compresses to one row per
+    hour FIRST (exact integer-cents mean — the money parity rule), so
+    the loess windows run over the aggregate-sized series. Each point's
+    neighborhood is gathered by ONE ordered collect_list window (frame
+    order = hour order on both engines) and the five weighted sums are
+    LEFT FOLDS over those arrays — sequential IEEE adds, bit-exact
+    across engines; tricube uses explicit multiplication, never pow()
+    (libm). This is the documented small-window exception: |hours|
+    rows, 25-element arrays, O(h) per row, embarrassingly parallel
+    after the per-hour agg. At 100 TB the hourly agg is the only
+    full-data shuffle.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(F.date_trunc("hour", "ts").alias("hour")).agg(
+        (
+            F.sum(F.round(F.col("value") * 100).cast("long"))
+            / F.count(F.lit(1))
+            / 100.0
+        ).alias("v")
+    )
+    w_ord = Window.orderBy("hour")
+    idx = hourly.withColumn("rn", F.row_number().over(w_ord))
+    w = Window.orderBy("hour").rowsBetween(-LOESS_HALF, LOESS_HALF)
+    frames = idx.select(
+        "hour",
+        "v",
+        "rn",
+        F.collect_list("rn").over(w).alias("rns"),
+        F.collect_list("v").over(w).alias("ys"),
+    )
+
+    def wt(r):
+        u = F.abs(r - F.col("rn")) / float(LOESS_HALF + 1)
+        c = F.lit(1.0) - u * u * u
+        return c * c * c
+
+    def fold(arr):
+        return F.aggregate(arr, F.lit(0.0), lambda a, b: a + b)
+
+    d = lambda r: r - F.col("rn")  # noqa: E731
+    fit = frames.select(
+        "hour",
+        "v",
+        fold(F.transform("rns", lambda r: wt(r))).alias("s0"),
+        fold(F.transform("rns", lambda r: wt(r) * d(r))).alias("s1"),
+        fold(F.transform("rns", lambda r: wt(r) * d(r) * d(r))).alias("s2"),
+        fold(F.zip_with("rns", "ys", lambda r, y: wt(r) * y)).alias("t0"),
+        fold(F.zip_with("rns", "ys", lambda r, y: wt(r) * d(r) * y)).alias(
+            "t1"
+        ),
+    )
+    trended = fit.select(
+        "hour",
+        "v",
+        (
+            (F.col("s2") * F.col("t0") - F.col("s1") * F.col("t1"))
+            / (F.col("s0") * F.col("s2") - F.col("s1") * F.col("s1"))
+        ).alias("trend"),
+    )
+    w_hod = Window.partitionBy(F.hour("hour"))
+    w_all = Window.partitionBy()
+    det = F.col("v") - F.col("trend")
+    seasonal = F.avg(det).over(w_hod) - F.avg(det).over(w_all)
+    return trended.select(
+        "hour",
+        F.round("v", 4).alias("v"),
+        F.round("trend", 4).alias("trend"),
+        F.round(seasonal, 4).alias("seasonal"),
+        F.round(F.col("v") - F.col("trend") - seasonal, 4).alias("resid"),
+    )

@@ -1,0 +1,47 @@
+"""Round-7 operator invariants: STL-loess decomposition, readability."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from go_batch_processor_spark.registry import REGISTRY, _ensure_loaded
+
+_ensure_loaded()
+
+
+def test_stl_loess_trend_defined_at_edges(spark, sf_dir):
+    """The loess trend must exist on EVERY row — including the first and
+    last LOESS_HALF hours where the classical centered-MA key
+    (timeseries_seasonal_decompose) is null. That edge coverage is the
+    point of the local-regression trend."""
+    df = REGISTRY["timeseries_stl_loess"].fn(spark, sf_dir)
+    pdf = df.toPandas().sort_values("hour")
+    assert pdf["trend"].notna().all()
+    assert pdf["seasonal"].notna().all()
+    assert pdf["resid"].notna().all()
+    # classical MA key IS null at the edges on the same data (contrast)
+    ma = REGISTRY["timeseries_seasonal_decompose"].fn(spark, sf_dir).toPandas()
+    assert ma["trend"].isna().sum() > 0
+
+
+def test_stl_loess_decomposition_identity_and_centering(spark, sf_dir):
+    df = REGISTRY["timeseries_stl_loess"].fn(spark, sf_dir)
+    pdf = df.toPandas()
+    # additive identity holds to rounding tolerance
+    err = (pdf["v"] - pdf["trend"] - pdf["seasonal"] - pdf["resid"]).abs()
+    assert err.max() <= 2e-4 + 1e-12
+    # the seasonal profile is mean-centered by construction
+    assert abs(pdf["seasonal"].mean()) < 1e-3
+    # trend actually smooths: residual variance < raw variance
+    assert pdf["resid"].var() < pdf["v"].var()
+
+
+def test_readability_ranges_and_monotonicity(spark, sf_dir):
+    pdf = REGISTRY["text_readability"].fn(spark, sf_dir).toPandas()
+    assert (pdf["n_syll"] >= pdf["n_words"]).all()  # every word has >=1 vowel group here
+    assert (pdf["n_poly"] <= pdf["n_words"]).all()
+    assert (pdf["syll_per_word"] >= 1.0).all()
+    # FK grade and Flesch move in opposite directions (both linear in
+    # the same two ratios with opposite signs)
+    corr = pdf["flesch"].corr(pdf["fk_grade"])
+    assert corr < -0.9
