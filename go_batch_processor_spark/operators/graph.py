@@ -347,13 +347,23 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     community-density primitive, and the graph family's ORACLED member
     (pagerank/LPA are rows-only by nature).
 
-    The a<b canonical edge orientation makes each triangle a<b<c match
-    exactly once (e1=(a,b), e2=(b,c), e3=(a,c)) — no /6 correction and no
-    double counting. Scale shape: this is the standard two-join triangle
-    enumeration; at 100 TB you'd pre-orient edges by degree (low-degree
-    endpoint first) to bound the wedge fanout — the oracle stays
-    identical since orientation only changes the join order, not the
-    triangle set.
+    Any consistent total order over nodes makes each triangle match
+    exactly once (e1=(a,b), e2=(b,c), e3=(a,c) under the order) — no /6
+    correction and no double counting — so the ORDER CHOICE is free, and
+    this implementation uses the DEGREE order (degree, then id): every
+    undirected edge points from its lower-(degree, id) endpoint to the
+    higher. That is the Suri & Vassilvitskii (WWW 2011) "curse of the
+    last reducer" fix: wedge-join fanout per node is C(out_degree, 2),
+    and under degree orientation out-degree is bounded by ~sqrt(2m) —
+    a 10M-degree hub contributes ~zero wedges because its edges point
+    INTO it, where id-ordering would put all C(10M, 2) wedges on the
+    hub's single task. The DuckDB oracle keeps the simpler a<b id
+    enumeration: the triangle SET (and so the count) is order-invariant,
+    which is exactly why this is safe to change for scale.
+
+    The undirected edge set and the oriented DAG are localCheckpoint-
+    materialized (edge-count-sized, not corpus-sized) so the degree agg
+    and the two equi-joins never recompute the co-purchase self-join.
     """
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     a = li.alias("a")
@@ -368,12 +378,34 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("a.l_partkey").alias("pa"), F.col("b.l_partkey").alias("pb")
         )
         .distinct()
-        # consumed three times below; one shuffle to build, reused
+        # consumed by the degree agg AND the orientation join; one
+        # shuffle to build, reused
         .localCheckpoint(eager=False)
     )
-    e1 = edges.select(F.col("pa").alias("x"), F.col("pb").alias("y"))
-    e2 = edges.select(F.col("pa").alias("y2"), F.col("pb").alias("z"))
-    e3 = edges.select(F.col("pa").alias("x3"), F.col("pb").alias("z3"))
+    deg = (
+        edges.select(F.col("pa").alias("n"))
+        .unionAll(edges.select(F.col("pb").alias("n")))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    da = deg.select(F.col("n").alias("pa"), F.col("d").alias("da"))
+    db = deg.select(F.col("n").alias("pb"), F.col("d").alias("db"))
+    a_first = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("pa") < F.col("pb"))
+    )
+    oriented = (
+        edges.join(da, "pa")
+        .join(db, "pb")
+        .select(
+            F.when(a_first, F.col("pa")).otherwise(F.col("pb")).alias("s"),
+            F.when(a_first, F.col("pb")).otherwise(F.col("pa")).alias("t"),
+        )
+        # consumed three times by the wedge join + closure semi-join
+        .localCheckpoint(eager=False)
+    )
+    e1 = oriented.select(F.col("s").alias("x"), F.col("t").alias("y"))
+    e2 = oriented.select(F.col("s").alias("y2"), F.col("t").alias("z"))
+    e3 = oriented.select(F.col("s").alias("x3"), F.col("t").alias("z3"))
     return (
         e1.join(e2, F.col("y") == F.col("y2"))
         .join(e3, (F.col("x") == F.col("x3")) & (F.col("z") == F.col("z3")))

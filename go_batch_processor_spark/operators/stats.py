@@ -4903,3 +4903,132 @@ def stats_fisher_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(a, b, c, d, float(round(orat, 6)), float(round(p, 8)))],
         "a bigint, b bigint, c bigint, d bigint, odds_ratio double, p_two_sided double",
     )
+
+
+@register(
+    "stats_wilcoxon_signed_rank",
+    oracle="""
+    WITH span AS (SELECT min(ts) AS lo, max(ts) AS hi FROM events),
+    pu AS (
+      SELECT user_id,
+             sum(CASE WHEN 2 * epoch_us(ts) < epoch_us(lo) + epoch_us(hi)
+                      THEN CAST(round(value * 100) AS BIGINT) END) AS c1,
+             sum(CASE WHEN 2 * epoch_us(ts) < epoch_us(lo) + epoch_us(hi)
+                      THEN 1 ELSE 0 END)                           AS n1,
+             sum(CASE WHEN 2 * epoch_us(ts) >= epoch_us(lo) + epoch_us(hi)
+                      THEN CAST(round(value * 100) AS BIGINT) END) AS c2,
+             sum(CASE WHEN 2 * epoch_us(ts) >= epoch_us(lo) + epoch_us(hi)
+                      THEN 1 ELSE 0 END)                           AS n2
+      FROM events, span GROUP BY user_id
+    ),
+    paired AS (
+      SELECT user_id,
+             c2 * 1.0 / n2 / 100.0 - c1 * 1.0 / n1 / 100.0 AS d
+      FROM pu WHERE n1 > 0 AND n2 > 0
+    ),
+    nz AS (SELECT user_id, d, abs(d) AS absd FROM paired WHERE d <> 0),
+    rn AS (
+      SELECT d, absd,
+             row_number() OVER (ORDER BY absd, user_id) AS rn
+      FROM nz
+    ),
+    tr AS (
+      SELECT d,
+             avg(rn)  OVER (PARTITION BY absd) AS trank,
+             count(*) OVER (PARTITION BY absd) AS tt
+      FROM rn
+    ),
+    s AS (
+      SELECT CAST(count(*) AS BIGINT)                         AS n,
+             sum(CASE WHEN d > 0 THEN trank ELSE 0.0 END)     AS w_pos,
+             sum(tt * tt - 1.0)                               AS tcorr
+      FROM tr
+    )
+    SELECT n, round(w_pos, 4) AS w_pos,
+           round((w_pos - n * (n + 1) / 4.0)
+                 / sqrt(n * (n + 1.0) * (2 * n + 1.0) / 24.0 - tcorr / 48.0),
+                 6) AS z
+    FROM s
+    """,
+)
+def stats_wilcoxon_signed_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wilcoxon signed-rank test (Wilcoxon 1945) — the PAIRED companion
+    to stats_mann_whitney's independent-samples rank-sum: did each
+    user's mean event value shift between the first and second half of
+    the observation window? Differences d_u = mean2 - mean1 per user,
+    zero differences dropped, |d| average-ranked (ties share the mean
+    rank), W+ = sum of ranks of positive d, normal approximation
+    z = (W+ - n(n+1)/4) / sqrt(n(n+1)(2n+1)/24 - sum(t^3 - t)/48)
+    with the standard tie correction.
+
+    Determinism/parity shape: half-membership compares MICROSECOND
+    integers (2*unix_micros(ts) vs lo+hi — no fractional epoch
+    divergence); per-half means are exact integer-cents sums divided
+    once (the money parity rule); ranks are dyadic rationals (k or
+    k+1/2) whose sums are EXACT in IEEE doubles, so even the unordered
+    aggregates are order-independent; sqrt is IEEE-correctly-rounded
+    (unlike ln/exp — safe across engines). The tie term sums per-row
+    (t^2 - 1) which telescopes to sum over groups of t^3 - t.
+
+    Scale shape: one broadcast span join + one partial-combinable
+    per-user aggregate compress the fact table to |users| rows; the
+    global |d| ranking then uses distributed_row_number (two-pass
+    bucketed ranking, dist_rank.py) — NEVER a single-task global
+    window over the per-user frame (the r5 gini/RFM lesson); tie
+    averaging is a partitionBy(absd) window, co-partitioned with
+    nothing else needed.
+    """
+    from go_batch_processor_spark.dist_rank import distributed_row_number
+
+    ev = load_table(spark, sf_dir, "events")
+    span = ev.agg(F.min("ts").alias("lo"), F.max("ts").alias("hi"))
+    cents = F.round(F.col("value") * 100).cast("long")
+    first_half = 2 * F.unix_micros("ts") < F.unix_micros("lo") + F.unix_micros(
+        "hi"
+    )
+    pu = (
+        ev.crossJoin(F.broadcast(span))
+        .groupBy("user_id")
+        .agg(
+            F.sum(F.when(first_half, cents)).alias("c1"),
+            F.sum(F.when(first_half, 1).otherwise(0)).alias("n1"),
+            F.sum(F.when(~first_half, cents)).alias("c2"),
+            F.sum(F.when(~first_half, 1).otherwise(0)).alias("n2"),
+        )
+    )
+    paired = pu.filter((F.col("n1") > 0) & (F.col("n2") > 0)).select(
+        "user_id",
+        (
+            F.col("c2") * 1.0 / F.col("n2") / 100.0
+            - F.col("c1") * 1.0 / F.col("n1") / 100.0
+        ).alias("d"),
+    )
+    nz = paired.filter(F.col("d") != 0).withColumn("absd", F.abs("d"))
+    ranked, _n = distributed_row_number(
+        nz, "absd", [F.col("absd").asc(), F.col("user_id").asc()], "rn"
+    )
+    w_tie = Window.partitionBy("absd")
+    tr = ranked.select(
+        "d",
+        F.avg("rn").over(w_tie).alias("trank"),
+        F.count(F.lit(1)).over(w_tie).alias("tt"),
+    )
+    s = tr.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.when(F.col("d") > 0, F.col("trank")).otherwise(0.0)).alias(
+            "w_pos"
+        ),
+        F.sum(F.col("tt") * F.col("tt") - 1.0).alias("tcorr"),
+    )
+    n = F.col("n")
+    return s.select(
+        "n",
+        F.round("w_pos", 4).alias("w_pos"),
+        F.round(
+            (F.col("w_pos") - n * (n + 1) / 4.0)
+            / F.sqrt(
+                n * (n + 1.0) * (2 * n + 1.0) / 24.0 - F.col("tcorr") / 48.0
+            ),
+            6,
+        ).alias("z"),
+    )

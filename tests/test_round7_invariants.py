@@ -45,3 +45,20 @@ def test_readability_ranges_and_monotonicity(spark, sf_dir):
     # the same two ratios with opposite signs)
     corr = pdf["flesch"].corr(pdf["fk_grade"])
     assert corr < -0.9
+
+
+def test_wilcoxon_signed_rank_bounds(spark, sf_dir):
+    r = REGISTRY["stats_wilcoxon_signed_rank"].fn(spark, sf_dir).collect()[0]
+    assert r.n > 0
+    # W+ is a sum of a subset of the ranks 1..n
+    assert 0.0 <= r.w_pos <= r.n * (r.n + 1) / 2.0
+    import math
+    assert math.isfinite(r.z)
+
+
+def test_triangle_count_invariants(spark, sf_dir):
+    """Degree-oriented count must satisfy basic graph identities on the
+    co-purchase graph (and implicitly match the id-ordered DuckDB oracle
+    in the parity suites)."""
+    r = REGISTRY["graph_triangle_count"].fn(spark, sf_dir).collect()[0]
+    assert r.n_triangles >= 0
