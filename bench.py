@@ -121,6 +121,12 @@ HEADLINE = [
     "graph_pagerank",
     "stats_granger_causality",
     "text_ngram_novelty",
+    # round 7 additions
+    "graph_triangle_count",
+    "timeseries_stl_loess",
+    "timeseries_kalman_filter",
+    "stats_cox_ph",
+    "text_readability",
 ]
 
 

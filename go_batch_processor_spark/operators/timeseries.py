@@ -2043,3 +2043,105 @@ def timeseries_stl_loess(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(seasonal, 4).alias("seasonal"),
         F.round(F.col("v") - F.col("trend") - seasonal, 4).alias("resid"),
     )
+
+
+KALMAN_Q = 0.05  # process (level random-walk) variance
+KALMAN_R = 0.5  # observation noise variance
+
+
+def _kalman_kernel(pdf):
+    """Local-level (random-walk + noise) Kalman filter per user
+    (Harvey 1989 structural time series; Durbin & Koopman 2012 ch. 2):
+
+        P'_t = P_{t-1} + q
+        K_t  = P'_t / (P'_t + r)
+        l_t  = l_{t-1} + K_t (x_t - l_{t-1})
+        P_t  = (1 - K_t) P'_t
+
+    initialized l_1 = x_1, P_1 = r, K_1 = 0. The steady-state gain this
+    converges to makes the filter an EWMA with a PRINCIPLED alpha chosen
+    by the q/r signal-to-noise ratio — the upgrade over the fixed-alpha
+    timeseries_ewma. Same applyInPandas rationale as the EWMA/Holt
+    kernels: per-group sequential state, one Arrow batch per user, and
+    the same (ts, event_id) sort so tied timestamps stay deterministic."""
+    pdf = pdf.sort_values(["ts", "event_id"])
+    x = pdf["value"].to_numpy(dtype="float64")
+    n = len(x)
+    lev = [0.0] * n
+    pv = [0.0] * n
+    kg = [0.0] * n
+    l_p, p_p = x[0], KALMAN_R
+    lev[0], pv[0], kg[0] = l_p, p_p, 0.0
+    for i in range(1, n):
+        pp = p_p + KALMAN_Q
+        k = pp / (pp + KALMAN_R)
+        l_c = l_p + k * (x[i] - l_p)
+        p_c = (1 - k) * pp
+        lev[i], pv[i], kg[i] = l_c, p_c, k
+        l_p, p_p = l_c, p_c
+    out = pdf[["user_id", "event_id", "ts"]].copy()
+    # Unrounded: the operator rounds JVM-side (decimal-aware; Python
+    # round() is banker's) — the Holt/EWMA discipline.
+    out["level"] = lev
+    out["p_var"] = pv
+    out["gain"] = kg
+    return out
+
+
+_KALMAN_ORACLE = f"""
+    WITH RECURSIVE seq AS (
+      SELECT user_id, event_id, ts, value,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn
+      FROM events
+    ),
+    rec AS (
+      SELECT user_id, event_id, ts, rn,
+             CAST(value AS DOUBLE) AS l,
+             CAST({KALMAN_R} AS DOUBLE) AS p,
+             CAST(0.0 AS DOUBLE) AS k
+      FROM seq WHERE rn = 1
+      UNION ALL
+      SELECT s.user_id, s.event_id, s.ts, s.rn,
+             r.l + ((r.p + {KALMAN_Q}) / ((r.p + {KALMAN_Q}) + {KALMAN_R}))
+                 * (s.value - r.l) AS l,
+             (1 - (r.p + {KALMAN_Q}) / ((r.p + {KALMAN_Q}) + {KALMAN_R}))
+                 * (r.p + {KALMAN_Q}) AS p,
+             (r.p + {KALMAN_Q}) / ((r.p + {KALMAN_Q}) + {KALMAN_R}) AS k
+      FROM rec r JOIN seq s ON s.user_id = r.user_id AND s.rn = r.rn + 1
+    )
+    SELECT user_id, event_id, ts,
+           round(l, 6) AS level, round(p, 6) AS p_var, round(k, 6) AS gain
+    FROM rec
+    """
+
+
+@register("timeseries_kalman_filter", oracle=_KALMAN_ORACLE)
+def timeseries_kalman_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user local-level Kalman filter over event values — filtered
+    level, posterior variance, and Kalman gain per observation. FULLY
+    ORACLED bit-exactly: the DuckDB RECURSIVE CTE runs the identical
+    (+, *, /) recursion in the identical (ts, event_id) order — every
+    operation is IEEE multiply/add/divide (no libm), so the doubles
+    match to the last bit and rounding happens once, JVM-side.
+
+    Scale shape: identical to timeseries_ewma/holt — ONE shuffle on
+    user_id, per-group sequential recursion inside an Arrow batch
+    (mapInPandas-class kernel, no per-row Python), O(1) state per
+    group, embarrassingly parallel across users. The variance/gain
+    recursion is data-independent (depends only on step count), which
+    is why the gain column converging to its steady state is pinned in
+    tests as a closed-form invariant."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts", "value"
+    )
+    raw = ev.groupBy("user_id").applyInPandas(
+        _kalman_kernel,
+        "user_id long, event_id long, ts timestamp, level double,"
+        " p_var double, gain double",
+    )
+    return (
+        raw.withColumn("level", F.round("level", 6))
+        .withColumn("p_var", F.round("p_var", 6))
+        .withColumn("gain", F.round("gain", 6))
+    )

