@@ -5032,3 +5032,91 @@ def stats_wilcoxon_signed_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("z"),
     )
+
+
+def _prob_beta_greater(a_b: int, b_b: int, a_a: int, b_a: int) -> float:
+    """P(X_B > X_A) for independent X_B ~ Beta(a_b, b_b),
+    X_A ~ Beta(a_a, b_a) with integer parameters — the closed-form sum
+    (Cook 2005, "Numerical computation of stochastic inequality
+    probabilities"):
+
+      P = sum_{i=0}^{a_b-1} B(a_a + i, b_a + b_b)
+                            / ((b_b + i) B(1 + i, b_b) B(a_a, b_a))
+
+    evaluated in log space with lgamma (driver-side only — never
+    compared bit-exactly across engines, so libm is acceptable here,
+    unlike oracle paths)."""
+    from math import exp, lgamma, log
+
+    def lbeta(x: float, y: float) -> float:
+        return lgamma(x) + lgamma(y) - lgamma(x + y)
+
+    total = 0.0
+    for i in range(a_b):
+        total += exp(
+            lbeta(a_a + i, b_a + b_b)
+            - log(b_b + i)
+            - lbeta(1 + i, b_b)
+            - lbeta(a_a, b_a)
+        )
+    return min(1.0, max(0.0, total))
+
+
+@register("stats_bayesian_ab", tags={"rows_only"})
+def stats_bayesian_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bayesian A/B test on conversion (purchase within 48 h of first
+    touch) between the even/odd user cohorts: Beta(1,1) priors, exact
+    P(p_B > p_A) via the closed-form Beta-Binomial sum — the
+    decision-ready companion to the frequentist keys on the same split
+    (stats_proportion_ztest gives a p-value, stats_fisher_exact the
+    exact small-sample test; this gives the posterior probability a
+    stakeholder actually asks for).
+
+    Scale shape: the fact table reduces to FOUR integers in one
+    partial-combinable aggregate (identical to stats_fisher_exact), and
+    the exact sum is a bounded driver loop of length conversions_B + 1
+    — sufficient-statistics-to-driver, no per-row Python.
+
+    Rows-only: the sum needs lgamma (libm — no bit-exact SQL twin; the
+    KM lesson); tests pin it against an independent trapezoid
+    integration of P(B > A) = integral pdf_B(x) CDF_A(x) dx and the
+    symmetry/coherence identities."""
+    horizon_h = 48
+    ev = load_table(spark, sf_dir, "events")
+    users = ev.groupBy("user_id").agg(
+        F.min("ts").alias("t0"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias("tp"),
+    )
+    gap_s = F.unix_seconds(F.col("tp")) - F.unix_seconds(F.col("t0"))
+    conv = (F.col("tp").isNotNull() & (gap_s < horizon_h * 3600)).cast("int")
+    odd = (F.col("user_id") % 2 == 1).cast("int")
+    cells = users.agg(
+        F.sum((1 - odd) * conv).alias("conv_a"),
+        F.sum(1 - odd).alias("n_a"),
+        F.sum(odd * conv).alias("conv_b"),
+        F.sum(odd).alias("n_b"),
+    ).collect()[0]
+    ca, na, cb, nb = (
+        int(cells.conv_a),
+        int(cells.n_a),
+        int(cells.conv_b),
+        int(cells.n_b),
+    )
+    a_a, b_a = ca + 1, na - ca + 1
+    a_b, b_b = cb + 1, nb - cb + 1
+    p_b = _prob_beta_greater(a_b, b_b, a_a, b_a)
+    return spark.createDataFrame(
+        [
+            (
+                na,
+                ca,
+                nb,
+                cb,
+                float(round(a_a / (a_a + b_a), 6)),
+                float(round(a_b / (a_b + b_b), 6)),
+                float(round(p_b, 6)),
+            )
+        ],
+        "n_a bigint, conv_a bigint, n_b bigint, conv_b bigint,"
+        " post_mean_a double, post_mean_b double, p_b_beats_a double",
+    )

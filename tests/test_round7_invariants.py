@@ -2,6 +2,7 @@
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from go_batch_processor_spark.registry import REGISTRY, _ensure_loaded
@@ -85,3 +86,54 @@ def test_kalman_gain_converges_to_steady_state(spark, sf_dir):
     # filtered level stays inside the running min/max envelope of the
     # observations (convex-combination property of the update)
     assert df["p_var"].min() >= 0
+
+
+def _p_beta_greater_quad(a_b, b_b, a_a, b_a, n_grid=20000):
+    """Independent twin: trapezoid integration of
+    P(B > A) = ∫ pdf_B(x) · CDF_A(x) dx on a uniform grid."""
+    import numpy as np
+    from math import lgamma
+
+    x = np.linspace(0.0, 1.0, n_grid + 1)[1:-1]
+
+    def logpdf(x, a, b):
+        return (
+            (a - 1) * np.log(x)
+            + (b - 1) * np.log1p(-x)
+            + lgamma(a + b)
+            - lgamma(a)
+            - lgamma(b)
+        )
+
+    pdf_b = np.exp(logpdf(x, a_b, b_b))
+    pdf_a = np.exp(logpdf(x, a_a, b_a))
+    cdf_a = np.cumsum(pdf_a) / n_grid
+    return float(np.sum(pdf_b * cdf_a) / n_grid)
+
+
+def test_prob_beta_greater_matches_quadrature_and_identities():
+    from go_batch_processor_spark.operators.stats import _prob_beta_greater
+
+    # symmetry: identical posteriors -> exactly 1/2
+    assert _prob_beta_greater(5, 7, 5, 7) == pytest.approx(0.5, abs=1e-12)
+    # complement: P(B>A) + P(A>B) = 1 (continuous, no ties)
+    p1 = _prob_beta_greater(8, 3, 4, 9)
+    p2 = _prob_beta_greater(4, 9, 8, 3)
+    assert p1 + p2 == pytest.approx(1.0, abs=1e-10)
+    for args in [(8, 3, 4, 9), (30, 70, 25, 75), (3, 2, 2, 3), (120, 80, 100, 100)]:
+        assert _prob_beta_greater(*args) == pytest.approx(
+            _p_beta_greater_quad(*args), abs=2e-3
+        )
+
+
+def test_bayesian_ab_query_consistency(spark, sf_dir):
+    r = REGISTRY["stats_bayesian_ab"].fn(spark, sf_dir).collect()[0]
+    assert 0.0 <= r.p_b_beats_a <= 1.0
+    assert r.conv_a <= r.n_a and r.conv_b <= r.n_b
+    # posterior means match the Beta(1,1) closed form
+    assert r.post_mean_a == pytest.approx((r.conv_a + 1) / (r.n_a + 2), abs=1e-6)
+    assert r.post_mean_b == pytest.approx((r.conv_b + 1) / (r.n_b + 2), abs=1e-6)
+    # direction coherence: whichever arm has the higher posterior mean
+    # must be favored
+    if abs(r.post_mean_b - r.post_mean_a) > 1e-9:
+        assert (r.p_b_beats_a > 0.5) == (r.post_mean_b > r.post_mean_a)
