@@ -2145,3 +2145,103 @@ def timeseries_kalman_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("p_var", F.round("p_var", 6))
         .withColumn("gain", F.round("gain", 6))
     )
+
+
+def _kalman_smooth_kernel(pdf):
+    """Rauch-Tung-Striebel smoother on top of the local-level forward
+    filter (_kalman_kernel's recursion): backward pass
+
+        C_t = P_t / (P_t + q)          (P'_{t+1} = P_t + q)
+        s_t = l_t + C_t (s_{t+1} - l_t)
+
+    initialized s_n = l_n. The smoothed level conditions every estimate
+    on the FULL series (filter: past only) — the retrospective
+    trend-extraction an offline batch pipeline wants, vs the filter's
+    online estimate."""
+    pdf = pdf.sort_values(["ts", "event_id"])
+    x = pdf["value"].to_numpy(dtype="float64")
+    n = len(x)
+    lev = [0.0] * n
+    pv = [0.0] * n
+    l_p, p_p = x[0], KALMAN_R
+    lev[0], pv[0] = l_p, p_p
+    for i in range(1, n):
+        pp = p_p + KALMAN_Q
+        k = pp / (pp + KALMAN_R)
+        l_c = l_p + k * (x[i] - l_p)
+        p_c = (1 - k) * pp
+        lev[i], pv[i] = l_c, p_c
+        l_p, p_p = l_c, p_c
+    sm = [0.0] * n
+    sm[n - 1] = lev[n - 1]
+    for i in range(n - 2, -1, -1):
+        c = pv[i] / (pv[i] + KALMAN_Q)
+        sm[i] = lev[i] + c * (sm[i + 1] - lev[i])
+    out = pdf[["user_id", "event_id", "ts"]].copy()
+    out["level"] = lev
+    out["smoothed"] = sm
+    return out
+
+
+_KALMAN_SMOOTH_ORACLE = f"""
+    WITH RECURSIVE seq AS (
+      SELECT user_id, event_id, ts, value,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn
+      FROM events
+    ),
+    fwd AS (
+      SELECT user_id, event_id, ts, rn,
+             CAST(value AS DOUBLE) AS l,
+             CAST({KALMAN_R} AS DOUBLE) AS p
+      FROM seq WHERE rn = 1
+      UNION ALL
+      SELECT s.user_id, s.event_id, s.ts, s.rn,
+             r.l + ((r.p + {KALMAN_Q}) / ((r.p + {KALMAN_Q}) + {KALMAN_R}))
+                 * (s.value - r.l) AS l,
+             (1 - (r.p + {KALMAN_Q}) / ((r.p + {KALMAN_Q}) + {KALMAN_R}))
+                 * (r.p + {KALMAN_Q}) AS p
+      FROM fwd r JOIN seq s ON s.user_id = r.user_id AND s.rn = r.rn + 1
+    ),
+    mx AS (SELECT user_id, max(rn) AS mrn FROM fwd GROUP BY user_id),
+    back AS (
+      SELECT f.user_id, f.event_id, f.ts, f.rn, f.l, f.l AS s
+      FROM fwd f JOIN mx ON f.user_id = mx.user_id AND f.rn = mx.mrn
+      UNION ALL
+      SELECT f.user_id, f.event_id, f.ts, f.rn, f.l,
+             f.l + (f.p / (f.p + {KALMAN_Q})) * (b.s - f.l) AS s
+      FROM back b JOIN fwd f
+        ON f.user_id = b.user_id AND f.rn = b.rn - 1
+    )
+    SELECT user_id, event_id, ts,
+           round(l, 6) AS level, round(s, 6) AS smoothed
+    FROM back
+    """
+
+
+@register("timeseries_kalman_smoother", oracle=_KALMAN_SMOOTH_ORACLE)
+def timeseries_kalman_smoother(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rauch-Tung-Striebel smoothed level per user on the local-level
+    model — the OFFLINE companion to timeseries_kalman_filter: the
+    forward Kalman pass then the backward C_t-weighted correction, so
+    every estimate conditions on the whole series. FULLY ORACLED
+    bit-exactly: the DuckDB oracle chains TWO recursive CTEs (forward
+    from rn=1, backward from each user's max rn) replaying the
+    identical IEEE recursions in the identical order.
+
+    Scale shape: still ONE shuffle on user_id and one Arrow batch per
+    user — the backward pass is the same O(n) in-kernel loop, no extra
+    distributed stage. The smoother's fixed-interval structure is why
+    it belongs in a BATCH engine (the filter alone is the streaming
+    variant)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts", "value"
+    )
+    raw = ev.groupBy("user_id").applyInPandas(
+        _kalman_smooth_kernel,
+        "user_id long, event_id long, ts timestamp, level double,"
+        " smoothed double",
+    )
+    return raw.withColumn("level", F.round("level", 6)).withColumn(
+        "smoothed", F.round("smoothed", 6)
+    )

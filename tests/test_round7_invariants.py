@@ -137,3 +137,18 @@ def test_bayesian_ab_query_consistency(spark, sf_dir):
     # must be favored
     if abs(r.post_mean_b - r.post_mean_a) > 1e-9:
         assert (r.p_b_beats_a > 0.5) == (r.post_mean_b > r.post_mean_a)
+
+
+def test_kalman_smoother_reduces_residual_variance(spark, sf_dir):
+    """Smoothed estimates condition on the full series, so per-user the
+    smoothed trajectory must be no rougher than the filtered one
+    (smaller lag-1 increment variance), and both must coincide at each
+    user's LAST observation (s_n = l_n by construction)."""
+    pdf = (
+        REGISTRY["timeseries_kalman_smoother"].fn(spark, sf_dir).toPandas()
+    ).sort_values(["user_id", "ts", "event_id"])
+    last = pdf.groupby("user_id").tail(1)
+    assert (last["level"] - last["smoothed"]).abs().max() < 1e-9
+    rough_f = pdf.groupby("user_id")["level"].diff().dropna().var()
+    rough_s = pdf.groupby("user_id")["smoothed"].diff().dropna().var()
+    assert rough_s <= rough_f
