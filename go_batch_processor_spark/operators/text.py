@@ -1764,3 +1764,146 @@ def text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
         round4(206.835 - 1.015 * asl - 84.6 * spw).alias("flesch"),
         round4(0.39 * asl + 11.8 * spw - 15.59).alias("fk_grade"),
     ).orderBy("doc_id")
+
+
+RAKE_TOP_K = 20
+
+
+@register(
+    "text_rake_keywords",
+    oracle=f"""
+    WITH w AS (
+      SELECT doc_id,
+             unnest(string_split(text, ' ')) AS w,
+             generate_subscripts(string_split(text, ' '), 1) - 1 AS pos
+      FROM documents
+    ),
+    marked AS (
+      SELECT doc_id, pos, w,
+             w IN ({_sw_list}) AS stop,
+             sum(CASE WHEN w IN ({_sw_list}) THEN 1 ELSE 0 END)
+               OVER (PARTITION BY doc_id ORDER BY pos
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS grp
+      FROM w
+    ),
+    members AS (
+      SELECT doc_id, grp, pos, w FROM marked WHERE NOT stop
+    ),
+    plen AS (
+      SELECT doc_id, grp, CAST(count(*) AS BIGINT) AS plen
+      FROM members GROUP BY doc_id, grp
+    ),
+    wstats AS (
+      SELECT m.w,
+             CAST(count(*) AS BIGINT) AS freq,
+             CAST(sum(p.plen - 1) AS BIGINT) AS deg
+      FROM members m JOIN plen p ON m.doc_id = p.doc_id AND m.grp = p.grp
+      GROUP BY m.w
+    ),
+    scored AS (
+      SELECT m.doc_id, m.grp, m.pos, m.w,
+             s.deg * 1.0 / s.freq + 1.0 AS wscore
+      FROM members m JOIN wstats s ON m.w = s.w
+    ),
+    phrases AS (
+      SELECT doc_id, grp,
+             array_to_string(list(w ORDER BY pos), ' ') AS phrase,
+             CAST(count(*) AS BIGINT) AS n_words,
+             list_reduce(list(wscore ORDER BY pos), (a, b) -> a + b)
+               AS pscore
+      FROM scored GROUP BY doc_id, grp
+    )
+    SELECT phrase, max(n_words) AS n_words,
+           CAST(count(*) AS BIGINT) AS occurrences,
+           round(max(pscore), 4) AS score
+    FROM phrases
+    GROUP BY phrase
+    ORDER BY score DESC, phrase ASC
+    LIMIT {RAKE_TOP_K}
+    """,
+)
+def text_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE keyword extraction (Rose et al. 2010, "Automatic keyword
+    extraction from individual documents"): candidate phrases are
+    maximal stopword-free word runs; each word scores
+    deg(w)/freq(w) + 1 where freq counts phrase memberships and deg
+    sums (phrase_len - 1) over its phrases (co-occurrence degree); a
+    phrase scores the sum of its words' scores. Top-{RAKE_TOP_K}
+    distinct phrases corpus-wide — the classic unsupervised keyword
+    primitive for corpus exploration / tagging in a document pipeline.
+
+    Determinism/parity shape: phrase segmentation is a running
+    stopword-count window ordered by word position (gaps-and-islands —
+    deterministic); the per-phrase score is a POSITION-ORDERED left
+    fold of the member scores on BOTH engines (Spark: aggregate() over
+    the struct-sorted collect_list; DuckDB: list_reduce over
+    list(ORDER BY pos)) — never an unordered double sum (word scores
+    are non-dyadic rationals); identical phrases always carry the
+    bit-identical score, so max() over the phrase group is
+    deterministic.
+
+    Scale shape: one explode + one per-doc ordered window + two
+    partial-combinable aggregates; the global word-score table is
+    vocabulary-sized (Zipf-bounded) and joins via broadcast. Top-k is
+    TakeOrderedAndProject.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    w = d.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "w")
+    )
+    is_stop = F.col("w").isin(*STOPWORDS)
+    win = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    marked = w.select(
+        "doc_id",
+        "pos",
+        "w",
+        is_stop.alias("stop"),
+        F.sum(F.when(is_stop, 1).otherwise(0)).over(win).alias("grp"),
+    )
+    members = marked.filter(~F.col("stop")).select("doc_id", "grp", "pos", "w")
+    plen = members.groupBy("doc_id", "grp").agg(
+        F.count(F.lit(1)).cast("bigint").alias("plen")
+    )
+    wstats = (
+        members.join(plen, ["doc_id", "grp"])
+        .groupBy("w")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("freq"),
+            F.sum(F.col("plen") - 1).cast("bigint").alias("deg"),
+        )
+    )
+    scored = members.join(
+        F.broadcast(
+            wstats.select(
+                "w", (F.col("deg") * 1.0 / F.col("freq") + 1.0).alias("wscore")
+            )
+        ),
+        "w",
+    )
+    ordered_w = F.transform(
+        F.array_sort(F.collect_list(F.struct("pos", "w"))), lambda s: s["w"]
+    )
+    ordered_s = F.transform(
+        F.array_sort(F.collect_list(F.struct("pos", "wscore"))),
+        lambda s: s["wscore"],
+    )
+    phrases = scored.groupBy("doc_id", "grp").agg(
+        F.array_join(ordered_w, " ").alias("phrase"),
+        F.count(F.lit(1)).cast("bigint").alias("n_words"),
+        F.aggregate(ordered_s, F.lit(0.0), lambda a, b: a + b).alias("pscore"),
+    )
+    return (
+        phrases.groupBy("phrase")
+        .agg(
+            F.max("n_words").alias("n_words"),
+            F.count(F.lit(1)).cast("bigint").alias("occurrences"),
+            F.round(F.max("pscore"), 4).alias("score"),
+        )
+        .orderBy(F.col("score").desc(), F.col("phrase").asc())
+        .limit(RAKE_TOP_K)
+    )
