@@ -1907,3 +1907,84 @@ def text_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("score").desc(), F.col("phrase").asc())
         .limit(RAKE_TOP_K)
     )
+
+
+@register(
+    "text_lexical_diversity",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+    ),
+    wf AS (
+      SELECT doc_id, w, CAST(count(*) AS BIGINT) AS f
+      FROM w GROUP BY doc_id, w
+    ),
+    m AS (
+      SELECT doc_id,
+             CAST(count(*) AS BIGINT)                    AS n_types,
+             CAST(sum(f) AS BIGINT)                      AS n_words,
+             CAST(sum(f * f) AS BIGINT)                  AS sum_f2,
+             CAST(sum(CASE WHEN f = 1 THEN 1 ELSE 0 END)
+                  AS BIGINT)                             AS n_hapax
+      FROM wf GROUP BY doc_id
+    )
+    SELECT doc_id, n_words, n_types, n_hapax,
+           floor((n_types * 1.0 / n_words) * 10000 + 0.5) / 10000.0
+             AS ttr,
+           floor((n_hapax * 1.0 / n_types) * 10000 + 0.5) / 10000.0
+             AS hapax_ratio,
+           floor((10000.0 * (sum_f2 - n_words) / (n_words * n_words))
+                 * 10000 + 0.5) / 10000.0 AS yule_k
+    FROM m
+    ORDER BY doc_id
+    """,
+)
+def text_lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document lexical-diversity metrics — type-token ratio, hapax
+    legomenon ratio, and Yule's K characteristic (Yule 1944):
+    K = 10^4 (sum_w f_w^2 - N) / N^2, the repetitiveness measure that is
+    length-robust where raw TTR is not. Together with the Gopher/C4
+    signals (text_repetition_gopher, text_quality_score) these are the
+    standard template/boilerplate screens in LLM training-data curation:
+    machine-generated spam shows low TTR, low hapax ratio, high K.
+
+    Scale shape: one explode + one partial-combinable (doc, word) count
+    + one per-doc aggregate — two map-side-combinable shuffles, zero
+    Python, zero joins; all aggregate outputs are exact integers and the
+    three ratios divide once at the end. Rounding is the explicit
+    floor(x*1e4+0.5)/1e4 form on both engines (pure IEEE — see
+    text_readability: small-denominator rationals like 13/160 sit on
+    4-decimal half-points where the engines' round() implementations
+    diverge on the same double).
+    """
+    d = load_table(spark, sf_dir, "documents")
+    wf = (
+        d.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+        .groupBy("doc_id", "w")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("f"))
+    )
+    m = wf.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_types"),
+        F.sum("f").cast("bigint").alias("n_words"),
+        F.sum(F.col("f") * F.col("f")).cast("bigint").alias("sum_f2"),
+        F.sum(F.when(F.col("f") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_hapax"),
+    )
+
+    def round4(c):
+        return F.floor(c * 10000 + 0.5) / 10000.0
+
+    return m.select(
+        "doc_id",
+        "n_words",
+        "n_types",
+        "n_hapax",
+        round4(F.col("n_types") * 1.0 / F.col("n_words")).alias("ttr"),
+        round4(F.col("n_hapax") * 1.0 / F.col("n_types")).alias("hapax_ratio"),
+        round4(
+            10000.0
+            * (F.col("sum_f2") - F.col("n_words"))
+            / (F.col("n_words") * F.col("n_words"))
+        ).alias("yule_k"),
+    ).orderBy("doc_id")
