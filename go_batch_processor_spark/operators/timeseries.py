@@ -2245,3 +2245,65 @@ def timeseries_kalman_smoother(spark: SparkSession, sf_dir: str) -> DataFrame:
     return raw.withColumn("level", F.round("level", 6)).withColumn(
         "smoothed", F.round("smoothed", 6)
     )
+
+
+PW_CHANGEPOINTS = (11, 21)  # hinge knots (day index) for the trend
+
+
+@register("timeseries_piecewise_trend", tags={"rows_only"})
+def timeseries_piecewise_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prophet-style structural trend fit (Taylor & Letham 2018, "Fore-
+    casting at scale"): daily totals regressed on a piecewise-linear
+    trend (hinge features max(0, t - c) at fixed changepoints) plus
+    day-of-week dummies, by ordinary least squares. The decomposable
+    "trend + seasonality via regression" shape is Prophet's core idea,
+    minus the MCMC (fixed knots, no priors) — deterministic and exactly
+    reproducible.
+
+    Scale shape: 100 TB of events compress to ONE row per calendar day
+    (exact integer-cents sums — partial-combinable, the money rule), and
+    the regression runs driver-side on that CALENDAR-BOUNDED frame (a
+    30-row collect at any corpus size — the documented bounded
+    sufficient-stats idiom, same class as ml_ols' X'X collect). Nothing
+    about the fit depends on corpus size; only the daily agg does.
+
+    Rows-only (driver lstsq has no SQL twin); tests pin coefficients,
+    fitted RMSE, and the piecewise-slope interpretation against an
+    independent numpy twin built from DuckDB's daily series.
+    """
+    import numpy as np
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy(F.date_trunc("day", "ts").alias("d"))
+        .agg(
+            (F.sum(F.round(F.col("value") * 100).cast("long")) / 100.0).alias(
+                "v"
+            )
+        )
+        .orderBy("d")
+    )
+    rows = daily.collect()  # calendar-bounded: one row per day
+    n = len(rows)
+    t = np.arange(1, n + 1, dtype=np.float64)
+    v = np.array([r.v for r in rows])
+    dow = np.array([r.d.weekday() for r in rows])
+    X = [np.ones(n), t]
+    for c in PW_CHANGEPOINTS:
+        X.append(np.maximum(0.0, t - c))
+    for k in range(1, 7):
+        X.append((dow == k).astype(np.float64))
+    X = np.column_stack(X)
+    beta, *_ = np.linalg.lstsq(X, v, rcond=None)
+    fitted = X @ beta
+    rmse = float(np.sqrt(np.mean((v - fitted) ** 2)))
+    terms = (
+        ["intercept", "slope"]
+        + [f"hinge_d{c}" for c in PW_CHANGEPOINTS]
+        + [f"dow_{k}" for k in range(1, 7)]
+    )
+    out = [(term, float(round(b, 6))) for term, b in zip(terms, beta)] + [
+        ("rmse", float(round(rmse, 4))),
+        ("n_days", float(n)),
+    ]
+    return spark.createDataFrame(out, "term string, value double")

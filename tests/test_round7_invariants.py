@@ -152,3 +152,42 @@ def test_kalman_smoother_reduces_residual_variance(spark, sf_dir):
     rough_f = pdf.groupby("user_id")["level"].diff().dropna().var()
     rough_s = pdf.groupby("user_id")["smoothed"].diff().dropna().var()
     assert rough_s <= rough_f
+
+
+def test_piecewise_trend_matches_numpy_twin(spark, sf_dir, duck):
+    import numpy as np
+
+    from go_batch_processor_spark.operators.timeseries import PW_CHANGEPOINTS
+
+    got = {
+        r.term: r.value
+        for r in REGISTRY["timeseries_piecewise_trend"].fn(spark, sf_dir).collect()
+    }
+    rows = duck.sql(
+        """
+        SELECT date_trunc('day', ts) AS d,
+               sum(CAST(round(value * 100) AS BIGINT)) / 100.0 AS v
+        FROM events GROUP BY 1 ORDER BY d
+        """
+    ).fetchall()
+    n = len(rows)
+    assert got["n_days"] == n
+    t = np.arange(1, n + 1, dtype=np.float64)
+    v = np.array([r[1] for r in rows])
+    dow = np.array([r[0].weekday() for r in rows])
+    X = [np.ones(n), t]
+    for c in PW_CHANGEPOINTS:
+        X.append(np.maximum(0.0, t - c))
+    for k in range(1, 7):
+        X.append((dow == k).astype(np.float64))
+    X = np.column_stack(X)
+    beta, *_ = np.linalg.lstsq(X, v, rcond=None)
+    fitted = X @ beta
+    assert got["intercept"] == pytest.approx(beta[0], abs=1e-5)
+    assert got["slope"] == pytest.approx(beta[1], abs=1e-5)
+    for i, c in enumerate(PW_CHANGEPOINTS):
+        assert got[f"hinge_d{c}"] == pytest.approx(beta[2 + i], abs=1e-5)
+    rmse = float(np.sqrt(np.mean((v - fitted) ** 2)))
+    assert got["rmse"] == pytest.approx(rmse, abs=1e-3)
+    # OLS residuals are orthogonal to the design -> fitted beats mean
+    assert rmse <= float(np.std(v)) + 1e-9
