@@ -819,3 +819,83 @@ def exact_substring_report(docs: DataFrame, n: int) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@register(
+    "dedup_incremental_snapshot",
+    oracle=f"""
+    WITH mx AS (SELECT max(doc_id) AS m FROM documents),
+    words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    sh AS (
+      SELECT doc_id,
+             unnest(list_distinct(list_transform(range(1, len(w) - 1),
+                    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS shingle
+      FROM words
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS old_doc, b.doc_id AS new_doc, count(*) AS i
+      FROM sh a, sh b, mx
+      WHERE a.shingle = b.shingle
+        AND a.doc_id * 2 < mx.m AND b.doc_id * 2 >= mx.m
+      GROUP BY 1, 2
+    )
+    SELECT old_doc, new_doc,
+           round(i * 1.0 / (sa.n_sh + sb.n_sh - i), 4) AS jaccard
+    FROM inter
+    JOIN sizes sa ON old_doc = sa.doc_id
+    JOIN sizes sb ON new_doc = sb.doc_id
+    WHERE i * 1.0 / (sa.n_sh + sb.n_sh - i) >= {JACCARD_THRESHOLD}
+    """,
+)
+def dedup_incremental_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental (snapshot-delta) near-dedup — THE production ingestion
+    shape: a NEW batch of documents (upper half of doc_id, standing in
+    for today's crawl) is screened against the EXISTING corpus (lower
+    half) for trigram-Jaccard near-duplicates >= {JACCARD_THRESHOLD},
+    WITHOUT ever re-joining old x old: the inverted-index join is
+    old-side x new-side only, so per-ingest cost is
+    O(|delta| x avg-postings), not O(|corpus|^2) — re-running the full
+    pairwise key (dedup_ngram_jaccard) per daily batch would redo the
+    entire corpus self-join every day.
+
+    Plan shape: one shingle explode over the WHOLE table (both sides
+    share it — at 100 TB the old side's postings are the pre-built
+    persistent index and only the delta explodes), stop-shingle df cap
+    bounds fanout exactly as in exact_jaccard_pairs, then one
+    co-partitioned shingle join restricted old->new and the standard
+    size-join Jaccard verification. Output: (old_doc, new_doc, jaccard)
+    — the pairs a curator blocks or canonicalizes before the delta is
+    admitted to the corpus.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    mx = docs.agg(F.max("doc_id").alias("m"))
+    sh = doc_shingles(docs).crossJoin(F.broadcast(mx))
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    keep = (
+        sh.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= STOP_SHINGLE_MAX_DF)
+        .select("shingle")
+    )
+    shj = sh.join(keep, "shingle")
+    old = shj.filter(F.col("doc_id") * 2 < F.col("m")).select(
+        F.col("doc_id").alias("old_doc"), "shingle"
+    )
+    new = shj.filter(F.col("doc_id") * 2 >= F.col("m")).select(
+        F.col("doc_id").alias("new_doc"), "shingle"
+    )
+    inter = (
+        old.join(new, "shingle")
+        .groupBy("old_doc", "new_doc")
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("old_doc"), F.col("n_sh").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("new_doc"), F.col("n_sh").alias("nb"))
+    jac = F.col("i") * 1.0 / (F.col("na") + F.col("nb") - F.col("i"))
+    return (
+        inter.join(sa, "old_doc")
+        .join(sb, "new_doc")
+        .filter(jac >= JACCARD_THRESHOLD)
+        .select("old_doc", "new_doc", F.round(jac, 4).alias("jaccard"))
+    )
