@@ -1988,3 +1988,97 @@ def text_lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.col("n_words") * F.col("n_words"))
         ).alias("yule_k"),
     ).orderBy("doc_id")
+
+
+C4_MIN_WORDS = 25
+C4_MAX_WORDS = 10_000
+C4_MIN_AVG_WLEN = 2.0
+C4_MAX_AVG_WLEN = 12.0
+C4_MIN_STOPWORD_RATIO = 0.02
+C4_MAX_WORD_LEN = 20
+
+
+@register(
+    "text_c4_style_filter",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, lang,
+             string_split(text, ' ') AS w,
+             length(text) AS tlen
+      FROM documents
+    ),
+    m AS (
+      SELECT doc_id, lang,
+             CAST(len(w) AS BIGINT) AS n_words,
+             (tlen - (len(w) - 1)) * 1.0 / len(w) AS avg_wlen,
+             len(list_filter(w, x -> x IN ({_sw_list}))) * 1.0 / len(w)
+               AS sw_ratio,
+             len(list_filter(w, x -> length(x) > {C4_MAX_WORD_LEN}))
+               AS n_longwords
+      FROM t
+    )
+    SELECT doc_id,
+           CASE
+             WHEN lang <> 'en'                        THEN 'non_target_lang'
+             WHEN n_words < {C4_MIN_WORDS}            THEN 'too_short'
+             WHEN n_words > {C4_MAX_WORDS}            THEN 'too_long'
+             WHEN avg_wlen < {C4_MIN_AVG_WLEN}
+               OR avg_wlen > {C4_MAX_AVG_WLEN}        THEN 'degenerate_word_len'
+             WHEN sw_ratio < {C4_MIN_STOPWORD_RATIO}  THEN 'low_stopword_ratio'
+             WHEN n_longwords > 0                     THEN 'overlong_token'
+             ELSE 'pass'
+           END AS verdict,
+           (CASE
+             WHEN lang <> 'en'                        THEN 'non_target_lang'
+             WHEN n_words < {C4_MIN_WORDS}            THEN 'too_short'
+             WHEN n_words > {C4_MAX_WORDS}            THEN 'too_long'
+             WHEN avg_wlen < {C4_MIN_AVG_WLEN}
+               OR avg_wlen > {C4_MAX_AVG_WLEN}        THEN 'degenerate_word_len'
+             WHEN sw_ratio < {C4_MIN_STOPWORD_RATIO}  THEN 'low_stopword_ratio'
+             WHEN n_longwords > 0                     THEN 'overlong_token'
+             ELSE 'pass'
+           END) = 'pass' AS keep
+    FROM m
+    ORDER BY doc_id
+    """,
+)
+def text_c4_style_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style rule-based document filter (Raffel et al. 2020 §2.2
+    adapted to this unpunctuated corpus): target-language gate, word-
+    count bounds, mean-word-length sanity band, minimum stopword ratio
+    (C4's "contains English function words" proxy), and an overlong-
+    token screen (lorem/base64/URL junk). Each document gets the FIRST
+    failing rule as its verdict — the audit trail a curation pipeline
+    reports (what fraction was dropped, and why), not just a boolean.
+
+    Scale shape: a single scan -> project with higher-order array
+    functions inside codegen; zero shuffles, zero joins, zero Python.
+    Outputs are strings/booleans computed from integer counts and
+    single-division rationals compared against literal thresholds —
+    no rounding anywhere, so no cross-engine parity hazard at all.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    w = F.split(F.col("text"), " ")
+    n_words = F.size(w).cast("bigint")
+    avg_wlen = (F.length("text") - (F.size(w) - 1)) * 1.0 / F.size(w)
+    sw_ratio = (
+        F.size(F.filter(w, lambda x: x.isin(*STOPWORDS))) * 1.0 / F.size(w)
+    )
+    n_longwords = F.size(F.filter(w, lambda x: F.length(x) > C4_MAX_WORD_LEN))
+    verdict = (
+        F.when(F.col("lang") != "en", F.lit("non_target_lang"))
+        .when(n_words < C4_MIN_WORDS, F.lit("too_short"))
+        .when(n_words > C4_MAX_WORDS, F.lit("too_long"))
+        .when(
+            (avg_wlen < C4_MIN_AVG_WLEN) | (avg_wlen > C4_MAX_AVG_WLEN),
+            F.lit("degenerate_word_len"),
+        )
+        .when(sw_ratio < C4_MIN_STOPWORD_RATIO, F.lit("low_stopword_ratio"))
+        .when(n_longwords > 0, F.lit("overlong_token"))
+        .otherwise(F.lit("pass"))
+    )
+    return d.select(
+        "doc_id",
+        verdict.alias("verdict"),
+        (verdict == "pass").alias("keep"),
+    ).orderBy("doc_id")
