@@ -995,3 +995,146 @@ def graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         pairs.unpersist(blocking=False)
+
+
+BETW_N_SOURCES = 4  # fixed pivot count (Brandes-Pich source sampling)
+BETW_MAX_HOPS = 4
+BETW_TOP_K = 20
+
+
+@register("graph_betweenness_sampled", tags={"rows_only"})
+def graph_betweenness_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-sampled betweenness centrality (Brandes 2001 accumulation;
+    Brandes & Pich 2007 pivot sampling) over the bipartite interaction
+    graph: exact Brandes forward/backward passes from the
+    {BETW_N_SOURCES} LOWEST node ids (deterministic pivots), hops
+    capped at {BETW_MAX_HOPS} (the graph's effective diameter here) —
+    the standard way to make the O(V*E) exact algorithm tractable:
+    per-source cost is BFS-shaped, and the pivot average is an unbiased
+    |V|/k-scaled estimator of true betweenness.
+
+    Per source the FORWARD pass is the graph_bfs_shortest_paths frontier
+    expansion carrying one extra column (sigma = shortest-path counts,
+    a partial-combinable sum over the previous layer); the BACKWARD
+    pass walks levels deepest-first, joining each level's dependency
+    delta onto its predecessor layer through the SAME edge list:
+    delta(v) = sum over successors w of sigma_v/sigma_w * (1+delta_w).
+    Every iteration is one co-partitioned join + one aggregate over
+    level-sized frames; per-level frames are localCheckpoint'd (BFS
+    lineage discipline). No driver state beyond the pivot list.
+
+    Rows-only (iterative, pivot-scoped); tests/test_graph.py pins every
+    reported value against an exact pure-Python Brandes twin restricted
+    to the same sources and hop cap.
+    """
+    from pyspark import StorageLevel
+
+    edges = interaction_edges(spark, sf_dir).persist(StorageLevel.MEMORY_AND_DISK)
+    cleanup: list[DataFrame] = []
+    try:
+        sources = [
+            r.node
+            for r in edges.select(F.col("src").alias("node"))
+            .distinct()
+            .orderBy("node")
+            .limit(BETW_N_SOURCES)
+            .collect()
+        ]
+        acc = None
+        for s in sources:
+            dist = (
+                edges.sparkSession.range(1)
+                .select(F.lit(int(s)).cast("long").alias("node"))
+                .withColumn("d", F.lit(0))
+                .withColumn("sigma", F.lit(1.0))
+            )
+            frontier = dist
+            maxd = 0
+            for hop in range(1, BETW_MAX_HOPS + 1):
+                cand = (
+                    frontier.join(edges, frontier.node == edges.src)
+                    .groupBy(F.col("dst").alias("node"))
+                    .agg(F.sum("sigma").alias("sigma"))
+                )
+                nxt = (
+                    cand.join(dist.select("node"), "node", "left_anti")
+                    .withColumn("d", F.lit(hop))
+                    .select("node", "d", "sigma")
+                    .localCheckpoint()
+                )
+                cleanup.append(nxt)
+                if nxt.count() == 0:
+                    break
+                maxd = hop
+                dist = dist.unionByName(nxt)
+                frontier = nxt
+            dist = dist.localCheckpoint()
+            cleanup.append(dist)
+            # backward dependency accumulation, deepest level first
+            delta = (
+                dist.filter(F.col("d") == maxd)
+                .select("node", "sigma")
+                .withColumn("delta", F.lit(0.0))
+            )
+            per_source = None
+            for k in range(maxd, 0, -1):
+                lvl_prev = dist.filter(F.col("d") == k - 1).select(
+                    F.col("node").alias("v"), F.col("sigma").alias("sigma_v")
+                )
+                contrib = (
+                    delta.alias("w")
+                    .join(edges, F.col("w.node") == edges.dst)
+                    .join(lvl_prev, F.col("src") == F.col("v"))
+                    .groupBy("v", "sigma_v")
+                    .agg(
+                        F.sum(
+                            F.col("sigma_v")
+                            / F.col("w.sigma")
+                            * (1.0 + F.col("w.delta"))
+                        ).alias("delta")
+                    )
+                    .select(
+                        F.col("v").alias("node"),
+                        F.col("sigma_v").alias("sigma"),
+                        "delta",
+                    )
+                    .localCheckpoint()
+                )
+                cleanup.append(contrib)
+                if k > 1:
+                    # deeper-level deltas are final; record them
+                    part = delta.select("node", "delta")
+                    acc = part if acc is None else acc.unionByName(part)
+                    delta = contrib
+                else:
+                    acc_part = delta.select("node", "delta").unionByName(
+                        contrib.filter(F.col("node") != int(s)).select(
+                            "node", "delta"
+                        )
+                    )
+                    acc = acc_part if acc is None else acc.unionByName(acc_part)
+        if acc is None:  # pragma: no cover — empty graph
+            return spark.createDataFrame(
+                [], "kind string, entity_id long, betweenness double"
+            )
+        out = (
+            acc.groupBy("node")
+            .agg(F.sum("delta").alias("b"))
+            .filter(F.col("b") > 0)
+            .select(
+                F.when(F.col("node") % 2 == 0, F.lit("user"))
+                .otherwise(F.lit("item"))
+                .alias("kind"),
+                F.floor(F.col("node") / 2).cast("long").alias("entity_id"),
+                F.round("b", 6).alias("betweenness"),
+            )
+            .orderBy(
+                F.col("betweenness").desc(),
+                F.col("kind").asc(),
+                F.col("entity_id").asc(),
+            )
+            .limit(BETW_TOP_K)
+        )
+        return out.localCheckpoint()
+    finally:
+        edges.unpersist(blocking=False)

@@ -3,6 +3,7 @@
 from __future__ import annotations
 
 import numpy as np
+import pytest
 
 from go_batch_processor_spark.operators.graph import (
     PR_DAMPING,
@@ -207,3 +208,63 @@ def test_jaccard_degree_cap_off_matches_registered_query(spark, sf_dir):
         for r in _jaccard_selfjoin_scored(pairs, max_item_degree=int(max_d)).collect()
     }
     assert base == capped
+
+
+def test_betweenness_sampled_matches_python_brandes(spark, sf_dir):
+    """Exact Brandes twin restricted to the same pivots and hop cap."""
+    from collections import defaultdict, deque
+
+    from go_batch_processor_spark.operators.graph import (
+        BETW_MAX_HOPS,
+        BETW_N_SOURCES,
+        interaction_edges,
+    )
+
+    edges_df = interaction_edges(spark, sf_dir)
+    adj = defaultdict(list)
+    for r in edges_df.collect():
+        adj[r.src].append(r.dst)
+    nodes = sorted(adj)
+    sources = nodes[:BETW_N_SOURCES]
+
+    bc = defaultdict(float)
+    for s in sources:
+        dist = {s: 0}
+        sigma = {s: 1.0}
+        order = [s]
+        q = deque([s])
+        while q:
+            u = q.popleft()
+            if dist[u] >= BETW_MAX_HOPS:
+                continue
+            for v in adj[u]:
+                if v not in dist:
+                    dist[v] = dist[u] + 1
+                    sigma[v] = 0.0
+                    order.append(v)
+                    q.append(v)
+                if dist[v] == dist[u] + 1:
+                    sigma[v] += sigma[u]
+        delta = defaultdict(float)
+        for w in reversed(order):
+            for v in adj[w]:
+                if dist.get(v) == dist[w] - 1:
+                    delta[v] += sigma[v] / sigma[w] * (1.0 + delta[w])
+            if w != s:
+                bc[w] += delta[w]
+
+    want = sorted(
+        ((round(b, 6), n) for n, b in bc.items() if b > 0),
+        key=lambda t: (-t[0], t[1] % 2, t[1] // 2),
+    )[:20]
+    got = REGISTRY["graph_betweenness_sampled"].fn(spark, sf_dir).collect()
+    assert len(got) == min(20, len(want))
+    for row, (b, n) in zip(got, want):
+        assert row.betweenness == pytest.approx(b, abs=1e-4), (row, b, n)
+    # spot-pin the top node identity
+    if want:
+        top_b, top_n = want[0]
+        assert (got[0].kind, got[0].entity_id) == (
+            "user" if top_n % 2 == 0 else "item",
+            top_n // 2,
+        )
