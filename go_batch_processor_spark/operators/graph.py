@@ -1138,3 +1138,86 @@ def graph_betweenness_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
         return out.localCheckpoint()
     finally:
         edges.unpersist(blocking=False)
+
+
+CLOSENESS_TOP_K = 20
+
+
+@register("graph_closeness_landmarks", tags={"rows_only"})
+def graph_closeness_landmarks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Landmark-estimated closeness centrality (Eppstein & Wang 2004 /
+    Cohen et al. 2014 pivot sampling): BFS distances from the
+    {BETW_N_SOURCES} lowest-id pivots (the betweenness key's pivot set)
+    give, for every node reached by ALL pivots,
+    closeness_hat(v) = k / sum_pivots d(pivot, v) — the standard
+    sampled estimator whose exact version needs all-pairs BFS. Hops
+    capped at {BETW_MAX_HOPS} like the BFS/betweenness keys.
+
+    Scale shape: k sigma-free frontier expansions (graph_bfs's exact
+    plan — per hop one join + distinct + anti-join over frontier-sized
+    frames, per-hop localCheckpoint), then ONE partial-combinable
+    groupBy(node) over the k unioned distance frames. Driver state: the
+    pivot list only.
+
+    Rows-only (pivot-scoped estimate); tests/test_graph.py pins every
+    value against a pure-Python BFS twin on the same pivots.
+    """
+    from pyspark import StorageLevel
+
+    edges = interaction_edges(spark, sf_dir).persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        sources = [
+            r.node
+            for r in edges.select(F.col("src").alias("node"))
+            .distinct()
+            .orderBy("node")
+            .limit(BETW_N_SOURCES)
+            .collect()
+        ]
+        all_d = None
+        for s in sources:
+            dist = (
+                edges.sparkSession.range(1)
+                .select(F.lit(int(s)).cast("long").alias("node"))
+                .withColumn("d", F.lit(0))
+            )
+            frontier = dist
+            for hop in range(1, BETW_MAX_HOPS + 1):
+                nxt = (
+                    frontier.join(edges, frontier.node == edges.src)
+                    .select(F.col("dst").alias("node"))
+                    .distinct()
+                    .join(dist.select("node"), "node", "left_anti")
+                    .withColumn("d", F.lit(hop))
+                    .localCheckpoint()
+                )
+                if nxt.count() == 0:
+                    break
+                dist = dist.unionByName(nxt)
+                frontier = nxt
+            all_d = dist if all_d is None else all_d.unionByName(dist)
+        k = len(sources)
+        return (
+            all_d.groupBy("node")
+            .agg(
+                F.count(F.lit(1)).alias("n_pivots"),
+                F.sum("d").alias("sum_d"),
+            )
+            .filter((F.col("n_pivots") == k) & (F.col("sum_d") > 0))
+            .select(
+                F.when(F.col("node") % 2 == 0, F.lit("user"))
+                .otherwise(F.lit("item"))
+                .alias("kind"),
+                F.floor(F.col("node") / 2).cast("long").alias("entity_id"),
+                F.round(float(k) / F.col("sum_d"), 6).alias("closeness"),
+            )
+            .orderBy(
+                F.col("closeness").desc(),
+                F.col("kind").asc(),
+                F.col("entity_id").asc(),
+            )
+            .limit(CLOSENESS_TOP_K)
+            .localCheckpoint()
+        )
+    finally:
+        edges.unpersist(blocking=False)

@@ -255,7 +255,7 @@ def test_betweenness_sampled_matches_python_brandes(spark, sf_dir):
 
     want = sorted(
         ((round(b, 6), n) for n, b in bc.items() if b > 0),
-        key=lambda t: (-t[0], t[1] % 2, t[1] // 2),
+        key=lambda t: (-t[0], "user" if t[1] % 2 == 0 else "item", t[1] // 2),
     )[:20]
     got = REGISTRY["graph_betweenness_sampled"].fn(spark, sf_dir).collect()
     assert len(got) == min(20, len(want))
@@ -267,4 +267,51 @@ def test_betweenness_sampled_matches_python_brandes(spark, sf_dir):
         assert (got[0].kind, got[0].entity_id) == (
             "user" if top_n % 2 == 0 else "item",
             top_n // 2,
+        )
+
+
+def test_closeness_landmarks_matches_python_bfs(spark, sf_dir):
+    from collections import defaultdict, deque
+
+    from go_batch_processor_spark.operators.graph import (
+        BETW_MAX_HOPS,
+        BETW_N_SOURCES,
+        interaction_edges,
+    )
+
+    edges_df = interaction_edges(spark, sf_dir)
+    adj = defaultdict(list)
+    for r in edges_df.collect():
+        adj[r.src].append(r.dst)
+    sources = sorted(adj)[:BETW_N_SOURCES]
+    dists = defaultdict(dict)
+    for s in sources:
+        dist = {s: 0}
+        q = deque([s])
+        while q:
+            u = q.popleft()
+            if dist[u] >= BETW_MAX_HOPS:
+                continue
+            for v in adj[u]:
+                if v not in dist:
+                    dist[v] = dist[u] + 1
+                    q.append(v)
+        for n, d in dist.items():
+            dists[n][s] = d
+    k = len(sources)
+    want = {}
+    for n, dd in dists.items():
+        if len(dd) == k and sum(dd.values()) > 0:
+            want[n] = round(k / sum(dd.values()), 6)
+    got = REGISTRY["graph_closeness_landmarks"].fn(spark, sf_dir).collect()
+    expect = sorted(
+        ((c, n) for n, c in want.items()),
+        key=lambda t: (-t[0], "user" if t[1] % 2 == 0 else "item", t[1] // 2),
+    )[:20]
+    assert len(got) == min(20, len(expect))
+    for row, (c, n) in zip(got, expect):
+        assert row.closeness == pytest.approx(c, abs=1e-6)
+        assert (row.kind, row.entity_id) == (
+            "user" if n % 2 == 0 else "item",
+            n // 2,
         )
