@@ -5120,3 +5120,79 @@ def stats_bayesian_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_a bigint, conv_a bigint, n_b bigint, conv_b bigint,"
         " post_mean_a double, post_mean_b double, p_b_beats_a double",
     )
+
+
+L_DIVERSITY = 3  # minimum acceptable distinct sensitive values per class
+
+
+@register(
+    "profile_l_diversity",
+    oracle=f"""
+    WITH joined AS (
+      SELECT c.c_nationkey, c.c_mktsegment, o.o_orderpriority
+      FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+    ),
+    classes AS (
+      SELECT c_nationkey, c_mktsegment,
+             CAST(count(*) AS BIGINT)                      AS class_rows,
+             CAST(count(DISTINCT o_orderpriority) AS BIGINT) AS l_distinct
+      FROM joined GROUP BY 1, 2
+    )
+    SELECT CAST(count(*) AS BIGINT)        AS n_classes,
+           CAST(min(l_distinct) AS BIGINT) AS l_diversity,
+           CAST(sum(CASE WHEN l_distinct < {L_DIVERSITY}
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_unsafe_classes,
+           CAST(sum(CASE WHEN l_distinct < {L_DIVERSITY}
+                         THEN class_rows ELSE 0 END) AS BIGINT)
+             AS n_unsafe_rows,
+           round(sum(CASE WHEN l_distinct < {L_DIVERSITY}
+                          THEN class_rows ELSE 0 END) * 1.0
+                 / sum(class_rows), 6) AS unsafe_row_share
+    FROM classes
+    """,
+)
+def profile_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct l-diversity audit (Machanavajjhala et al. 2007) — the
+    governance gate k-anonymity alone misses: a class can hold >= k
+    rows yet leak the sensitive attribute if every row SHARES one
+    value. Quasi-identifiers (nation, market segment) come from the
+    customer dim, the sensitive attribute (order priority) from the
+    fact table — the realistic shape where the audit needs a join. The
+    dataset is l-diverse at l = the SMALLEST per-class distinct count;
+    classes below {L_DIVERSITY} are attribute-disclosure risks and
+    their row share is the suppression budget.
+
+    Scale shape: one key-partitioned fact-dim join (customer is the
+    small side -> hash/broadcast by AQE), one partial-combinable
+    groupBy on the QI columns with a distinct-count (expands to the
+    standard two-level aggregate), one audit aggregate over the
+    QI-domain-bounded class table. Integer counts throughout; the only
+    double is the final rounded share.
+    """
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey", "c_mktsegment"
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderpriority"
+    )
+    joined = o.join(c, o.o_custkey == c.c_custkey)
+    classes = joined.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.count(F.lit(1)).cast("bigint").alias("class_rows"),
+        F.countDistinct("o_orderpriority").cast("bigint").alias("l_distinct"),
+    )
+    unsafe = F.col("l_distinct") < L_DIVERSITY
+    return classes.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_classes"),
+        F.min("l_distinct").cast("bigint").alias("l_diversity"),
+        F.sum(F.when(unsafe, 1).otherwise(0)).cast("bigint").alias(
+            "n_unsafe_classes"
+        ),
+        F.sum(F.when(unsafe, F.col("class_rows")).otherwise(0))
+        .cast("bigint")
+        .alias("n_unsafe_rows"),
+        F.round(
+            F.sum(F.when(unsafe, F.col("class_rows")).otherwise(0)) * 1.0
+            / F.sum("class_rows"),
+            6,
+        ).alias("unsafe_row_share"),
+    )
