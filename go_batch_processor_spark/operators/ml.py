@@ -1706,3 +1706,106 @@ def ml_brier_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("res_num") / F.col("n"), 6).alias("resolution"),
         F.round(F.col("ybar") * (1.0 - F.col("ybar")), 6).alias("uncertainty"),
     )
+
+
+QR_TAUS = (0.5, 0.9)  # quantile levels: median (LAD) and P90 regression
+QR_ITERS = 40  # tau=0.9 needs ~30-40 reweightings to reach its quantile
+QR_EPS = 1e-6  # residual floor in the IRLS weight (Huber-style guard)
+
+
+@register("ml_quantile_regression", tags={"rows_only"})
+def ml_quantile_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear quantile regression (Koenker & Bassett 1978) of
+    l_extendedprice on [1, quantity] at tau = {0.5, 0.9} via IRLS on
+    the pinball loss: weights w_i = tau/max(|r_i|, eps) for positive
+    residuals, (1-tau)/max(|r_i|, eps) otherwise, then a weighted
+    normal-equations solve — median (LAD) regression is the
+    outlier-robust companion to ml_ols_normal_equations, P90 the
+    tail-cost estimator a capacity planner wants.
+
+    Scale shape: EXACTLY the ml_logreg_irls pattern — per iteration ONE
+    whole-stage-codegen aggregate with the current beta inlined as
+    literals collects X'WX (d(d+1)/2 sums) and X'Wy (d sums); the 2x2
+    solve is driver-local; zero Python in the data path;
+    iters x taus scans over the persisted 2-column projection.
+
+    Rows-only (iterative driver solve); tests pin the defining
+    properties rather than a same-algorithm twin: the pinball loss of
+    each fit beats the OLS fit's pinball loss at its tau, and the
+    signed-residual split matches tau.
+    """
+    import numpy as np
+
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_extendedprice", "l_quantity")
+        .persist()
+    )
+    y = F.col("l_extendedprice")
+    cols = [F.lit(1.0), F.col("l_quantity")]
+    d = len(cols)
+    out = []
+    try:
+        # OLS warm start (w = 1): IRLS on the pinball loss from beta = 0
+        # converges to a poor fixed point (the 1/|r| weights of the cold
+        # start upweight whatever the zero line happens to pass near);
+        # from the OLS solution the reweighting descends properly.
+        aggs0 = [F.sum(cols[i] * y).alias(f"b_{i}") for i in range(d)]
+        for i in range(d):
+            for j in range(i, d):
+                aggs0.append(F.sum(cols[i] * cols[j]).alias(f"a_{i}_{j}"))
+        row0 = li.agg(*aggs0).collect()[0]
+        A0 = np.empty((d, d))
+        for i in range(d):
+            for j in range(i, d):
+                A0[i, j] = A0[j, i] = row0[f"a_{i}_{j}"]
+        beta_ols = np.linalg.solve(A0, np.array([row0[f"b_{i}"] for i in range(d)]))
+        for tau in QR_TAUS:
+            beta = beta_ols.copy()
+            for _ in range(QR_ITERS):
+                xb = F.lit(float(beta[0]))
+                for i in range(1, d):
+                    xb = xb + F.lit(float(beta[i])) * cols[i]
+                r = y - xb
+                absr = F.greatest(F.abs(r), F.lit(QR_EPS))
+                w = (
+                    F.when(r > 0, F.lit(float(tau))).otherwise(
+                        F.lit(float(1.0 - tau))
+                    )
+                    / absr
+                )
+                aggs = [F.sum(w * cols[i] * y).alias(f"b_{i}") for i in range(d)]
+                for i in range(d):
+                    for j in range(i, d):
+                        aggs.append(
+                            F.sum(w * cols[i] * cols[j]).alias(f"a_{i}_{j}")
+                        )
+                row = li.agg(*aggs).collect()[0]
+                A = np.empty((d, d))
+                for i in range(d):
+                    for j in range(i, d):
+                        A[i, j] = A[j, i] = row[f"a_{i}_{j}"]
+                b = np.array([row[f"b_{i}"] for i in range(d)])
+                beta = np.linalg.solve(A, b)
+            # converged pinball loss, one aggregate
+            xb = F.lit(float(beta[0]))
+            for i in range(1, d):
+                xb = xb + F.lit(float(beta[i])) * cols[i]
+            r = y - xb
+            pinball = F.when(r > 0, F.lit(float(tau)) * r).otherwise(
+                F.lit(float(tau - 1.0)) * r
+            )
+            stats = li.agg(
+                F.avg(pinball).alias("loss"),
+                F.avg(F.when(r < 0, 1.0).otherwise(0.0)).alias("neg_share"),
+            ).collect()[0]
+            t = str(tau).replace(".", "")
+            out += [
+                (f"tau{t}_intercept", float(round(beta[0], 6))),
+                (f"tau{t}_slope", float(round(beta[1], 6))),
+                (f"tau{t}_pinball_loss", float(round(stats.loss, 6))),
+                (f"tau{t}_neg_resid_share", float(round(stats.neg_share, 6))),
+            ]
+    finally:
+        li.unpersist(blocking=False)
+    return spark.createDataFrame(out, "term string, value double")

@@ -191,3 +191,41 @@ def test_piecewise_trend_matches_numpy_twin(spark, sf_dir, duck):
     assert got["rmse"] == pytest.approx(rmse, abs=1e-3)
     # OLS residuals are orthogonal to the design -> fitted beats mean
     assert rmse <= float(np.std(v)) + 1e-9
+
+
+def test_quantile_regression_properties(spark, sf_dir, duck):
+    """No same-algorithm twin: pin the DEFINING properties instead —
+    each tau-fit's pinball loss must beat the OLS line's pinball loss
+    at that tau, and the share of negative residuals must approximate
+    tau (the first-order condition of quantile regression)."""
+    import numpy as np
+
+    got = {
+        r.term: r.value
+        for r in REGISTRY["ml_quantile_regression"].fn(spark, sf_dir).collect()
+    }
+    rows = duck.sql(
+        "SELECT l_extendedprice, l_quantity FROM lineitem"
+    ).fetchnumpy()
+    y = rows["l_extendedprice"].astype(float)
+    x = rows["l_quantity"].astype(float)
+    X = np.column_stack([np.ones_like(x), x])
+    ols = np.linalg.lstsq(X, y, rcond=None)[0]
+
+    def pinball(b0, b1, tau):
+        r = y - (b0 + b1 * x)
+        return float(np.mean(np.where(r > 0, tau * r, (tau - 1.0) * r)))
+
+    for tau, t in [(0.5, "05"), (0.9, "09")]:
+        fit_loss = pinball(got[f"tau{t}_intercept"], got[f"tau{t}_slope"], tau)
+        ols_loss = pinball(ols[0], ols[1], tau)
+        assert fit_loss <= ols_loss + 1e-9, (tau, fit_loss, ols_loss)
+        assert got[f"tau{t}_pinball_loss"] == pytest.approx(fit_loss, abs=1e-4)
+        assert abs(got[f"tau{t}_neg_resid_share"] - tau) < 0.02, (
+            tau,
+            got[f"tau{t}_neg_resid_share"],
+        )
+    # P90 line sits above the median line over the data range
+    assert got["tau09_intercept"] + got["tau09_slope"] * float(np.mean(x)) > (
+        got["tau05_intercept"] + got["tau05_slope"] * float(np.mean(x))
+    )
