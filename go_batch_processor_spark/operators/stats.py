@@ -5196,3 +5196,176 @@ def profile_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("unsafe_row_share"),
     )
+
+
+@register(
+    "stats_mann_kendall",
+    oracle="""
+    WITH daily AS (
+      SELECT date_trunc('day', ts) AS d,
+             sum(CAST(round(value * 100) AS BIGINT)) AS v_cents
+      FROM events GROUP BY 1
+    ),
+    pairs AS (
+      SELECT CASE WHEN b.v_cents > a.v_cents THEN 1
+                  WHEN b.v_cents < a.v_cents THEN -1 ELSE 0 END AS sgn
+      FROM daily a JOIN daily b ON b.d > a.d
+    ),
+    ties AS (
+      SELECT CAST(count(*) AS BIGINT) AS t
+      FROM daily GROUP BY v_cents HAVING count(*) > 1
+    ),
+    agg AS (
+      SELECT (SELECT CAST(count(*) AS BIGINT) FROM daily)      AS n,
+             (SELECT CAST(sum(sgn) AS BIGINT) FROM pairs)      AS s,
+             (SELECT coalesce(CAST(sum(t * (t - 1) * (2 * t + 5)) AS BIGINT),
+                              0) FROM ties)                    AS tie_term
+    )
+    SELECT n, s,
+           round((n * (n - 1.0) * (2 * n + 5.0) - tie_term) / 18.0, 4)
+             AS var_s,
+           round(CASE WHEN s > 0 THEN (s - 1)
+                      WHEN s < 0 THEN (s + 1)
+                      ELSE 0 END
+                 / sqrt((n * (n - 1.0) * (2 * n + 5.0) - tie_term) / 18.0),
+                 6) AS z
+    FROM agg
+    """,
+)
+def stats_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Kendall trend test (Mann 1945, Kendall 1975) on the daily
+    revenue series: S = sum over ordered day pairs of sign(v_j - v_i),
+    variance with the standard tie correction, continuity-corrected
+    z — the nonparametric is-there-a-monotone-trend test whose slope
+    companion is timeseries_theil_sen (same pair machinery, different
+    statistic).
+
+    Determinism/parity shape: the comparison runs on EXACT integer
+    cents (no double sums anywhere until the final two divisions), so
+    sign/tie counts are exact integers; sqrt is IEEE-correctly-rounded.
+    Scale shape: the fact table compresses to one row per CALENDAR day
+    first, so the O(n^2) pair join is over a bounded frame (the
+    documented calendar-bounded exception; at 10+ years of days,
+    switch the pair sum to the O(n log n) merge-sort inversion count —
+    statistic unchanged).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.date_trunc("day", "ts").alias("d")).agg(
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("v_cents")
+    )
+    a = daily.select(F.col("d").alias("da"), F.col("v_cents").alias("va"))
+    b = daily.select(F.col("d").alias("db"), F.col("v_cents").alias("vb"))
+    sgn = (
+        F.when(F.col("vb") > F.col("va"), 1)
+        .when(F.col("vb") < F.col("va"), -1)
+        .otherwise(0)
+    )
+    s_df = (
+        a.join(b, F.col("db") > F.col("da"))
+        .agg(F.sum(sgn).cast("bigint").alias("s"))
+    )
+    n_df = daily.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    tie_df = (
+        daily.groupBy("v_cents")
+        .agg(F.count(F.lit(1)).alias("t"))
+        .filter(F.col("t") > 1)
+        .agg(
+            F.coalesce(
+                F.sum(
+                    F.col("t") * (F.col("t") - 1) * (2 * F.col("t") + 5)
+                ).cast("bigint"),
+                F.lit(0),
+            ).alias("tie_term")
+        )
+    )
+    n, s = F.col("n"), F.col("s")
+    var_s = (n * (n - 1.0) * (2 * n + 5.0) - F.col("tie_term")) / 18.0
+    s_cc = (
+        F.when(s > 0, s - 1).when(s < 0, s + 1).otherwise(0)
+    )
+    return (
+        n_df.crossJoin(s_df)
+        .crossJoin(tie_df)
+        .select(
+            "n",
+            "s",
+            F.round(var_s, 4).alias("var_s"),
+            F.round(s_cc / F.sqrt(var_s), 6).alias("z"),
+        )
+    )
+
+
+@register(
+    "stats_jarque_bera",
+    oracle="""
+    WITH m AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             avg(o_totalprice)        AS mu
+      FROM orders
+    ),
+    c AS (
+      SELECT m.n, m.mu,
+             sum((o_totalprice - m.mu) * (o_totalprice - m.mu)) / m.n AS m2,
+             sum((o_totalprice - m.mu) * (o_totalprice - m.mu)
+                 * (o_totalprice - m.mu)) / m.n AS m3,
+             sum((o_totalprice - m.mu) * (o_totalprice - m.mu)
+                 * (o_totalprice - m.mu) * (o_totalprice - m.mu)) / m.n AS m4
+      FROM orders, m GROUP BY m.n, m.mu
+    )
+    SELECT n,
+           round(m3 / (sqrt(m2) * sqrt(m2) * sqrt(m2)), 6) AS skewness,
+           round(m4 / (m2 * m2) - 3.0, 6)                  AS excess_kurtosis,
+           round(n / 6.0 * ((m3 / (sqrt(m2) * sqrt(m2) * sqrt(m2)))
+                            * (m3 / (sqrt(m2) * sqrt(m2) * sqrt(m2)))
+                            + (m4 / (m2 * m2) - 3.0)
+                              * (m4 / (m2 * m2) - 3.0) / 4.0), 4) AS jb_stat,
+           (n / 6.0 * ((m3 / (sqrt(m2) * sqrt(m2) * sqrt(m2)))
+                       * (m3 / (sqrt(m2) * sqrt(m2) * sqrt(m2)))
+                       + (m4 / (m2 * m2) - 3.0)
+                         * (m4 / (m2 * m2) - 3.0) / 4.0))
+             > 5.991464547107979 AS reject_normal_05
+    FROM c
+    """,
+)
+def stats_jarque_bera(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jarque-Bera normality test (Jarque & Bera 1980) on order totals:
+    JB = n/6 (skew^2 + excess_kurtosis^2/4), chi-square(2) reference
+    (0.95 critical value inlined as a literal — no CDF/libm needed for
+    the decision). The standard residual-normality gate before trusting
+    z-based intervals (cohens_d, ttest, proportion tests) on a metric.
+
+    Parity note: the two-pass moment computation (mean first, then
+    centered power sums against the mean as a cross-joined scalar)
+    keeps both engines summing the SAME doubles; the power sums ARE
+    unordered double aggregates, so outputs round (the established
+    stats_moments/cohens_d convention — values sit far from half
+    points). sqrt(m2)^3 is written as three sqrt-multiplies, not
+    pow(x, 1.5) (libm).
+
+    Scale shape: two partial-combinable aggregates over one scan each
+    (mean pass + centered-moments pass with the mean broadcast) — the
+    textbook two-pass moments plan; a single-pass raw-moment version
+    is catastrophically cancellation-prone at 100 TB magnitudes.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    m = o.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.avg("o_totalprice").alias("mu"),
+    )
+    dev = F.col("o_totalprice") - F.col("mu")
+    c = o.crossJoin(F.broadcast(m)).groupBy("n", "mu").agg(
+        (F.sum(dev * dev) / F.col("n")).alias("m2"),
+        (F.sum(dev * dev * dev) / F.col("n")).alias("m3"),
+        (F.sum(dev * dev * dev * dev) / F.col("n")).alias("m4"),
+    )
+    sd3 = F.sqrt(F.col("m2")) * F.sqrt(F.col("m2")) * F.sqrt(F.col("m2"))
+    skew = F.col("m3") / sd3
+    exk = F.col("m4") / (F.col("m2") * F.col("m2")) - 3.0
+    jb = F.col("n") / 6.0 * (skew * skew + exk * exk / 4.0)
+    return c.select(
+        "n",
+        F.round(skew, 6).alias("skewness"),
+        F.round(exk, 6).alias("excess_kurtosis"),
+        F.round(jb, 4).alias("jb_stat"),
+        (jb > 5.991464547107979).alias("reject_normal_05"),
+    )
