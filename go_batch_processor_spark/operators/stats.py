@@ -5369,3 +5369,96 @@ def stats_jarque_bera(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(jb, 4).alias("jb_stat"),
         (jb > 5.991464547107979).alias("reject_normal_05"),
     )
+
+
+@register(
+    "stats_kendall_tau",
+    oracle="""
+    WITH daily AS (
+      SELECT date_trunc('day', ts) AS d,
+             sum(CAST(round(value * 100) AS BIGINT)) AS rev,
+             CAST(count(*) AS BIGINT)                AS cnt
+      FROM events GROUP BY 1
+    ),
+    pairs AS (
+      SELECT CASE WHEN (b.rev - a.rev) * (b.cnt - a.cnt) > 0 THEN 1
+                  ELSE 0 END AS conc,
+             CASE WHEN (b.rev - a.rev) * (b.cnt - a.cnt) < 0 THEN 1
+                  ELSE 0 END AS disc,
+             CASE WHEN b.rev = a.rev AND b.cnt <> a.cnt THEN 1
+                  ELSE 0 END AS tie_x,
+             CASE WHEN b.cnt = a.cnt AND b.rev <> a.rev THEN 1
+                  ELSE 0 END AS tie_y
+      FROM daily a JOIN daily b ON b.d > a.d
+    ),
+    agg AS (
+      SELECT CAST(sum(conc) AS BIGINT)  AS nc,
+             CAST(sum(disc) AS BIGINT)  AS nd,
+             CAST(sum(tie_x) AS BIGINT) AS tx,
+             CAST(sum(tie_y) AS BIGINT) AS ty
+      FROM pairs
+    )
+    SELECT nc, nd,
+           round((nc - nd)
+                 / (sqrt(CAST(nc + nd + tx AS DOUBLE))
+                    * sqrt(CAST(nc + nd + ty AS DOUBLE))), 6) AS tau_b
+    FROM agg
+    """,
+)
+def stats_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall tau-b rank correlation (Kendall 1938) between daily
+    revenue and daily event count — the pair-concordance companion to
+    stats_spearman_corr: tau_b = (C - D) / sqrt((C+D+Tx)(C+D+Ty)) with
+    the standard tie adjustment. Preferred over Spearman when the
+    series is short and tie-heavy (counts!) because its tie treatment
+    is exact, not rank-averaged.
+
+    Determinism/parity: concordance signs compare EXACT integer cents
+    and integer counts (no doubles until the final division); sqrt is
+    IEEE. Scale: the O(n^2) pair join runs on the CALENDAR-BOUNDED
+    daily frame (the mann_kendall exception — at decades of days,
+    switch to the O(n log n) inversion-count formulation; statistic
+    identical). Raw-row Kendall at 100 TB is the thing you must NOT
+    compute pairwise — that is what stats_spearman_corr's compressed-
+    marginal rank path is for.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.date_trunc("day", "ts").alias("d")).agg(
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("rev"),
+        F.count(F.lit(1)).cast("bigint").alias("cnt"),
+    )
+    a = daily.select(
+        F.col("d").alias("da"), F.col("rev").alias("ra"), F.col("cnt").alias("ca")
+    )
+    b = daily.select(
+        F.col("d").alias("db"), F.col("rev").alias("rb"), F.col("cnt").alias("cb")
+    )
+    prod = (F.col("rb") - F.col("ra")) * (F.col("cb") - F.col("ca"))
+    agg = (
+        a.join(b, F.col("db") > F.col("da"))
+        .agg(
+            F.sum(F.when(prod > 0, 1).otherwise(0)).cast("bigint").alias("nc"),
+            F.sum(F.when(prod < 0, 1).otherwise(0)).cast("bigint").alias("nd"),
+            F.sum(
+                F.when(
+                    (F.col("rb") == F.col("ra")) & (F.col("cb") != F.col("ca")), 1
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("tx"),
+            F.sum(
+                F.when(
+                    (F.col("cb") == F.col("ca")) & (F.col("rb") != F.col("ra")), 1
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("ty"),
+        )
+    )
+    nc, nd = F.col("nc"), F.col("nd")
+    denom = F.sqrt((nc + nd + F.col("tx")).cast("double")) * F.sqrt(
+        (nc + nd + F.col("ty")).cast("double")
+    )
+    return agg.select(
+        "nc", "nd", F.round((nc - nd) / denom, 6).alias("tau_b")
+    )
