@@ -2307,3 +2307,94 @@ def timeseries_piecewise_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("n_days", float(n)),
     ]
     return spark.createDataFrame(out, "term string, value double")
+
+
+@register(
+    "timeseries_ar2_yule_walker",
+    oracle="""
+    WITH hourly AS (
+      SELECT date_trunc('hour', ts) AS h, sum(value) AS v
+      FROM events GROUP BY 1
+    ),
+    x1 AS (SELECT h, v, avg(v) OVER () AS mu FROM hourly),
+    x2 AS (
+      SELECT h, v, mu,
+             sum((v - mu) * (v - mu)) OVER () AS den,
+             row_number() OVER (ORDER BY h)   AS rn
+      FROM x1
+    ),
+    r AS (
+      SELECT sum(CASE WHEN a.rn - b.rn = 1
+                      THEN (a.v - a.mu) * (b.v - b.mu) END)
+               / any_value(a.den) AS r1,
+             sum(CASE WHEN a.rn - b.rn = 2
+                      THEN (a.v - a.mu) * (b.v - b.mu) END)
+               / any_value(a.den) AS r2
+      FROM x2 a JOIN x2 b ON a.rn - b.rn BETWEEN 1 AND 2
+    )
+    SELECT round(r1, 6) AS r1, round(r2, 6) AS r2,
+           round(r1 * (1 - r2) / (1 - r1 * r1), 6)  AS phi1,
+           round((r2 - r1 * r1) / (1 - r1 * r1), 6) AS phi2,
+           round(1 - (r1 * (1 - r2) / (1 - r1 * r1)) * r1
+                   - ((r2 - r1 * r1) / (1 - r1 * r1)) * r2, 6)
+             AS innovation_var_ratio
+    FROM r
+    """,
+)
+def timeseries_ar2_yule_walker(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AR(2) fit by the Yule-Walker closed form — the Box-Jenkins
+    ESTIMATION step after the identification diagnostics this suite
+    already carries (timeseries_acf, timeseries_pacf, ljung_box,
+    dickey_fuller): with sample autocorrelations r1, r2, the
+    Toeplitz system solves in closed form to
+    phi1 = r1(1 - r2)/(1 - r1^2), phi2 = (r2 - r1^2)/(1 - r1^2),
+    innovation variance ratio = 1 - phi1 r1 - phi2 r2 (share of the
+    series variance the AR(2) structure does NOT explain).
+
+    Plan shape: identical to timeseries_acf's — one partial-combinable
+    per-hour aggregate, grand mean and denominator as windows over the
+    agg output (never a second scan), a lag<=2 banded self-join on the
+    |hours| frame, then pure closed-form arithmetic (no solver, no
+    libm) on a 1-row frame. FULLY ORACLED: the DuckDB twin runs the
+    identical dataflow, and the Cramer-style closed form follows the
+    stats_granger_causality precedent for oracled model fits.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(F.date_trunc("hour", "ts").alias("h")).agg(
+        F.sum("value").alias("v")
+    )
+    w_all = Window.partitionBy()
+    x1 = hourly.select("h", "v", F.avg("v").over(w_all).alias("mu"))
+    x2 = x1.select(
+        "h",
+        "v",
+        "mu",
+        F.sum((F.col("v") - F.col("mu")) * (F.col("v") - F.col("mu")))
+        .over(w_all)
+        .alias("den"),
+        F.row_number().over(Window.partitionBy().orderBy("h")).alias("rn"),
+    )
+    a, b = x2.alias("a"), x2.alias("b")
+    lag = F.col("a.rn") - F.col("b.rn")
+    prod = (F.col("a.v") - F.col("a.mu")) * (F.col("b.v") - F.col("b.mu"))
+    r = (
+        a.join(b, (lag >= 1) & (lag <= 2))
+        .agg(
+            (F.sum(F.when(lag == 1, prod)) / F.first(F.col("a.den"))).alias(
+                "r1"
+            ),
+            (F.sum(F.when(lag == 2, prod)) / F.first(F.col("a.den"))).alias(
+                "r2"
+            ),
+        )
+    )
+    r1, r2 = F.col("r1"), F.col("r2")
+    phi1 = r1 * (1 - r2) / (1 - r1 * r1)
+    phi2 = (r2 - r1 * r1) / (1 - r1 * r1)
+    return r.select(
+        F.round(r1, 6).alias("r1"),
+        F.round(r2, 6).alias("r2"),
+        F.round(phi1, 6).alias("phi1"),
+        F.round(phi2, 6).alias("phi2"),
+        F.round(1 - phi1 * r1 - phi2 * r2, 6).alias("innovation_var_ratio"),
+    )
