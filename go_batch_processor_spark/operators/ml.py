@@ -1809,3 +1809,173 @@ def ml_quantile_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         li.unpersist(blocking=False)
     return spark.createDataFrame(out, "term string, value double")
+
+
+IFOREST_TREES = 50
+IFOREST_PSI = 256  # per-tree subsample (Liu et al.'s standard psi)
+IFOREST_FEATURES = ["l_quantity", "l_extendedprice", "l_discount"]
+IFOREST_TOP_K = 20
+
+
+def _iforest_c(n: float) -> float:
+    """Average unsuccessful-search path length of a BST of n nodes —
+    the iForest normalizer c(n) (Liu, Ting & Zhou 2008, eq. 1)."""
+    import math
+
+    if n <= 1.0:
+        return 0.0
+    return 2.0 * (math.log(n - 1.0) + 0.5772156649015329) - 2.0 * (n - 1.0) / n
+
+
+def _iforest_build(sample, n_trees: int, psi: int, seed: int):
+    """Grow an isolation forest on a driver-side (psi-bounded) sample:
+    each tree takes a seeded random psi-subset and splits on a uniform
+    random (feature, threshold) until isolation or the log2(psi) depth
+    cap. Pure-python, deterministic via the seeded Random instance.
+    Trees serialize as flat dicts of lists (closure-friendly for the
+    Arrow scorer)."""
+    import math
+    import random
+
+    rng = random.Random(seed)
+    n, d = sample.shape
+    depth_cap = max(1, math.ceil(math.log2(max(2, psi))))
+    trees = []
+    for _ in range(n_trees):
+        idx = [rng.randrange(n) for _ in range(min(psi, n))]
+        feat, thr, left, right, leaf_n = [], [], [], [], []
+
+        def grow(rows, depth):
+            node = len(feat)
+            feat.append(-1)
+            thr.append(0.0)
+            left.append(-1)
+            right.append(-1)
+            leaf_n.append(0)
+            spreads = [
+                (j, min(sample[r][j] for r in rows), max(sample[r][j] for r in rows))
+                for j in range(d)
+            ]
+            spreads = [(j, lo, hi) for j, lo, hi in spreads if hi > lo]
+            if depth >= depth_cap or len(rows) <= 1 or not spreads:
+                leaf_n[node] = len(rows)
+                return node
+            j, lo, hi = spreads[rng.randrange(len(spreads))]
+            t = rng.uniform(lo, hi)
+            l_rows = [r for r in rows if sample[r][j] < t]
+            r_rows = [r for r in rows if sample[r][j] >= t]
+            if not l_rows or not r_rows:
+                leaf_n[node] = len(rows)
+                return node
+            feat[node] = j
+            thr[node] = t
+            left[node] = grow(l_rows, depth + 1)
+            right[node] = grow(r_rows, depth + 1)
+            return node
+
+        grow(idx, 0)
+        trees.append(
+            {"feat": feat, "thr": thr, "left": left, "right": right, "leaf_n": leaf_n}
+        )
+    return trees
+
+
+def _iforest_score_pdf(X, trees, psi: int):
+    """Vectorized-enough scorer: per tree, walk every row down the flat
+    tree with index arrays (depth-capped loop, no per-row Python
+    recursion); anomaly score = 2^(-avg_path/c(psi))."""
+    import numpy as np
+
+    n = X.shape[0]
+    total = np.zeros(n)
+    for t in trees:
+        feat = np.array(t["feat"])
+        thr = np.array(t["thr"])
+        left = np.array(t["left"])
+        right = np.array(t["right"])
+        leaf_n = np.array(t["leaf_n"])
+        node = np.zeros(n, dtype=np.int64)
+        depth = np.zeros(n)
+        active = feat[node] >= 0
+        while active.any():
+            f = feat[node[active]]
+            goes_left = X[active, f] < thr[node[active]]
+            nxt = np.where(goes_left, left[node[active]], right[node[active]])
+            node[active] = nxt
+            depth[active] += 1
+            active = feat[node] >= 0
+        total += depth + np.array(
+            [_iforest_c(float(k)) for k in leaf_n[node]]
+        )
+    avg = total / len(trees)
+    return 2.0 ** (-avg / _iforest_c(float(psi)))
+
+
+@register("ml_isolation_forest", tags={"rows_only"})
+def ml_isolation_forest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Isolation forest anomaly detection (Liu, Ting & Zhou 2008) over
+    lineitem (quantity, price, discount): the standard ML outlier
+    screen beyond the z-score family (analytics_anomaly_zscore /
+    robust_zscore_mad are univariate; CUSUM is sequential) — isolation
+    depth captures MULTIVARIATE rarity with no distributional
+    assumption. Returns the top-{IFOREST_TOP_K} most anomalous line
+    items.
+
+    Scale shape — the iForest contract is exactly the bounded-
+    sufficient-stats idiom: training NEVER sees the corpus (the
+    algorithm is DEFINED on psi={IFOREST_PSI}-row subsamples; one
+    deterministic hash-ordered 4*psi-row collect feeds all
+    {IFOREST_TREES} seeded trees), and scoring streams the full table
+    through an Arrow mapInPandas-class kernel with the flat trees in
+    closure — index-array traversal per batch, no per-row Python, no
+    shuffle until the final top-k (TakeOrderedAndProject). Deterministic
+    end-to-end: hash-ordered sample, seeded Random, IEEE scoring.
+
+    Rows-only; tests/test_ml.py isolates a manufactured far-outlier
+    with the same helpers and pins score range/determinism (property
+    tests — a same-code twin would be circular).
+    """
+    import numpy as np
+    import pandas as pd
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", *IFOREST_FEATURES
+    )
+    # deterministic psi*4 sample: hash-order on the stable key pair
+    srows = (
+        li.withColumn(
+            "_h", F.xxhash64(F.col("l_orderkey"), F.col("l_linenumber"))
+        )
+        .orderBy("_h")
+        .limit(IFOREST_PSI * 4)
+        .collect()
+    )
+    sample = np.array(
+        [[float(r[f]) for f in IFOREST_FEATURES] for r in srows]
+    )
+    trees = _iforest_build(sample, IFOREST_TREES, IFOREST_PSI, seed=42)
+    feats = list(IFOREST_FEATURES)
+
+    def score_iter(batches):
+        for pdf in batches:
+            X = pdf[feats].to_numpy(dtype="float64")
+            out = pdf[["l_orderkey", "l_linenumber"]].copy()
+            out["score"] = _iforest_score_pdf(X, trees, IFOREST_PSI)
+            yield out
+
+    scored = li.mapInPandas(
+        score_iter, "l_orderkey long, l_linenumber int, score double"
+    )
+    return (
+        scored.select(
+            "l_orderkey",
+            "l_linenumber",
+            F.round("score", 6).alias("score"),
+        )
+        .orderBy(
+            F.col("score").desc(),
+            F.col("l_orderkey").asc(),
+            F.col("l_linenumber").asc(),
+        )
+        .limit(IFOREST_TOP_K)
+    )

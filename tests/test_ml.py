@@ -624,3 +624,43 @@ def test_frequent_directions_spectral_guarantee(spark, sf_dir):
     B = _fd_shrink(A, FD_SKETCH_L)
     diff = A.T @ A - B.T @ B
     assert np.linalg.norm(diff, 2) <= bound + 1e-6
+
+
+def test_isolation_forest_isolates_manufactured_outlier():
+    """Property tests on the iForest helpers (a same-code twin would be
+    circular): a far outlier in a tight cluster must receive the top
+    score, scores stay in (0, 1], and the build is deterministic."""
+    import numpy as np
+
+    from go_batch_processor_spark.operators.ml import (
+        _iforest_build,
+        _iforest_score_pdf,
+    )
+
+    rng = np.random.RandomState(7)
+    cluster = rng.normal(0.0, 1.0, size=(300, 3))
+    outlier = np.array([[25.0, -30.0, 40.0]])
+    data = np.vstack([cluster, outlier])
+    trees = _iforest_build(data, n_trees=50, psi=128, seed=42)
+    scores = _iforest_score_pdf(data, trees, 128)
+    assert 0.0 < scores.min() and scores.max() <= 1.0
+    assert int(np.argmax(scores)) == 300  # the planted outlier wins
+    # outlier separates clearly from the cluster's typical score
+    assert scores[300] > np.percentile(scores[:300], 99)
+    # determinism: same seed -> identical forest and scores
+    trees2 = _iforest_build(data, n_trees=50, psi=128, seed=42)
+    scores2 = _iforest_score_pdf(data, trees2, 128)
+    assert np.array_equal(scores, scores2)
+
+
+def test_isolation_forest_query_shape(spark, sf_dir):
+    from go_batch_processor_spark.operators.ml import IFOREST_TOP_K
+
+    rows = REGISTRY["ml_isolation_forest"].fn(spark, sf_dir).collect()
+    assert len(rows) == IFOREST_TOP_K
+    scores = [r.score for r in rows]
+    assert scores == sorted(scores, reverse=True)
+    assert all(0.0 < s <= 1.0 for s in scores)
+    # rerun is bit-identical (hash-ordered sample + seeded forest)
+    rows2 = REGISTRY["ml_isolation_forest"].fn(spark, sf_dir).collect()
+    assert rows == rows2
