@@ -1768,3 +1768,101 @@ def similarity_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.first("nb").cast("bigint").alias("n_b"),
         )
     )
+
+
+@register(
+    "similarity_silhouette_simplified",
+    oracle=f"""
+    WITH flat AS (
+      SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
+             generate_subscripts(embedding, 1) AS i
+      FROM embeddings
+    ),
+    cflat AS (SELECT vec_id AS cid, v, i FROM flat WHERE vec_id < {ASSIGN_K}),
+    norms AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM flat GROUP BY vec_id),
+    dots AS (
+      SELECT f.vec_id, c.cid, sum(f.v * c.v) AS dot
+      FROM flat f JOIN cflat c ON f.i = c.i
+      GROUP BY 1, 2
+    ),
+    scored AS (
+      SELECT d.vec_id, d.cid, d.dot / (n1.nrm * n2.nrm) AS cos
+      FROM dots d
+      JOIN norms n1 ON d.vec_id = n1.vec_id
+      JOIN norms n2 ON d.cid = n2.vec_id
+    ),
+    r AS (
+      SELECT vec_id, cid, cos,
+             row_number() OVER (PARTITION BY vec_id
+                                ORDER BY cos DESC, cid ASC) AS rn
+      FROM scored
+    ),
+    top2 AS (
+      SELECT vec_id,
+             max(CASE WHEN rn = 1 THEN cid END) AS centroid_id,
+             max(CASE WHEN rn = 1 THEN cos END) AS c1,
+             max(CASE WHEN rn = 2 THEN cos END) AS c2
+      FROM r WHERE rn <= 2 GROUP BY vec_id
+    )
+    SELECT centroid_id,
+           CAST(count(*) AS BIGINT) AS n_members,
+           round(avg((c1 - c2) / greatest(1 - c1, 1 - c2)), 6)
+             AS mean_silhouette
+    FROM top2
+    GROUP BY centroid_id
+    ORDER BY centroid_id
+    """,
+)
+def similarity_silhouette_simplified(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Simplified (centroid-based) silhouette per cluster — the
+    clustering-quality readout for the fixed-centroid assignment
+    (similarity_centroid_assign's building block): with cosine
+    DISTANCE d = 1 - cos, a = distance to the OWN (nearest) centroid,
+    b = to the runner-up, s = (b - a)/max(a, b) = (c1 - c2) /
+    max(1-c1, 1-c2) in similarity terms (Hruschka et al.'s simplified
+    silhouette — O(N*K) where the exact silhouette's pairwise form is
+    O(N^2), the only version that scales).
+
+    Plan shape: same single broadcast-centroids scan as centroid
+    assignment; the per-vector top-2 collapses via ONE map-side
+    partial-combinable aggregate (array_sort over the K-element struct
+    list, K=16 — not a rank window, which would shuffle all K*N scored
+    rows), then a K-row cluster aggregate. Dot products fold dims in
+    index order on both engines; ties break (cos DESC, cid ASC)
+    identically.
+    """
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", _as_double(F.col("embedding")).alias("emb")
+    )
+    cents = e.filter(F.col("vec_id") < ASSIGN_K).select(
+        F.col("vec_id").alias("cid"), F.col("emb").alias("cemb")
+    )
+    cos = _dot(F.col("emb"), F.col("cemb")) / (
+        _norm(F.col("emb")) * _norm(F.col("cemb"))
+    )
+    scored = e.crossJoin(F.broadcast(cents)).select(
+        "vec_id", "cid", cos.alias("cos")
+    )
+    # ascending sort of (-cos, cid) structs == (cos DESC, cid ASC)
+    arr = F.array_sort(
+        F.collect_list(
+            F.struct((-F.col("cos")).alias("nc"), F.col("cid").alias("cid"))
+        )
+    )
+    top2 = scored.groupBy("vec_id").agg(
+        F.element_at(arr, 1).alias("b1"), F.element_at(arr, 2).alias("b2")
+    )
+    c1 = -F.col("b1.nc")
+    c2 = -F.col("b2.nc")
+    s = (c1 - c2) / F.greatest(1 - c1, 1 - c2)
+    return (
+        top2.select(F.col("b1.cid").alias("centroid_id"), s.alias("s"))
+        .groupBy("centroid_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_members"),
+            F.round(F.avg("s"), 6).alias("mean_silhouette"),
+        )
+        .orderBy("centroid_id")
+    )
