@@ -5080,7 +5080,11 @@ def stats_bayesian_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
     Rows-only: the sum needs lgamma (libm — no bit-exact SQL twin; the
     KM lesson); tests pin it against an independent trapezoid
     integration of P(B > A) = integral pdf_B(x) CDF_A(x) dx and the
-    symmetry/coherence identities."""
+    symmetry/coherence identities. Driver-loop length is
+    conversions_B + 1: fine through millions; at 10^8+ conversions the
+    posteriors are needle-sharp and the documented swap is the normal
+    approximation z = (m_B - m_A)/sqrt(v_A + v_B) (error < 1e-12 there
+    — same answer, O(1))."""
     horizon_h = 48
     ev = load_table(spark, sf_dir, "events")
     users = ev.groupBy("user_id").agg(
