@@ -1221,3 +1221,295 @@ def graph_closeness_landmarks(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         edges.unpersist(blocking=False)
+
+
+LOCAL_CC_TOP_K = 20
+
+
+@register(
+    "graph_local_clustering",
+    oracle=f"""
+    WITH pairs AS (
+      SELECT DISTINCT a.l_partkey AS pa, b.l_partkey AS pb
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ),
+    deg AS (
+      SELECT n, CAST(count(*) AS BIGINT) AS d FROM (
+        SELECT pa AS n FROM pairs UNION ALL SELECT pb AS n FROM pairs
+      ) GROUP BY n
+    ),
+    tris AS (
+      SELECT e1.pa AS x, e1.pb AS y, e2.pb AS z
+      FROM pairs e1
+      JOIN pairs e2 ON e2.pa = e1.pb
+      JOIN pairs e3 ON e3.pa = e1.pa AND e3.pb = e2.pb
+    ),
+    tri_n AS (
+      SELECT n, CAST(count(*) AS BIGINT) AS t FROM (
+        SELECT x AS n FROM tris UNION ALL
+        SELECT y AS n FROM tris UNION ALL
+        SELECT z AS n FROM tris
+      ) GROUP BY n
+    )
+    SELECT deg.n AS node, deg.d AS degree,
+           coalesce(tri_n.t, 0) AS n_tri,
+           CAST(2.0 * coalesce(tri_n.t, 0) AS DOUBLE)
+             / (deg.d * (deg.d - 1)) AS local_cc
+    FROM deg LEFT JOIN tri_n ON tri_n.n = deg.n
+    WHERE deg.d >= 2
+    ORDER BY local_cc DESC, node ASC
+    LIMIT {LOCAL_CC_TOP_K}
+    """,
+)
+def graph_local_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local clustering coefficient (Watts & Strogatz 1998) per node of
+    the part co-purchase graph: cc(v) = 2·T(v) / (d(v)·(d(v)−1)), the
+    fraction of v's neighbor pairs that are themselves connected — the
+    per-node refinement of graph_triangle_count's global census (community
+    tightness, spam/bot-ring signal). Top-20 by cc (ties by node id).
+
+    Parity: T(v) and d(v) are exact integers; cc is ONE IEEE double
+    division of integers — bit-deterministic, no rounding needed. The
+    triangle SET is orientation-invariant, so Spark enumerates with the
+    Suri-Vassilvitskii degree orientation (wedge fanout bounded by
+    C(out_deg ≈ sqrt(2m), 2); see graph_triangle_count) while the oracle
+    keeps the simple id order; per-node membership counts agree because
+    they count the same triangles. Scale: edges and the oriented DAG are
+    localCheckpoint-materialized once; per-node counts are
+    partial-combinable aggregates; top-k is TakeOrderedAndProject."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a = li.alias("a")
+    b = li.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(F.col("a.l_partkey").alias("pa"), F.col("b.l_partkey").alias("pb"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    deg = (
+        edges.select(F.col("pa").alias("n"))
+        .unionAll(edges.select(F.col("pb").alias("n")))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("d"))
+    )
+    da = deg.select(F.col("n").alias("pa"), F.col("d").alias("da"))
+    db = deg.select(F.col("n").alias("pb"), F.col("d").alias("db"))
+    a_first = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("pa") < F.col("pb"))
+    )
+    oriented = (
+        edges.join(da, "pa")
+        .join(db, "pb")
+        .select(
+            F.when(a_first, F.col("pa")).otherwise(F.col("pb")).alias("s"),
+            F.when(a_first, F.col("pb")).otherwise(F.col("pa")).alias("t"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    e1 = oriented.select(F.col("s").alias("x"), F.col("t").alias("y"))
+    e2 = oriented.select(F.col("s").alias("y2"), F.col("t").alias("z"))
+    e3 = oriented.select(F.col("s").alias("x3"), F.col("t").alias("z3"))
+    tris = (
+        e1.join(e2, F.col("y") == F.col("y2"))
+        .join(e3, (F.col("x") == F.col("x3")) & (F.col("z") == F.col("z3")))
+        .select("x", "y", "z")
+    )
+    tri_n = (
+        tris.select(F.col("x").alias("n"))
+        .unionAll(tris.select(F.col("y").alias("n")))
+        .unionAll(tris.select(F.col("z").alias("n")))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("t"))
+    )
+    return (
+        deg.filter(F.col("d") >= 2)
+        .join(tri_n, "n", "left")
+        .select(
+            F.col("n").alias("node"),
+            F.col("d").alias("degree"),
+            F.coalesce(F.col("t"), F.lit(0)).cast("bigint").alias("n_tri"),
+            (
+                2.0 * F.coalesce(F.col("t"), F.lit(0))
+                / (F.col("d") * (F.col("d") - 1))
+            ).alias("local_cc"),
+        )
+        .orderBy(F.col("local_cc").desc(), F.col("node").asc())
+        .limit(LOCAL_CC_TOP_K)
+    )
+
+
+RA_TOP_K = 20
+RA_FP_SCALE = 1_000_000_000_000  # 1e12 fixed-point units for 1/deg terms
+
+
+@register(
+    "graph_resource_allocation",
+    oracle=f"""
+    WITH pairs AS (
+      SELECT DISTINCT user_id AS u,
+             CAST(json_extract_string(props, '$.k') AS BIGINT) AS i
+      FROM events
+      WHERE json_extract_string(props, '$.k') IS NOT NULL
+    ),
+    ideg AS (
+      SELECT i, CAST(floor({RA_FP_SCALE}.0 / count(*)) AS BIGINT) AS unit
+      FROM pairs GROUP BY i
+    ),
+    common AS (
+      SELECT a.u AS u1, b.u AS u2,
+             CAST(count(*) AS BIGINT) AS n_common,
+             CAST(sum(ideg.unit) AS BIGINT) AS score_fp
+      FROM pairs a
+      JOIN pairs b ON a.i = b.i AND a.u < b.u
+      JOIN ideg ON ideg.i = a.i
+      GROUP BY a.u, b.u
+    )
+    SELECT u1, u2, n_common,
+           score_fp / {RA_FP_SCALE}.0 AS ra_score
+    FROM common
+    ORDER BY score_fp DESC, u1 ASC, u2 ASC
+    LIMIT {RA_TOP_K}
+    """,
+)
+def graph_resource_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resource-allocation link prediction (Zhou, Lü & Zhang 2009):
+    RA(u,v) = Σ_{z ∈ N(u)∩N(v)} 1/deg(z) — like Adamic-Adar but weighting
+    common neighbors by 1/deg instead of 1/log(deg), which (a) empirically
+    beats AA on dense graphs and (b) avoids libm log entirely (the
+    cross-engine determinism doctrine: ln's last bit varies per
+    host/toolchain; 1/deg stays in IEEE-exact arithmetic).
+
+    Determinism without rounding: each item's contribution is the exact
+    integer floor(1e12/deg) (floor of the same IEEE quotient on both
+    engines — no round() half-point hazard), per-pair scores are exact
+    BIGINT sums of those units (order-independent), and the top-20 is
+    ordered by the INTEGER score (ties by pair id) — so the displayed
+    double ra_score = score_fp/1e12 is one exact-rounded IEEE division
+    of identical operands. Max score_fp ≈ n_common·1e12 < 2^53 through
+    thousands of common items.
+
+    Scale shape: identical to the Jaccard self-join regime (one item-keyed
+    equi-join, partial-combinable pair agg, TakeOrderedAndProject top-k).
+    The per-item unit join rides the SAME item-keyed shuffle as the pair
+    join (co-partitioned). Hot items: 1/deg makes a 10M-degree item
+    contribute ~0 signal, so at 100 TB the `_jaccard_selfjoin_scored`
+    degree cap applies verbatim (drop from pair GENERATION only)."""
+    e = load_table(spark, sf_dir, "events")
+    pairs = (
+        e.select(
+            "user_id",
+            F.get_json_object("props", "$.k").cast("long").alias("i"),
+        )
+        .filter(F.col("i").isNotNull())
+        .distinct()
+    )
+    ideg = pairs.groupBy("i").agg(
+        F.floor(F.lit(float(RA_FP_SCALE)) / F.count(F.lit(1)))
+        .cast("bigint")
+        .alias("unit")
+    )
+    ap = pairs.select(F.col("user_id").alias("u1"), "i")
+    bp = pairs.select(F.col("user_id").alias("u2"), "i")
+    common = (
+        ap.join(bp, "i")
+        .filter(F.col("u1") < F.col("u2"))
+        .join(ideg, "i")
+        .groupBy("u1", "u2")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_common"),
+            F.sum("unit").cast("bigint").alias("score_fp"),
+        )
+    )
+    return (
+        common.orderBy(F.col("score_fp").desc(), F.col("u1").asc(), F.col("u2").asc())
+        .limit(RA_TOP_K)
+        .select(
+            "u1",
+            "u2",
+            "n_common",
+            (F.col("score_fp") / F.lit(float(RA_FP_SCALE))).alias("ra_score"),
+        )
+    )
+
+
+@register(
+    "graph_degree_assortativity",
+    oracle="""
+    WITH pairs AS (
+      SELECT DISTINCT user_id * 2 AS u,
+             CAST(json_extract_string(props, '$.k') AS BIGINT) * 2 + 1 AS i
+      FROM events
+      WHERE json_extract_string(props, '$.k') IS NOT NULL
+    ),
+    edges AS (
+      SELECT u AS src, i AS dst FROM pairs
+      UNION ALL
+      SELECT i AS src, u AS dst FROM pairs
+    ),
+    deg AS (SELECT src AS n, CAST(count(*) AS BIGINT) AS d FROM edges GROUP BY src),
+    ed AS (
+      SELECT ds.d AS dx, dd.d AS dy
+      FROM edges e JOIN deg ds ON ds.n = e.src JOIN deg dd ON dd.n = e.dst
+    ),
+    s AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(dx) AS BIGINT) AS sx, CAST(sum(dy) AS BIGINT) AS sy,
+             CAST(sum(dx * dx) AS BIGINT) AS sxx,
+             CAST(sum(dy * dy) AS BIGINT) AS syy,
+             CAST(sum(dx * dy) AS BIGINT) AS sxy
+      FROM ed
+    )
+    SELECT n AS n_directed_edges,
+           round((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                 / (sqrt(CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                    * sqrt(CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)),
+                 6) AS assortativity
+    FROM s
+    """,
+)
+def graph_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity (Newman 2002, the Pearson-over-edge-ends
+    form): correlation of (deg(src), deg(dst)) across the directed edge
+    list of the bipartite interaction graph. Negative r = hubs attach to
+    leaves (typical for user-item graphs); the one-number mixing summary
+    that decides whether hot-key mitigations (salting, degree caps) will
+    be load-bearing on THIS graph.
+
+    Parity: all sufficient stats are exact BIGINT sums of integer degree
+    products (order-independent); the final r is a fixed expression tree
+    of IEEE double ops over those integers — round(6) guards only the
+    double->decimal display. Scale: two broadcastable degree lookups (or
+    one co-partitioned join at 100 TB), one partial-combinable aggregate;
+    no edge ever pairs with another edge."""
+    edges = interaction_edges(spark, sf_dir)
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).cast("bigint").alias("d"))
+    ds = deg.select(F.col("src").alias("s_"), F.col("d").alias("dx"))
+    dd = deg.select(F.col("src").alias("t_"), F.col("d").alias("dy"))
+    ed = (
+        edges.join(ds, edges.src == F.col("s_"))
+        .join(dd, edges.dst == F.col("t_"))
+        .select("dx", "dy")
+    )
+    s = ed.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("dx").cast("bigint").alias("sx"),
+        F.sum("dy").cast("bigint").alias("sy"),
+        F.sum(F.col("dx") * F.col("dx")).cast("bigint").alias("sxx"),
+        F.sum(F.col("dy") * F.col("dy")).cast("bigint").alias("syy"),
+        F.sum(F.col("dx") * F.col("dy")).cast("bigint").alias("sxy"),
+    )
+    n_d = F.col("n").cast("double")
+    sx_d, sy_d = F.col("sx").cast("double"), F.col("sy").cast("double")
+    num = n_d * F.col("sxy") - sx_d * F.col("sy")
+    den = F.sqrt(n_d * F.col("sxx") - sx_d * F.col("sx")) * F.sqrt(
+        n_d * F.col("syy") - sy_d * F.col("sy")
+    )
+    return s.select(
+        F.col("n").alias("n_directed_edges"),
+        F.round(num / den, 6).alias("assortativity"),
+    )
