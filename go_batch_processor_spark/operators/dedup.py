@@ -899,3 +899,84 @@ def dedup_incremental_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(jac >= JACCARD_THRESHOLD)
         .select("old_doc", "new_doc", F.round(jac, 4).alias("jaccard"))
     )
+
+
+CONTAINMENT_THRESHOLD = 0.8
+
+
+@register(
+    "dedup_containment_ngram",
+    oracle=f"""
+    WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    sh AS (
+      SELECT doc_id,
+             unnest(list_distinct(list_transform(range(1, len(w) - 1),
+                    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS shingle
+      FROM words
+    ),
+    sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sh FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(count(*) AS BIGINT) AS i
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    scored AS (
+      SELECT doc_a, doc_b, i AS n_common,
+             floor(i * 10000.0 / sa.n_sh + 0.5) / 10000.0 AS cont_a,
+             floor(i * 10000.0 / sb.n_sh + 0.5) / 10000.0 AS cont_b
+      FROM inter
+      JOIN sizes sa ON doc_a = sa.doc_id
+      JOIN sizes sb ON doc_b = sb.doc_id
+    )
+    SELECT doc_a, doc_b, n_common, cont_a, cont_b
+    FROM scored
+    WHERE cont_a >= {CONTAINMENT_THRESHOLD} OR cont_b >= {CONTAINMENT_THRESHOLD}
+    """,
+)
+def dedup_containment_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric shingle CONTAINMENT (Broder 1997's resemblance
+    companion): cont(A in B) = |S(A) ∩ S(B)| / |S(A)|. Catches what
+    Jaccard misses — a short document wholly embedded in a much longer
+    one scores near-zero Jaccard (union is dominated by the long doc)
+    but containment ~1. This is the sub-document / quote / boilerplate
+    detector for training-data curation; pairs where either direction
+    >= {CONTAINMENT_THRESHOLD} are flagged.
+
+    Parity: intersection and sizes are exact integers from the same
+    inverted-index join as dedup_ngram_jaccard; the ratio is fixed to 4
+    decimals via the doctrine's floor(x*1e4 + 0.5) trick (NOT round()) —
+    shingle-set sizes are small denominators, so exact half-points are
+    likely and the two engines' round() implementations diverge there
+    (SCALE.md round-7 determinism notes). Scale: identical to the exact
+    Jaccard path — inverted-index join with the STOP_SHINGLE_MAX_DF
+    boilerplate cutoff bounding per-shingle fanout; the LSH-banded
+    pairer generates candidates at 100 TB."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = doc_shingles(docs).localCheckpoint(eager=False)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).cast("bigint").alias("n_sh"))
+    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"))
+    fp = lambda i, n: F.floor(i * 10000.0 / n + 0.5) / 10000.0
+    scored = (
+        inter.join(F.broadcast(sa), "doc_a")
+        .join(F.broadcast(sb), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_common",
+            fp(F.col("n_common"), F.col("na")).alias("cont_a"),
+            fp(F.col("n_common"), F.col("nb")).alias("cont_b"),
+        )
+    )
+    return scored.filter(
+        (F.col("cont_a") >= CONTAINMENT_THRESHOLD)
+        | (F.col("cont_b") >= CONTAINMENT_THRESHOLD)
+    )

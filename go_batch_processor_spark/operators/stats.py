@@ -5466,3 +5466,413 @@ def stats_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.select(
         "nc", "nd", F.round((nc - nd) / denom, 6).alias("tau_b")
     )
+
+@register(
+    "stats_concordance_cindex",
+    oracle="""
+    WITH users AS (
+      SELECT user_id,
+             min(ts) AS t0,
+             min(CASE WHEN event_type = 'purchase' THEN ts END) AS tp,
+             CAST(count(*) AS BIGINT) AS score
+      FROM events GROUP BY user_id
+    ),
+    subjects AS (
+      SELECT CASE WHEN tp IS NOT NULL
+                   AND date_diff('second', t0, tp) < 48 * 3600
+                  THEN CAST(floor(date_diff('second', t0, tp) / 3600.0)
+                            AS BIGINT)
+                  ELSE CAST(48 AS BIGINT) END AS dur_h,
+             CASE WHEN tp IS NOT NULL
+                   AND date_diff('second', t0, tp) < 48 * 3600
+                  THEN 1 ELSE 0 END AS converted,
+             score
+      FROM users
+    ),
+    g AS (
+      SELECT dur_h, converted, score, CAST(count(*) AS BIGINT) AS cnt
+      FROM subjects GROUP BY dur_h, converted, score
+    ),
+    pr AS (
+      SELECT a.score AS sa, b.score AS sb, a.cnt * b.cnt AS w
+      FROM g a JOIN g b
+        ON a.converted = 1
+       AND (a.dur_h < b.dur_h OR (a.dur_h = b.dur_h AND b.converted = 0))
+    ),
+    acc AS (
+      SELECT CAST(sum(w) AS BIGINT) AS n_pairs,
+             CAST(sum(CASE WHEN sa > sb THEN w ELSE 0 END) AS BIGINT)
+               AS n_concordant,
+             CAST(sum(CASE WHEN sa = sb THEN w ELSE 0 END) AS BIGINT)
+               AS n_tied
+      FROM pr
+    )
+    SELECT n_pairs, n_concordant, n_tied,
+           (2 * n_concordant + n_tied) / (2.0 * n_pairs) AS c_index
+    FROM acc
+    """,
+)
+def stats_concordance_cindex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Harrell's concordance index (Harrell et al. 1982) for the
+    time-to-conversion model family (stats_kaplan_meier framing): the
+    probability that of two comparable subjects, the one with the higher
+    risk score (here: total event count — activity as conversion
+    propensity) converts first. The standard discrimination metric that
+    completes the survival suite (KM curve -> log-rank -> Cox fit ->
+    C-index evaluation); C = 0.5 is random, 1.0 perfect.
+
+    Comparable pairs (i, j): i converted AND (dur_i < dur_j, or
+    dur_i = dur_j with j censored — j provably survived at least as
+    long). Tied-duration event pairs are excluded (unorderable), tied
+    scores count 1/2 (counted as 2*conc + ties over 2*pairs so every
+    intermediate is an exact BIGINT; the c_index is ONE IEEE division).
+
+    Scale shape: subjects compress to the (dur_h, converted, score)
+    DISTINCT-combination frame before any pairing — durations are
+    horizon-bounded (<= 49) and scores integer, so the pair join runs on
+    a tiny aggregate, never subject x subject. At 100 TB with continuous
+    scores, bucket the score first (the stats_auc_roc_binned pattern) or
+    use the O(n log n) sorted-merge rank formulation."""
+    horizon_h = 48
+    ev = load_table(spark, sf_dir, "events")
+    users = ev.groupBy("user_id").agg(
+        F.min("ts").alias("t0"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias("tp"),
+        F.count(F.lit(1)).cast("bigint").alias("score"),
+    )
+    gap_s = F.unix_seconds(F.col("tp")) - F.unix_seconds(F.col("t0"))
+    is_event = F.col("tp").isNotNull() & (gap_s < horizon_h * 3600)
+    subjects = users.select(
+        F.when(is_event, F.floor(gap_s / 3600.0))
+        .otherwise(F.lit(horizon_h))
+        .cast("bigint")
+        .alias("dur_h"),
+        F.when(is_event, 1).otherwise(0).alias("converted"),
+        "score",
+    )
+    g = subjects.groupBy("dur_h", "converted", "score").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+    a = g.select(
+        F.col("dur_h").alias("da"),
+        F.col("converted").alias("ca"),
+        F.col("score").alias("sa"),
+        F.col("cnt").alias("na"),
+    )
+    b = g.select(
+        F.col("dur_h").alias("db"),
+        F.col("converted").alias("cb"),
+        F.col("score").alias("sb"),
+        F.col("cnt").alias("nb"),
+    )
+    pr = a.join(
+        b,
+        (F.col("ca") == 1)
+        & (
+            (F.col("da") < F.col("db"))
+            | ((F.col("da") == F.col("db")) & (F.col("cb") == 0))
+        ),
+    ).select("sa", "sb", (F.col("na") * F.col("nb")).alias("w"))
+    acc = pr.agg(
+        F.sum("w").cast("bigint").alias("n_pairs"),
+        F.sum(F.when(F.col("sa") > F.col("sb"), F.col("w")).otherwise(0))
+        .cast("bigint")
+        .alias("n_concordant"),
+        F.sum(F.when(F.col("sa") == F.col("sb"), F.col("w")).otherwise(0))
+        .cast("bigint")
+        .alias("n_tied"),
+    )
+    return acc.select(
+        "n_pairs",
+        "n_concordant",
+        "n_tied",
+        (
+            (2 * F.col("n_concordant") + F.col("n_tied"))
+            / (2.0 * F.col("n_pairs"))
+        ).alias("c_index"),
+    )
+
+
+CRONBACH_K = 4  # items = event counts in four 6-hour blocks of the day
+
+
+@register(
+    "stats_cronbach_alpha",
+    oracle=f"""
+    WITH per_user AS (
+      SELECT user_id,
+             CAST(sum(CASE WHEN extract(hour FROM ts) < 6  THEN 1 ELSE 0 END) AS BIGINT) AS x0,
+             CAST(sum(CASE WHEN extract(hour FROM ts) >= 6
+                            AND extract(hour FROM ts) < 12 THEN 1 ELSE 0 END) AS BIGINT) AS x1,
+             CAST(sum(CASE WHEN extract(hour FROM ts) >= 12
+                            AND extract(hour FROM ts) < 18 THEN 1 ELSE 0 END) AS BIGINT) AS x2,
+             CAST(sum(CASE WHEN extract(hour FROM ts) >= 18 THEN 1 ELSE 0 END) AS BIGINT) AS x3
+      FROM events GROUP BY user_id
+    ),
+    s AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x0) AS BIGINT) AS s0, CAST(sum(x0 * x0) AS BIGINT) AS q0,
+             CAST(sum(x1) AS BIGINT) AS s1, CAST(sum(x1 * x1) AS BIGINT) AS q1,
+             CAST(sum(x2) AS BIGINT) AS s2, CAST(sum(x2 * x2) AS BIGINT) AS q2,
+             CAST(sum(x3) AS BIGINT) AS s3, CAST(sum(x3 * x3) AS BIGINT) AS q3,
+             CAST(sum(x0 + x1 + x2 + x3) AS BIGINT) AS st,
+             CAST(sum((x0 + x1 + x2 + x3) * (x0 + x1 + x2 + x3)) AS BIGINT) AS qt
+      FROM per_user
+    )
+    SELECT n AS n_subjects,
+           CAST({CRONBACH_K} AS BIGINT) AS k_items,
+           round(({CRONBACH_K} / ({CRONBACH_K} - 1.0))
+                 * (1.0 - CAST((n * q0 - s0 * s0) + (n * q1 - s1 * s1)
+                               + (n * q2 - s2 * s2) + (n * q3 - s3 * s3)
+                          AS DOUBLE)
+                        / (n * qt - st * st)), 6) AS alpha
+    FROM s
+    """,
+)
+def stats_cronbach_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cronbach's alpha (Cronbach 1951) internal-consistency reliability
+    over k=4 "items" per user: event counts in the four 6-hour blocks of
+    the day. High alpha = activity level is a coherent per-user trait
+    across dayparts (the items "measure the same thing"); near zero =
+    dayparts are independent. The classic instrument-reliability readout,
+    and the template for alpha over any per-subject item matrix.
+
+      alpha = k/(k-1) * (1 - sum_i var(item_i) / var(total))
+
+    Parity: population variances enter only via the RATIO, so each is
+    kept as the exact integer n^2*var = n*sum(x^2) - sum(x)^2 (BIGINT,
+    order-independent; counts are small so n*q fits easily) and alpha is
+    a fixed IEEE expression over those integers — round(6) is a display
+    guard only. Scale: ONE partial-combinable groupBy(user) pass with
+    conditional sums (no pivot shuffle), then a single 10-number
+    sufficient-stats aggregate; nothing pairs with anything."""
+    ev = load_table(spark, sf_dir, "events")
+    h = F.hour("ts")
+    blocks = [
+        F.sum(F.when(h < 6, 1).otherwise(0)).cast("bigint").alias("x0"),
+        F.sum(F.when((h >= 6) & (h < 12), 1).otherwise(0)).cast("bigint").alias("x1"),
+        F.sum(F.when((h >= 12) & (h < 18), 1).otherwise(0)).cast("bigint").alias("x2"),
+        F.sum(F.when(h >= 18, 1).otherwise(0)).cast("bigint").alias("x3"),
+    ]
+    per_user = ev.groupBy("user_id").agg(*blocks)
+    tot = F.col("x0") + F.col("x1") + F.col("x2") + F.col("x3")
+    aggs = [F.count(F.lit(1)).cast("bigint").alias("n")]
+    for i in range(CRONBACH_K):
+        x = F.col(f"x{i}")
+        aggs += [
+            F.sum(x).cast("bigint").alias(f"s{i}"),
+            F.sum(x * x).cast("bigint").alias(f"q{i}"),
+        ]
+    aggs += [
+        F.sum(tot).cast("bigint").alias("st"),
+        F.sum(tot * tot).cast("bigint").alias("qt"),
+    ]
+    s = per_user.agg(*aggs)
+    n = F.col("n")
+    item_vars = None
+    for i in range(CRONBACH_K):
+        v = n * F.col(f"q{i}") - F.col(f"s{i}") * F.col(f"s{i}")
+        item_vars = v if item_vars is None else item_vars + v
+    tot_var = n * F.col("qt") - F.col("st") * F.col("st")
+    k = float(CRONBACH_K)
+    return s.select(
+        n.alias("n_subjects"),
+        F.lit(CRONBACH_K).cast("bigint").alias("k_items"),
+        F.round(
+            (k / (k - 1.0)) * (1.0 - item_vars.cast("double") / tot_var), 6
+        ).alias("alpha"),
+    )
+
+
+@register(
+    "stats_grubbs_outlier",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS d,
+             sum(CAST(round(value * 100) AS BIGINT)) AS x
+      FROM events GROUP BY 1
+    ),
+    s AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS BIGINT) AS sx,
+             CAST(sum(CAST(x AS HUGEINT) * x) AS DOUBLE) AS qx
+      FROM daily
+    ),
+    dev AS (
+      SELECT d, x, n, sx, qx,
+             abs(n * x - sx) AS ndev
+      FROM daily CROSS JOIN s
+    )
+    SELECT n AS n_days, d AS outlier_day,
+           round(CAST(ndev AS DOUBLE)
+                 / (n * sqrt((qx - CAST(sx AS DOUBLE) * sx / n) / (n - 1))),
+                 6) AS g_stat
+    FROM dev
+    ORDER BY ndev DESC, d ASC
+    LIMIT 1
+    """,
+)
+def stats_grubbs_outlier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grubbs' test statistic (Grubbs 1950) for a single outlier in the
+    daily-revenue series: G = max|x_d - mean| / s with s the sample
+    standard deviation — the classic "is the worst day statistically
+    anomalous" screen (compare G to the t-based critical value for the
+    chosen alpha; the statistic and argmax day are what the pipeline
+    stores).
+
+    Parity: daily revenues are exact integer cents; the argmax runs on
+    the exact integer |n*x - S| (no doubles in the ordering, earliest
+    day breaks ties); sum of squares stays exact (DuckDB HUGEINT, Spark
+    DECIMAL(38,0)) before ONE deterministic cast to double, and G is a
+    fixed IEEE expression tree over those values. Scale: one
+    partial-combinable daily aggregate (calendar-bounded frame), one
+    1-row sufficient-stats aggregate broadcast back, TakeOrdered(1)."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.date_trunc("day", "ts").alias("d")).agg(
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("x")
+    )
+    s = daily.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum(F.col("x").cast("decimal(38,0)") * F.col("x"))
+        .cast("double")
+        .alias("qx"),
+    )
+    dev = daily.crossJoin(F.broadcast(s)).withColumn(
+        "ndev", F.abs(F.col("n") * F.col("x") - F.col("sx"))
+    )
+    g = F.col("ndev").cast("double") / (
+        F.col("n")
+        * F.sqrt(
+            (F.col("qx") - F.col("sx").cast("double") * F.col("sx") / F.col("n"))
+            / (F.col("n") - 1)
+        )
+    )
+    return (
+        dev.orderBy(F.col("ndev").desc(), F.col("d").asc())
+        .limit(1)
+        .select(
+            F.col("n").alias("n_days"),
+            F.col("d").alias("outlier_day"),
+            F.round(g, 6).alias("g_stat"),
+        )
+    )
+
+
+@register(
+    "feature_robust_scale",
+    oracle="""
+    WITH cents AS (
+      SELECT p_partkey, CAST(round(p_retailprice * 100) AS BIGINT) AS c
+      FROM part
+    ),
+    q AS (
+      SELECT quantile_cont(CAST(c AS DOUBLE), 0.25) AS q1,
+             quantile_cont(CAST(c AS DOUBLE), 0.5)  AS med,
+             quantile_cont(CAST(c AS DOUBLE), 0.75) AS q3
+      FROM cents
+    )
+    SELECT p_partkey,
+           round(med / 100.0, 2) AS median_price,
+           round((q3 - q1) / 100.0, 2) AS iqr_price,
+           round((c - med) / (q3 - q1), 6) AS scaled_robust
+    FROM cents CROSS JOIN q
+    """,
+)
+def feature_robust_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust (median/IQR) feature scaling of part retail prices —
+    outlier-resistant alternative to feature_scale_standardize's
+    z-score: scaled = (x - median) / (Q3 - Q1). The scaler of choice
+    when a heavy tail would otherwise let a few extreme rows set the
+    scale for everyone.
+
+    Parity: quantiles are computed over exact integer CENTS with dyadic
+    fractions (0.25/0.5/0.75), so the linear interpolation
+    lo + frac*(hi - lo) is EXACT in IEEE doubles (dyadic frac x integer
+    gap) — both engines produce the identical double with zero rounding
+    error, and the per-row scaling is one deterministic expression.
+    Scale: exact percentile is a sort-based aggregate; at 100 TB swap in
+    approx_percentile/t-digest (documented accuracy tradeoff) or keep
+    exact via the distributed_row_number machinery."""
+    cents = load_table(spark, sf_dir, "part").select(
+        "p_partkey", F.round(F.col("p_retailprice") * 100).cast("long").alias("c")
+    )
+    q = cents.agg(
+        F.expr("percentile(CAST(c AS DOUBLE), 0.25)").alias("q1"),
+        F.expr("percentile(CAST(c AS DOUBLE), 0.5)").alias("med"),
+        F.expr("percentile(CAST(c AS DOUBLE), 0.75)").alias("q3"),
+    )
+    return cents.crossJoin(F.broadcast(q)).select(
+        "p_partkey",
+        F.round(F.col("med") / 100.0, 2).alias("median_price"),
+        F.round((F.col("q3") - F.col("q1")) / 100.0, 2).alias("iqr_price"),
+        F.round(
+            (F.col("c") - F.col("med")) / (F.col("q3") - F.col("q1")), 6
+        ).alias("scaled_robust"),
+    )
+
+
+ONEHOT_TOP_K = 5
+
+
+@register(
+    "feature_onehot_topk",
+    oracle=f"""
+    WITH freq AS (
+      SELECT p_brand, CAST(count(*) AS BIGINT) AS cnt FROM part GROUP BY p_brand
+    ),
+    ranked AS (
+      SELECT p_brand,
+             CAST(row_number() OVER (ORDER BY cnt DESC, p_brand ASC) AS BIGINT)
+               AS rk
+      FROM freq
+    )
+    SELECT p.p_partkey, p.p_brand,
+           CAST(CASE WHEN r.rk = 1 THEN 1 ELSE 0 END AS BIGINT) AS oh_1,
+           CAST(CASE WHEN r.rk = 2 THEN 1 ELSE 0 END AS BIGINT) AS oh_2,
+           CAST(CASE WHEN r.rk = 3 THEN 1 ELSE 0 END AS BIGINT) AS oh_3,
+           CAST(CASE WHEN r.rk = 4 THEN 1 ELSE 0 END AS BIGINT) AS oh_4,
+           CAST(CASE WHEN r.rk = 5 THEN 1 ELSE 0 END AS BIGINT) AS oh_5,
+           CAST(CASE WHEN r.rk > {ONEHOT_TOP_K} THEN 1 ELSE 0 END AS BIGINT)
+             AS oh_other
+    FROM part p JOIN ranked r ON r.p_brand = p.p_brand
+    """,
+)
+def feature_onehot_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k one-hot encoding with an OTHER bucket — the standard
+    high-cardinality categorical treatment (encode the k most frequent
+    levels positionally, collapse the tail) that keeps the feature width
+    FIXED regardless of vocabulary growth. Columns are rank-indexed
+    (oh_1 = most frequent brand), so the output schema is stable across
+    corpora — the property a production feature store needs.
+
+    Parity: frequencies, ranks (count desc, brand asc — total order) and
+    indicators are all exact integers. Scale: the vocabulary frequency
+    table is tiny and broadcast; the fact table is touched once with a
+    map-side join — no shuffle of the wide output."""
+    part = load_table(spark, sf_dir, "part")
+    ranked = (
+        part.groupBy("p_brand")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            "p_brand",
+            F.row_number()
+            .over(
+                Window.partitionBy().orderBy(
+                    F.col("cnt").desc(), F.col("p_brand").asc()
+                )
+            )
+            .cast("bigint")
+            .alias("rk"),
+        )
+    )
+    cols = [
+        F.when(F.col("rk") == i, 1).otherwise(0).cast("bigint").alias(f"oh_{i}")
+        for i in range(1, ONEHOT_TOP_K + 1)
+    ]
+    other = (
+        F.when(F.col("rk") > ONEHOT_TOP_K, 1).otherwise(0).cast("bigint").alias("oh_other")
+    )
+    return part.join(F.broadcast(ranked), "p_brand").select(
+        "p_partkey", "p_brand", *cols, other
+    )

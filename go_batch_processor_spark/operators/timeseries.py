@@ -2398,3 +2398,239 @@ def timeseries_ar2_yule_walker(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(phi2, 6).alias("phi2"),
         F.round(1 - phi1 * r1 - phi2 * r2, 6).alias("innovation_var_ratio"),
     )
+
+SAX_SEGMENTS = 6
+SAX_BP_LO = -0.6745  # N(0,1) quartile breakpoints, alphabet size 4
+SAX_BP_HI = 0.6745
+
+
+@register(
+    "timeseries_sax_symbolic",
+    oracle=f"""
+    WITH daily AS (
+      SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS d,
+             sum(CAST(round(value * 100) AS BIGINT)) AS x
+      FROM events GROUP BY 1
+    ),
+    numbered AS (
+      SELECT d, x,
+             row_number() OVER (ORDER BY d) - 1 AS rn,
+             CAST(count(*) OVER () AS BIGINT) AS n,
+             CAST(sum(x) OVER () AS BIGINT) AS sx,
+             CAST(sum(CAST(x AS HUGEINT) * x) OVER () AS DOUBLE) AS qx
+      FROM daily
+    ),
+    seg AS (
+      SELECT CAST(floor(rn * {SAX_SEGMENTS} / n) AS BIGINT) AS segment,
+             CAST(count(*) AS BIGINT) AS n_days,
+             CAST(sum(x) AS BIGINT) AS seg_sum,
+             any_value(n) AS n, any_value(sx) AS sx, any_value(qx) AS qx
+      FROM numbered GROUP BY 1
+    ),
+    z AS (
+      SELECT segment, n_days,
+             (CAST(seg_sum AS DOUBLE) / n_days - CAST(sx AS DOUBLE) / n)
+               / sqrt((qx - CAST(sx AS DOUBLE) * sx / n) / (n - 1)) AS paa_z
+      FROM seg
+    )
+    SELECT segment, n_days, round(paa_z, 6) AS paa_z,
+           CASE WHEN paa_z < {SAX_BP_LO} THEN 'a'
+                WHEN paa_z < 0 THEN 'b'
+                WHEN paa_z < {SAX_BP_HI} THEN 'c'
+                ELSE 'd' END AS symbol
+    FROM z
+    ORDER BY segment
+    """,
+)
+def timeseries_sax_symbolic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SAX symbolic discretization (Lin, Keogh et al. 2003) of the daily
+    revenue series: z-normalize, Piecewise Aggregate Approximation into
+    {SAX_SEGMENTS} near-equal segments (segment = floor(rn*w/n), sizes
+    differ by at most one day), then map each segment mean to a 4-letter
+    alphabet at the standard N(0,1) quartile breakpoints (+-0.6745, 0).
+    The symbolic form is what motif discovery / sequence indexing / cheap
+    distance bounds consume downstream.
+
+    Parity: daily revenues are exact integer cents; mean/variance come
+    from exact integer sufficient stats (DuckDB HUGEINT / Spark
+    DECIMAL(38,0) for the square sum) so paa_z is a fixed IEEE
+    expression; symbol thresholds compare that deterministic double to
+    exact literals. round(6) guards only the displayed z. Scale: the
+    series is a calendar-bounded daily aggregate (the documented
+    small-window exception); everything before it is partial-combinable."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.date_trunc("day", "ts").alias("d")).agg(
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("x")
+    )
+    w_all = Window.partitionBy().orderBy("d").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    w_rn = Window.partitionBy().orderBy("d")
+    numbered = daily.select(
+        "x",
+        (F.row_number().over(w_rn) - 1).alias("rn"),
+        F.count(F.lit(1)).over(w_all).cast("bigint").alias("n"),
+        F.sum("x").over(w_all).cast("bigint").alias("sx"),
+        F.sum(F.col("x").cast("decimal(38,0)") * F.col("x"))
+        .over(w_all)
+        .cast("double")
+        .alias("qx"),
+    )
+    seg = numbered.groupBy(
+        F.floor(F.col("rn") * SAX_SEGMENTS / F.col("n")).cast("bigint").alias("segment")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        F.sum("x").cast("bigint").alias("seg_sum"),
+        F.any_value(F.col("n")).alias("n"),
+        F.any_value(F.col("sx")).alias("sx"),
+        F.any_value(F.col("qx")).alias("qx"),
+    )
+    n_d = F.col("n").cast("double")
+    paa_z = (
+        F.col("seg_sum").cast("double") / F.col("n_days")
+        - F.col("sx").cast("double") / F.col("n")
+    ) / F.sqrt(
+        (F.col("qx") - F.col("sx").cast("double") * F.col("sx") / F.col("n"))
+        / (F.col("n") - 1)
+    )
+    return (
+        seg.withColumn("paa_z_raw", paa_z)
+        .select(
+            "segment",
+            "n_days",
+            F.round(F.col("paa_z_raw"), 6).alias("paa_z"),
+            F.when(F.col("paa_z_raw") < SAX_BP_LO, F.lit("a"))
+            .when(F.col("paa_z_raw") < 0, F.lit("b"))
+            .when(F.col("paa_z_raw") < SAX_BP_HI, F.lit("c"))
+            .otherwise(F.lit("d"))
+            .alias("symbol"),
+        )
+        .orderBy("segment")
+    )
+
+
+CROSTON_ALPHA = 0.2
+CROSTON_PARTKEY = 1
+
+
+@register(
+    "timeseries_croston",
+    oracle=f"""
+    WITH RECURSIVE occ AS (
+      SELECT l_shipdate AS d, CAST(sum(l_quantity) AS BIGINT) AS q
+      FROM lineitem WHERE l_partkey = {CROSTON_PARTKEY}
+      GROUP BY 1
+    ),
+    numbered AS (
+      SELECT CAST(row_number() OVER (ORDER BY d) AS BIGINT) AS rn,
+             CAST(d AS TIMESTAMP) AS d, q,
+             CAST(coalesce(date_diff('day', lag(d) OVER (ORDER BY d), d), 1)
+                  AS BIGINT) AS gap_d
+      FROM occ
+    ),
+    walk(rn, d, q, gap_d, z, p) AS (
+      SELECT rn, d, q, gap_d, CAST(q AS DOUBLE), CAST(1 AS DOUBLE)
+      FROM numbered WHERE rn = 1
+      UNION ALL
+      SELECT n.rn, n.d, n.q, n.gap_d,
+             {CROSTON_ALPHA} * n.q + (1 - {CROSTON_ALPHA}) * w.z,
+             {CROSTON_ALPHA} * n.gap_d + (1 - {CROSTON_ALPHA}) * w.p
+      FROM walk w JOIN numbered n ON n.rn = w.rn + 1
+    )
+    SELECT rn, d, q, gap_d,
+           round(z, 6) AS z_size,
+           round(p, 6) AS p_interval,
+           round(z / p, 6) AS forecast_per_day
+    FROM walk
+    ORDER BY rn
+    """,
+)
+def timeseries_croston(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Croston's method (Croston 1972) for intermittent demand: part
+    {CROSTON_PARTKEY}'s ship-date demand is zero on most days, so naive
+    exponential smoothing collapses toward zero between orders. Croston
+    smooths the nonzero demand SIZES (z) and the inter-arrival GAPS (p)
+    separately — forecast per day = z/p. Init: z = first demand, p = 1;
+    alpha = {CROSTON_ALPHA}.
+
+    Parity: demand sizes and gaps are exact integers; the coupled
+    recursion is the same fixed IEEE expression evaluated in the same
+    order on both engines — Spark folds over the date-ordered occurrence
+    array (aggregate(), the KM pattern), DuckDB runs the identical
+    recursion as a sequential recursive CTE; round(6) displays the
+    state. Scale: intermittent demand is per-sku SPARSE by definition —
+    the occurrence list for one sku is tiny (here ~tens of rows), and the
+    100 TB shape runs the identical fold inside groupBy(sku)
+    (one shuffle of nonzero-demand rows only, no calendar densify)."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_partkey") == CROSTON_PARTKEY
+    )
+    occ = li.groupBy(F.col("l_shipdate").alias("d")).agg(
+        F.sum("l_quantity").cast("bigint").alias("q")
+    )
+    w = Window.partitionBy().orderBy("d")
+    numbered = occ.select(
+        F.row_number().over(w).cast("bigint").alias("rn"),
+        F.col("d").cast("timestamp").alias("d"),
+        "q",
+        F.coalesce(F.datediff(F.col("d"), F.lag("d").over(w)), F.lit(1))
+        .cast("bigint")
+        .alias("gap_d"),
+    )
+    rows = numbered.agg(
+        F.array_sort(
+            F.collect_list(F.struct("rn", "d", "q", "gap_d"))
+        ).alias("rows")
+    )
+    a = CROSTON_ALPHA
+    # Left fold carrying (array of finished states, z, p); seeded so the
+    # first element initializes z = q_1, p = 1.
+    folded = rows.select(
+        F.aggregate(
+            F.col("rows"),
+            F.struct(
+                F.array().cast(
+                    "array<struct<rn:bigint,d:timestamp,q:bigint,gap_d:bigint,"
+                    "z:double,p:double>>"
+                ).alias("acc"),
+                F.lit(None).cast("double").alias("z"),
+                F.lit(None).cast("double").alias("p"),
+            ),
+            lambda st, r: F.struct(
+                F.concat(
+                    st["acc"],
+                    F.array(
+                        F.struct(
+                            r["rn"].alias("rn"),
+                            r["d"].alias("d"),
+                            r["q"].alias("q"),
+                            r["gap_d"].alias("gap_d"),
+                            F.when(st["z"].isNull(), r["q"].cast("double"))
+                            .otherwise(a * r["q"] + (1 - a) * st["z"])
+                            .alias("z"),
+                            F.when(st["p"].isNull(), F.lit(1.0))
+                            .otherwise(a * r["gap_d"] + (1 - a) * st["p"])
+                            .alias("p"),
+                        )
+                    ),
+                ).alias("acc"),
+                F.when(st["z"].isNull(), r["q"].cast("double"))
+                .otherwise(a * r["q"] + (1 - a) * st["z"])
+                .alias("z"),
+                F.when(st["p"].isNull(), F.lit(1.0))
+                .otherwise(a * r["gap_d"] + (1 - a) * st["p"])
+                .alias("p"),
+            ),
+        )["acc"].alias("states")
+    )
+    st = F.explode("states").alias("s")
+    out = folded.select(st).select(
+        F.col("s.rn").alias("rn"),
+        F.col("s.d").alias("d"),
+        F.col("s.q").alias("q"),
+        F.col("s.gap_d").alias("gap_d"),
+        F.round(F.col("s.z"), 6).alias("z_size"),
+        F.round(F.col("s.p"), 6).alias("p_interval"),
+        F.round(F.col("s.z") / F.col("s.p"), 6).alias("forecast_per_day"),
+    )
+    return out.orderBy("rn")

@@ -1,0 +1,156 @@
+"""Second round-7 batch invariants: graph metrics, survival C-index,
+reliability/outlier stats, SAX/Croston, containment, robust features."""
+
+from __future__ import annotations
+
+import pytest
+
+from go_batch_processor_spark.registry import REGISTRY, _ensure_loaded
+
+_ensure_loaded()
+
+
+def test_local_clustering_bounds_and_consistency(spark, sf_dir):
+    """cc must lie in [0, 1] and equal 2t/(d(d-1)) exactly; the row set
+    is the top-20 of a deterministic total order."""
+    pdf = REGISTRY["graph_local_clustering"].fn(spark, sf_dir).toPandas()
+    assert len(pdf) == 20
+    assert ((pdf.local_cc >= 0) & (pdf.local_cc <= 1)).all()
+    recomputed = 2.0 * pdf.n_tri / (pdf.degree * (pdf.degree - 1))
+    assert (pdf.local_cc == recomputed).all()
+    assert (pdf.degree >= 2).all()
+
+
+def test_resource_allocation_score_bounds(spark, sf_dir):
+    """Each common item contributes at most 1/2 (deg >= 2 for any shared
+    item), so ra_score <= n_common / 2; scores are positive and sorted."""
+    pdf = REGISTRY["graph_resource_allocation"].fn(spark, sf_dir).toPandas()
+    assert len(pdf) == 20
+    assert (pdf.ra_score > 0).all()
+    assert (pdf.ra_score <= pdf.n_common / 2.0 + 1e-12).all()
+    assert (pdf.ra_score.values == sorted(pdf.ra_score.values, reverse=True)).all()
+
+
+def test_degree_assortativity_in_valid_range(spark, sf_dir):
+    pdf = REGISTRY["graph_degree_assortativity"].fn(spark, sf_dir).toPandas()
+    r = pdf.assortativity.iloc[0]
+    assert -1.0 <= r <= 1.0
+    assert pdf.n_directed_edges.iloc[0] > 0
+
+
+def test_cindex_bounds_and_pair_accounting(spark, sf_dir):
+    pdf = REGISTRY["stats_concordance_cindex"].fn(spark, sf_dir).toPandas()
+    row = pdf.iloc[0]
+    assert row.n_pairs > 0
+    assert row.n_concordant + row.n_tied <= row.n_pairs
+    assert 0.0 <= row.c_index <= 1.0
+    assert row.c_index == (2 * row.n_concordant + row.n_tied) / (2.0 * row.n_pairs)
+
+
+def test_cronbach_alpha_range(spark, sf_dir):
+    """alpha <= 1 by construction; k_items pinned; n_subjects = users."""
+    pdf = REGISTRY["stats_cronbach_alpha"].fn(spark, sf_dir).toPandas()
+    row = pdf.iloc[0]
+    assert row.k_items == 4
+    assert row.alpha <= 1.0
+    assert row.n_subjects > 0
+
+
+def test_grubbs_statistic_bound(spark, sf_dir):
+    """G is bounded by (n-1)/sqrt(n) (Grubbs 1950) and positive."""
+    import math
+
+    pdf = REGISTRY["stats_grubbs_outlier"].fn(spark, sf_dir).toPandas()
+    row = pdf.iloc[0]
+    n = row.n_days
+    assert 0 < row.g_stat <= (n - 1) / math.sqrt(n) + 1e-9
+
+
+def test_sax_covers_all_days_and_symbols_match_z(spark, sf_dir):
+    from go_batch_processor_spark.operators.timeseries import (
+        SAX_BP_HI,
+        SAX_BP_LO,
+        SAX_SEGMENTS,
+    )
+
+    pdf = (
+        REGISTRY["timeseries_sax_symbolic"].fn(spark, sf_dir)
+        .toPandas()
+        .sort_values("segment")
+    )
+    assert list(pdf.segment) == list(range(SAX_SEGMENTS))
+    # segment sizes differ by at most one day (near-equal PAA)
+    assert pdf.n_days.max() - pdf.n_days.min() <= 1
+    for _, r in pdf.iterrows():
+        if r.paa_z < SAX_BP_LO:
+            assert r.symbol == "a"
+        elif r.paa_z < 0:
+            assert r.symbol == "b"
+        elif r.paa_z < SAX_BP_HI:
+            assert r.symbol == "c"
+        else:
+            assert r.symbol == "d"
+
+
+def test_croston_matches_pandas_recursion(spark, sf_dir):
+    """The JVM fold must reproduce the Croston recursion computed row by
+    row in pandas on the same occurrence list."""
+    from go_batch_processor_spark.operators.timeseries import CROSTON_ALPHA
+
+    pdf = (
+        REGISTRY["timeseries_croston"].fn(spark, sf_dir)
+        .toPandas()
+        .sort_values("rn")
+        .reset_index(drop=True)
+    )
+    assert len(pdf) > 3
+    z = p = None
+    for i, r in pdf.iterrows():
+        if z is None:
+            z, p = float(r.q), 1.0
+        else:
+            z = CROSTON_ALPHA * r.q + (1 - CROSTON_ALPHA) * z
+            p = CROSTON_ALPHA * r.gap_d + (1 - CROSTON_ALPHA) * p
+        assert abs(round(z, 6) - r.z_size) < 1e-9, i
+        assert abs(round(p, 6) - r.p_interval) < 1e-9, i
+        assert abs(round(z / p, 6) - r.forecast_per_day) < 1e-9, i
+    # gaps are positive and the first is the init convention (1)
+    assert pdf.gap_d.iloc[0] == 1
+    assert (pdf.gap_d > 0).all()
+
+
+def test_containment_catches_jaccard_blind_pairs(spark, sf_dir):
+    """Containment must (a) bound each direction in (0, 1], and (b) find
+    every pair the symmetric Jaccard key finds at its higher threshold —
+    J >= 0.6 implies both containments >= 0.6, and empirically the
+    fixture's near-dup pairs all exceed 0.8 in at least one direction."""
+    cont = REGISTRY["dedup_containment_ngram"].fn(spark, sf_dir).toPandas()
+    assert len(cont) > 0
+    for c in ("cont_a", "cont_b"):
+        assert ((cont[c] > 0) & (cont[c] <= 1.0)).all()
+    jac = REGISTRY["dedup_ngram_jaccard"].fn(spark, sf_dir).toPandas()
+    jpairs = set(zip(jac.doc_a, jac.doc_b))
+    cpairs = set(zip(cont.doc_a, cont.doc_b))
+    missing = jpairs - cpairs
+    assert not missing, f"jaccard pairs missing from containment: {missing}"
+
+
+def test_robust_scale_centering_and_spread(spark, sf_dir):
+    """Median of scaled values is ~0 and the IQR of scaled values is ~1
+    (definitional for median/IQR scaling)."""
+    pdf = REGISTRY["feature_robust_scale"].fn(spark, sf_dir).toPandas()
+    s = pdf.scaled_robust
+    assert abs(s.median()) < 1e-6
+    q1, q3 = s.quantile(0.25), s.quantile(0.75)
+    assert abs((q3 - q1) - 1.0) < 1e-4
+    assert (pdf.iqr_price > 0).all()
+
+
+def test_onehot_topk_partition_of_unity(spark, sf_dir):
+    """Every row activates EXACTLY one indicator (top-5 or other), and
+    indicator popularity ordering matches the rank definition."""
+    pdf = REGISTRY["feature_onehot_topk"].fn(spark, sf_dir).toPandas()
+    oh = [f"oh_{i}" for i in range(1, 6)] + ["oh_other"]
+    assert (pdf[oh].sum(axis=1) == 1).all()
+    counts = [pdf[f"oh_{i}"].sum() for i in range(1, 6)]
+    assert counts == sorted(counts, reverse=True)
