@@ -1979,3 +1979,78 @@ def ml_isolation_forest(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .limit(IFOREST_TOP_K)
     )
+
+
+SVM_LAMBDA = 0.01
+SVM_ETA0 = 1.0
+SVM_ITERS = 20
+SVM_FEATURES = LOGREG_FEATURES  # same raw columns as the logreg sibling
+SVM_QTY_SCALE = 50.0  # fixed literal scaling: quantity spans 1..50
+
+
+@register("ml_linear_svm_gd", tags={"rows_only"})
+def ml_linear_svm_gd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed linear SVM trained with deterministic full-batch
+    subgradient descent: y(l_returnflag = 'R') ∈ {−1,+1} ~
+    sign(b0 + w · [quantity/50, discount, tax]), minimizing
+    λ/2·||w||² + mean hinge(y, xb) — the max-margin sibling of
+    ml_logreg_irls on the same rows (quantity pre-scaled by the FIXED
+    literal 1/50 so one feature doesn't set the step scale for all).
+
+    Each iteration is ONE whole-stage-codegen aggregate with the current
+    (b0, w) as literals: the margin-violator indicator [y·xb < 1] gates
+    per-feature sums Σ y·x_i (the exact subgradient of the mean hinge);
+    the driver applies w ← w − η_t·(λw − ĝ) with η_t = η0/t (intercept
+    unpenalized, standard convention). Zero init + fixed schedule + fixed
+    iteration count = fully deterministic up to double-sum ordering.
+
+    Scale: identical to IRLS — SVM_ITERS scans of a persisted narrow
+    projection, O(d) shuffled state per scan, O(d) driver state, no
+    Python in the data path. Rows-only (iterative double sums);
+    tests/test_ml.py pins coefficients and objective vs a numpy twin."""
+    import numpy as np
+
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_returnflag", *SVM_FEATURES)
+        .persist()
+    )
+    y = F.when(F.col("l_returnflag") == "R", 1.0).otherwise(-1.0)
+    cols = [
+        F.lit(1.0),
+        F.col("l_quantity") / SVM_QTY_SCALE,
+        F.col("l_discount"),
+        F.col("l_tax"),
+    ]
+    d = len(cols)
+    n = li.count()
+    beta = np.zeros(d)
+    lam = SVM_LAMBDA
+    for t in range(1, SVM_ITERS + 1):
+        xb = F.lit(float(beta[0]))
+        for i in range(1, d):
+            xb = xb + F.lit(float(beta[i])) * cols[i]
+        viol = (y * xb) < 1.0
+        aggs = [
+            F.sum(F.when(viol, y * cols[i]).otherwise(0.0)).alias(f"g_{i}")
+            for i in range(d)
+        ]
+        row = li.agg(*aggs).collect()[0]
+        ghat = np.array([row[f"g_{i}"] for i in range(d)]) / n
+        grad = -ghat
+        grad[1:] += lam * beta[1:]
+        beta = beta - (SVM_ETA0 / t) * grad
+    # final objective in the same one-aggregate shape
+    xb = F.lit(float(beta[0]))
+    for i in range(1, d):
+        xb = xb + F.lit(float(beta[i])) * cols[i]
+    hinge = F.greatest(F.lit(0.0), F.lit(1.0) - y * xb)
+    obj = li.agg(F.avg(hinge).alias("h")).collect()[0]["h"] + 0.5 * lam * float(
+        np.dot(beta[1:], beta[1:])
+    )
+    li.unpersist(blocking=False)
+    terms = ["intercept", "l_quantity_scaled", "l_discount", "l_tax"]
+    out = [(t_, float(round(b, 6))) for t_, b in zip(terms, beta)] + [
+        ("objective", float(round(obj, 6)))
+    ]
+    return spark.createDataFrame(out, "term string, value double")

@@ -664,3 +664,55 @@ def test_isolation_forest_query_shape(spark, sf_dir):
     # rerun is bit-identical (hash-ordered sample + seeded forest)
     rows2 = REGISTRY["ml_isolation_forest"].fn(spark, sf_dir).collect()
     assert rows == rows2
+
+
+
+def test_linear_svm_matches_numpy_gd(spark, sf_dir):
+    """The codegen-aggregate batch subgradient descent must land on the
+    same coefficients and objective as a numpy twin with identical init,
+    schedule, and iteration count."""
+    import numpy as np
+
+    from go_batch_processor_spark.catalog import load_table
+    from go_batch_processor_spark.operators.ml import (
+        SVM_ETA0,
+        SVM_FEATURES,
+        SVM_ITERS,
+        SVM_LAMBDA,
+        SVM_QTY_SCALE,
+    )
+
+    got = {
+        r.term: r.value
+        for r in REGISTRY["ml_linear_svm_gd"].fn(spark, sf_dir).collect()
+    }
+    pdf = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_returnflag", *SVM_FEATURES)
+        .toPandas()
+    )
+    X = np.column_stack(
+        [
+            np.ones(len(pdf)),
+            pdf["l_quantity"].to_numpy() / SVM_QTY_SCALE,
+            pdf["l_discount"].to_numpy(),
+            pdf["l_tax"].to_numpy(),
+        ]
+    )
+    yv = np.where(pdf["l_returnflag"] == "R", 1.0, -1.0)
+    n, d = X.shape
+    beta = np.zeros(d)
+    for t in range(1, SVM_ITERS + 1):
+        viol = yv * (X @ beta) < 1.0
+        ghat = (X[viol] * yv[viol][:, None]).sum(axis=0) / n
+        grad = -ghat
+        grad[1:] += SVM_LAMBDA * beta[1:]
+        beta = beta - (SVM_ETA0 / t) * grad
+    hinge = np.maximum(0.0, 1.0 - yv * (X @ beta)).mean()
+    obj = hinge + 0.5 * SVM_LAMBDA * float(beta[1:] @ beta[1:])
+    terms = ["intercept", "l_quantity_scaled", "l_discount", "l_tax"]
+    for t_, c in zip(terms, beta):
+        assert abs(got[t_] - c) < 1e-5, (t_, got[t_], c)
+    assert abs(got["objective"] - obj) < 1e-5
+    # sanity: the fitted model beats the zero vector (hinge(0) = 1)
+    assert got["objective"] < 1.0
