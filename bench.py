@@ -127,6 +127,12 @@ HEADLINE = [
     "timeseries_kalman_filter",
     "stats_cox_ph",
     "text_readability",
+    # round 7 (second session) additions
+    "graph_local_clustering",
+    "graph_resource_allocation",
+    "dedup_containment_ngram",
+    "stats_concordance_cindex",
+    "agg_median_distributed",
 ]
 
 

@@ -764,3 +764,55 @@ def agg_count_min_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("true_n").desc(), F.col("k").asc())
         .limit(CMS_TOP)
     )
+
+
+@register(
+    "agg_median_distributed",
+    oracle="""
+    WITH cents AS (
+      SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS c FROM lineitem
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           round(median(CAST(c AS DOUBLE)) / 100.0, 4) AS median_price
+    FROM cents
+    """,
+)
+def agg_median_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT global median of l_extendedprice computed WITHOUT any
+    single-task sort or window: the dist_rank.distributed_row_number
+    two-pass machinery (literal quantile buckets from a sampled boundary
+    probe + per-bucket local ranks + literal offsets) assigns every row
+    its exact global rank in parallel, and the median is the mean of the
+    middle rank(s). This is the 100 TB path for exact order statistics —
+    percentile()/median() as a plain aggregate sorts within one reducer
+    per group, which cannot scale for a single global group (the
+    documented hazard dist_rank exists to remove; cf.
+    stats_spearman_corr). Registered as its own key so the scale recipe
+    is driver-verified, not just documented.
+
+    Parity: prices are exact integer cents; the middle-rank selection is
+    integer; the even-count average of two integer cents is an exact
+    .5-cent dyadic — round(4) after /100 is display-only. Scale: two
+    passes over the compressed value marginal, no global window."""
+    from go_batch_processor_spark.dist_rank import distributed_row_number
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("c"),
+        F.col("l_orderkey"),
+        F.col("l_linenumber"),
+    )
+    ranked, n = distributed_row_number(
+        li,
+        "c",
+        [F.col("c"), F.col("l_orderkey"), F.col("l_linenumber")],
+        "rk",
+    )
+    lo = (n + 1) // 2
+    hi = (n + 2) // 2
+    mid = ranked.filter(F.col("rk").isin([lo, hi]))
+    return mid.agg(
+        F.lit(n).cast("bigint").alias("n_rows"),
+        F.round(F.avg(F.col("c").cast("double")) / 100.0, 4).alias(
+            "median_price"
+        ),
+    )

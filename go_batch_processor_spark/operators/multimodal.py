@@ -574,3 +574,79 @@ def multimodal_text_embedding_join(spark: SparkSession, sf_dir: str) -> DataFram
         )
         .orderBy("lang")
     )
+
+
+VAD_RMS_THRESHOLD = 30.0
+
+
+@register(
+    "multimodal_audio_vad",
+    oracle=f"""
+    WITH samples AS (
+      SELECT doc_id,
+             ord(unnest(string_split_regex(text, ''))) AS v,
+             generate_subscripts(string_split_regex(text, ''), 1) AS i
+      FROM documents
+    ),
+    frames AS (
+      SELECT doc_id AS media_id,
+             CAST((i - 1) // {256} AS BIGINT) AS frame_idx,
+             round(sqrt(avg((v - 96.0) * (v - 96.0))), 6) AS rms
+      FROM samples GROUP BY 1, 2
+    ),
+    active AS (
+      SELECT media_id, frame_idx, rms,
+             frame_idx - row_number() OVER (
+               PARTITION BY media_id ORDER BY frame_idx) AS grp
+      FROM frames WHERE rms >= {VAD_RMS_THRESHOLD}
+    )
+    SELECT media_id,
+           CAST(row_number() OVER (
+             PARTITION BY media_id ORDER BY min(frame_idx)) - 1 AS BIGINT)
+             AS seg_idx,
+           CAST(min(frame_idx) AS BIGINT) AS start_frame,
+           CAST(max(frame_idx) AS BIGINT) AS end_frame,
+           CAST(count(*) AS BIGINT) AS n_frames,
+           max(rms) AS peak_rms
+    FROM active
+    GROUP BY media_id, grp
+    """,
+)
+def multimodal_audio_vad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Energy-threshold voice-activity detection over the fake-decoded
+    audio stream: per-256-sample frame RMS (the multimodal_audio_rms
+    kernel — Arrow mapInPandas, no per-row Python), frames at
+    rms >= {VAD_RMS_THRESHOLD} marked active, and consecutive active
+    frames merged into segments with the gaps-and-islands idiom
+    (frame_idx − row_number is constant within an island). The
+    speech/silence segmentation pass that precedes ASR in an audio
+    training-data pipeline; swap the fake decode for a PCM decoder and
+    the plumbing is production VAD.
+
+    Parity: the kernel's per-frame rms is round(6)-pinned (exact-integer
+    squared deviations → identical sqrt both sides — the audio_rms
+    contract), thresholding compares that deterministic double to a
+    literal, and segment stats are integer min/max/count plus an exact
+    MAX of the rounded rms (no order-dependent double sums). Scale: the
+    media-keyed windows partition by media_id (no global window); frame
+    counts per media are payload-bounded."""
+    frames = multimodal_audio_rms(spark, sf_dir)
+    w = Window.partitionBy("media_id").orderBy("frame_idx")
+    active = frames.filter(F.col("rms") >= VAD_RMS_THRESHOLD).withColumn(
+        "grp", F.col("frame_idx") - F.row_number().over(w)
+    )
+    segs = active.groupBy("media_id", "grp").agg(
+        F.min("frame_idx").cast("bigint").alias("start_frame"),
+        F.max("frame_idx").cast("bigint").alias("end_frame"),
+        F.count(F.lit(1)).cast("bigint").alias("n_frames"),
+        F.max("rms").alias("peak_rms"),
+    )
+    w_seg = Window.partitionBy("media_id").orderBy("start_frame")
+    return segs.select(
+        "media_id",
+        (F.row_number().over(w_seg) - 1).cast("bigint").alias("seg_idx"),
+        "start_frame",
+        "end_frame",
+        "n_frames",
+        "peak_rms",
+    )

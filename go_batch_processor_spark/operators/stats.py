@@ -5876,3 +5876,169 @@ def feature_onehot_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return part.join(F.broadcast(ranked), "p_brand").select(
         "p_partkey", "p_brand", *cols, other
     )
+
+
+@register(
+    "stats_poisson_dispersion",
+    oracle="""
+    WITH per_user AS (
+      SELECT user_id, CAST(count(*) AS BIGINT) AS c
+      FROM events GROUP BY user_id
+    ),
+    s AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(c) AS BIGINT) AS sc,
+             CAST(sum(c * c) AS BIGINT) AS qc
+      FROM per_user
+    )
+    SELECT n AS n_users,
+           round(CAST(sc AS DOUBLE) / n, 6) AS mean_events,
+           round(CAST(n * qc - sc * sc AS DOUBLE) / ((n - 1.0) * sc), 6)
+             AS dispersion,
+           round(CAST(n * qc - sc * sc AS DOUBLE) / sc, 6) AS chi2
+    FROM s
+    """,
+)
+def stats_poisson_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson overdispersion test (index of dispersion / Fisher 1950):
+    D = s²/x̄ over per-user event counts, with the chi² statistic
+    (n−1)·D ~ χ²(n−1) under the Poisson null. D >> 1 (clumped users)
+    is what decides negative-binomial over Poisson modeling
+    (stats_negative_binomial_fit is the follow-up) and predicts hot-key
+    skew in user-partitioned shuffles.
+
+    Parity: counts are integers, so s²/x̄ reduces to the exact-integer
+    ratio (n·Q − S²)/((n−1)·S) — one deterministic IEEE division; round
+    guards display only. Scale: one partial-combinable groupBy(user) and
+    one 3-number sufficient-stats aggregate."""
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    s = per_user.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("c").cast("bigint").alias("sc"),
+        F.sum(F.col("c") * F.col("c")).cast("bigint").alias("qc"),
+    )
+    n, sc, qc = F.col("n"), F.col("sc"), F.col("qc")
+    var_num = (n * qc - sc * sc).cast("double")
+    return s.select(
+        n.alias("n_users"),
+        F.round(sc.cast("double") / n, 6).alias("mean_events"),
+        F.round(var_num / ((n - 1.0) * sc), 6).alias("dispersion"),
+        F.round(var_num / sc, 6).alias("chi2"),
+    )
+
+
+@register(
+    "stats_gamma_fit_moments",
+    oracle="""
+    WITH users AS (
+      SELECT user_id,
+             min(ts) AS t0,
+             min(CASE WHEN event_type = 'purchase' THEN ts END) AS tp
+      FROM events GROUP BY user_id
+    ),
+    gaps AS (
+      SELECT CAST(date_diff('second', t0, tp) AS BIGINT) AS g
+      FROM users
+      WHERE tp IS NOT NULL AND date_diff('second', t0, tp) < 48 * 3600
+        AND date_diff('second', t0, tp) > 0
+    ),
+    s AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(g) AS BIGINT) AS sg,
+             CAST(sum(CAST(g AS HUGEINT) * g) AS DOUBLE) AS qg
+      FROM gaps
+    )
+    SELECT n AS n_converters,
+           round(CAST(sg AS DOUBLE) / n / 3600.0, 6) AS mean_hours,
+           round((CAST(sg AS DOUBLE) * sg * (n - 1.0))
+                 / (n * (n * qg - CAST(sg AS DOUBLE) * sg)), 6) AS shape_k,
+           round((n * qg - CAST(sg AS DOUBLE) * sg)
+                 / ((n - 1.0) * sg) / 3600.0, 6) AS scale_theta_hours
+    FROM s
+    """,
+)
+def stats_gamma_fit_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gamma distribution fit by the method of moments on
+    time-to-conversion gaps (the stats_kaplan_meier event subjects,
+    seconds precision): shape k = x̄²/s², scale θ = s²/x̄ — the standard
+    parametric latency model (k < 1 = burst-then-tail, k ≈ 1 =
+    exponential/memoryless, k > 1 = peaked). MLE needs digamma
+    iterations (libm); the moments fit is closed-form, exact, and the
+    universal initializer for it.
+
+    Parity: gaps are exact integer seconds; sufficient stats stay exact
+    (DuckDB HUGEINT / Spark DECIMAL(38,0) square sums) and both
+    parameters are fixed IEEE expression trees over them; round(6)
+    displays. Scale: one conditional-min groupBy(user) + one 3-number
+    aggregate — nothing else."""
+    horizon_h = 48
+    ev = load_table(spark, sf_dir, "events")
+    users = ev.groupBy("user_id").agg(
+        F.min("ts").alias("t0"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias("tp"),
+    )
+    gap = F.unix_seconds(F.col("tp")) - F.unix_seconds(F.col("t0"))
+    gaps = users.filter(
+        F.col("tp").isNotNull() & (gap < horizon_h * 3600) & (gap > 0)
+    ).select(gap.cast("bigint").alias("g"))
+    s = gaps.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("g").cast("bigint").alias("sg"),
+        F.sum(F.col("g").cast("decimal(38,0)") * F.col("g"))
+        .cast("double")
+        .alias("qg"),
+    )
+    n, sg, qg = F.col("n"), F.col("sg"), F.col("qg")
+    sg_d = sg.cast("double")
+    var_num = n * qg - sg_d * sg
+    return s.select(
+        n.alias("n_converters"),
+        F.round(sg_d / n / 3600.0, 6).alias("mean_hours"),
+        F.round((sg_d * sg * (n - 1.0)) / (n * var_num), 6).alias("shape_k"),
+        F.round(var_num / ((n - 1.0) * sg) / 3600.0, 6).alias(
+            "scale_theta_hours"
+        ),
+    )
+
+
+@register(
+    "feature_count_encoding",
+    oracle="""
+    WITH freq AS (
+      SELECT p_brand, CAST(count(*) AS BIGINT) AS brand_count
+      FROM part GROUP BY p_brand
+    ),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM part)
+    SELECT p.p_partkey, p.p_brand, f.brand_count,
+           f.brand_count * 1.0 / t.n AS brand_freq
+    FROM part p JOIN freq f ON f.p_brand = p.p_brand CROSS JOIN tot t
+    """,
+)
+def feature_count_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count/frequency encoding of a categorical (p_brand): each level is
+    replaced by its occurrence count and relative frequency — the
+    zero-leakage, zero-vocabulary-width encoder (contrast
+    feature_target_encoding's leave-one-out mean and
+    feature_onehot_topk's fixed indicator width). Gradient-boosting
+    pipelines use it as the default high-cardinality treatment.
+
+    Parity: counts are exact integers; brand_freq is ONE IEEE division
+    of integers (count/n), bit-deterministic with no rounding. Scale:
+    the frequency table is vocabulary-sized and broadcast; one map-side
+    join, no fact shuffle."""
+    part = load_table(spark, sf_dir, "part")
+    freq = part.groupBy("p_brand").agg(
+        F.count(F.lit(1)).cast("bigint").alias("brand_count")
+    )
+    tot = part.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    return (
+        part.join(F.broadcast(freq), "p_brand")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "p_partkey",
+            "p_brand",
+            "brand_count",
+            (F.col("brand_count") * 1.0 / F.col("n")).alias("brand_freq"),
+        )
+    )

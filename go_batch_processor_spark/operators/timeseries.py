@@ -2634,3 +2634,199 @@ def timeseries_croston(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("s.z") / F.col("s.p"), 6).alias("forecast_per_day"),
     )
     return out.orderBy("rn")
+
+
+DTW_BAND = 10  # Sakoe-Chiba radius (days)
+
+
+@register("timeseries_dtw_distance", tags={"rows_only"})
+def timeseries_dtw_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic Time Warping distance (Sakoe & Chiba 1978) between the
+    z-normalized daily revenue and daily event-count series — "do the
+    two KPIs trace the same shape, allowing small phase shifts?", the
+    alignment-tolerant alternative to timeseries_rolling_corr. L1 cost,
+    Sakoe-Chiba band radius {DTW_BAND}.
+
+    Implementation: both calendar-bounded series are assembled into one
+    1-row frame of two ordered arrays (z-scores from exact integer
+    sufficient stats, the SAX machinery); the classic O(n·m) DP runs as
+    a nested JVM aggregate() fold — the outer fold carries the previous
+    DP row, the inner fold builds each row left to right (the banded
+    cells skipped as +inf). ~n·m = 10³ interpreted HOF steps on a 1-row
+    frame — micro work; NO per-cell shuffle, no Python. Rows-only:
+    the fold is pinned against a pure-Python DP twin
+    (tests/test_round7b_invariants.py) — both sides are the same
+    IEEE |·|, +, min sequence, so they agree bit-exactly.
+
+    Scale: a single DTW is inherently small (two bounded series); the
+    100 TB shape is millions of INDEPENDENT DTWs (per sku/user pair),
+    which this fold already supports verbatim inside a groupBy — each
+    group's DP is data-parallel across groups, which is where the scale
+    lives (cf. the Croston per-sku note)."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.date_trunc("day", "ts").alias("d")).agg(
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("rev"),
+        F.count(F.lit(1)).cast("bigint").alias("cnt"),
+    )
+
+    def znorm(col: str) -> F.Column:
+        w = Window.partitionBy().orderBy("d").rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing
+        )
+        n = F.count(F.lit(1)).over(w).cast("double")
+        s = F.sum(col).over(w).cast("double")
+        q = F.sum(F.col(col).cast("decimal(38,0)") * F.col(col)).over(w).cast(
+            "double"
+        )
+        return (F.col(col) - s / n) / F.sqrt((q - s * s / n) / (n - 1.0))
+
+    series = daily.select(
+        "d", znorm("rev").alias("za"), znorm("cnt").alias("zb")
+    )
+    row = series.agg(
+        F.array_sort(F.collect_list(F.struct("d", "za"))).alias("sa"),
+        F.array_sort(F.collect_list(F.struct("d", "zb"))).alias("sb"),
+    ).select(
+        F.transform("sa", lambda s: s["za"]).alias("a"),
+        F.transform("sb", lambda s: s["zb"]).alias("b"),
+    )
+    inf = F.lit(float("inf"))
+    m = F.size(F.col("b"))
+
+    def dp_fold(a_col, b_col):
+        # padded row indices 0..m; row[0] of the virtual row -1 is 0.
+        init = F.concat(
+            F.array(F.lit(0.0)), F.array_repeat(inf, m)
+        )  # dp[-1][*]
+        return F.aggregate(
+            F.sequence(F.lit(1), F.size(a_col)),
+            init,
+            lambda prev, i: F.aggregate(
+                F.sequence(F.lit(1), m),
+                F.array(inf),  # cur[0] = inf (j=0 pad)
+                lambda cur, j: F.concat(
+                    cur,
+                    F.array(
+                        F.when(
+                            F.abs(i - j) > DTW_BAND, inf
+                        ).otherwise(
+                            F.abs(
+                                F.element_at(a_col, i) - F.element_at(b_col, j)
+                            )
+                            + F.least(
+                                F.element_at(prev, j + 1),
+                                F.element_at(prev, j),
+                                F.element_at(cur, F.size(cur)),
+                            )
+                        )
+                    ),
+                ),
+            ),
+        )
+
+    dp = row.select(
+        F.size("a").cast("bigint").alias("n_a"),
+        F.size("b").cast("bigint").alias("n_b"),
+        F.element_at(dp_fold(F.col("a"), F.col("b")), m + 1).alias("dtw_raw"),
+    )
+    return dp.select(
+        "n_a",
+        "n_b",
+        F.lit(DTW_BAND).cast("bigint").alias("band"),
+        F.round(F.col("dtw_raw"), 6).alias("dtw_distance"),
+        F.round(F.col("dtw_raw") / (F.col("n_a") + F.col("n_b")), 6).alias(
+            "dtw_normalized"
+        ),
+    )
+
+
+PELT_MIN_SIZE = 3
+
+
+@register("timeseries_changepoint_pelt", tags={"rows_only"})
+def timeseries_changepoint_pelt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Optimal multiple-changepoint segmentation of the daily revenue
+    series with PELT (Killick, Fearnhead & Eckley 2012): minimize
+    Σ segment-SSE + β·(#changepoints) with the L2 (mean-shift) cost and
+    the standard BIC-style penalty β = 2·σ̂²·ln n. Unlike
+    timeseries_cusum_changepoint (single most-likely break), PELT finds
+    the OPTIMAL set of breaks, with pruning that makes the scan linear
+    in practice.
+
+    Shape: the fact stream collapses to the calendar-bounded daily
+    aggregate (exact integer cents) — the documented bounded-collect
+    exception (same as every driver-solve ml_* op) — and the O(n)-ish
+    DP runs driver-side over those ~tens of rows; segment stats are
+    re-emitted as a small DataFrame. At 100 TB the daily frame is still
+    calendar-bounded (3 650 rows a decade): the collect does not grow
+    with the corpus, only with the calendar. Rows-only: exact-DP twin
+    (no pruning) pinned in tests — PELT's pruning is exactness-
+    preserving, so both must agree on the segmentation."""
+    import math
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy(F.date_trunc("day", "ts").alias("d"))
+        .agg(F.sum(F.round(F.col("value") * 100).cast("long")).alias("x"))
+        .orderBy("d")
+        .collect()
+    )
+    days = [r["d"] for r in daily]
+    xs = [float(r["x"]) for r in daily]
+    n = len(xs)
+    # prefix sums for O(1) segment SSE
+    ps = [0.0] * (n + 1)
+    pq = [0.0] * (n + 1)
+    for i, v in enumerate(xs):
+        ps[i + 1] = ps[i] + v
+        pq[i + 1] = pq[i] + v * v
+
+    def sse(i: int, j: int) -> float:  # cost of segment xs[i:j]
+        m = j - i
+        s = ps[j] - ps[i]
+        return (pq[j] - pq[i]) - s * s / m
+
+    mean = ps[n] / n
+    var = (pq[n] - ps[n] * ps[n] / n) / (n - 1)
+    beta = 2.0 * var * math.log(n)
+    # PELT DP with pruning
+    fcost = [0.0] + [math.inf] * n
+    last = [0] * (n + 1)
+    cands = [0]
+    for t in range(PELT_MIN_SIZE, n + 1):
+        best, arg = math.inf, 0
+        for s in cands:
+            if t - s < PELT_MIN_SIZE:
+                continue
+            c = fcost[s] + sse(s, t) + beta
+            if c < best:
+                best, arg = c, s
+        if math.isinf(best):  # pragma: no cover — too few points
+            continue
+        fcost[t], last[t] = best, arg
+        cands = [s for s in cands if fcost[s] + sse(s, t) <= best] + [t]
+    # backtrack
+    bounds = []
+    t = n
+    while t > 0:
+        s = last[t]
+        bounds.append((s, t))
+        t = s
+    bounds.reverse()
+    out = []
+    for k, (s, t) in enumerate(bounds):
+        seg_mean = (ps[t] - ps[s]) / (t - s)
+        out.append(
+            (
+                k,
+                days[s],
+                days[t - 1],
+                t - s,
+                float(round(seg_mean / 100.0, 2)),
+            )
+        )
+    return spark.createDataFrame(
+        out,
+        "segment bigint, start_day timestamp, end_day timestamp, "
+        "n_days bigint, mean_revenue double",
+    )

@@ -154,3 +154,180 @@ def test_onehot_topk_partition_of_unity(spark, sf_dir):
     assert (pdf[oh].sum(axis=1) == 1).all()
     counts = [pdf[f"oh_{i}"].sum() for i in range(1, 6)]
     assert counts == sorted(counts, reverse=True)
+
+
+def test_dtw_matches_python_dp(spark, sf_dir):
+    """The nested JVM fold must agree bit-exactly with a pure-Python DP
+    over the same z-scored series (identical |.|, +, min sequences)."""
+    import math
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from go_batch_processor_spark.catalog import load_table
+    from go_batch_processor_spark.operators.timeseries import DTW_BAND
+
+    got = REGISTRY["timeseries_dtw_distance"].fn(spark, sf_dir).toPandas().iloc[0]
+    daily = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(F.date_trunc("day", "ts").alias("d"))
+        .agg(
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("rev"),
+            F.count(F.lit(1)).cast("bigint").alias("cnt"),
+        )
+        .orderBy("d")
+        .toPandas()
+    )
+
+    def z(v):
+        n = len(v)
+        s = float(sum(v))
+        q = float(sum(x * x for x in v))
+        sd = math.sqrt((q - s * s / n) / (n - 1.0))
+        return [(float(x) - s / n) / sd for x in v]
+
+    a, b = z(daily.rev.tolist()), z(daily.cnt.tolist())
+    n, m = len(a), len(b)
+    prev = [0.0] + [math.inf] * m
+    for i in range(1, n + 1):
+        cur = [math.inf]
+        for j in range(1, m + 1):
+            if abs(i - j) > DTW_BAND:
+                cur.append(math.inf)
+            else:
+                cur.append(
+                    abs(a[i - 1] - b[j - 1]) + min(prev[j], prev[j - 1], cur[j - 1])
+                )
+        prev = cur
+    assert got.n_a == n and got.n_b == m
+    assert abs(got.dtw_distance - round(prev[m], 6)) < 1e-9
+    assert abs(got.dtw_normalized - round(prev[m] / (n + m), 6)) < 1e-9
+
+
+def test_pelt_matches_exact_dp_and_tiles_calendar(spark, sf_dir):
+    """PELT's pruning is exactness-preserving: the segmentation must equal
+    the O(n^2) DP without pruning, and segments must tile the series."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from go_batch_processor_spark.catalog import load_table
+    from go_batch_processor_spark.operators.timeseries import PELT_MIN_SIZE
+
+    pdf = (
+        REGISTRY["timeseries_changepoint_pelt"].fn(spark, sf_dir)
+        .toPandas()
+        .sort_values("segment")
+    )
+    daily = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(F.date_trunc("day", "ts").alias("d"))
+        .agg(F.sum(F.round(F.col("value") * 100).cast("long")).alias("x"))
+        .orderBy("d")
+        .toPandas()
+    )
+    xs = [float(v) for v in daily.x.tolist()]
+    n = len(xs)
+    ps = [0.0] * (n + 1)
+    pq = [0.0] * (n + 1)
+    for i, v in enumerate(xs):
+        ps[i + 1] = ps[i] + v
+        pq[i + 1] = pq[i] + v * v
+
+    def sse(i, j):
+        mlen = j - i
+        s = ps[j] - ps[i]
+        return (pq[j] - pq[i]) - s * s / mlen
+
+    var = (pq[n] - ps[n] * ps[n] / n) / (n - 1)
+    beta = 2.0 * var * math.log(n)
+    fcost = [0.0] + [math.inf] * n
+    last = [0] * (n + 1)
+    for t in range(PELT_MIN_SIZE, n + 1):
+        for s in range(0, t - PELT_MIN_SIZE + 1):
+            if s != 0 and math.isinf(fcost[s]):
+                continue
+            c = fcost[s] + sse(s, t) + beta
+            if c < fcost[t]:
+                fcost[t], last[t] = c, s
+    bounds = []
+    t = n
+    while t > 0:
+        bounds.append((last[t], t))
+        t = last[t]
+    bounds.reverse()
+    assert len(pdf) == len(bounds)
+    # segments tile the calendar: n_days sums to the series length
+    assert pdf.n_days.sum() == n
+    for (s, t), (_, row) in zip(bounds, pdf.iterrows()):
+        assert row.n_days == t - s
+        assert row.mean_revenue == round((ps[t] - ps[s]) / (t - s) / 100.0, 2)
+
+
+def test_poisson_dispersion_consistency(spark, sf_dir):
+    """Dispersion and chi2 must satisfy chi2 = (n-1)*D up to display
+    rounding, and user-count data is overdispersed vs Poisson (D > 1)."""
+    pdf = REGISTRY["stats_poisson_dispersion"].fn(spark, sf_dir).toPandas()
+    r = pdf.iloc[0]
+    assert r.n_users > 1
+    assert abs(r.chi2 - (r.n_users - 1) * r.dispersion) / max(r.chi2, 1.0) < 1e-4
+
+
+def test_gamma_fit_reconstructs_mean(spark, sf_dir):
+    """Method-of-moments identity: k * theta == mean (both in hours)."""
+    pdf = REGISTRY["stats_gamma_fit_moments"].fn(spark, sf_dir).toPandas()
+    r = pdf.iloc[0]
+    assert r.n_converters > 0
+    assert r.shape_k > 0 and r.scale_theta_hours > 0
+    assert abs(r.shape_k * r.scale_theta_hours - r.mean_hours) < 1e-3
+
+
+def test_vad_segments_are_maximal_runs(spark, sf_dir):
+    """Within a media, segments must be disjoint, ordered, above
+    threshold, and MAXIMAL (no two segments touch — a shared boundary
+    would mean the island split incorrectly)."""
+    from go_batch_processor_spark.operators.multimodal import VAD_RMS_THRESHOLD
+
+    pdf = (
+        REGISTRY["multimodal_audio_vad"].fn(spark, sf_dir)
+        .toPandas()
+        .sort_values(["media_id", "seg_idx"])
+    )
+    assert len(pdf) > 0
+    assert (pdf.peak_rms >= VAD_RMS_THRESHOLD).all()
+    assert (pdf.n_frames == pdf.end_frame - pdf.start_frame + 1).all()
+    for _, g in pdf.groupby("media_id"):
+        assert list(g.seg_idx) == list(range(len(g)))
+        prev_end = None
+        for _, r in g.iterrows():
+            if prev_end is not None:
+                assert r.start_frame > prev_end + 1  # maximality: a gap exists
+            prev_end = r.end_frame
+
+
+def test_count_encoding_accounting(spark, sf_dir):
+    """Per-brand count must equal the actual row count of that brand and
+    frequencies must sum to 1 over distinct brands."""
+    pdf = REGISTRY["feature_count_encoding"].fn(spark, sf_dir).toPandas()
+    by_brand = pdf.groupby("p_brand").agg(n=("p_partkey", "size"), c=("brand_count", "first"))
+    assert (by_brand.n == by_brand.c).all()
+    freqs = pdf.drop_duplicates("p_brand").brand_freq
+    assert abs(freqs.sum() - 1.0) < 1e-12
+
+
+def test_distributed_median_matches_single_node(spark, sf_dir):
+    """The dist_rank median must equal pandas' exact median of the same
+    cents (the single-node ground truth)."""
+    from pyspark.sql import functions as F
+
+    from go_batch_processor_spark.catalog import load_table
+
+    got = REGISTRY["agg_median_distributed"].fn(spark, sf_dir).toPandas().iloc[0]
+    cents = (
+        load_table(spark, sf_dir, "lineitem")
+        .select(F.round(F.col("l_extendedprice") * 100).cast("long").alias("c"))
+        .toPandas()
+        .c
+    )
+    assert got.n_rows == len(cents)
+    assert got.median_price == round(float(cents.median()) / 100.0, 4)
