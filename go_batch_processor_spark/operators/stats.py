@@ -6042,3 +6042,90 @@ def feature_count_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("brand_count") * 1.0 / F.col("n")).alias("brand_freq"),
         )
     )
+
+
+@register(
+    "stats_odds_ratio",
+    oracle="""
+    WITH users AS (
+      SELECT user_id,
+             user_id % 2 AS cohort,
+             min(ts) AS t0,
+             min(CASE WHEN event_type = 'purchase' THEN ts END) AS tp
+      FROM events GROUP BY user_id
+    ),
+    subj AS (
+      SELECT cohort,
+             CASE WHEN tp IS NOT NULL
+                   AND date_diff('second', t0, tp) < 48 * 3600
+                  THEN 1 ELSE 0 END AS conv
+      FROM users
+    ),
+    cells AS (
+      SELECT CAST(sum(CASE WHEN cohort = 0 AND conv = 1 THEN 1 ELSE 0 END) AS BIGINT) AS a,
+             CAST(sum(CASE WHEN cohort = 0 AND conv = 0 THEN 1 ELSE 0 END) AS BIGINT) AS b,
+             CAST(sum(CASE WHEN cohort = 1 AND conv = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c,
+             CAST(sum(CASE WHEN cohort = 1 AND conv = 0 THEN 1 ELSE 0 END) AS BIGINT) AS d
+      FROM subj
+    )
+    SELECT a, b, c, d,
+           round((CAST(a AS DOUBLE) * d) / (CAST(b AS DOUBLE) * c), 6)
+             AS odds_ratio,
+           round((CAST(a AS DOUBLE) / (a + b))
+                 / (CAST(c AS DOUBLE) / (c + d)), 6) AS relative_risk
+    FROM cells
+    """,
+)
+def stats_odds_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Odds ratio and relative risk for the 2x2 cohort-by-conversion
+    table (even/odd user cohort vs converted-within-48h — the exact
+    stats_fisher_exact contingency): the two standard epidemiological
+    effect sizes that complement the chi-square/Fisher SIGNIFICANCE
+    readouts — "how large is the effect", not "is there one".
+    OR = ad/bc; RR = [a/(a+b)] / [c/(c+d)]. The 48 h horizon keeps all
+    four cells populated (lifetime conversion saturates b and d to ~0,
+    which is also why the survival suite uses the same framing).
+
+    Parity: cells are exact integers from one conditional aggregate;
+    both ratios are fixed IEEE expression trees (round(6) display; the
+    log-CI variant needs libm ln and is deliberately omitted — the
+    bounded cells support a driver-side exact CI if needed). Scale: one
+    partial-combinable groupBy(user) + one O(1) aggregate."""
+    horizon_h = 48
+    ev = load_table(spark, sf_dir, "events")
+    users = ev.groupBy("user_id").agg(
+        F.min("ts").alias("t0"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias("tp"),
+    )
+    gap_s = F.unix_seconds(F.col("tp")) - F.unix_seconds(F.col("t0"))
+    conv = F.when(
+        F.col("tp").isNotNull() & (gap_s < horizon_h * 3600), 1
+    ).otherwise(0)
+    subj = users.select((F.col("user_id") % 2).alias("cohort"), conv.alias("conv"))
+    cells = subj.agg(
+        F.sum(F.when((F.col("cohort") == 0) & (F.col("conv") == 1), 1).otherwise(0))
+        .cast("bigint")
+        .alias("a"),
+        F.sum(F.when((F.col("cohort") == 0) & (F.col("conv") == 0), 1).otherwise(0))
+        .cast("bigint")
+        .alias("b"),
+        F.sum(F.when((F.col("cohort") == 1) & (F.col("conv") == 1), 1).otherwise(0))
+        .cast("bigint")
+        .alias("c"),
+        F.sum(F.when((F.col("cohort") == 1) & (F.col("conv") == 0), 1).otherwise(0))
+        .cast("bigint")
+        .alias("d"),
+    )
+    a, b, c, d = F.col("a"), F.col("b"), F.col("c"), F.col("d")
+    return cells.select(
+        "a",
+        "b",
+        "c",
+        "d",
+        F.round((a.cast("double") * d) / (b.cast("double") * c), 6).alias(
+            "odds_ratio"
+        ),
+        F.round(
+            (a.cast("double") / (a + b)) / (c.cast("double") / (c + d)), 6
+        ).alias("relative_risk"),
+    )

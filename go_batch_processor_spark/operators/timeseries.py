@@ -2830,3 +2830,88 @@ def timeseries_changepoint_pelt(spark: SparkSession, sf_dir: str) -> DataFrame:
         "segment bigint, start_day timestamp, end_day timestamp, "
         "n_days bigint, mean_revenue double",
     )
+
+
+@register(
+    "timeseries_hierarchical_reconcile",
+    oracle="""
+    WITH nat AS (
+      SELECT n.n_name AS nation, r.r_name AS region,
+             CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS cents,
+             CAST(count(DISTINCT CAST(o.o_orderdate AS DATE)) AS BIGINT)
+               AS n_days
+      FROM orders o
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n ON n.n_nationkey = c.c_nationkey
+      JOIN region r ON r.r_regionkey = n.n_regionkey
+      GROUP BY 1, 2
+    ),
+    tot AS (
+      SELECT CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS tot_cents,
+             CAST(count(DISTINCT CAST(o_orderdate AS DATE)) AS BIGINT)
+               AS tot_days
+      FROM orders
+    )
+    SELECT nation, region,
+           round(CAST(cents AS DOUBLE) / n_days / 100.0, 4) AS bottom_up,
+           round(CAST(cents AS DOUBLE) / tot_cents, 6) AS share,
+           round((CAST(tot_cents AS DOUBLE) / tot_days)
+                 * (CAST(cents AS DOUBLE) / tot_cents) / 100.0, 4)
+             AS top_down
+    FROM nat CROSS JOIN tot
+    """,
+)
+def timeseries_hierarchical_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical forecast reconciliation (Hyndman et al. 2011, the
+    proportional top-down / bottom-up pair) over the orders hierarchy
+    total -> region -> nation: each nation's naive daily-rate forecast
+    (its mean daily revenue) is produced BOTTOM-UP, and the coherent
+    TOP-DOWN alternative allocates the total series' daily rate by each
+    nation's historical revenue share. Incoherent per-series forecasts
+    (children not summing to the parent) are the classic hierarchical-
+    reporting failure; the two columns here are the two standard fixes.
+
+    Parity: revenue stays exact integer cents; per-nation day counts are
+    integers; every output is a fixed IEEE expression over integers with
+    display rounding. Scale: one fact aggregate keyed by nation (dims
+    broadcast), one O(1) total aggregate, no window."""
+    o = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nat = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    reg = load_table(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    per_nat = (
+        o.join(F.broadcast(cust), o.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey)
+        .join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)
+        .groupBy(F.col("n_name").alias("nation"), F.col("r_name").alias("region"))
+        .agg(
+            F.sum(cents).cast("bigint").alias("cents"),
+            F.countDistinct(F.col("o_orderdate").cast("date"))
+            .cast("bigint")
+            .alias("n_days"),
+        )
+    )
+    tot = o.agg(
+        F.sum(cents).cast("bigint").alias("tot_cents"),
+        F.countDistinct(F.col("o_orderdate").cast("date"))
+        .cast("bigint")
+        .alias("tot_days"),
+    )
+    c_d = F.col("cents").cast("double")
+    return per_nat.crossJoin(F.broadcast(tot)).select(
+        "nation",
+        "region",
+        F.round(c_d / F.col("n_days") / 100.0, 4).alias("bottom_up"),
+        F.round(c_d / F.col("tot_cents"), 6).alias("share"),
+        F.round(
+            (F.col("tot_cents").cast("double") / F.col("tot_days"))
+            * (c_d / F.col("tot_cents"))
+            / 100.0,
+            4,
+        ).alias("top_down"),
+    )

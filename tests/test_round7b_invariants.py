@@ -3,6 +3,7 @@ reliability/outlier stats, SAX/Croston, containment, robust features."""
 
 from __future__ import annotations
 
+import pandas as pd
 import pytest
 
 from go_batch_processor_spark.registry import REGISTRY, _ensure_loaded
@@ -331,3 +332,79 @@ def test_distributed_median_matches_single_node(spark, sf_dir):
     )
     assert got.n_rows == len(cents)
     assert got.median_price == round(float(cents.median()) / 100.0, 4)
+
+
+def test_phash_hamming_banding_is_exact(spark, sf_dir):
+    """The 4x16-bit band join must find EXACTLY the pairs within the
+    Hamming radius — verified by brute-forcing all pairs of the
+    collected hash table (bounded at test scale)."""
+    from itertools import combinations
+
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+    from pyspark.sql.functions import pandas_udf
+
+    from go_batch_processor_spark.operators.multimodal import (
+        PHASH_HAMMING_MAX,
+        _phash_kernel,
+        media_table,
+    )
+
+    got = REGISTRY["dedup_image_phash_hamming"].fn(spark, sf_dir).toPandas()
+    assert len(got) > 0
+    assert (got.hamming <= PHASH_HAMMING_MAX).all()
+
+    @pandas_udf(T.BinaryType())
+    def perturb(payload: pd.Series) -> pd.Series:
+        return payload.map(lambda b: bytes(b[:-1]) + bytes([(b[-1] + 16) % 256]))
+
+    @pandas_udf(T.LongType())
+    def phash(payload: pd.Series) -> pd.Series:
+        return _phash_kernel(payload)
+
+    base = media_table(spark, sf_dir)
+    dup = (
+        base.filter(F.col("media_id") % 10 == 0)
+        .withColumn("media_id", F.col("media_id") + 1_000_000)
+        .withColumn("payload", perturb("payload"))
+    )
+    hashes = (
+        base.unionByName(dup)
+        .select("media_id", phash("payload").alias("ph"))
+        .toPandas()
+    )
+    expected = set()
+    rows = list(zip(hashes.media_id, hashes.ph))
+    for (ma, pa), (mb, pb) in combinations(rows, 2):
+        if ma > mb:
+            ma, mb, pa, pb = mb, ma, pb, pa
+        h = bin((int(pa) & (2**64 - 1)) ^ (int(pb) & (2**64 - 1))).count("1")
+        if h <= PHASH_HAMMING_MAX:
+            expected.add((ma, mb, h))
+    assert set(zip(got.media_a, got.media_b, got.hamming)) == expected
+
+
+def test_odds_ratio_consistency_with_fisher_cells(spark, sf_dir):
+    """OR/RR must recompute from the emitted cells, and the cells must
+    match stats_fisher_exact's contingency (same framing)."""
+    got = REGISTRY["stats_odds_ratio"].fn(spark, sf_dir).toPandas().iloc[0]
+    a, b, c, d = got.a, got.b, got.c, got.d
+    assert min(a, b, c, d) > 0
+    assert got.odds_ratio == round((a * d) / (b * c), 6)
+    assert got.relative_risk == round((a / (a + b)) / (c / (c + d)), 6)
+    fisher = REGISTRY["stats_fisher_exact"].fn(spark, sf_dir).toPandas().iloc[0]
+    cols = set(fisher.index)
+    if {"a", "b", "c", "d"} <= cols:
+        assert (fisher.a, fisher.b, fisher.c, fisher.d) == (a, b, c, d)
+
+
+def test_hierarchical_reconcile_coherence(spark, sf_dir):
+    """Shares sum to 1; top-down forecasts are coherent by construction
+    (they sum to the total daily rate); bottom-up generally does NOT —
+    that incoherence is the reason the op exists."""
+    pdf = REGISTRY["timeseries_hierarchical_reconcile"].fn(spark, sf_dir).toPandas()
+    assert len(pdf) == 25  # TPC-H nations
+    assert abs(pdf.share.sum() - 1.0) < 1e-3
+    ratio = pdf.top_down / pdf.share
+    # top_down / share is the constant total daily rate (up to rounding)
+    assert (abs(ratio - ratio.iloc[0]) / ratio.iloc[0] < 1e-3).all()
