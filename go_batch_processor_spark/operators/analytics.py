@@ -1630,3 +1630,87 @@ def analytics_repeat_purchase_rate(spark: SparkSession, sf_dir: str) -> DataFram
             "median_hours_to_second"
         ),
     )
+
+
+@register(
+    "analytics_net_revenue_retention",
+    oracle="""
+    WITH monthly AS (
+      SELECT o_custkey AS cust,
+             date_trunc('month', o_orderdate) AS m,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS cents
+      FROM orders GROUP BY 1, 2
+    ),
+    paired AS (
+      SELECT prev.m AS base_month,
+             CAST(sum(prev.cents) AS BIGINT) AS base_cents,
+             CAST(sum(coalesce(cur.cents, 0)) AS BIGINT) AS retained_cents
+      FROM monthly prev
+      LEFT JOIN monthly cur
+        ON cur.cust = prev.cust
+       AND cur.m = prev.m + INTERVAL 1 MONTH
+      GROUP BY prev.m
+    )
+    SELECT CAST(base_month AS TIMESTAMP) AS base_month,
+           round(base_cents / 100.0, 2) AS base_revenue,
+           round(retained_cents / 100.0, 2) AS retained_revenue,
+           round(CAST(retained_cents AS DOUBLE) / base_cents, 6) AS nrr
+    FROM paired
+    ORDER BY base_month
+    """,
+)
+def analytics_net_revenue_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Net revenue retention by month: of the customers who spent in
+    month M, what fraction of that revenue did the SAME customers spend
+    in month M+1 — the SaaS-style dollar-retention readout that
+    complements analytics_retention_cohort's user counts (expansion and
+    contraction move NRR even when user retention is flat).
+
+    Parity: monthly revenue is exact integer cents; the month-shift join
+    is an equi-join on (customer, month+1); sums are exact BIGINT and
+    nrr is one IEEE division — round displays. Scale: one
+    partial-combinable (customer, month) aggregate, one co-partitioned
+    self-join on customer (same-key shuffle reused), one month
+    aggregate; no windows over raw facts."""
+    o = load_table(spark, sf_dir, "orders")
+    monthly = o.groupBy(
+        F.col("o_custkey").alias("cust"),
+        F.date_trunc("month", "o_orderdate").alias("m"),
+    ).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+        .cast("bigint")
+        .alias("cents")
+    )
+    prev = monthly.select(
+        F.col("cust").alias("p_cust"), F.col("m").alias("base_month"),
+        F.col("cents").alias("p_cents"),
+    )
+    cur = monthly.select(
+        F.col("cust").alias("c_cust"),
+        F.col("m").alias("c_m"),
+        F.col("cents").alias("c_cents"),
+    )
+    paired = (
+        prev.join(
+            cur,
+            (F.col("c_cust") == F.col("p_cust"))
+            & (F.col("c_m") == F.col("base_month") + F.expr("INTERVAL 1 MONTH")),
+            "left",
+        )
+        .groupBy("base_month")
+        .agg(
+            F.sum("p_cents").cast("bigint").alias("base_cents"),
+            F.sum(F.coalesce(F.col("c_cents"), F.lit(0)))
+            .cast("bigint")
+            .alias("retained_cents"),
+        )
+    )
+    return paired.select(
+        F.col("base_month").cast("timestamp").alias("base_month"),
+        F.round(F.col("base_cents") / 100.0, 2).alias("base_revenue"),
+        F.round(F.col("retained_cents") / 100.0, 2).alias("retained_revenue"),
+        F.round(
+            F.col("retained_cents").cast("double") / F.col("base_cents"), 6
+        ).alias("nrr"),
+    )

@@ -2054,3 +2054,120 @@ def ml_linear_svm_gd(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("objective", float(round(obj, 6)))
     ]
     return spark.createDataFrame(out, "term string, value double")
+
+
+TREE_FEATURES = ["l_quantity", "l_discount", "l_tax"]
+TREE_DEPTH = 2
+
+
+@register("ml_decision_tree_depth2", tags={"rows_only"})
+def ml_decision_tree_depth2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Depth-2 CART classification tree (Breiman et al. 1984) for
+    P(l_returnflag = 'R') over [quantity, discount, tax] — exact
+    exhaustive split search by weighted Gini impurity, the third member
+    of the tree family (ml_gbdt_stumps boosts depth-1; this is the
+    interpretable single tree with one interaction level).
+
+    Distributed shape: candidate thresholds are the features' DISTINCT
+    VALUES (bounded vocabularies here: 50/11/9), so ONE pass per tree
+    level computes per-(feature, value) class counts as
+    partial-combinable aggregates; the driver prefix-sums the tiny
+    per-value tables into left/right counts for every candidate split
+    and picks argmin Gini with a total tie-break (gini, feature,
+    threshold). Level 2 repeats the pass with the root predicate as two
+    conditional count columns — 2 data passes total, O(|values|) driver
+    state. At continuous features, bin to quantile sketches first (the
+    standard Spark MLlib / LightGBM treatment).
+
+    Rows-only (argmin over doubles has no SQL twin); tests/test_ml.py
+    pins every node's split, counts, and Gini against a numpy twin.
+    Output: one row per node — node 0 root, 1/2 its left/right children
+    (split nodes), 3..6 the depth-2 leaves with class predictions."""
+    import numpy as np
+
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select((F.col("l_returnflag") == "R").cast("int").alias("y"), *TREE_FEATURES)
+        .persist()
+    )
+
+    def value_tables(df, cond=None):
+        """Per-feature (value, n, n_pos) tables under an optional
+        predicate column — one aggregate per feature, bounded output."""
+        out = {}
+        for f in TREE_FEATURES:
+            gate = F.lit(True) if cond is None else cond
+            t = (
+                df.groupBy(F.col(f).alias("v"))
+                .agg(
+                    F.sum(F.when(gate, 1).otherwise(0)).alias("n"),
+                    F.sum(F.when(gate, F.col("y")).otherwise(0)).alias("p"),
+                )
+                .orderBy("v")
+                .collect()
+            )
+            out[f] = [(float(r["v"]), int(r["n"]), int(r["p"])) for r in t]
+        return out
+
+    def best_split(tables):
+        """argmin weighted Gini over all (feature, threshold<=) splits;
+        returns (feature, threshold, gini) or None if no valid split."""
+        best = None
+        for f in TREE_FEATURES:
+            rows = tables[f]
+            tot_n = sum(n for _, n, _ in rows)
+            tot_p = sum(p for _, _, p in rows)
+            if tot_n == 0:
+                continue
+            ln = lp = 0
+            for v, n, p in rows[:-1]:  # last value = trivial split
+                ln += n
+                lp += p
+                rn, rp = tot_n - ln, tot_p - lp
+                if ln == 0 or rn == 0:
+                    continue
+                gl = 1.0 - (lp / ln) ** 2 - ((ln - lp) / ln) ** 2
+                gr = 1.0 - (rp / rn) ** 2 - ((rn - rp) / rn) ** 2
+                g = (ln * gl + rn * gr) / tot_n
+                cand = (g, f, v)
+                if best is None or cand < best:
+                    best = cand
+        return best
+
+    root_tables = value_tables(li)
+    g0, f0, t0 = best_split(root_tables)
+    left_cond = F.col(f0) <= F.lit(t0)
+    splits = {1: None, 2: None}
+    for node, cond in ((1, left_cond), (2, ~left_cond)):
+        s = best_split(value_tables(li, cond))
+        splits[node] = s
+    # leaf stats in one final pass: which of the 4 leaves each row hits
+    l1 = splits[1]
+    l2 = splits[2]
+    leaf_expr = (
+        F.when(left_cond & (F.col(l1[1]) <= F.lit(l1[2])), 3)
+        .when(left_cond, 4)
+        .when(~left_cond & (F.col(l2[1]) <= F.lit(l2[2])), 5)
+        .otherwise(6)
+    )
+    leaves = {
+        int(r["leaf"]): (int(r["n"]), int(r["p"]))
+        for r in li.groupBy(leaf_expr.alias("leaf"))
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("y").alias("p"))
+        .collect()
+    }
+    li.unpersist(blocking=False)
+    rows = [
+        (0, "split", f0, float(round(t0, 6)), None, float(round(g0, 6))),
+        (1, "split", l1[1], float(round(l1[2], 6)), None, float(round(l1[0], 6))),
+        (2, "split", l2[1], float(round(l2[2], 6)), None, float(round(l2[0], 6))),
+    ]
+    for leaf in (3, 4, 5, 6):
+        n, p = leaves.get(leaf, (0, 0))
+        pred = "R" if 2 * p > n else "other"
+        rows.append((leaf, "leaf", None, None, pred, float(round(p / n, 6)) if n else None))
+    return spark.createDataFrame(
+        rows,
+        "node bigint, kind string, feature string, threshold double, "
+        "prediction string, score double",
+    )

@@ -6129,3 +6129,226 @@ def stats_odds_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
             (a.cast("double") / (a + b)) / (c.cast("double") / (c + d)), 6
         ).alias("relative_risk"),
     )
+
+
+MH_STRATA = 5  # user_id % 5 strata
+
+
+@register(
+    "stats_mantel_haenszel",
+    oracle=f"""
+    WITH users AS (
+      SELECT user_id,
+             user_id % 2 AS cohort,
+             user_id % {MH_STRATA} AS stratum,
+             min(ts) AS t0,
+             min(CASE WHEN event_type = 'purchase' THEN ts END) AS tp
+      FROM events GROUP BY user_id
+    ),
+    subj AS (
+      SELECT stratum, cohort,
+             CASE WHEN tp IS NOT NULL
+                   AND date_diff('second', t0, tp) < 48 * 3600
+                  THEN 1 ELSE 0 END AS conv
+      FROM users
+    ),
+    cells AS (
+      SELECT stratum,
+             CAST(sum(CASE WHEN cohort = 0 AND conv = 1 THEN 1 ELSE 0 END) AS BIGINT) AS a,
+             CAST(sum(CASE WHEN cohort = 0 AND conv = 0 THEN 1 ELSE 0 END) AS BIGINT) AS b,
+             CAST(sum(CASE WHEN cohort = 1 AND conv = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c,
+             CAST(sum(CASE WHEN cohort = 1 AND conv = 0 THEN 1 ELSE 0 END) AS BIGINT) AS d
+      FROM subj GROUP BY stratum
+    ),
+    terms AS (
+      SELECT stratum, a, b, c, d, a + b + c + d AS n,
+             CAST(a AS DOUBLE) * d / (a + b + c + d) AS num_t,
+             CAST(b AS DOUBLE) * c / (a + b + c + d) AS den_t
+      FROM cells
+    ),
+    ordered AS (
+      SELECT stratum, num_t, den_t,
+             sum(num_t) OVER (ORDER BY stratum) AS num_run,
+             sum(den_t) OVER (ORDER BY stratum) AS den_run,
+             row_number() OVER (ORDER BY stratum DESC) AS rn
+      FROM terms
+    )
+    SELECT CAST({MH_STRATA} AS BIGINT) AS n_strata,
+           round(num_run / den_run, 6) AS mh_odds_ratio
+    FROM ordered WHERE rn = 1
+    """,
+)
+def stats_mantel_haenszel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mantel-Haenszel pooled odds ratio (Mantel & Haenszel 1959) for
+    the cohort-vs-conversion effect STRATIFIED by user segment
+    (user_id % {MH_STRATA}): OR_MH = Σ(a_i·d_i/n_i) / Σ(b_i·c_i/n_i).
+    The confounding-adjusted companion to stats_odds_ratio — when strata
+    differ in both exposure mix and base rate, the crude OR is
+    Simpson's-paradox bait; MH pools the per-stratum effects.
+
+    Determinism: per-stratum terms are one exact IEEE division each
+    (integer products / integer n); the cross-stratum sums are ORDERED
+    running sums over the stratum index (windows, not unordered
+    aggregates) on BOTH engines, so the bounded-cardinality double sum
+    is bit-deterministic — the stats_log_rank_test pattern. Scale: one
+    groupBy(user), one groupBy(stratum), a {MH_STRATA}-row window."""
+    horizon_h = 48
+    ev = load_table(spark, sf_dir, "events")
+    users = ev.groupBy("user_id").agg(
+        F.min("ts").alias("t0"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias("tp"),
+    )
+    gap_s = F.unix_seconds(F.col("tp")) - F.unix_seconds(F.col("t0"))
+    conv = F.when(
+        F.col("tp").isNotNull() & (gap_s < horizon_h * 3600), 1
+    ).otherwise(0)
+    subj = users.select(
+        (F.col("user_id") % MH_STRATA).alias("stratum"),
+        (F.col("user_id") % 2).alias("cohort"),
+        conv.alias("conv"),
+    )
+    cells = subj.groupBy("stratum").agg(
+        F.sum(F.when((F.col("cohort") == 0) & (F.col("conv") == 1), 1).otherwise(0))
+        .cast("bigint")
+        .alias("a"),
+        F.sum(F.when((F.col("cohort") == 0) & (F.col("conv") == 0), 1).otherwise(0))
+        .cast("bigint")
+        .alias("b"),
+        F.sum(F.when((F.col("cohort") == 1) & (F.col("conv") == 1), 1).otherwise(0))
+        .cast("bigint")
+        .alias("c"),
+        F.sum(F.when((F.col("cohort") == 1) & (F.col("conv") == 0), 1).otherwise(0))
+        .cast("bigint")
+        .alias("d"),
+    )
+    n = F.col("a") + F.col("b") + F.col("c") + F.col("d")
+    terms = cells.select(
+        "stratum",
+        (F.col("a").cast("double") * F.col("d") / n).alias("num_t"),
+        (F.col("b").cast("double") * F.col("c") / n).alias("den_t"),
+    )
+    w_run = Window.partitionBy().orderBy("stratum").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_rn = Window.partitionBy().orderBy(F.col("stratum").desc())
+    acc = terms.select(
+        F.sum("num_t").over(w_run).alias("num_run"),
+        F.sum("den_t").over(w_run).alias("den_run"),
+        F.row_number().over(w_rn).alias("rn"),
+    )
+    return acc.filter(F.col("rn") == 1).select(
+        F.lit(MH_STRATA).cast("bigint").alias("n_strata"),
+        F.round(F.col("num_run") / F.col("den_run"), 6).alias("mh_odds_ratio"),
+    )
+
+
+PROFILE_CORR_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+
+
+def _corr_pairs_sql() -> str:
+    cols = PROFILE_CORR_COLS
+    cents = {
+        "l_quantity": "CAST(l_quantity AS BIGINT)",
+        "l_extendedprice": "CAST(round(l_extendedprice * 100) AS BIGINT)",
+        "l_discount": "CAST(round(l_discount * 100) AS BIGINT)",
+        "l_tax": "CAST(round(l_tax * 100) AS BIGINT)",
+    }
+    ints = ",\n             ".join(f"{cents[c]} AS x{i}" for i, c in enumerate(cols))
+    aggs = ["CAST(count(*) AS BIGINT) AS n"]
+    for i in range(len(cols)):
+        aggs.append(f"CAST(sum(x{i}) AS BIGINT) AS s{i}")
+        aggs.append(f"CAST(sum(CAST(x{i} AS HUGEINT) * x{i}) AS DOUBLE) AS q{i}")
+    for i in range(len(cols)):
+        for j in range(i + 1, len(cols)):
+            aggs.append(
+                f"CAST(sum(CAST(x{i} AS HUGEINT) * x{j}) AS DOUBLE) AS c{i}_{j}"
+            )
+    agg_sql = ",\n             ".join(aggs)
+    selects = []
+    for i in range(len(cols)):
+        for j in range(i + 1, len(cols)):
+            expr = (
+                f"round((n * c{i}_{j} - CAST(s{i} AS DOUBLE) * s{j})"
+                f" / (sqrt(n * q{i} - CAST(s{i} AS DOUBLE) * s{i})"
+                f" * sqrt(n * q{j} - CAST(s{j} AS DOUBLE) * s{j})), 6)"
+            )
+            selects.append(
+                f"SELECT '{cols[i]}' AS col_a, '{cols[j]}' AS col_b,"
+                f" {expr} AS pearson_r FROM s"
+            )
+    union = "\n    UNION ALL\n    ".join(selects)
+    return f"""
+    WITH ints AS (
+      SELECT {ints}
+      FROM lineitem
+    ),
+    s AS (
+      SELECT {agg_sql}
+      FROM ints
+    )
+    {union}
+    """
+
+
+@register("profile_correlation_matrix", oracle=_corr_pairs_sql())
+def profile_correlation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlation matrix over lineitem's numeric
+    columns (quantity, extendedprice, discount, tax) — the data-profiling
+    pass that finds redundant features and leakage before modeling. (In
+    THIS synthetic fixture the columns are drawn independently, so all
+    six correlations are near zero — itself a profiling finding; real
+    TPC-H would show extendedprice ~ quantity x price.) Upper triangle
+    only, 6 rows.
+
+    Parity: every column is exact integer units (cents for the money and
+    rate columns), all 14 sufficient statistics are exact
+    (DuckDB HUGEINT / Spark DECIMAL(38,0) for products that can pass
+    2^63), and each r is a fixed IEEE expression over them — the
+    stats_cronbach_alpha "integer until the last operation" strategy.
+    Scale: ONE partial-combinable aggregate over the fact table computes
+    all pairs simultaneously (d=4 -> 14 numbers; O(d^2) state — the
+    ml_pca_covariance shape), then a constant-size projection."""
+    cols = PROFILE_CORR_COLS
+    li = load_table(spark, sf_dir, "lineitem")
+    ints = li.select(
+        F.col("l_quantity").cast("bigint").alias("x0"),
+        F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("x1"),
+        F.round(F.col("l_discount") * 100).cast("bigint").alias("x2"),
+        F.round(F.col("l_tax") * 100).cast("bigint").alias("x3"),
+    )
+    aggs = [F.count(F.lit(1)).cast("bigint").alias("n")]
+    d = len(cols)
+    for i in range(d):
+        x = F.col(f"x{i}")
+        aggs.append(F.sum(x).cast("bigint").alias(f"s{i}"))
+        aggs.append(
+            F.sum(x.cast("decimal(38,0)") * x).cast("double").alias(f"q{i}")
+        )
+    for i in range(d):
+        for j in range(i + 1, d):
+            aggs.append(
+                F.sum(F.col(f"x{i}").cast("decimal(38,0)") * F.col(f"x{j}"))
+                .cast("double")
+                .alias(f"c{i}_{j}")
+            )
+    s = ints.agg(*aggs)
+    # ONE scan: a union of 6 selects over the agg frame would replan the
+    # fact scan per pair (measured lesson) — inline(array(structs))
+    # unpivots all pairs from the single 1-row aggregate.
+    structs = []
+    n = F.col("n")
+    for i in range(d):
+        for j in range(i + 1, d):
+            si, sj = F.col(f"s{i}"), F.col(f"s{j}")
+            r = (n * F.col(f"c{i}_{j}") - si.cast("double") * sj) / (
+                F.sqrt(n * F.col(f"q{i}") - si.cast("double") * si)
+                * F.sqrt(n * F.col(f"q{j}") - sj.cast("double") * sj)
+            )
+            structs.append(
+                F.struct(
+                    F.lit(cols[i]).alias("col_a"),
+                    F.lit(cols[j]).alias("col_b"),
+                    F.round(r, 6).alias("pearson_r"),
+                )
+            )
+    return s.select(F.inline(F.array(*structs)))

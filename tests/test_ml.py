@@ -716,3 +716,74 @@ def test_linear_svm_matches_numpy_gd(spark, sf_dir):
     assert abs(got["objective"] - obj) < 1e-5
     # sanity: the fitted model beats the zero vector (hinge(0) = 1)
     assert got["objective"] < 1.0
+
+
+def test_decision_tree_depth2_matches_numpy(spark, sf_dir):
+    """Every split (feature, threshold, gini) and every leaf's counts
+    must match an exhaustive numpy search with the same tie-break."""
+    import numpy as np
+
+    from go_batch_processor_spark.catalog import load_table
+    from go_batch_processor_spark.operators.ml import TREE_FEATURES
+
+    rows = {
+        int(r.node): r
+        for r in REGISTRY["ml_decision_tree_depth2"].fn(spark, sf_dir).collect()
+    }
+    pdf = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_returnflag", *TREE_FEATURES)
+        .toPandas()
+    )
+    y = (pdf["l_returnflag"] == "R").to_numpy(dtype=np.int64)
+    X = {f: pdf[f].to_numpy(dtype=np.float64) for f in TREE_FEATURES}
+
+    def best_split(mask):
+        best = None
+        for f in TREE_FEATURES:
+            xs = X[f][mask]
+            ys = y[mask]
+            tot_n, tot_p = len(ys), int(ys.sum())
+            vals = np.unique(xs)
+            ln = lp = 0
+            for v in vals[:-1]:
+                sel = xs == v
+                ln += int(sel.sum())
+                lp += int(ys[sel].sum())
+                rn, rp = tot_n - ln, tot_p - lp
+                if ln == 0 or rn == 0:
+                    continue
+                gl = 1.0 - (lp / ln) ** 2 - ((ln - lp) / ln) ** 2
+                gr = 1.0 - (rp / rn) ** 2 - ((rn - rp) / rn) ** 2
+                g = (ln * gl + rn * gr) / tot_n
+                cand = (g, f, float(v))
+                if best is None or cand < best:
+                    best = cand
+        return best
+
+    all_mask = np.ones(len(y), dtype=bool)
+    g0, f0, t0 = best_split(all_mask)
+    assert rows[0].feature == f0
+    assert rows[0].threshold == round(t0, 6)
+    assert rows[0].score == round(g0, 6)
+    left = X[f0] <= t0
+    for node, mask in ((1, left), (2, ~left)):
+        g, f, t = best_split(mask)
+        assert rows[node].feature == f, node
+        assert rows[node].threshold == round(t, 6), node
+        assert rows[node].score == round(g, 6), node
+    g1, f1, t1 = best_split(left)
+    g2, f2, t2 = best_split(~left)
+    leaf_masks = {
+        3: left & (X[f1] <= t1),
+        4: left & (X[f1] > t1),
+        5: (~left) & (X[f2] <= t2),
+        6: (~left) & (X[f2] > t2),
+    }
+    for leaf, mask in leaf_masks.items():
+        n, p = int(mask.sum()), int(y[mask].sum())
+        assert rows[leaf].kind == "leaf"
+        expected_pred = "R" if 2 * p > n else "other"
+        assert rows[leaf].prediction == expected_pred, leaf
+        if n:
+            assert rows[leaf].score == round(p / n, 6), leaf

@@ -408,3 +408,49 @@ def test_hierarchical_reconcile_coherence(spark, sf_dir):
     ratio = pdf.top_down / pdf.share
     # top_down / share is the constant total daily rate (up to rounding)
     assert (abs(ratio - ratio.iloc[0]) / ratio.iloc[0] < 1e-3).all()
+
+
+def test_mantel_haenszel_between_stratum_extremes(spark, sf_dir):
+    """The pooled OR must be positive and finite; with homogeneous
+    strata it should land near the crude OR (same framing)."""
+    got = REGISTRY["stats_mantel_haenszel"].fn(spark, sf_dir).toPandas().iloc[0]
+    assert got.n_strata == 5
+    assert got.mh_odds_ratio > 0
+    crude = REGISTRY["stats_odds_ratio"].fn(spark, sf_dir).toPandas().iloc[0]
+    # random stratification -> no confounding -> MH ~ crude (loose band)
+    assert 0.5 * crude.odds_ratio < got.mh_odds_ratio < 2.0 * crude.odds_ratio
+
+
+def test_nrr_accounting(spark, sf_dir):
+    """retained <= what next-month spenders spent in total; nrr >= 0;
+    months are consecutive and base revenue positive."""
+    pdf = (
+        REGISTRY["analytics_net_revenue_retention"].fn(spark, sf_dir)
+        .toPandas()
+        .sort_values("base_month")
+        .reset_index(drop=True)
+    )
+    assert len(pdf) > 12
+    assert (pdf.base_revenue > 0).all()
+    assert (pdf.nrr >= 0).all()
+    # final month has no successor data -> nrr 0 there
+    assert pdf.nrr.iloc[-1] == 0.0
+
+
+def test_correlation_matrix_matches_builtin_corr(spark, sf_dir, duck):
+    """r in [-1,1] for all pairs, and each must equal DuckDB's built-in
+    corr() on the same integer-unit columns (independent formula)."""
+    pdf = REGISTRY["profile_correlation_matrix"].fn(spark, sf_dir).toPandas()
+    assert len(pdf) == 6
+    assert ((pdf.pearson_r >= -1.0) & (pdf.pearson_r <= 1.0)).all()
+    units = {
+        "l_quantity": "CAST(l_quantity AS BIGINT)",
+        "l_extendedprice": "CAST(round(l_extendedprice * 100) AS BIGINT)",
+        "l_discount": "CAST(round(l_discount * 100) AS BIGINT)",
+        "l_tax": "CAST(round(l_tax * 100) AS BIGINT)",
+    }
+    for _, r in pdf.iterrows():
+        ref = duck.sql(
+            f"SELECT corr({units[r.col_a]}, {units[r.col_b]}) FROM lineitem"
+        ).fetchone()[0]
+        assert abs(r.pearson_r - ref) < 1e-6, (r.col_a, r.col_b)
