@@ -1714,3 +1714,123 @@ def analytics_net_revenue_retention(spark: SparkSession, sf_dir: str) -> DataFra
             F.col("retained_cents").cast("double") / F.col("base_cents"), 6
         ).alias("nrr"),
     )
+
+
+@register(
+    "analytics_uplift_segments",
+    oracle="""
+    WITH assigned AS (
+      SELECT c_custkey, c_mktsegment,
+             CASE WHEN strpos('01234567',
+                              substr(md5('arm:' || CAST(c_custkey AS VARCHAR)),
+                                     1, 1)) > 0
+                  THEN 1 ELSE 0 END AS treated
+      FROM customer
+    ),
+    conv AS (
+      SELECT DISTINCT o_custkey
+      FROM orders WHERE o_orderpriority = '1-URGENT'
+    ),
+    marked AS (
+      SELECT a.c_mktsegment, a.treated,
+             CASE WHEN c.o_custkey IS NULL THEN 0 ELSE 1 END AS converted
+      FROM assigned a LEFT JOIN conv c ON c.o_custkey = a.c_custkey
+    ),
+    cells AS (
+      SELECT c_mktsegment,
+             CAST(sum(treated) AS BIGINT)                        AS n_t,
+             CAST(sum(treated * converted) AS BIGINT)            AS conv_t,
+             CAST(sum(1 - treated) AS BIGINT)                    AS n_c,
+             CAST(sum((1 - treated) * converted) AS BIGINT)      AS conv_c
+      FROM marked GROUP BY c_mktsegment
+    )
+    SELECT c_mktsegment AS segment, n_t, n_c,
+           round(CAST(conv_t AS DOUBLE) / n_t, 6) AS rate_t,
+           round(CAST(conv_c AS DOUBLE) / n_c, 6) AS rate_c,
+           round(CAST(conv_t AS DOUBLE) / n_t
+                 - CAST(conv_c AS DOUBLE) / n_c, 6) AS uplift,
+           round((CAST(conv_t AS DOUBLE) / n_t
+                  - CAST(conv_c AS DOUBLE) / n_c)
+                 / sqrt((CAST(conv_t AS DOUBLE) / n_t)
+                          * (1 - CAST(conv_t AS DOUBLE) / n_t) / n_t
+                        + (CAST(conv_c AS DOUBLE) / n_c)
+                          * (1 - CAST(conv_c AS DOUBLE) / n_c) / n_c),
+                 4) AS z_score
+    FROM cells
+    ORDER BY segment
+    """,
+)
+def analytics_uplift_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-segment UPLIFT readout — the two-model (T-learner cell form)
+    heterogeneous-treatment-effect table every growth experiment ships:
+    customers are assigned to arms by the deterministic md5 coin (the
+    stats_ab_srm_check bucketing service), outcome = placed at least
+    one 1-URGENT order, and each market segment reports treated/control
+    conversion rates, their difference (the segment CATE estimate), and
+    a two-proportion z. Segments whose |z| clears the bar are where the
+    treatment actually moves behavior — the uplift targeting decision.
+    (Assignment here is independent of outcome by construction, so the
+    expected uplift is ~0 — a true negative control, like
+    analytics_diff_in_diff.)
+
+    Parity: md5 assignment is engine-identical, conversion flags are
+    exact integers via a distinct-reduced left join, and every rate /
+    z is a fixed IEEE expression over integer cell counts. Scale: the
+    conversion set reduces to distinct converters BEFORE the join
+    (bounded by |customers|), the join is broadcast-able, and the cell
+    table is one partial-combinable conditional aggregate — five rows
+    survive.
+    """
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    assigned = cust.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.when(
+            F.instr(
+                F.lit("01234567"),
+                F.substring(
+                    F.md5(F.concat(F.lit("arm:"), F.col("c_custkey").cast("string"))),
+                    1,
+                    1,
+                ),
+            )
+            > 0,
+            1,
+        )
+        .otherwise(0)
+        .alias("treated"),
+    )
+    conv = (
+        orders.where(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_custkey")
+        .distinct()
+    )
+    marked = assigned.join(
+        F.broadcast(conv), assigned.c_custkey == conv.o_custkey, "left"
+    ).select(
+        "c_mktsegment",
+        "treated",
+        F.when(F.col("o_custkey").isNull(), 0).otherwise(1).alias("converted"),
+    )
+    t = F.col("treated")
+    cells = marked.groupBy("c_mktsegment").agg(
+        F.sum(t).cast("bigint").alias("n_t"),
+        F.sum(t * F.col("converted")).cast("bigint").alias("conv_t"),
+        F.sum(1 - t).cast("bigint").alias("n_c"),
+        F.sum((1 - t) * F.col("converted")).cast("bigint").alias("conv_c"),
+    )
+    p_t = F.col("conv_t").cast("double") / F.col("n_t")
+    p_c = F.col("conv_c").cast("double") / F.col("n_c")
+    se = F.sqrt(
+        p_t * (1 - p_t) / F.col("n_t") + p_c * (1 - p_c) / F.col("n_c")
+    )
+    return cells.select(
+        F.col("c_mktsegment").alias("segment"),
+        "n_t",
+        "n_c",
+        F.round(p_t, 6).alias("rate_t"),
+        F.round(p_c, 6).alias("rate_c"),
+        F.round(p_t - p_c, 6).alias("uplift"),
+        F.round((p_t - p_c) / se, 4).alias("z_score"),
+    ).orderBy("segment")

@@ -6352,3 +6352,314 @@ def profile_correlation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             )
     return s.select(F.inline(F.array(*structs)))
+
+
+@register(
+    "stats_cochran_q",
+    oracle="""
+    WITH peruser AS (
+      SELECT user_id, date_trunc('day', ts) AS d,
+             max(CASE WHEN event_type = 'click'    THEN 1 ELSE 0 END) AS xc,
+             max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS xp,
+             max(CASE WHEN event_type = 'view'     THEN 1 ELSE 0 END) AS xv
+      FROM events GROUP BY user_id, date_trunc('day', ts)
+    ),
+    s AS (
+      SELECT CAST(count(*) AS BIGINT)          AS n_subjects,
+             CAST(sum(xc) AS BIGINT)           AS c_click,
+             CAST(sum(xp) AS BIGINT)           AS c_purchase,
+             CAST(sum(xv) AS BIGINT)           AS c_view,
+             CAST(sum(xc + xp + xv) AS BIGINT) AS grand,
+             CAST(sum((xc + xp + xv) * (xc + xp + xv)) AS BIGINT) AS sr2
+      FROM peruser
+    )
+    SELECT n_subjects, c_click, c_purchase, c_view,
+           round(2.0 * (3 * (c_click * c_click + c_purchase * c_purchase
+                             + c_view * c_view) - grand * grand)
+                 / (3 * grand - sr2), 6) AS q_stat,
+           CAST(2 AS BIGINT) AS df
+    FROM s
+    """,
+)
+def stats_cochran_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cochran's Q test (Cochran 1950) for k=3 correlated binary
+    treatments: does the per-USER-DAY incidence of click / purchase /
+    view events differ across the three behaviors, accounting for the
+    fact that the SAME subjects underlie all three columns (the
+    within-subjects extension of McNemar to k>2 — stats_mcnemar is the
+    k=2 special case)? Subjects are (user, day) cells — the per-user
+    lifetime grain is degenerate here (every user exhibits all three
+    types over the full window, making 3N - ΣR_i² exactly 0).
+    Q = (k-1)(kΣC_j² - N²)/(kN - ΣR_i²) with C_j column totals and R_i
+    per-subject row totals; Q ~ χ²(k-1) under H0.
+
+    Parity: indicators, row/column totals, and both Q numerator and
+    denominator are EXACT integers — one double division then round.
+    Scale: one groupBy(user) conditional-max pass (partial-combinable),
+    then a 1-row sufficient-stats aggregate; O(1) bytes past the single
+    shuffle.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    peruser = ev.groupBy(
+        "user_id", F.date_trunc("day", "ts").alias("d")
+    ).agg(
+        F.max(F.when(F.col("event_type") == "click", 1).otherwise(0)).alias("xc"),
+        F.max(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias("xp"),
+        F.max(F.when(F.col("event_type") == "view", 1).otherwise(0)).alias("xv"),
+    )
+    r = F.col("xc") + F.col("xp") + F.col("xv")
+    s = peruser.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_subjects"),
+        F.sum("xc").cast("bigint").alias("c_click"),
+        F.sum("xp").cast("bigint").alias("c_purchase"),
+        F.sum("xv").cast("bigint").alias("c_view"),
+        F.sum(r).cast("bigint").alias("grand"),
+        F.sum(r * r).cast("bigint").alias("sr2"),
+    )
+    csq = (
+        F.col("c_click") * F.col("c_click")
+        + F.col("c_purchase") * F.col("c_purchase")
+        + F.col("c_view") * F.col("c_view")
+    )
+    return s.select(
+        "n_subjects",
+        "c_click",
+        "c_purchase",
+        "c_view",
+        F.round(
+            2.0
+            * (3 * csq - F.col("grand") * F.col("grand"))
+            / (3 * F.col("grand") - F.col("sr2")),
+            6,
+        ).alias("q_stat"),
+        F.lit(2).cast("bigint").alias("df"),
+    )
+
+
+@register(
+    "stats_mood_median_test",
+    oracle="""
+    WITH cents AS (
+      SELECT event_type,
+             CAST(round(value * 100) AS BIGINT) AS c
+      FROM events
+    ),
+    med AS (
+      SELECT quantile_cont(CAST(c AS DOUBLE), 0.5) AS m FROM cents
+    ),
+    cells AS (
+      SELECT event_type,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CASE WHEN c > m THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_above
+      FROM cents CROSS JOIN med
+      GROUP BY event_type
+    ),
+    tot AS (
+      SELECT CAST(sum(n) AS BIGINT) AS nn,
+             CAST(sum(n_above) AS BIGINT) AS aa
+      FROM cells
+    ),
+    scored AS (
+      SELECT event_type, n, n_above,
+             n * (CAST(aa AS DOUBLE) / nn) AS exp_above,
+             (n_above - n * (CAST(aa AS DOUBLE) / nn))
+               * (n_above - n * (CAST(aa AS DOUBLE) / nn))
+               * (1.0 / (n * (CAST(aa AS DOUBLE) / nn))
+                  + 1.0 / (n - n * (CAST(aa AS DOUBLE) / nn))) AS contrib
+      FROM cells CROSS JOIN tot
+    )
+    SELECT event_type, n, n_above,
+           round(exp_above, 6) AS exp_above,
+           round(contrib, 6) AS contrib,
+           round(sum(contrib) OVER (ORDER BY event_type
+                                    ROWS UNBOUNDED PRECEDING), 6)
+             AS running_chi2
+    FROM scored
+    ORDER BY event_type
+    """,
+)
+def stats_mood_median_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mood's median test: do the five event-type populations share a
+    common median value? Count each group's observations above the
+    GRAND median and chi-square the 2xk contingency table against the
+    pooled proportion — the nonparametric ANOVA alternative that only
+    assumes ordinal data (stats_kruskal_wallis is the higher-power
+    rank-based sibling; the median test survives heavy censoring/ties).
+    The last row's running_chi2 is the test statistic (df = k-1).
+
+    Parity: values fix to integer cents, the grand median interpolates
+    dyadic values at the dyadic fraction 0.5 (exact in IEEE), counts
+    are integers, and the per-cell expecteds/contributions are fixed
+    rational expressions of them; the chi2 total accumulates in
+    EVENT-TYPE ORDER (ordered frame sum — the bit-deterministic pattern,
+    never an unordered SUM of doubles). Scale: one exact-median
+    aggregate + one conditional-count groupBy, both partial-combinable;
+    everything after runs on k rows.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    cents = ev.select(
+        "event_type", F.round(F.col("value") * 100).cast("long").alias("c")
+    )
+    med = cents.agg(F.expr("percentile(CAST(c AS DOUBLE), 0.5)").alias("m"))
+    cells = (
+        cents.crossJoin(F.broadcast(med))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(F.when(F.col("c") > F.col("m"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_above"),
+        )
+    )
+    tot = cells.agg(
+        F.sum("n").cast("bigint").alias("nn"),
+        F.sum("n_above").cast("bigint").alias("aa"),
+    )
+    p = F.col("aa").cast("double") / F.col("nn")
+    e = F.col("n") * p
+    contrib = (
+        (F.col("n_above") - e)
+        * (F.col("n_above") - e)
+        * (1.0 / e + 1.0 / (F.col("n") - e))
+    )
+    w_run = Window.orderBy("event_type").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return (
+        cells.crossJoin(F.broadcast(tot))
+        .select(
+            "event_type",
+            "n",
+            "n_above",
+            F.round(e, 6).alias("exp_above"),
+            F.round(contrib, 6).alias("contrib"),
+            F.round(F.sum(contrib).over(w_run), 6).alias("running_chi2"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "stats_breusch_pagan",
+    oracle="""
+    WITH base AS (
+      SELECT CAST(l_quantity AS BIGINT) AS q,
+             CAST(round(l_extendedprice * 100) AS BIGINT) AS c
+      FROM lineitem
+    ),
+    p1 AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(q) AS BIGINT)     AS sx,
+             CAST(sum(q * q) AS BIGINT) AS sxx,
+             CAST(sum(c) AS BIGINT)     AS sy,
+             CAST(sum(q * c) AS BIGINT) AS sxy
+      FROM base
+    ),
+    coef AS (
+      SELECT n, sx, sxx,
+             CAST(CAST(n AS HUGEINT) * sxy
+                  - CAST(sx AS HUGEINT) * sy AS DOUBLE)
+             / CAST(CAST(n AS HUGEINT) * sxx
+                    - CAST(sx AS HUGEINT) * sx AS DOUBLE) AS beta,
+             (CAST(sy AS DOUBLE)
+              - CAST(CAST(n AS HUGEINT) * sxy
+                     - CAST(sx AS HUGEINT) * sy AS DOUBLE)
+                / CAST(CAST(n AS HUGEINT) * sxx
+                       - CAST(sx AS HUGEINT) * sx AS DOUBLE) * sx) / n
+               AS alpha
+      FROM p1
+    ),
+    p2 AS (
+      SELECT n, sx, sxx, beta, alpha,
+             sum((c - alpha - beta * q) * (c - alpha - beta * q)) AS su,
+             sum(q * (c - alpha - beta * q) * (c - alpha - beta * q))
+               AS sxu,
+             sum((c - alpha - beta * q) * (c - alpha - beta * q)
+                 * (c - alpha - beta * q) * (c - alpha - beta * q)) AS suu
+      FROM base CROSS JOIN coef
+      GROUP BY n, sx, sxx, beta, alpha
+    )
+    SELECT n, round(beta, 6) AS beta_cents_per_unit,
+           round(alpha / 100.0, 4) AS alpha_dollars,
+           round((n * sxu - sx * su) * (n * sxu - sx * su)
+                 / ((n * sxx - CAST(sx AS DOUBLE) * sx)
+                    * (n * suu - su * su)), 6) AS r2_aux,
+           round(n * (n * sxu - sx * su) * (n * sxu - sx * su)
+                 / ((n * sxx - CAST(sx AS DOUBLE) * sx)
+                    * (n * suu - su * su)), 2) AS lm_stat,
+           CAST(1 AS BIGINT) AS df
+    FROM p2
+    """,
+)
+def stats_breusch_pagan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Breusch-Pagan heteroskedasticity test (Breusch & Pagan 1979,
+    Koenker's studentized LM form): OLS-fit extendedprice-cents on
+    quantity, then regress the SQUARED residuals on quantity; LM = n*R²
+    of that auxiliary regression ~ χ²(1) under homoskedasticity — the
+    test every pricing / forecasting pipeline should run before
+    trusting OLS standard errors. (On this synthetic fixture
+    extendedprice is generated independently of quantity, so LM lands
+    comfortably under the χ²(1) bar — a true negative control.)
+
+    Parity: pass-1 sufficient statistics are EXACT integers (quantity x
+    integer cents); the normal-equation numerator/denominator are
+    computed in HUGEINT/DECIMAL(38,0) and cast ONCE to double
+    (correctly-rounded on both engines — the grubbs precedent), making
+    alpha/beta bit-identical, hence every residual bit-identical.
+    Pass-2 sums of squared residuals are order-dependent doubles —
+    outputs round at 6/2 per the registry doctrine. Scale: two
+    full scans (fit, then score) each collapsing map-side to one
+    sufficient-stats row; zero data-sized shuffles. The two-pass
+    shape is forced by the global coefficients, exactly like
+    ml_logreg_irls's per-iteration aggregate.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    base = li.select(
+        F.col("l_quantity").cast("bigint").alias("q"),
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("c"),
+    )
+    p1 = base.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("q").cast("bigint").alias("sx"),
+        F.sum(F.col("q") * F.col("q")).cast("bigint").alias("sxx"),
+        F.sum("c").cast("bigint").alias("sy"),
+        F.sum(F.col("q") * F.col("c")).cast("bigint").alias("sxy"),
+    )
+    dec = lambda col: F.col(col).cast("decimal(38,0)")  # noqa: E731
+    num = (dec("n") * F.col("sxy") - dec("sx") * F.col("sy")).cast("double")
+    den = (dec("n") * F.col("sxx") - dec("sx") * F.col("sx")).cast("double")
+    coef = p1.select(
+        "n",
+        "sx",
+        "sxx",
+        (num / den).alias("beta"),
+        ((F.col("sy").cast("double") - num / den * F.col("sx")) / F.col("n")).alias(
+            "alpha"
+        ),
+    )
+    e = F.col("c") - F.col("alpha") - F.col("beta") * F.col("q")
+    u = e * e
+    p2 = (
+        base.crossJoin(F.broadcast(coef))
+        .groupBy("n", "sx", "sxx", "beta", "alpha")
+        .agg(
+            F.sum(u).alias("su"),
+            F.sum(F.col("q") * u).alias("sxu"),
+            F.sum(u * u).alias("suu"),
+        )
+    )
+    r2_num = (F.col("n") * F.col("sxu") - F.col("sx") * F.col("su")) * (
+        F.col("n") * F.col("sxu") - F.col("sx") * F.col("su")
+    )
+    r2_den = (
+        F.col("n") * F.col("sxx") - F.col("sx").cast("double") * F.col("sx")
+    ) * (F.col("n") * F.col("suu") - F.col("su") * F.col("su"))
+    return p2.select(
+        "n",
+        F.round("beta", 6).alias("beta_cents_per_unit"),
+        F.round(F.col("alpha") / 100.0, 4).alias("alpha_dollars"),
+        F.round(r2_num / r2_den, 6).alias("r2_aux"),
+        F.round(F.col("n") * r2_num / r2_den, 2).alias("lm_stat"),
+        F.lit(1).cast("bigint").alias("df"),
+    )

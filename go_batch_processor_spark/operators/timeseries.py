@@ -1906,10 +1906,11 @@ _W_R = _loess_wt_sql("r")
 _W_S = _loess_wt_sql("s[1]")
 
 
-@register(
-    "timeseries_stl_loess",
-    oracle=f"""
-    WITH hourly AS (
+# The STL CTE chain (hourly series -> loess trend -> hour-of-day
+# seasonal) is shared by timeseries_stl_loess and the S-H-ESD anomaly
+# screen built on its residuals.
+_STL_CTES = f"""
+    hourly AS (
       SELECT date_trunc('hour', ts) AS hour,
              sum(CAST(round(value * 100) AS BIGINT)) / count(*) / 100.0 AS v
       FROM events
@@ -1950,41 +1951,14 @@ _W_S = _loess_wt_sql("s[1]")
              avg(v - trend) OVER (PARTITION BY extract(hour FROM hour))
                - avg(v - trend) OVER () AS seasonal
       FROM trended
-    )
-    SELECT hour, round(v, 4) AS v, round(trend, 4) AS trend,
-           round(seasonal, 4) AS seasonal,
-           round(v - trend - seasonal, 4) AS resid
-    FROM seas
-    """,
-)
-def timeseries_stl_loess(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """STL-style decomposition with a genuine LOESS trend (Cleveland et
-    al. 1990): per-hour series -> 25-point tricube-weighted LOCAL LINEAR
-    regression for the trend (not a moving average — loess follows
-    curvature and, unlike `timeseries_seasonal_decompose`'s centered MA,
-    is defined at the series EDGES because the asymmetric-window
-    weighted fit stays well-posed), then a mean-centered hour-of-day
-    seasonal profile of the DETRENDED series, residual = v - T - S.
-    One loess pass + one seasonal pass = the first STL inner-loop
-    iteration; full STL iterates these, changing no data-flow shape.
+    )"""
 
-    Per point i the fitted value is the d=0 evaluation of the weighted
-    least-squares line: (S2*T0 - S1*T1)/(S0*S2 - S1^2) with
-    S_m = sum(w_j d_j^m), T_m = sum(w_j d_j^m y_j), d_j = j - i,
-    w_j = tricube(|d_j|/(h+1)).
 
-    Plan/determinism shape: the fact table compresses to one row per
-    hour FIRST (exact integer-cents mean — the money parity rule), so
-    the loess windows run over the aggregate-sized series. Each point's
-    neighborhood is gathered by ONE ordered collect_list window (frame
-    order = hour order on both engines) and the five weighted sums are
-    LEFT FOLDS over those arrays — sequential IEEE adds, bit-exact
-    across engines; tricube uses explicit multiplication, never pow()
-    (libm). This is the documented small-window exception: |hours|
-    rows, 25-element arrays, O(h) per row, embarrassingly parallel
-    after the per-hour agg. At 100 TB the hourly agg is the only
-    full-data shuffle.
-    """
+def _stl_decomposed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared STL machinery: hourly exact-cents mean series with a
+    25-point tricube loess trend and a mean-centered hour-of-day
+    seasonal (unrounded doubles; see timeseries_stl_loess for the
+    determinism argument)."""
     ev = load_table(spark, sf_dir, "events")
     hourly = ev.groupBy(F.date_trunc("hour", "ts").alias("hour")).agg(
         (
@@ -2036,12 +2010,186 @@ def timeseries_stl_loess(spark: SparkSession, sf_dir: str) -> DataFrame:
     w_all = Window.partitionBy()
     det = F.col("v") - F.col("trend")
     seasonal = F.avg(det).over(w_hod) - F.avg(det).over(w_all)
-    return trended.select(
+    return trended.select("hour", "v", "trend", seasonal.alias("seasonal"))
+
+
+@register(
+    "timeseries_stl_loess",
+    oracle=f"""
+    WITH {_STL_CTES}
+    SELECT hour, round(v, 4) AS v, round(trend, 4) AS trend,
+           round(seasonal, 4) AS seasonal,
+           round(v - trend - seasonal, 4) AS resid
+    FROM seas
+    """,
+)
+def timeseries_stl_loess(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STL-style decomposition with a genuine LOESS trend (Cleveland et
+    al. 1990): per-hour series -> 25-point tricube-weighted LOCAL LINEAR
+    regression for the trend (not a moving average — loess follows
+    curvature and, unlike `timeseries_seasonal_decompose`'s centered MA,
+    is defined at the series EDGES because the asymmetric-window
+    weighted fit stays well-posed), then a mean-centered hour-of-day
+    seasonal profile of the DETRENDED series, residual = v - T - S.
+    One loess pass + one seasonal pass = the first STL inner-loop
+    iteration; full STL iterates these, changing no data-flow shape.
+
+    Per point i the fitted value is the d=0 evaluation of the weighted
+    least-squares line: (S2*T0 - S1*T1)/(S0*S2 - S1^2) with
+    S_m = sum(w_j d_j^m), T_m = sum(w_j d_j^m y_j), d_j = j - i,
+    w_j = tricube(|d_j|/(h+1)).
+
+    Plan/determinism shape: the fact table compresses to one row per
+    hour FIRST (exact integer-cents mean — the money parity rule), so
+    the loess windows run over the aggregate-sized series. Each point's
+    neighborhood is gathered by ONE ordered collect_list window (frame
+    order = hour order on both engines) and the five weighted sums are
+    LEFT FOLDS over those arrays — sequential IEEE adds, bit-exact
+    across engines; tricube uses explicit multiplication, never pow()
+    (libm). This is the documented small-window exception: |hours|
+    rows, 25-element arrays, O(h) per row, embarrassingly parallel
+    after the per-hour agg. At 100 TB the hourly agg is the only
+    full-data shuffle.
+    """
+    dec = _stl_decomposed(spark, sf_dir)
+    return dec.select(
         "hour",
         F.round("v", 4).alias("v"),
         F.round("trend", 4).alias("trend"),
-        F.round(seasonal, 4).alias("seasonal"),
-        F.round(F.col("v") - F.col("trend") - seasonal, 4).alias("resid"),
+        F.round("seasonal", 4).alias("seasonal"),
+        F.round(
+            F.col("v") - F.col("trend") - F.col("seasonal"), 4
+        ).alias("resid"),
+    )
+
+
+SHESD_Z = 3.0  # robust-z flag threshold (the fixed-alpha S-H-ESD variant)
+
+
+@register(
+    "timeseries_anomaly_shesd",
+    oracle=f"""
+    WITH {_STL_CTES},
+    resid AS (
+      SELECT hour,
+             CAST(floor((v - trend - seasonal) * 1e6 + 0.5) AS BIGINT) AS ru
+      FROM seas
+    ),
+    r1 AS (
+      SELECT quantile_cont(CAST(ru AS DOUBLE), 0.5) AS med1 FROM resid
+    ),
+    d1 AS (
+      SELECT hour, ru, abs(ru - med1) AS adev1 FROM resid CROSS JOIN r1
+    ),
+    m1 AS (SELECT quantile_cont(adev1, 0.5) AS mad1 FROM d1),
+    z1 AS (
+      SELECT hour, ru, adev1 / (1.4826 * mad1) AS z1
+      FROM d1 CROSS JOIN m1
+    ),
+    r2 AS (
+      SELECT quantile_cont(CAST(ru AS DOUBLE), 0.5)
+               FILTER (z1 <= {SHESD_Z}) AS med2
+      FROM z1
+    ),
+    d2 AS (
+      SELECT hour, ru, z1, abs(ru - med2) AS adev2 FROM z1 CROSS JOIN r2
+    ),
+    m2 AS (
+      SELECT quantile_cont(adev2, 0.5) FILTER (z1 <= {SHESD_Z}) AS mad2
+      FROM d2
+    ),
+    fin AS (
+      SELECT hour, ru, z1, adev2 / (1.4826 * mad2) AS z2
+      FROM d2 CROSS JOIN m2
+    )
+    SELECT hour, ru / 1e6 AS resid,
+           CAST(CASE WHEN z1 > {SHESD_Z} THEN 1 ELSE 2 END AS BIGINT)
+             AS esd_round,
+           round(CASE WHEN z1 > {SHESD_Z} THEN z1 ELSE z2 END, 4)
+             AS robust_z
+    FROM fin
+    WHERE z1 > {SHESD_Z} OR z2 > {SHESD_Z}
+    ORDER BY hour
+    """,
+)
+def timeseries_anomaly_shesd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-Hybrid ESD anomaly screen (Hochenbaum, Vallis & Kejariwal
+    2017) on the STL residuals: decompose the hourly series with the
+    shared loess+seasonal machinery, then run a two-round generalized-ESD
+    pass with MEDIAN/MAD in place of mean/stdev — round 1 flags residuals
+    with robust z > {SHESD_Z}, round 2 recomputes median/MAD over the
+    survivors only (the re-estimation step that lets ESD find anomalies
+    masked by bigger ones) and flags again. Fixed threshold instead of
+    the per-k t-quantile (the t inverse needs an incomplete-beta inverse
+    — driver-side scipy territory); with the robust scale the fixed-z
+    variant is the form production monitors actually deploy.
+
+    Parity: residuals are fixed to integer micro-units with
+    floor(x*1e6+0.5) (pure IEEE — the round-7 determinism doctrine), so
+    every median/MAD interpolates dyadic values at the dyadic fraction
+    0.5: lo + 0.5*(hi-lo) is EXACT in doubles on both engines regardless
+    of each engine's interpolation formula. The z expressions then run
+    on bit-identical inputs. Scale: after the hourly aggregate the frame
+    is calendar-bounded (|hours|); two exact-median aggregates and two
+    broadcast cross joins — nothing data-sized shuffles twice. At 100 TB
+    the hourly agg is the only full scan; swap exact percentile for
+    approx_percentile if the series itself outgrows a sort.
+    """
+    dec = _stl_decomposed(spark, sf_dir)
+    resid = dec.select(
+        "hour",
+        F.floor(
+            (F.col("v") - F.col("trend") - F.col("seasonal")) * 1e6 + 0.5
+        )
+        .cast("long")
+        .alias("ru"),
+    )
+    r1 = resid.agg(
+        F.expr("percentile(CAST(ru AS DOUBLE), 0.5)").alias("med1")
+    )
+    d1 = resid.crossJoin(F.broadcast(r1)).withColumn(
+        "adev1", F.abs(F.col("ru") - F.col("med1"))
+    )
+    m1 = d1.agg(F.expr("percentile(adev1, 0.5)").alias("mad1"))
+    z1 = (
+        d1.crossJoin(F.broadcast(m1))
+        .withColumn("z1", F.col("adev1") / (1.4826 * F.col("mad1")))
+        .select("hour", "ru", "z1")
+    )
+    r2 = z1.agg(
+        F.expr(
+            f"percentile(CAST(CASE WHEN z1 <= {SHESD_Z} THEN ru END"
+            " AS DOUBLE), 0.5)"
+        ).alias("med2")
+    )
+    d2 = z1.crossJoin(F.broadcast(r2)).withColumn(
+        "adev2", F.abs(F.col("ru") - F.col("med2"))
+    )
+    m2 = d2.agg(
+        F.expr(
+            f"percentile(CASE WHEN z1 <= {SHESD_Z} THEN adev2 END, 0.5)"
+        ).alias("mad2")
+    )
+    fin = d2.crossJoin(F.broadcast(m2)).withColumn(
+        "z2", F.col("adev2") / (1.4826 * F.col("mad2"))
+    )
+    return (
+        fin.where((F.col("z1") > SHESD_Z) | (F.col("z2") > SHESD_Z))
+        .select(
+            "hour",
+            (F.col("ru") / 1e6).alias("resid"),
+            F.when(F.col("z1") > SHESD_Z, F.lit(1))
+            .otherwise(F.lit(2))
+            .cast("bigint")
+            .alias("esd_round"),
+            F.round(
+                F.when(F.col("z1") > SHESD_Z, F.col("z1")).otherwise(
+                    F.col("z2")
+                ),
+                4,
+            ).alias("robust_z"),
+        )
+        .orderBy("hour")
     )
 
 
@@ -2914,4 +3062,214 @@ def timeseries_hierarchical_reconcile(spark: SparkSession, sf_dir: str) -> DataF
             / 100.0,
             4,
         ).alias("top_down"),
+    )
+
+
+LTTB_BUCKETS = 50  # downsampled series length
+
+
+@register(
+    "timeseries_lttb_downsample",
+    oracle=f"""
+    WITH hourly AS (
+      SELECT date_trunc('hour', ts) AS hour,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+      FROM events GROUP BY 1
+    ),
+    idx AS (
+      SELECT hour, cents, cents / 100.0 AS v,
+             row_number() OVER (ORDER BY hour) AS rn,
+             count(*) OVER () AS n
+      FROM hourly
+    ),
+    pts AS (
+      SELECT hour, cents, v, rn, n,
+             ((rn - 1) * {LTTB_BUCKETS}) // n AS b
+      FROM idx
+    ),
+    centroids AS (
+      SELECT b,
+             CAST(sum(rn) AS DOUBLE) / count(*) AS cx,
+             CAST(sum(cents) AS DOUBLE) / count(*) / 100.0 AS cy
+      FROM pts GROUP BY b
+    ),
+    anchors AS (
+      SELECT b,
+             lag(cx)  OVER (ORDER BY b) AS px,
+             lag(cy)  OVER (ORDER BY b) AS py,
+             lead(cx) OVER (ORDER BY b) AS nx,
+             lead(cy) OVER (ORDER BY b) AS ny
+      FROM centroids
+    ),
+    scored AS (
+      SELECT p.hour, p.v, p.rn, p.n, p.b,
+             CASE
+               WHEN p.b = 0 THEN CAST(-p.rn AS DOUBLE)
+               WHEN p.b = {LTTB_BUCKETS} - 1 THEN CAST(p.rn - p.n AS DOUBLE)
+               ELSE abs((a.px - a.nx) * (p.v - a.py)
+                        - (a.px - p.rn) * (a.ny - a.py))
+             END AS skey
+      FROM pts p JOIN anchors a ON a.b = p.b
+    ),
+    ranked AS (
+      SELECT hour, v, b, skey,
+             row_number() OVER (PARTITION BY b ORDER BY skey DESC, hour ASC)
+               AS rk
+      FROM scored
+    )
+    SELECT CAST(b AS BIGINT) AS bucket, hour, v
+    FROM ranked WHERE rk = 1 ORDER BY bucket
+    """,
+)
+def timeseries_lttb_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Largest-Triangle-Three-Buckets downsampling (Steinarsson 2013) of
+    the hourly revenue series to {LTTB_BUCKETS} points — the standard
+    perceptual downsampler for dashboards: within each bucket keep the
+    point forming the largest triangle with its neighbor buckets, which
+    preserves peaks/valleys a plain per-bucket mean would flatten. This
+    is the MEAN-ANCHOR variant (both anchors are the adjacent buckets'
+    centroids rather than the previously SELECTED point): the classic
+    formulation is a sequential left-to-right scan, the mean-anchor form
+    is embarrassingly parallel with near-identical output — the variant
+    a distributed engine should run. First/last buckets pin the series
+    endpoints (the LTTB contract).
+
+    Parity: x-coordinates are integer ranks and y-values exact
+    cents/100, so centroids (integer-sum ratios) and the triangle
+    cross-product areas are identical IEEE expressions on both engines;
+    the per-bucket argmax orders by (area DESC, hour ASC) — a total
+    order on bit-identical doubles. Scale: one full-scan hourly
+    aggregate, then everything runs on the calendar-bounded series;
+    bucket centroids are a {LTTB_BUCKETS}-row frame joined back by
+    bucket id. The global row_number on the hourly frame is the
+    documented small-window exception; at extreme series lengths swap
+    in dist_rank.distributed_row_number.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(F.date_trunc("hour", "ts").alias("hour")).agg(
+        F.sum(F.round(F.col("value") * 100).cast("long"))
+        .cast("bigint")
+        .alias("cents")
+    )
+    w_ord = Window.orderBy("hour")
+    w_all = Window.partitionBy()
+    pts = hourly.select(
+        "hour",
+        "cents",
+        (F.col("cents") / 100.0).alias("v"),
+        F.row_number().over(w_ord).alias("rn"),
+        F.count(F.lit(1)).over(w_all).alias("n"),
+    ).withColumn("b", F.expr(f"((rn - 1) * {LTTB_BUCKETS}) div n"))
+    centroids = pts.groupBy("b").agg(
+        (F.sum("rn").cast("double") / F.count(F.lit(1))).alias("cx"),
+        (F.sum("cents").cast("double") / F.count(F.lit(1)) / 100.0).alias(
+            "cy"
+        ),
+    )
+    w_b = Window.orderBy("b")
+    anchors = centroids.select(
+        "b",
+        F.lag("cx").over(w_b).alias("px"),
+        F.lag("cy").over(w_b).alias("py"),
+        F.lead("cx").over(w_b).alias("nx"),
+        F.lead("cy").over(w_b).alias("ny"),
+    )
+    scored = pts.join(F.broadcast(anchors), "b").withColumn(
+        "skey",
+        F.when(F.col("b") == 0, (-F.col("rn")).cast("double"))
+        .when(
+            F.col("b") == LTTB_BUCKETS - 1,
+            (F.col("rn") - F.col("n")).cast("double"),
+        )
+        .otherwise(
+            F.abs(
+                (F.col("px") - F.col("nx")) * (F.col("v") - F.col("py"))
+                - (F.col("px") - F.col("rn"))
+                * (F.col("ny") - F.col("py"))
+            )
+        ),
+    )
+    w_rk = Window.partitionBy("b").orderBy(
+        F.col("skey").desc(), F.col("hour").asc()
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w_rk))
+        .where(F.col("rk") == 1)
+        .select(F.col("b").cast("bigint").alias("bucket"), "hour", "v")
+        .orderBy("bucket")
+    )
+
+
+@register(
+    "timeseries_time_weighted_avg",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, ts, value,
+             CAST(round(value * 100) AS BIGINT) AS cents,
+             lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS nxt
+      FROM events
+    ),
+    seg AS (
+      SELECT user_id, cents,
+             CAST(date_diff('second', ts, nxt) AS BIGINT) AS dur_s
+      FROM seq WHERE nxt IS NOT NULL
+    )
+    SELECT user_id,
+           CAST(sum(dur_s) AS BIGINT) AS span_s,
+           CAST(count(*) AS BIGINT) AS n_segments,
+           round(CAST(sum(cents * dur_s) AS DOUBLE)
+                 / sum(dur_s) / 100.0, 6) AS twap
+    FROM seg
+    GROUP BY user_id
+    HAVING sum(dur_s) > 0
+    ORDER BY user_id
+    """,
+)
+def timeseries_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user TIME-WEIGHTED average of the event value over an
+    irregularly-sampled series: each observation holds until the next
+    one (zero-order hold), so its weight is the gap to the successor in
+    seconds — the correct average for sampled gauges (price, queue
+    depth, temperature) where a plain avg() over-weights bursts of
+    closely-spaced samples. The classic streaming-systems TWAP/TWA
+    operator.
+
+    Parity: weights are integer seconds (epoch diffs), values integer
+    cents, so sum(cents*dur) and sum(dur) are EXACT BIGINTs on both
+    engines; one division + round at the end. Ties on ts are broken by
+    event_id (the repo-wide determinism convention). Scale: one shuffle
+    on user_id for the lag window, then a partial-combinable per-user
+    aggregate on the already-partitioned frame — Catalyst collapses
+    both into the same exchange.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id",
+        "ts",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+        F.lead("ts").over(w).alias("nxt"),
+    )
+    seg = seq.where(F.col("nxt").isNotNull()).select(
+        "user_id",
+        "cents",
+        (
+            F.unix_timestamp("nxt") - F.unix_timestamp("ts")
+        ).cast("bigint").alias("dur_s"),
+    )
+    return (
+        seg.groupBy("user_id")
+        .agg(
+            F.sum("dur_s").cast("bigint").alias("span_s"),
+            F.count(F.lit(1)).cast("bigint").alias("n_segments"),
+            F.round(
+                F.sum(F.col("cents") * F.col("dur_s")).cast("double")
+                / F.sum("dur_s")
+                / 100.0,
+                6,
+            ).alias("twap"),
+        )
+        .where(F.col("span_s") > 0)
+        .orderBy("user_id")
     )
