@@ -980,3 +980,108 @@ def dedup_containment_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("cont_a") >= CONTAINMENT_THRESHOLD)
         | (F.col("cont_b") >= CONTAINMENT_THRESHOLD)
     )
+
+
+@register(
+    "dedup_url_canonicalize",
+    oracle=r"""
+    WITH raw AS (
+      SELECT doc_id,
+             (CASE WHEN doc_id % 2 = 0 THEN 'HTTP' ELSE 'http' END)
+             || '://'
+             || (CASE WHEN doc_id % 3 = 0
+                      THEN upper('www.site' || (doc_id % 5) || '.com')
+                      ELSE 'www.site' || (doc_id % 5) || '.com' END)
+             || (CASE WHEN doc_id % 4 = 0 THEN ':80' ELSE '' END)
+             || '/p/' || (doc_id % 7)
+             || (CASE WHEN doc_id % 6 = 0 THEN '/' ELSE '' END)
+             || '?utm_source=feed&id=' || (doc_id % 11)
+             || (CASE WHEN doc_id % 2 = 0 THEN '&ref=tw' ELSE '' END)
+             || (CASE WHEN doc_id % 9 = 0 THEN '#sec' ELSE '' END)
+               AS url
+      FROM documents
+    ),
+    canon AS (
+      SELECT doc_id,
+             regexp_replace(
+               regexp_replace(
+                 regexp_replace(
+                   regexp_replace(
+                     lower(regexp_extract(
+                       regexp_replace(url, '#.*$', ''),
+                       '^([^/]*//[^/?]*)', 1))
+                     || regexp_replace(
+                          regexp_replace(url, '#.*$', ''),
+                          '^[^/]*//[^/?]*', ''),
+                     ':80(/|\?|$)', '\1'),
+                   '(utm_[a-z_]+|ref)=[^&]*&?', '', 'g'),
+                 '[?&]$', ''),
+               '/(\?|$)', '\1') AS curl
+      FROM raw
+    )
+    SELECT curl AS canonical_url,
+           CAST(count(*) AS BIGINT) AS n_dups,
+           CAST(min(doc_id) AS BIGINT) AS keep_doc_id
+    FROM canon
+    GROUP BY 1 HAVING count(*) > 1
+    """,
+)
+def dedup_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    r"""URL-canonicalization dedup — the first stage of every web-corpus
+    pipeline (CCNet, RefinedWeb, Gopher): the same page is crawled under
+    scheme/host case variants, default :80 ports, trailing slashes,
+    tracking parameters (utm_*, ref) and fragments; canonicalize, group,
+    keep the smallest doc_id per canonical URL.
+
+    The corpus has no URL column, so a synthetic-but-adversarial URL is
+    manufactured per doc (deterministic in doc_id: mixed-case scheme and
+    host, optional :80, optional trailing slash, utm/ref noise params, a
+    fragment) — the canonicalizer must merge all variants that share
+    (host mod 5, path mod 7, id mod 11). Canonicalization steps, in
+    order: strip fragment; lowercase scheme+authority (regexp_extract of
+    the prefix — never lower() the path/query, which are case-
+    sensitive); strip default port :80; drop tracking params; trim the
+    dangling '?'/'&'; strip the trailing path slash. All patterns are
+    RE2-safe (no lookaheads) so the DuckDB oracle runs the same regexes.
+
+    Scale shape: pure per-row codegen string ops + ONE partial-
+    aggregable groupBy on the canonical string (short — at multi-TB,
+    group on sha2(curl) and carry min-by; dedup_exact notes the same
+    digest-vs-payload shuffle tradeoff).
+    """
+    d = load_table(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    url = F.concat(
+        F.when(did % 2 == 0, F.lit("HTTP")).otherwise(F.lit("http")),
+        F.lit("://"),
+        F.when(
+            did % 3 == 0,
+            F.upper(F.concat(F.lit("www.site"), (did % 5), F.lit(".com"))),
+        ).otherwise(F.concat(F.lit("www.site"), (did % 5), F.lit(".com"))),
+        F.when(did % 4 == 0, F.lit(":80")).otherwise(F.lit("")),
+        F.lit("/p/"),
+        (did % 7),
+        F.when(did % 6 == 0, F.lit("/")).otherwise(F.lit("")),
+        F.lit("?utm_source=feed&id="),
+        (did % 11),
+        F.when(did % 2 == 0, F.lit("&ref=tw")).otherwise(F.lit("")),
+        F.when(did % 9 == 0, F.lit("#sec")).otherwise(F.lit("")),
+    )
+    nofrag = F.regexp_replace(url, r"#.*$", "")
+    lowered = F.concat(
+        F.lower(F.regexp_extract(nofrag, r"^([^/]*//[^/?]*)", 1)),
+        F.regexp_replace(nofrag, r"^[^/]*//[^/?]*", ""),
+    )
+    noport = F.regexp_replace(lowered, r":80(/|\?|$)", r"$1")
+    notrack = F.regexp_replace(noport, r"(utm_[a-z_]+|ref)=[^&]*&?", "")
+    nodangle = F.regexp_replace(notrack, r"[?&]$", "")
+    curl = F.regexp_replace(nodangle, r"/(\?|$)", r"$1")
+    return (
+        d.select(did.alias("doc_id"), curl.alias("curl"))
+        .groupBy(F.col("curl").alias("canonical_url"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_dups"),
+            F.min("doc_id").cast("bigint").alias("keep_doc_id"),
+        )
+        .filter(F.col("n_dups") > 1)
+    )

@@ -2171,3 +2171,116 @@ def ml_decision_tree_depth2(spark: SparkSession, sf_dir: str) -> DataFrame:
         "node bigint, kind string, feature string, threshold double, "
         "prediction string, score double",
     )
+
+
+@register(
+    "ml_lift_gain_deciles",
+    oracle="""
+    WITH scored AS (
+      SELECT l_extendedprice * (1.0 - l_discount) AS score,
+             CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y,
+             l_orderkey, l_linenumber
+      FROM lineitem
+    ),
+    ranked AS (
+      SELECT score, y,
+             row_number() OVER (ORDER BY score DESC, l_orderkey,
+                                l_linenumber) AS rn,
+             (SELECT CAST(count(*) AS BIGINT) FROM scored) AS n_tot
+      FROM scored
+    ),
+    dec AS (
+      SELECT CAST((rn - 1) * 10 // n_tot + 1 AS BIGINT) AS decile,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(y) AS BIGINT)   AS pos
+      FROM ranked GROUP BY 1
+    ),
+    tot AS (
+      SELECT decile, n, pos,
+             sum(n) OVER ()   AS tn,
+             sum(pos) OVER () AS tp,
+             sum(pos) OVER (ORDER BY decile
+                            ROWS UNBOUNDED PRECEDING) AS cum_pos
+      FROM dec
+    )
+    SELECT decile, n, pos,
+           round(pos / (n * 1.0), 6) AS rate,
+           round(pos / (n * 1.0) / (tp / (tn * 1.0)), 6) AS lift,
+           round(cum_pos / (tp * 1.0), 6) AS cum_gain
+    FROM tot
+    """,
+)
+def ml_lift_gain_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decile lift and cumulative-gain chart — the model-evaluation table
+    behind every targeting/campaign readout: rank rows by a propensity
+    score, cut into 10 equal-population deciles, and report per-decile
+    positive rate, lift over the base rate, and cumulative share of all
+    positives captured.
+
+    Score is the deterministic net-revenue proxy extendedprice*(1-disc);
+    the positive label is returnflag='R'. The ordering is made TOTAL
+    with the (orderkey, linenumber) tiebreak so decile assignment is
+    reproducible across engines and runs.
+
+    Distributed shape: the global rank is dist_rank.distributed_row_number
+    (literal score-quantile buckets + literal per-bucket offsets — the
+    r5-verdict pattern), NEVER a single-task `row_number() OVER (ORDER BY
+    score)` window: at 100 TB the naive window funnels every row through
+    one task. The decile cut `(rn-1)*10 div n + 1` is exact integer
+    arithmetic; the final lift/gain windows run over the 10-row decile
+    frame. The oracle uses the plain window (fine at oracle scale) — the
+    statistic is identical because the ordering is total.
+    """
+    from go_batch_processor_spark.dist_rank import distributed_row_number
+
+    li = load_table(spark, sf_dir, "lineitem")
+    scored = li.select(
+        (F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))).alias(
+            "score"
+        ),
+        F.when(F.col("l_returnflag") == "R", 1).otherwise(0).alias("y"),
+        "l_orderkey",
+        "l_linenumber",
+    )
+    ranked, n_tot = distributed_row_number(
+        scored,
+        "score",
+        [
+            F.col("score").desc(),
+            F.col("l_orderkey").asc(),
+            F.col("l_linenumber").asc(),
+        ],
+        "rn",
+        descending=True,
+    )
+    dec = ranked.groupBy(
+        F.expr(f"CAST((rn - 1) * 10 div {n_tot} + 1 AS BIGINT)").alias("decile")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("y").cast("bigint").alias("pos"),
+    )
+    w_all = Window.partitionBy()
+    w_cum = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    tot = dec.select(
+        "decile",
+        "n",
+        "pos",
+        F.sum("n").over(w_all).alias("tn"),
+        F.sum("pos").over(w_all).alias("tp"),
+        F.sum("pos").over(w_cum).alias("cum_pos"),
+    )
+    return tot.select(
+        "decile",
+        "n",
+        "pos",
+        F.round(F.col("pos") / (F.col("n") * F.lit(1.0)), 6).alias("rate"),
+        F.round(
+            F.col("pos")
+            / (F.col("n") * F.lit(1.0))
+            / (F.col("tp") / (F.col("tn") * F.lit(1.0))),
+            6,
+        ).alias("lift"),
+        F.round(F.col("cum_pos") / (F.col("tp") * F.lit(1.0)), 6).alias(
+            "cum_gain"
+        ),
+    )

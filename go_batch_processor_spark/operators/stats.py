@@ -6663,3 +6663,287 @@ def stats_breusch_pagan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("n") * r2_num / r2_den, 2).alias("lm_stat"),
         F.lit(1).cast("bigint").alias("df"),
     )
+
+
+@register(
+    "stats_wilson_ci",
+    oracle="""
+    WITH g AS (
+      SELECT o_orderpriority AS priority,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS x
+      FROM orders GROUP BY 1
+    )
+    SELECT priority, n, x,
+           round(x / (n * 1.0), 6) AS p_hat,
+           round((x / (n * 1.0) + 1.9208 / n) / (1.0 + 3.8416 / n)
+                 - 1.96 * sqrt(x / (n * 1.0) * (1.0 - x / (n * 1.0)) / n
+                               + 0.9604 / (n * 1.0 * n))
+                   / (1.0 + 3.8416 / n), 6) AS wilson_lo,
+           round((x / (n * 1.0) + 1.9208 / n) / (1.0 + 3.8416 / n)
+                 + 1.96 * sqrt(x / (n * 1.0) * (1.0 - x / (n * 1.0)) / n
+                               + 0.9604 / (n * 1.0 * n))
+                   / (1.0 + 3.8416 / n), 6) AS wilson_hi
+    FROM g
+    """,
+)
+def stats_wilson_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wilson score 95% confidence interval (Wilson 1927) for the
+    fulfilled-order proportion per order priority — the binomial CI that
+    stays inside [0,1] and behaves at small n / extreme p, which is why
+    production experimentation platforms report it instead of the Wald
+    interval.
+
+    Determinism/parity shape: counts are exact integers from a single
+    hash aggregate; the interval uses only IEEE +,-,*,/,sqrt on those
+    integers and the shared decimal literals z=1.96, z^2=3.8416,
+    z^2/2=1.9208, z^2/4=0.9604 (both engines parse the same literal to
+    the same double; no libm transcendentals anywhere). The expression
+    trees are written identically on both sides so every intermediate
+    double is bit-equal.
+
+    Scale shape: one partial-aggregable groupBy over the fact table —
+    the map-side combine reduces each partition to |priorities| rows, so
+    the shuffle is O(groups), not O(rows). No joins, no windows.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    g = o.groupBy(F.col("o_orderpriority").alias("priority")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.when(F.col("o_orderstatus") == "F", 1).otherwise(0))
+        .cast("bigint")
+        .alias("x"),
+    )
+    n, x = F.col("n"), F.col("x")
+    p = x / (n * F.lit(1.0))
+    denom = F.lit(1.0) + F.lit(3.8416) / n
+    center = (p + F.lit(1.9208) / n) / denom
+    half = (
+        F.lit(1.96)
+        * F.sqrt(p * (F.lit(1.0) - p) / n + F.lit(0.9604) / (n * F.lit(1.0) * n))
+        / denom
+    )
+    return g.select(
+        "priority",
+        "n",
+        "x",
+        F.round(p, 6).alias("p_hat"),
+        F.round(center - half, 6).alias("wilson_lo"),
+        F.round(center + half, 6).alias("wilson_hi"),
+    )
+
+
+@register(
+    "stats_hodges_lehmann",
+    oracle="""
+    WITH comp AS (
+      SELECT l_quantity AS v, CAST(count(*) AS BIGINT) AS c
+      FROM lineitem GROUP BY 1
+    ),
+    pairs AS (
+      SELECT (a.v + b.v) / 2.0 AS walsh,
+             CASE WHEN a.v = b.v THEN a.c * (a.c + 1) // 2
+                  ELSE a.c * b.c END AS w
+      FROM comp a JOIN comp b ON a.v <= b.v
+    ),
+    walsh AS (
+      SELECT walsh, CAST(sum(w) AS BIGINT) AS w
+      FROM pairs GROUP BY 1
+    ),
+    cum AS (
+      SELECT walsh, w,
+             sum(w) OVER (ORDER BY walsh
+                          ROWS UNBOUNDED PRECEDING) AS cw,
+             sum(w) OVER () AS t
+      FROM walsh
+    )
+    SELECT (SELECT CAST(sum(c) AS BIGINT) FROM comp) AS n_rows,
+           (SELECT CAST(count(*) AS BIGINT) FROM comp) AS n_distinct,
+           CAST(max(t) AS BIGINT) AS n_walsh,
+           round(((SELECT min(walsh) FROM cum WHERE cw >= (t + 1) // 2)
+                  + (SELECT min(walsh) FROM cum WHERE cw >= (t + 2) // 2))
+                 / 2.0, 4) AS hl_estimate
+    FROM cum GROUP BY t
+    """,
+)
+def stats_hodges_lehmann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hodges-Lehmann pseudo-median (Hodges & Lehmann 1963) of lineitem
+    quantity: the median of all N(N+1)/2 pairwise Walsh averages
+    (x_i + x_j)/2 over row pairs i <= j — the location estimator dual to
+    the Wilcoxon signed-rank test, robust to ~29% contamination.
+
+    Distributed shape: the naive form is an O(N^2) self-join on raw
+    rows — a non-starter at any scale. Quantity has a BOUNDED VALUE
+    DOMAIN (catalog-constrained, 50 distinct), so the frame compresses
+    to (value, count) FIRST; pair weights are then pure arithmetic
+    (n_i*(n_i+1)/2 same-value row pairs, n_i*n_j cross pairs) and the
+    join is |V|^2 <= 2500 rows regardless of data size — the
+    agg_median_distributed value-compression lesson applied to a
+    two-sample functional. The weighted median runs over the <= 2|V|-1
+    distinct Walsh points (a calendar/domain-bounded window, the
+    documented exception class); for unbounded real-valued columns,
+    bucket the domain with distributed_group_cumsum instead.
+
+    Parity shape: quantities are integer-valued doubles, so every Walsh
+    average (u+v)/2 is exactly representable; weights and the weighted-
+    median positions (T+1)//2, (T+2)//2 are exact integers.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    comp = li.groupBy(F.col("l_quantity").alias("v")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    a = comp.select(F.col("v").alias("va"), F.col("c").alias("ca"))
+    b = comp.select(F.col("v").alias("vb"), F.col("c").alias("cb"))
+    pairs = a.join(b, F.col("va") <= F.col("vb")).select(
+        ((F.col("va") + F.col("vb")) / F.lit(2.0)).alias("walsh"),
+        F.when(
+            F.col("va") == F.col("vb"),
+            F.expr("ca * (ca + 1) div 2"),
+        )
+        .otherwise(F.col("ca") * F.col("cb"))
+        .alias("w"),
+    )
+    walsh = pairs.groupBy("walsh").agg(F.sum("w").cast("bigint").alias("w"))
+    w_cum = Window.orderBy("walsh").rowsBetween(Window.unboundedPreceding, 0)
+    cum = walsh.select(
+        "walsh",
+        F.sum("w").over(w_cum).alias("cw"),
+        F.sum("w").over(Window.partitionBy()).alias("t"),
+    )
+    lo = cum.filter(F.col("cw") >= F.expr("(t + 1) div 2")).agg(
+        F.min("walsh").alias("wlo")
+    )
+    hi = cum.filter(F.col("cw") >= F.expr("(t + 2) div 2")).agg(
+        F.min("walsh").alias("whi")
+    )
+    tot = comp.agg(
+        F.sum("c").cast("bigint").alias("n_rows"),
+        F.count(F.lit(1)).cast("bigint").alias("n_distinct"),
+    )
+    t_df = walsh.agg(F.sum("w").cast("bigint").alias("n_walsh"))
+    return (
+        tot.crossJoin(t_df)
+        .crossJoin(lo)
+        .crossJoin(hi)
+        .select(
+            "n_rows",
+            "n_distinct",
+            "n_walsh",
+            F.round((F.col("wlo") + F.col("whi")) / F.lit(2.0), 4).alias(
+                "hl_estimate"
+            ),
+        )
+    )
+
+
+@register(
+    "stats_seasonal_mann_kendall",
+    oracle="""
+    WITH my AS (
+      SELECT CAST(month(o_orderdate) AS BIGINT) AS m,
+             CAST(year(o_orderdate) AS BIGINT)  AS y,
+             sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
+      FROM orders GROUP BY 1, 2
+    ),
+    s_m AS (
+      SELECT CAST(sum(CASE WHEN b.cents > a.cents THEN 1
+                           WHEN b.cents < a.cents THEN -1 ELSE 0 END)
+                  AS BIGINT) AS s
+      FROM my a JOIN my b ON a.m = b.m AND b.y > a.y
+    ),
+    nm AS (
+      SELECT m, CAST(count(*) AS BIGINT) AS n FROM my GROUP BY 1
+    ),
+    ties AS (
+      SELECT coalesce(CAST(sum(t * (t - 1) * (2 * t + 5)) AS BIGINT), 0)
+               AS tie_term
+      FROM (SELECT CAST(count(*) AS BIGINT) AS t
+            FROM my GROUP BY m, cents HAVING count(*) > 1)
+    ),
+    agg AS (
+      SELECT (SELECT CAST(count(*) AS BIGINT) FROM nm) AS n_seasons,
+             (SELECT CAST(sum(n) AS BIGINT) FROM nm)   AS n_points,
+             (SELECT s FROM s_m)                       AS s,
+             (SELECT CAST(sum(n * (n - 1) * (2 * n + 5)) AS BIGINT)
+              FROM nm)                                 AS var_num,
+             (SELECT tie_term FROM ties)               AS tie_term
+    )
+    SELECT n_seasons, n_points, s,
+           round((var_num - tie_term) / 18.0, 4) AS var_s,
+           round(CASE WHEN s > 0 THEN (s - 1)
+                      WHEN s < 0 THEN (s + 1) ELSE 0 END
+                 / sqrt((var_num - tie_term) / 18.0), 6) AS z
+    FROM agg
+    """,
+)
+def stats_seasonal_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal Mann-Kendall trend test (Hirsch & Slack 1984) on monthly
+    revenue: the MK statistic S_m is computed WITHIN each calendar-month
+    season across years (January 1995 vs January 1996, never January vs
+    July), then S = sum S_m with Var = sum of per-season variances — the
+    standard is-there-a-trend test for series with strong seasonality,
+    where plain Mann-Kendall (stats_mann_kendall) would count seasonal
+    swings as trend.
+
+    Determinism/parity shape: the (month, year) totals are EXACT integer
+    cents (order-independent bigint sums), so all sign comparisons and
+    tie counts are exact; the only doubles are the final /18.0 and the
+    IEEE sqrt.
+
+    Scale shape: the fact table compresses to one row per (month, year)
+    cell first — the pair join runs over a calendar-bounded frame
+    (12 x years rows), and the join key m co-partitions each season's
+    pairs. All heavy work is the one partial-aggregable groupBy.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    my = o.groupBy(
+        F.month("o_orderdate").cast("bigint").alias("m"),
+        F.year("o_orderdate").cast("bigint").alias("y"),
+    ).agg(F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("cents"))
+    a = my.select(F.col("m"), F.col("y").alias("ya"), F.col("cents").alias("va"))
+    b = my.select(
+        F.col("m").alias("mb"), F.col("y").alias("yb"), F.col("cents").alias("vb")
+    )
+    sgn = (
+        F.when(F.col("vb") > F.col("va"), 1)
+        .when(F.col("vb") < F.col("va"), -1)
+        .otherwise(0)
+    )
+    s_df = a.join(
+        b, (F.col("m") == F.col("mb")) & (F.col("yb") > F.col("ya"))
+    ).agg(F.sum(sgn).cast("bigint").alias("s"))
+    nm = my.groupBy("m").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    var_df = nm.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_seasons"),
+        F.sum("n").cast("bigint").alias("n_points"),
+        F.sum(F.col("n") * (F.col("n") - 1) * (2 * F.col("n") + 5))
+        .cast("bigint")
+        .alias("var_num"),
+    )
+    ties = (
+        my.groupBy("m", "cents")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("t"))
+        .filter(F.col("t") > 1)
+        .agg(
+            F.coalesce(
+                F.sum(F.col("t") * (F.col("t") - 1) * (2 * F.col("t") + 5)).cast(
+                    "bigint"
+                ),
+                F.lit(0),
+            ).alias("tie_term")
+        )
+    )
+    var_s = (F.col("var_num") - F.col("tie_term")) / 18.0
+    s = F.col("s")
+    s_cc = F.when(s > 0, s - 1).when(s < 0, s + 1).otherwise(0)
+    return (
+        var_df.crossJoin(s_df)
+        .crossJoin(ties)
+        .select(
+            "n_seasons",
+            "n_points",
+            "s",
+            F.round(var_s, 4).alias("var_s"),
+            F.round(s_cc / F.sqrt(var_s), 6).alias("z"),
+        )
+    )
