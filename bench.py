@@ -133,6 +133,11 @@ HEADLINE = [
     "dedup_containment_ngram",
     "stats_concordance_cindex",
     "agg_median_distributed",
+    # round 7 (third session) additions
+    "ml_lift_gain_deciles",
+    "text_head_middle_tail_split",
+    "dedup_url_canonicalize",
+    "stats_hodges_lehmann",
 ]
 
 

@@ -6947,3 +6947,452 @@ def stats_seasonal_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(s_cc / F.sqrt(var_s), 6).alias("z"),
         )
     )
+
+
+@register(
+    "stats_ansari_bradley",
+    oracle="""
+    WITH comp AS (
+      SELECT l_quantity AS v,
+             CAST(sum(CASE WHEN l_linestatus = 'O' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS c1,
+             CAST(sum(CASE WHEN l_linestatus <> 'O' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS c2
+      FROM lineitem GROUP BY 1
+    ),
+    ranked AS (
+      SELECT v, c1, c2, c1 + c2 AS c,
+             sum(c1 + c2) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS hi,
+             sum(c1 + c2) OVER () AS n
+      FROM comp
+    ),
+    scored AS (
+      SELECT c1, c2, c, n,
+             CASE WHEN (hi - c + 1) + hi <= 2 * (n + 1) - ((hi - c + 1) + hi)
+                  THEN (hi - c + 1) + hi
+                  ELSE 2 * (n + 1) - ((hi - c + 1) + hi) END AS smin2
+      FROM ranked
+    ),
+    agg AS (
+      SELECT CAST(max(n) AS BIGINT)            AS n,
+             CAST(sum(c1) AS BIGINT)           AS n1,
+             CAST(sum(c2) AS BIGINT)           AS n2,
+             CAST(sum(c1 * smin2) AS BIGINT)   AS ab2,
+             CAST(sum(c * smin2) AS BIGINT)    AS s1,
+             CAST(sum(c * smin2 * smin2) AS BIGINT) AS s2
+      FROM scored
+    )
+    SELECT n1, n2,
+           round(ab2 / 2.0, 4) AS ab_stat,
+           round(n1 * s1 / (2.0 * n), 4) AS ab_mean,
+           round((ab2 / 2.0 - n1 * s1 / (2.0 * n))
+                 / sqrt(n1 * 1.0 * n2 * (n * s2 - s1 * s1)
+                        / ((n - 1) * 4.0 * n * n)), 6) AS z
+    FROM agg
+    """,
+)
+def stats_ansari_bradley(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ansari-Bradley two-sample scale test (Ansari & Bradley 1960) on
+    open vs non-open lineitem quantity: are the two dispersions equal?
+    Scores rank from BOTH ends inward (1 to the extremes, up to ~N/2 at
+    the center), so the statistic is small when sample 1 is over-
+    dispersed; ties take the R convention (score of the midrank).
+
+    Exactness shape: quantity's bounded domain compresses the frame to
+    |V| <= 50 rows, and EVERYTHING stays integer: 2*midrank = lo + hi,
+    2*score = min(2mr, 2(N+1) - 2mr), the statistic 2*AB = sum(c1 *
+    smin2), and the null moments from the exact score multiset (simple-
+    random-sample-without-replacement mean/variance, using S1 = sum
+    c*smin2 and S2 = sum c*smin2^2). The only doubles are the final
+    divisions and one IEEE sqrt — bit-equal across engines with no
+    rank window ever touching raw rows (the stats_wilcoxon /
+    stats_hodges_lehmann value-compression doctrine).
+
+    Scale shape: one partial-aggregable groupBy(quantity) scan; the
+    cumulative window runs over the domain-bounded 50-row frame.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    comp = li.groupBy(F.col("l_quantity").alias("v")).agg(
+        F.sum(F.when(F.col("l_linestatus") == "O", 1).otherwise(0))
+        .cast("bigint")
+        .alias("c1"),
+        F.sum(F.when(F.col("l_linestatus") != "O", 1).otherwise(0))
+        .cast("bigint")
+        .alias("c2"),
+    )
+    w_cum = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    ranked = comp.select(
+        "c1",
+        "c2",
+        (F.col("c1") + F.col("c2")).alias("c"),
+        F.sum(F.col("c1") + F.col("c2")).over(w_cum).alias("hi"),
+        F.sum(F.col("c1") + F.col("c2"))
+        .over(Window.partitionBy())
+        .alias("n"),
+    )
+    two_mr = (F.col("hi") - F.col("c") + 1) + F.col("hi")
+    smin2 = F.when(two_mr <= 2 * (F.col("n") + 1) - two_mr, two_mr).otherwise(
+        2 * (F.col("n") + 1) - two_mr
+    )
+    scored = ranked.select("c1", "c2", "c", "n", smin2.alias("smin2"))
+    agg = scored.agg(
+        F.max("n").cast("bigint").alias("n"),
+        F.sum("c1").cast("bigint").alias("n1"),
+        F.sum("c2").cast("bigint").alias("n2"),
+        F.sum(F.col("c1") * F.col("smin2")).cast("bigint").alias("ab2"),
+        F.sum(F.col("c") * F.col("smin2")).cast("bigint").alias("s1"),
+        F.sum(F.col("c") * F.col("smin2") * F.col("smin2"))
+        .cast("bigint")
+        .alias("s2"),
+    )
+    n, n1, n2 = F.col("n"), F.col("n1"), F.col("n2")
+    ab2, s1, s2 = F.col("ab2"), F.col("s1"), F.col("s2")
+    var = (
+        n1
+        * F.lit(1.0)
+        * n2
+        * (n * s2 - s1 * s1)
+        / ((n - 1) * F.lit(4.0) * n * n)
+    )
+    return agg.select(
+        "n1",
+        "n2",
+        F.round(ab2 / F.lit(2.0), 4).alias("ab_stat"),
+        F.round(n1 * s1 / (F.lit(2.0) * n), 4).alias("ab_mean"),
+        F.round(
+            (ab2 / F.lit(2.0) - n1 * s1 / (F.lit(2.0) * n)) / F.sqrt(var), 6
+        ).alias("z"),
+    )
+
+
+@register("feature_cyclic_encoding", tags={"rows_only"})
+def feature_cyclic_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cyclic (sin/cos) encoding of event hour-of-day and day-of-week —
+    the standard featurization that lets linear/distance models see
+    23:00 and 00:00 as neighbors: hour h -> (sin 2*pi*h/24, cos 2*pi*h/24),
+    weekday d -> (sin 2*pi*d/7, cos 2*pi*d/7).
+
+    Rows-only: sin/cos are libm transcendentals (not correctly-rounded,
+    engine/toolchain-dependent in the last bit), so per the round-7
+    determinism doctrine this key never gets a bit-exact SQL oracle;
+    tests/test_round7e pins values against a numpy twin at 1e-12 and the
+    unit-circle invariant sin^2+cos^2 == 1 (to 1e-15) in-frame.
+
+    Scale shape: pure per-row projection, whole-stage codegen, zero
+    shuffle (the groupBy in the twin test is test-side only).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    two_pi = 2.0 * 3.141592653589793
+    h = F.hour("ts").cast("double")
+    dow = (F.dayofweek("ts") - 1).cast("double")  # 0=Sunday..6
+    return ev.select(
+        "event_id",
+        F.hour("ts").cast("bigint").alias("hour"),
+        (F.dayofweek("ts") - 1).cast("bigint").alias("dow"),
+        F.sin(h * F.lit(two_pi) / F.lit(24.0)).alias("hour_sin"),
+        F.cos(h * F.lit(two_pi) / F.lit(24.0)).alias("hour_cos"),
+        F.sin(dow * F.lit(two_pi) / F.lit(7.0)).alias("dow_sin"),
+        F.cos(dow * F.lit(two_pi) / F.lit(7.0)).alias("dow_cos"),
+    )
+
+
+@register(
+    "stats_cramer_von_mises",
+    oracle="""
+    WITH comp AS (
+      SELECT l_discount AS v,
+             CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS c1,
+             CAST(sum(CASE WHEN l_returnflag <> 'R' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS c2
+      FROM lineitem GROUP BY 1
+    ),
+    cum AS (
+      SELECT c1 + c2 AS c,
+             sum(c1) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS f1,
+             sum(c2) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS f2,
+             sum(c1) OVER () AS n1,
+             sum(c2) OVER () AS n2
+      FROM comp
+    )
+    SELECT CAST(max(n1) AS BIGINT) AS n1,
+           CAST(max(n2) AS BIGINT) AS n2,
+           round(CAST(sum(CAST(c AS HUGEINT)
+                          * (f1 * n2 - f2 * n1) * (f1 * n2 - f2 * n1))
+                      AS DOUBLE)
+                 / (max(n1) * 1.0 * max(n2) * (max(n1) + max(n2))
+                    * (max(n1) + max(n2))), 6) AS cvm_t
+    FROM cum
+    """,
+)
+def stats_cramer_von_mises(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Cramér-von Mises statistic (Anderson 1962) comparing the
+    discount distribution of returned vs kept lineitems:
+
+        T = n1*n2/N^2 * sum over pooled points of c(x)*(F1(x) - F2(x))^2
+
+    — the integrated-squared-ECDF-gap companion to stats_ks_two_sample
+    (KS sees only the supremum gap; CvM accumulates every gap, so it is
+    far more sensitive to distribution-wide shifts).
+
+    Exactness shape: discount's bounded domain compresses the frame to
+    |V| <= 11 rows; the ECDF gap is cleared of divisions as the integer
+    f1*n2 - f2*n1, its square accumulates in DECIMAL(38,0)/HUGEINT (the
+    stats_grubbs_outlier wide-integer pattern — bigint would overflow at
+    sf >= 0.01), and ONE deterministic cast to double precedes the final
+    division. Bit-exact across engines, no libm anywhere.
+
+    Scale shape: one partial-aggregable groupBy(discount) scan; the
+    cumulative window runs over the domain-bounded frame.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    comp = li.groupBy(F.col("l_discount").alias("v")).agg(
+        F.sum(F.when(F.col("l_returnflag") == "R", 1).otherwise(0))
+        .cast("bigint")
+        .alias("c1"),
+        F.sum(F.when(F.col("l_returnflag") != "R", 1).otherwise(0))
+        .cast("bigint")
+        .alias("c2"),
+    )
+    w_cum = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    w_all = Window.partitionBy()
+    cum = comp.select(
+        (F.col("c1") + F.col("c2")).alias("c"),
+        F.sum("c1").over(w_cum).alias("f1"),
+        F.sum("c2").over(w_cum).alias("f2"),
+        F.sum("c1").over(w_all).alias("n1"),
+        F.sum("c2").over(w_all).alias("n2"),
+    )
+    diff = F.col("f1") * F.col("n2") - F.col("f2") * F.col("n1")
+    numer = F.sum(
+        F.col("c").cast("decimal(38,0)") * diff * diff
+    ).cast("double")
+    n1, n2 = F.max("n1"), F.max("n2")
+    return cum.agg(
+        n1.cast("bigint").alias("n1"),
+        n2.cast("bigint").alias("n2"),
+        F.round(
+            numer
+            / (n1 * F.lit(1.0) * n2 * (n1 + n2) * (n1 + n2)),
+            6,
+        ).alias("cvm_t"),
+    )
+
+
+@register(
+    "stats_pettitt_test",
+    oracle="""
+    WITH daily AS (
+      SELECT date_trunc('day', ts) AS d,
+             sum(CAST(round(value * 100) AS BIGINT)) AS v
+      FROM events GROUP BY 1
+    ),
+    mid AS (
+      SELECT a.d,
+             CAST(2 * (SELECT count(*) FROM daily b WHERE b.v < a.v)
+                  + (SELECT count(*) FROM daily b WHERE b.v = a.v)
+                  + 1 AS BIGINT) AS r2
+      FROM daily a
+    ),
+    n_t AS (SELECT CAST(count(*) AS BIGINT) AS n FROM daily),
+    u AS (
+      SELECT d,
+             CAST(sum(r2 - (SELECT n FROM n_t) - 1)
+               OVER (ORDER BY d ROWS UNBOUNDED PRECEDING) AS BIGINT) AS ut
+      FROM mid
+    ),
+    peak AS (
+      SELECT d, ut, abs(ut) AS k
+      FROM u
+      WHERE d < (SELECT max(d) FROM u)
+      ORDER BY abs(ut) DESC, d ASC LIMIT 1
+    )
+    SELECT (SELECT n FROM n_t) AS n,
+           CAST(k AS BIGINT) AS k_stat,
+           peak.d AS change_day,
+           round(6.0 * k * k
+                 / ((SELECT n * 1.0 * n * n + n * 1.0 * n FROM n_t)), 6)
+             AS neg_ln_half_p
+    FROM peak
+    """,
+)
+def stats_pettitt_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pettitt change-point test (Pettitt 1979) on the daily revenue
+    series: U_t = sum over (i <= t, j > t) of sign(x_i - x_j); the
+    change point is the day maximizing |U_t| and K = max|U_t| feeds the
+    approximate significance ln(p/2) = -6K^2/(N^3 + N^2) — reported as
+    the rational exponent argument (exp is libm; callers threshold the
+    exponent directly, e.g. neg_ln_half_p > 3 means p < ~0.1).
+
+    Exactness shape: the O(N^2) pair double-sum collapses to a running
+    sum via antisymmetry — within-prefix pairs cancel, so U_t =
+    sum_{i<=t} (2R_i - N - 1) with midranks R_i over the WHOLE series,
+    and 2R_i = 2*#less + #tied + 1 stays integer, making every U_t an
+    exact integer; daily totals are exact cents. The argmax tie breaks
+    by earliest day.
+
+    Scale shape: the fact table compresses to one row per calendar day
+    first; the midrank marginal and running sum live on the calendar-
+    bounded frame (documented exception class — at decade scale swap in
+    distributed_row_number / distributed_group_cumsum; statistic
+    unchanged).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.date_trunc("day", "ts").alias("d")).agg(
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("v")
+    )
+    # 2*midrank from the value marginal: 2R = 2*#less + #tied + 1
+    marg = daily.groupBy("v").agg(F.count(F.lit(1)).alias("cv"))
+    w_v = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    mr = marg.select(
+        "v",
+        (2 * F.coalesce(F.sum("cv").over(w_v), F.lit(0)) + F.col("cv") + 1)
+        .cast("bigint")
+        .alias("r2"),
+    )
+    n_df = daily.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    w_d = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    u = (
+        daily.join(mr, "v")
+        .crossJoin(F.broadcast(n_df))
+        .select(
+            "d",
+            "n",
+            F.sum(F.col("r2") - F.col("n") - 1)
+            .over(w_d)
+            .cast("bigint")
+            .alias("ut"),
+        )
+    )
+    last_d = daily.agg(F.max("d").alias("dmax"))
+    peak = (
+        u.crossJoin(F.broadcast(last_d))
+        .filter(F.col("d") < F.col("dmax"))
+        .orderBy(F.abs("ut").desc(), F.col("d").asc())
+        .limit(1)
+    )
+    k = F.abs(F.col("ut"))
+    return peak.select(
+        "n",
+        k.cast("bigint").alias("k_stat"),
+        F.col("d").alias("change_day"),
+        F.round(
+            F.lit(6.0)
+            * k
+            * k
+            / (
+                F.col("n") * F.lit(1.0) * F.col("n") * F.col("n")
+                + F.col("n") * F.lit(1.0) * F.col("n")
+            ),
+            6,
+        ).alias("neg_ln_half_p"),
+    )
+
+
+@register(
+    "stats_anderson_darling_2samp",
+    oracle="""
+    WITH comp AS (
+      SELECT l_quantity AS v,
+             CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS c1,
+             CAST(sum(CASE WHEN l_returnflag <> 'R' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS c2
+      FROM lineitem GROUP BY 1
+    ),
+    cum AS (
+      SELECT v, c1, c2, c1 + c2 AS f,
+             sum(c1) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS f1,
+             sum(c1 + c2) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cb,
+             sum(c1) OVER () AS n1,
+             sum(c2) OVER () AS n2,
+             sum(c1 + c2) OVER () AS n
+      FROM comp
+    ),
+    terms AS (
+      SELECT v, n1, n2, n,
+             (f * 1.0 / n)
+             * (((n * (2 * f1 - c1) - n1 * (2 * cb - f))
+                 * (n * (2 * f1 - c1) - n1 * (2 * cb - f)) / n1
+                 + (n * (2 * (cb - f1) - c2) - n2 * (2 * cb - f))
+                 * (n * (2 * (cb - f1) - c2) - n2 * (2 * cb - f)) / n2)
+                / ((2 * cb - f) * (2 * n - (2 * cb - f)) - n * f)) AS term
+      FROM cum
+    )
+    SELECT CAST(max(n1) AS BIGINT) AS n1,
+           CAST(max(n2) AS BIGINT) AS n2,
+           CAST(count(*) AS BIGINT) AS n_distinct,
+           round((max(n) - 1.0) / max(n)
+                 * list_reduce(list(term ORDER BY v), (x, y) -> x + y),
+                 6) AS a2
+    FROM terms
+    """,
+)
+def stats_anderson_darling_2samp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Anderson-Darling statistic, tie-adjusted (Scholz &
+    Stephens 1987, A2akN with the midcount convention) on returned vs
+    kept lineitem quantity — completes the two-sample ECDF trio: KS sees
+    the supremum gap, CvM integrates all gaps, AD tail-weights them by
+    1/(H(1-H)) and is the most powerful of the three against tail
+    differences.
+
+    Exactness shape: ties make every ingredient a midcount half-integer,
+    so denominators are cleared by 2 throughout — 2M = 2*F_i - c_i,
+    2B = 2*CB - f, numerator N*2M - n_i*2B and denominator
+    2B*(2N - 2B) - N*f are EXACT INTEGERS (products < 2^53 at any
+    plausible sf, and IEEE multiply is correctly rounded above that);
+    the per-value terms are genuinely rational, so the final summation
+    runs as an ORDERED fold (Spark aggregate() over the sorted array,
+    DuckDB list_reduce over list(ORDER BY)) — the Kaplan-Meier ordered-
+    fold doctrine for order-dependent double accumulation.
+
+    Scale shape: one partial-aggregable groupBy(quantity); windows and
+    the fold live on the domain-bounded |V| <= 50 frame.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    comp = li.groupBy(F.col("l_quantity").alias("v")).agg(
+        F.sum(F.when(F.col("l_returnflag") == "R", 1).otherwise(0))
+        .cast("bigint")
+        .alias("c1"),
+        F.sum(F.when(F.col("l_returnflag") != "R", 1).otherwise(0))
+        .cast("bigint")
+        .alias("c2"),
+    )
+    w_cum = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    w_all = Window.partitionBy()
+    cum = comp.select(
+        "v",
+        "c1",
+        "c2",
+        (F.col("c1") + F.col("c2")).alias("f"),
+        F.sum("c1").over(w_cum).alias("f1"),
+        F.sum(F.col("c1") + F.col("c2")).over(w_cum).alias("cb"),
+        F.sum("c1").over(w_all).alias("n1"),
+        F.sum("c2").over(w_all).alias("n2"),
+        F.sum(F.col("c1") + F.col("c2")).over(w_all).alias("n"),
+    )
+    n, n1, n2, f = F.col("n"), F.col("n1"), F.col("n2"), F.col("f")
+    tb = 2 * F.col("cb") - f
+    num1 = n * (2 * F.col("f1") - F.col("c1")) - n1 * tb
+    num2 = n * (2 * (F.col("cb") - F.col("f1")) - F.col("c2")) - n2 * tb
+    den4 = tb * (2 * n - tb) - n * f
+    term = (f * F.lit(1.0) / n) * (
+        (num1 * num1 / n1 + num2 * num2 / n2) / den4
+    )
+    terms = cum.select("v", "n1", "n2", "n", term.alias("term"))
+    arr = F.array_sort(F.collect_list(F.struct("v", "term")))
+    return terms.agg(
+        F.max("n1").cast("bigint").alias("n1"),
+        F.max("n2").cast("bigint").alias("n2"),
+        F.count(F.lit(1)).cast("bigint").alias("n_distinct"),
+        F.round(
+            (F.max("n") - F.lit(1.0))
+            / F.max("n")
+            * F.aggregate(
+                arr,
+                F.lit(0.0),
+                lambda acc, x: acc + x["term"],
+            ),
+            6,
+        ).alias("a2"),
+    )

@@ -2082,3 +2082,120 @@ def text_c4_style_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         verdict.alias("verdict"),
         (verdict == "pass").alias("keep"),
     ).orderBy("doc_id")
+
+
+@register(
+    "text_head_middle_tail_split",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents
+      WHERE len(string_split(lower(text), ' ')) >= 2
+    ),
+    bi AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(w)),
+                    i -> w[CAST(i AS INTEGER)]))     AS w1,
+             unnest(list_transform(range(1, len(w)),
+                    i -> w[CAST(i AS INTEGER) + 1])) AS w2
+      FROM t
+    ),
+    cb AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c FROM bi GROUP BY 1, 2),
+    doc AS (
+      SELECT doc_id, CAST(sum(c) AS BIGINT) AS sc,
+             CAST(count(*) AS BIGINT) AS nb
+      FROM bi JOIN cb USING (w1, w2) GROUP BY doc_id
+    ),
+    ranked AS (
+      SELECT doc_id, sc / (nb * 1.0) AS score,
+             row_number() OVER (ORDER BY sc / (nb * 1.0) DESC, doc_id) AS rn,
+             (SELECT CAST(count(*) AS BIGINT) FROM doc) AS n
+      FROM doc
+    )
+    SELECT CASE (rn - 1) * 3 // n WHEN 0 THEN 'head'
+                                  WHEN 1 THEN 'middle'
+                                  ELSE 'tail' END AS bucket,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           round(min(score), 6) AS min_score,
+           round(max(score), 6) AS max_score,
+           round(avg(score), 6) AS avg_score
+    FROM ranked GROUP BY 1
+    """,
+)
+def text_head_middle_tail_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style head/middle/tail corpus split (Wenzek et al. 2020): rank
+    every document by a language-model fluency score and cut the corpus
+    into three equal-population buckets — LLM pretraining pipelines keep
+    "head", mix "middle", and drop or down-weight "tail".
+
+    The ranking score here is the mean corpus support of the doc's
+    bigrams, sum(c(w1,w2))/n_bigrams — a RATIONAL fluency surrogate
+    chosen deliberately over CCNet's perplexity: each per-doc score is
+    ONE IEEE division of two exact integer aggregates, hence bit-equal
+    across engines, so tertile boundary membership is deterministic
+    (the true KN log-score lives in text_bigram_kn_logprob; its ln()
+    is libm and must never decide a boundary — SCALE.md round-7
+    determinism doctrine). Ties are broken by doc_id so the order is
+    total.
+
+    Scale shape: the bigram-count model is Zipf-bounded (distinct
+    bigrams, not corpus bigrams); scoring is the same co-located
+    (w1,w2) shuffle join as the KN key; the global tertile rank is
+    dist_rank.distributed_row_number (quantile buckets + literal
+    offsets), never a single-task ORDER BY window.
+    """
+    from go_batch_processor_spark.dist_rank import distributed_row_number
+
+    d = load_table(spark, sf_dir, "documents")
+    w = F.split(F.lower("text"), " ")
+    bi = (
+        d.filter(F.size(w) >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size(w) - 1),
+                    lambda i: F.struct(
+                        F.element_at(w, i).alias("w1"),
+                        F.element_at(w, i + 1).alias("w2"),
+                    ),
+                )
+            ).alias("g"),
+        )
+        .select("doc_id", "g.w1", "g.w2")
+    )
+    cb = bi.groupBy("w1", "w2").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    doc = (
+        bi.join(cb, ["w1", "w2"])
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").cast("bigint").alias("sc"),
+            F.count(F.lit(1)).cast("bigint").alias("nb"),
+        )
+        .select(
+            "doc_id", (F.col("sc") / (F.col("nb") * F.lit(1.0))).alias("score")
+        )
+        # one row per doc. distributed_row_number consumes its input THREE
+        # times (quantile sampling, bucket counts, final rank) — without
+        # truncation each pass re-runs the bigram explode + model join
+        # (measured 19.8 s -> 3.4 s at sf0.1; the graph_local_clustering
+        # union-reruns-the-join lesson).
+        .localCheckpoint(eager=True)
+    )
+    ranked, n = distributed_row_number(
+        doc,
+        "score",
+        [F.col("score").desc(), F.col("doc_id").asc()],
+        "rn",
+        descending=True,
+    )
+    bucket = F.expr(f"CASE (rn - 1) * 3 div {n} WHEN 0 THEN 'head' "
+                    f"WHEN 1 THEN 'middle' ELSE 'tail' END")
+    return (
+        ranked.groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.round(F.min("score"), 6).alias("min_score"),
+            F.round(F.max("score"), 6).alias("max_score"),
+            F.round(F.avg("score"), 6).alias("avg_score"),
+        )
+    )

@@ -1,0 +1,184 @@
+"""Fifth round-7 batch: head/middle/tail split, Ansari-Bradley,
+cyclic encoding twin, periodogram twin."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from go_batch_processor_spark.registry import REGISTRY, _ensure_loaded
+
+_ensure_loaded()
+
+
+def test_head_middle_tail_equal_population_and_ordered_scores(spark, sf_dir):
+    pdf = (
+        REGISTRY["text_head_middle_tail_split"].fn(spark, sf_dir).toPandas()
+    ).set_index("bucket")
+    assert set(pdf.index) == {"head", "middle", "tail"}
+    assert pdf.n_docs.max() - pdf.n_docs.min() <= 1
+    # head holds the highest fluency scores; ties at a boundary are
+    # broken by doc_id so min(head) can equal max(middle) but not be less
+    assert pdf.loc["head", "min_score"] >= pdf.loc["middle", "max_score"]
+    assert pdf.loc["middle", "min_score"] >= pdf.loc["tail", "max_score"]
+    n_scored = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .selectExpr("size(split(lower(text), ' ')) AS nw")
+        .filter("nw >= 2")
+        .count()
+    )
+    assert pdf.n_docs.sum() == n_scored
+
+
+def test_ansari_bradley_matches_pandas_midrank_twin(spark, sf_dir):
+    pdf = REGISTRY["stats_ansari_bradley"].fn(spark, sf_dir).toPandas()
+    li = (
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        .selectExpr("l_quantity AS v", "l_linestatus = 'O' AS s1")
+        .toPandas()
+    )
+    n = len(li)
+    r = li.v.rank(method="average").to_numpy()  # midranks, R convention
+    score = np.minimum(r, n + 1 - r)
+    ab = score[li.s1.to_numpy()].sum()
+    n1 = int(li.s1.sum())
+    n2 = n - n1
+    mean = n1 * score.mean()
+    pop_var = score.var()  # ddof=0: population variance of the score set
+    var = n1 * n2 / (n - 1) * pop_var
+    z = (ab - mean) / np.sqrt(var)
+    assert pdf.n1[0] == n1 and pdf.n2[0] == n2
+    assert abs(pdf.ab_stat[0] - ab) < 1e-6
+    assert abs(pdf.ab_mean[0] - mean) < 1e-4
+    assert abs(pdf.z[0] - z) < 1e-5
+
+
+def test_cyclic_encoding_matches_numpy_and_unit_circle(spark, sf_dir):
+    pdf = REGISTRY["feature_cyclic_encoding"].fn(spark, sf_dir).toPandas()
+    assert len(pdf) > 0
+    two_pi = 2.0 * np.pi
+    for col, base, period in [
+        ("hour_sin", "hour", 24.0),
+        ("hour_cos", "hour", 24.0),
+        ("dow_sin", "dow", 7.0),
+        ("dow_cos", "dow", 7.0),
+    ]:
+        fn = np.sin if col.endswith("sin") else np.cos
+        twin = fn(pdf[base].to_numpy() * two_pi / period)
+        assert np.abs(pdf[col].to_numpy() - twin).max() < 1e-12
+    r2 = pdf.hour_sin**2 + pdf.hour_cos**2
+    assert np.abs(r2 - 1.0).max() < 1e-14
+    assert pdf.hour.between(0, 23).all() and pdf.dow.between(0, 6).all()
+
+
+def test_periodogram_matches_numpy_twin_and_dominant_period(spark, sf_dir):
+    from go_batch_processor_spark.operators.timeseries import (
+        PERIODOGRAM_PERIODS_H,
+    )
+
+    pdf = (
+        REGISTRY["timeseries_periodogram"].fn(spark, sf_dir).toPandas()
+    ).set_index("period_h")
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").toPandas()
+    hourly = (
+        pd.Series(
+            np.round(ev.value.to_numpy() * 100).astype("int64"),
+            index=ev.ts.dt.floor("h"),
+        )
+        .groupby(level=0)
+        .sum()
+        .sort_index()
+    )
+    t = (hourly.index - hourly.index.min()).total_seconds().to_numpy() / 3600.0
+    v = hourly.to_numpy() / 100.0
+    energy = len(v) * v.var()
+    for p in PERIODOGRAM_PERIODS_H:
+        ang = t * 2.0 * np.pi / p
+        power = (v * np.cos(ang)).sum() ** 2 + (v * np.sin(ang)).sum() ** 2
+        assert abs(pdf.loc[p, "power"] - power) <= 1e-9 * max(power, 1.0)
+        assert abs(pdf.loc[p, "power_frac"] - power / energy) < 1e-9
+    assert pdf.power.idxmax() == PERIODOGRAM_PERIODS_H[
+        int(np.argmax([
+            (v * np.cos(t * 2 * np.pi / p)).sum() ** 2
+            + (v * np.sin(t * 2 * np.pi / p)).sum() ** 2
+            for p in PERIODOGRAM_PERIODS_H
+        ]))
+    ]
+
+
+def test_cramer_von_mises_matches_numpy_ecdf_twin(spark, sf_dir):
+    pdf = REGISTRY["stats_cramer_von_mises"].fn(spark, sf_dir).toPandas()
+    li = (
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        .selectExpr("l_discount AS v", "l_returnflag = 'R' AS s1")
+        .toPandas()
+    )
+    x = li[li.s1].v.to_numpy()
+    y = li[~li.s1].v.to_numpy()
+    n1, n2 = len(x), len(y)
+    pooled = np.sort(li.v.unique())
+    f1 = np.searchsorted(np.sort(x), pooled, side="right") / n1
+    f2 = np.searchsorted(np.sort(y), pooled, side="right") / n2
+    c = pd.Series(li.v).value_counts().reindex(pooled).to_numpy()
+    t = n1 * n2 / (n1 + n2) ** 2 * (c * (f1 - f2) ** 2).sum()
+    assert pdf.n1[0] == n1 and pdf.n2[0] == n2
+    assert abs(pdf.cvm_t[0] - t) < 1e-6
+
+
+def test_pettitt_matches_brute_force_pair_sum(spark, sf_dir):
+    pdf = REGISTRY["stats_pettitt_test"].fn(spark, sf_dir).toPandas()
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").toPandas()
+    daily = (
+        pd.Series(
+            np.round(ev.value.to_numpy() * 100).astype("int64"),
+            index=ev.ts.dt.floor("D"),
+        )
+        .groupby(level=0)
+        .sum()
+        .sort_index()
+    )
+    v = daily.to_numpy()
+    n = len(v)
+    sign = np.sign(v[:, None] - v[None, :])
+    best_k, best_t, best_u = -1, None, None
+    for t in range(n - 1):
+        u = int(sign[: t + 1, t + 1 :].sum())
+        if abs(u) > best_k:
+            best_k, best_t, best_u = abs(u), t, u
+    assert pdf.n[0] == n
+    assert pdf.k_stat[0] == best_k
+    assert pdf.change_day[0] == daily.index[best_t]
+    expo = 6.0 * best_k**2 / (n**3 + n**2)
+    assert abs(pdf.neg_ln_half_p[0] - expo) < 1e-6
+
+
+def test_anderson_darling_matches_scipy_free_twin(spark, sf_dir):
+    """Scholz-Stephens A2akN twin built directly from the tie-adjusted
+    formula (midcount convention) in numpy."""
+    pdf = (
+        REGISTRY["stats_anderson_darling_2samp"].fn(spark, sf_dir).toPandas()
+    )
+    li = (
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        .selectExpr("l_quantity AS v", "l_returnflag = 'R' AS s1")
+        .toPandas()
+    )
+    vals = np.sort(li.v.unique())
+    c1 = li[li.s1].v.value_counts().reindex(vals, fill_value=0).to_numpy()
+    c2 = li[~li.s1].v.value_counts().reindex(vals, fill_value=0).to_numpy()
+    f = c1 + c2
+    n1, n2 = c1.sum(), c2.sum()
+    n = n1 + n2
+    a2 = 0.0
+    for ci, ni in ((c1, n1), (c2, n2)):
+        cum = np.cumsum(ci)
+        cb = np.cumsum(f)
+        m_mid = cum - ci / 2.0
+        b_mid = cb - f / 2.0
+        num = (n * m_mid - ni * b_mid) ** 2
+        den = b_mid * (n - b_mid) - n * f / 4.0
+        a2 += (1.0 / ni) * ((f / n) * num / den).sum()
+    a2 *= (n - 1.0) / n
+    assert pdf.n1[0] == n1 and pdf.n2[0] == n2
+    assert pdf.n_distinct[0] == len(vals)
+    assert abs(pdf.a2[0] - a2) < 1e-6
