@@ -2284,3 +2284,108 @@ def ml_lift_gain_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cum_gain"
         ),
     )
+
+
+@register(
+    "ml_conformal_interval",
+    oracle="""
+    WITH calib AS (
+      SELECT event_type, value FROM events WHERE event_id % 2 = 0
+    ),
+    test AS (
+      SELECT event_type, event_id, value FROM events WHERE event_id % 2 = 1
+    ),
+    model AS (
+      SELECT event_type,
+             sum(CAST(round(value * 100) AS BIGINT)) AS cents,
+             CAST(count(*) AS BIGINT) AS n
+      FROM calib GROUP BY 1
+    ),
+    cres AS (
+      SELECT abs(c.value - m.cents / (100.0 * m.n)) AS r,
+             row_number() OVER (ORDER BY abs(c.value - m.cents / (100.0 * m.n)))
+               AS rn,
+             (SELECT CAST(count(*) AS BIGINT) FROM calib c2
+              JOIN model m2 USING (event_type)) AS nc
+      FROM calib c JOIN model m USING (event_type)
+    ),
+    qhat AS (
+      SELECT r AS q, nc FROM cres
+      WHERE rn = (9 * (nc + 1) + 9) // 10
+    ),
+    tres AS (
+      SELECT abs(t.value - m.cents / (100.0 * m.n)) AS r
+      FROM test t JOIN model m USING (event_type)
+    )
+    SELECT (SELECT nc FROM qhat) AS n_calib,
+           CAST(count(*) AS BIGINT) AS n_test,
+           (SELECT CAST((9 * (nc + 1) + 9) // 10 AS BIGINT) FROM qhat) AS k,
+           round((SELECT q FROM qhat), 6) AS qhat,
+           round(sum(CASE WHEN r <= (SELECT q FROM qhat) THEN 1 ELSE 0 END)
+                 / (count(*) * 1.0), 6) AS coverage
+    FROM tres
+    """,
+)
+def ml_conformal_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-conformal prediction interval (Vovk et al. 2005; Lei et al.
+    2018) for event value: fit a per-event-type mean on the calibration
+    half (even event_ids), take qhat = the ceil(0.9*(n+1))-th smallest
+    absolute calibration residual, and report the empirical coverage of
+    mu +/- qhat on the test half — the distribution-free >= 90%-coverage
+    guarantee that production ML systems wrap around ANY point model.
+
+    Determinism shape: the split is id-parity (never RNG); the model is
+    exact integer cents / (100.0 * n) (one IEEE division, bit-equal, so
+    every residual double is bit-equal across engines); qhat is an exact
+    ORDER STATISTIC (ceil((n+1)*0.9) via integer (9*(n+1)+9) div 10),
+    not an interpolated quantile, and coverage compares bit-identical
+    doubles.
+
+    Scale shape: the model is a partial-aggregable groupBy (O(types)
+    shuffle); residual scoring is a broadcast join of that tiny model;
+    the order statistic uses dist_rank.distributed_row_number — no
+    single-task ORDER BY window at any corpus size (the oracle's plain
+    row_number is oracle-scale only). Calibration rows with an unseen
+    event type drop on both engines (inner join).
+    """
+    from go_batch_processor_spark.dist_rank import distributed_row_number
+
+    ev = load_table(spark, sf_dir, "events")
+    calib = ev.filter(F.col("event_id") % 2 == 0).select(
+        "event_type", "event_id", "value"
+    )
+    test = ev.filter(F.col("event_id") % 2 == 1).select(
+        "event_type", "event_id", "value"
+    )
+    model = calib.groupBy("event_type").agg(
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    )
+    mu = F.col("cents") / (F.lit(100.0) * F.col("n"))
+    cres = (
+        calib.join(F.broadcast(model), "event_type")
+        .select("event_id", F.abs(F.col("value") - mu).alias("r"))
+        .localCheckpoint(eager=True)  # dist_rank consumes it three times
+    )
+    ranked, nc = distributed_row_number(
+        cres, "r", [F.col("r").asc(), F.col("event_id").asc()], "rn"
+    )
+    k = (9 * (nc + 1) + 9) // 10
+    qhat = ranked.filter(F.col("rn") == k).select(F.col("r").alias("q"))
+    tres = test.join(F.broadcast(model), "event_type").select(
+        F.abs(F.col("value") - mu).alias("r")
+    )
+    return (
+        tres.crossJoin(F.broadcast(qhat))
+        .agg(
+            F.lit(nc).cast("bigint").alias("n_calib"),
+            F.count(F.lit(1)).cast("bigint").alias("n_test"),
+            F.lit(k).cast("bigint").alias("k"),
+            F.round(F.max("q"), 6).alias("qhat"),
+            F.round(
+                F.sum(F.when(F.col("r") <= F.col("q"), 1).otherwise(0))
+                / (F.count(F.lit(1)) * F.lit(1.0)),
+                6,
+            ).alias("coverage"),
+        )
+    )

@@ -7396,3 +7396,195 @@ def stats_anderson_darling_2samp(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("a2"),
     )
+
+
+@register(
+    "stats_page_trend_test",
+    oracle="""
+    WITH my AS (
+      SELECT CAST(year(o_orderdate) AS BIGINT)  AS y,
+             CAST(month(o_orderdate) AS BIGINT) AS m,
+             sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
+      FROM orders GROUP BY 1, 2
+    ),
+    full_years AS (
+      SELECT y FROM my GROUP BY y HAVING count(*) = 12
+    ),
+    cells AS (SELECT my.* FROM my JOIN full_years USING (y)),
+    rk AS (
+      SELECT y, m,
+             CAST(2 * (SELECT count(*) FROM cells b
+                       WHERE b.y = a.y AND b.cents < a.cents)
+                  + (SELECT count(*) FROM cells b
+                     WHERE b.y = a.y AND b.cents = a.cents)
+                  + 1 AS BIGINT) AS r2
+      FROM cells a
+    ),
+    agg AS (
+      SELECT CAST(count(DISTINCT y) AS BIGINT) AS b,
+             CAST(sum(m * r2) AS BIGINT)       AS l2
+      FROM rk
+    )
+    SELECT b, 12 AS k,
+           CAST(l2 / 2 AS DOUBLE) AS page_l,
+           round(b * 12 * 13.0 * 13.0 / 4.0, 4) AS l_mean,
+           round((l2 / 2.0 - b * 12 * 13.0 * 13.0 / 4.0)
+                 / sqrt(b * 144.0 * 13 * 143 / 144.0), 6) AS z
+    FROM agg
+    """,
+)
+def stats_page_trend_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Page's trend test for ordered alternatives (Page 1963) on monthly
+    revenue: within each COMPLETE year (block) rank the 12 monthly
+    totals, then L = sum over months of m * R_m — large L means revenue
+    ranks rise with the calendar month, the a-priori-ordered companion
+    to the Friedman test (stats_friedman_test asks "do months differ?";
+    Page asks "do they INCREASE in this order?").
+
+    Exactness shape: monthly cells are exact cents; within-block
+    midranks are kept doubled (2R = 2*#less + #tied + 1, integer), so
+    2L is an exact bigint and the normal approximation is pure IEEE
+    (z denominator: Var L = b*k^2(k+1)(k^2-1)/144 with k=12 fixed by
+    the calendar). Incomplete years are excluded on both engines (a
+    partial block has no well-defined 12-treatment ranking).
+
+    Scale shape: the fact stream compresses to month x year cells
+    first; ranks are per-block marginals over <= 12 rows. All heavy
+    work is one partial-aggregable groupBy.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    my = o.groupBy(
+        F.year("o_orderdate").cast("bigint").alias("y"),
+        F.month("o_orderdate").cast("bigint").alias("m"),
+    ).agg(F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("cents"))
+    full_years = my.groupBy("y").agg(F.count(F.lit(1)).alias("nm")).filter(
+        F.col("nm") == 12
+    )
+    cells = my.join(F.broadcast(full_years.select("y")), "y")
+    # within-year doubled midranks over the 12-row block
+    w_less = (
+        Window.partitionBy("y")
+        .orderBy("cents")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    marg = cells.groupBy("y", "cents").agg(
+        F.count(F.lit(1)).alias("cv"), F.collect_list("m").alias("ms")
+    )
+    rk = (
+        marg.withColumn(
+            "r2",
+            (
+                2 * F.coalesce(F.sum("cv").over(w_less), F.lit(0))
+                + F.col("cv")
+                + 1
+            ).cast("bigint"),
+        )
+        .select("y", "r2", F.explode("ms").alias("m"))
+    )
+    agg = rk.agg(
+        F.countDistinct("y").cast("bigint").alias("b"),
+        F.sum(F.col("m") * F.col("r2")).cast("bigint").alias("l2"),
+    )
+    b, l2 = F.col("b"), F.col("l2")
+    l_mean = b * 12 * F.lit(13.0) * F.lit(13.0) / F.lit(4.0)
+    var_l = b * F.lit(144.0) * 13 * 143 / F.lit(144.0)
+    return agg.select(
+        "b",
+        F.lit(12).cast("bigint").alias("k"),
+        F.expr("CAST(l2 div 2 AS DOUBLE)").alias("page_l"),
+        F.round(l_mean, 4).alias("l_mean"),
+        F.round((l2 / F.lit(2.0) - l_mean) / F.sqrt(var_l), 6).alias("z"),
+    )
+
+
+@register(
+    "stats_hodges_lehmann_shift",
+    oracle="""
+    WITH c1 AS (
+      SELECT l_quantity AS v, CAST(count(*) AS BIGINT) AS c
+      FROM lineitem WHERE l_returnflag = 'R' GROUP BY 1
+    ),
+    c2 AS (
+      SELECT l_quantity AS v, CAST(count(*) AS BIGINT) AS c
+      FROM lineitem WHERE l_returnflag <> 'R' GROUP BY 1
+    ),
+    diffs AS (
+      SELECT a.v - b.v AS d, CAST(sum(a.c * b.c) AS BIGINT) AS w
+      FROM c1 a CROSS JOIN c2 b GROUP BY 1
+    ),
+    cum AS (
+      SELECT d, w,
+             sum(w) OVER (ORDER BY d ROWS UNBOUNDED PRECEDING) AS cw,
+             sum(w) OVER () AS t
+      FROM diffs
+    )
+    SELECT (SELECT CAST(sum(c) AS BIGINT) FROM c1) AS n1,
+           (SELECT CAST(sum(c) AS BIGINT) FROM c2) AS n2,
+           CAST(max(t) AS BIGINT) AS n_pairs,
+           round(((SELECT min(d) FROM cum WHERE cw >= (t + 1) // 2)
+                  + (SELECT min(d) FROM cum WHERE cw >= (t + 2) // 2))
+                 / 2.0, 4) AS hl_shift
+    FROM cum GROUP BY t
+    """,
+)
+def stats_hodges_lehmann_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Hodges-Lehmann shift estimator: the median of all
+    n1*n2 pairwise differences x_i - y_j between returned and kept
+    lineitem quantities — the location-shift estimate that accompanies
+    the Mann-Whitney test (stats_mann_whitney gives the p-value; this
+    gives the EFFECT SIZE in original units, robustly).
+
+    Distributed shape: identical doctrine to stats_hodges_lehmann — the
+    O(n1*n2) difference multiset compresses to the |V1| x |V2| <= 2500
+    weighted value-pair grid (weight c1_u * c2_v), then a weighted
+    median over <= 2|V|-1 distinct integer differences. Every weight
+    and median position ((T+1)//2 with T = n1*n2) is an exact bigint;
+    differences of integer-valued quantities are exact.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    c1 = (
+        li.filter(F.col("l_returnflag") == "R")
+        .groupBy(F.col("l_quantity").alias("v"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    c2 = (
+        li.filter(F.col("l_returnflag") != "R")
+        .groupBy(F.col("l_quantity").alias("v"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    a = c1.select(F.col("v").alias("va"), F.col("c").alias("ca"))
+    b = c2.select(F.col("v").alias("vb"), F.col("c").alias("cb"))
+    diffs = (
+        a.crossJoin(b)
+        .groupBy((F.col("va") - F.col("vb")).alias("d"))
+        .agg(F.sum(F.col("ca") * F.col("cb")).cast("bigint").alias("w"))
+    )
+    w_cum = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    cum = diffs.select(
+        "d",
+        F.sum("w").over(w_cum).alias("cw"),
+        F.sum("w").over(Window.partitionBy()).alias("t"),
+    )
+    lo = cum.filter(F.col("cw") >= F.expr("(t + 1) div 2")).agg(
+        F.min("d").alias("dlo")
+    )
+    hi = cum.filter(F.col("cw") >= F.expr("(t + 2) div 2")).agg(
+        F.min("d").alias("dhi")
+    )
+    n1_df = c1.agg(F.sum("c").cast("bigint").alias("n1"))
+    n2_df = c2.agg(F.sum("c").cast("bigint").alias("n2"))
+    t_df = diffs.agg(F.sum("w").cast("bigint").alias("n_pairs"))
+    return (
+        n1_df.crossJoin(n2_df)
+        .crossJoin(t_df)
+        .crossJoin(lo)
+        .crossJoin(hi)
+        .select(
+            "n1",
+            "n2",
+            "n_pairs",
+            F.round((F.col("dlo") + F.col("dhi")) / F.lit(2.0), 4).alias(
+                "hl_shift"
+            ),
+        )
+    )

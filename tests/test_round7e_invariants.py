@@ -182,3 +182,64 @@ def test_anderson_darling_matches_scipy_free_twin(spark, sf_dir):
     assert pdf.n1[0] == n1 and pdf.n2[0] == n2
     assert pdf.n_distinct[0] == len(vals)
     assert abs(pdf.a2[0] - a2) < 1e-6
+
+
+def test_page_trend_matches_pandas_rank_twin(spark, sf_dir):
+    pdf = REGISTRY["stats_page_trend_test"].fn(spark, sf_dir).toPandas()
+    o = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .selectExpr(
+            "year(o_orderdate) AS y",
+            "month(o_orderdate) AS m",
+            "CAST(round(o_totalprice * 100) AS BIGINT) AS cents",
+        )
+        .toPandas()
+    )
+    cells = o.groupby(["y", "m"]).cents.sum().reset_index()
+    full = cells.groupby("y").m.count()
+    cells = cells[cells.y.isin(full[full == 12].index)]
+    cells["r"] = cells.groupby("y").cents.rank(method="average")
+    l_stat = (cells.m * cells.r).sum()
+    b = cells.y.nunique()
+    assert pdf.b[0] == b and pdf.k[0] == 12
+    assert pdf.page_l[0] == l_stat
+    mean = b * 12 * 13 * 13 / 4.0
+    var = b * 144.0 * 13 * 143 / 144.0
+    assert abs(pdf.z[0] - (l_stat - mean) / np.sqrt(var)) < 1e-5
+
+
+def test_hl_shift_matches_numpy_pairwise_twin(spark, sf_dir):
+    pdf = REGISTRY["stats_hodges_lehmann_shift"].fn(spark, sf_dir).toPandas()
+    li = (
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        .selectExpr("l_quantity AS v", "l_returnflag = 'R' AS s1")
+        .toPandas()
+    )
+    x = li[li.s1].v.to_numpy()
+    y = li[~li.s1].v.to_numpy()
+    diffs = (x[:, None] - y[None, :]).ravel()
+    assert pdf.n_pairs[0] == len(diffs)
+    assert abs(pdf.hl_shift[0] - np.median(diffs)) < 1e-9
+
+
+def test_conformal_interval_coverage_guarantee(spark, sf_dir):
+    pdf = REGISTRY["ml_conformal_interval"].fn(spark, sf_dir).toPandas()
+    assert len(pdf) == 1
+    # finite-sample guarantee: marginal coverage >= 0.9 in expectation;
+    # allow binomial noise at test size but require the ballpark
+    n_test = pdf.n_test[0]
+    se = 3.0 * np.sqrt(0.1 * 0.9 / n_test)
+    assert pdf.coverage[0] >= 0.9 - se
+    assert pdf.qhat[0] > 0
+    assert pdf.k[0] == (9 * (pdf.n_calib[0] + 1) + 9) // 10
+    # twin: exact order statistic on recomputed residuals
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").toPandas()
+    calib = ev[ev.event_id % 2 == 0]
+    mu = (
+        np.round(calib.value * 100).astype("int64").groupby(calib.event_type).sum()
+        / (100.0 * calib.groupby("event_type").size())
+    )
+    r = (calib.value - calib.event_type.map(mu)).abs().sort_values().to_numpy()
+    k = (9 * (len(r) + 1) + 9) // 10
+    # qhat is round(.,6) in the output — compare at that granularity
+    assert abs(pdf.qhat[0] - r[k - 1]) < 6e-7
