@@ -7588,3 +7588,136 @@ def stats_hodges_lehmann_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "stats_welch_anova",
+    oracle="""
+    WITH g AS (
+      SELECT l_returnflag AS grp,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+                  AS DOUBLE) AS s,
+             CAST(sum(CAST(round(l_extendedprice * 100) AS HUGEINT)
+                      * CAST(round(l_extendedprice * 100) AS BIGINT))
+                  AS DOUBLE) AS q
+      FROM lineitem GROUP BY 1
+    ),
+    st AS (
+      SELECT grp, n,
+             s / (n * 1.0) AS m,
+             n / ((q - s * (s / n)) / (n - 1)) AS w
+      FROM g
+    ),
+    s2 AS (
+      SELECT CAST(count(*) AS BIGINT) AS k,
+             list_reduce(list(w ORDER BY grp), (x, y) -> x + y) AS bw,
+             list_reduce(list(w * m ORDER BY grp), (x, y) -> x + y) AS bwm
+      FROM st
+    ),
+    s3 AS (
+      SELECT k, bw, bwm / bw AS mh,
+             (SELECT list_reduce(
+                list(w * (m - bwm / bw) * (m - bwm / bw) ORDER BY grp),
+                (x, y) -> x + y) FROM st) AS a_num,
+             (SELECT list_reduce(
+                list((1.0 - w / bw) * (1.0 - w / bw) / (n - 1) ORDER BY grp),
+                (x, y) -> x + y) FROM st) AS c
+      FROM s2
+    )
+    SELECT k,
+           CAST(k - 1 AS BIGINT) AS df1,
+           round((k * 1.0 * k - 1.0) / (3.0 * c), 4) AS df2,
+           round((a_num / (k - 1.0))
+                 / (1.0 + 2.0 * (k - 2.0) / (k * 1.0 * k - 1.0) * c), 6)
+             AS f_stat
+    FROM s3
+    """,
+)
+def stats_welch_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's heteroscedastic one-way ANOVA (Welch 1951) on extended
+    price across return-flag groups — the variance-robust companion to
+    stats_anova_oneway (classic F assumes equal group variances; Welch
+    weights each group by n/s^2 and corrects the denominator df, the
+    default in modern stats packages for exactly that reason).
+
+    Exactness shape: group sufficient statistics are exact integer cents
+    (bigint sums, HUGEINT/DECIMAL(38,0) square sums — one deterministic
+    cast to double each); the F statistic is scale-invariant, so
+    everything stays in the cents domain with no unit conversion. The
+    k-row cross-group sums (sum of w, w*m, w*(m-mh)^2, ...) are ORDERED
+    folds keyed by group (Spark aggregate() over the sorted struct
+    array; DuckDB scalar list_reduce over list(ORDER BY) — scalar
+    folds are reliable; struct-STATE lambdas are not, see
+    timeseries_ses_grid_search). No libm anywhere.
+
+    Scale shape: one partial-aggregable groupBy; everything after is a
+    k-row frame.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    cents = F.round(F.col("l_extendedprice") * 100).cast("long")
+    g = li.groupBy(F.col("l_returnflag").alias("grp")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(cents).cast("double").alias("s"),
+        F.sum(cents.cast("decimal(38,0)") * cents).cast("double").alias("q"),
+    )
+    n, s, q = F.col("n"), F.col("s"), F.col("q")
+    st = g.select(
+        "grp",
+        "n",
+        (s / (n * F.lit(1.0))).alias("m"),
+        (n / ((q - s * (s / n)) / (n - 1))).alias("w"),
+    )
+
+    def fold_sum(arr_col):
+        return F.aggregate(arr_col, F.lit(0.0), lambda a, x: a + x["v"])
+
+    s2 = st.agg(
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        fold_sum(
+            F.array_sort(F.collect_list(F.struct(F.col("grp"), F.col("w").alias("v"))))
+        ).alias("bw"),
+        fold_sum(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(F.col("grp"), (F.col("w") * F.col("m")).alias("v"))
+                )
+            )
+        ).alias("bwm"),
+        F.array_sort(
+            F.collect_list(F.struct("grp", "n", "m", "w"))
+        ).alias("rows"),
+    )
+    mh = F.col("bwm") / F.col("bw")
+    a_num = F.aggregate(
+        F.col("rows"),
+        F.lit(0.0),
+        lambda a, x: a + x["w"] * (x["m"] - mh) * (x["m"] - mh),
+    )
+    c_sum = F.aggregate(
+        F.col("rows"),
+        F.lit(0.0),
+        lambda a, x: a
+        + (F.lit(1.0) - x["w"] / F.col("bw"))
+        * (F.lit(1.0) - x["w"] / F.col("bw"))
+        / (x["n"] - 1),
+    )
+    k = F.col("k")
+    return s2.select(
+        "k",
+        (k - 1).cast("bigint").alias("df1"),
+        F.round((k * F.lit(1.0) * k - F.lit(1.0)) / (F.lit(3.0) * c_sum), 4).alias(
+            "df2"
+        ),
+        F.round(
+            (a_num / (k - F.lit(1.0)))
+            / (
+                F.lit(1.0)
+                + F.lit(2.0)
+                * (k - F.lit(2.0))
+                / (k * F.lit(1.0) * k - F.lit(1.0))
+                * c_sum
+            ),
+            6,
+        ).alias("f_stat"),
+    )

@@ -3337,3 +3337,116 @@ def timeseries_periodogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         wide.select(F.explode(F.array(*rows)).alias("r"))
         .select("r.period_h", "r.power", "r.power_frac")
     )
+
+
+SES_ALPHA_GRID = [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]
+
+
+@register(
+    "timeseries_ses_grid_search",
+    oracle="""
+    WITH RECURSIVE daily AS (
+      SELECT CAST(row_number() OVER (ORDER BY d) AS BIGINT) AS rn,
+             v
+      FROM (
+        SELECT date_trunc('day', ts) AS d,
+               sum(CAST(round(value * 100) AS BIGINT)) / 100.0 AS v
+        FROM events GROUP BY 1
+      )
+    ),
+    grid AS (
+      SELECT unnest([0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS alpha
+    ),
+    walk(alpha, rn, l, sse) AS (
+      SELECT g.alpha, d.rn, d.v, CAST(0 AS DOUBLE)
+      FROM daily d, grid g WHERE d.rn = 1
+      UNION ALL
+      SELECT w.alpha, n.rn,
+             w.l + w.alpha * (n.v - w.l),
+             w.sse + (n.v - w.l) * (n.v - w.l)
+      FROM walk w JOIN daily n ON n.rn = w.rn + 1
+    )
+    SELECT alpha,
+           (SELECT CAST(max(rn) AS BIGINT) FROM daily) AS n,
+           round(sse, 6) AS sse,
+           round(l, 4) AS level
+    FROM walk
+    WHERE rn = (SELECT max(rn) FROM daily)
+    ORDER BY alpha
+    """,
+)
+def timeseries_ses_grid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simple-exponential-smoothing alpha selection by one-step-ahead SSE
+    over a literal grid (0.1..0.9) on the daily revenue series — the
+    deterministic twin of statsmodels' SimpleExpSmoothing.fit(): for
+    each alpha, l_1 = x_1 and then e_t = x_t - l_{t-1}, SSE += e_t^2,
+    l_t = l_{t-1} + alpha*e_t; the caller picks argmin SSE (the full
+    9-row profile is returned so the choice — and how flat the optimum
+    is — is visible).
+
+    Parity: the coupled recursion is a fixed IEEE +,-,* expression
+    evaluated in the same order on both engines — Spark left-folds the
+    date-ordered array once per alpha (aggregate(), the croston/KM
+    pattern), DuckDB replays the identical recursion as a recursive CTE
+    carrying alpha in the state. Grid alphas are shared decimal
+    literals. NOTE: DuckDB list_reduce STRUCT-state lambdas are
+    unreliable in v1.0 (same-step field visibility — probed this
+    session); the recursive CTE is the proven oracle shape for
+    struct-state recursions.
+
+    Scale: the fact stream compresses to the calendar-bounded daily
+    frame; 9 folds over one collected array are driver-negligible. At
+    per-entity scale the same fold runs inside groupBy(entity) — model
+    selection for millions of series in one shuffle.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.date_trunc("day", "ts").alias("d")).agg(
+        (F.sum(F.round(F.col("value") * 100).cast("long")) / F.lit(100.0)).alias(
+            "v"
+        )
+    )
+    w = Window.partitionBy().orderBy("d")
+    numbered = daily.select(
+        F.row_number().over(w).cast("bigint").alias("rn"), "v"
+    )
+    rows = numbered.agg(
+        F.array_sort(F.collect_list(F.struct("rn", "v"))).alias("rows"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    )
+    def ses_fold(a: float):
+        # binary lambda (Spark checks arity); alpha bound by closure
+        def step(st, r):
+            return F.struct(
+                F.when(st["l"].isNull(), r["v"])
+                .otherwise(st["l"] + F.lit(a) * (r["v"] - st["l"]))
+                .alias("l"),
+                F.when(st["l"].isNull(), F.lit(0.0))
+                .otherwise(
+                    st["sse"] + (r["v"] - st["l"]) * (r["v"] - st["l"])
+                )
+                .alias("sse"),
+            )
+
+        return step
+
+    per_alpha = []
+    for a in SES_ALPHA_GRID:
+        st = F.aggregate(
+            F.col("rows"),
+            F.struct(
+                F.lit(None).cast("double").alias("l"),
+                F.lit(0.0).alias("sse"),
+            ),
+            ses_fold(a),
+        )
+        per_alpha.append(
+            F.struct(
+                F.lit(a).alias("alpha"),
+                F.round(st["sse"], 6).alias("sse"),
+                F.round(st["l"], 4).alias("level"),
+            )
+        )
+    return (
+        rows.select("n", F.explode(F.array(*per_alpha)).alias("r"))
+        .select("r.alpha", "n", "r.sse", "r.level")
+    )

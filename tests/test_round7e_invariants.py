@@ -243,3 +243,58 @@ def test_conformal_interval_coverage_guarantee(spark, sf_dir):
     k = (9 * (len(r) + 1) + 9) // 10
     # qhat is round(.,6) in the output — compare at that granularity
     assert abs(pdf.qhat[0] - r[k - 1]) < 6e-7
+
+
+def test_welch_anova_matches_numpy_twin(spark, sf_dir):
+    pdf = REGISTRY["stats_welch_anova"].fn(spark, sf_dir).toPandas()
+    li = (
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        .selectExpr(
+            "l_returnflag AS g",
+            "CAST(round(l_extendedprice * 100) AS BIGINT) AS cents",
+        )
+        .toPandas()
+    )
+    groups = [grp.cents.to_numpy() for _, grp in li.groupby("g")]
+    k = len(groups)
+    n = np.array([len(x) for x in groups], dtype=float)
+    m = np.array([x.mean() for x in groups])
+    s2 = np.array([x.var(ddof=1) for x in groups])
+    w = n / s2
+    mh = (w * m).sum() / w.sum()
+    a = (w * (m - mh) ** 2).sum() / (k - 1)
+    c = ((1 - w / w.sum()) ** 2 / (n - 1)).sum()
+    f = a / (1 + 2 * (k - 2) / (k**2 - 1) * c)
+    df2 = (k**2 - 1) / (3 * c)
+    assert pdf.k[0] == k and pdf.df1[0] == k - 1
+    assert abs(pdf.f_stat[0] - f) < 1e-4 * max(1.0, abs(f))
+    assert abs(pdf.df2[0] - df2) < 1e-3
+
+
+def test_ses_grid_matches_numpy_recursion_and_profile_shape(spark, sf_dir):
+    from go_batch_processor_spark.operators.timeseries import SES_ALPHA_GRID
+
+    pdf = (
+        REGISTRY["timeseries_ses_grid_search"].fn(spark, sf_dir).toPandas()
+    ).set_index("alpha")
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").toPandas()
+    daily = (
+        pd.Series(
+            np.round(ev.value.to_numpy() * 100).astype("int64"),
+            index=ev.ts.dt.floor("D"),
+        )
+        .groupby(level=0)
+        .sum()
+        .sort_index()
+        .to_numpy()
+        / 100.0
+    )
+    assert (pdf.n == len(daily)).all()
+    for a in SES_ALPHA_GRID:
+        level, sse = daily[0], 0.0
+        for x in daily[1:]:
+            e = x - level
+            sse += e * e
+            level += a * e
+        assert abs(pdf.loc[a, "sse"] - sse) < 1e-6 * max(1.0, sse)
+        assert abs(pdf.loc[a, "level"] - level) < 1e-3
