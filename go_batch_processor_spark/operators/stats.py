@@ -7721,3 +7721,175 @@ def stats_welch_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("f_stat"),
     )
+
+
+@register(
+    "stats_cochran_armitage_trend",
+    oracle="""
+    WITH g AS (
+      SELECT CAST(substr(o_orderpriority, 1, 1) AS BIGINT) AS s,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS x
+      FROM orders GROUP BY 1
+    ),
+    a AS (
+      SELECT CAST(sum(n) AS BIGINT)     AS nn,
+             CAST(sum(x) AS BIGINT)     AS xx,
+             CAST(sum(s * x) AS BIGINT) AS sx,
+             CAST(sum(s * n) AS BIGINT) AS sn,
+             CAST(sum(s * s * n) AS BIGINT) AS ssn,
+             CAST(count(*) AS BIGINT)   AS k
+      FROM g
+    )
+    SELECT k, nn AS n, xx AS x,
+           round((sx - xx * 1.0 * sn / nn), 4) AS t_stat,
+           round((sx - xx * 1.0 * sn / nn)
+                 / sqrt(xx * 1.0 / nn * (1.0 - xx * 1.0 / nn)
+                        * (ssn - sn * 1.0 * sn / nn)), 6) AS z
+    FROM a
+    """,
+)
+def stats_cochran_armitage_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cochran-Armitage trend test (Cochran 1954; Armitage 1955): is the
+    fulfilled-order proportion monotonically related to the ORDERED
+    priority level (1-URGENT .. 5-LOW)? The chi-square independence test
+    (stats_chi_square) ignores the ordering; Cochran-Armitage scores the
+    categories s_i = 1..5 and tests the linear trend — the standard
+    dose-response test in experimentation and epidemiology.
+
+    T = sum s_i x_i - X/N * sum s_i n_i,
+    Var(T) = p(1-p) * (sum s_i^2 n_i - (sum s_i n_i)^2 / N), p = X/N.
+
+    Exactness shape: scores come from the priority's leading digit (an
+    exact integer parse), all five sums are exact bigint aggregates of
+    one scan, and T/Var/z are pure IEEE rational arithmetic + one sqrt
+    on identical expression trees — no ordered folds even needed, since
+    every double is derived from integers by the same operations.
+
+    Scale shape: ONE partial-aggregable groupBy over the fact table,
+    then arithmetic on a k=5-row frame.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    g = o.groupBy(
+        F.substring("o_orderpriority", 1, 1).cast("bigint").alias("s")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.when(F.col("o_orderstatus") == "F", 1).otherwise(0))
+        .cast("bigint")
+        .alias("x"),
+    )
+    a = g.agg(
+        F.sum("n").cast("bigint").alias("nn"),
+        F.sum("x").cast("bigint").alias("xx"),
+        F.sum(F.col("s") * F.col("x")).cast("bigint").alias("sx"),
+        F.sum(F.col("s") * F.col("n")).cast("bigint").alias("sn"),
+        F.sum(F.col("s") * F.col("s") * F.col("n")).cast("bigint").alias("ssn"),
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+    )
+    nn, xx, sx, sn, ssn = (
+        F.col("nn"),
+        F.col("xx"),
+        F.col("sx"),
+        F.col("sn"),
+        F.col("ssn"),
+    )
+    t = sx - xx * F.lit(1.0) * sn / nn
+    p = xx * F.lit(1.0) / nn
+    var = p * (F.lit(1.0) - p) * (ssn - sn * F.lit(1.0) * sn / nn)
+    return a.select(
+        "k",
+        nn.alias("n"),
+        xx.alias("x"),
+        F.round(t, 4).alias("t_stat"),
+        F.round(t / F.sqrt(var), 6).alias("z"),
+    )
+
+
+@register(
+    "stats_median_ci_order_stats",
+    oracle="""
+    WITH comp AS (
+      SELECT l_quantity AS v, CAST(count(*) AS BIGINT) AS c
+      FROM lineitem GROUP BY 1
+    ),
+    cum AS (
+      SELECT v,
+             sum(c) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cw,
+             sum(c) OVER () AS n
+      FROM comp
+    ),
+    ranks AS (
+      SELECT CAST(max(n) AS BIGINT) AS n,
+             CAST(CAST(floor((max(n) - 1.96 * sqrt(CAST(max(n) AS DOUBLE)))
+                             / 2.0) AS BIGINT) AS BIGINT) AS k_lo,
+             CAST(CAST(ceil(1.0 + (max(n) + 1.96 * sqrt(CAST(max(n) AS DOUBLE)))
+                            / 2.0) AS BIGINT) AS BIGINT) AS k_hi
+      FROM cum
+    )
+    SELECT r.n, r.k_lo, r.k_hi,
+           (SELECT min(v) FROM cum WHERE cw >= (r.n + 1) // 2) AS med_lo,
+           (SELECT min(v) FROM cum WHERE cw >= (r.n + 2) // 2) AS med_hi,
+           (SELECT min(v) FROM cum WHERE cw >= r.k_lo) AS ci_lo,
+           (SELECT min(v) FROM cum WHERE cw >= r.k_hi) AS ci_hi
+    FROM ranks r
+    """,
+)
+def stats_median_ci_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-free ~95% confidence interval for the median of
+    lineitem quantity via ORDER STATISTICS: the CI is [x_(k_lo), x_(k_hi)]
+    with k_lo = floor((n - 1.96*sqrt(n))/2) and k_hi = ceil(1 +
+    (n + 1.96*sqrt(n))/2) — the binomial-rank normal approximation
+    (Conover 1999), valid for ANY continuous-ish distribution; no
+    bootstrap and no density estimate needed.
+
+    Exactness shape: the value domain compresses to (value, count); the
+    CI ranks come from one sqrt on the exact bigint n with the shared
+    1.96 literal (floor/ceil of identical doubles are identical), and
+    every reported endpoint is an EXACT order statistic read off the
+    cumulative counts — the agg_median_distributed selection idiom, no
+    interpolation anywhere.
+
+    Scale shape: one partial-aggregable groupBy; cumulative window over
+    the domain-bounded frame (unbounded domains: distributed_group_cumsum).
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    comp = li.groupBy(F.col("l_quantity").alias("v")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    w_cum = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    cum = comp.select(
+        "v",
+        F.sum("c").over(w_cum).alias("cw"),
+        F.sum("c").over(Window.partitionBy()).alias("n"),
+    )
+    n = F.max("n")
+    ranks = cum.agg(
+        n.cast("bigint").alias("n"),
+        F.floor((n - F.lit(1.96) * F.sqrt(n.cast("double"))) / F.lit(2.0))
+        .cast("bigint")
+        .alias("k_lo"),
+        F.ceil(F.lit(1.0) + (n + F.lit(1.96) * F.sqrt(n.cast("double"))) / F.lit(2.0))
+        .cast("bigint")
+        .alias("k_hi"),
+    )
+
+    def sel(rank_col, name):
+        return (
+            cum.select("v", "cw")  # drop cum's window n: ranks carries n
+            .crossJoin(F.broadcast(ranks))
+            .filter(F.col("cw") >= rank_col)
+            .agg(F.min("v").alias(name))
+        )
+
+    med_lo = sel(F.expr("(n + 1) div 2"), "med_lo")
+    med_hi = sel(F.expr("(n + 2) div 2"), "med_hi")
+    ci_lo = sel(F.col("k_lo"), "ci_lo")
+    ci_hi = sel(F.col("k_hi"), "ci_hi")
+    return (
+        ranks.crossJoin(med_lo)
+        .crossJoin(med_hi)
+        .crossJoin(ci_lo)
+        .crossJoin(ci_hi)
+        .select("n", "k_lo", "k_hi", "med_lo", "med_hi", "ci_lo", "ci_hi")
+    )

@@ -298,3 +298,45 @@ def test_ses_grid_matches_numpy_recursion_and_profile_shape(spark, sf_dir):
             level += a * e
         assert abs(pdf.loc[a, "sse"] - sse) < 1e-6 * max(1.0, sse)
         assert abs(pdf.loc[a, "level"] - level) < 1e-3
+
+
+def test_cochran_armitage_matches_numpy_twin(spark, sf_dir):
+    pdf = REGISTRY["stats_cochran_armitage_trend"].fn(spark, sf_dir).toPandas()
+    o = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .selectExpr(
+            "CAST(substring(o_orderpriority, 1, 1) AS BIGINT) AS s",
+            "o_orderstatus = 'F' AS y",
+        )
+        .toPandas()
+    )
+    g = o.groupby("s").agg(n=("y", "size"), x=("y", "sum"))
+    s = g.index.to_numpy(dtype=float)
+    n, x = g.n.to_numpy(dtype=float), g.x.to_numpy(dtype=float)
+    nn, xx = n.sum(), x.sum()
+    t = (s * x).sum() - xx / nn * (s * n).sum()
+    p = xx / nn
+    var = p * (1 - p) * ((s * s * n).sum() - (s * n).sum() ** 2 / nn)
+    assert pdf.k[0] == len(g)
+    assert abs(pdf.t_stat[0] - t) < 1e-3
+    assert abs(pdf.z[0] - t / np.sqrt(var)) < 1e-5
+
+
+def test_median_ci_brackets_median_and_matches_numpy(spark, sf_dir):
+    pdf = REGISTRY["stats_median_ci_order_stats"].fn(spark, sf_dir).toPandas()
+    q = (
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        .select("l_quantity")
+        .toPandas()
+        .l_quantity.sort_values()
+        .to_numpy()
+    )
+    n = len(q)
+    med = (pdf.med_lo[0] + pdf.med_hi[0]) / 2.0
+    assert med == np.median(q)
+    k_lo = int(np.floor((n - 1.96 * np.sqrt(n)) / 2.0))
+    k_hi = int(np.ceil(1.0 + (n + 1.96 * np.sqrt(n)) / 2.0))
+    assert pdf.n[0] == n and pdf.k_lo[0] == k_lo and pdf.k_hi[0] == k_hi
+    assert pdf.ci_lo[0] == q[k_lo - 1]  # exact order statistics
+    assert pdf.ci_hi[0] == q[k_hi - 1]
+    assert pdf.ci_lo[0] <= med <= pdf.ci_hi[0]
