@@ -7893,3 +7893,328 @@ def stats_median_ci_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(ci_hi)
         .select("n", "k_lo", "k_hi", "med_lo", "med_hi", "ci_lo", "ci_hi")
     )
+
+
+GETIS_CELL = 128.0  # 8x8 lattice over the [0,1020)^2 md5-coordinate plane
+
+
+@register(
+    "stats_getis_ord_hotspots",
+    oracle=f"""
+    WITH pts AS (
+      SELECT CAST(floor(((strpos('0123456789abcdef',
+                       substr(md5('x:' || CAST(c_custkey AS VARCHAR)), 1, 1)) - 1)
+               * 64.0
+             + (strpos('0123456789abcdef',
+                       substr(md5('x:' || CAST(c_custkey AS VARCHAR)), 2, 1)) - 1)
+               * 4.0) / {GETIS_CELL}) AS BIGINT) AS gx,
+             CAST(floor(((strpos('0123456789abcdef',
+                       substr(md5('y:' || CAST(c_custkey AS VARCHAR)), 1, 1)) - 1)
+               * 64.0
+             + (strpos('0123456789abcdef',
+                       substr(md5('y:' || CAST(c_custkey AS VARCHAR)), 2, 1)) - 1)
+               * 4.0) / {GETIS_CELL}) AS BIGINT) AS gy,
+             CAST(round(c_acctbal * 100) AS BIGINT) AS cents
+      FROM customer
+    ),
+    lattice AS (
+      SELECT gx, gy FROM (SELECT unnest(range(0, 8)) AS gx),
+                         (SELECT unnest(range(0, 8)) AS gy)
+    ),
+    cells AS (
+      SELECT l.gx, l.gy,
+             coalesce(s.v, 0) AS v,
+             coalesce(s.np, 0) AS np
+      FROM lattice l LEFT JOIN (
+        SELECT gx, gy, CAST(sum(cents) AS BIGINT) AS v,
+               CAST(count(*) AS BIGINT) AS np
+        FROM pts GROUP BY 1, 2
+      ) s USING (gx, gy)
+    ),
+    gstat AS (
+      SELECT CAST(count(*) AS BIGINT) AS nc,
+             CAST(sum(v) AS BIGINT) AS sv,
+             CAST(sum(CAST(v AS HUGEINT) * v) AS DOUBLE) AS q
+      FROM cells
+    ),
+    hood AS (
+      SELECT c.gx, c.gy, c.v AS own_v, c.np,
+             CAST(sum(n.v) AS BIGINT) AS w,
+             CAST(count(*) AS BIGINT) AS nw
+      FROM cells c
+      JOIN cells n
+        ON n.gx BETWEEN c.gx - 1 AND c.gx + 1
+       AND n.gy BETWEEN c.gy - 1 AND c.gy + 1
+      GROUP BY 1, 2, 3, 4
+    )
+    SELECT gx, gy, np AS n_points, own_v AS cell_cents, w AS hood_cents, nw,
+           round((w - sv / (nc * 1.0) * nw)
+                 / (sqrt(q / (nc * 1.0)
+                         - (sv / (nc * 1.0)) * (sv / (nc * 1.0)))
+                    * sqrt((nc * nw - nw * 1.0 * nw) / (nc - 1.0))), 6) AS z
+    FROM hood, gstat
+    ORDER BY (w - sv / (nc * 1.0) * nw)
+             / (sqrt(q / (nc * 1.0)
+                     - (sv / (nc * 1.0)) * (sv / (nc * 1.0)))
+                * sqrt((nc * nw - nw * 1.0 * nw) / (nc - 1.0))) DESC,
+             gx, gy
+    LIMIT 5
+    """,
+)
+def stats_getis_ord_hotspots(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Getis-Ord Gi* hot-spot detection (Getis & Ord 1992; Ord & Getis
+    1995) over account-balance mass on the deterministic md5-coordinate
+    plane (the join_spatial_grid point cloud): for every cell of an 8x8
+    lattice, z_i = (W_i - x_bar*n_w) / (S * sqrt((n*n_w - n_w^2)/(n-1)))
+    with W_i the 3x3-neighborhood sum — the standard local spatial
+    autocorrelation statistic behind every "where are the hotspots" map.
+    Top-5 hottest cells returned.
+
+    Exactness shape: coordinates are md5 hex digits (exact integers),
+    cell values are exact cents, the full lattice is materialized so
+    EMPTY cells participate as zeros (edge cells keep their smaller
+    n_w = 4/6/9 honestly); neighborhood sums and all Gi* ingredients are
+    exact integers (HUGEINT/DECIMAL38 for the square sum), and z is the
+    identical rational+sqrt tree on both engines.
+
+    Scale shape: points compress to O(cells) per-cell sums in one
+    partial-aggregable groupBy; the neighborhood join is lattice-sized
+    (64 x 9 rows), independent of point count. Finer lattices at scale:
+    the neighbor join stays O(cells*9) — never a point-level self-join
+    (the join_spatial_grid radius-join handles point-level neighbors).
+    """
+    hexa = F.lit("0123456789abcdef")
+
+    def coord(prefix: str, key) -> Column:
+        h = F.md5(F.concat(F.lit(prefix), key.cast("string")))
+        return (F.instr(hexa, F.substring(h, 1, 1)) - 1) * 64.0 + (
+            F.instr(hexa, F.substring(h, 2, 1)) - 1
+        ) * 4.0
+
+    cust = load_table(spark, sf_dir, "customer")
+    pts = cust.select(
+        F.floor(coord("x:", F.col("c_custkey")) / GETIS_CELL)
+        .cast("bigint")
+        .alias("gx"),
+        F.floor(coord("y:", F.col("c_custkey")) / GETIS_CELL)
+        .cast("bigint")
+        .alias("gy"),
+        F.round(F.col("c_acctbal") * 100).cast("long").alias("cents"),
+    )
+    sums = pts.groupBy("gx", "gy").agg(
+        F.sum("cents").cast("bigint").alias("v"),
+        F.count(F.lit(1)).cast("bigint").alias("np"),
+    )
+    ax = spark.range(8).select(F.col("id").alias("gx"))
+    ay = spark.range(8).select(F.col("id").alias("gy"))
+    lattice = ax.crossJoin(ay)
+    cells = (
+        lattice.join(sums, ["gx", "gy"], "left")
+        .select(
+            "gx",
+            "gy",
+            F.coalesce(F.col("v"), F.lit(0)).cast("bigint").alias("v"),
+            F.coalesce(F.col("np"), F.lit(0)).cast("bigint").alias("np"),
+        )
+    )
+    glob = cells.agg(
+        F.count(F.lit(1)).cast("bigint").alias("nc"),
+        F.sum("v").cast("bigint").alias("sv"),
+        F.sum(F.col("v").cast("decimal(38,0)") * F.col("v"))
+        .cast("double")
+        .alias("q"),
+    )
+    nbr = cells.select(
+        F.col("gx").alias("nx"), F.col("gy").alias("ny"), F.col("v").alias("nv")
+    )
+    hood = (
+        cells.join(
+            nbr,
+            F.col("nx").between(F.col("gx") - 1, F.col("gx") + 1)
+            & F.col("ny").between(F.col("gy") - 1, F.col("gy") + 1),
+        )
+        .groupBy("gx", "gy", "v", "np")
+        .agg(
+            F.sum("nv").cast("bigint").alias("w"),
+            F.count(F.lit(1)).cast("bigint").alias("nw"),
+        )
+    )
+    nc, sv, q, w, nw = (
+        F.col("nc"),
+        F.col("sv"),
+        F.col("q"),
+        F.col("w"),
+        F.col("nw"),
+    )
+    mean = sv / (nc * F.lit(1.0))
+    s = F.sqrt(q / (nc * F.lit(1.0)) - mean * mean)
+    z = (w - mean * nw) / (
+        s * F.sqrt((nc * nw - nw * F.lit(1.0) * nw) / (nc - F.lit(1.0)))
+    )
+    return (
+        hood.crossJoin(F.broadcast(glob))
+        .select(
+            "gx",
+            "gy",
+            F.col("np").alias("n_points"),
+            F.col("v").alias("cell_cents"),
+            F.col("w").alias("hood_cents"),
+            "nw",
+            F.round(z, 6).alias("z"),
+            z.alias("_z"),
+        )
+        .orderBy(F.col("_z").desc(), "gx", "gy")
+        .limit(5)
+        .drop("_z")
+    )
+
+
+@register(
+    "stats_morans_i",
+    oracle=f"""
+    WITH pts AS (
+      SELECT CAST(floor(((strpos('0123456789abcdef',
+                       substr(md5('x:' || CAST(c_custkey AS VARCHAR)), 1, 1)) - 1)
+               * 64.0
+             + (strpos('0123456789abcdef',
+                       substr(md5('x:' || CAST(c_custkey AS VARCHAR)), 2, 1)) - 1)
+               * 4.0) / {GETIS_CELL}) AS BIGINT) AS gx,
+             CAST(floor(((strpos('0123456789abcdef',
+                       substr(md5('y:' || CAST(c_custkey AS VARCHAR)), 1, 1)) - 1)
+               * 64.0
+             + (strpos('0123456789abcdef',
+                       substr(md5('y:' || CAST(c_custkey AS VARCHAR)), 2, 1)) - 1)
+               * 4.0) / {GETIS_CELL}) AS BIGINT) AS gy,
+             CAST(round(c_acctbal * 100) AS BIGINT) AS cents
+      FROM customer
+    ),
+    lattice AS (
+      SELECT gx, gy FROM (SELECT unnest(range(0, 8)) AS gx),
+                         (SELECT unnest(range(0, 8)) AS gy)
+    ),
+    cells AS (
+      SELECT l.gx, l.gy, coalesce(s.v, 0) AS v
+      FROM lattice l LEFT JOIN (
+        SELECT gx, gy, CAST(sum(cents) AS BIGINT) AS v
+        FROM pts GROUP BY 1, 2
+      ) s USING (gx, gy)
+    ),
+    gstat AS (
+      SELECT CAST(count(*) AS BIGINT) AS nc,
+             CAST(sum(v) AS BIGINT) AS sv
+      FROM cells
+    ),
+    pairs AS (
+      SELECT CAST(count(*) AS BIGINT) AS wtot,
+             CAST(sum(CAST(a.v * (SELECT nc FROM gstat)
+                           - (SELECT sv FROM gstat) AS HUGEINT)
+                      * (b.v * (SELECT nc FROM gstat)
+                         - (SELECT sv FROM gstat))) AS DOUBLE) AS num
+      FROM cells a
+      JOIN cells b
+        ON b.gx BETWEEN a.gx - 1 AND a.gx + 1
+       AND b.gy BETWEEN a.gy - 1 AND a.gy + 1
+       AND NOT (a.gx = b.gx AND a.gy = b.gy)
+    ),
+    den AS (
+      SELECT CAST(sum(CAST(v * (SELECT nc FROM gstat)
+                           - (SELECT sv FROM gstat) AS HUGEINT)
+                      * (v * (SELECT nc FROM gstat)
+                         - (SELECT sv FROM gstat))) AS DOUBLE) AS den
+      FROM cells
+    )
+    SELECT (SELECT nc FROM gstat) AS n_cells,
+           wtot AS w_sum,
+           round((SELECT nc FROM gstat) * 1.0 / wtot * (num / den), 6)
+             AS morans_i,
+           round(-1.0 / ((SELECT nc FROM gstat) - 1.0), 6) AS e_i
+    FROM pairs, den
+    """,
+)
+def stats_morans_i(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global Moran's I spatial autocorrelation (Moran 1950) of
+    account-balance mass on the 8x8 md5-coordinate lattice with queen
+    (3x3 minus self) contiguity weights — the is-there-ANY-spatial-
+    structure companion to stats_getis_ord_hotspots (Gi* localizes WHERE;
+    Moran's I summarizes whether clustering exists at all; under the
+    null E[I] = -1/(n-1)).
+
+    Exactness shape: centered products clear denominators as integers —
+    (v_i - m)(v_j - m) = (v_i*n - S)(v_j*n - S)/n^2 and the n^2 cancels
+    in the I ratio — so both the pair sum and the deviance sum
+    accumulate EXACT wide integers (HUGEINT/DECIMAL38; md5-uniform cells
+    hold ~1/64 of total cents each) with one deterministic double cast
+    before the final rational expression. No folds needed.
+
+    Scale shape: identical to Gi* — O(cells) compression, O(cells*9)
+    neighbor join, never a point-level self-join.
+    """
+    hexa = F.lit("0123456789abcdef")
+
+    def coord(prefix: str, key) -> Column:
+        h = F.md5(F.concat(F.lit(prefix), key.cast("string")))
+        return (F.instr(hexa, F.substring(h, 1, 1)) - 1) * 64.0 + (
+            F.instr(hexa, F.substring(h, 2, 1)) - 1
+        ) * 4.0
+
+    cust = load_table(spark, sf_dir, "customer")
+    pts = cust.select(
+        F.floor(coord("x:", F.col("c_custkey")) / GETIS_CELL)
+        .cast("bigint")
+        .alias("gx"),
+        F.floor(coord("y:", F.col("c_custkey")) / GETIS_CELL)
+        .cast("bigint")
+        .alias("gy"),
+        F.round(F.col("c_acctbal") * 100).cast("long").alias("cents"),
+    )
+    sums = pts.groupBy("gx", "gy").agg(F.sum("cents").cast("bigint").alias("v"))
+    lattice = (
+        spark.range(8)
+        .select(F.col("id").alias("gx"))
+        .crossJoin(spark.range(8).select(F.col("id").alias("gy")))
+    )
+    cells = lattice.join(sums, ["gx", "gy"], "left").select(
+        "gx", "gy", F.coalesce(F.col("v"), F.lit(0)).cast("bigint").alias("v")
+    )
+    gstat = cells.agg(
+        F.count(F.lit(1)).cast("bigint").alias("nc"),
+        F.sum("v").cast("bigint").alias("sv"),
+    )
+    cg = cells.crossJoin(F.broadcast(gstat))
+    dev = (F.col("v") * F.col("nc") - F.col("sv")).cast("decimal(38,0)")
+    den_df = cg.agg(
+        F.sum(dev * (F.col("v") * F.col("nc") - F.col("sv")))
+        .cast("double")
+        .alias("den")
+    )
+    nbr = cells.select(
+        F.col("gx").alias("nx"), F.col("gy").alias("ny"), F.col("v").alias("nv")
+    )
+    pair_df = (
+        cg.join(
+            nbr,
+            F.col("nx").between(F.col("gx") - 1, F.col("gx") + 1)
+            & F.col("ny").between(F.col("gy") - 1, F.col("gy") + 1)
+            & ~((F.col("nx") == F.col("gx")) & (F.col("ny") == F.col("gy"))),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("wtot"),
+            F.sum(dev * (F.col("nv") * F.col("nc") - F.col("sv")))
+            .cast("double")
+            .alias("num"),
+        )
+    )
+    return (
+        gstat.crossJoin(pair_df)
+        .crossJoin(den_df)
+        .select(
+            F.col("nc").alias("n_cells"),
+            F.col("wtot").alias("w_sum"),
+            F.round(
+                F.col("nc") * F.lit(1.0) / F.col("wtot")
+                * (F.col("num") / F.col("den")),
+                6,
+            ).alias("morans_i"),
+            F.round(F.lit(-1.0) / (F.col("nc") - F.lit(1.0)), 6).alias("e_i"),
+        )
+    )

@@ -340,3 +340,79 @@ def test_median_ci_brackets_median_and_matches_numpy(spark, sf_dir):
     assert pdf.ci_lo[0] == q[k_lo - 1]  # exact order statistics
     assert pdf.ci_hi[0] == q[k_hi - 1]
     assert pdf.ci_lo[0] <= med <= pdf.ci_hi[0]
+
+
+def test_getis_ord_matches_numpy_lattice_twin(spark, sf_dir):
+    pdf = REGISTRY["stats_getis_ord_hotspots"].fn(spark, sf_dir).toPandas()
+    assert len(pdf) == 5
+    import hashlib
+
+    cust = (
+        spark.read.parquet(f"{sf_dir}/customer.parquet")
+        .selectExpr("c_custkey AS k", "CAST(round(c_acctbal*100) AS BIGINT) AS cents")
+        .toPandas()
+    )
+
+    def coord(prefix, k):
+        h = hashlib.md5(f"{prefix}{k}".encode()).hexdigest()
+        return int(h[0], 16) * 64.0 + int(h[1], 16) * 4.0
+
+    v = np.zeros((8, 8), dtype="int64")
+    for k, cents in zip(cust.k, cust.cents):
+        gx = int(coord("x:", k) // 128.0)
+        gy = int(coord("y:", k) // 128.0)
+        v[gx, gy] += cents
+    nc = 64
+    mean = v.sum() / nc
+    s = np.sqrt((v.astype(float) ** 2).sum() / nc - mean**2)
+    best = []
+    for gx in range(8):
+        for gy in range(8):
+            xs = slice(max(gx - 1, 0), min(gx + 2, 8))
+            ys = slice(max(gy - 1, 0), min(gy + 2, 8))
+            w = v[xs, ys].sum()
+            nw = v[xs, ys].size
+            z = (w - mean * nw) / (s * np.sqrt((nc * nw - nw * nw) / (nc - 1.0)))
+            best.append((z, gx, gy, w, nw))
+    best.sort(key=lambda t: (-t[0], t[1], t[2]))
+    for i in range(5):
+        z, gx, gy, w, nw = best[i]
+        assert pdf.gx[i] == gx and pdf.gy[i] == gy
+        assert pdf.hood_cents[i] == w and pdf.nw[i] == nw
+        assert abs(pdf.z[i] - z) < 1e-6
+
+
+def test_morans_i_matches_numpy_lattice_twin(spark, sf_dir):
+    pdf = REGISTRY["stats_morans_i"].fn(spark, sf_dir).toPandas()
+    import hashlib
+
+    cust = (
+        spark.read.parquet(f"{sf_dir}/customer.parquet")
+        .selectExpr("c_custkey AS k", "CAST(round(c_acctbal*100) AS BIGINT) AS cents")
+        .toPandas()
+    )
+
+    def coord(prefix, k):
+        h = hashlib.md5(f"{prefix}{k}".encode()).hexdigest()
+        return int(h[0], 16) * 64.0 + int(h[1], 16) * 4.0
+
+    v = np.zeros((8, 8), dtype="int64")
+    for k, cents in zip(cust.k, cust.cents):
+        v[int(coord("x:", k) // 128.0), int(coord("y:", k) // 128.0)] += cents
+    m = v.mean()
+    num, w = 0.0, 0
+    for gx in range(8):
+        for gy in range(8):
+            for dx in (-1, 0, 1):
+                for dy in (-1, 0, 1):
+                    if dx == dy == 0:
+                        continue
+                    nx, ny = gx + dx, gy + dy
+                    if 0 <= nx < 8 and 0 <= ny < 8:
+                        num += (v[gx, gy] - m) * (v[nx, ny] - m)
+                        w += 1
+    den = ((v - m) ** 2).sum()
+    i_stat = 64.0 / w * num / den
+    assert pdf.n_cells[0] == 64 and pdf.w_sum[0] == w
+    assert abs(pdf.morans_i[0] - i_stat) < 1e-6
+    assert abs(pdf.e_i[0] - (-1.0 / 63.0)) < 5e-7  # e_i is round(.,6)
