@@ -138,6 +138,10 @@ HEADLINE = [
     "text_head_middle_tail_split",
     "dedup_url_canonicalize",
     "stats_hodges_lehmann",
+    "ml_conformal_interval",
+    "stats_getis_ord_hotspots",
+    "stats_cucconi_test",
+    "timeseries_ses_grid_search",
 ]
 
 

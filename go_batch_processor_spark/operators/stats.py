@@ -8218,3 +8218,155 @@ def stats_morans_i(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.lit(-1.0) / (F.col("nc") - F.lit(1.0)), 6).alias("e_i"),
         )
     )
+
+
+@register(
+    "stats_cucconi_test",
+    oracle="""
+    WITH comp AS (
+      SELECT l_quantity AS v,
+             CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS c1,
+             CAST(sum(CASE WHEN l_returnflag <> 'R' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS c2
+      FROM lineitem GROUP BY 1
+    ),
+    ranked AS (
+      SELECT c1, c2, c1 + c2 AS c,
+             sum(c1 + c2) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS hi,
+             sum(c1 + c2) OVER () AS n
+      FROM comp
+    ),
+    scored AS (
+      SELECT c1, c2, c, n,
+             CAST((hi - c + 1) + hi AS HUGEINT) AS mr2,
+             CAST(2 * (n + 1) - ((hi - c + 1) + hi) AS HUGEINT) AS rr2
+      FROM ranked
+    ),
+    agg AS (
+      SELECT CAST(max(n) AS BIGINT)  AS n,
+             CAST(sum(c1) AS BIGINT) AS n1,
+             CAST(sum(c2) AS BIGINT) AS n2,
+             CAST(sum(c1 * mr2 * mr2) AS DOUBLE)             AS a1,
+             CAST(sum(c1 * rr2 * rr2) AS DOUBLE)             AS b1,
+             CAST(sum(c * mr2 * mr2) AS DOUBLE)              AS pa,
+             CAST(sum(c * rr2 * rr2) AS DOUBLE)              AS pb,
+             CAST(sum(c * mr2 * mr2 * mr2 * mr2) AS DOUBLE)  AS qa,
+             CAST(sum(c * rr2 * rr2 * rr2 * rr2) AS DOUBLE)  AS qb,
+             CAST(sum(c * mr2 * mr2 * rr2 * rr2) AS DOUBLE)  AS pab
+      FROM scored
+    ),
+    z AS (
+      SELECT n1, n2,
+             (a1 / 4.0 - n1 * (pa / (4.0 * n)))
+               / sqrt(n1 * 1.0 * n2 / (n - 1)
+                      * (qa / (16.0 * n)
+                         - (pa / (4.0 * n)) * (pa / (4.0 * n)))) AS zu,
+             (b1 / 4.0 - n1 * (pb / (4.0 * n)))
+               / sqrt(n1 * 1.0 * n2 / (n - 1)
+                      * (qb / (16.0 * n)
+                         - (pb / (4.0 * n)) * (pb / (4.0 * n)))) AS zv,
+             (pab / (16.0 * n) - (pa / (4.0 * n)) * (pb / (4.0 * n)))
+               / (sqrt(qa / (16.0 * n)
+                       - (pa / (4.0 * n)) * (pa / (4.0 * n)))
+                  * sqrt(qb / (16.0 * n)
+                         - (pb / (4.0 * n)) * (pb / (4.0 * n)))) AS rho
+      FROM agg
+    )
+    SELECT n1, n2,
+           round(zu, 6) AS z_u,
+           round(zv, 6) AS z_v,
+           round(rho, 6) AS rho,
+           round((zu * zu + zv * zv - 2 * rho * zu * zv)
+                 / (2 * (1 - rho * rho)), 6) AS c_stat
+    FROM z
+    """,
+)
+def stats_cucconi_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cucconi two-sample test for JOINT location-and-scale shift
+    (Cucconi 1968; Marozzi 2009) on returned vs kept lineitem quantity:
+    U sums squared midranks of sample 1, V sums squared contrary ranks
+    (N+1-r)^2, and C combines their standardized forms with their exact
+    null correlation — one test that catches a mean shift, a variance
+    shift, or both (the classical pairing runs Wilcoxon AND Ansari;
+    Cucconi does it in one quadratic form and often dominates Lepage).
+
+    Exactness shape: the general principle made explicit — ANY linear
+    rank statistic is a simple-random-sample-without-replacement sum
+    over the pooled score multiset, so its exact tie-adjusted null
+    moments are population moments of that multiset: E = n1*mean(score),
+    Var = n1*n2/(N-1) * popvar(score), Cov(U,V) = n1*n2/(N-1) *
+    popcov(a,b). Scores stay integer as quarters (2r)^2 and
+    (2(N+1)-2r)^2 with HUGEINT/DECIMAL(38,0) accumulation (fourth powers
+    of 2r reach ~1e30 at sf0.1), one deterministic double cast each,
+    then an identical rational+sqrt tree. For UNTIED continuous data
+    these moments reduce to Cucconi's closed forms; this computes them
+    exactly under ties instead of pretending there are none.
+
+    Scale shape: one partial-aggregable groupBy(quantity); the seven
+    wide-integer sums ride the same domain-bounded 50-row frame.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    comp = li.groupBy(F.col("l_quantity").alias("v")).agg(
+        F.sum(F.when(F.col("l_returnflag") == "R", 1).otherwise(0))
+        .cast("bigint")
+        .alias("c1"),
+        F.sum(F.when(F.col("l_returnflag") != "R", 1).otherwise(0))
+        .cast("bigint")
+        .alias("c2"),
+    )
+    w_cum = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    ranked = comp.select(
+        "c1",
+        "c2",
+        (F.col("c1") + F.col("c2")).alias("c"),
+        F.sum(F.col("c1") + F.col("c2")).over(w_cum).alias("hi"),
+        F.sum(F.col("c1") + F.col("c2"))
+        .over(Window.partitionBy())
+        .alias("n"),
+    )
+    mr2 = ((F.col("hi") - F.col("c") + 1) + F.col("hi")).cast("decimal(38,0)")
+    rr2 = (
+        2 * (F.col("n") + 1) - ((F.col("hi") - F.col("c") + 1) + F.col("hi"))
+    ).cast("decimal(38,0)")
+    scored = ranked.select(
+        "c1", "c2", "c", "n", mr2.alias("mr2"), rr2.alias("rr2")
+    )
+    c1, c, m, r = F.col("c1"), F.col("c"), F.col("mr2"), F.col("rr2")
+    agg = scored.agg(
+        F.max("n").cast("bigint").alias("n"),
+        F.sum("c1").cast("bigint").alias("n1"),
+        F.sum("c2").cast("bigint").alias("n2"),
+        F.sum(c1 * m * m).cast("double").alias("a1"),
+        F.sum(c1 * r * r).cast("double").alias("b1"),
+        F.sum(c * m * m).cast("double").alias("pa"),
+        F.sum(c * r * r).cast("double").alias("pb"),
+        F.sum(c * m * m * m * m).cast("double").alias("qa"),
+        F.sum(c * r * r * r * r).cast("double").alias("qb"),
+        F.sum(c * m * m * r * r).cast("double").alias("pab"),
+    )
+    n, n1, n2 = F.col("n"), F.col("n1"), F.col("n2")
+    abar = F.col("pa") / (F.lit(4.0) * n)
+    bbar = F.col("pb") / (F.lit(4.0) * n)
+    va = F.col("qa") / (F.lit(16.0) * n) - abar * abar
+    vb = F.col("qb") / (F.lit(16.0) * n) - bbar * bbar
+    srs = n1 * F.lit(1.0) * n2 / (n - 1)
+    zu = (F.col("a1") / F.lit(4.0) - n1 * abar) / F.sqrt(srs * va)
+    zv = (F.col("b1") / F.lit(4.0) - n1 * bbar) / F.sqrt(srs * vb)
+    rho = (F.col("pab") / (F.lit(16.0) * n) - abar * bbar) / (
+        F.sqrt(va) * F.sqrt(vb)
+    )
+    zdf = agg.select("n1", "n2", zu.alias("zu"), zv.alias("zv"), rho.alias("rho"))
+    zu2, zv2, rho2 = F.col("zu"), F.col("zv"), F.col("rho")
+    return zdf.select(
+        "n1",
+        "n2",
+        F.round(zu2, 6).alias("z_u"),
+        F.round(zv2, 6).alias("z_v"),
+        F.round(rho2, 6).alias("rho"),
+        F.round(
+            (zu2 * zu2 + zv2 * zv2 - 2 * rho2 * zu2 * zv2)
+            / (2 * (1 - rho2 * rho2)),
+            6,
+        ).alias("c_stat"),
+    )

@@ -416,3 +416,31 @@ def test_morans_i_matches_numpy_lattice_twin(spark, sf_dir):
     assert pdf.n_cells[0] == 64 and pdf.w_sum[0] == w
     assert abs(pdf.morans_i[0] - i_stat) < 1e-6
     assert abs(pdf.e_i[0] - (-1.0 / 63.0)) < 5e-7  # e_i is round(.,6)
+
+
+def test_cucconi_matches_pandas_srs_moment_twin(spark, sf_dir):
+    pdf = REGISTRY["stats_cucconi_test"].fn(spark, sf_dir).toPandas()
+    li = (
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        .selectExpr("l_quantity AS v", "l_returnflag = 'R' AS s1")
+        .toPandas()
+    )
+    n = len(li)
+    rnk = li.v.rank(method="average").to_numpy()
+    a = rnk**2
+    b = (n + 1 - rnk) ** 2
+    s1 = li.s1.to_numpy()
+    n1 = int(s1.sum())
+    n2 = n - n1
+    srs = n1 * n2 / (n - 1)
+    zu = (a[s1].sum() - n1 * a.mean()) / np.sqrt(srs * a.var())
+    zv = (b[s1].sum() - n1 * b.mean()) / np.sqrt(srs * b.var())
+    rho = (np.mean(a * b) - a.mean() * b.mean()) / (a.std() * b.std())
+    c = (zu**2 + zv**2 - 2 * rho * zu * zv) / (2 * (1 - rho**2))
+    assert pdf.n1[0] == n1 and pdf.n2[0] == n2
+    assert abs(pdf.z_u[0] - zu) < 1e-5
+    assert abs(pdf.z_v[0] - zv) < 1e-5
+    assert abs(pdf.rho[0] - rho) < 1e-5
+    assert abs(pdf.c_stat[0] - c) < 1e-4
+    # under ties rho stays in (-1, 0): U and V are antagonistic by design
+    assert -1.0 < pdf.rho[0] < 0.0
