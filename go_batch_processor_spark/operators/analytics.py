@@ -1834,3 +1834,85 @@ def analytics_uplift_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(p_t - p_c, 6).alias("uplift"),
         F.round((p_t - p_c) / se, 4).alias("z_score"),
     ).orderBy("segment")
+
+
+TRENDING_TOPK = 10
+
+
+@register(
+    "analytics_trending_hyperbolic",
+    oracle=f"""
+    WITH mx AS (SELECT max(l_shipdate) AS m FROM lineitem),
+    aged AS (
+      SELECT l_partkey AS part,
+             CAST(date_diff('day', l_shipdate, (SELECT m FROM mx))
+                  AS BIGINT) AS age,
+             CAST(count(*) AS BIGINT) AS c
+      FROM lineitem GROUP BY 1, 2
+    ),
+    scored AS (
+      SELECT part,
+             CAST(sum(c) AS BIGINT) AS n_events,
+             list_reduce(list(c / (1.0 + age) ORDER BY age),
+                         (x, y) -> x + y) AS score
+      FROM aged GROUP BY part
+    )
+    SELECT part, n_events, round(score, 6) AS score
+    FROM scored
+    ORDER BY score DESC, part
+    LIMIT {TRENDING_TOPK}
+    """,
+)
+def analytics_trending_hyperbolic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trending-now ranking with HYPERBOLIC recency decay: each shipment
+    of a part contributes 1/(1 + age_days), so recent activity dominates
+    but history never fully dies — the Hacker-News-style freshness score.
+    Hyperbolic (rational) decay is chosen deliberately over the usual
+    exp(-age/tau): identical trend shape for ranking purposes, but every
+    term is a ratio of exact integers, so the score is engine-portable
+    (exp is libm — the determinism doctrine).
+
+    Exactness shape: (part, age) compresses the fact stream (ages are
+    calendar-bounded); the per-part score is an ORDERED fold over the
+    age-sorted term list (varying 1+age denominators make the sum
+    order-dependent in doubles — the KM fold doctrine), and top-k plans
+    as TakeOrderedAndProject.
+
+    Scale shape: one partial-aggregable groupBy to (part, age), one
+    shuffle to per-part lists bounded by the CALENDAR (not the corpus),
+    top-k with per-task heaps — no global sort.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    mx = li.agg(F.max("l_shipdate").alias("m"))
+    aged = (
+        li.crossJoin(F.broadcast(mx))
+        .groupBy(
+            F.col("l_partkey").alias("part"),
+            F.datediff(F.col("m"), F.col("l_shipdate"))
+            .cast("bigint")
+            .alias("age"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    scored = aged.groupBy("part").agg(
+        F.sum("c").cast("bigint").alias("n_events"),
+        F.aggregate(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        F.col("age"),
+                        (F.col("c") / (F.lit(1.0) + F.col("age"))).alias("t"),
+                    )
+                )
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x["t"],
+        ).alias("score"),
+    )
+    return (
+        scored.select("part", "n_events", F.round("score", 6).alias("score"),
+                      F.col("score").alias("_s"))
+        .orderBy(F.col("_s").desc(), "part")
+        .limit(TRENDING_TOPK)
+        .drop("_s")
+    )

@@ -8370,3 +8370,153 @@ def stats_cucconi_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("c_stat"),
     )
+
+
+@register(
+    "profile_feature_drift_sweep",
+    oracle="""
+    WITH feat AS (
+      SELECT 'totalprice_bin' AS feature,
+             CAST(least(9, CAST(floor(o_totalprice / 50000.0) AS BIGINT))
+                  AS VARCHAR) AS bin,
+             CASE WHEN o_orderdate < TIMESTAMP '1998-01-01'
+                  THEN 1 ELSE 0 END AS e,
+             CASE WHEN o_orderdate >= TIMESTAMP '1998-01-01'
+                  THEN 1 ELSE 0 END AS a
+      FROM orders
+      UNION ALL
+      SELECT 'priority', o_orderpriority,
+             CASE WHEN o_orderdate < TIMESTAMP '1998-01-01'
+                  THEN 1 ELSE 0 END,
+             CASE WHEN o_orderdate >= TIMESTAMP '1998-01-01'
+                  THEN 1 ELSE 0 END
+      FROM orders
+      UNION ALL
+      SELECT 'status', o_orderstatus,
+             CASE WHEN o_orderdate < TIMESTAMP '1998-01-01'
+                  THEN 1 ELSE 0 END,
+             CASE WHEN o_orderdate >= TIMESTAMP '1998-01-01'
+                  THEN 1 ELSE 0 END
+      FROM orders
+    ),
+    cells AS (
+      SELECT feature, bin,
+             CAST(sum(e) AS BIGINT) AS ne,
+             CAST(sum(a) AS BIGINT) AS na
+      FROM feat GROUP BY 1, 2
+    ),
+    sized AS (
+      SELECT feature, bin, ne, na,
+             CAST(count(*) OVER (PARTITION BY feature) AS BIGINT) AS nb,
+             CAST(sum(ne) OVER (PARTITION BY feature) AS BIGINT) AS te,
+             CAST(sum(na) OVER (PARTITION BY feature) AS BIGINT) AS ta
+      FROM cells
+    ),
+    nums AS (
+      SELECT feature, bin, ne, na, nb, te, ta,
+             2 * te + nb AS de, 2 * ta + nb AS da,
+             abs((2 * na + 1) * (2 * te + nb)
+                 - (2 * ne + 1) * (2 * ta + nb)) AS num
+      FROM sized
+    )
+    SELECT feature,
+           CAST(max(nb) AS BIGINT) AS n_bins,
+           CAST(max(te) AS BIGINT) AS n_expected,
+           CAST(max(ta) AS BIGINT) AS n_actual,
+           round(CAST(sum(num) AS BIGINT)
+                 / (2.0 * max(da) * max(de)), 6) AS tvd,
+           min(bin) FILTER (WHERE num = (SELECT max(n2.num) FROM nums n2
+                                         WHERE n2.feature = nums.feature))
+             AS top_shift_bin
+    FROM nums GROUP BY feature
+    """,
+)
+def profile_feature_drift_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-feature distribution-drift monitor: total-variation distance
+    between the pre-1998 (baseline) and 1998+ (current) order
+    populations for several features at once — the drift dashboard a
+    production feature store runs nightly (stats_psi_population_
+    stability is the single-feature PSI variant; TVD here is chosen
+    because it is RATIONAL — PSI's ln is libm and predates the
+    determinism doctrine).
+
+    Exactness shape: with Laplace-0.5 smoothing, p = (2n+1)/(2N+nb) in
+    halves, so |p_a - p_e| clears to the exact integer
+    |(2na+1)*De - (2ne+1)*Da| over the per-feature constant denominator
+    Da*De — the TVD sum is ONE bigint sum per feature and a final
+    division; the top-shift bin is an exact integer argmax (ties break
+    by bin label). No folds, no libm.
+
+    Scale shape: the unpivot-union is one scan per feature of the same
+    table (Catalyst merges the scans at the source level); per-feature
+    cells are O(bins); everything downstream is window arithmetic on
+    bins-sized frames.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    e = F.when(F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"), 1).otherwise(0)
+    a = F.when(
+        F.col("o_orderdate") >= F.lit("1998-01-01").cast("timestamp"), 1
+    ).otherwise(0)
+    feats = [
+        o.select(
+            F.lit("totalprice_bin").alias("feature"),
+            F.least(F.lit(9), F.floor(F.col("o_totalprice") / 50000.0))
+            .cast("bigint")
+            .cast("string")
+            .alias("bin"),
+            e.alias("e"),
+            a.alias("a"),
+        ),
+        o.select(
+            F.lit("priority").alias("feature"),
+            F.col("o_orderpriority").alias("bin"),
+            e.alias("e"),
+            a.alias("a"),
+        ),
+        o.select(
+            F.lit("status").alias("feature"),
+            F.col("o_orderstatus").alias("bin"),
+            e.alias("e"),
+            a.alias("a"),
+        ),
+    ]
+    feat = feats[0].unionAll(feats[1]).unionAll(feats[2])
+    cells = feat.groupBy("feature", "bin").agg(
+        F.sum("e").cast("bigint").alias("ne"),
+        F.sum("a").cast("bigint").alias("na"),
+    )
+    w_f = Window.partitionBy("feature")
+    sized = cells.select(
+        "feature",
+        "bin",
+        "ne",
+        "na",
+        F.count(F.lit(1)).over(w_f).cast("bigint").alias("nb"),
+        F.sum("ne").over(w_f).cast("bigint").alias("te"),
+        F.sum("na").over(w_f).cast("bigint").alias("ta"),
+    )
+    de = 2 * F.col("te") + F.col("nb")
+    da = 2 * F.col("ta") + F.col("nb")
+    num = F.abs((2 * F.col("na") + 1) * de - (2 * F.col("ne") + 1) * da)
+    nums = sized.select(
+        "feature", "bin", "nb", "te", "ta", de.alias("de"), da.alias("da"),
+        num.alias("num"),
+    )
+    top = nums.withColumn(
+        "mx", F.max("num").over(Window.partitionBy("feature"))
+    ).filter(F.col("num") == F.col("mx")).groupBy("feature").agg(
+        F.min("bin").alias("top_shift_bin")
+    )
+    agg = nums.groupBy("feature").agg(
+        F.max("nb").cast("bigint").alias("n_bins"),
+        F.max("te").cast("bigint").alias("n_expected"),
+        F.max("ta").cast("bigint").alias("n_actual"),
+        F.round(
+            F.sum("num").cast("bigint")
+            / (F.lit(2.0) * F.max("da") * F.max("de")),
+            6,
+        ).alias("tvd"),
+    )
+    return agg.join(top, "feature").select(
+        "feature", "n_bins", "n_expected", "n_actual", "tvd", "top_shift_bin"
+    )

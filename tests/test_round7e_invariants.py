@@ -444,3 +444,53 @@ def test_cucconi_matches_pandas_srs_moment_twin(spark, sf_dir):
     assert abs(pdf.c_stat[0] - c) < 1e-4
     # under ties rho stays in (-1, 0): U and V are antagonistic by design
     assert -1.0 < pdf.rho[0] < 0.0
+
+
+def test_feature_drift_sweep_tvd_matches_pandas_twin(spark, sf_dir):
+    pdf = (
+        REGISTRY["profile_feature_drift_sweep"].fn(spark, sf_dir).toPandas()
+    ).set_index("feature")
+    assert set(pdf.index) == {"totalprice_bin", "priority", "status"}
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").toPandas()
+    cut = pd.Timestamp("1998-01-01")
+    for feature, series in [
+        ("priority", o.o_orderpriority),
+        ("status", o.o_orderstatus),
+        (
+            "totalprice_bin",
+            np.minimum(9, np.floor(o.o_totalprice / 50000.0)).astype("int64").astype(str),
+        ),
+    ]:
+        df = pd.DataFrame({"bin": series, "is_e": o.o_orderdate < cut})
+        cells = df.groupby("bin").is_e.agg(["sum", "count"])
+        ne = cells["sum"].to_numpy(dtype="int64")
+        na = (cells["count"] - cells["sum"]).to_numpy(dtype="int64")
+        nb = len(cells)
+        pe = (2 * ne + 1) / (2 * ne.sum() + nb)
+        pa = (2 * na + 1) / (2 * na.sum() + nb)
+        tvd = 0.5 * np.abs(pa - pe).sum()
+        assert pdf.loc[feature, "n_bins"] == nb
+        assert abs(pdf.loc[feature, "tvd"] - tvd) < 1e-6
+        # top shift bin is the argmax |p_a - p_e| (min label on ties)
+        shifts = pd.Series(np.abs(pa - pe), index=cells.index)
+        best = shifts[shifts == shifts.max()].index.min()
+        assert pdf.loc[feature, "top_shift_bin"] == best
+
+
+def test_trending_hyperbolic_matches_pandas_twin(spark, sf_dir):
+    from go_batch_processor_spark.operators.analytics import TRENDING_TOPK
+
+    pdf = REGISTRY["analytics_trending_hyperbolic"].fn(spark, sf_dir).toPandas()
+    li = (
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        .selectExpr("l_partkey AS part", "l_shipdate AS d")
+        .toPandas()
+    )
+    age = (li.d.max() - li.d).dt.days
+    li = li.assign(term=1.0 / (1.0 + age))
+    scores = li.groupby("part").term.sum().sort_values(ascending=False)
+    assert len(pdf) == TRENDING_TOPK
+    # the reported top-k matches the twin's top-k set and ordering
+    top = scores.head(TRENDING_TOPK)
+    assert list(pdf.part) == list(top.index)
+    assert np.abs(pdf.score.to_numpy() - top.to_numpy()).max() < 1e-5
