@@ -3450,3 +3450,163 @@ def timeseries_ses_grid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows.select("n", F.explode(F.array(*per_alpha)).alias("r"))
         .select("r.alpha", "n", "r.sse", "r.level")
     )
+
+
+@register(
+    "timeseries_sen_slope_ci",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(row_number() OVER (ORDER BY d) AS BIGINT) AS i,
+             v
+      FROM (
+        SELECT date_trunc('day', ts) AS d,
+               sum(CAST(round(value * 100) AS BIGINT)) AS v
+        FROM events GROUP BY 1
+      )
+    ),
+    slopes AS (
+      SELECT (b.v - a.v) / ((b.i - a.i) * 1.0) AS s,
+             row_number() OVER (ORDER BY (b.v - a.v) / ((b.i - a.i) * 1.0),
+                                a.i, b.i) AS rn,
+             count(*) OVER () AS t
+      FROM daily a JOIN daily b ON b.i > a.i
+    ),
+    meta AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             count(*) * (count(*) - 1) // 2 AS t,
+             sqrt((count(*) * (count(*) - 1.0) * (2 * count(*) + 5.0)
+                   - coalesce((SELECT CAST(sum(tt * (tt - 1) * (2 * tt + 5))
+                                           AS BIGINT)
+                               FROM (SELECT CAST(count(*) AS BIGINT) AS tt
+                                     FROM daily GROUP BY v
+                                     HAVING count(*) > 1)), 0)) / 18.0)
+               AS sd_s
+      FROM daily
+    ),
+    ks AS (
+      SELECT n, t, sd_s,
+             greatest(CAST(1 AS BIGINT),
+                      CAST(floor((t - 1.96 * sd_s) / 2.0) AS BIGINT) + 1)
+               AS k_lo,
+             least(t,
+                   CAST(ceil((t + 1.96 * sd_s) / 2.0) AS BIGINT) + 1) AS k_hi
+      FROM meta
+    )
+    SELECT k.n AS n_days, k.t AS n_pairs, k.k_lo, k.k_hi,
+           round(((SELECT s FROM slopes WHERE rn = (k.t + 1) // 2)
+                  + (SELECT s FROM slopes WHERE rn = (k.t + 2) // 2))
+                 / 2.0 / 100.0, 6) AS sen_slope_per_day,
+           round((SELECT s FROM slopes WHERE rn = k.k_lo) / 100.0, 6)
+             AS ci_lo,
+           round((SELECT s FROM slopes WHERE rn = k.k_hi) / 100.0, 6)
+             AS ci_hi
+    FROM ks k
+    """,
+)
+def timeseries_sen_slope_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sen's slope with its distribution-free ~95% confidence interval
+    (Sen 1968; Gilbert 1987) on the daily revenue series: the point
+    estimate is the median pairwise slope (timeseries_theil_sen's robust
+    trend), and the CI reads the order statistics at ranks
+    (T -/+ 1.96*sqrt(Var_S))/2 (+1) where Var_S is the tie-corrected
+    Mann-Kendall variance — slope inference with no normality, no OLS
+    residual assumptions, no bootstrap.
+
+    Exactness shape: daily totals are exact cents, slopes are single
+    IEEE divisions of integer differences (bit-equal), the slope order
+    is made total with the (i, j) tiebreak, Var_S reuses the exact
+    integer MK tie machinery, and every reported quantity is an exact
+    order statistic (floor/ceil of identical doubles pick identical
+    ranks). Dollars via one final /100.0.
+
+    Scale shape: the pair stage runs on the CALENDAR-bounded daily
+    frame (30 days -> 435 pairs; the quadratic stage never sees raw
+    events); the rank window is over that bounded pair frame. For
+    decade-scale series, switch ranking to distributed_row_number —
+    statistic unchanged.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w_d = Window.partitionBy().orderBy("d")
+    daily = (
+        ev.groupBy(F.date_trunc("day", "ts").alias("d"))
+        .agg(F.sum(F.round(F.col("value") * 100).cast("long")).alias("v"))
+        .select(F.row_number().over(w_d).cast("bigint").alias("i"), "v")
+    )
+    a = daily.select(F.col("i").alias("ia"), F.col("v").alias("va"))
+    b = daily.select(F.col("i").alias("ib"), F.col("v").alias("vb"))
+    s = (F.col("vb") - F.col("va")) / ((F.col("ib") - F.col("ia")) * F.lit(1.0))
+    w_s = Window.partitionBy().orderBy("s", "ia", "ib")
+    slopes = (
+        a.join(b, F.col("ib") > F.col("ia"))
+        .select(s.alias("s"), "ia", "ib")
+        .select("s", F.row_number().over(w_s).cast("bigint").alias("rn"))
+    )
+    ties = (
+        daily.groupBy("v")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("tt"))
+        .filter(F.col("tt") > 1)
+        .agg(
+            F.coalesce(
+                F.sum(F.col("tt") * (F.col("tt") - 1) * (2 * F.col("tt") + 5))
+                .cast("bigint"),
+                F.lit(0),
+            ).alias("tie_term")
+        )
+    )
+    n = F.col("n")
+    meta = (
+        daily.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .crossJoin(ties)
+        .select(
+            "n",
+            F.expr("n * (n - 1) div 2").cast("bigint").alias("t"),
+            F.sqrt(
+                (
+                    n * (n - F.lit(1.0)) * (2 * n + F.lit(5.0))
+                    - F.col("tie_term")
+                )
+                / F.lit(18.0)
+            ).alias("sd_s"),
+        )
+    )
+    t, sd = F.col("t"), F.col("sd_s")
+    ks = meta.select(
+        "n",
+        "t",
+        F.greatest(
+            F.lit(1).cast("bigint"),
+            F.floor((t - F.lit(1.96) * sd) / F.lit(2.0)).cast("bigint") + 1,
+        ).alias("k_lo"),
+        F.least(
+            t, F.ceil((t + F.lit(1.96) * sd) / F.lit(2.0)).cast("bigint") + 1
+        ).alias("k_hi"),
+    )
+
+    def sel(rank_expr, name):
+        return (
+            slopes.crossJoin(F.broadcast(ks))
+            .filter(F.col("rn") == rank_expr)
+            .agg(F.min("s").alias(name))
+        )
+
+    med_lo = sel(F.expr("(t + 1) div 2"), "mlo")
+    med_hi = sel(F.expr("(t + 2) div 2"), "mhi")
+    lo = sel(F.col("k_lo"), "slo")
+    hi = sel(F.col("k_hi"), "shi")
+    return (
+        ks.crossJoin(med_lo)
+        .crossJoin(med_hi)
+        .crossJoin(lo)
+        .crossJoin(hi)
+        .select(
+            F.col("n").alias("n_days"),
+            F.col("t").alias("n_pairs"),
+            "k_lo",
+            "k_hi",
+            F.round(
+                (F.col("mlo") + F.col("mhi")) / F.lit(2.0) / F.lit(100.0), 6
+            ).alias("sen_slope_per_day"),
+            F.round(F.col("slo") / F.lit(100.0), 6).alias("ci_lo"),
+            F.round(F.col("shi") / F.lit(100.0), 6).alias("ci_hi"),
+        )
+    )

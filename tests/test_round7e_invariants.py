@@ -494,3 +494,36 @@ def test_trending_hyperbolic_matches_pandas_twin(spark, sf_dir):
     top = scores.head(TRENDING_TOPK)
     assert list(pdf.part) == list(top.index)
     assert np.abs(pdf.score.to_numpy() - top.to_numpy()).max() < 1e-5
+
+
+def test_sen_slope_ci_matches_numpy_twin_and_brackets(spark, sf_dir):
+    pdf = REGISTRY["timeseries_sen_slope_ci"].fn(spark, sf_dir).toPandas()
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").toPandas()
+    daily = (
+        pd.Series(
+            np.round(ev.value.to_numpy() * 100).astype("int64"),
+            index=ev.ts.dt.floor("D"),
+        )
+        .groupby(level=0)
+        .sum()
+        .sort_index()
+        .to_numpy()
+    )
+    n = len(daily)
+    slopes = sorted(
+        (daily[j] - daily[i]) / (j - i)
+        for i in range(n)
+        for j in range(i + 1, n)
+    )
+    t = n * (n - 1) // 2
+    sen = (slopes[(t + 1) // 2 - 1] + slopes[(t + 2) // 2 - 1]) / 2.0 / 100.0
+    ties = pd.Series(daily).value_counts()
+    tie_term = sum(tt * (tt - 1) * (2 * tt + 5) for tt in ties if tt > 1)
+    sd = np.sqrt((n * (n - 1.0) * (2 * n + 5.0) - tie_term) / 18.0)
+    k_lo = max(1, int(np.floor((t - 1.96 * sd) / 2.0)) + 1)
+    k_hi = min(t, int(np.ceil((t + 1.96 * sd) / 2.0)) + 1)
+    assert pdf.n_days[0] == n and pdf.n_pairs[0] == t
+    assert abs(pdf.sen_slope_per_day[0] - sen) < 1e-6
+    assert abs(pdf.ci_lo[0] - slopes[k_lo - 1] / 100.0) < 1e-6
+    assert abs(pdf.ci_hi[0] - slopes[k_hi - 1] / 100.0) < 1e-6
+    assert pdf.ci_lo[0] <= pdf.sen_slope_per_day[0] <= pdf.ci_hi[0]
