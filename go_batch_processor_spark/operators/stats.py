@@ -8520,3 +8520,150 @@ def profile_feature_drift_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.join(top, "feature").select(
         "feature", "n_bins", "n_expected", "n_actual", "tvd", "top_shift_bin"
     )
+
+
+TCLOSE_TOPK = 5
+
+
+@register(
+    "profile_t_closeness",
+    oracle=f"""
+    WITH binned AS (
+      SELECT c_nationkey, c_mktsegment,
+             CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS bin
+      FROM customer
+    ),
+    bins AS (SELECT DISTINCT bin FROM binned),
+    classes AS (SELECT DISTINCT c_nationkey, c_mktsegment FROM binned),
+    lattice AS (SELECT * FROM classes CROSS JOIN bins),
+    cells AS (
+      SELECT l.c_nationkey, l.c_mktsegment, l.bin,
+             coalesce(x.c, 0) AS c
+      FROM lattice l LEFT JOIN (
+        SELECT c_nationkey, c_mktsegment, bin,
+               CAST(count(*) AS BIGINT) AS c
+        FROM binned GROUP BY 1, 2, 3
+      ) x USING (c_nationkey, c_mktsegment, bin)
+    ),
+    cum AS (
+      SELECT c_nationkey, c_mktsegment, bin,
+             sum(c) OVER (PARTITION BY c_nationkey, c_mktsegment
+                          ORDER BY bin ROWS UNBOUNDED PRECEDING) AS cg,
+             sum(c) OVER (PARTITION BY c_nationkey, c_mktsegment) AS ng
+      FROM cells
+    ),
+    gcum AS (
+      SELECT bin,
+             sum(c) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) AS cgl,
+             sum(c) OVER () AS n
+      FROM (SELECT bin, CAST(sum(c) AS BIGINT) AS c FROM cells GROUP BY 1)
+    ),
+    nb AS (SELECT CAST(count(*) AS BIGINT) AS b FROM bins),
+    emd AS (
+      SELECT c.c_nationkey, c.c_mktsegment,
+             CAST(max(c.ng) AS BIGINT) AS class_size,
+             CAST(sum(abs(c.cg * g.n - g.cgl * c.ng)) AS BIGINT) AS num,
+             CAST(max(g.n) AS BIGINT) AS n
+      FROM cum c JOIN gcum g USING (bin)
+      GROUP BY 1, 2
+    )
+    SELECT c_nationkey, c_mktsegment, class_size,
+           round(num / (class_size * 1.0 * n * ((SELECT b FROM nb) - 1)), 6)
+             AS emd_t
+    FROM emd
+    ORDER BY num / (class_size * 1.0 * n * ((SELECT b FROM nb) - 1)) DESC,
+             c_nationkey, c_mktsegment
+    LIMIT {TCLOSE_TOPK}
+    """,
+)
+def profile_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-closeness audit (Li, Li & Venkatasubramanian 2007) — the third
+    member of the privacy trio (profile_k_anonymity: class sizes;
+    profile_l_diversity: sensitive-value variety; t-closeness: is each
+    QI class's SENSITIVE DISTRIBUTION close to the global one?). The
+    sensitive attribute is binned account balance (ordered), distance is
+    the ordered-domain Earth Mover's Distance = mean |cumulative gap|,
+    and the worst {TCLOSE_TOPK} QI classes are reported — classes whose
+    balance mix differs most from global leak attribute information
+    even when k-anonymous.
+
+    Exactness shape: the EMD cumulative gap clears to the exact integer
+    |cg*N - cG*n_g| (per-class constant denominator n_g*N*(B-1)), summed
+    as bigints over the full class x bin lattice (empty cells
+    participate as zeros, so cumulative curves align across classes).
+    Ranking compares doubles that are single divisions of exact
+    integers — bit-equal, ties broken by QI values.
+
+    Scale shape: one partial-aggregable groupBy to O(classes x bins)
+    cells; windows run per class over the bin-bounded frame; top-k is
+    TakeOrderedAndProject.
+    """
+    cust = load_table(spark, sf_dir, "customer")
+    binned = cust.select(
+        "c_nationkey",
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal") / 1000.0).cast("bigint").alias("bin"),
+    )
+    bins = binned.select("bin").distinct()
+    classes = binned.select("c_nationkey", "c_mktsegment").distinct()
+    counts = binned.groupBy("c_nationkey", "c_mktsegment", "bin").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    cells = (
+        classes.crossJoin(bins)
+        .join(counts, ["c_nationkey", "c_mktsegment", "bin"], "left")
+        .select(
+            "c_nationkey",
+            "c_mktsegment",
+            "bin",
+            F.coalesce(F.col("c"), F.lit(0)).cast("bigint").alias("c"),
+        )
+    )
+    w_class_cum = (
+        Window.partitionBy("c_nationkey", "c_mktsegment")
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_class = Window.partitionBy("c_nationkey", "c_mktsegment")
+    cum = cells.select(
+        "c_nationkey",
+        "c_mktsegment",
+        "bin",
+        F.sum("c").over(w_class_cum).alias("cg"),
+        F.sum("c").over(w_class).alias("ng"),
+    )
+    gtab = cells.groupBy("bin").agg(F.sum("c").cast("bigint").alias("c"))
+    w_g_cum = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    gcum = gtab.select(
+        "bin",
+        F.sum("c").over(w_g_cum).alias("cgl"),
+        F.sum("c").over(Window.partitionBy()).alias("n"),
+    )
+    nb = bins.agg(F.count(F.lit(1)).cast("bigint").alias("b"))
+    emd = (
+        cum.join(gcum, "bin")
+        .groupBy("c_nationkey", "c_mktsegment")
+        .agg(
+            F.max("ng").cast("bigint").alias("class_size"),
+            F.sum(F.abs(F.col("cg") * F.col("n") - F.col("cgl") * F.col("ng")))
+            .cast("bigint")
+            .alias("num"),
+            F.max("n").cast("bigint").alias("n"),
+        )
+    )
+    t = F.col("num") / (
+        F.col("class_size") * F.lit(1.0) * F.col("n") * (F.col("b") - 1)
+    )
+    return (
+        emd.crossJoin(F.broadcast(nb))
+        .select(
+            "c_nationkey",
+            "c_mktsegment",
+            "class_size",
+            F.round(t, 6).alias("emd_t"),
+            t.alias("_t"),
+        )
+        .orderBy(F.col("_t").desc(), "c_nationkey", "c_mktsegment")
+        .limit(TCLOSE_TOPK)
+        .drop("_t")
+    )

@@ -2199,3 +2199,102 @@ def text_head_middle_tail_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg("score"), 6).alias("avg_score"),
         )
     )
+
+
+VOCAB_DRIFT_TOPK = 10
+
+
+@register(
+    "text_vocab_drift_tvd",
+    oracle=f"""
+    WITH words AS (
+      SELECT doc_id % 2 AS half,
+             unnest(string_split(lower(text), ' ')) AS w
+      FROM documents
+    ),
+    counts AS (
+      SELECT w,
+             CAST(sum(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+             CAST(sum(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS BIGINT) AS cb
+      FROM words GROUP BY 1
+    ),
+    sized AS (
+      SELECT w, ca, cb,
+             sum(ca) OVER () AS na,
+             sum(cb) OVER () AS nb,
+             abs(ca * sum(cb) OVER () - cb * sum(ca) OVER ()) AS num
+      FROM counts
+    )
+    SELECT w AS term, ca AS count_a, cb AS count_b,
+           round(num / (na * 1.0 * nb), 6) AS prob_shift,
+           round(CAST(sum(num) OVER () AS BIGINT)
+                 / (2.0 * na * nb), 6) AS corpus_tvd
+    FROM sized
+    ORDER BY num DESC, w
+    LIMIT {VOCAB_DRIFT_TOPK}
+    """,
+)
+def text_vocab_drift_tvd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-mix drift monitor: total-variation distance between the
+    unigram distributions of two corpus halves (id-parity split — in
+    production, yesterday's crawl vs today's), plus the {VOCAB_DRIFT_TOPK}
+    most-shifted terms. This is the cheap tripwire an LLM data pipeline
+    runs per ingestion batch: a jump in corpus_tvd or a surprising term
+    at the top means the source mix changed (new boilerplate, a crawler
+    bug, a domain flip) BEFORE expensive downstream stages run.
+
+    Exactness shape: the per-term probability gap |ca/NA - cb/NB| clears
+    to the exact integer |ca*NB - cb*NA| over the corpus-constant
+    denominator NA*NB, so the TVD total is ONE bigint sum and both the
+    ranking and the reported values are single exact-integer divisions
+    (the profile_feature_drift_sweep doctrine applied to text; TVD
+    chosen over JS/KL because ln is libm).
+
+    Scale shape: explode + one partial-aggregable groupBy(word) — the
+    shuffle is vocabulary-sized (Zipf-bounded), not corpus-sized; the
+    window sums run over the vocabulary frame; top-k is
+    TakeOrderedAndProject on an exact integer key.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    words = d.select(
+        (F.col("doc_id") % 2).alias("half"),
+        F.explode(F.split(F.lower("text"), " ")).alias("w"),
+    )
+    counts = words.groupBy("w").agg(
+        F.sum(F.when(F.col("half") == 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("ca"),
+        F.sum(F.when(F.col("half") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("cb"),
+    )
+    w_all = Window.partitionBy()
+    sized = counts.select(
+        "w",
+        "ca",
+        "cb",
+        F.sum("ca").over(w_all).alias("na"),
+        F.sum("cb").over(w_all).alias("nb"),
+        F.abs(
+            F.col("ca") * F.sum("cb").over(w_all)
+            - F.col("cb") * F.sum("ca").over(w_all)
+        ).alias("num"),
+    )
+    return (
+        sized.select(
+            F.col("w").alias("term"),
+            F.col("ca").alias("count_a"),
+            F.col("cb").alias("count_b"),
+            F.round(F.col("num") / (F.col("na") * F.lit(1.0) * F.col("nb")), 6)
+            .alias("prob_shift"),
+            F.round(
+                F.sum("num").over(w_all).cast("bigint")
+                / (F.lit(2.0) * F.col("na") * F.col("nb")),
+                6,
+            ).alias("corpus_tvd"),
+            F.col("num").alias("_n"),
+        )
+        .orderBy(F.col("_n").desc(), "term")
+        .limit(VOCAB_DRIFT_TOPK)
+        .drop("_n")
+    )

@@ -527,3 +527,54 @@ def test_sen_slope_ci_matches_numpy_twin_and_brackets(spark, sf_dir):
     assert abs(pdf.ci_lo[0] - slopes[k_lo - 1] / 100.0) < 1e-6
     assert abs(pdf.ci_hi[0] - slopes[k_hi - 1] / 100.0) < 1e-6
     assert pdf.ci_lo[0] <= pdf.sen_slope_per_day[0] <= pdf.ci_hi[0]
+
+
+def test_t_closeness_matches_pandas_emd_twin(spark, sf_dir):
+    from go_batch_processor_spark.operators.stats import TCLOSE_TOPK
+
+    pdf = REGISTRY["profile_t_closeness"].fn(spark, sf_dir).toPandas()
+    assert len(pdf) == TCLOSE_TOPK
+    cust = (
+        spark.read.parquet(f"{sf_dir}/customer.parquet")
+        .selectExpr(
+            "c_nationkey", "c_mktsegment",
+            "CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS bin",
+        )
+        .toPandas()
+    )
+    bins = np.sort(cust.bin.unique())
+    glob = cust.bin.value_counts().reindex(bins, fill_value=0).to_numpy()
+    gcum = np.cumsum(glob) / glob.sum()
+    rows = []
+    for (nk, seg), grp in cust.groupby(["c_nationkey", "c_mktsegment"]):
+        c = grp.bin.value_counts().reindex(bins, fill_value=0).to_numpy()
+        emd = np.abs(np.cumsum(c) / c.sum() - gcum).sum() / (len(bins) - 1)
+        rows.append((emd, nk, seg, len(grp)))
+    rows.sort(key=lambda r: (-r[0], r[1], r[2]))
+    for i in range(TCLOSE_TOPK):
+        emd, nk, seg, sz = rows[i]
+        assert (pdf.c_nationkey[i], pdf.c_mktsegment[i]) == (nk, seg)
+        assert pdf.class_size[i] == sz
+        assert abs(pdf.emd_t[i] - emd) < 1e-6
+    # t-closeness values live in [0, 1] on a cumulative-gap EMD
+    assert (pdf.emd_t >= 0).all() and (pdf.emd_t <= 1).all()
+
+
+def test_vocab_drift_tvd_matches_pandas_twin(spark, sf_dir):
+    pdf = REGISTRY["text_vocab_drift_tvd"].fn(spark, sf_dir).toPandas()
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").toPandas()
+    wa, wb = [], []
+    for did, text in zip(docs.doc_id, docs.text):
+        (wa if did % 2 == 0 else wb).extend(text.lower().split(" "))
+    ca = pd.Series(wa).value_counts()
+    cb = pd.Series(wb).value_counts()
+    vocab = ca.index.union(cb.index)
+    pa = ca.reindex(vocab, fill_value=0) / len(wa)
+    pb = cb.reindex(vocab, fill_value=0) / len(wb)
+    tvd = 0.5 * np.abs(pa - pb).sum()
+    shifts = np.abs(pa - pb).sort_values(ascending=False)
+    assert abs(pdf.corpus_tvd[0] - tvd) < 1e-6
+    assert abs(pdf.prob_shift[0] - shifts.iloc[0]) < 1e-6
+    assert pdf.term[0] == shifts.index[0]
+    # reported counts reconcile with the twin's
+    assert pdf.count_a[0] == ca.get(pdf.term[0], 0)
