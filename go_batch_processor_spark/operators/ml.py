@@ -2389,3 +2389,141 @@ def ml_conformal_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("coverage"),
         )
     )
+
+
+SHAP_TOPK = 10
+
+
+@register(
+    "ml_shap_linear_exact",
+    oracle=f"""
+    WITH rows_ AS (
+      SELECT l_orderkey, l_linenumber,
+             CAST(l_quantity AS BIGINT)                    AS x1,
+             CAST(round(l_discount * 100) AS BIGINT)       AS x2,
+             CAST(round(l_extendedprice * 100) AS BIGINT)  AS y
+      FROM lineitem
+    ),
+    s AS (
+      SELECT CAST(count(*) AS HUGEINT)   AS n,
+             CAST(sum(x1) AS HUGEINT)    AS sx1,
+             CAST(sum(x2) AS HUGEINT)    AS sx2,
+             CAST(sum(y) AS HUGEINT)     AS sy,
+             CAST(sum(x1 * x1) AS HUGEINT) AS sx1x1,
+             CAST(sum(x2 * x2) AS HUGEINT) AS sx2x2,
+             CAST(sum(x1 * x2) AS HUGEINT) AS sx1x2,
+             CAST(sum(x1 * y) AS HUGEINT)  AS sx1y,
+             CAST(sum(x2 * y) AS HUGEINT)  AS sx2y
+      FROM rows_
+    ),
+    mats AS (
+      SELECT n, sx1, sx2, sy,
+             n * sx1x1 - sx1 * sx1 AS a11,
+             n * sx1x2 - sx1 * sx2 AS a12,
+             n * sx2x2 - sx2 * sx2 AS a22,
+             n * sx1y - sx1 * sy   AS b1,
+             n * sx2y - sx2 * sy   AS b2
+      FROM s
+    ),
+    beta AS (
+      SELECT n, sx1, sx2,
+             CAST(a22 * b1 - a12 * b2 AS DOUBLE)
+               / CAST(a11 * a22 - a12 * a12 AS DOUBLE) AS beta1,
+             CAST(a11 * b2 - a12 * b1 AS DOUBLE)
+               / CAST(a11 * a22 - a12 * a12 AS DOUBLE) AS beta2
+      FROM mats
+    )
+    SELECT l_orderkey, l_linenumber,
+           round(beta1 * (x1 - CAST(sx1 AS DOUBLE) / CAST(n AS DOUBLE))
+                 / 100.0, 4) AS phi_qty,
+           round(beta2 * (x2 - CAST(sx2 AS DOUBLE) / CAST(n AS DOUBLE))
+                 / 100.0, 4) AS phi_disc,
+           round((beta1 * (x1 - CAST(sx1 AS DOUBLE) / CAST(n AS DOUBLE))
+                  + beta2 * (x2 - CAST(sx2 AS DOUBLE) / CAST(n AS DOUBLE)))
+                 / 100.0, 4) AS phi_total
+    FROM rows_, beta
+    ORDER BY abs(beta1 * (x1 - CAST(sx1 AS DOUBLE) / CAST(n AS DOUBLE))
+                 + beta2 * (x2 - CAST(sx2 AS DOUBLE) / CAST(n AS DOUBLE)))
+             DESC, l_orderkey, l_linenumber
+    LIMIT {SHAP_TOPK}
+    """,
+)
+def ml_shap_linear_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact SHAP attributions for a linear model (Lundberg & Lee 2017,
+    Corollary 1: for linear f and independent features, phi_j =
+    beta_j*(x_j - mean_j)) — model explainability as a first-class
+    relational operator: fit extendedprice ~ quantity + discount by
+    EXACT closed-form OLS and report the {SHAP_TOPK} rows whose
+    prediction deviates most from the mean, decomposed per feature.
+
+    Exactness shape: the 2-feature normal equations solve by Cramer's
+    rule on centered integer sufficient statistics — x in integer units
+    (quantity, discount cents), y in cents, so every matrix entry
+    n*Sxx - Sx*Sx and moment vector entry is an EXACT wide integer
+    (HUGEINT/DECIMAL(38,0); n*Sx1y reaches ~2e20 at sf0.1 — past bigint,
+    far under 1e38), and beta is ONE double division of two exactly-
+    computed integers. Every phi is then the identical rational tree,
+    so the top-k ordering is bit-deterministic. No iterative solver
+    (ml_ols_normal_equations is the general-d driver-solve; d=2
+    inlines fully into SQL).
+
+    Scale shape: one partial-aggregable scan for the nine sufficient
+    statistics, broadcast of the 1-row beta frame, one more scan for
+    scoring, top-k as TakeOrderedAndProject.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    rows_ = li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.col("l_quantity").cast("bigint").alias("x1"),
+        F.round(F.col("l_discount") * 100).cast("bigint").alias("x2"),
+        F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("y"),
+    )
+    d = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    s = rows_.agg(
+        d(F.count(F.lit(1))).alias("n"),
+        d(F.sum("x1")).alias("sx1"),
+        d(F.sum("x2")).alias("sx2"),
+        d(F.sum("y")).alias("sy"),
+        d(F.sum(F.col("x1") * F.col("x1"))).alias("sx1x1"),
+        d(F.sum(F.col("x2") * F.col("x2"))).alias("sx2x2"),
+        d(F.sum(F.col("x1") * F.col("x2"))).alias("sx1x2"),
+        d(F.sum(F.col("x1") * F.col("y"))).alias("sx1y"),
+        d(F.sum(F.col("x2") * F.col("y"))).alias("sx2y"),
+    )
+    n = F.col("n")
+    a11 = n * F.col("sx1x1") - F.col("sx1") * F.col("sx1")
+    a12 = n * F.col("sx1x2") - F.col("sx1") * F.col("sx2")
+    a22 = n * F.col("sx2x2") - F.col("sx2") * F.col("sx2")
+    b1 = n * F.col("sx1y") - F.col("sx1") * F.col("sy")
+    b2 = n * F.col("sx2y") - F.col("sx2") * F.col("sy")
+    det = a11 * a22 - a12 * a12
+    beta = s.select(
+        "n",
+        "sx1",
+        "sx2",
+        ((a22 * b1 - a12 * b2).cast("double") / det.cast("double")).alias(
+            "beta1"
+        ),
+        ((a11 * b2 - a12 * b1).cast("double") / det.cast("double")).alias(
+            "beta2"
+        ),
+    )
+    scored = rows_.crossJoin(F.broadcast(beta))
+    mx1 = F.col("sx1").cast("double") / F.col("n").cast("double")
+    mx2 = F.col("sx2").cast("double") / F.col("n").cast("double")
+    phi1 = F.col("beta1") * (F.col("x1") - mx1)
+    phi2 = F.col("beta2") * (F.col("x2") - mx2)
+    return (
+        scored.select(
+            "l_orderkey",
+            "l_linenumber",
+            F.round(phi1 / F.lit(100.0), 4).alias("phi_qty"),
+            F.round(phi2 / F.lit(100.0), 4).alias("phi_disc"),
+            F.round((phi1 + phi2) / F.lit(100.0), 4).alias("phi_total"),
+            F.abs(phi1 + phi2).alias("_a"),
+        )
+        .orderBy(F.col("_a").desc(), "l_orderkey", "l_linenumber")
+        .limit(SHAP_TOPK)
+        .drop("_a")
+    )

@@ -578,3 +578,37 @@ def test_vocab_drift_tvd_matches_pandas_twin(spark, sf_dir):
     assert pdf.term[0] == shifts.index[0]
     # reported counts reconcile with the twin's
     assert pdf.count_a[0] == ca.get(pdf.term[0], 0)
+
+
+def test_shap_linear_matches_numpy_lstsq_twin(spark, sf_dir):
+    from go_batch_processor_spark.operators.ml import SHAP_TOPK
+
+    pdf = REGISTRY["ml_shap_linear_exact"].fn(spark, sf_dir).toPandas()
+    assert len(pdf) == SHAP_TOPK
+    li = (
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        .selectExpr(
+            "l_orderkey", "l_linenumber",
+            "CAST(l_quantity AS BIGINT) AS x1",
+            "CAST(round(l_discount * 100) AS BIGINT) AS x2",
+            "CAST(round(l_extendedprice * 100) AS BIGINT) AS y",
+        )
+        .toPandas()
+    )
+    X = np.column_stack(
+        [np.ones(len(li)), li.x1.to_numpy(float), li.x2.to_numpy(float)]
+    )
+    beta = np.linalg.lstsq(X, li.y.to_numpy(float), rcond=None)[0]
+    phi1 = beta[1] * (li.x1 - li.x1.mean())
+    phi2 = beta[2] * (li.x2 - li.x2.mean())
+    li = li.assign(p1=phi1 / 100.0, p2=phi2 / 100.0, a=np.abs(phi1 + phi2))
+    top = li.sort_values(
+        ["a", "l_orderkey", "l_linenumber"], ascending=[False, True, True]
+    ).head(SHAP_TOPK)
+    assert list(pdf.l_orderkey) == list(top.l_orderkey)
+    assert np.abs(pdf.phi_qty.to_numpy() - top.p1.to_numpy()).max() < 1e-3
+    assert np.abs(pdf.phi_disc.to_numpy() - top.p2.to_numpy()).max() < 1e-3
+    # SHAP completeness: phi_total = phi_qty + phi_disc (additivity)
+    assert np.abs(
+        pdf.phi_total - (pdf.phi_qty + pdf.phi_disc)
+    ).max() < 2e-4  # round(.,4) on each term
