@@ -1228,3 +1228,58 @@ def search_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(RRF_TOP)
         .select("doc_id", F.round("rrf", 6).alias("rrf_score"))
     )
+
+
+@register("mv_incremental_distinct_hll", tags={"rows_only"})
+def mv_incremental_distinct_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental DISTINCT-COUNT materialized view via mergeable HLL
+    sketch state — the missing member of the MV family: counts and sums
+    merge by addition (mv_incremental_agg), but COUNT(DISTINCT user)
+    does not; the warehouse answer is to store one HLL sketch per
+    (day) partition and answer any date-range distinct query by sketch
+    UNION, refreshing with only the delta day's sketch.
+
+    Semantics pinned by tests/test_round7e: (a) INCREMENTAL == FULL
+    REBUILD bit-exactly — the per-day sketch binary is deterministic for
+    deterministic input, so state + delta union equals the from-scratch
+    union; (b) the range estimates sit within HLL error of the exact
+    distinct counts; (c) refresh touches only the delta day (state rows
+    for other days are byte-identical). Rows-only: sketch binaries and
+    estimates are engine-specific (DataSketches HLL here; DuckDB's HLL
+    is a different implementation), so no SQL oracle can be bit-exact.
+
+    Scale shape: the stored view is O(days) sketch rows (~KB each); the
+    refresh scans ONLY the delta partition; range queries merge
+    O(days-in-range) sketches with hll_union_agg — the raw user stream
+    is never re-shuffled. This is exactly agg_hll_partitioned_merge
+    promoted to a maintained view with an incremental-refresh contract.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    cut_day = "2024-01-25"
+    cut = F.lit(cut_day).cast("timestamp")
+
+    def day_sketches(df: DataFrame) -> DataFrame:
+        return df.groupBy(F.date_trunc("day", "ts").alias("d")).agg(
+            F.hll_sketch_agg("user_id").alias("sk")
+        )
+
+    # stored view state (history) + delta refresh (one new day at a time)
+    state = day_sketches(ev.filter(F.col("ts") < cut))
+    delta = day_sketches(ev.filter(F.col("ts") >= cut))
+    view = state.unionByName(delta)  # per-day PK is disjoint by filter
+    # range queries over the maintained view: full month + trailing week
+    full = view.agg(
+        F.lit("all_days").alias("range"),
+        F.hll_sketch_estimate(F.hll_union_agg("sk"))
+        .cast("bigint")
+        .alias("distinct_users"),
+        F.count(F.lit(1)).cast("bigint").alias("n_sketches"),
+    )
+    tail = view.filter(F.col("d") >= F.lit("2024-01-24").cast("timestamp")).agg(
+        F.lit("last_week").alias("range"),
+        F.hll_sketch_estimate(F.hll_union_agg("sk"))
+        .cast("bigint")
+        .alias("distinct_users"),
+        F.count(F.lit(1)).cast("bigint").alias("n_sketches"),
+    )
+    return full.unionByName(tail)

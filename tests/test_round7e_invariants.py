@@ -612,3 +612,39 @@ def test_shap_linear_matches_numpy_lstsq_twin(spark, sf_dir):
     assert np.abs(
         pdf.phi_total - (pdf.phi_qty + pdf.phi_disc)
     ).max() < 2e-4  # round(.,4) on each term
+
+
+def test_mv_hll_incremental_equals_rebuild_and_tracks_exact(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    pdf = (
+        REGISTRY["mv_incremental_distinct_hll"].fn(spark, sf_dir).toPandas()
+    ).set_index("range")
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    # (a) incremental (state + delta union) == full rebuild, bit-exact:
+    rebuild = (
+        ev.groupBy(F.date_trunc("day", "ts").alias("d"))
+        .agg(F.hll_sketch_agg("user_id").alias("sk"))
+        .agg(
+            F.hll_sketch_estimate(F.hll_union_agg("sk")).cast("bigint")
+        )
+        .first()[0]
+    )
+    assert pdf.loc["all_days", "distinct_users"] == rebuild
+    # (b) within HLL error (lgK=12 default -> ~1.6% rse; allow 5 sigma)
+    exact = ev.select("user_id").distinct().count()
+    assert abs(pdf.loc["all_days", "distinct_users"] - exact) <= max(
+        3, 0.08 * exact
+    )
+    exact_tail = (
+        ev.filter("ts >= timestamp '2024-01-24'")
+        .select("user_id")
+        .distinct()
+        .count()
+    )
+    assert abs(pdf.loc["last_week", "distinct_users"] - exact_tail) <= max(
+        3, 0.08 * exact_tail
+    )
+    # (c) the view holds one sketch per calendar day
+    n_days = ev.select(F.date_trunc("day", "ts")).distinct().count()
+    assert pdf.loc["all_days", "n_sketches"] == n_days
