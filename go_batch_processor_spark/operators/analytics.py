@@ -1916,3 +1916,106 @@ def analytics_trending_hyperbolic(spark: SparkSession, sf_dir: str) -> DataFrame
         .limit(TRENDING_TOPK)
         .drop("_s")
     )
+
+
+SHIFT_SHARE_Y1, SHIFT_SHARE_Y2 = 1996, 2000
+
+
+@register(
+    "analytics_shift_share",
+    oracle=f"""
+    WITH rev AS (
+      SELECT r.r_name AS region,
+             CAST(year(o.o_orderdate) AS BIGINT) AS y,
+             sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS cents
+      FROM orders o
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n   ON c.c_nationkey = n.n_nationkey
+      JOIN region r   ON n.n_regionkey = r.r_regionkey
+      WHERE year(o.o_orderdate) IN ({SHIFT_SHARE_Y1}, {SHIFT_SHARE_Y2})
+      GROUP BY 1, 2
+    ),
+    wide AS (
+      SELECT region,
+             CAST(sum(CASE WHEN y = {SHIFT_SHARE_Y1} THEN cents ELSE 0 END)
+                  AS BIGINT) AS r1,
+             CAST(sum(CASE WHEN y = {SHIFT_SHARE_Y2} THEN cents ELSE 0 END)
+                  AS BIGINT) AS r2
+      FROM rev GROUP BY 1
+    ),
+    tot AS (
+      SELECT CAST(sum(r1) AS BIGINT) AS t1, CAST(sum(r2) AS BIGINT) AS t2
+      FROM wide
+    )
+    SELECT region,
+           round(r1 / 100.0, 2) AS rev_y1,
+           round(r2 / 100.0, 2) AS rev_y2,
+           round((r2 - r1) / 100.0, 2) AS delta,
+           round(r1 * 1.0 * (t2 - t1) / t1 / 100.0, 2) AS national_effect,
+           round(((r2 - r1) - r1 * 1.0 * (t2 - t1) / t1) / 100.0, 2)
+             AS competitive_shift
+    FROM wide, tot
+    ORDER BY region
+    """,
+)
+def analytics_shift_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shift-share decomposition of regional revenue growth between
+    {SHIFT_SHARE_Y1} and {SHIFT_SHARE_Y2}: each region's observed change
+    splits into the NATIONAL effect (what the region would have gained
+    growing at the overall rate, r1 * g_total) and the COMPETITIVE shift
+    (the residual — did this region out- or under-perform the market?).
+    The BI staple for "did we grow because the market grew, or because
+    we took share?".
+
+    Exactness shape: revenues are exact integer cents through the whole
+    join tree; the only doubles are the final growth-rate ratio and the
+    /100.0 display conversions, identical trees on both engines. The
+    two effects sum to delta by construction (pinned in tests).
+
+    Scale shape: the fact-side join hits the customer->nation->region
+    dimension chain (bounded dims broadcast); the aggregate compresses
+    to O(regions x 2) before any arithmetic.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nat = load_table(spark, sf_dir, "nation")
+    reg = load_table(spark, sf_dir, "region")
+    y = F.year("o_orderdate").cast("bigint")
+    rev = (
+        o.filter(y.isin(SHIFT_SHARE_Y1, SHIFT_SHARE_Y2))
+        # customer is fact-sized at 100 TB: shuffle equi-join; only the
+        # BOUNDED dims (nation=25, region=5) broadcast
+        .join(cust, o.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey)
+        .join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)
+        .groupBy(F.col("r_name").alias("region"), y.alias("y"))
+        .agg(F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("cents"))
+    )
+    wide = rev.groupBy("region").agg(
+        F.sum(F.when(F.col("y") == SHIFT_SHARE_Y1, F.col("cents")).otherwise(0))
+        .cast("bigint")
+        .alias("r1"),
+        F.sum(F.when(F.col("y") == SHIFT_SHARE_Y2, F.col("cents")).otherwise(0))
+        .cast("bigint")
+        .alias("r2"),
+    )
+    tot = wide.agg(
+        F.sum("r1").cast("bigint").alias("t1"),
+        F.sum("r2").cast("bigint").alias("t2"),
+    )
+    r1, r2 = F.col("r1"), F.col("r2")
+    nat_eff = r1 * F.lit(1.0) * (F.col("t2") - F.col("t1")) / F.col("t1")
+    return (
+        wide.crossJoin(F.broadcast(tot))
+        .select(
+            "region",
+            F.round(r1 / F.lit(100.0), 2).alias("rev_y1"),
+            F.round(r2 / F.lit(100.0), 2).alias("rev_y2"),
+            F.round((r2 - r1) / F.lit(100.0), 2).alias("delta"),
+            F.round(nat_eff / F.lit(100.0), 2).alias("national_effect"),
+            F.round(((r2 - r1) - nat_eff) / F.lit(100.0), 2).alias(
+                "competitive_shift"
+            ),
+        )
+        .orderBy("region")
+    )

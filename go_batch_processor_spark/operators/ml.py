@@ -2527,3 +2527,146 @@ def ml_shap_linear_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(SHAP_TOPK)
         .drop("_a")
     )
+
+
+@register(
+    "ml_vif_multicollinearity",
+    oracle="""
+    WITH r AS (
+      SELECT CAST(l_quantity AS BIGINT)              AS x1,
+             CAST(round(l_discount * 100) AS BIGINT) AS x2,
+             CAST(round(l_tax * 100) AS BIGINT)      AS x3
+      FROM lineitem
+    ),
+    s AS (
+      SELECT CAST(count(*) AS HUGEINT) AS n,
+             CAST(sum(x1) AS HUGEINT) AS s1, CAST(sum(x2) AS HUGEINT) AS s2,
+             CAST(sum(x3) AS HUGEINT) AS s3,
+             CAST(sum(x1 * x1) AS HUGEINT) AS s11,
+             CAST(sum(x2 * x2) AS HUGEINT) AS s22,
+             CAST(sum(x3 * x3) AS HUGEINT) AS s33,
+             CAST(sum(x1 * x2) AS HUGEINT) AS s12,
+             CAST(sum(x1 * x3) AS HUGEINT) AS s13,
+             CAST(sum(x2 * x3) AS HUGEINT) AS s23
+      FROM r
+    ),
+    c AS (
+      SELECT n,
+             n * s11 - s1 * s1 AS c11, n * s22 - s2 * s2 AS c22,
+             n * s33 - s3 * s3 AS c33, n * s12 - s1 * s2 AS c12,
+             n * s13 - s1 * s3 AS c13, n * s23 - s2 * s3 AS c23
+      FROM s
+    ),
+    v AS (
+      SELECT 'l_quantity' AS feature,
+             (CAST(c22 * c13 * c13 AS DOUBLE)
+              - CAST(2 * c12 * c13 * c23 AS DOUBLE)
+              + CAST(c33 * c12 * c12 AS DOUBLE))
+             / (CAST(c11 AS DOUBLE)
+                * CAST(c22 * c33 - c23 * c23 AS DOUBLE)) AS r2
+      FROM c
+      UNION ALL
+      SELECT 'l_discount',
+             (CAST(c11 * c23 * c23 AS DOUBLE)
+              - CAST(2 * c12 * c23 * c13 AS DOUBLE)
+              + CAST(c33 * c12 * c12 AS DOUBLE))
+             / (CAST(c22 AS DOUBLE)
+                * CAST(c11 * c33 - c13 * c13 AS DOUBLE))
+      FROM c
+      UNION ALL
+      SELECT 'l_tax',
+             (CAST(c11 * c23 * c23 AS DOUBLE)
+              - CAST(2 * c13 * c23 * c12 AS DOUBLE)
+              + CAST(c22 * c13 * c13 AS DOUBLE))
+             / (CAST(c33 AS DOUBLE)
+                * CAST(c11 * c22 - c12 * c12 AS DOUBLE))
+      FROM c
+    )
+    SELECT feature, round(r2, 6) AS r_squared,
+           round(1.0 / (1.0 - r2), 6) AS vif
+    FROM v ORDER BY feature
+    """,
+)
+def ml_vif_multicollinearity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Variance inflation factors for the (quantity, discount, tax)
+    feature block — the multicollinearity diagnostic run before any
+    linear model ships: VIF_j = 1/(1 - R^2_j) where R^2_j regresses
+    feature j on the others; VIF > 5-10 means the block carries
+    near-duplicate information and coefficients are unstable.
+
+    Exactness shape: for a 2-regressor auxiliary regression, R^2 has the
+    closed form (c22*c13^2 - 2*c12*c13*c23 + c33*c12^2) /
+    (c11*(c22*c33 - c23^2)) over the CENTERED integer scatter entries
+    c_jk = n*S_jk - S_j*S_k (the ml_shap_linear_exact Cramer machinery
+    generalized to the full 3x3 scatter) — every c_jk is an exact wide
+    integer (HUGEINT/DECIMAL38), each product is cast to double once,
+    and both engines evaluate the identical rational tree. No solver,
+    no iteration, no libm.
+
+    Scale shape: ONE partial-aggregable scan for the ten sufficient
+    statistics; everything else is scalar arithmetic.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    r = li.select(
+        F.col("l_quantity").cast("bigint").alias("x1"),
+        F.round(F.col("l_discount") * 100).cast("bigint").alias("x2"),
+        F.round(F.col("l_tax") * 100).cast("bigint").alias("x3"),
+    )
+    d = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    s = r.agg(
+        d(F.count(F.lit(1))).alias("n"),
+        d(F.sum("x1")).alias("s1"),
+        d(F.sum("x2")).alias("s2"),
+        d(F.sum("x3")).alias("s3"),
+        d(F.sum(F.col("x1") * F.col("x1"))).alias("s11"),
+        d(F.sum(F.col("x2") * F.col("x2"))).alias("s22"),
+        d(F.sum(F.col("x3") * F.col("x3"))).alias("s33"),
+        d(F.sum(F.col("x1") * F.col("x2"))).alias("s12"),
+        d(F.sum(F.col("x1") * F.col("x3"))).alias("s13"),
+        d(F.sum(F.col("x2") * F.col("x3"))).alias("s23"),
+    )
+    n = F.col("n")
+    c = s.select(
+        (n * F.col("s11") - F.col("s1") * F.col("s1")).alias("c11"),
+        (n * F.col("s22") - F.col("s2") * F.col("s2")).alias("c22"),
+        (n * F.col("s33") - F.col("s3") * F.col("s3")).alias("c33"),
+        (n * F.col("s12") - F.col("s1") * F.col("s2")).alias("c12"),
+        (n * F.col("s13") - F.col("s1") * F.col("s3")).alias("c13"),
+        (n * F.col("s23") - F.col("s2") * F.col("s3")).alias("c23"),
+    )
+    c11, c22, c33 = F.col("c11"), F.col("c22"), F.col("c33")
+    c12, c13, c23 = F.col("c12"), F.col("c13"), F.col("c23")
+
+    def r2(cjj, caa, cbb, cja, cjb, cab):
+        return (
+            (caa * cjb * cjb).cast("double")
+            - (2 * cja * cjb * cab).cast("double")
+            + (cbb * cja * cja).cast("double")
+        ) / (cjj.cast("double") * (caa * cbb - cab * cab).cast("double"))
+
+    rows = c.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("l_quantity").alias("feature"),
+                    r2(c11, c22, c33, c12, c13, c23).alias("r2"),
+                ),
+                F.struct(
+                    F.lit("l_discount").alias("feature"),
+                    r2(c22, c11, c33, c12, c23, c13).alias("r2"),
+                ),
+                F.struct(
+                    F.lit("l_tax").alias("feature"),
+                    r2(c33, c11, c22, c13, c23, c12).alias("r2"),
+                ),
+            )
+        ).alias("v")
+    )
+    return (
+        rows.select(
+            "v.feature",
+            F.round(F.col("v.r2"), 6).alias("r_squared"),
+            F.round(F.lit(1.0) / (F.lit(1.0) - F.col("v.r2")), 6).alias("vif"),
+        )
+        .orderBy("feature")
+    )

@@ -648,3 +648,40 @@ def test_mv_hll_incremental_equals_rebuild_and_tracks_exact(spark, sf_dir):
     # (c) the view holds one sketch per calendar day
     n_days = ev.select(F.date_trunc("day", "ts")).distinct().count()
     assert pdf.loc["all_days", "n_sketches"] == n_days
+
+
+def test_vif_matches_numpy_twin_and_bounds(spark, sf_dir):
+    pdf = (
+        REGISTRY["ml_vif_multicollinearity"].fn(spark, sf_dir).toPandas()
+    ).set_index("feature")
+    li = (
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        .selectExpr(
+            "CAST(l_quantity AS BIGINT) AS x1",
+            "CAST(round(l_discount * 100) AS BIGINT) AS x2",
+            "CAST(round(l_tax * 100) AS BIGINT) AS x3",
+        )
+        .toPandas()
+    )
+    X = li[["x1", "x2", "x3"]].to_numpy(float)
+    names = ["l_quantity", "l_discount", "l_tax"]
+    for j in range(3):
+        others = [k for k in range(3) if k != j]
+        A = np.column_stack([np.ones(len(X))] + [X[:, k] for k in others])
+        beta = np.linalg.lstsq(A, X[:, j], rcond=None)[0]
+        resid = X[:, j] - A @ beta
+        r2 = 1 - resid.var() / X[:, j].var()
+        assert abs(pdf.loc[names[j], "r_squared"] - r2) < 1e-5
+        assert abs(pdf.loc[names[j], "vif"] - 1 / (1 - r2)) < 1e-4
+    assert (pdf.vif >= 1.0 - 1e-9).all()  # VIF is bounded below by 1
+
+
+def test_shift_share_effects_sum_to_delta(spark, sf_dir):
+    pdf = REGISTRY["analytics_shift_share"].fn(spark, sf_dir).toPandas()
+    assert len(pdf) == 5  # one row per region
+    assert np.allclose(
+        pdf.delta, pdf.national_effect + pdf.competitive_shift, atol=0.02
+    )
+    # competitive shifts cancel in aggregate (up to the per-row rounding)
+    assert abs(pdf.competitive_shift.sum()) < 0.05
+    assert np.allclose(pdf.delta, pdf.rev_y2 - pdf.rev_y1, atol=0.02)
