@@ -8667,3 +8667,95 @@ def profile_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(TCLOSE_TOPK)
         .drop("_t")
     )
+
+
+@register(
+    "stats_sign_test",
+    oracle="""
+    WITH span AS (SELECT min(ts) AS lo, max(ts) AS hi FROM events),
+    pu AS (
+      SELECT user_id,
+             sum(CASE WHEN 2 * epoch_us(ts) < epoch_us(lo) + epoch_us(hi)
+                      THEN CAST(round(value * 100) AS BIGINT) END) AS c1,
+             sum(CASE WHEN 2 * epoch_us(ts) < epoch_us(lo) + epoch_us(hi)
+                      THEN 1 ELSE 0 END)                           AS n1,
+             sum(CASE WHEN 2 * epoch_us(ts) >= epoch_us(lo) + epoch_us(hi)
+                      THEN CAST(round(value * 100) AS BIGINT) END) AS c2,
+             sum(CASE WHEN 2 * epoch_us(ts) >= epoch_us(lo) + epoch_us(hi)
+                      THEN 1 ELSE 0 END)                           AS n2
+      FROM events, span GROUP BY user_id
+    ),
+    signs AS (
+      SELECT CASE WHEN c2 * n1 > c1 * n2 THEN 1 ELSE 0 END AS pos,
+             CASE WHEN c2 * n1 <> c1 * n2 THEN 1 ELSE 0 END AS nz
+      FROM pu WHERE n1 > 0 AND n2 > 0
+    ),
+    agg AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+             CAST(sum(nz) AS BIGINT)  AS n_nonzero,
+             CAST(sum(pos) AS BIGINT) AS n_positive
+      FROM signs
+    )
+    SELECT n_pairs, n_nonzero, n_positive,
+           round((n_positive - n_nonzero / 2.0
+                  - CASE WHEN 2 * n_positive > n_nonzero THEN 0.5
+                         WHEN 2 * n_positive < n_nonzero THEN -0.5
+                         ELSE 0.0 END)
+                 / sqrt(n_nonzero / 4.0), 6) AS z
+    FROM agg
+    """,
+)
+def stats_sign_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Paired sign test (Arbuthnott 1710 — the oldest hypothesis test):
+    did per-user mean event value go UP between the first and second
+    half of the window? Counts positive differences among nonzero
+    pairs; z is the continuity-corrected normal approximation to
+    Binomial(n, 1/2). The assumption-free companion to
+    stats_wilcoxon_signed_rank (Wilcoxon uses magnitudes and is more
+    powerful; the sign test survives ANY within-pair distribution).
+
+    Exactness shape: the sign of (mean2 - mean1) is decided as the
+    exact integer comparison c2*n1 vs c1*n2 (cross-multiplied cents —
+    never a double subtraction near zero), so pair classification is
+    bit-deterministic; the z expression is rational + one sqrt on exact
+    counts.
+
+    Scale shape: one partial-aggregable groupBy(user) + one count
+    aggregate — two shuffles total, both O(users) then O(1).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    span = ev.agg(F.min("ts").alias("lo"), F.max("ts").alias("hi"))
+    first = 2 * F.unix_micros("ts") < F.unix_micros("lo") + F.unix_micros("hi")
+    cents = F.round(F.col("value") * 100).cast("long")
+    pu = (
+        ev.crossJoin(F.broadcast(span))
+        .groupBy("user_id")
+        .agg(
+            F.sum(F.when(first, cents)).alias("c1"),
+            F.sum(F.when(first, 1).otherwise(0)).alias("n1"),
+            F.sum(F.when(~first, cents)).alias("c2"),
+            F.sum(F.when(~first, 1).otherwise(0)).alias("n2"),
+        )
+        .filter((F.col("n1") > 0) & (F.col("n2") > 0))
+    )
+    lhs = F.col("c2") * F.col("n1")
+    rhs = F.col("c1") * F.col("n2")
+    agg = pu.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        F.sum(F.when(lhs != rhs, 1).otherwise(0)).cast("bigint").alias("n_nonzero"),
+        F.sum(F.when(lhs > rhs, 1).otherwise(0)).cast("bigint").alias("n_positive"),
+    )
+    npos, nnz = F.col("n_positive"), F.col("n_nonzero")
+    cc = (
+        F.when(2 * npos > nnz, F.lit(0.5))
+        .when(2 * npos < nnz, F.lit(-0.5))
+        .otherwise(F.lit(0.0))
+    )
+    return agg.select(
+        "n_pairs",
+        "n_nonzero",
+        "n_positive",
+        F.round(
+            (npos - nnz / F.lit(2.0) - cc) / F.sqrt(nnz / F.lit(4.0)), 6
+        ).alias("z"),
+    )

@@ -3610,3 +3610,114 @@ def timeseries_sen_slope_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("shi") / F.lit(100.0), 6).alias("ci_hi"),
         )
     )
+
+
+MA_FAST_D, MA_SLOW_D = 7, 28
+
+
+@register(
+    "timeseries_ma_crossover_signals",
+    oracle=f"""
+    WITH daily AS (
+      SELECT date_trunc('day', ts) AS d,
+             sum(CAST(round(value * 100) AS BIGINT)) AS v
+      FROM events GROUP BY 1
+    ),
+    ma AS (
+      SELECT d, v,
+             CAST(sum(v) OVER (ORDER BY d
+                               ROWS BETWEEN {MA_FAST_D - 1} PRECEDING
+                               AND CURRENT ROW) AS BIGINT) AS sf,
+             CAST(count(*) OVER (ORDER BY d
+                                 ROWS BETWEEN {MA_FAST_D - 1} PRECEDING
+                                 AND CURRENT ROW) AS BIGINT) AS nf,
+             CAST(sum(v) OVER (ORDER BY d
+                               ROWS BETWEEN {MA_SLOW_D - 1} PRECEDING
+                               AND CURRENT ROW) AS BIGINT) AS ss,
+             CAST(count(*) OVER (ORDER BY d
+                                 ROWS BETWEEN {MA_SLOW_D - 1} PRECEDING
+                                 AND CURRENT ROW) AS BIGINT) AS ns
+      FROM daily
+    ),
+    sgn AS (
+      SELECT d,
+             CASE WHEN sf * ns > ss * nf THEN 1
+                  WHEN sf * ns < ss * nf THEN -1 ELSE 0 END AS s,
+             sf, nf, ss, ns
+      FROM ma
+    ),
+    sig AS (
+      SELECT d, s, lag(s) OVER (ORDER BY d) AS prev,
+             sf, nf, ss, ns
+      FROM sgn
+    )
+    SELECT d AS signal_day,
+           CASE WHEN s > prev THEN 'golden_cross'
+                ELSE 'death_cross' END AS signal,
+           round(sf / (nf * 100.0), 2) AS ma_fast,
+           round(ss / (ns * 100.0), 2) AS ma_slow
+    FROM sig
+    WHERE prev IS NOT NULL AND s <> prev AND s <> 0
+    ORDER BY d
+    """,
+)
+def timeseries_ma_crossover_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Moving-average crossover detection ({MA_FAST_D}d vs {MA_SLOW_D}d)
+    on daily revenue: emit a signal on every day the fast MA crosses the
+    slow MA (golden cross = fast rises above slow; death cross = the
+    reverse) — the alerting primitive behind trend-following dashboards.
+
+    Exactness shape: the fast/slow comparison cross-multiplies the
+    exact integer window sums (sf*ns vs ss*nf — never a double MA
+    subtraction near zero), so crossing days are bit-deterministic; the
+    displayed MAs are single divisions. Warm-up is honest: each MA uses
+    however many days exist in its trailing frame (count in the same
+    window), so signals are well-defined from day 2.
+
+    Scale shape: the fact stream compresses to the calendar-bounded
+    daily frame first; the windows and lag ride that frame (the
+    documented exception class — per-entity variants partition the
+    window by entity).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.date_trunc("day", "ts").alias("d")).agg(
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("v")
+    )
+    w_f = Window.orderBy("d").rowsBetween(-(MA_FAST_D - 1), 0)
+    w_s = Window.orderBy("d").rowsBetween(-(MA_SLOW_D - 1), 0)
+    ma = daily.select(
+        "d",
+        F.sum("v").over(w_f).cast("bigint").alias("sf"),
+        F.count(F.lit(1)).over(w_f).cast("bigint").alias("nf"),
+        F.sum("v").over(w_s).cast("bigint").alias("ss"),
+        F.count(F.lit(1)).over(w_s).cast("bigint").alias("ns"),
+    )
+    s = (
+        F.when(F.col("sf") * F.col("ns") > F.col("ss") * F.col("nf"), 1)
+        .when(F.col("sf") * F.col("ns") < F.col("ss") * F.col("nf"), -1)
+        .otherwise(0)
+    )
+    w_d = Window.orderBy("d")
+    sig = ma.select(
+        "d", s.alias("s"), "sf", "nf", "ss", "ns"
+    ).withColumn("prev", F.lag("s").over(w_d))
+    return (
+        sig.filter(
+            F.col("prev").isNotNull()
+            & (F.col("s") != F.col("prev"))
+            & (F.col("s") != 0)
+        )
+        .select(
+            F.col("d").alias("signal_day"),
+            F.when(F.col("s") > F.col("prev"), F.lit("golden_cross"))
+            .otherwise(F.lit("death_cross"))
+            .alias("signal"),
+            F.round(F.col("sf") / (F.col("nf") * F.lit(100.0)), 2).alias(
+                "ma_fast"
+            ),
+            F.round(F.col("ss") / (F.col("ns") * F.lit(100.0)), 2).alias(
+                "ma_slow"
+            ),
+        )
+        .orderBy("signal_day")
+    )

@@ -685,3 +685,62 @@ def test_shift_share_effects_sum_to_delta(spark, sf_dir):
     # competitive shifts cancel in aggregate (up to the per-row rounding)
     assert abs(pdf.competitive_shift.sum()) < 0.05
     assert np.allclose(pdf.delta, pdf.rev_y2 - pdf.rev_y1, atol=0.02)
+
+
+def test_sign_test_matches_pandas_twin(spark, sf_dir):
+    pdf = REGISTRY["stats_sign_test"].fn(spark, sf_dir).toPandas()
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").toPandas()
+    mid = (ev.ts.min().value + ev.ts.max().value) / 2
+    ev = ev.assign(
+        cents=np.round(ev.value * 100).astype("int64"),
+        is_first=ev.ts.astype("int64") * 2
+        < ev.ts.min().value + ev.ts.max().value,
+    )
+    g = ev.groupby("user_id").apply(
+        lambda u: pd.Series(
+            {
+                "c1": u[u.is_first].cents.sum(),
+                "n1": int(u.is_first.sum()),
+                "c2": u[~u.is_first].cents.sum(),
+                "n2": int((~u.is_first).sum()),
+            }
+        ),
+        include_groups=False,
+    )
+    g = g[(g.n1 > 0) & (g.n2 > 0)]
+    lhs, rhs = g.c2 * g.n1, g.c1 * g.n2
+    npos, nnz = int((lhs > rhs).sum()), int((lhs != rhs).sum())
+    assert pdf.n_pairs[0] == len(g)
+    assert pdf.n_nonzero[0] == nnz and pdf.n_positive[0] == npos
+    cc = 0.5 if 2 * npos > nnz else (-0.5 if 2 * npos < nnz else 0.0)
+    z = (npos - nnz / 2.0 - cc) / np.sqrt(nnz / 4.0)
+    assert abs(pdf.z[0] - z) < 1e-5
+
+
+def test_ma_crossover_alternates_and_matches_pandas(spark, sf_dir):
+    pdf = REGISTRY["timeseries_ma_crossover_signals"].fn(spark, sf_dir).toPandas()
+    assert len(pdf) > 0
+    # signals alternate golden/death by construction
+    kinds = pdf.sort_values("signal_day").signal.tolist()
+    assert all(a != b for a, b in zip(kinds, kinds[1:]))
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").toPandas()
+    daily = (
+        pd.Series(
+            np.round(ev.value.to_numpy() * 100).astype("int64"),
+            index=ev.ts.dt.floor("D"),
+        )
+        .groupby(level=0)
+        .sum()
+        .sort_index()
+    )
+    fast = daily.rolling(7, min_periods=1).mean()
+    slow = daily.rolling(28, min_periods=1).mean()
+    s = np.sign(fast - slow)
+    crossings = [
+        (d, "golden_cross" if s.iloc[i] > s.iloc[i - 1] else "death_cross")
+        for i, d in enumerate(daily.index)
+        if i > 0 and s.iloc[i] != s.iloc[i - 1] and s.iloc[i] != 0
+    ]
+    assert [(d, k) for d, k in crossings] == list(
+        zip(pdf.sort_values("signal_day").signal_day, kinds)
+    )
