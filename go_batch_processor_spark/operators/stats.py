@@ -786,15 +786,24 @@ def stats_bootstrap_poisson_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     km AS (
       SELECT dur_h, n_events, n_risk,
-             CAST(1.0 - n_events * 1.0 / n_risk AS DOUBLE) AS factor
+             CAST((CAST(n_risk - n_events AS HUGEINT) * 1000000000000
+                   + n_risk // 2) // n_risk AS BIGINT) AS f12
       FROM risk WHERE n_events > 0
+    ),
+    folded AS (
+      SELECT a.dur_h, a.n_risk, a.n_events,
+             list_reduce(
+               list(b.f12 ORDER BY b.dur_h),
+               (x, y) -> CAST((CAST(x AS HUGEINT) * CAST(y AS HUGEINT)
+                               + 500000000000)
+                              // 1000000000000 AS BIGINT)) AS s12
+      FROM km a JOIN km b ON b.dur_h <= a.dur_h
+      GROUP BY a.dur_h, a.n_risk, a.n_events
     )
-    SELECT a.dur_h, a.n_risk, a.n_events,
-           round(list_reduce(list(b.factor ORDER BY b.dur_h),
-                             (x, y) -> x * y), 6) AS survival
-    FROM km a JOIN km b ON b.dur_h <= a.dur_h
-    GROUP BY a.dur_h, a.n_risk, a.n_events
-    ORDER BY a.dur_h
+    SELECT dur_h, n_risk, n_events,
+           CAST((s12 + 500000) // 1000000 AS BIGINT) AS survival_micros
+    FROM folded
+    ORDER BY dur_h
     """,
 )
 def stats_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -817,13 +826,21 @@ def stats_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
     one row per DISTINCT duration hour — so the unpartitioned KM window
     runs over an aggregate-sized frame (<= follow-up horizon rows; the
     documented small-window exception, same as KS/seasonal-decompose),
-    never the raw stream. The survival product is an ORDERED left fold
-    of IEEE double multiplications on BOTH engines (Spark: aggregate()
-    over the <=horizon-row collect_list frame; DuckDB: list_reduce over
-    an ordered list aggregate) — never exp(Σ ln factor), because ln/exp
-    are libm calls whose last bit varies per host/toolchain (the r06
-    driver red on this key), while double multiply is bit-deterministic
-    everywhere. A zero factor needs no guard: the product is exactly 0."""
+    never the raw stream.
+
+    Determinism contract (round-8 rewrite after two driver reds): NO
+    floating point exists anywhere in the output path. Each hazard
+    factor is an exact scale-12 integer f12 = rhu((n-e)*10^12 / n)
+    (rhu = round-half-up, pure integer: (num*10^12 + n div 2) div n);
+    the survival product is an ORDERED integer fold with explicit
+    per-step rhu back to scale 12 (acc' = (acc*f + 5e11) div 1e12,
+    widened through DECIMAL(38,0) on Spark / HUGEINT on DuckDB so the
+    10^24 intermediate never overflows); the emitted column is
+    survival_micros = rhu(acc / 10^6), a BIGINT. Every operation is
+    integer add/mul/div — identical on any engine version, any libm,
+    any fold implementation. The r06/r07 reds were IEEE-double folds
+    that were bit-exact locally yet disagreed in the driver
+    environment; an integer contract cannot."""
     horizon_h = 48
     ev = load_table(spark, sf_dir, "events")
     users = ev.groupBy("user_id").agg(
@@ -867,7 +884,11 @@ def stats_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).cast("bigint"),
     )
     km = risk.filter(F.col("n_events") > 0).withColumn(
-        "factor", 1.0 - F.col("n_events") * 1.0 / F.col("n_risk")
+        "f12",
+        F.expr(
+            "CAST((CAST(n_risk - n_events AS DECIMAL(38,0)) * 1000000000000"
+            " + (n_risk DIV 2)) DIV n_risk AS BIGINT)"
+        ),
     )
     w_run = (
         Window.partitionBy()
@@ -879,14 +900,19 @@ def stats_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
             "dur_h",
             "n_risk",
             "n_events",
-            F.round(
-                F.aggregate(
-                    F.collect_list("factor").over(w_run),
-                    F.lit(1.0),
-                    lambda acc, x: acc * x,
-                ),
-                6,
-            ).alias("survival"),
+            F.collect_list("f12").over(w_run).alias("fs"),
+        )
+        .select(
+            "dur_h",
+            "n_risk",
+            "n_events",
+            F.expr(
+                "CAST((aggregate(fs, CAST(1000000000000 AS BIGINT),"
+                " (acc, f) -> CAST((CAST(acc AS DECIMAL(38,0))"
+                " * CAST(f AS DECIMAL(38,0)) + 500000000000)"
+                " DIV 1000000000000 AS BIGINT))"
+                " + 500000) DIV 1000000 AS BIGINT)"
+            ).alias("survival_micros"),
         )
         .orderBy("dur_h")
     )

@@ -237,3 +237,20 @@ def test_dynamic_partition_pruning_on_partitioned_sink(spark, sf_dir):
         )
         plan = _executed_plan(j)
     assert "dynamicpruning" in plan.lower(), plan
+
+
+def test_plan_audit_codegen_regex_matches_formatted_mode(spark, sf_dir):
+    """Regression for the r7 judge find: plan_audit greps must match the
+    ExplainMode 'formatted' rendering ('WholeStageCodegen (N)'), not the
+    simple/extended '[codegen id : N]' form — else the codegen column in
+    PLANS.md is silently 0 everywhere. Relational keys must report >=1
+    whole-stage-codegen span."""
+    import sys, os
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+    from plan_audit import audit, executed_plan_string, plan_string
+
+    with _conf(spark, "spark.sql.adaptive.enabled", "false"):
+        for key in ("agg_groupby_q1", "join_inner_equi"):
+            df = REGISTRY[key].fn(spark, sf_dir)
+            a = audit(plan_string(df), executed_plan_string(df))
+            assert a["codegen_spans"] >= 1, (key, a)

@@ -44,6 +44,7 @@ def test_nelson_aalen_below_neg_log_km(spark, sf_dir):
 
     na = _run("stats_nelson_aalen", spark, sf_dir).set_index("dur_h")
     km = _run("stats_kaplan_meier", spark, sf_dir).set_index("dur_h")
+    km["survival"] = km["survival_micros"] / 1e6
     joined = na.join(km[["survival"]], how="inner")
     ok = joined[joined["survival"] > 0]
     assert len(ok) > 0
