@@ -82,6 +82,58 @@ def stream_stateful_running(spark: SparkSession, sf_dir: str) -> DataFrame:
     return streaming_user_running_stats(spark, sf_dir)
 
 
+def _maybe_register_tws() -> None:
+    """Probe-register the transformWithState twin (VERDICT r7 item 6).
+
+    The implementation (streaming/stateful.py:streaming_user_running_stats_tws)
+    is complete but its runtime hard-requires google.protobuf, absent from
+    this container — so registration is conditional on the same probe that
+    gates execution. The day the image ships protobuf, the key
+    ``stream_user_running_stats_tws`` appears in the registry with zero
+    code changes (identical semantics + oracle as stream_stateful_running);
+    until then the registry is unchanged. Pinned both ways by
+    tests/test_streaming.py::test_tws_probe_registration.
+    """
+    from go_batch_processor_spark.streaming.stateful import (
+        transform_with_state_available,
+    )
+
+    if not transform_with_state_available():
+        return
+
+    @register(
+        "stream_user_running_stats_tws",
+        oracle="""
+        WITH g AS (
+          SELECT user_id, value,
+                 epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id
+                                                 ORDER BY ts ASC, event_id ASC)) AS gap
+          FROM events
+        )
+        SELECT user_id,
+               count(*)                         AS n_events,
+               round(sum(value), 2)             AS total_value,
+               round(coalesce(max(gap), 0), 1)  AS max_gap_s
+        FROM g
+        GROUP BY user_id
+        """,
+    )
+    def stream_user_running_stats_tws(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        """Per-user running stats on transformWithStateInPandas — the
+        modern (Spark 4) stateful-processor API twin of
+        stream_stateful_running's applyInPandasWithState."""
+        from go_batch_processor_spark.streaming.stateful import (
+            streaming_user_running_stats_tws as _tws,
+        )
+
+        return _tws(spark, sf_dir)
+
+
+_maybe_register_tws()
+
+
 @register(
     "stream_mv_incremental",
     oracle="""

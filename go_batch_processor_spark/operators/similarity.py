@@ -32,6 +32,38 @@ EMB_DIM = 64
 IVF_CELLS = 16
 IVF_NPROBE = 2
 
+# Production index sizing (SCALE.md "ANN index-parameter doctrine").
+# The fixture constants above (IVF_CELLS=16, LSH_PLANES=8, nprobe=2) are
+# FIXTURE-sized so the recall twins stay deterministic on 600-60k-vector
+# test corpora; at scale the knobs come from these formulas instead.
+IVF_NLIST_MIN = 16           # below this, brute force beats the index
+IVF_NLIST_MAX = 1 << 18      # 262144 cells: centroid table stays broadcastable
+CENTROID_BROADCAST_BUDGET = 256 << 20  # bytes; executor broadcast comfort zone
+
+
+def ivf_nlist(n_vectors: int, dim: int = EMB_DIM) -> int:
+    """Production nlist for an IVF index over ``n_vectors`` embeddings.
+
+    Doctrine (Faiss guidelines; Jégou et al. 2011): nlist ~= sqrt(N)
+    balances the two scan costs — coarse assignment touches nlist
+    centroids, the probe touches nprobe * (N / nlist) vectors; their sum
+    is minimized at nlist = sqrt(nprobe * N) ~ sqrt(N). Clamped to
+    [IVF_NLIST_MIN, IVF_NLIST_MAX] and additionally capped so the f64
+    centroid table (nlist * dim * 8 bytes) never exceeds
+    CENTROID_BROADCAST_BUDGET — the table must broadcast to every
+    executor, so it scales with sqrt(corpus), NEVER with corpus:
+    at N = 10^12 (a ~100 TB embedding corpus) sqrt(N) = 10^6 hits the
+    256 MiB budget cap at 2^18 cells x 64 dims = 128 MiB. Recall is then
+    bought with nprobe (recall ~ fraction of probe mass covered; nprobe
+    = 8-64 typical for 90-99% recall@10), which multiplies query cost
+    linearly but leaves the broadcast table size unchanged.
+    """
+    import math
+
+    by_sqrt = int(math.isqrt(max(int(n_vectors), 1)))
+    by_budget = CENTROID_BROADCAST_BUDGET // (dim * 8)
+    return max(IVF_NLIST_MIN, min(by_sqrt, IVF_NLIST_MAX, by_budget))
+
 
 def _as_double(col: Column) -> Column:
     return F.transform(col, lambda x: x.cast("double"))

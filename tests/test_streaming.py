@@ -486,3 +486,22 @@ def test_streaming_windowed_topk_matches_batch_rank(spark, sf_dir, tmp_path):
         got[["win_start", "user_id", "n_events", "rk"]],
         want[["win_start", "user_id", "n_events", "rk"]],
     )
+
+
+def test_tws_probe_registration():
+    """Probe-registration contract (VERDICT r7 item 6): the
+    transformWithState key is in the registry IFF the protobuf runtime
+    probe passes — green both in this container (absent -> unregistered)
+    and in one that ships protobuf (present -> registered with the
+    stream_stateful_running oracle)."""
+    from go_batch_processor_spark.registry import REGISTRY, _ensure_loaded
+    from go_batch_processor_spark.streaming.stateful import (
+        transform_with_state_available,
+    )
+
+    _ensure_loaded()
+    registered = "stream_user_running_stats_tws" in REGISTRY
+    assert registered == transform_with_state_available()
+    if registered:
+        spec = REGISTRY["stream_user_running_stats_tws"]
+        assert spec.oracle is not None and "max_gap_s" in spec.oracle
