@@ -1853,13 +1853,14 @@ TRENDING_TOPK = 10
     scored AS (
       SELECT part,
              CAST(sum(c) AS BIGINT) AS n_events,
-             list_reduce(list(c / (1.0 + age) ORDER BY age),
-                         (x, y) -> x + y) AS score
+             sum(CAST((CAST(c AS HUGEINT) * 1000000000000
+                       + (1 + age) // 2) // (1 + age) AS BIGINT)) AS s12
       FROM aged GROUP BY part
     )
-    SELECT part, n_events, round(score, 6) AS score
+    SELECT part, n_events,
+           CAST((s12 + 500000) // 1000000 AS BIGINT) AS score_micros
     FROM scored
-    ORDER BY score DESC, part
+    ORDER BY s12 DESC, part
     LIMIT {TRENDING_TOPK}
     """,
 )
@@ -1872,11 +1873,15 @@ def analytics_trending_hyperbolic(spark: SparkSession, sf_dir: str) -> DataFrame
     term is a ratio of exact integers, so the score is engine-portable
     (exp is libm — the determinism doctrine).
 
-    Exactness shape: (part, age) compresses the fact stream (ages are
-    calendar-bounded); the per-part score is an ORDERED fold over the
-    age-sorted term list (varying 1+age denominators make the sum
-    order-dependent in doubles — the KM fold doctrine), and top-k plans
-    as TakeOrderedAndProject.
+    Exactness shape (r8 rewrite, same doctrine as the KM integer fold):
+    (part, age) compresses the fact stream (ages are calendar-bounded);
+    each term is the exact scale-12 integer rhu(c·10^12/(1+age))
+    (round-half-up integer division, HUGEINT/DECIMAL38-widened), the
+    per-part score is a plain INTEGER sum — order-independent, so no
+    ordered fold is needed at all — and both the emitted score_micros
+    and the top-k ORDER BY ride the integer, killing the
+    equal-rounded-score tie-break hazard of ordering by a raw double.
+    Top-k plans as TakeOrderedAndProject.
 
     Scale shape: one partial-aggregable groupBy to (part, age), one
     shuffle to per-part lists bounded by the CALENDAR (not the corpus),
@@ -1896,25 +1901,25 @@ def analytics_trending_hyperbolic(spark: SparkSession, sf_dir: str) -> DataFrame
     )
     scored = aged.groupBy("part").agg(
         F.sum("c").cast("bigint").alias("n_events"),
-        F.aggregate(
-            F.array_sort(
-                F.collect_list(
-                    F.struct(
-                        F.col("age"),
-                        (F.col("c") / (F.lit(1.0) + F.col("age"))).alias("t"),
-                    )
-                )
-            ),
-            F.lit(0.0),
-            lambda acc, x: acc + x["t"],
-        ).alias("score"),
+        F.sum(
+            F.expr(
+                "CAST((CAST(c AS DECIMAL(38,0)) * 1000000000000"
+                " + ((1 + age) DIV 2)) DIV (1 + age) AS BIGINT)"
+            )
+        ).alias("s12"),
     )
     return (
-        scored.select("part", "n_events", F.round("score", 6).alias("score"),
-                      F.col("score").alias("_s"))
-        .orderBy(F.col("_s").desc(), "part")
+        scored.select(
+            "part",
+            "n_events",
+            F.expr("CAST((s12 + 500000) DIV 1000000 AS BIGINT)").alias(
+                "score_micros"
+            ),
+            "s12",
+        )
+        .orderBy(F.col("s12").desc(), "part")
         .limit(TRENDING_TOPK)
-        .drop("_s")
+        .drop("s12")
     )
 
 

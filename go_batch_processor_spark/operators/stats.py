@@ -3534,12 +3534,21 @@ def stats_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
                  ), 0) AS n_risk
       FROM per_dur
+    ),
+    hz AS (
+      SELECT dur_h, n_risk, n_events,
+             CAST((CAST(n_events AS HUGEINT) * 1000000000000
+                   + n_risk // 2) // n_risk AS BIGINT) AS h12,
+             (CAST(n_events AS HUGEINT) * 1000000000000000000
+              + (n_risk * n_risk) // 2) // (n_risk * n_risk) AS v18
+      FROM risk WHERE n_events > 0
     )
     SELECT dur_h, n_risk, n_events,
-           round(sum(n_events * 1.0 / n_risk) OVER w, 6)        AS cum_hazard,
-           round(sum(n_events * 1.0 / (n_risk * n_risk)) OVER w, 6)
-             AS var_hazard
-    FROM risk WHERE n_events > 0
+           CAST((sum(h12) OVER w + 500000) // 1000000 AS BIGINT)
+             AS cum_hazard_micros,
+           CAST((sum(v18) OVER w + 500000000000) // 1000000000000 AS BIGINT)
+             AS var_hazard_micros
+    FROM hz
     WINDOW w AS (ORDER BY dur_h ROWS BETWEEN UNBOUNDED PRECEDING
                  AND CURRENT ROW)
     ORDER BY dur_h
@@ -3557,10 +3566,19 @@ def stats_nelson_aalen(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: identical to the KM plan — one per-user conditional
     min-aggregate, one per-duration-hour aggregate, then ordered
     windows over the ≤49-row duration frame (the documented
-    small-window exception). The running sums are over the
-    deterministic duration order, so doubles are bit-exact across
-    engines. Cited alongside stats_kaplan_meier so a user can check
-    −ln(S) ≈ H in one query pair.
+    small-window exception).
+
+    Determinism contract (r8, hardened alongside KM's integer rewrite
+    BEFORE its first driver row): per-step hazard terms are exact
+    integers — h12 = rhu(e·10^12/n), v18 = rhu(e·10^18/n²)
+    (rhu = round-half-up integer division, widened through
+    DECIMAL(38,0)/HUGEINT) — and the cumulative sums are INTEGER window
+    sums, which are order-independent: DuckDB's segment-tree window
+    accumulation and Spark's sequential frame fold cannot disagree on
+    integers, where an IEEE-double running sum depends on association
+    order. Outputs are BIGINT micros columns. Cited alongside
+    stats_kaplan_meier so a user can check −ln(S) ≈ H in one query
+    pair.
     """
     horizon_h = 48
     ev = load_table(spark, sf_dir, "events")
@@ -3605,15 +3623,36 @@ def stats_nelson_aalen(spark: SparkSession, sf_dir: str) -> DataFrame:
             "dur_h",
             "n_risk",
             "n_events",
-            F.round(
-                F.sum(F.col("n_events") * 1.0 / F.col("n_risk")).over(w_run), 6
-            ).alias("cum_hazard"),
-            F.round(
-                F.sum(
-                    F.col("n_events") * 1.0 / (F.col("n_risk") * F.col("n_risk"))
-                ).over(w_run),
-                6,
-            ).alias("var_hazard"),
+            F.expr(
+                "CAST((CAST(n_events AS DECIMAL(38,0)) * 1000000000000"
+                " + (n_risk DIV 2)) DIV n_risk AS BIGINT)"
+            ).alias("h12"),
+            F.expr(
+                "CAST(n_events AS DECIMAL(38,0)) * 1000000000000000000"
+                " + ((n_risk * n_risk) DIV 2)"
+            ).alias("v18_num"),
+            (F.col("n_risk") * F.col("n_risk")).alias("n_sq"),
+        )
+        .withColumn(
+            "v18", F.expr("CAST(v18_num DIV n_sq AS DECIMAL(38,0))")
+        )
+        .select(
+            "dur_h",
+            "n_risk",
+            "n_events",
+            F.sum("h12").over(w_run).alias("h12_sum"),
+            F.sum("v18").over(w_run).alias("v18_sum"),
+        )
+        .select(
+            "dur_h",
+            "n_risk",
+            "n_events",
+            F.expr(
+                "CAST((h12_sum + 500000) DIV 1000000 AS BIGINT)"
+            ).alias("cum_hazard_micros"),
+            F.expr(
+                "CAST((v18_sum + 500000000000) DIV 1000000000000 AS BIGINT)"
+            ).alias("var_hazard_micros"),
         )
         .orderBy("dur_h")
     )
@@ -7335,22 +7374,32 @@ def stats_pettitt_test(spark: SparkSession, sf_dir: str) -> DataFrame:
              sum(c1 + c2) OVER () AS n
       FROM comp
     ),
+    ab AS (
+      SELECT v, n1, n2, n, f,
+             n * (2 * f1 - c1) - n1 * (2 * cb - f)          AS na,
+             n * (2 * (cb - f1) - c2) - n2 * (2 * cb - f)   AS nb,
+             (2 * cb - f) * (2 * n - (2 * cb - f)) - n * f  AS d4
+      FROM cum
+    ),
     terms AS (
       SELECT v, n1, n2, n,
-             (f * 1.0 / n)
-             * (((n * (2 * f1 - c1) - n1 * (2 * cb - f))
-                 * (n * (2 * f1 - c1) - n1 * (2 * cb - f)) / n1
-                 + (n * (2 * (cb - f1) - c2) - n2 * (2 * cb - f))
-                 * (n * (2 * (cb - f1) - c2) - n2 * (2 * cb - f)) / n2)
-                / ((2 * cb - f) * (2 * n - (2 * cb - f)) - n * f)) AS term
-      FROM cum
+             CAST((2 * CAST(f AS HUGEINT)
+                   * (CAST((2 * CAST(na AS HUGEINT) * na * 1000000000000
+                            + CAST(n1 AS HUGEINT) * d4)
+                           // (2 * CAST(n1 AS HUGEINT) * d4) AS BIGINT)
+                      + CAST((2 * CAST(nb AS HUGEINT) * nb * 1000000000000
+                              + CAST(n2 AS HUGEINT) * d4)
+                             // (2 * CAST(n2 AS HUGEINT) * d4) AS BIGINT))
+                   + n) // (2 * n) AS BIGINT) AS t12
+      FROM ab
     )
     SELECT CAST(max(n1) AS BIGINT) AS n1,
            CAST(max(n2) AS BIGINT) AS n2,
            CAST(count(*) AS BIGINT) AS n_distinct,
-           round((max(n) - 1.0) / max(n)
-                 * list_reduce(list(term ORDER BY v), (x, y) -> x + y),
-                 6) AS a2
+           CAST((2 * (max(n) - 1) * CAST(sum(t12) AS HUGEINT)
+                 + CAST(max(n) AS HUGEINT) * 1000000)
+                // (2 * CAST(max(n) AS HUGEINT) * 1000000) AS BIGINT)
+             AS a2_micros
     FROM terms
     """,
 )
@@ -7362,15 +7411,19 @@ def stats_anderson_darling_2samp(spark: SparkSession, sf_dir: str) -> DataFrame:
     1/(H(1-H)) and is the most powerful of the three against tail
     differences.
 
-    Exactness shape: ties make every ingredient a midcount half-integer,
-    so denominators are cleared by 2 throughout — 2M = 2*F_i - c_i,
-    2B = 2*CB - f, numerator N*2M - n_i*2B and denominator
-    2B*(2N - 2B) - N*f are EXACT INTEGERS (products < 2^53 at any
-    plausible sf, and IEEE multiply is correctly rounded above that);
-    the per-value terms are genuinely rational, so the final summation
-    runs as an ORDERED fold (Spark aggregate() over the sorted array,
-    DuckDB list_reduce over list(ORDER BY)) — the Kaplan-Meier ordered-
-    fold doctrine for order-dependent double accumulation.
+    Exactness shape (r8 rewrite, KM integer doctrine — NO float
+    anywhere in the output path): ties make every ingredient a midcount
+    half-integer, so denominators are cleared by 2 throughout —
+    2M = 2*F_i - c_i, 2B = 2*CB - f; numerator A = N*2M - n_i*2B and
+    denominator D = 2B*(2N - 2B) - N*f are exact BIGINTs. Each term is
+    then integer-staged with round-half-up divisions mirrored on both
+    engines: u12 = rhu(A²·10^12/(n1·D)), v12 = rhu(B²·10^12/(n2·D)),
+    t12 = rhu(f·(u12+v12)/N) — all widened through
+    DECIMAL(38,0)/HUGEINT (A²·10^12 ≤ ~10^35 at sf0.1, inside 38
+    digits; the old double term also silently risked int64 overflow on
+    A²) — summed as a plain INTEGER sum (order-independent; no ordered
+    fold needed), and emitted as a2_micros =
+    rhu((N-1)·Σt12/(N·10^6)), a BIGINT.
 
     Scale shape: one partial-aggregable groupBy(quantity); windows and
     the fold live on the domain-bounded |V| <= 50 frame.
@@ -7399,28 +7452,35 @@ def stats_anderson_darling_2samp(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n, n1, n2, f = F.col("n"), F.col("n1"), F.col("n2"), F.col("f")
     tb = 2 * F.col("cb") - f
-    num1 = n * (2 * F.col("f1") - F.col("c1")) - n1 * tb
-    num2 = n * (2 * (F.col("cb") - F.col("f1")) - F.col("c2")) - n2 * tb
-    den4 = tb * (2 * n - tb) - n * f
-    term = (f * F.lit(1.0) / n) * (
-        (num1 * num1 / n1 + num2 * num2 / n2) / den4
+    num1 = (n * (2 * F.col("f1") - F.col("c1")) - n1 * tb).alias("na")
+    num2 = (
+        n * (2 * (F.col("cb") - F.col("f1")) - F.col("c2")) - n2 * tb
+    ).alias("nb")
+    den4 = (tb * (2 * n - tb) - n * f).alias("d4")
+    ab = cum.select("v", "n1", "n2", "n", "f", num1, num2, den4)
+    # rhu via the (2P+Q) DIV (2Q) form: Spark's DIV silently corrupts
+    # any intermediate QUOTIENT above int64 (see timeseries._rhu_s_spark)
+    # — (n1*d4) DIV 2 would cross that line past sf0.1.
+    t12 = F.expr(
+        "CAST((2 * CAST(f AS DECIMAL(38,0))"
+        " * (CAST((2 * CAST(na AS DECIMAL(38,0)) * na * 1000000000000"
+        "          + CAST(n1 AS DECIMAL(38,0)) * d4)"
+        "         DIV (2 * CAST(n1 AS DECIMAL(38,0)) * d4) AS BIGINT)"
+        "    + CAST((2 * CAST(nb AS DECIMAL(38,0)) * nb * 1000000000000"
+        "            + CAST(n2 AS DECIMAL(38,0)) * d4)"
+        "           DIV (2 * CAST(n2 AS DECIMAL(38,0)) * d4) AS BIGINT))"
+        " + n) DIV (2 * n) AS BIGINT)"
     )
-    terms = cum.select("v", "n1", "n2", "n", term.alias("term"))
-    arr = F.array_sort(F.collect_list(F.struct("v", "term")))
+    terms = ab.select("v", "n1", "n2", "n", t12.alias("t12"))
     return terms.agg(
         F.max("n1").cast("bigint").alias("n1"),
         F.max("n2").cast("bigint").alias("n2"),
         F.count(F.lit(1)).cast("bigint").alias("n_distinct"),
-        F.round(
-            (F.max("n") - F.lit(1.0))
-            / F.max("n")
-            * F.aggregate(
-                arr,
-                F.lit(0.0),
-                lambda acc, x: acc + x["term"],
-            ),
-            6,
-        ).alias("a2"),
+        F.expr(
+            "CAST((2 * (max(n) - 1) * CAST(sum(t12) AS DECIMAL(38,0))"
+            " + CAST(max(n) AS DECIMAL(38,0)) * 1000000)"
+            " DIV (2 * CAST(max(n) AS DECIMAL(38,0)) * 1000000) AS BIGINT)"
+        ).alias("a2_micros"),
     )
 
 

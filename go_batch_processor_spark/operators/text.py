@@ -1803,23 +1803,24 @@ RAKE_TOP_K = 20
     ),
     scored AS (
       SELECT m.doc_id, m.grp, m.pos, m.w,
-             s.deg * 1.0 / s.freq + 1.0 AS wscore
+             CAST((CAST(s.deg AS HUGEINT) * 1000000000000
+                   + s.freq // 2) // s.freq AS BIGINT)
+               + 1000000000000 AS w12
       FROM members m JOIN wstats s ON m.w = s.w
     ),
     phrases AS (
       SELECT doc_id, grp,
              array_to_string(list(w ORDER BY pos), ' ') AS phrase,
              CAST(count(*) AS BIGINT) AS n_words,
-             list_reduce(list(wscore ORDER BY pos), (a, b) -> a + b)
-               AS pscore
+             CAST(sum(w12) AS BIGINT) AS p12
       FROM scored GROUP BY doc_id, grp
     )
     SELECT phrase, max(n_words) AS n_words,
            CAST(count(*) AS BIGINT) AS occurrences,
-           round(max(pscore), 4) AS score
+           CAST((max(p12) + 500000) // 1000000 AS BIGINT) AS score_micros
     FROM phrases
     GROUP BY phrase
-    ORDER BY score DESC, phrase ASC
+    ORDER BY max(p12) DESC, phrase ASC
     LIMIT {RAKE_TOP_K}
     """,
 )
@@ -1833,15 +1834,15 @@ def text_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     distinct phrases corpus-wide — the classic unsupervised keyword
     primitive for corpus exploration / tagging in a document pipeline.
 
-    Determinism/parity shape: phrase segmentation is a running
-    stopword-count window ordered by word position (gaps-and-islands —
-    deterministic); the per-phrase score is a POSITION-ORDERED left
-    fold of the member scores on BOTH engines (Spark: aggregate() over
-    the struct-sorted collect_list; DuckDB: list_reduce over
-    list(ORDER BY pos)) — never an unordered double sum (word scores
-    are non-dyadic rationals); identical phrases always carry the
-    bit-identical score, so max() over the phrase group is
-    deterministic.
+    Determinism/parity shape (r8 rewrite, KM integer doctrine): phrase
+    segmentation is a running stopword-count window ordered by word
+    position (gaps-and-islands — deterministic); each word score is the
+    exact scale-12 integer rhu(deg·10^12/freq) + 10^12 (round-half-up
+    integer division, HUGEINT/DECIMAL38-widened), the per-phrase score
+    is a plain INTEGER sum — order-independent, no ordered fold needed
+    — and the emitted score_micros plus the top-k ORDER BY ride the
+    integer, so identical phrases carry bit-identical scores and the
+    ranking has no rounded-double tie hazard.
 
     Scale shape: one explode + one per-doc ordered window + two
     partial-combinable aggregates; the global word-score table is
@@ -1880,7 +1881,12 @@ def text_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = members.join(
         F.broadcast(
             wstats.select(
-                "w", (F.col("deg") * 1.0 / F.col("freq") + 1.0).alias("wscore")
+                "w",
+                F.expr(
+                    "CAST((CAST(deg AS DECIMAL(38,0)) * 1000000000000"
+                    " + (freq DIV 2)) DIV freq AS BIGINT)"
+                    " + 1000000000000"
+                ).alias("w12"),
             )
         ),
         "w",
@@ -1888,24 +1894,24 @@ def text_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     ordered_w = F.transform(
         F.array_sort(F.collect_list(F.struct("pos", "w"))), lambda s: s["w"]
     )
-    ordered_s = F.transform(
-        F.array_sort(F.collect_list(F.struct("pos", "wscore"))),
-        lambda s: s["wscore"],
-    )
     phrases = scored.groupBy("doc_id", "grp").agg(
         F.array_join(ordered_w, " ").alias("phrase"),
         F.count(F.lit(1)).cast("bigint").alias("n_words"),
-        F.aggregate(ordered_s, F.lit(0.0), lambda a, b: a + b).alias("pscore"),
+        F.sum("w12").cast("bigint").alias("p12"),
     )
     return (
         phrases.groupBy("phrase")
         .agg(
             F.max("n_words").alias("n_words"),
             F.count(F.lit(1)).cast("bigint").alias("occurrences"),
-            F.round(F.max("pscore"), 4).alias("score"),
+            F.expr(
+                "CAST((max(p12) + 500000) DIV 1000000 AS BIGINT)"
+            ).alias("score_micros"),
+            F.max("p12").alias("_p12"),
         )
-        .orderBy(F.col("score").desc(), F.col("phrase").asc())
+        .orderBy(F.col("_p12").desc(), F.col("phrase").asc())
         .limit(RAKE_TOP_K)
+        .drop("_p12")
     )
 
 

@@ -1891,136 +1891,226 @@ def timeseries_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 LOESS_HALF = 12  # loess window half-width: 25-point local linear fits
+_L3 = (LOESS_HALF + 1) ** 3  # 2197: tricube denominator base, cubed
 
 
-def _loess_wt_sql(r: str) -> str:
-    """Tricube weight (1-|d/(h+1)|^3)^3 as explicit multiplications —
-    no pow() (libm) anywhere, so the doubles are bit-identical across
-    engines."""
-    u = f"(abs({r} - rn) / {LOESS_HALF + 1}.0)"
-    c = f"(1 - {u}*{u}*{u})"
+def _loess_wn_sql(d: str) -> str:
+    """INTEGER tricube weight numerator (2197 - |d|^3)^3 — the exact
+    tricube weight times 2197^3, as explicit multiplications (no pow).
+    The 2197^3 scale cancels between numerator and denominator of the
+    weighted-least-squares ratio, so weights never need to be floats."""
+    # CAST to BIGINT: Spark's row_number is INT and c^3 ~ 1.06e10
+    # overflows int32 under ANSI mode; DuckDB is indifferent.
+    c = f"CAST({_L3} - abs(({d})*({d})*({d})) AS BIGINT)"
     return f"({c}*{c}*{c})"
 
 
-_W_R = _loess_wt_sql("r")
-_W_S = _loess_wt_sql("s[1]")
+_WN_R = _loess_wn_sql("r - rn")
+_WN_S = _loess_wn_sql("s[1] - rn")
+
+
+def _rhu_s_duck(p: str, q: str) -> str:
+    """Signed round-half-up integer division for DuckDB: rhu(P/Q) =
+    floor((2P+Q)/(2Q)) for P>=0, mirrored for P<0. Both branches divide
+    NONNEGATIVE operands, where // (floor) and truncation agree, so the
+    idiom is engine-portable; the (2P+Q)/(2Q) form (instead of
+    (P + Q//2)/Q) keeps every intermediate QUOTIENT small — Spark's DIV
+    silently corrupts quotients that exceed int64, see _rhu_s_spark."""
+    return (
+        f"CASE WHEN ({p}) >= 0"
+        f" THEN CAST((2 * ({p}) + ({q})) // (2 * ({q})) AS BIGINT)"
+        f" ELSE -CAST((2 * (-({p})) + ({q})) // (2 * ({q})) AS BIGINT) END"
+    )
 
 
 # The STL CTE chain (hourly series -> loess trend -> hour-of-day
 # seasonal) is shared by timeseries_stl_loess and the S-H-ESD anomaly
-# screen built on its residuals.
+# screen built on its residuals. r8 rewrite (KM integer doctrine): the
+# series is integer micro-dollars, tricube weights are exact integers
+# (2197^3-scaled), the five WLS sums are INTEGER sums (order-independent
+# — the previous double folds were the construct behind the
+# stats_kaplan_meier driver reds), and trend/seasonal come from signed
+# round-half-up integer divisions mirrored exactly on the Spark side.
 _STL_CTES = f"""
     hourly AS (
       SELECT date_trunc('hour', ts) AS hour,
-             sum(CAST(round(value * 100) AS BIGINT)) / count(*) / 100.0 AS v
+             CAST((CAST(sum(CAST(round(value * 100) AS BIGINT)) AS HUGEINT)
+                   * 10000 + count(*) // 2) // count(*) AS BIGINT) AS vu
       FROM events
       GROUP BY 1
     ),
     idx AS (
-      SELECT hour, v, row_number() OVER (ORDER BY hour) AS rn FROM hourly
+      SELECT hour, vu, row_number() OVER (ORDER BY hour) AS rn FROM hourly
     ),
     frames AS (
-      SELECT hour, v, rn,
+      SELECT hour, vu, rn,
              list(rn) OVER w AS rns,
-             list(v)  OVER w AS ys
+             list(vu) OVER w AS vus
       FROM idx
       WINDOW w AS (ORDER BY hour ROWS BETWEEN {LOESS_HALF} PRECEDING
                    AND {LOESS_HALF} FOLLOWING)
     ),
     fit AS (
-      SELECT hour, v,
-        list_reduce(list_transform(rns, r -> {_W_R}), (a, b) -> a + b) AS s0,
-        list_reduce(list_transform(rns, r -> {_W_R} * (r - rn)),
+      SELECT hour, vu,
+        list_reduce(list_transform(rns, r -> {_WN_R}),
+                    (a, b) -> a + b) AS s0,
+        list_reduce(list_transform(rns, r -> {_WN_R} * (r - rn)),
                     (a, b) -> a + b) AS s1,
-        list_reduce(list_transform(rns, r -> {_W_R} * (r - rn) * (r - rn)),
+        list_reduce(list_transform(rns, r -> {_WN_R} * (r - rn) * (r - rn)),
                     (a, b) -> a + b) AS s2,
-        list_reduce(list_transform(list_zip(rns, ys), s -> {_W_S} * s[2]),
+        list_reduce(list_transform(list_zip(rns, vus),
+                                   s -> CAST({_WN_S} AS HUGEINT) * s[2]),
                     (a, b) -> a + b) AS t0,
-        list_reduce(list_transform(list_zip(rns, ys),
-                                   s -> {_W_S} * (s[1] - rn) * s[2]),
+        list_reduce(list_transform(list_zip(rns, vus),
+                                   s -> CAST({_WN_S} AS HUGEINT)
+                                        * (s[1] - rn) * s[2]),
                     (a, b) -> a + b) AS t1
       FROM frames
     ),
     trended AS (
-      SELECT hour, v,
-             (s2 * t0 - s1 * t1) / (s0 * s2 - s1 * s1) AS trend
+      SELECT hour, vu,
+             {_rhu_s_duck(
+                 "CAST(s2 AS HUGEINT) * t0 - CAST(s1 AS HUGEINT) * t1",
+                 "CAST(s0 AS HUGEINT) * s2 - CAST(s1 AS HUGEINT) * s1",
+             )} AS trend_u
       FROM fit
     ),
     seas AS (
-      SELECT hour, v, trend,
-             avg(v - trend) OVER (PARTITION BY extract(hour FROM hour))
-               - avg(v - trend) OVER () AS seasonal
+      SELECT hour, vu, trend_u,
+             {_rhu_s_duck(
+                 "CAST(sum(vu - trend_u) OVER hod AS HUGEINT)"
+                 " * (count(*) OVER ())"
+                 " - CAST(sum(vu - trend_u) OVER () AS HUGEINT)"
+                 " * (count(*) OVER hod)",
+                 "CAST(count(*) OVER hod AS HUGEINT)"
+                 " * (count(*) OVER ())",
+             )} AS seasonal_u
       FROM trended
+      WINDOW hod AS (PARTITION BY extract(hour FROM hour))
     )"""
 
 
+def _rhu_s_spark(p: str, q: str) -> str:
+    """Signed round-half-up integer division for Spark SQL (DECIMAL
+    operands). Mirrors _rhu_s_duck exactly. CRITICAL: Spark's DIV
+    always casts its result to LONG and silently corrupts it when the
+    true quotient exceeds int64 (measured: DECIMAL(38,0) 3.2e24 DIV 2
+    returns 2.55e18, no error even under ANSI) — so rhu must be the
+    (2P+Q) DIV (2Q) form, whose only quotient is the small final
+    result, NEVER (P + Q DIV 2) DIV Q, whose inner Q DIV 2 overflows
+    for wide-decimal Q. Both branches divide nonnegative operands, so
+    DIV (truncation) equals DuckDB's // (floor)."""
+    return (
+        f"CASE WHEN ({p}) >= 0"
+        f" THEN CAST((2 * ({p}) + ({q})) DIV (2 * ({q})) AS BIGINT)"
+        f" ELSE -CAST((2 * (-({p})) + ({q})) DIV (2 * ({q})) AS BIGINT) END"
+    )
+
+
 def _stl_decomposed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Shared STL machinery: hourly exact-cents mean series with a
-    25-point tricube loess trend and a mean-centered hour-of-day
-    seasonal (unrounded doubles; see timeseries_stl_loess for the
-    determinism argument)."""
+    """Shared STL machinery: hourly integer micro-dollar mean series
+    with a 25-point tricube loess trend and a mean-centered hour-of-day
+    seasonal — ALL columns exact integers (see timeseries_stl_loess for
+    the determinism contract)."""
     ev = load_table(spark, sf_dir, "events")
     hourly = ev.groupBy(F.date_trunc("hour", "ts").alias("hour")).agg(
-        (
-            F.sum(F.round(F.col("value") * 100).cast("long"))
-            / F.count(F.lit(1))
-            / 100.0
-        ).alias("v")
+        F.expr(
+            "CAST((CAST(sum(CAST(round(value * 100) AS BIGINT))"
+            " AS DECIMAL(38,0)) * 10000 + (count(1) DIV 2))"
+            " DIV count(1) AS BIGINT)"
+        ).alias("vu")
     )
     w_ord = Window.orderBy("hour")
     idx = hourly.withColumn("rn", F.row_number().over(w_ord))
     w = Window.orderBy("hour").rowsBetween(-LOESS_HALF, LOESS_HALF)
     frames = idx.select(
         "hour",
-        "v",
+        "vu",
         "rn",
         F.collect_list("rn").over(w).alias("rns"),
-        F.collect_list("v").over(w).alias("ys"),
+        F.collect_list("vu").over(w).alias("vus"),
     )
-
-    def wt(r):
-        u = F.abs(r - F.col("rn")) / float(LOESS_HALF + 1)
-        c = F.lit(1.0) - u * u * u
-        return c * c * c
-
-    def fold(arr):
-        return F.aggregate(arr, F.lit(0.0), lambda a, b: a + b)
-
-    d = lambda r: r - F.col("rn")  # noqa: E731
+    wn = _loess_wn_sql("r - rn")
+    wn_s = _loess_wn_sql("s.rn_a - rn")
+    # Integer WLS sums. s0/s1/s2 fit BIGINT (<= ~4e13); t0/t1 carry the
+    # micro-dollar series and accumulate in DECIMAL(38,0).
     fit = frames.select(
         "hour",
-        "v",
-        fold(F.transform("rns", lambda r: wt(r))).alias("s0"),
-        fold(F.transform("rns", lambda r: wt(r) * d(r))).alias("s1"),
-        fold(F.transform("rns", lambda r: wt(r) * d(r) * d(r))).alias("s2"),
-        fold(F.zip_with("rns", "ys", lambda r, y: wt(r) * y)).alias("t0"),
-        fold(F.zip_with("rns", "ys", lambda r, y: wt(r) * d(r) * y)).alias(
-            "t1"
-        ),
+        "vu",
+        F.expr(
+            f"aggregate(rns, CAST(0 AS BIGINT), (a, r) -> a + {wn})"
+        ).alias("s0"),
+        F.expr(
+            f"aggregate(rns, CAST(0 AS BIGINT),"
+            f" (a, r) -> a + {wn} * (r - rn))"
+        ).alias("s1"),
+        F.expr(
+            f"aggregate(rns, CAST(0 AS BIGINT),"
+            f" (a, r) -> a + {wn} * (r - rn) * (r - rn))"
+        ).alias("s2"),
+        F.expr(
+            "aggregate(zip_with(rns, vus,"
+            " (rn_a, vu_a) -> struct(rn_a, vu_a)),"
+            " CAST(0 AS DECIMAL(38,0)),"
+            f" (a, s) -> a + CAST({wn_s} AS DECIMAL(38,0)) * s.vu_a)"
+        ).alias("t0"),
+        F.expr(
+            "aggregate(zip_with(rns, vus,"
+            " (rn_a, vu_a) -> struct(rn_a, vu_a)),"
+            " CAST(0 AS DECIMAL(38,0)),"
+            f" (a, s) -> a + CAST({wn_s} AS DECIMAL(38,0))"
+            " * (s.rn_a - rn) * s.vu_a)"
+        ).alias("t1"),
     )
     trended = fit.select(
         "hour",
-        "v",
-        (
-            (F.col("s2") * F.col("t0") - F.col("s1") * F.col("t1"))
-            / (F.col("s0") * F.col("s2") - F.col("s1") * F.col("s1"))
-        ).alias("trend"),
+        "vu",
+        F.expr(
+            _rhu_s_spark(
+                "CAST(s2 AS DECIMAL(38,0)) * t0"
+                " - CAST(s1 AS DECIMAL(38,0)) * t1",
+                "CAST(s0 AS DECIMAL(38,0)) * s2"
+                " - CAST(s1 AS DECIMAL(38,0)) * s1",
+            )
+        ).alias("trend_u"),
     )
     w_hod = Window.partitionBy(F.hour("hour"))
     w_all = Window.partitionBy()
-    det = F.col("v") - F.col("trend")
-    seasonal = F.avg(det).over(w_hod) - F.avg(det).over(w_all)
-    return trended.select("hour", "v", "trend", seasonal.alias("seasonal"))
+    det = F.col("vu") - F.col("trend_u")
+    seas = trended.select(
+        "hour",
+        "vu",
+        "trend_u",
+        F.sum(det).over(w_hod).alias("a_hod"),
+        F.count(F.lit(1)).over(w_hod).alias("n_hod"),
+        F.sum(det).over(w_all).alias("b_all"),
+        F.count(F.lit(1)).over(w_all).alias("n_all"),
+    )
+    return seas.select(
+        "hour",
+        "vu",
+        "trend_u",
+        F.expr(
+            _rhu_s_spark(
+                "CAST(a_hod AS DECIMAL(38,0)) * n_all"
+                " - CAST(b_all AS DECIMAL(38,0)) * n_hod",
+                "CAST(n_hod AS DECIMAL(38,0)) * n_all",
+            )
+        ).alias("seasonal_u"),
+    )
 
 
 @register(
     "timeseries_stl_loess",
     oracle=f"""
     WITH {_STL_CTES}
-    SELECT hour, round(v, 4) AS v, round(trend, 4) AS trend,
-           round(seasonal, 4) AS seasonal,
-           round(v - trend - seasonal, 4) AS resid
+    SELECT hour,
+           vu                            AS v_micros,
+           trend_u                       AS trend_micros,
+           seasonal_u                    AS seasonal_micros,
+           vu - trend_u - seasonal_u     AS resid_micros
     FROM seas
+    ORDER BY hour
     """,
 )
 def timeseries_stl_loess(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2039,28 +2129,32 @@ def timeseries_stl_loess(spark: SparkSession, sf_dir: str) -> DataFrame:
     S_m = sum(w_j d_j^m), T_m = sum(w_j d_j^m y_j), d_j = j - i,
     w_j = tricube(|d_j|/(h+1)).
 
-    Plan/determinism shape: the fact table compresses to one row per
-    hour FIRST (exact integer-cents mean — the money parity rule), so
-    the loess windows run over the aggregate-sized series. Each point's
-    neighborhood is gathered by ONE ordered collect_list window (frame
-    order = hour order on both engines) and the five weighted sums are
-    LEFT FOLDS over those arrays — sequential IEEE adds, bit-exact
-    across engines; tricube uses explicit multiplication, never pow()
-    (libm). This is the documented small-window exception: |hours|
-    rows, 25-element arrays, O(h) per row, embarrassingly parallel
-    after the per-hour agg. At 100 TB the hourly agg is the only
-    full-data shuffle.
+    Plan/determinism shape (r8 integer rewrite — the KM doctrine): the
+    fact table compresses to one row per hour FIRST, to the INTEGER
+    micro-dollar mean vu = rhu(cents·10^4/count); the tricube weight is
+    the exact integer (2197−|d|³)³ (its 2197³ scale cancels in the WLS
+    ratio, so weights are never floats); the five weighted sums are
+    plain INTEGER sums over the 25-element neighborhood arrays —
+    order-independent, immune to fold-implementation differences (the
+    construct behind the kaplan_meier driver reds); trend_u is one
+    signed round-half-up integer division of exact DECIMAL38/HUGEINT
+    products, seasonal_u likewise from the two integer window sums, and
+    resid_micros = vu − trend_u − seasonal_u EXACTLY (the additive
+    identity holds bit-for-bit, not to rounding tolerance). All four
+    emitted series are BIGINT micros. Scale: |hours| rows, 25-element
+    arrays, O(h) per row, embarrassingly parallel after the per-hour
+    agg — at 100 TB the hourly agg is the only full-data shuffle.
     """
     dec = _stl_decomposed(spark, sf_dir)
     return dec.select(
         "hour",
-        F.round("v", 4).alias("v"),
-        F.round("trend", 4).alias("trend"),
-        F.round("seasonal", 4).alias("seasonal"),
-        F.round(
-            F.col("v") - F.col("trend") - F.col("seasonal"), 4
-        ).alias("resid"),
-    )
+        F.col("vu").alias("v_micros"),
+        F.col("trend_u").alias("trend_micros"),
+        F.col("seasonal_u").alias("seasonal_micros"),
+        (F.col("vu") - F.col("trend_u") - F.col("seasonal_u")).alias(
+            "resid_micros"
+        ),
+    ).orderBy("hour")
 
 
 SHESD_Z = 3.0  # robust-z flag threshold (the fixed-alpha S-H-ESD variant)
@@ -2071,9 +2165,7 @@ SHESD_Z = 3.0  # robust-z flag threshold (the fixed-alpha S-H-ESD variant)
     oracle=f"""
     WITH {_STL_CTES},
     resid AS (
-      SELECT hour,
-             CAST(floor((v - trend - seasonal) * 1e6 + 0.5) AS BIGINT) AS ru
-      FROM seas
+      SELECT hour, vu - trend_u - seasonal_u AS ru FROM seas
     ),
     r1 AS (
       SELECT quantile_cont(CAST(ru AS DOUBLE), 0.5) AS med1 FROM resid
@@ -2138,11 +2230,7 @@ def timeseries_anomaly_shesd(spark: SparkSession, sf_dir: str) -> DataFrame:
     dec = _stl_decomposed(spark, sf_dir)
     resid = dec.select(
         "hour",
-        F.floor(
-            (F.col("v") - F.col("trend") - F.col("seasonal")) * 1e6 + 0.5
-        )
-        .cast("long")
-        .alias("ru"),
+        (F.col("vu") - F.col("trend_u") - F.col("seasonal_u")).alias("ru"),
     )
     r1 = resid.agg(
         F.expr("percentile(CAST(ru AS DOUBLE), 0.5)").alias("med1")

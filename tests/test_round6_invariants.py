@@ -43,6 +43,7 @@ def test_nelson_aalen_below_neg_log_km(spark, sf_dir):
     import numpy as np
 
     na = _run("stats_nelson_aalen", spark, sf_dir).set_index("dur_h")
+    na["cum_hazard"] = na["cum_hazard_micros"] / 1e6
     km = _run("stats_kaplan_meier", spark, sf_dir).set_index("dur_h")
     km["survival"] = km["survival_micros"] / 1e6
     joined = na.join(km[["survival"]], how="inner")

@@ -17,9 +17,9 @@ def test_stl_loess_trend_defined_at_edges(spark, sf_dir):
     point of the local-regression trend."""
     df = REGISTRY["timeseries_stl_loess"].fn(spark, sf_dir)
     pdf = df.toPandas().sort_values("hour")
-    assert pdf["trend"].notna().all()
-    assert pdf["seasonal"].notna().all()
-    assert pdf["resid"].notna().all()
+    assert pdf["trend_micros"].notna().all()
+    assert pdf["seasonal_micros"].notna().all()
+    assert pdf["resid_micros"].notna().all()
     # classical MA key IS null at the edges on the same data (contrast)
     ma = REGISTRY["timeseries_seasonal_decompose"].fn(spark, sf_dir).toPandas()
     assert ma["trend"].isna().sum() > 0
@@ -28,13 +28,16 @@ def test_stl_loess_trend_defined_at_edges(spark, sf_dir):
 def test_stl_loess_decomposition_identity_and_centering(spark, sf_dir):
     df = REGISTRY["timeseries_stl_loess"].fn(spark, sf_dir)
     pdf = df.toPandas()
-    # additive identity holds to rounding tolerance
-    err = (pdf["v"] - pdf["trend"] - pdf["seasonal"] - pdf["resid"]).abs()
-    assert err.max() <= 2e-4 + 1e-12
-    # the seasonal profile is mean-centered by construction
-    assert abs(pdf["seasonal"].mean()) < 1e-3
+    # additive identity holds EXACTLY (integer micros contract, r8)
+    err = (
+        pdf["v_micros"] - pdf["trend_micros"] - pdf["seasonal_micros"]
+        - pdf["resid_micros"]
+    ).abs()
+    assert err.max() == 0
+    # the seasonal profile is mean-centered by construction (micros)
+    assert abs(pdf["seasonal_micros"].mean()) < 1e3
     # trend actually smooths: residual variance < raw variance
-    assert pdf["resid"].var() < pdf["v"].var()
+    assert pdf["resid_micros"].var() < pdf["v_micros"].var()
 
 
 def test_readability_ranges_and_monotonicity(spark, sf_dir):

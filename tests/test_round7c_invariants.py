@@ -23,7 +23,7 @@ def test_shesd_flags_exceed_threshold_and_subset_of_hours(spark, sf_dir):
     # also exceed every round-2-only row's round-1 implied ordering is
     # not guaranteed, but resid magnitude of flagged rows must exceed
     # the series median absolute residual.
-    assert anoms.resid.abs().min() > stl.resid.abs().median()
+    assert anoms.resid.abs().min() > (stl.resid_micros / 1e6).abs().median()
 
 
 def test_lttb_keeps_endpoints_and_bucket_count(spark, sf_dir):

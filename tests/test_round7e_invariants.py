@@ -181,7 +181,7 @@ def test_anderson_darling_matches_scipy_free_twin(spark, sf_dir):
     a2 *= (n - 1.0) / n
     assert pdf.n1[0] == n1 and pdf.n2[0] == n2
     assert pdf.n_distinct[0] == len(vals)
-    assert abs(pdf.a2[0] - a2) < 1e-6
+    assert abs(pdf.a2_micros[0] / 1e6 - a2) < 2e-6
 
 
 def test_page_trend_matches_pandas_rank_twin(spark, sf_dir):
@@ -493,7 +493,10 @@ def test_trending_hyperbolic_matches_pandas_twin(spark, sf_dir):
     # the reported top-k matches the twin's top-k set and ordering
     top = scores.head(TRENDING_TOPK)
     assert list(pdf.part) == list(top.index)
-    assert np.abs(pdf.score.to_numpy() - top.to_numpy()).max() < 1e-5
+    assert (
+        np.abs(pdf.score_micros.to_numpy() / 1e6 - top.to_numpy()).max()
+        < 1e-5
+    )
 
 
 def test_sen_slope_ci_matches_numpy_twin_and_brackets(spark, sf_dir):
