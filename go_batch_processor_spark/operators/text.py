@@ -18,6 +18,56 @@ from go_batch_processor_spark.registry import REGISTRY, register
 
 TOP_WORDS = 20
 STOPWORDS = ("the", "a", "of", "and", "to", "in", "is")
+
+# Shared corpus bigram-count model (r8, the graph _triangle_census
+# pattern): text_bigram_kn_logprob, text_head_middle_tail_split and
+# text_pmi_collocations each rebuilt the identical (w1, w2) count table
+# from a full corpus explode — the most expensive shared scan in the
+# text family. The DISTINCT-bigram count frame is Zipf-bounded
+# (vocabulary-sized, never corpus-sized) so it is safe to
+# localCheckpoint and share per (session, fixture); the corpus-sized
+# exploded stream `bi` is NOT cached (the graph lesson: materializing
+# the corpus-sized frame cost 37 s vs 9 s) — each consumer re-derives
+# it lazily and pays its own scoring join.
+_BIGRAM_CB_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def _corpus_bigrams(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """(bi, cb): the per-occurrence bigram stream (lazy, rebuilt per
+    consumer) and the shared localCheckpoint'd distinct-bigram count
+    frame (w1, w2, c BIGINT)."""
+    import os
+
+    d = load_table(spark, sf_dir, "documents")
+    w = F.split(F.lower("text"), " ")
+    bi = (
+        d.filter(F.size(w) >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size(w) - 1),
+                    lambda i: F.struct(
+                        F.element_at(w, i).alias("w1"),
+                        F.element_at(w, i + 1).alias("w2"),
+                    ),
+                )
+            ).alias("g"),
+        )
+        .select("doc_id", "g.w1", "g.w2")
+    )
+    key = (spark.sparkContext.applicationId, os.path.realpath(sf_dir))
+    cb = _BIGRAM_CB_CACHE.get(key)
+    if cb is None:
+        cb = (
+            bi.groupBy("w1", "w2")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+            .localCheckpoint(eager=False)
+        )
+        _BIGRAM_CB_CACHE[key] = cb
+    return bi, cb
 # Tiny per-language function-word profiles for the n-gram/heuristic lang-ID.
 LANG_PROFILES = {
     "en": ("the", "of", "and", "a", "to", "is"),
@@ -1247,26 +1297,10 @@ def text_bigram_kn_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     is partial-combinable. avg(ln p) is order-dependent double math —
     rounded to 6 on both engines per the parity rules; the probability
     itself is integer-count arithmetic in an identical expression tree,
-    hence bit-exact per bigram."""
-    d = load_table(spark, sf_dir, "documents")
-    w = F.split(F.lower("text"), " ")
-    bi = (
-        d.filter(F.size(w) >= 2)
-        .select(
-            "doc_id",
-            F.explode(
-                F.transform(
-                    F.sequence(F.lit(1), F.size(w) - 1),
-                    lambda i: F.struct(
-                        F.element_at(w, i).alias("w1"),
-                        F.element_at(w, i + 1).alias("w2"),
-                    ),
-                )
-            ).alias("g"),
-        )
-        .select("doc_id", "g.w1", "g.w2")
-    )
-    cb = bi.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c"))
+    hence bit-exact per bigram. The (w1,w2) count model comes from the
+    shared _corpus_bigrams cache (vocab-sized checkpoint, built once per
+    session+fixture across the three bigram-model keys)."""
+    bi, cb = _corpus_bigrams(spark, sf_dir)
     cw = cb.groupBy("w1").agg(
         F.sum("c").alias("cw"), F.count(F.lit(1)).alias("nf")
     )
@@ -1333,25 +1367,10 @@ def text_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus-sized), marginals re-aggregate cb rather than rescanning,
     and the top-k is TakeOrderedAndProject. The PMI expression is
     integer-count arithmetic in an identical tree → bit-exact, so even
-    the k-boundary ordering matches the oracle exactly."""
-    d = load_table(spark, sf_dir, "documents")
-    w = F.split(F.lower("text"), " ")
-    bi = (
-        d.filter(F.size(w) >= 2)
-        .select(
-            F.explode(
-                F.transform(
-                    F.sequence(F.lit(1), F.size(w) - 1),
-                    lambda i: F.struct(
-                        F.element_at(w, i).alias("w1"),
-                        F.element_at(w, i + 1).alias("w2"),
-                    ),
-                )
-            ).alias("g")
-        )
-        .select("g.w1", "g.w2")
-    )
-    cb = bi.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    the k-boundary ordering matches the oracle exactly. The count table
+    rides the shared _corpus_bigrams checkpoint."""
+    _, cb0 = _corpus_bigrams(spark, sf_dir)
+    cb = cb0.select("w1", "w2", F.col("c").alias("c12"))
     n = cb.agg(F.sum("c12").alias("nb"))
     u1 = cb.groupBy("w1").agg(F.sum("c12").alias("c1"))
     u2 = cb.groupBy("w2").agg(F.sum("c12").alias("c2"))
@@ -2151,25 +2170,7 @@ def text_head_middle_tail_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from go_batch_processor_spark.dist_rank import distributed_row_number
 
-    d = load_table(spark, sf_dir, "documents")
-    w = F.split(F.lower("text"), " ")
-    bi = (
-        d.filter(F.size(w) >= 2)
-        .select(
-            "doc_id",
-            F.explode(
-                F.transform(
-                    F.sequence(F.lit(1), F.size(w) - 1),
-                    lambda i: F.struct(
-                        F.element_at(w, i).alias("w1"),
-                        F.element_at(w, i + 1).alias("w2"),
-                    ),
-                )
-            ).alias("g"),
-        )
-        .select("doc_id", "g.w1", "g.w2")
-    )
-    cb = bi.groupBy("w1", "w2").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    bi, cb = _corpus_bigrams(spark, sf_dir)
     doc = (
         bi.join(cb, ["w1", "w2"])
         .groupBy("doc_id")
