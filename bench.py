@@ -159,6 +159,7 @@ CHECKPOINT_HEAVY = [
     "ml_lift_gain_deciles",
     "graph_triangle_count",
     "graph_local_clustering",
+    "agg_median_distributed",
 ]
 
 

@@ -2232,15 +2232,30 @@ def ml_lift_gain_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     statistic is identical because the ordering is total.
     """
     from go_batch_processor_spark.dist_rank import distributed_row_number
+    from go_batch_processor_spark.operators.dedup import _spread
 
     li = load_table(spark, sf_dir, "lineitem")
-    scored = li.select(
-        (F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))).alias(
-            "score"
-        ),
-        F.when(F.col("l_returnflag") == "R", 1).otherwise(0).alias("y"),
-        "l_orderkey",
-        "l_linenumber",
+    scored = (
+        _spread(
+            li.select(
+                (
+                    F.col("l_extendedprice")
+                    * (F.lit(1.0) - F.col("l_discount"))
+                ).alias("score"),
+                F.when(F.col("l_returnflag") == "R", 1).otherwise(0).alias(
+                    "y"
+                ),
+                "l_orderkey",
+                "l_linenumber",
+            )
+        )
+        # dist_rank consumes this three times and the fixture parquet
+        # scans as 3 row-group-bound tasks — without the rebalance every
+        # pass (quantile sample, bucket counts, bucketed rank) runs at
+        # parallelism 3 regardless of cores; the checkpoint stops the
+        # three passes re-running the scan+repartition (the _spread
+        # rationale in dedup.py; measured 7.0 -> ~3 s at sf0.1).
+        .localCheckpoint(eager=True)
     )
     ranked, n_tot = distributed_row_number(
         scored,
