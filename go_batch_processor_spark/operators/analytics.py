@@ -455,18 +455,22 @@ def analytics_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("recency_days"),
         F.count(F.lit(1)).alias("frequency"),
         F.round(F.sum("value"), 2).alias("monetary"),
-    )
+        # each distributed_row_number consumes its input three times and
+        # the three calls CHAIN — without truncation r3's sample pass
+        # re-executes the events scan + agg ~9x; checkpoint the
+        # node-sized frame at each link (the lift_gain/_spread lesson)
+    ).localCheckpoint(eager=False)
     r1, n = distributed_row_number(
         base, "recency_days",
         [F.col("recency_days").asc(), F.col("user_id").asc()], "__rn_r",
     )
     r2, _ = distributed_row_number(
-        r1, "frequency",
+        r1.localCheckpoint(eager=False), "frequency",
         [F.col("frequency").desc(), F.col("user_id").asc()], "__rn_f",
         descending=True,
     )
     r3, _ = distributed_row_number(
-        r2, "monetary",
+        r2.localCheckpoint(eager=False), "monetary",
         [F.col("monetary").desc(), F.col("user_id").asc()], "__rn_m",
         descending=True,
     )
@@ -830,7 +834,10 @@ def analytics_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     frame (the round-5 straggler finding). A single-row aggregate closes
     it."""
     ev = load_table(spark, sf_dir, "events")
-    per_user = ev.groupBy("user_id").agg(F.sum("value").alias("x"))
+    per_user = ev.groupBy("user_id").agg(
+        F.sum("value").alias("x")
+        # consumed 3x by the rank helper; truncate the scan+agg lineage
+    ).localCheckpoint(eager=False)
     ranked, _n = distributed_row_number(
         per_user, "x", [F.col("x").asc(), F.col("user_id").asc()], "i"
     )
@@ -1046,7 +1053,10 @@ def analytics_pareto_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     arithmetic — no floating boundary to diverge; only the final shares
     are rounded."""
     ev = load_table(spark, sf_dir, "events")
-    per_user = ev.groupBy("user_id").agg(F.sum("value").alias("x"))
+    per_user = ev.groupBy("user_id").agg(
+        F.sum("value").alias("x")
+        # consumed 3x by the rank helper; truncate the scan+agg lineage
+    ).localCheckpoint(eager=False)
     ranked, n = distributed_row_number(
         per_user,
         "x",

@@ -5068,7 +5068,12 @@ def stats_wilcoxon_signed_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
             - F.col("c1") * 1.0 / F.col("n1") / 100.0
         ).alias("d"),
     )
-    nz = paired.filter(F.col("d") != 0).withColumn("absd", F.abs("d"))
+    nz = (
+        paired.filter(F.col("d") != 0)
+        .withColumn("absd", F.abs("d"))
+        # consumed 3x by the rank helper; truncate the scan+agg lineage
+        .localCheckpoint(eager=False)
+    )
     ranked, _n = distributed_row_number(
         nz, "absd", [F.col("absd").asc(), F.col("user_id").asc()], "rn"
     )
