@@ -96,3 +96,20 @@ def test_spark_div_quotient_overflow_still_silently_corrupts(spark):
         "SELECT CAST('3234567890123456789012345' AS DECIMAL(38,0)) DIV 2"
     ).first()[0]
     assert val != 3234567890123456789012345 // 2  # true quotient > int64
+
+
+def test_fold_doctrine_audit_is_clean():
+    """Regression gate for the round-8 determinism doctrine: no oracled
+    key may (re)introduce a cross-engine double-fold construct — DuckDB
+    list_reduce without HUGEINT widening, or Spark F.aggregate with a
+    float init — outside the documented HANDOFF watchlist."""
+    import subprocess
+    import sys
+
+    r = subprocess.run(
+        [sys.executable, "tools/fold_audit.py"],
+        capture_output=True,
+        text=True,
+        cwd=__file__.rsplit("/tests/", 1)[0],
+    )
+    assert r.returncode == 0, r.stdout + r.stderr
