@@ -7,6 +7,7 @@ from go_batch_processor_spark.operators import (  # noqa: F401
     cdc,
     composite,
     dedup,
+    diagnostics,
     filters,
     graph,
     joins,

@@ -30,6 +30,8 @@ PR_TOP_K = 20
 # localCheckpoint'd frames are shared; the second caller pays only its
 # own aggregate. Keyed on applicationId so a restarted session can never
 # serve a dead checkpoint.
+# Stale-session eviction + the executor-loss caveat (localCheckpoint is
+# non-reliable storage) are documented in go_batch_processor_spark.dfcache.
 _TRI_CENSUS_CACHE: dict[tuple[str, str], tuple[DataFrame, DataFrame]] = {}
 
 
@@ -54,6 +56,9 @@ def _triangle_census(
     import os
 
     key = (spark.sparkContext.applicationId, os.path.realpath(sf_dir))
+    from go_batch_processor_spark.dfcache import evict_stale
+
+    evict_stale(_TRI_CENSUS_CACHE, key[0])
     if key in _TRI_CENSUS_CACHE:
         return _TRI_CENSUS_CACHE[key]
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")

@@ -1548,7 +1548,7 @@ THRESH_STEPS = 19  # thresholds 0.05 .. 0.95
       FROM scored s, grid g
       GROUP BY g.thr
     )
-    SELECT round(thr, 2) AS threshold, tp, fp, fn,
+    SELECT CAST(round(thr, 2) AS DOUBLE) AS threshold, tp, fp, fn,
            round(CASE WHEN tp + fp > 0
                       THEN tp * 1.0 / (tp + fp) END, 6) AS precision,
            round(CASE WHEN tp + fn > 0
@@ -2255,7 +2255,11 @@ def ml_lift_gain_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         # parallelism 3 regardless of cores; the checkpoint stops the
         # three passes re-running the scan+repartition (the _spread
         # rationale in dedup.py; measured 7.0 -> ~3 s at sf0.1).
-        .localCheckpoint(eager=True)
+        # eager=False (r8 ADVICE): eager would execute the scan at
+        # DataFrame-CONSTRUCTION time, charging plan-only callers
+        # (tools/plan_audit.py, explain-based tests) a real job; lazy
+        # gives the same single materialization once an action runs.
+        .localCheckpoint(eager=False)
     )
     ranked, n_tot = distributed_row_number(
         scored,

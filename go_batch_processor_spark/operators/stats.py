@@ -751,7 +751,7 @@ def stats_bootstrap_poisson_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "stats_kaplan_meier",
     oracle="""
-    WITH users AS (
+    WITH RECURSIVE users AS (
       SELECT user_id,
              min(ts) AS t0,
              min(CASE WHEN event_type = 'purchase' THEN ts END) AS tp
@@ -777,32 +777,32 @@ def stats_bootstrap_poisson_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     risk AS (
       SELECT dur_h, n_events, n_censored,
-             CAST((SELECT count(*) FROM subjects) AS BIGINT)
+             CAST((SELECT count(*) FROM subjects)
                - coalesce(sum(n_events + n_censored) OVER (
                    ORDER BY dur_h
                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
-                 ), 0) AS n_risk
+                 ), 0) AS BIGINT) AS n_risk
       FROM per_dur
     ),
     km AS (
       SELECT dur_h, n_events, n_risk,
              CAST((CAST(n_risk - n_events AS HUGEINT) * 1000000000000
-                   + n_risk // 2) // n_risk AS BIGINT) AS f12
+                   + n_risk // 2) // n_risk AS BIGINT) AS f12,
+             CAST(row_number() OVER (ORDER BY dur_h) AS BIGINT) AS rn
       FROM risk WHERE n_events > 0
     ),
-    folded AS (
-      SELECT a.dur_h, a.n_risk, a.n_events,
-             list_reduce(
-               list(b.f12 ORDER BY b.dur_h),
-               (x, y) -> CAST((CAST(x AS HUGEINT) * CAST(y AS HUGEINT)
-                               + 500000000000)
-                              // 1000000000000 AS BIGINT)) AS s12
-      FROM km a JOIN km b ON b.dur_h <= a.dur_h
-      GROUP BY a.dur_h, a.n_risk, a.n_events
+    fold AS (
+      SELECT rn, dur_h, n_risk, n_events, f12 AS s12
+      FROM km WHERE rn = 1
+      UNION ALL
+      SELECT k.rn, k.dur_h, k.n_risk, k.n_events,
+             CAST((CAST(f.s12 AS HUGEINT) * k.f12 + 500000000000)
+                  // 1000000000000 AS BIGINT)
+      FROM fold f JOIN km k ON k.rn = f.rn + 1
     )
     SELECT dur_h, n_risk, n_events,
            CAST((s12 + 500000) // 1000000 AS BIGINT) AS survival_micros
-    FROM folded
+    FROM fold
     ORDER BY dur_h
     """,
 )
@@ -838,9 +838,21 @@ def stats_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
     10^24 intermediate never overflows); the emitted column is
     survival_micros = rhu(acc / 10^6), a BIGINT. Every operation is
     integer add/mul/div — identical on any engine version, any libm,
-    any fold implementation. The r06/r07 reds were IEEE-double folds
-    that were bit-exact locally yet disagreed in the driver
-    environment; an integer contract cannot."""
+    any fold implementation.
+
+    ROOT CAUSE of the r06-r08 driver-only hash reds (found r9, fixed
+    here): the oracle's ``n_risk`` was ``BIGINT - sum(BIGINT) OVER``,
+    and DuckDB's sum(BIGINT) returns HUGEINT — which duckdb's pandas
+    conversion materializes as float64. The driver value-hash then saw
+    '6001.0' vs Spark's int64 '6001' on every row while the local
+    compare (tests/parity.py pre-r9) coerced both sides to float and
+    passed. The VALUES were always identical; the DTYPE was not. Fix:
+    CAST the n_risk expression to BIGINT inside the oracle (int64 on
+    both sides), plus a dtype-KIND assertion in tests/parity.py and a
+    whole-registry static audit (tools/oracle_dtype_audit.py) so the
+    class cannot recur. The survival fold was additionally rewritten
+    from list_reduce(list(ORDER BY)) to a RECURSIVE CTE — the construct
+    with driver-green precedent (kalman) — per the r8 verdict."""
     horizon_h = 48
     ev = load_table(spark, sf_dir, "events")
     users = ev.groupBy("user_id").agg(
@@ -3528,19 +3540,20 @@ def stats_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     risk AS (
       SELECT dur_h, n_events,
-             CAST((SELECT count(*) FROM subjects) AS BIGINT)
+             CAST((SELECT count(*) FROM subjects)
                - coalesce(sum(n_events + n_censored) OVER (
                    ORDER BY dur_h
                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
-                 ), 0) AS n_risk
+                 ), 0) AS BIGINT) AS n_risk
       FROM per_dur
     ),
     hz AS (
       SELECT dur_h, n_risk, n_events,
              CAST((CAST(n_events AS HUGEINT) * 1000000000000
                    + n_risk // 2) // n_risk AS BIGINT) AS h12,
-             (CAST(n_events AS HUGEINT) * 1000000000000000000
-              + (n_risk * n_risk) // 2) // (n_risk * n_risk) AS v18
+             (CAST(n_events AS HUGEINT) * 2000000000000000000
+              + CAST(n_risk AS HUGEINT) * n_risk)
+             // (2 * CAST(n_risk AS HUGEINT) * n_risk) AS v18
       FROM risk WHERE n_events > 0
     )
     SELECT dur_h, n_risk, n_events,
@@ -3572,13 +3585,22 @@ def stats_nelson_aalen(spark: SparkSession, sf_dir: str) -> DataFrame:
     BEFORE its first driver row): per-step hazard terms are exact
     integers — h12 = rhu(e·10^12/n), v18 = rhu(e·10^18/n²)
     (rhu = round-half-up integer division, widened through
-    DECIMAL(38,0)/HUGEINT) — and the cumulative sums are INTEGER window
-    sums, which are order-independent: DuckDB's segment-tree window
+    DECIMAL(38,0)/HUGEINT, n_risk widened BEFORE squaring, and the v18
+    halving in the (2P+Q) DIV (2Q) form so no intermediate quotient can
+    exceed int64) — and the cumulative sums are INTEGER window sums,
+    which are order-independent: DuckDB's segment-tree window
     accumulation and Spark's sequential frame fold cannot disagree on
     integers, where an IEEE-double running sum depends on association
     order. Outputs are BIGINT micros columns. Cited alongside
     stats_kaplan_meier so a user can check −ln(S) ≈ H in one query
     pair.
+
+    The r08 first-contact driver red had the same root cause as KM's
+    (see stats_kaplan_meier docstring): the oracle's n_risk was an
+    uncast HUGEINT (BIGINT - sum(BIGINT) OVER), which duckdb
+    materializes to pandas as float64 — a dtype-kind hash mismatch with
+    identical values. Fixed r9 by CASTing n_risk to BIGINT in the
+    oracle.
     """
     horizon_h = 48
     ev = load_table(spark, sf_dir, "events")
@@ -3628,10 +3650,10 @@ def stats_nelson_aalen(spark: SparkSession, sf_dir: str) -> DataFrame:
                 " + (n_risk DIV 2)) DIV n_risk AS BIGINT)"
             ).alias("h12"),
             F.expr(
-                "CAST(n_events AS DECIMAL(38,0)) * 1000000000000000000"
-                " + ((n_risk * n_risk) DIV 2)"
+                "CAST(n_events AS DECIMAL(38,0)) * 2000000000000000000"
+                " + CAST(n_risk AS DECIMAL(38,0)) * n_risk"
             ).alias("v18_num"),
-            (F.col("n_risk") * F.col("n_risk")).alias("n_sq"),
+            F.expr("2 * CAST(n_risk AS DECIMAL(38,0)) * n_risk").alias("n_sq"),
         )
         .withColumn(
             "v18", F.expr("CAST(v18_num DIV n_sq AS DECIMAL(38,0))")
@@ -4260,7 +4282,7 @@ POWER_MDE_PCT = [0.01, 0.02, 0.05, 0.10]  # minimum detectable effects
     grid AS (
       SELECT unnest([{", ".join(str(x) for x in POWER_MDE_PCT)}]) AS mde
     )
-    SELECT round(g.mde, 2) AS mde_pct,
+    SELECT CAST(round(g.mde, 2) AS DOUBLE) AS mde_pct,
            round(m.m * g.mde, 6) AS delta_abs,
            CAST(ceil(2.0 * m.s2
                      * ({POWER_Z_ALPHA} + {POWER_Z_BETA})

@@ -28,7 +28,8 @@ STOPWORDS = ("the", "a", "of", "and", "to", "in", "is")
 # localCheckpoint and share per (session, fixture); the corpus-sized
 # exploded stream `bi` is NOT cached (the graph lesson: materializing
 # the corpus-sized frame cost 37 s vs 9 s) — each consumer re-derives
-# it lazily and pays its own scoring join.
+# it lazily and pays its own scoring join. Stale-session eviction + the
+# executor-loss caveat live in go_batch_processor_spark.dfcache.
 _BIGRAM_CB_CACHE: dict[tuple[str, str], DataFrame] = {}
 
 
@@ -59,6 +60,9 @@ def _corpus_bigrams(
         .select("doc_id", "g.w1", "g.w2")
     )
     key = (spark.sparkContext.applicationId, os.path.realpath(sf_dir))
+    from go_batch_processor_spark.dfcache import evict_stale
+
+    evict_stale(_BIGRAM_CB_CACHE, key[0])
     cb = _BIGRAM_CB_CACHE.get(key)
     if cb is None:
         cb = (

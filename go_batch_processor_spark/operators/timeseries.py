@@ -1934,8 +1934,11 @@ def _rhu_s_duck(p: str, q: str) -> str:
 _STL_CTES = f"""
     hourly AS (
       SELECT date_trunc('hour', ts) AS hour,
-             CAST((CAST(sum(CAST(round(value * 100) AS BIGINT)) AS HUGEINT)
-                   * 10000 + count(*) // 2) // count(*) AS BIGINT) AS vu
+             {_rhu_s_duck(
+                 "CAST(sum(CAST(round(value * 100) AS BIGINT)) AS HUGEINT)"
+                 " * 10000",
+                 "count(*)",
+             )} AS vu
       FROM events
       GROUP BY 1
     ),
@@ -2013,11 +2016,16 @@ def _stl_decomposed(spark: SparkSession, sf_dir: str) -> DataFrame:
     seasonal — ALL columns exact integers (see timeseries_stl_loess for
     the determinism contract)."""
     ev = load_table(spark, sf_dir, "events")
+    # Signed rhu (r8 ADVICE): fixture event values are positive today, but
+    # nothing enforces that; an unsigned (P + Q DIV 2) DIV Q would split
+    # Spark DIV (truncate) from DuckDB // (floor) on a negative hour-sum.
     hourly = ev.groupBy(F.date_trunc("hour", "ts").alias("hour")).agg(
         F.expr(
-            "CAST((CAST(sum(CAST(round(value * 100) AS BIGINT))"
-            " AS DECIMAL(38,0)) * 10000 + (count(1) DIV 2))"
-            " DIV count(1) AS BIGINT)"
+            _rhu_s_spark(
+                "CAST(sum(CAST(round(value * 100) AS BIGINT))"
+                " AS DECIMAL(38,0)) * 10000",
+                "count(1)",
+            )
         ).alias("vu")
     )
     w_ord = Window.orderBy("hour")
@@ -2284,6 +2292,32 @@ def timeseries_anomaly_shesd(spark: SparkSession, sf_dir: str) -> DataFrame:
 KALMAN_Q = 0.05  # process (level random-walk) variance
 KALMAN_R = 0.5  # observation noise variance
 
+# The local-level variance/gain recursion is DATA-INDEPENDENT — P_t and
+# K_t depend only on the step index — so the ladder is computed once per
+# max group length and shared across every user's kernel invocation
+# (r8 verdict item 5; the per-group list-append recomputation was the
+# dominant constant in the 5.7 s bench entry). The memo grows in place:
+# the recursion is prefix-stable, so shorter groups slice the front.
+# Same IEEE ops in the same order as the original per-group loop —
+# bit-exactness vs the RECURSIVE-CTE oracle is unchanged and re-pinned
+# by the sf0.001/sf0.01 parity suites.
+_KF_PV: list = [KALMAN_R]  # posterior variance P_t
+_KF_KG: list = [0.0]  # Kalman gain K_t
+_KF_C: list = []  # RTS smoother weight C_t = P_t / (P_t + q)
+
+
+def _kalman_ladders(n: int):
+    pv, kg, c = _KF_PV, _KF_KG, _KF_C
+    while len(pv) < n:
+        pp = pv[-1] + KALMAN_Q
+        k = pp / (pp + KALMAN_R)
+        kg.append(k)
+        pv.append((1 - k) * pp)
+    while len(c) < n:
+        i = len(c)
+        c.append(pv[i] / (pv[i] + KALMAN_Q))
+    return pv, kg, c
+
 
 def _kalman_kernel(pdf):
     """Local-level (random-walk + noise) Kalman filter per user
@@ -2301,26 +2335,21 @@ def _kalman_kernel(pdf):
     kernels: per-group sequential state, one Arrow batch per user, and
     the same (ts, event_id) sort so tied timestamps stay deterministic."""
     pdf = pdf.sort_values(["ts", "event_id"])
-    x = pdf["value"].to_numpy(dtype="float64")
+    x = pdf["value"].to_numpy(dtype="float64").tolist()
     n = len(x)
+    pv, kg, _ = _kalman_ladders(n)
     lev = [0.0] * n
-    pv = [0.0] * n
-    kg = [0.0] * n
-    l_p, p_p = x[0], KALMAN_R
-    lev[0], pv[0], kg[0] = l_p, p_p, 0.0
+    l_p = x[0]
+    lev[0] = l_p
     for i in range(1, n):
-        pp = p_p + KALMAN_Q
-        k = pp / (pp + KALMAN_R)
-        l_c = l_p + k * (x[i] - l_p)
-        p_c = (1 - k) * pp
-        lev[i], pv[i], kg[i] = l_c, p_c, k
-        l_p, p_p = l_c, p_c
+        l_p = l_p + kg[i] * (x[i] - l_p)
+        lev[i] = l_p
     out = pdf[["user_id", "event_id", "ts"]].copy()
     # Unrounded: the operator rounds JVM-side (decimal-aware; Python
     # round() is banker's) — the Holt/EWMA discipline.
     out["level"] = lev
-    out["p_var"] = pv
-    out["gain"] = kg
+    out["p_var"] = pv[:n]
+    out["gain"] = kg[:n]
     return out
 
 
@@ -2395,24 +2424,21 @@ def _kalman_smooth_kernel(pdf):
     trend-extraction an offline batch pipeline wants, vs the filter's
     online estimate."""
     pdf = pdf.sort_values(["ts", "event_id"])
-    x = pdf["value"].to_numpy(dtype="float64")
+    x = pdf["value"].to_numpy(dtype="float64").tolist()
     n = len(x)
+    _, kg, c = _kalman_ladders(n)
     lev = [0.0] * n
-    pv = [0.0] * n
-    l_p, p_p = x[0], KALMAN_R
-    lev[0], pv[0] = l_p, p_p
+    l_p = x[0]
+    lev[0] = l_p
     for i in range(1, n):
-        pp = p_p + KALMAN_Q
-        k = pp / (pp + KALMAN_R)
-        l_c = l_p + k * (x[i] - l_p)
-        p_c = (1 - k) * pp
-        lev[i], pv[i] = l_c, p_c
-        l_p, p_p = l_c, p_c
+        l_p = l_p + kg[i] * (x[i] - l_p)
+        lev[i] = l_p
     sm = [0.0] * n
-    sm[n - 1] = lev[n - 1]
+    s_n = lev[n - 1]
+    sm[n - 1] = s_n
     for i in range(n - 2, -1, -1):
-        c = pv[i] / (pv[i] + KALMAN_Q)
-        sm[i] = lev[i] + c * (sm[i + 1] - lev[i])
+        s_n = lev[i] + c[i] * (s_n - lev[i])
+        sm[i] = s_n
     out = pdf[["user_id", "event_id", "ts"]].copy()
     out["level"] = lev
     out["smoothed"] = sm
@@ -3454,7 +3480,7 @@ SES_ALPHA_GRID = [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]
              w.sse + (n.v - w.l) * (n.v - w.l)
       FROM walk w JOIN daily n ON n.rn = w.rn + 1
     )
-    SELECT alpha,
+    SELECT CAST(alpha AS DOUBLE) AS alpha,
            (SELECT CAST(max(rn) AS BIGINT) FROM daily) AS n,
            round(sse, 6) AS sse,
            round(l, 4) AS level

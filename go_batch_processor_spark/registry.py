@@ -173,13 +173,18 @@ def driver_sample_order(names: list[str]) -> list[str]:
 
     def key(n: str) -> tuple:
         c = counts.get(n, 0)
+        spec = REGISTRY.get(n)
         if latest_fail.get(n, False):
+            tier = 0
+        elif c == 0 and spec is not None and "diagnostic" in spec.tags:
+            # Verdict-prescribed probe keys (operators/diagnostics.py) must
+            # land in the very next driver sample to bisect a live red —
+            # they ride tier 0 with the reds they diagnose until checked.
             tier = 0
         elif c == 0:
             tier = 1
         else:
             tier = 2
-        spec = REGISTRY.get(n)
         rows_only = 1 if (spec is not None and spec.oracle is None) else 0
         tie = (first_seen.get(n, 99), idx[n]) if c == 0 else (0, -idx[n])
         return (tier, rows_only, c, tie)

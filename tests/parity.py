@@ -24,6 +24,32 @@ def _normalize(df: pd.DataFrame) -> pd.DataFrame:
     return df.sort_values(by=list(df.columns), na_position="last").reset_index(drop=True)
 
 
+def _dtype_kind(s: pd.Series) -> str:
+    """Hash-relevant dtype KIND of a column as the driver's value-hash
+    sees it. The driver stringifies materialized pandas values, so int64
+    6001 ('6001') vs float64 6001.0 ('6001.0') hash-diverge even when
+    every value is numerically identical — the root cause of the
+    stats_kaplan_meier / stats_nelson_aalen r06-r08 driver-only reds
+    (DuckDB HUGEINT -> pandas float64 vs Spark int64). The old compare
+    coerced both sides to float and passed; this kind check makes the
+    local gate exactly as strict as the driver."""
+    if pd.api.types.is_bool_dtype(s):
+        return "bool"
+    if pd.api.types.is_integer_dtype(s):
+        return "int"
+    if pd.api.types.is_float_dtype(s):
+        return "float"
+    if pd.api.types.is_datetime64_any_dtype(s):
+        return "datetime"
+    if s.dtype == object:
+        import decimal
+
+        if any(isinstance(v, decimal.Decimal) for v in s.dropna().head(50)):
+            return "decimal"
+        return "object"
+    return str(s.dtype)
+
+
 def assert_frames_match(
     spark_pdf: pd.DataFrame,
     oracle_pdf: pd.DataFrame,
@@ -33,6 +59,20 @@ def assert_frames_match(
     assert sorted(spark_pdf.columns) == sorted(oracle_pdf.columns), (
         f"{name}: column mismatch {sorted(spark_pdf.columns)} vs {sorted(oracle_pdf.columns)}"
     )
+    for c in spark_pdf.columns:
+        sk, ok = _dtype_kind(spark_pdf[c]), _dtype_kind(oracle_pdf[c])
+        # decimal<->float is driver-tolerated (empirical: agg_decimal_exact
+        # r04, ml_threshold_tuning r07, stats_power_sample_size r08 all
+        # GREEN across a Decimal-object/float64 dtype split — the driver
+        # normalizes Decimals numerically). int<->float is NOT (the KM/NA
+        # r06-r08 reds). Collapse decimal to float before comparing kinds.
+        sk = "float" if sk == "decimal" else sk
+        ok = "float" if ok == "decimal" else ok
+        assert sk == ok, (
+            f"{name}: column {c!r} dtype-kind mismatch spark={sk} vs oracle={ok}"
+            " — identical values would still hash-diverge in the driver"
+            " (e.g. uncast HUGEINT in the oracle vs Spark int64)"
+        )
     assert len(spark_pdf) == len(oracle_pdf), (
         f"{name}: row count {len(spark_pdf)} vs {len(oracle_pdf)}"
     )

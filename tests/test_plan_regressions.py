@@ -109,3 +109,31 @@ def test_cumulative_distinct_one_exchange_no_expand(spark, sf_dir):
     assert "Expand" not in plan, plan
     n_ex = len(re.findall(r"Exchange hashpartitioning", plan))
     assert n_ex <= 2, plan
+
+
+def test_plans_md_zero_codegen_rows_are_exactly_the_allowlist():
+    """r8 verdict item 6: the committed PLANS.md may report zero codegen
+    spans ONLY for the streaming/CSV/JSON-source keys where whole-stage
+    codegen genuinely does not apply. A relational key joining the zero
+    set means the codegen grep rotted again (the r7 silent-zero bug) or a
+    plan regressed out of codegen; either must fail CI, not hide in a
+    stale table. tools/plan_audit.py asserts the same set at
+    regeneration time."""
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+    from plan_audit import ZERO_CODEGEN_ALLOWED
+
+    path = os.path.join(os.path.dirname(__file__), "..", "PLANS.md")
+    zero = set()
+    with open(path) as f:
+        for line in f:
+            cells = [c.strip() for c in line.strip().strip("|").split("|")]
+            # | query | exchanges | bcast | SMJ | top-k | codegen | ... |
+            if len(cells) >= 8 and cells[5].isdigit() and int(cells[5]) == 0:
+                zero.add(cells[0])
+    assert zero == ZERO_CODEGEN_ALLOWED, (
+        f"unexpected zero-codegen rows: {sorted(zero - ZERO_CODEGEN_ALLOWED)};"
+        f" missing expected: {sorted(ZERO_CODEGEN_ALLOWED - zero)}"
+    )
