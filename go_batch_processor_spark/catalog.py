@@ -145,6 +145,48 @@ def events_ts_unit(path: str) -> str:
     return unit
 
 
+# Keyed by (part-file path, mtime_ns), same invalidation contract as
+# _TS_UNIT_CACHE.
+_ROW_COUNT_CACHE: dict[tuple[str, int], int] = {}
+
+
+def table_row_count(sf_dir: str, name: str) -> int:
+    """EXACT row count of a fixture table from its parquet footer(s) —
+    driver-side pyarrow metadata reads, O(KB) per file, NO Spark job.
+
+    Regime probes (e.g. stats_spearman_corr's window-vs-distributed
+    cumsum split) only need the corpus row count to compare against a
+    literal cap; `df.count()` pays a Spark job + driver round-trip per
+    invocation even though parquet already stores num_rows in every
+    footer. Cached per (file, mtime) so in-place fixture regeneration
+    invalidates automatically."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    path = f"{sf_dir}/{name}.parquet"
+    targets = [path]
+    if os.path.isdir(path):
+        targets = [
+            os.path.join(path, f)
+            for f in sorted(os.listdir(path))
+            if f.endswith(".parquet") and not f.startswith(("_", "."))
+        ]
+        if not targets:
+            raise FileNotFoundError(
+                f"no parquet part file in dataset directory {path!r}"
+            )
+    total = 0
+    for t in targets:
+        key = (t, os.stat(t).st_mtime_ns)
+        n = _ROW_COUNT_CACHE.get(key)
+        if n is None:
+            n = pq.ParquetFile(t).metadata.num_rows
+            _ROW_COUNT_CACHE[key] = n
+        total += n
+    return total
+
+
 def _events_raw_schema() -> T.StructType:
     return T.StructType(
         [

@@ -1181,11 +1181,14 @@ def stats_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     empirical — no large-moment cancellation). Rounded to 6: co-moment
     accumulation order differs across engines/partitions."""
     li = load_table(spark, sf_dir, "lineitem")
-    # Regime probe FIRST (a parquet row-count is metadata-cheap — no
-    # shuffle): the distinct price marginal is bounded by |corpus|, so
-    # below the window cap the whole query stays lazy (no checkpoint,
-    # no extra jobs) and matches the small-scale-optimal plan exactly.
-    big = li.count() > SPEARMAN_WINDOW_MAX
+    # Regime probe FIRST, from the parquet FOOTER (driver-side pyarrow
+    # metadata — no Spark job at all; r8 ADVICE flagged the per-invocation
+    # li.count() round-trip): the distinct price marginal is bounded by
+    # |corpus|, so below the window cap the whole query stays lazy (no
+    # checkpoint, no extra jobs) and matches the small-scale-optimal plan.
+    from go_batch_processor_spark.catalog import table_row_count
+
+    big = table_row_count(sf_dir, "lineitem") > SPEARMAN_WINDOW_MAX
     joint = li.groupBy("l_returnflag", "l_quantity", "l_extendedprice").agg(
         F.count(F.lit(1)).alias("w")
     )
