@@ -36,30 +36,50 @@ from go_batch_processor_spark.registry import register
     oracle="""
     SELECT CAST(k_int AS BIGINT) AS k_int,
            CAST(k_dbl AS DOUBLE) AS k_dbl,
-           k_str
-    FROM (VALUES (1, 0.5, 'alpha'),
-                 (6001, 1000000000000.0, 'beta'),
-                 (-42, 0.1, 'gamma')) AS t(k_int, k_dbl, k_str)
+           k_str,
+           CAST(k_ts AS TIMESTAMP) AS k_ts,
+           CAST(k_bool AS BOOLEAN) AS k_bool
+    FROM (VALUES
+        (1, 0.5, 'alpha', TIMESTAMP '2024-01-01 00:00:00', TRUE),
+        (6001, 1000000000000.0, 'beta',
+         TIMESTAMP '2024-06-15 12:34:56.789012', FALSE),
+        (-42, 0.1, 'gamma', TIMESTAMP '2024-12-31 23:59:59', TRUE)
+    ) AS t(k_int, k_dbl, k_str, k_ts, k_bool)
     ORDER BY k_int
     """,
     tags={"diagnostic"},
 )
 def diag_constant_canary(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Constant-literal canary: three fixed rows of (BIGINT, DOUBLE,
-    VARCHAR) literals on both engines — no table scan, no aggregation,
+    """Constant-literal canary: three fixed rows spanning every scalar
+    type the registry's oracles emit — BIGINT, DOUBLE, VARCHAR,
+    TIMESTAMP (one with sub-second micros, two without — both
+    formatting regimes), BOOLEAN — with no table scan, no aggregation,
     no arithmetic beyond literal parsing. Any driver red on this key is
     a harness-level fault (stale repo snapshot or hash-procedure
-    divergence), not a query bug, and rules the whole SQL layer out of
-    any concurrent red. The literal values deliberately include an
-    integer that formats differently as float ('6001' vs '6001.0'), a
-    double with an exact binary representation question (0.1), and a
-    round power of ten — the three formatting hazards a stringifying
-    value-hash is sensitive to."""
-    rows = [(1, 0.5, "alpha"), (6001, 1000000000000.0, "beta"), (-42, 0.1, "gamma")]
-    return (
-        spark.createDataFrame(rows, "k_int long, k_dbl double, k_str string")
-        .orderBy("k_int")
-    )
+    divergence over one of these type surfaces), not a query bug, and
+    rules the whole SQL layer out of any concurrent red. The numeric
+    literals deliberately include an integer that formats differently
+    as float ('6001' vs '6001.0'), a double with an exact binary
+    representation question (0.1), and a round power of ten — the
+    formatting hazards a stringifying value-hash is sensitive to."""
+    import datetime
+
+    rows = [
+        (1, 0.5, "alpha", datetime.datetime(2024, 1, 1, 0, 0, 0), True),
+        (
+            6001,
+            1000000000000.0,
+            "beta",
+            datetime.datetime(2024, 6, 15, 12, 34, 56, 789012),
+            False,
+        ),
+        (-42, 0.1, "gamma", datetime.datetime(2024, 12, 31, 23, 59, 59), True),
+    ]
+    return spark.createDataFrame(
+        rows,
+        "k_int long, k_dbl double, k_str string, k_ts timestamp,"
+        " k_bool boolean",
+    ).orderBy("k_int")
 
 
 @register(

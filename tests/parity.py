@@ -86,7 +86,11 @@ def assert_frames_match(
             if float_rtol:
                 close = np.isclose(af, bf, rtol=float_rtol, atol=float_rtol)
             else:
-                close = af == bf  # bit-exact
+                # bit-exact INCLUDING the sign of zero: -0.0 == 0.0 under
+                # IEEE ==, but a stringifying value-hash sees '-0.0' vs
+                # '0.0' — same driver-hash sensitivity class as the
+                # int/float dtype split above.
+                close = (af == bf) & (np.signbit(af) == np.signbit(bf))
             bad = ~(close | both_nan)
             assert not bad.any(), (
                 f"{name}: column {c} differs at rows {np.where(bad)[0][:5]}: "
