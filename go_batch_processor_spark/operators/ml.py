@@ -1043,7 +1043,16 @@ def _als_solve_side(ratings: DataFrame, fixed: DataFrame, key: str, other: str) 
         x = np.linalg.solve(A, V.T @ r)
         return pd.DataFrame({"id": [int(pdf["id"].iloc[0])], "f": [x.tolist()]})
 
-    return joined.groupBy("id").applyInPandas(solve, "id long, f array<double>")
+    # Explicit co-partition ahead of the Python kernel — AQE's byte-based
+    # coalescing undercounts per-group solve cost (see
+    # timeseries._spread_groups for the measured rationale).
+    from go_batch_processor_spark.operators.timeseries import _spread_groups
+
+    return (
+        _spread_groups(joined, "id")
+        .groupBy("id")
+        .applyInPandas(solve, "id long, f array<double>")
+    )
 
 
 @register("ml_als_factorize", tags={"rows_only"})

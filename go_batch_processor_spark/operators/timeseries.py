@@ -322,6 +322,24 @@ def timeseries_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame
 EWMA_ALPHA = 0.3
 
 
+def _spread_groups(df: DataFrame, *keys: str) -> DataFrame:
+    """Explicit hash-repartition on the group key ahead of an
+    applyInPandas kernel (r9, measured): AQE's byte-based partition
+    coalescing undercounts Python-kernel cost per row — at sf0.1 the
+    600k-row events shuffle coalesces to 2 partitions, so the kernel
+    stage runs at parallelism 2 regardless of cores. An explicit
+    repartition(N, key) pins the exchange (AQE does not coalesce
+    user-specified partition counts) and the downstream
+    groupBy(key).applyInPandas REUSES it — hashpartitioning(key, N)
+    satisfies the kernel's distribution requirement, so there is no
+    second shuffle and no extra cost at any scale.
+    timeseries_kalman_filter: 3.2 s -> 0.9 s at sf0.1, local[32].
+    Per-group results are unchanged (same rows per group, kernel sorts
+    within the group), so oracle parity is unaffected."""
+    sc = df.sparkSession.sparkContext
+    return df.repartition(sc.defaultParallelism, *keys)
+
+
 def _ewma_kernel(pdf):
     """Per-user EWMA over the time-ordered value series: the classic
     recursive y_t = a*x_t + (1-a)*y_{t-1} (pandas ewm adjust=False).
@@ -382,7 +400,7 @@ def timeseries_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").select(
         "user_id", "event_id", "ts", "value"
     )
-    raw = ev.groupBy("user_id").applyInPandas(
+    raw = _spread_groups(ev, "user_id").groupBy("user_id").applyInPandas(
         _ewma_kernel, "user_id long, event_id long, ts timestamp, ewma double"
     )
     return raw.withColumn("ewma", F.round("ewma", 6))
@@ -464,7 +482,7 @@ def timeseries_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").select(
         "user_id", "event_id", "ts", "value"
     )
-    raw = ev.groupBy("user_id").applyInPandas(
+    raw = _spread_groups(ev, "user_id").groupBy("user_id").applyInPandas(
         _holt_kernel,
         "user_id long, event_id long, ts timestamp, level double, trend double",
     )
@@ -2415,7 +2433,7 @@ def timeseries_kalman_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").select(
         "user_id", "event_id", "ts", "value"
     )
-    raw = ev.groupBy("user_id").applyInPandas(
+    raw = _spread_groups(ev, "user_id").groupBy("user_id").applyInPandas(
         _kalman_kernel,
         "user_id long, event_id long, ts timestamp, level double,"
         " p_var double, gain double",
@@ -2526,7 +2544,7 @@ def timeseries_kalman_smoother(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").select(
         "user_id", "event_id", "ts", "value"
     )
-    raw = ev.groupBy("user_id").applyInPandas(
+    raw = _spread_groups(ev, "user_id").groupBy("user_id").applyInPandas(
         _kalman_smooth_kernel,
         "user_id long, event_id long, ts timestamp, level double,"
         " smoothed double",
