@@ -809,7 +809,13 @@ def agg_median_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
         # consumed by the cumsum helper's three passes — materialize once
         .localCheckpoint(eager=False)
     )
-    n = counts.agg(F.sum("cnt")).collect()[0][0]
+    # n = total lineitem rows = sum(cnt) — read it from the parquet
+    # footer (driver-side pyarrow metadata, no Spark job; the spearman
+    # regime-probe pattern) instead of an extra collect() pass over the
+    # checkpointed marginal.
+    from go_batch_processor_spark.catalog import table_row_count
+
+    n = table_row_count(sf_dir, "lineitem")
     lo, hi = (n + 1) // 2, (n + 2) // 2
     cum = distributed_group_cumsum(counts, "g", "c", "cnt", "cum")
     return cum.agg(

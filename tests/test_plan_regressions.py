@@ -137,3 +137,14 @@ def test_plans_md_zero_codegen_rows_are_exactly_the_allowlist():
         f"unexpected zero-codegen rows: {sorted(zero - ZERO_CODEGEN_ALLOWED)};"
         f" missing expected: {sorted(ZERO_CODEGEN_ALLOWED - zero)}"
     )
+
+
+def test_spread_groups_exchange_is_reused_by_kernel(spark, sf_dir):
+    """_spread_groups claims the explicit repartition(N, key) is REUSED
+    by the downstream groupBy(key).applyInPandas (hashpartitioning
+    satisfies the kernel's distribution requirement) — i.e. pinning the
+    kernel's parallelism against AQE coalescing costs NO extra shuffle.
+    Pin exactly one Exchange in the kalman filter plan."""
+    df = REGISTRY["timeseries_kalman_filter"].fn(spark, sf_dir)
+    plan = _executed(df)
+    assert plan.count("Exchange") - plan.count("ReusedExchange") == 1, plan
