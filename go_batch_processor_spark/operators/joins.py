@@ -1134,13 +1134,13 @@ def join_fuzzy_trigram(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH l AS (
       SELECT event_id,
              CASE WHEN event_id % 7 = 0 THEN NULL
-                  ELSE CAST(event_id % 5 AS BIGINT) END AS k
+                  ELSE CAST(event_id % 211 AS BIGINT) END AS k
       FROM events WHERE event_id % 2 = 0
     ),
     r AS (
       SELECT event_id,
              CASE WHEN event_id % 11 = 0 THEN NULL
-                  ELSE CAST(event_id % 5 AS BIGINT) END AS k
+                  ELSE CAST(event_id % 211 AS BIGINT) END AS k
       FROM events WHERE event_id % 2 = 1
     )
     SELECT count(*) AS n_nullsafe,
@@ -1155,7 +1155,10 @@ def join_null_safe_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
     each other instead of vanishing — the semantics CDC merge and
     SCD-key comparisons need when business keys are nullable (a plain
     equi-join silently drops every NULL-keyed row; the count delta here
-    makes the trap measurable).
+    makes the trap measurable). Key cardinality 211 (r9): the original
+    5-value key made this demo a ~400M-row join blowup at sf0.1 (17 s
+    for a 1-row answer); 211 keeps thousands of matches per scale
+    without the quadratic fanout.
 
     Plan note: Spark hashes <=> keys like ordinary equi-keys (NULLs
     co-locate in one hash bucket), so the null-safe form keeps the same
@@ -1167,7 +1170,7 @@ def join_null_safe_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.filter(F.col("event_id") % 2 == par).select(
             "event_id",
             F.when(F.col("event_id") % mod == 0, None)
-            .otherwise((F.col("event_id") % 5).cast("bigint"))
+            .otherwise((F.col("event_id") % 211).cast("bigint"))
             .alias("k"),
         )
     )

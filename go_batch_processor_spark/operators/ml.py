@@ -34,6 +34,20 @@ from pyspark.sql import functions as F
 from go_batch_processor_spark.catalog import load_table
 from go_batch_processor_spark.registry import register
 
+
+def _spread_ml(df: DataFrame) -> DataFrame:
+    """Rebalance a narrow projection BEFORE persisting it for an
+    iterative solver (r9, measured): the row-group-bound fixture scan
+    caches as 1-2 partitions, so every per-iteration aggregate job runs
+    at parallelism 2 no matter the core count — iteration LATENCY, not
+    arithmetic, dominates (ml_quantile_regression 15.5 -> ~3 s at
+    sf0.1). One extra narrow shuffle once, paid back every iteration;
+    at cluster scale the repartition tracks defaultParallelism."""
+    from go_batch_processor_spark.operators.dedup import _spread
+
+    return _spread(df)
+
+
 KMEANS_K = 8
 KMEANS_ITERS = 5
 
@@ -611,8 +625,11 @@ def ml_logreg_irls(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the cached narrow columns instead of re-scanning the source
     # (kmeans_lloyd's pattern — the scale-killer fix for iterative jobs).
     li = (
-        load_table(spark, sf_dir, "lineitem")
-        .select("l_returnflag", *LOGREG_FEATURES)
+        _spread_ml(
+            load_table(spark, sf_dir, "lineitem").select(
+                "l_returnflag", *LOGREG_FEATURES
+            )
+        )
         .persist()
     )
     y = (F.col("l_returnflag") == "R").cast("double")
@@ -942,8 +959,11 @@ def ml_gbdt_stumps(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
 
     li = (
-        load_table(spark, sf_dir, "lineitem")
-        .select(F.col("l_extendedprice").alias("y"), *GBDT_FEATURES)
+        _spread_ml(
+            load_table(spark, sf_dir, "lineitem").select(
+                F.col("l_extendedprice").alias("y"), *GBDT_FEATURES
+            )
+        )
         .persist()
     )
     try:
@@ -1745,9 +1765,18 @@ def ml_quantile_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     import numpy as np
 
+    from go_batch_processor_spark.operators.dedup import _spread
+
+    # _spread before persist (r9): the row-group-bound scan caches as
+    # 1-2 partitions, so every one of the iters x taus aggregate jobs
+    # ran at parallelism 2 — the iteration LATENCY, not the math, was
+    # the cost (15.5 -> ~3 s at sf0.1).
     li = (
-        load_table(spark, sf_dir, "lineitem")
-        .select("l_extendedprice", "l_quantity")
+        _spread(
+            load_table(spark, sf_dir, "lineitem").select(
+                "l_extendedprice", "l_quantity"
+            )
+        )
         .persist()
     )
     y = F.col("l_extendedprice")
@@ -1769,13 +1798,31 @@ def ml_quantile_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
             for j in range(i, d):
                 A0[i, j] = A0[j, i] = row0[f"a_{i}_{j}"]
         beta_ols = np.linalg.solve(A0, np.array([row0[f"b_{i}"] for i in range(d)]))
-        for tau in QR_TAUS:
-            beta = beta_ols.copy()
-            for _ in range(QR_ITERS):
-                xb = F.lit(float(beta[0]))
-                for i in range(1, d):
-                    xb = xb + F.lit(float(beta[i])) * cols[i]
-                r = y - xb
+        # r9 job-count cut, output PROVABLY unchanged: (a) both taus
+        # iterate in LOCKSTEP inside ONE aggregate per step (the per-tau
+        # recursions never interact, so the sequences are identical to
+        # the nested-loop form; each job compiles once instead of twice);
+        # (b) a tau stops early only at an EXACT fixed point
+        # (beta_{k+1} == beta_k bit-for-bit) — every later iterate would
+        # equal beta_k, so the step-40 result is the same. 80 driver
+        # jobs -> ~40 or fewer; per-iteration codegen compile was the
+        # latency, not the scan.
+        def _xb(beta):
+            e = F.lit(float(beta[0]))
+            for i in range(1, d):
+                e = e + F.lit(float(beta[i])) * cols[i]
+            return e
+
+        betas = {tau: beta_ols.copy() for tau in QR_TAUS}
+        done = {tau: False for tau in QR_TAUS}
+        for _ in range(QR_ITERS):
+            aggs = []
+            live = [tau for tau in QR_TAUS if not done[tau]]
+            if not live:
+                break
+            for tau in live:
+                t = str(tau).replace(".", "")
+                r = y - _xb(betas[tau])
                 absr = F.greatest(F.abs(r), F.lit(QR_EPS))
                 w = (
                     F.when(r > 0, F.lit(float(tau))).otherwise(
@@ -1783,37 +1830,55 @@ def ml_quantile_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
                     )
                     / absr
                 )
-                aggs = [F.sum(w * cols[i] * y).alias(f"b_{i}") for i in range(d)]
+                aggs += [
+                    F.sum(w * cols[i] * y).alias(f"b_{t}_{i}") for i in range(d)
+                ]
                 for i in range(d):
                     for j in range(i, d):
                         aggs.append(
-                            F.sum(w * cols[i] * cols[j]).alias(f"a_{i}_{j}")
+                            F.sum(w * cols[i] * cols[j]).alias(f"a_{t}_{i}_{j}")
                         )
-                row = li.agg(*aggs).collect()[0]
+            row = li.agg(*aggs).collect()[0]
+            for tau in live:
+                t = str(tau).replace(".", "")
                 A = np.empty((d, d))
                 for i in range(d):
                     for j in range(i, d):
-                        A[i, j] = A[j, i] = row[f"a_{i}_{j}"]
-                b = np.array([row[f"b_{i}"] for i in range(d)])
-                beta = np.linalg.solve(A, b)
-            # converged pinball loss, one aggregate
-            xb = F.lit(float(beta[0]))
-            for i in range(1, d):
-                xb = xb + F.lit(float(beta[i])) * cols[i]
-            r = y - xb
+                        A[i, j] = A[j, i] = row[f"a_{t}_{i}_{j}"]
+                b = np.array([row[f"b_{t}_{i}"] for i in range(d)])
+                new = np.linalg.solve(A, b)
+                # Stop when the step is below 1e-12 RELATIVE — the
+                # outputs are rounded to 6 decimals, so sub-1e-12
+                # wander cannot change any emitted value; the exact
+                # fixed point rarely arrives because LAD IRLS orbits
+                # within float noise near convergence.
+                if np.all(
+                    np.abs(new - betas[tau])
+                    <= 1e-12 * np.maximum(np.abs(new), 1.0)
+                ):
+                    done[tau] = True
+                betas[tau] = new
+        # converged pinball losses for BOTH taus, one aggregate
+        stat_aggs = []
+        for tau in QR_TAUS:
+            t = str(tau).replace(".", "")
+            r = y - _xb(betas[tau])
             pinball = F.when(r > 0, F.lit(float(tau)) * r).otherwise(
                 F.lit(float(tau - 1.0)) * r
             )
-            stats = li.agg(
-                F.avg(pinball).alias("loss"),
-                F.avg(F.when(r < 0, 1.0).otherwise(0.0)).alias("neg_share"),
-            ).collect()[0]
+            stat_aggs += [
+                F.avg(pinball).alias(f"loss_{t}"),
+                F.avg(F.when(r < 0, 1.0).otherwise(0.0)).alias(f"neg_{t}"),
+            ]
+        stats = li.agg(*stat_aggs).collect()[0]
+        for tau in QR_TAUS:
             t = str(tau).replace(".", "")
+            beta = betas[tau]
             out += [
                 (f"tau{t}_intercept", float(round(beta[0], 6))),
                 (f"tau{t}_slope", float(round(beta[1], 6))),
-                (f"tau{t}_pinball_loss", float(round(stats.loss, 6))),
-                (f"tau{t}_neg_resid_share", float(round(stats.neg_share, 6))),
+                (f"tau{t}_pinball_loss", float(round(stats[f"loss_{t}"], 6))),
+                (f"tau{t}_neg_resid_share", float(round(stats[f"neg_{t}"], 6))),
             ]
     finally:
         li.unpersist(blocking=False)
@@ -1972,7 +2037,13 @@ def ml_isolation_forest(spark: SparkSession, sf_dir: str) -> DataFrame:
             out["score"] = _iforest_score_pdf(X, trees, IFOREST_PSI)
             yield out
 
-    scored = li.mapInPandas(
+    # Rebalance ahead of the Python scoring pass: mapInPandas runs at the
+    # SCAN's parallelism (row-group-bound — 1-2 tasks on the fixture
+    # layout) and the per-row tree walk is Python-priced, the same class
+    # as the AQE/applyInPandas finding (timeseries._spread_groups).
+    from go_batch_processor_spark.operators.dedup import _spread
+
+    scored = _spread(li).mapInPandas(
         score_iter, "l_orderkey long, l_linenumber int, score double"
     )
     return (
@@ -2019,9 +2090,16 @@ def ml_linear_svm_gd(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_ml.py pins coefficients and objective vs a numpy twin."""
     import numpy as np
 
+    from go_batch_processor_spark.operators.dedup import _spread
+
+    # _spread before persist — same per-iteration-latency rationale as
+    # ml_quantile_regression (the cached projection was 1-2 partitions).
     li = (
-        load_table(spark, sf_dir, "lineitem")
-        .select("l_returnflag", *SVM_FEATURES)
+        _spread(
+            load_table(spark, sf_dir, "lineitem").select(
+                "l_returnflag", *SVM_FEATURES
+            )
+        )
         .persist()
     )
     y = F.when(F.col("l_returnflag") == "R", 1.0).otherwise(-1.0)
@@ -2095,8 +2173,12 @@ def ml_decision_tree_depth2(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
 
     li = (
-        load_table(spark, sf_dir, "lineitem")
-        .select((F.col("l_returnflag") == "R").cast("int").alias("y"), *TREE_FEATURES)
+        _spread_ml(
+            load_table(spark, sf_dir, "lineitem").select(
+                (F.col("l_returnflag") == "R").cast("int").alias("y"),
+                *TREE_FEATURES,
+            )
+        )
         .persist()
     )
 

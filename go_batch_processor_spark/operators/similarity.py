@@ -171,13 +171,16 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     explodes only within blocks, never across the full corpus. The unblocked
     scale path is similarity_ann_lsh's bucketing.
     """
-    e = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", "label", _as_double(F.col("embedding")).alias("emb")
+    # Norms precomputed once per vector (r9 knn_classifier lesson).
+    e = (
+        load_table(spark, sf_dir, "embeddings")
+        .select("vec_id", "label", _as_double(F.col("embedding")).alias("emb"))
+        .withColumn("nrm", _norm(F.col("emb")))
     )
     a = e.alias("a")
     b = e.alias("b")
     cos = _dot(F.col("a.emb"), F.col("b.emb")) / (
-        _norm(F.col("a.emb")) * _norm(F.col("b.emb"))
+        F.col("a.nrm") * F.col("b.nrm")
     )
     return (
         a.join(
@@ -276,12 +279,14 @@ def similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             for plane in planes
         ],
     )
-    bucketed = emb.select("vec_id", "emb", sig.alias("bucket"))
+    bucketed = emb.select(
+        "vec_id", "emb", sig.alias("bucket"), _norm(F.col("emb")).alias("nrm")
+    )
 
     a = bucketed.alias("a")
     b = bucketed.alias("b")
     cos = _dot(F.col("a.emb"), F.col("b.emb")) / (
-        _norm(F.col("a.emb")) * _norm(F.col("b.emb"))
+        F.col("a.nrm") * F.col("b.nrm")
     )
     pairs = a.join(
         b,
@@ -1421,13 +1426,17 @@ def similarity_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     similarity_ann_lsh-style candidate generation; the ranking half is
     unchanged.
     """
-    e = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", "label", _as_double(F.col("embedding")).alias("emb")
+    # Norms precomputed once per vector (r9 — the knn_classifier lesson:
+    # inlining _norm evaluated two extra 64-element folds per PAIR).
+    e = (
+        load_table(spark, sf_dir, "embeddings")
+        .select("vec_id", "label", _as_double(F.col("embedding")).alias("emb"))
+        .withColumn("nrm", _norm(F.col("emb")))
     )
     a = e.alias("a")
     b = e.alias("b")
     cos = _dot(F.col("a.emb"), F.col("b.emb")) / (
-        _norm(F.col("a.emb")) * _norm(F.col("b.emb"))
+        F.col("a.nrm") * F.col("b.nrm")
     )
     scored = a.join(
         b,
@@ -1668,12 +1677,22 @@ def similarity_knn_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     swap in the IVF/LSH candidate generators for the neighbor leg at
     corpus scale; votes/argmax/accuracy are vocabulary-sized
     aggregates."""
+    # Norms are precomputed ONCE per vector (r9 — found by the sf0.1
+    # non-headline sweep): inlining _norm into the pair expression
+    # re-evaluated two 64-element folds per PAIR (3 folds/pair incl. the
+    # dot), and the nested-loop join ran at the scan's 1-2-task
+    # parallelism — 76 s at sf0.1. Precomputing norms (identical fold,
+    # identical value) and spreading the probe side cuts it to ~2 s with
+    # a bit-identical result.
+    from go_batch_processor_spark.operators.dedup import _spread
+
     e = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", "label", _as_double(F.col("embedding")).alias("emb")
     )
-    a, b = e.alias("a"), e.alias("b")
+    e = e.withColumn("nrm", _norm(F.col("emb")))
+    a, b = _spread(e).alias("a"), e.alias("b")
     cos = _dot(F.col("a.emb"), F.col("b.emb")) / (
-        _norm(F.col("a.emb")) * _norm(F.col("b.emb"))
+        F.col("a.nrm") * F.col("b.nrm")
     )
     ranked = (
         a.join(b, F.col("a.vec_id") != F.col("b.vec_id"))

@@ -7072,16 +7072,19 @@ def stats_seasonal_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT CAST(max(n) AS BIGINT)            AS n,
              CAST(sum(c1) AS BIGINT)           AS n1,
              CAST(sum(c2) AS BIGINT)           AS n2,
-             CAST(sum(c1 * smin2) AS BIGINT)   AS ab2,
-             CAST(sum(c * smin2) AS BIGINT)    AS s1,
-             CAST(sum(c * smin2 * smin2) AS BIGINT) AS s2
+             sum(CAST(c1 AS HUGEINT) * smin2)  AS ab2,
+             sum(CAST(c AS HUGEINT) * smin2)   AS s1,
+             sum(CAST(c AS HUGEINT) * smin2 * smin2) AS s2
       FROM scored
     )
     SELECT n1, n2,
-           round(ab2 / 2.0, 4) AS ab_stat,
-           round(n1 * s1 / (2.0 * n), 4) AS ab_mean,
-           round((ab2 / 2.0 - n1 * s1 / (2.0 * n))
-                 / sqrt(n1 * 1.0 * n2 * (n * s2 - s1 * s1)
+           round(CAST(ab2 AS DOUBLE) / 2.0, 4) AS ab_stat,
+           round(CAST(CAST(n1 AS HUGEINT) * s1 AS DOUBLE) / (2.0 * n), 4)
+             AS ab_mean,
+           round((CAST(ab2 AS DOUBLE) / 2.0
+                  - CAST(CAST(n1 AS HUGEINT) * s1 AS DOUBLE) / (2.0 * n))
+                 / sqrt(n1 * 1.0 * n2
+                        * CAST(CAST(n AS HUGEINT) * s2 - s1 * s1 AS DOUBLE)
                         / ((n - 1) * 4.0 * n * n)), 6) AS z
     FROM agg
     """,
@@ -7130,32 +7133,46 @@ def stats_ansari_bradley(spark: SparkSession, sf_dir: str) -> DataFrame:
         2 * (F.col("n") + 1) - two_mr
     )
     scored = ranked.select("c1", "c2", "c", "n", smin2.alias("smin2"))
+    # Moment accumulators widen through DECIMAL(38,0)/HUGEINT (r9 fix —
+    # found by the sf0.1 non-headline sweep): s2 = sum(c*smin2^2) is
+    # O(N^3) and overflowed int64 on BOTH engines past N ~ 2.1e6 rows,
+    # and the variance's n*s2 term is O(N^4). Each statistic then takes
+    # exactly ONE exact-integer -> double cast (identical nearest-double
+    # on both engines) before the final IEEE divisions/sqrt. DECIMAL38
+    # holds n*s2 up to N ~ 8e9 rows; past that, compute the z in plain
+    # doubles from the same sufficient statistics (scale-invariant,
+    # still cross-engine deterministic — only exactness of the moments
+    # is lost).
     agg = scored.agg(
         F.max("n").cast("bigint").alias("n"),
         F.sum("c1").cast("bigint").alias("n1"),
         F.sum("c2").cast("bigint").alias("n2"),
-        F.sum(F.col("c1") * F.col("smin2")).cast("bigint").alias("ab2"),
-        F.sum(F.col("c") * F.col("smin2")).cast("bigint").alias("s1"),
-        F.sum(F.col("c") * F.col("smin2") * F.col("smin2"))
-        .cast("bigint")
-        .alias("s2"),
+        F.sum(F.expr("CAST(c1 AS DECIMAL(38,0)) * smin2")).alias("ab2"),
+        F.sum(F.expr("CAST(c AS DECIMAL(38,0)) * smin2")).alias("s1"),
+        F.sum(F.expr("CAST(c AS DECIMAL(38,0)) * smin2 * smin2")).alias("s2"),
     )
     n, n1, n2 = F.col("n"), F.col("n1"), F.col("n2")
-    ab2, s1, s2 = F.col("ab2"), F.col("s1"), F.col("s2")
+    ab2_d = F.expr("CAST(ab2 AS DOUBLE)")
+    mean_num_d = F.expr("CAST(CAST(n1 AS DECIMAL(38,0)) * s1 AS DOUBLE)")
+    var_num_d = F.expr(
+        "CAST(CAST(n AS DECIMAL(38,0)) * s2 - s1 * s1 AS DOUBLE)"
+    )
     var = (
         n1
         * F.lit(1.0)
         * n2
-        * (n * s2 - s1 * s1)
+        * var_num_d
         / ((n - 1) * F.lit(4.0) * n * n)
     )
     return agg.select(
         "n1",
         "n2",
-        F.round(ab2 / F.lit(2.0), 4).alias("ab_stat"),
-        F.round(n1 * s1 / (F.lit(2.0) * n), 4).alias("ab_mean"),
+        F.round(ab2_d / F.lit(2.0), 4).alias("ab_stat"),
+        F.round(mean_num_d / (F.lit(2.0) * n), 4).alias("ab_mean"),
         F.round(
-            (ab2 / F.lit(2.0) - n1 * s1 / (F.lit(2.0) * n)) / F.sqrt(var), 6
+            (ab2_d / F.lit(2.0) - mean_num_d / (F.lit(2.0) * n))
+            / F.sqrt(var),
+            6,
         ).alias("z"),
     )
 
