@@ -146,7 +146,9 @@ def events_ts_unit(path: str) -> str:
 
 
 # Keyed by (part-file path, mtime_ns), same invalidation contract as
-# _TS_UNIT_CACHE.
+# _TS_UNIT_CACHE. Superseded entries (same path, older mtime) are evicted
+# on insert so repeated in-place fixture regeneration cannot grow the
+# dict unboundedly (r10 ADVICE).
 _ROW_COUNT_CACHE: dict[tuple[str, int], int] = {}
 
 
@@ -159,12 +161,24 @@ def table_row_count(sf_dir: str, name: str) -> int:
     literal cap; `df.count()` pays a Spark job + driver round-trip per
     invocation even though parquet already stores num_rows in every
     footer. Cached per (file, mtime) so in-place fixture regeneration
-    invalidates automatically."""
+    invalidates automatically.
+
+    LOCAL-FILESYSTEM ONLY: unlike load_table (which goes through
+    Spark's reader and accepts any Hadoop-visible URI), this helper
+    stats/lists the path with os and pyarrow directly. Callers on a
+    remote sf_dir (s3://, hdfs://) must fall back to df.count(); the
+    assert turns that misuse into an immediate, named error instead of
+    a confusing FileNotFoundError deep in os.stat (r10 ADVICE)."""
     import os
 
     import pyarrow.parquet as pq
 
     path = f"{sf_dir}/{name}.parquet"
+    assert "://" not in str(sf_dir) or str(sf_dir).startswith("file://"), (
+        f"table_row_count reads parquet footers via the LOCAL filesystem; "
+        f"got non-local sf_dir {sf_dir!r} — use load_table(...).count() "
+        f"for remote storage"
+    )
     targets = [path]
     if os.path.isdir(path):
         targets = [
@@ -182,6 +196,11 @@ def table_row_count(sf_dir: str, name: str) -> int:
         n = _ROW_COUNT_CACHE.get(key)
         if n is None:
             n = pq.ParquetFile(t).metadata.num_rows
+            # Same-path entries with a different (older) mtime are
+            # superseded — drop them so regeneration churn can't grow
+            # the cache beyond one live entry per part file.
+            for old in [k for k in _ROW_COUNT_CACHE if k[0] == t]:
+                del _ROW_COUNT_CACHE[old]
             _ROW_COUNT_CACHE[key] = n
         total += n
     return total

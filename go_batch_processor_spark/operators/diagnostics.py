@@ -18,8 +18,15 @@ named, so any FUTURE driver-only red localizes in one round:
                           DuckDB decodes the events parquet timestamps
                           differently; the survival keys then inherit it.
 
-Both are ordered into the driver's next 50-key sample by the
-``diagnostic`` tag (registry.driver_sample_order tier 0).
+Rotation contract (r9 verdict item 8 — retirement policy): a probe
+rides tier 0 of registry.driver_sample_order only while it is
+never-checked or red, because its entire value is bisecting a LIVE
+red in the same sample. Both probes went driver-green in r09, so they
+are now RETIRED to tier 3 — behind every operator key, never again
+occupying one of the 50 sample slots — but stay registered at zero
+cost: the latest-FAIL rule re-promotes a probe to tier 0 the moment
+any future driver round marks it red, which is exactly when it is
+needed again. Pinned in tests/test_round10_fixes.py.
 """
 
 from __future__ import annotations

@@ -1798,15 +1798,19 @@ def ml_quantile_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
             for j in range(i, d):
                 A0[i, j] = A0[j, i] = row0[f"a_{i}_{j}"]
         beta_ols = np.linalg.solve(A0, np.array([row0[f"b_{i}"] for i in range(d)]))
-        # r9 job-count cut, output PROVABLY unchanged: (a) both taus
-        # iterate in LOCKSTEP inside ONE aggregate per step (the per-tau
-        # recursions never interact, so the sequences are identical to
-        # the nested-loop form; each job compiles once instead of twice);
-        # (b) a tau stops early only at an EXACT fixed point
-        # (beta_{k+1} == beta_k bit-for-bit) — every later iterate would
-        # equal beta_k, so the step-40 result is the same. 80 driver
-        # jobs -> ~40 or fewer; per-iteration codegen compile was the
-        # latency, not the scan.
+        # r9 job-count cut: (a) both taus iterate in LOCKSTEP inside ONE
+        # aggregate per step (the per-tau recursions never interact, so
+        # the sequences are identical to the nested-loop form; each job
+        # compiles once instead of twice — provably output-identical);
+        # (b) a tau stops early once its step falls below 1e-12
+        # RELATIVE (see the stop-condition comment below). (b) is
+        # approximate, not a bit-exact fixed point: a result sitting
+        # exactly on a round(...,6) boundary could in principle flip vs
+        # running all 40 steps, which is why the pinned test checks
+        # DEFINING properties (pinball-loss optimality, residual-share
+        # first-order condition) rather than an iterate-for-iterate
+        # twin (r10 ADVICE). 80 driver jobs -> ~40 or fewer;
+        # per-iteration codegen compile was the latency, not the scan.
         def _xb(beta):
             e = F.lit(float(beta[0]))
             for i in range(1, d):
@@ -2475,7 +2479,12 @@ def ml_conformal_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
     cres = (
         calib.join(F.broadcast(model), "event_type")
         .select("event_id", F.abs(F.col("value") - mu).alias("r"))
-        .localCheckpoint(eager=True)  # dist_rank consumes it three times
+        # dist_rank consumes it three times. eager=False per the r8
+        # convention — measured r10 at sf0.1: end-to-end is a wash
+        # (1.30-1.57 s vs 1.33-1.60 s eager=True) and fn() itself gets
+        # ~0.2 s cheaper; dist_rank's approxQuantile materializes the
+        # checkpoint on first use either way, so lazy loses nothing.
+        .localCheckpoint(eager=False)
     )
     ranked, nc = distributed_row_number(
         cres, "r", [F.col("r").asc(), F.col("event_id").asc()], "rn"

@@ -426,13 +426,18 @@ def scalar_try_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ~5 s at sf0.1; the guarded form is ~0.2 s). In the intended
     # one-bad-row-in-a-trillion regime try_cast alone is fine; on a
     # column where failure is common, prefilter with a cheap RLIKE so
-    # the exception path never runs. Output is identical (NULL exactly
-    # where the unguarded cast returns NULL).
+    # the exception path never runs. The regex must accept EVERYTHING
+    # the cast accepts or the guard changes semantics: Spark's
+    # string->bigint cast trims surrounding whitespace and takes a
+    # leading '+', so the pattern carries \s* and [+-] (r10 ADVICE fix —
+    # '^-?[0-9]+$' silently nulled ' 5 ' and '+5'; probed guarded ==
+    # unguarded on whitespace/sign/empty/alpha/decimal/exponent inputs,
+    # pinned in tests/test_round10_fixes.py).
     return li.select(
         "l_orderkey",
         "l_linenumber",
         F.expr(
-            "try_cast(CASE WHEN l_returnflag RLIKE '^-?[0-9]+$'"
+            "try_cast(CASE WHEN l_returnflag RLIKE '^\\\\s*[+-]?[0-9]+\\\\s*$'"
             " THEN l_returnflag END AS BIGINT)"
         ).alias("flag_as_int"),
         F.expr("try_divide(l_extendedprice, l_quantity - 25)").alias("safe_div"),

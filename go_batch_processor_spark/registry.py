@@ -146,9 +146,15 @@ def driver_sample_order(names: list[str]) -> list[str]:
     most needs it:
 
     1. keys whose LATEST driver row was a FAIL (stale reds — the code is
-       fixed and locally parity-green, but the bar is a green DRIVER row);
+       fixed and locally parity-green, but the bar is a green DRIVER
+       row), plus never-checked ``diagnostic`` probes (they exist to
+       bisect a live red and must ride with it);
     2. keys never driver-checked;
-    3. everything else, least-checked first.
+    3. everything else, least-checked first;
+    4. ``diagnostic`` probes with a green sample — RETIRED from active
+       rotation (r9 verdict item 8): a green probe has answered its
+       question, so it orders behind every operator key and only
+       re-promotes (to tier 0) if a future driver round marks it red.
 
     Within every tier, ORACLED keys order before rows-only keys: a
     rows-only key can only ever produce a ``no_oracle`` row (a weak
@@ -176,11 +182,17 @@ def driver_sample_order(names: list[str]) -> list[str]:
         spec = REGISTRY.get(n)
         if latest_fail.get(n, False):
             tier = 0
-        elif c == 0 and spec is not None and "diagnostic" in spec.tags:
-            # Verdict-prescribed probe keys (operators/diagnostics.py) must
-            # land in the very next driver sample to bisect a live red —
-            # they ride tier 0 with the reds they diagnose until checked.
-            tier = 0
+        elif spec is not None and "diagnostic" in spec.tags:
+            # Verdict-prescribed probe keys (operators/diagnostics.py):
+            # while never-checked (or red, via tier 0 above) they must
+            # land in the very next driver sample to bisect a live red.
+            # RETIREMENT POLICY (r9 verdict item 8): once a probe has a
+            # green driver sample it has answered its question — it
+            # drops to tier 3, BEHIND every operator key, so it never
+            # again displaces an operator's (re-)verification slot. It
+            # stays registered (zero-cost, instantly re-promoted to
+            # tier 0 by a future red via the latest-FAIL rule).
+            tier = 0 if c == 0 else 3
         elif c == 0:
             tier = 1
         else:

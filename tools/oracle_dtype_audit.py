@@ -71,14 +71,12 @@ def spark_kind(dt) -> str:
     return f"?{dt}"
 
 
-def main() -> int:
+def audit(spark, con, sf_dir: str = SF_DIR) -> list[str]:
+    """Return one message per dtype-kind mismatch across the whole
+    registry (empty list = clean). Importable so the default pytest
+    suite can run the audit as a gate (r9 verdict item 3)."""
     _ensure_loaded()
-    spark = get_spark(app_name="gbp-dtype-audit", master="local[4]",
-                      shuffle_partitions=4)
-    con = duckdb.connect()
-    for t in TABLE_NAMES:
-        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
-    bad = 0
+    problems: list[str] = []
     checked = 0
     for name, spec in sorted(REGISTRY.items()):
         if spec.oracle is None:
@@ -87,25 +85,34 @@ def main() -> int:
             desc = con.sql(f"DESCRIBE ({spec.oracle})").fetchall()
             dkinds = {r[0]: duck_kind(r[1]) for r in desc}
         except Exception as e:  # pragma: no cover
-            print(f"{name}: DESCRIBE failed: {e}")
-            bad += 1
+            problems.append(f"{name}: DESCRIBE failed: {e}")
             continue
         try:
-            sch = spec.fn(spark, SF_DIR).schema
+            sch = spec.fn(spark, sf_dir).schema
         except Exception as e:  # pragma: no cover
-            print(f"{name}: spark plan build failed: {e}")
-            bad += 1
+            problems.append(f"{name}: spark plan build failed: {e}")
             continue
         skinds = {f.name: spark_kind(f.dataType) for f in sch.fields}
         checked += 1
         for c in sorted(set(dkinds) | set(skinds)):
             dk, sk = dkinds.get(c), skinds.get(c)
             if dk != sk:
-                print(f"{name}: column {c!r} spark={sk} duck={dk}")
-                bad += 1
-    print(f"audited {checked} oracled keys; {bad} mismatched columns",
+                problems.append(f"{name}: column {c!r} spark={sk} duck={dk}")
+    print(f"audited {checked} oracled keys; {len(problems)} problems",
           file=sys.stderr)
-    return 1 if bad else 0
+    return problems
+
+
+def main() -> int:
+    spark = get_spark(app_name="gbp-dtype-audit", master="local[4]",
+                      shuffle_partitions=4)
+    con = duckdb.connect()
+    for t in TABLE_NAMES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
+    problems = audit(spark, con)
+    for p in problems:
+        print(p)
+    return 1 if problems else 0
 
 
 if __name__ == "__main__":
