@@ -142,11 +142,21 @@ HEADLINE = [
     "stats_getis_ord_hotspots",
     "stats_cucconi_test",
     "timeseries_ses_grid_search",
+    # round 10 additions (r9 verdict item 5): the formerly non-headline
+    # heavy keys the r9 sf0.1 sweep surfaced, so driver BENCH tracks
+    # their plan cost round-over-round. ADDITIVE rotation — the frozen
+    # r7 core above is untouched, keeping the round-over-round total
+    # comparable on the pinned common set.
+    "graph_betweenness_sampled",
+    "graph_closeness_landmarks",
+    "ml_isolation_forest",
+    "similarity_knn_classifier",
 ]
 # r8: headliner list intentionally FROZEN at the r7 set — the round froze
 # new registry keys to drain the driver-sample backlog, and an identical
 # in-bench set keeps the round-over-round total comparable on a pinned
-# common core (VERDICT r7 item 8).
+# common core (VERDICT r7 item 8). r10: backlog reaches zero this round,
+# so the freeze lifts ADDITIVELY (see the round-10 block above).
 
 # Checkpoint-heavy queries whose in-bench timings inflate ~1.5x from disk
 # contention with OTHER queries' localCheckpoint writes during the
@@ -164,6 +174,10 @@ CHECKPOINT_HEAVY = [
     # contention noise vs real regression is resolvable from the artifact.
     "stats_spearman_corr",
     "stats_kaplan_meier",
+    # r10 additions: the batched-pivot BFS keys checkpoint per level —
+    # record their standalone pairs from the first tracked round.
+    "graph_betweenness_sampled",
+    "graph_closeness_landmarks",
 ]
 
 

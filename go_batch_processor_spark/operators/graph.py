@@ -525,41 +525,14 @@ def graph_bfs_shortest_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     iteration for the early-exit check; distances live distributed.
     Lineage stays shallow (<= 4 plans), so no checkpoint is needed.
     """
-    from pyspark import StorageLevel
-
-    edges = interaction_edges(spark, sf_dir).persist(StorageLevel.MEMORY_AND_DISK)
-    frontiers = []
-    try:
-        dist = (
-            edges.sparkSession.range(1)
-            .select(F.lit(BFS_SOURCE).cast("long").alias("node"))
-            .withColumn("dist", F.lit(0))
-        )
-        frontier = dist
-        for hop in range(1, BFS_MAX_HOPS + 1):
-            nxt = (
-                frontier.join(edges, frontier.node == edges.src)
-                .select(F.col("dst").alias("node"))
-                .distinct()
-                .join(dist.select("node"), "node", "left_anti")
-                .withColumn("dist", F.lit(hop))
-            )
-            nxt = nxt.persist(StorageLevel.MEMORY_AND_DISK)
-            frontiers.append(nxt)
-            if nxt.count() == 0:  # early exit: frontier exhausted
-                break
-            dist = dist.unionByName(nxt)
-            frontier = nxt
-        # Materialize + truncate lineage so every per-hop cache (and the
-        # edge list) can be dropped before returning — without this, each
-        # invocation leaked up to 5 cached frames for the session's life.
-        return dist.select(
-            "node", F.col("dist").cast("long").alias("dist")
-        ).localCheckpoint()
-    finally:
-        for f in frontiers:
-            f.unpersist(blocking=False)
-        edges.unpersist(blocking=False)
+    # Single-source instance of the batched multi-source core (r10
+    # refactor — one frontier loop shared with closeness/betweenness;
+    # identical semantics: distinct-expand + anti-join per hop, early
+    # exit on an empty frontier, lineage truncated at exit).
+    dist = _bfs_multi(
+        spark, interaction_edges(spark, sf_dir), [BFS_SOURCE], BFS_MAX_HOPS
+    )
+    return dist.select("node", F.col("d").cast("long").alias("dist"))
 
 
 def _jaccard_selfjoin_scored(
@@ -762,15 +735,38 @@ def graph_k_core(spark: SparkSession, sf_dir: str) -> DataFrame:
     Rows-only: tests/test_graph.py pins the node set against an
     independent pandas peeling twin and asserts the degree invariant.
     """
+    core = _k_core_peel(
+        spark, interaction_edges(spark, sf_dir), K_CORE, K_CORE_MAX_ITERS
+    )
+    return (
+        core.groupBy("src")
+        .agg(F.count(F.lit(1)).alias("core_degree"))
+        .select(
+            F.col("src").alias("node"),
+            F.when(F.col("src") % 2 == 0, "user").otherwise("item").alias("kind"),
+            F.col("core_degree").cast("bigint").alias("core_degree"),
+        )
+        .localCheckpoint()
+    )
+
+
+def _k_core_peel(
+    spark: SparkSession, edges: DataFrame, k: int, max_iters: int
+) -> DataFrame:
+    """Iterative k-core peeling over an explicit symmetric edge list;
+    returns the surviving (src, dst) subgraph, localCheckpoint'd.
+    Extracted (r10, r9 verdict item 6) so adversarial-fixture property
+    tests — cliques with pendant tails, components that peel away
+    entirely, isolated stars — drive the real peeling loop."""
     from pyspark import StorageLevel
 
-    cur = interaction_edges(spark, sf_dir).persist(StorageLevel.MEMORY_AND_DISK)
+    cur = edges.persist(StorageLevel.MEMORY_AND_DISK)
     generations = [cur]
     converged = False
     try:
-        for _ in range(K_CORE_MAX_ITERS):
+        for _ in range(max_iters):
             deg = cur.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
-            bad = deg.filter(F.col("d") < K_CORE).select(F.col("src").alias("n"))
+            bad = deg.filter(F.col("d") < k).select(F.col("src").alias("n"))
             if bad.count() == 0:
                 converged = True
                 break
@@ -788,19 +784,10 @@ def graph_k_core(spark: SparkSession, sf_dir: str) -> DataFrame:
             # silently (ADVICE r5). The cap exists only as a runaway
             # guard; real graphs converge in <= diameter-ish rounds.
             raise RuntimeError(
-                f"graph_k_core: no fixpoint after {K_CORE_MAX_ITERS} "
-                f"peeling rounds (k={K_CORE}); raise K_CORE_MAX_ITERS"
+                f"graph_k_core: no fixpoint after {max_iters} "
+                f"peeling rounds (k={k}); raise the iteration cap"
             )
-        out = (
-            cur.groupBy("src")
-            .agg(F.count(F.lit(1)).alias("core_degree"))
-            .select(
-                F.col("src").alias("node"),
-                F.when(F.col("src") % 2 == 0, "user").otherwise("item").alias("kind"),
-                F.col("core_degree").cast("bigint").alias("core_degree"),
-            )
-        )
-        return out.localCheckpoint()
+        return cur.localCheckpoint()
     finally:
         for g in generations:
             g.unpersist(blocking=False)
@@ -1105,19 +1092,50 @@ def graph_betweenness_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
     reported value against an exact pure-Python Brandes twin restricted
     to the same sources and hop cap.
     """
+    edges = interaction_edges(spark, sf_dir)
+    sources = [
+        int(r.node)
+        for r in edges.select(F.col("src").alias("node"))
+        .distinct()
+        .orderBy("node")
+        .limit(BETW_N_SOURCES)
+        .collect()
+    ]
+    acc = _brandes_batched(spark, edges, sources, BETW_MAX_HOPS)
+    out = (
+        acc.select(
+            F.when(F.col("node") % 2 == 0, F.lit("user"))
+            .otherwise(F.lit("item"))
+            .alias("kind"),
+            F.floor(F.col("node") / 2).cast("long").alias("entity_id"),
+            F.round("b", 6).alias("betweenness"),
+        )
+        .orderBy(
+            F.col("betweenness").desc(),
+            F.col("kind").asc(),
+            F.col("entity_id").asc(),
+        )
+        .limit(BETW_TOP_K)
+    )
+    return out.localCheckpoint()
+
+
+def _brandes_batched(
+    spark: SparkSession, edges: DataFrame, sources: list[int], max_hops: int
+) -> DataFrame:
+    """Batched-pivot Brandes accumulation over an explicit directed edge
+    list (pass both directions for an undirected graph): returns
+    (node, b) with b = sum of dependency deltas over ``sources``,
+    b > 0 rows only, node ids untranslated. Extracted from the
+    registered key (r10, r9 verdict item 6) so property tests can drive
+    the REAL distributed passes on adversarial fixtures — disconnected
+    components, chains whose levels have zero-successor nodes, hop-cap
+    truncation — that the dense bipartite fixture never exercises."""
     from pyspark import StorageLevel
 
-    edges = interaction_edges(spark, sf_dir).persist(StorageLevel.MEMORY_AND_DISK)
+    edges = edges.persist(StorageLevel.MEMORY_AND_DISK)
     cleanup: list[DataFrame] = []
     try:
-        sources = [
-            int(r.node)
-            for r in edges.select(F.col("src").alias("node"))
-            .distinct()
-            .orderBy("node")
-            .limit(BETW_N_SOURCES)
-            .collect()
-        ]
         acc = None
         dist = spark.createDataFrame(
             [(s, s, 0, 1.0) for s in sources],
@@ -1125,7 +1143,7 @@ def graph_betweenness_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         frontier = dist
         maxd = 0
-        for hop in range(1, BETW_MAX_HOPS + 1):
+        for hop in range(1, max_hops + 1):
             cand = (
                 frontier.join(edges, frontier.node == edges.src)
                 .groupBy("p", F.col("dst").alias("node"))
@@ -1202,29 +1220,14 @@ def graph_betweenness_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
         # level 0 is each pivot itself — Brandes excludes the source, so
         # its delta row is NOT accumulated (the loop above only recorded
         # levels maxd..1).
-        if acc is None:  # pragma: no cover — empty graph
-            return spark.createDataFrame(
-                [], "kind string, entity_id long, betweenness double"
-            )
-        out = (
+        if acc is None:  # empty graph / no source reaches anything
+            return spark.createDataFrame([], "node long, b double")
+        return (
             acc.groupBy("node")
             .agg(F.sum("delta").alias("b"))
             .filter(F.col("b") > 0)
-            .select(
-                F.when(F.col("node") % 2 == 0, F.lit("user"))
-                .otherwise(F.lit("item"))
-                .alias("kind"),
-                F.floor(F.col("node") / 2).cast("long").alias("entity_id"),
-                F.round("b", 6).alias("betweenness"),
-            )
-            .orderBy(
-                F.col("betweenness").desc(),
-                F.col("kind").asc(),
-                F.col("entity_id").asc(),
-            )
-            .limit(BETW_TOP_K)
+            .localCheckpoint()
         )
-        return out.localCheckpoint()
     finally:
         edges.unpersist(blocking=False)
 
@@ -1252,23 +1255,59 @@ def graph_closeness_landmarks(spark: SparkSession, sf_dir: str) -> DataFrame:
     Rows-only (pivot-scoped estimate); tests/test_graph.py pins every
     value against a pure-Python BFS twin on the same pivots.
     """
+    edges = interaction_edges(spark, sf_dir)
+    sources = [
+        int(r.node)
+        for r in edges.select(F.col("src").alias("node"))
+        .distinct()
+        .orderBy("node")
+        .limit(BETW_N_SOURCES)
+        .collect()
+    ]
+    all_d = _bfs_multi(spark, edges, sources, BETW_MAX_HOPS)
+    k = len(sources)
+    return (
+        all_d.groupBy("node")
+        .agg(
+            F.count(F.lit(1)).alias("n_pivots"),
+            F.sum("d").alias("sum_d"),
+        )
+        .filter((F.col("n_pivots") == k) & (F.col("sum_d") > 0))
+        .select(
+            F.when(F.col("node") % 2 == 0, F.lit("user"))
+            .otherwise(F.lit("item"))
+            .alias("kind"),
+            F.floor(F.col("node") / 2).cast("long").alias("entity_id"),
+            F.round(float(k) / F.col("sum_d"), 6).alias("closeness"),
+        )
+        .orderBy(
+            F.col("closeness").desc(),
+            F.col("kind").asc(),
+            F.col("entity_id").asc(),
+        )
+        .limit(CLOSENESS_TOP_K)
+        .localCheckpoint()
+    )
+
+
+def _bfs_multi(
+    spark: SparkSession, edges: DataFrame, sources: list[int], max_hops: int
+) -> DataFrame:
+    """Batched multi-source BFS over an explicit directed edge list:
+    one (pivot, node)-keyed frontier carries every source through each
+    hop; returns the full distance frame (p, node, d) including the
+    d=0 self rows. Extracted (r10, r9 verdict item 6) so adversarial-
+    fixture property tests — disconnected components, pivots that
+    reach nothing, hop-cap truncation — drive the real passes."""
     from pyspark import StorageLevel
 
-    edges = interaction_edges(spark, sf_dir).persist(StorageLevel.MEMORY_AND_DISK)
+    edges = edges.persist(StorageLevel.MEMORY_AND_DISK)
     try:
-        sources = [
-            int(r.node)
-            for r in edges.select(F.col("src").alias("node"))
-            .distinct()
-            .orderBy("node")
-            .limit(BETW_N_SOURCES)
-            .collect()
-        ]
         dist = spark.createDataFrame(
             [(s, s, 0) for s in sources], "p long, node long, d int"
         )
         frontier = dist
-        for hop in range(1, BETW_MAX_HOPS + 1):
+        for hop in range(1, max_hops + 1):
             nxt = (
                 frontier.join(edges, frontier.node == edges.src)
                 .select("p", F.col("dst").alias("node"))
@@ -1281,30 +1320,7 @@ def graph_closeness_landmarks(spark: SparkSession, sf_dir: str) -> DataFrame:
                 break
             dist = dist.unionByName(nxt)
             frontier = nxt
-        all_d = dist
-        k = len(sources)
-        return (
-            all_d.groupBy("node")
-            .agg(
-                F.count(F.lit(1)).alias("n_pivots"),
-                F.sum("d").alias("sum_d"),
-            )
-            .filter((F.col("n_pivots") == k) & (F.col("sum_d") > 0))
-            .select(
-                F.when(F.col("node") % 2 == 0, F.lit("user"))
-                .otherwise(F.lit("item"))
-                .alias("kind"),
-                F.floor(F.col("node") / 2).cast("long").alias("entity_id"),
-                F.round(float(k) / F.col("sum_d"), 6).alias("closeness"),
-            )
-            .orderBy(
-                F.col("closeness").desc(),
-                F.col("kind").asc(),
-                F.col("entity_id").asc(),
-            )
-            .limit(CLOSENESS_TOP_K)
-            .localCheckpoint()
-        )
+        return dist.localCheckpoint()
     finally:
         edges.unpersist(blocking=False)
 
