@@ -148,3 +148,20 @@ def test_spread_groups_exchange_is_reused_by_kernel(spark, sf_dir):
     df = REGISTRY["timeseries_kalman_filter"].fn(spark, sf_dir)
     plan = _executed(df)
     assert plan.count("Exchange") - plan.count("ReusedExchange") == 1, plan
+
+
+def test_median_band_isolation_single_shuffle(spark, sf_dir):
+    """agg_median_distributed (r10 band-isolation rewrite): the corpus
+    crosses exactly ONE hash exchange (the band marginal groupBy, with
+    map-side partial aggregation swallowing the below-band sentinel
+    mass); the only single-partition exchange feeds the cumulative
+    window over the BOUNDED band marginal — never raw rows. A second
+    hash exchange or a windowed full frame means the rewrite rotted
+    back to ranking the corpus."""
+    plan = _executed(REGISTRY["agg_median_distributed"].fn(spark, sf_dir))
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1, plan
+    assert len(re.findall(r"Exchange SinglePartition", plan)) <= 1, plan
+    assert plan.count("Window") == 1, plan
+    # partial aggregation present upstream of the shuffle (map-side
+    # combine is what keeps the sentinel mass off the wire)
+    assert "partial_count" in plan, plan
