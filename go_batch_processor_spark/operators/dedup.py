@@ -586,8 +586,21 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             for c in range(SIMHASH_MAX_HAMMING + 1)
         ]
     )
-    chunks = bits.select("doc_id", "bits", F.explode(chunk_structs).alias("cs")).select(
-        "doc_id", "bits", F.col("cs.chunk").alias("chunk"), F.col("cs.sig").alias("sig")
+    chunks = (
+        bits.select("doc_id", "bits", F.explode(chunk_structs).alias("cs"))
+        .select(
+            "doc_id",
+            "bits",
+            F.col("cs.chunk").alias("chunk"),
+            F.col("cs.sig").alias("sig"),
+        )
+        # Both sides of the banded self-join read this frame; without a
+        # checkpoint the 64-aggregate vote pipeline executes TWICE
+        # (ReuseExchange does not bridge a self-join's two scans of a
+        # derived frame — the r7 triangle lesson). Doc-count-sized
+        # (4 rows/doc), so materializing is the cheap side. Measured
+        # sf0.1 warm: 4.1 -> ~2.3 s (r10).
+        .localCheckpoint(eager=False)
     )
 
     a = chunks.alias("a")

@@ -401,24 +401,51 @@ def kmeans_parallel_init(
     try:
         first = emb.orderBy("vec_id").limit(1).select("vec").collect()
         cand: list[list[float]] = [list(first[0]["vec"])]
+        # Running min-distance state (r10 perf): round r only needs each
+        # point's distance to the NEAREST candidate so far, which updates
+        # incrementally as least(d2, dist to the round's NEW candidates).
+        # The original re-assigned against ALL candidates every round, so
+        # the codegen expression grew with the cumulative candidate count
+        # (1 -> 17 -> 33 sqdist HOF chains; compile time dominated the
+        # 2000-row compute — lesson 10). least() over the identical
+        # per-candidate _sqdist values is the same IEEE min, so d2 (and
+        # the Bernoulli draws it feeds) is value-identical per round.
+        state = assign_clusters(emb, cand).select(
+            "vec_id", "vec", F.col("dist2").alias("d2")
+        )
         for r in range(rounds):
-            scored = assign_clusters(emb, cand)
-            phi = scored.agg(F.sum("dist2").alias("p")).collect()[0]["p"]
+            state = state.localCheckpoint()  # consumed 2-3x per round
+            phi = state.agg(F.sum("d2").alias("p")).collect()[0]["p"]
             if not phi or phi <= 0:
                 break
-            p = F.least(F.lit(1.0), F.lit(float(l)) * F.col("dist2") / F.lit(phi))
+            p = F.least(F.lit(1.0), F.lit(float(l)) * F.col("d2") / F.lit(phi))
             drawn = (
-                scored.filter(_uniform01(F.col("vec_id"), F.lit(r)) < p)
+                state.filter(_uniform01(F.col("vec_id"), F.lit(r)) < p)
                 .select("vec")
                 .collect()
             )
-            cand.extend(list(row["vec"]) for row in drawn)
-        # weights: how many corpus points each candidate attracts
+            new = [list(row["vec"]) for row in drawn]
+            cand.extend(new)
+            if new and r + 1 < rounds:
+                nd = F.least(
+                    *[_sqdist(F.col("vec"), c) for c in new]
+                ) if len(new) > 1 else _sqdist(F.col("vec"), new[0])
+                state = state.withColumn("d2", F.least(F.col("d2"), nd))
+        # weights: how many corpus points each candidate attracts. The
+        # ~1 + rounds*l candidates make the HOF-argmin assign a codegen
+        # compile bomb (42 sqdist chains measured 3.2 s on 2000 rows —
+        # lesson 10), so the count pass rides the Arrow kernel instead:
+        # _lloyd_partials emits <= |cand| x dim partial rows per task;
+        # summing n over one fixed pos gives the per-candidate counts
+        # (r10, 8.6 -> ~3 s; argmin ties resolve to the lowest index in
+        # both implementations, and the weights only steer the
+        # deterministic farthest-first reduction).
         counts = {
             row["cluster"]: row["n"]
-            for row in assign_clusters(emb, cand)
+            for row in _lloyd_partials(emb, cand)
+            .filter(F.col("pos") == 0)
             .groupBy("cluster")
-            .agg(F.count(F.lit(1)).alias("n"))
+            .agg(F.sum("n").alias("n"))
             .collect()
         }
         C = np.array(cand, dtype=np.float64)
