@@ -1585,3 +1585,105 @@ def graph_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").alias("n_directed_edges"),
         F.round(num / den, 6).alias("assortativity"),
     )
+
+
+HARMONIC_TOP_K = 20
+HARMONIC_UNIT = 1_000_000_000_000  # 1/d in exact 1e-12 units (integer DIV)
+
+
+@register(
+    "graph_harmonic_centrality",
+    oracle=f"""
+    WITH RECURSIVE pairs AS (
+      SELECT DISTINCT user_id * 2 AS u,
+             CAST(props->>'k' AS BIGINT) * 2 + 1 AS i
+      FROM events WHERE props->>'k' IS NOT NULL
+    ),
+    edges AS (
+      SELECT u AS src, i AS dst FROM pairs
+      UNION ALL
+      SELECT i AS src, u AS dst FROM pairs
+    ),
+    pivots AS (
+      SELECT src AS p FROM edges GROUP BY src ORDER BY src LIMIT {BETW_N_SOURCES}
+    ),
+    walk(p, node, dist) AS (
+      SELECT p, p AS node, 0 AS dist FROM pivots
+      UNION
+      SELECT w.p, e.dst, w.dist + 1
+      FROM walk w JOIN edges e ON e.src = w.node
+      WHERE w.dist < {BETW_MAX_HOPS}
+    ),
+    d AS (
+      SELECT p, node, min(dist) AS d FROM walk GROUP BY p, node
+    )
+    SELECT CASE WHEN node % 2 = 0 THEN 'user' ELSE 'item' END AS kind,
+           CAST(floor(node / 2.0) AS BIGINT) AS entity_id,
+           CAST(count(*) AS BIGINT) AS n_reached,
+           CAST(sum({HARMONIC_UNIT} // d) AS BIGINT) AS harmonic_units
+    FROM d
+    WHERE d > 0
+    GROUP BY node
+    ORDER BY harmonic_units DESC, kind ASC, entity_id ASC
+    LIMIT {HARMONIC_TOP_K}
+    """,
+)
+def graph_harmonic_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot-sampled harmonic centrality (Boldi & Vigna 2014, "Axioms
+    for centrality"): H(v) = sum over pivots p of 1/d(p, v), the
+    centrality that — unlike closeness — is well-defined on DISCONNECTED
+    graphs because unreached pivots contribute 0 instead of poisoning a
+    reciprocal-of-sum. Same deterministic pivot set as the
+    betweenness/closeness keys ({BETW_N_SOURCES} lowest node ids), hops
+    capped at {BETW_MAX_HOPS}.
+
+    Parity: 1/d is computed as the exact integer {HARMONIC_UNIT} DIV d
+    ("harmonic_units", 1e-12 units) — d is a small positive integer, so
+    the per-pivot terms are exact BIGINTs and their sum is
+    order-independent on both engines (no IEEE fold anywhere; the
+    summed-reciprocals class that forced closeness to rows-only does not
+    arise). The DuckDB oracle runs the identical multi-source BFS as a
+    RECURSIVE CTE seeded from the pivot CTE with min(dist) collapsing
+    revisits (the graph_bfs_shortest_paths construct, driver-green) and
+    the sum CAST to BIGINT (DuckDB sum(BIGINT) is HUGEINT — the r9
+    dtype-kind trap).
+
+    Scale shape: one batched (pivot, node)-keyed frontier BFS
+    (_bfs_multi — job count O(diameter) for ANY pivot count), then one
+    partial-combinable groupBy(node) over the distance frame; integer
+    top-k. Driver state: the pivot list only.
+    """
+    edges = interaction_edges(spark, sf_dir)
+    sources = [
+        int(r.node)
+        for r in edges.select(F.col("src").alias("node"))
+        .distinct()
+        .orderBy("node")
+        .limit(BETW_N_SOURCES)
+        .collect()
+    ]
+    all_d = _bfs_multi(spark, edges, sources, BETW_MAX_HOPS)
+    return (
+        all_d.filter(F.col("d") > 0)
+        .groupBy("node")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_reached"),
+            F.sum(F.expr(f"CAST({HARMONIC_UNIT} AS BIGINT) DIV d"))
+            .cast("bigint")
+            .alias("harmonic_units"),
+        )
+        .select(
+            F.when(F.col("node") % 2 == 0, F.lit("user"))
+            .otherwise(F.lit("item"))
+            .alias("kind"),
+            F.floor(F.col("node") / 2).cast("long").alias("entity_id"),
+            "n_reached",
+            "harmonic_units",
+        )
+        .orderBy(
+            F.col("harmonic_units").desc(),
+            F.col("kind").asc(),
+            F.col("entity_id").asc(),
+        )
+        .limit(HARMONIC_TOP_K)
+    )

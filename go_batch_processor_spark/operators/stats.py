@@ -8892,3 +8892,331 @@ def stats_sign_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             (npos - nnz / F.lit(2.0) - cc) / F.sqrt(nnz / F.lit(4.0)), 6
         ).alias("z"),
     )
+
+
+@register(
+    "stats_brunner_munzel",
+    oracle="""
+    WITH comp AS (
+      SELECT l_quantity AS v,
+             CAST(sum(CASE WHEN l_linestatus = 'O' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS c1,
+             CAST(sum(CASE WHEN l_linestatus <> 'O' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS c2
+      FROM lineitem GROUP BY 1
+    ),
+    ranked AS (
+      SELECT c1, c2,
+             CAST(2 * sum(c1 + c2) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING)
+                  - (c1 + c2) + 1 AS BIGINT) AS x,
+             CAST(2 * sum(c1) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING)
+                  - c1 + 1 AS BIGINT) AS y1,
+             CAST(2 * sum(c2) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING)
+                  - c2 + 1 AS BIGINT) AS y2,
+             CAST(sum(c1) OVER () AS BIGINT) AS n1,
+             CAST(sum(c2) OVER () AS BIGINT) AS n2
+      FROM comp
+    ),
+    tot AS (
+      SELECT c1, c2, x, y1, y2, n1, n2,
+             CAST(sum(c1 * x) OVER () AS BIGINT) AS t1,
+             CAST(sum(c2 * x) OVER () AS BIGINT) AS t2
+      FROM ranked
+    ),
+    dev AS (
+      SELECT c1, c2, n1, n2, t1, t2,
+             n1 * (x - y1) - t1 + n1 * (n1 + 1) AS u1,
+             n2 * (x - y2) - t2 + n2 * (n2 + 1) AS u2
+      FROM tot
+    ),
+    agg AS (
+      SELECT max(n1) AS n1, max(n2) AS n2, max(t1) AS t1, max(t2) AS t2,
+             sum(CAST(c1 AS HUGEINT) * u1 * u1) AS a1,
+             sum(CAST(c2 AS HUGEINT) * u2 * u2) AS a2
+      FROM dev
+    )
+    SELECT n1, n2,
+           round((CAST(t2 AS DOUBLE) - CAST(n2 AS DOUBLE) * (n2 + 1))
+                 / (2.0 * n1 * n2), 6) AS p_hat,
+           round(CAST(CAST(n1 AS HUGEINT) * t2
+                      - CAST(n2 AS HUGEINT) * t1 AS DOUBLE)
+                 / (2.0 * (n1 + n2)
+                    * sqrt(CAST(a1 AS DOUBLE) / (4.0 * n1 * (n1 - 1.0))
+                           + CAST(a2 AS DOUBLE) / (4.0 * n2 * (n2 - 1.0)))),
+                 6) AS w_stat,
+           round(pow(CAST(a1 AS DOUBLE) / (4.0 * n1 * (n1 - 1.0))
+                     + CAST(a2 AS DOUBLE) / (4.0 * n2 * (n2 - 1.0)), 2)
+                 / (pow(CAST(a1 AS DOUBLE) / (4.0 * n1 * (n1 - 1.0)), 2)
+                      / (n1 - 1.0)
+                    + pow(CAST(a2 AS DOUBLE) / (4.0 * n2 * (n2 - 1.0)), 2)
+                      / (n2 - 1.0)), 4) AS df
+    FROM agg
+    """,
+)
+def stats_brunner_munzel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brunner-Munzel generalized Wilcoxon test (Brunner & Munzel 2000;
+    the scipy.stats.brunnermunzel formulation) on open vs non-open
+    lineitem quantity: tests the stochastic-equality hypothesis
+    P(X < Y) + 0.5*P(X = Y) = 0.5 WITHOUT the equal-variance assumption
+    Mann-Whitney needs under ties/heteroscedasticity — the modern
+    default for two-sample ordinal comparisons. Emits the effect
+    estimate p_hat, the studentized W statistic, and the Welch-like
+    Satterthwaite df.
+
+    Exactness shape (the stats_cucconi/ansari SRS-moment doctrine,
+    generalized to the BM rank-variance): the bounded quantity domain
+    compresses the frame to |V| <= 50 rows; doubled midranks keep both
+    the OVERALL (x = 2R) and WITHIN-GROUP (y_g = 2R^(g)) ranks integer;
+    the per-value deviation of Brunner-Munzel's variance term clears to
+    the exact BIGINT u_g = n_g*(x - y_g) - T_g + n_g*(n_g+1)
+    (= 2*n_g * [R - R^(g) - Rbar_g + (n_g+1)/2]), so the rank variances
+    S_g^2 = A_g / (4*n_g^2*(n_g-1)) with A_g = sum(c_g * u_g^2)
+    accumulated exactly in DECIMAL(38,0)/HUGEINT (u^2 is O(N^4) — the
+    ansari overflow lesson; DECIMAL38 holds A_g to N ~ 1e8 rows, past
+    that compute in plain doubles from the same sufficient statistics).
+    Every reported statistic is a fixed IEEE expression tree over the
+    six exact integers (n1, n2, T1, T2, A1, A2) with one exact->double
+    cast each — bit-deterministic across engines, no ordered fold
+    anywhere.
+
+    Scale shape: one partial-combinable groupBy(quantity) scan; every
+    window runs over the domain-bounded 50-row frame.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    comp = li.groupBy(F.col("l_quantity").alias("v")).agg(
+        F.sum(F.when(F.col("l_linestatus") == "O", 1).otherwise(0))
+        .cast("bigint")
+        .alias("c1"),
+        F.sum(F.when(F.col("l_linestatus") != "O", 1).otherwise(0))
+        .cast("bigint")
+        .alias("c2"),
+    )
+    w_cum = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    w_all = Window.partitionBy()
+    c = F.col("c1") + F.col("c2")
+    ranked = comp.select(
+        "c1",
+        "c2",
+        (2 * F.sum(c).over(w_cum) - c + 1).cast("bigint").alias("x"),
+        (2 * F.sum("c1").over(w_cum) - F.col("c1") + 1)
+        .cast("bigint")
+        .alias("y1"),
+        (2 * F.sum("c2").over(w_cum) - F.col("c2") + 1)
+        .cast("bigint")
+        .alias("y2"),
+        F.sum("c1").over(w_all).cast("bigint").alias("n1"),
+        F.sum("c2").over(w_all).cast("bigint").alias("n2"),
+    )
+    tot = ranked.select(
+        "c1",
+        "c2",
+        "x",
+        "y1",
+        "y2",
+        "n1",
+        "n2",
+        F.sum(F.col("c1") * F.col("x")).over(w_all).cast("bigint").alias("t1"),
+        F.sum(F.col("c2") * F.col("x")).over(w_all).cast("bigint").alias("t2"),
+    )
+    n1, n2 = F.col("n1"), F.col("n2")
+    dev = tot.select(
+        "c1",
+        "c2",
+        "n1",
+        "n2",
+        "t1",
+        "t2",
+        (n1 * (F.col("x") - F.col("y1")) - F.col("t1") + n1 * (n1 + 1)).alias("u1"),
+        (n2 * (F.col("x") - F.col("y2")) - F.col("t2") + n2 * (n2 + 1)).alias("u2"),
+    )
+    agg = dev.agg(
+        F.max("n1").alias("n1"),
+        F.max("n2").alias("n2"),
+        F.max("t1").alias("t1"),
+        F.max("t2").alias("t2"),
+        F.sum(F.expr("CAST(c1 AS DECIMAL(38,0)) * u1 * u1")).alias("a1"),
+        F.sum(F.expr("CAST(c2 AS DECIMAL(38,0)) * u2 * u2")).alias("a2"),
+    )
+    # identical expression trees to the oracle: one exact->double cast
+    # per sufficient statistic, then shared IEEE arithmetic
+    p_hat = F.expr(
+        "round((CAST(t2 AS DOUBLE) - CAST(n2 AS DOUBLE) * (n2 + 1))"
+        " / (2.0 * n1 * n2), 6)"
+    )
+    nS = (
+        "(CAST(a1 AS DOUBLE) / (4.0 * n1 * (n1 - 1.0))"
+        " + CAST(a2 AS DOUBLE) / (4.0 * n2 * (n2 - 1.0)))"
+    )
+    w_stat = F.expr(
+        "round(CAST(CAST(n1 AS DECIMAL(38,0)) * t2"
+        "           - CAST(n2 AS DECIMAL(38,0)) * t1 AS DOUBLE)"
+        f" / (2.0 * (n1 + n2) * sqrt({nS})), 6)"
+    )
+    df = F.expr(
+        f"round(pow({nS}, 2)"
+        " / (pow(CAST(a1 AS DOUBLE) / (4.0 * n1 * (n1 - 1.0)), 2) / (n1 - 1.0)"
+        "    + pow(CAST(a2 AS DOUBLE) / (4.0 * n2 * (n2 - 1.0)), 2)"
+        "      / (n2 - 1.0)), 4)"
+    )
+    return agg.select(
+        "n1",
+        "n2",
+        p_hat.alias("p_hat"),
+        w_stat.alias("w_stat"),
+        df.alias("df"),
+    )
+
+
+@register(
+    "stats_lepage",
+    oracle="""
+    WITH comp AS (
+      SELECT l_quantity AS v,
+             CAST(sum(CASE WHEN l_linestatus = 'O' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS c1,
+             CAST(sum(CASE WHEN l_linestatus <> 'O' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS c2
+      FROM lineitem GROUP BY 1
+    ),
+    ranked AS (
+      SELECT c1, c2, c1 + c2 AS c,
+             sum(c1 + c2) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS hi,
+             sum(c1 + c2) OVER () AS n
+      FROM comp
+    ),
+    scored AS (
+      SELECT c1, c2, c, n,
+             CAST((hi - c + 1) + hi AS BIGINT) AS x,
+             CASE WHEN (hi - c + 1) + hi <= 2 * (n + 1) - ((hi - c + 1) + hi)
+                  THEN (hi - c + 1) + hi
+                  ELSE 2 * (n + 1) - ((hi - c + 1) + hi) END AS smin2
+      FROM ranked
+    ),
+    agg AS (
+      SELECT CAST(max(n) AS BIGINT)            AS n,
+             CAST(sum(c1) AS BIGINT)           AS n1,
+             CAST(sum(c2) AS BIGINT)           AS n2,
+             CAST(sum(c1 * x) AS BIGINT)       AS t1,
+             sum(CAST(c AS HUGEINT) * x)       AS s1r,
+             sum(CAST(c AS HUGEINT) * x * x)   AS s2r,
+             CAST(sum(c1 * smin2) AS BIGINT)   AS ab2,
+             sum(CAST(c AS HUGEINT) * smin2)   AS sa1,
+             sum(CAST(c AS HUGEINT) * smin2 * smin2) AS sa2
+      FROM scored
+    )
+    SELECT n1, n2,
+           round(pow((CAST(t1 AS DOUBLE) / 2.0
+                      - CAST(CAST(n1 AS HUGEINT) * s1r AS DOUBLE) / (2.0 * n))
+                     / sqrt(n1 * 1.0 * n2
+                            * CAST(CAST(n AS HUGEINT) * s2r - s1r * s1r
+                                   AS DOUBLE)
+                            / ((n - 1) * 4.0 * n * n)), 2), 6) AS w_component,
+           round(pow((CAST(ab2 AS DOUBLE) / 2.0
+                      - CAST(CAST(n1 AS HUGEINT) * sa1 AS DOUBLE) / (2.0 * n))
+                     / sqrt(n1 * 1.0 * n2
+                            * CAST(CAST(n AS HUGEINT) * sa2 - sa1 * sa1
+                                   AS DOUBLE)
+                            / ((n - 1) * 4.0 * n * n)), 2), 6) AS a_component,
+           round(pow((CAST(t1 AS DOUBLE) / 2.0
+                      - CAST(CAST(n1 AS HUGEINT) * s1r AS DOUBLE) / (2.0 * n))
+                     / sqrt(n1 * 1.0 * n2
+                            * CAST(CAST(n AS HUGEINT) * s2r - s1r * s1r
+                                   AS DOUBLE)
+                            / ((n - 1) * 4.0 * n * n)), 2)
+                 + pow((CAST(ab2 AS DOUBLE) / 2.0
+                        - CAST(CAST(n1 AS HUGEINT) * sa1 AS DOUBLE) / (2.0 * n))
+                       / sqrt(n1 * 1.0 * n2
+                              * CAST(CAST(n AS HUGEINT) * sa2 - sa1 * sa1
+                                     AS DOUBLE)
+                              / ((n - 1) * 4.0 * n * n)), 2), 6) AS lepage_l
+    FROM agg
+    """,
+)
+def stats_lepage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lepage two-sample location-AND-scale omnibus test (Lepage 1971)
+    on open vs non-open lineitem quantity: L = Z_W^2 + Z_AB^2, the sum
+    of the squared standardized Wilcoxon rank-sum (location) and
+    Ansari-Bradley (scale) statistics, asymptotically chi-square(2)
+    under H0 — the classic "did the distribution move OR spread?"
+    gate a data pipeline runs before trusting a drifted segment.
+
+    Composition of two driver-green components (stats_mann_whitney /
+    stats_ansari_bradley): both standardizations run over ONE compressed
+    |V| <= 50 quantity frame with all sufficient statistics exact —
+    doubled midranks x = lo + hi, Ansari scores smin2 = min(x, 2(N+1)-x),
+    group-1 sums t1/ab2 as BIGINT, and the SRS null moments from the
+    exact score multisets (s1r/s2r/sa1/sa2 in DECIMAL(38,0)/HUGEINT —
+    x^2 sums are O(N^3), the ansari overflow lesson). Each component is
+    the ansari expression tree verbatim (one exact->double cast, IEEE
+    divisions + sqrt), so Z_W and Z_AB are bit-deterministic and L is
+    one further IEEE add. Under ties both moments are the exact
+    conditional-on-ties values (the R convention).
+
+    Scale shape: one partial-combinable groupBy(quantity) scan; windows
+    run over the 50-row domain frame.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    comp = li.groupBy(F.col("l_quantity").alias("v")).agg(
+        F.sum(F.when(F.col("l_linestatus") == "O", 1).otherwise(0))
+        .cast("bigint")
+        .alias("c1"),
+        F.sum(F.when(F.col("l_linestatus") != "O", 1).otherwise(0))
+        .cast("bigint")
+        .alias("c2"),
+    )
+    w_cum = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    ranked = comp.select(
+        "c1",
+        "c2",
+        (F.col("c1") + F.col("c2")).alias("c"),
+        F.sum(F.col("c1") + F.col("c2")).over(w_cum).alias("hi"),
+        F.sum(F.col("c1") + F.col("c2"))
+        .over(Window.partitionBy())
+        .alias("n"),
+    )
+    two_mr = (F.col("hi") - F.col("c") + 1) + F.col("hi")
+    smin2 = F.when(two_mr <= 2 * (F.col("n") + 1) - two_mr, two_mr).otherwise(
+        2 * (F.col("n") + 1) - two_mr
+    )
+    scored = ranked.select(
+        "c1",
+        "c2",
+        "c",
+        "n",
+        two_mr.cast("bigint").alias("x"),
+        smin2.alias("smin2"),
+    )
+    agg = scored.agg(
+        F.max("n").cast("bigint").alias("n"),
+        F.sum("c1").cast("bigint").alias("n1"),
+        F.sum("c2").cast("bigint").alias("n2"),
+        F.sum(F.col("c1") * F.col("x")).cast("bigint").alias("t1"),
+        F.sum(F.expr("CAST(c AS DECIMAL(38,0)) * x")).alias("s1r"),
+        F.sum(F.expr("CAST(c AS DECIMAL(38,0)) * x * x")).alias("s2r"),
+        F.sum(F.col("c1") * F.col("smin2")).cast("bigint").alias("ab2"),
+        F.sum(F.expr("CAST(c AS DECIMAL(38,0)) * smin2")).alias("sa1"),
+        F.sum(F.expr("CAST(c AS DECIMAL(38,0)) * smin2 * smin2")).alias("sa2"),
+    )
+    zw2 = (
+        "pow((CAST(t1 AS DOUBLE) / 2.0"
+        "      - CAST(CAST(n1 AS DECIMAL(38,0)) * s1r AS DOUBLE) / (2.0 * n))"
+        "     / sqrt(n1 * 1.0 * n2"
+        "            * CAST(CAST(n AS DECIMAL(38,0)) * s2r - s1r * s1r"
+        "                   AS DOUBLE)"
+        "            / ((n - 1) * 4.0 * n * n)), 2)"
+    )
+    za2 = (
+        "pow((CAST(ab2 AS DOUBLE) / 2.0"
+        "      - CAST(CAST(n1 AS DECIMAL(38,0)) * sa1 AS DOUBLE) / (2.0 * n))"
+        "     / sqrt(n1 * 1.0 * n2"
+        "            * CAST(CAST(n AS DECIMAL(38,0)) * sa2 - sa1 * sa1"
+        "                   AS DOUBLE)"
+        "            / ((n - 1) * 4.0 * n * n)), 2)"
+    )
+    return agg.select(
+        "n1",
+        "n2",
+        F.expr(f"round({zw2}, 6)").alias("w_component"),
+        F.expr(f"round({za2}, 6)").alias("a_component"),
+        F.expr(f"round({zw2} + {za2}, 6)").alias("lepage_l"),
+    )
