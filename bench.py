@@ -151,6 +151,11 @@ HEADLINE = [
     "graph_closeness_landmarks",
     "ml_isolation_forest",
     "similarity_knn_classifier",
+    # round 10 new-key headliners: the two plan-heaviest additions of the
+    # round (exact matrix profile = banded self-join + per-diagonal
+    # windows; harmonic centrality = the batched multi-pivot BFS core).
+    "timeseries_matrix_profile",
+    "graph_harmonic_centrality",
 ]
 # r8: headliner list intentionally FROZEN at the r7 set — the round froze
 # new registry keys to drain the driver-sample backlog, and an identical
@@ -178,6 +183,7 @@ CHECKPOINT_HEAVY = [
     # record their standalone pairs from the first tracked round.
     "graph_betweenness_sampled",
     "graph_closeness_landmarks",
+    "graph_harmonic_centrality",
 ]
 
 

@@ -1054,8 +1054,126 @@ BETW_N_SOURCES = 4  # fixed pivot count (Brandes-Pich source sampling)
 BETW_MAX_HOPS = 4
 BETW_TOP_K = 20
 
+# Exact Brandes forward/backward passes UNROLLED to the fixed hop cap
+# (r10 oracle upgrade — the pagerank fixed-iteration-CTE precedent; was
+# the registry's largest rows-only key). Forward: per-level sigma frames
+# l1..l4 (shortest-path counts; candidate sums grouped per (pivot, dst),
+# NOT EXISTS against every shallower level = the frontier anti-join —
+# join_left_anti's driver-green construct). Backward: del4 = 0, then
+# con_k = sum over next-level successors of sigma_v/sigma_w*(1+delta_w)
+# with zero-successor nodes kept at delta 0 via LEFT JOIN + coalesce
+# (the r9 latent-Brandes fix, mirrored). sigma sums are integers in
+# doubles (exact, order-free); delta sums are order-dependent IEEE
+# doubles -> round(6) on both engines (the graph_pagerank determinism
+# class, driver-green r01). Empty deeper levels degrade identically on
+# both sides (maxd < 4 just yields empty del frames).
+_BETWEENNESS_ORACLE = f"""
+    WITH pairs AS (
+      SELECT DISTINCT user_id * 2 AS u,
+             CAST(props->>'k' AS BIGINT) * 2 + 1 AS i
+      FROM events WHERE props->>'k' IS NOT NULL
+    ),
+    edges AS (
+      SELECT u AS src, i AS dst FROM pairs
+      UNION ALL
+      SELECT i AS src, u AS dst FROM pairs
+    ),
+    pivots AS (
+      SELECT src AS p FROM edges GROUP BY src ORDER BY src
+      LIMIT {BETW_N_SOURCES}
+    ),
+    l0 AS (SELECT p, p AS node, CAST(1 AS DOUBLE) AS sigma FROM pivots),
+    l1 AS (
+      SELECT l.p, e.dst AS node, sum(l.sigma) AS sigma
+      FROM l0 l JOIN edges e ON e.src = l.node
+      WHERE NOT EXISTS (SELECT 1 FROM l0 d
+                        WHERE d.p = l.p AND d.node = e.dst)
+      GROUP BY 1, 2
+    ),
+    l2 AS (
+      SELECT l.p, e.dst AS node, sum(l.sigma) AS sigma
+      FROM l1 l JOIN edges e ON e.src = l.node
+      WHERE NOT EXISTS (SELECT 1 FROM l0 d
+                        WHERE d.p = l.p AND d.node = e.dst)
+        AND NOT EXISTS (SELECT 1 FROM l1 d
+                        WHERE d.p = l.p AND d.node = e.dst)
+      GROUP BY 1, 2
+    ),
+    l3 AS (
+      SELECT l.p, e.dst AS node, sum(l.sigma) AS sigma
+      FROM l2 l JOIN edges e ON e.src = l.node
+      WHERE NOT EXISTS (SELECT 1 FROM l0 d
+                        WHERE d.p = l.p AND d.node = e.dst)
+        AND NOT EXISTS (SELECT 1 FROM l1 d
+                        WHERE d.p = l.p AND d.node = e.dst)
+        AND NOT EXISTS (SELECT 1 FROM l2 d
+                        WHERE d.p = l.p AND d.node = e.dst)
+      GROUP BY 1, 2
+    ),
+    l4 AS (
+      SELECT l.p, e.dst AS node, sum(l.sigma) AS sigma
+      FROM l3 l JOIN edges e ON e.src = l.node
+      WHERE NOT EXISTS (SELECT 1 FROM l0 d
+                        WHERE d.p = l.p AND d.node = e.dst)
+        AND NOT EXISTS (SELECT 1 FROM l1 d
+                        WHERE d.p = l.p AND d.node = e.dst)
+        AND NOT EXISTS (SELECT 1 FROM l2 d
+                        WHERE d.p = l.p AND d.node = e.dst)
+        AND NOT EXISTS (SELECT 1 FROM l3 d
+                        WHERE d.p = l.p AND d.node = e.dst)
+      GROUP BY 1, 2
+    ),
+    del4 AS (SELECT p, node, sigma, CAST(0 AS DOUBLE) AS delta FROM l4),
+    con3 AS (
+      SELECT l.p, l.node, sum(l.sigma / w.sigma * (1 + w.delta)) AS delta
+      FROM l3 l JOIN edges e ON e.src = l.node
+                JOIN del4 w ON w.p = l.p AND w.node = e.dst
+      GROUP BY 1, 2
+    ),
+    del3 AS (
+      SELECT l.p, l.node, l.sigma, coalesce(c.delta, 0) AS delta
+      FROM l3 l LEFT JOIN con3 c ON c.p = l.p AND c.node = l.node
+    ),
+    con2 AS (
+      SELECT l.p, l.node, sum(l.sigma / w.sigma * (1 + w.delta)) AS delta
+      FROM l2 l JOIN edges e ON e.src = l.node
+                JOIN del3 w ON w.p = l.p AND w.node = e.dst
+      GROUP BY 1, 2
+    ),
+    del2 AS (
+      SELECT l.p, l.node, l.sigma, coalesce(c.delta, 0) AS delta
+      FROM l2 l LEFT JOIN con2 c ON c.p = l.p AND c.node = l.node
+    ),
+    con1 AS (
+      SELECT l.p, l.node, sum(l.sigma / w.sigma * (1 + w.delta)) AS delta
+      FROM l1 l JOIN edges e ON e.src = l.node
+                JOIN del2 w ON w.p = l.p AND w.node = e.dst
+      GROUP BY 1, 2
+    ),
+    del1 AS (
+      SELECT l.p, l.node, l.sigma, coalesce(c.delta, 0) AS delta
+      FROM l1 l LEFT JOIN con1 c ON c.p = l.p AND c.node = l.node
+    ),
+    acc AS (
+      SELECT node, delta FROM del4
+      UNION ALL SELECT node, delta FROM del3
+      UNION ALL SELECT node, delta FROM del2
+      UNION ALL SELECT node, delta FROM del1
+    ),
+    bsum AS (
+      SELECT node, sum(delta) AS b
+      FROM acc GROUP BY node HAVING sum(delta) > 0
+    )
+    SELECT CASE WHEN node % 2 = 0 THEN 'user' ELSE 'item' END AS kind,
+           CAST(floor(node / 2.0) AS BIGINT) AS entity_id,
+           round(b, 6) AS betweenness
+    FROM bsum
+    ORDER BY betweenness DESC, kind ASC, entity_id ASC
+    LIMIT {BETW_TOP_K}
+    """
 
-@register("graph_betweenness_sampled", tags={"rows_only"})
+
+@register("graph_betweenness_sampled", oracle=_BETWEENNESS_ORACLE)
 def graph_betweenness_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Source-sampled betweenness centrality (Brandes 2001 accumulation;
     Brandes & Pich 2007 pivot sampling) over the bipartite interaction

@@ -9220,3 +9220,345 @@ def stats_lepage(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(f"round({za2}, 6)").alias("a_component"),
         F.expr(f"round({zw2} + {za2}, 6)").alias("lepage_l"),
     )
+
+
+@register(
+    "feature_quantile_normalization",
+    oracle="""
+    WITH raw AS (
+      SELECT CAST(round(l_quantity * 100) AS BIGINT) AS q,
+             CAST(round(l_discount * 100) AS BIGINT) AS d,
+             CAST(round(l_tax * 100) AS BIGINT) AS t
+      FROM lineitem
+    ),
+    unp AS (
+      SELECT 'quantity' AS col, q AS v100 FROM raw
+      UNION ALL SELECT 'discount', d FROM raw
+      UNION ALL SELECT 'tax', t FROM raw
+    ),
+    runs AS (
+      SELECT col, v100, CAST(count(*) AS BIGINT) AS c
+      FROM unp GROUP BY 1, 2
+    ),
+    pos AS (
+      SELECT col, v100, c,
+             CAST(sum(c) OVER (PARTITION BY col ORDER BY v100
+                               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS hi
+      FROM runs
+    ),
+    runs2 AS (SELECT col, v100, c, hi - c + 1 AS lo, hi FROM pos),
+    bnd AS (SELECT DISTINCT lo AS s FROM runs2),
+    seg AS (
+      SELECT s, coalesce(lead(s) OVER (ORDER BY s) - 1,
+                         (SELECT max(hi) FROM runs2)) AS e
+      FROM bnd
+    ),
+    segval AS (
+      SELECT g.s, g.e, CAST(sum(r.v100) AS BIGINT) AS refsum
+      FROM seg g JOIN runs2 r ON r.lo <= g.s AND g.s <= r.hi
+      GROUP BY g.s, g.e
+    ),
+    qn AS (
+      SELECT r.col, r.v100, r.c, r.lo, r.hi,
+             CAST(sum((sv.e - sv.s + 1) * sv.refsum) AS BIGINT) AS total
+      FROM runs2 r JOIN segval sv ON sv.s >= r.lo AND sv.s <= r.hi
+      GROUP BY 1, 2, 3, 4, 5
+    )
+    SELECT col, v100 / 100.0 AS v, c AS n, lo, hi,
+           round(CAST(total AS DOUBLE) / (3.0 * 100.0 * c), 6) AS qnorm
+    FROM qn
+    ORDER BY col, v
+    """,
+)
+def feature_quantile_normalization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile normalization (Bolstad et al. 2003; limma's
+    normalizeQuantiles with tie averaging) across three same-length
+    numeric features of lineitem (quantity, discount, tax): each
+    feature's distribution is replaced by the REFERENCE distribution —
+    the across-feature mean of the i-th order statistics — so all three
+    share one distribution afterwards; the batch-effect remover that
+    microarray/ML pipelines run before cross-feature comparisons. Ties
+    receive the mean of the reference quantiles over their rank range
+    (the limma convention). Output is the per-(feature, value) mapping
+    table (value -> qnorm), which IS the normalization: appliers join it
+    back to rows.
+
+    Exactness shape: values are exact integer centi-units, so every
+    order statistic, rank range [lo, hi], per-position reference sum,
+    and tied-range total is an exact BIGINT; qnorm is ONE IEEE division
+    of integers + round(6) — bit-deterministic.
+
+    Scale shape (run-length overlay, no per-row rank): the fact table
+    compresses to per-(feature, value) run counts in ONE unpivoted
+    partial-combinable scan; rank positions come from a cumulative
+    window over the DOMAIN-BOUNDED run frame (never a row-level sort);
+    the reference distribution materializes as the OVERLAY SEGMENTS of
+    the three run-length encodings (every run's lo starts a segment, so
+    runs tile into whole segments exactly), and the tie average is an
+    interval-containment join of two domain-bounded frames. 100 TB of
+    rows never feeds a global sort — cost is one scan plus O(|V|^2)
+    work on ~70-row frames. For a near-unique feature
+    (l_extendedprice), run-length compression degenerates: band-
+    compress the value domain first (the agg_median_distributed
+    approxQuantile band doctrine) or sketch-QN via t-digest quantiles —
+    documented, not exercised here.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    unp = li.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("quantity").alias("col"),
+                    F.round(F.col("l_quantity") * 100)
+                    .cast("bigint")
+                    .alias("v100"),
+                ),
+                F.struct(
+                    F.lit("discount").alias("col"),
+                    F.round(F.col("l_discount") * 100)
+                    .cast("bigint")
+                    .alias("v100"),
+                ),
+                F.struct(
+                    F.lit("tax").alias("col"),
+                    F.round(F.col("l_tax") * 100).cast("bigint").alias("v100"),
+                ),
+            )
+        ).alias("r")
+    ).select("r.col", "r.v100")
+    runs = unp.groupBy("col", "v100").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    w_cum = (
+        Window.partitionBy("col")
+        .orderBy("v100")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    runs2 = runs.select(
+        "col",
+        "v100",
+        "c",
+        (F.sum("c").over(w_cum) - F.col("c") + 1).cast("bigint").alias("lo"),
+        F.sum("c").over(w_cum).cast("bigint").alias("hi"),
+    ).localCheckpoint(eager=False)
+    n_total = runs2.agg(F.max("hi").alias("n_total"))
+    seg = (
+        runs2.select(F.col("lo").alias("s"))
+        .distinct()
+        .crossJoin(F.broadcast(n_total))
+        .select(
+            "s",
+            F.coalesce(
+                F.lead("s").over(Window.orderBy("s")) - 1, F.col("n_total")
+            ).alias("e"),
+        )
+    )
+    segval = (
+        seg.alias("g")
+        .join(
+            runs2.alias("r"),
+            (F.col("r.lo") <= F.col("g.s")) & (F.col("g.s") <= F.col("r.hi")),
+        )
+        .groupBy("g.s", "g.e")
+        .agg(F.sum("r.v100").cast("bigint").alias("refsum"))
+    )
+    qn = (
+        runs2.alias("r")
+        .join(
+            segval.alias("sv"),
+            (F.col("sv.s") >= F.col("r.lo")) & (F.col("sv.s") <= F.col("r.hi")),
+        )
+        .groupBy("r.col", "r.v100", "r.c", "r.lo", "r.hi")
+        .agg(
+            F.sum((F.col("sv.e") - F.col("sv.s") + 1) * F.col("sv.refsum"))
+            .cast("bigint")
+            .alias("total")
+        )
+    )
+    return qn.select(
+        F.col("col"),
+        (F.col("v100") / F.lit(100.0)).alias("v"),
+        F.col("c").alias("n"),
+        "lo",
+        "hi",
+        F.round(
+            F.col("total").cast("double") / (F.lit(3.0) * F.lit(100.0) * F.col("c")),
+            6,
+        ).alias("qnorm"),
+    ).orderBy("col", "v")
+
+
+@register(
+    "stats_jonckheere_terpstra",
+    oracle="""
+    WITH cells AS (
+      SELECT l_linenumber AS g, l_quantity AS v,
+             CAST(count(*) AS BIGINT) AS c
+      FROM lineitem GROUP BY 1, 2
+    ),
+    grid AS (
+      SELECT g.g, v.v, coalesce(c.c, CAST(0 AS BIGINT)) AS c
+      FROM (SELECT DISTINCT g FROM cells) g
+      CROSS JOIN (SELECT DISTINCT v FROM cells) v
+      LEFT JOIN cells c ON c.g = g.g AND c.v = v.v
+    ),
+    cum AS (
+      SELECT g, v, c,
+             CAST(coalesce(sum(c) OVER (PARTITION BY g ORDER BY v
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                   0) AS BIGINT) AS below
+      FROM grid
+    ),
+    across AS (
+      SELECT g, v, c,
+             CAST(coalesce(sum(below) OVER (PARTITION BY v ORDER BY g
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                   0) AS BIGINT) AS a_less,
+             CAST(coalesce(sum(c) OVER (PARTITION BY v ORDER BY g
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                   0) AS BIGINT) AS t_eq
+      FROM cum
+    ),
+    u AS (
+      SELECT CAST(sum(c * (2 * a_less + t_eq)) AS BIGINT) AS u2
+      FROM across
+    ),
+    gsz AS (
+      SELECT CAST(sum(c) AS BIGINT) AS n,
+             CAST(count(*) AS BIGINT) AS k,
+             sum(CAST(c AS HUGEINT) * c) AS sn2,
+             sum(CAST(c AS HUGEINT) * (c - 1) * (2 * c + 5)) AS g5,
+             sum(CAST(c AS HUGEINT) * (c - 1) * (c - 2)) AS g3,
+             sum(CAST(c AS HUGEINT) * (c - 1)) AS g2
+      FROM (SELECT g, CAST(sum(c) AS BIGINT) AS c FROM cells GROUP BY g)
+    ),
+    tsz AS (
+      SELECT sum(CAST(c AS HUGEINT) * (c - 1) * (2 * c + 5)) AS t5,
+             sum(CAST(c AS HUGEINT) * (c - 1) * (c - 2)) AS t3,
+             sum(CAST(c AS HUGEINT) * (c - 1)) AS t2
+      FROM (SELECT v, CAST(sum(c) AS BIGINT) AS c FROM cells GROUP BY v)
+    )
+    SELECT g.n, g.k, u.u2,
+           round((CAST(u.u2 AS DOUBLE) / 2.0
+                  - CAST(CAST(g.n AS HUGEINT) * g.n - g.sn2 AS DOUBLE) / 4.0)
+                 / sqrt(
+                     CAST((CAST(g.n AS HUGEINT) * (g.n - 1) * (2 * g.n + 5)
+                           - g.g5 - t.t5) AS DOUBLE) / 72.0
+                     + CAST(g.g3 AS DOUBLE) * CAST(t.t3 AS DOUBLE)
+                       / (36.0 * g.n * (g.n - 1.0) * (g.n - 2.0))
+                     + CAST(g.g2 AS DOUBLE) * CAST(t.t2 AS DOUBLE)
+                       / (8.0 * g.n * (g.n - 1.0))),
+                 6) AS z_stat
+    FROM u, gsz g, tsz t
+    """,
+)
+def stats_jonckheere_terpstra(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jonckheere-Terpstra ordered-alternative K-sample test (Jonckheere
+    1954; Terpstra 1952; Hollander & Wolfe 6.2) — "does quantity trend
+    UP across line numbers 1..7?": J = sum over ordered group pairs
+    i < j of the Mann-Whitney count #{x_i < y_j} + 0.5*#{x_i = y_j},
+    against the tie-adjusted normal null (the R clinfun/DescTools
+    approximation). The K-sample companion of stats_mann_whitney for
+    DOSE-ordERED groups — more powerful than Kruskal-Wallis when the
+    alternative is monotone; completes the ordered-alternative pair
+    with stats_page_trend_test (which handles BLOCKED designs).
+
+    Exactness shape: the (group, value) grid is domain-bounded
+    (7 x ~50); the doubled statistic 2J = sum c_jw * (2*A(j,w) +
+    T(j,w)) needs only two nested integer cumulative windows over the
+    DENSE grid (A = obs in earlier groups with smaller value, T = ties
+    in earlier groups — dense so the across-group running sums see
+    every (g, v) cell). All three tie-corrected variance terms
+    (Hollander-Wolfe 6.19) are exact HUGEINT/DECIMAL(38,0) sums of
+    n_g- and t_v-cubics (O(N^3) — the ansari overflow class), and the
+    z is a fixed IEEE tree over the exact integers with one
+    exact->double cast per term.
+
+    Scale shape: one partial-combinable groupBy(g, v) scan; everything
+    downstream runs on the k*|V| grid. No per-row rank, no sort of raw
+    rows, no group ever pairs with another group row-wise.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    cells = li.groupBy(
+        F.col("l_linenumber").alias("g"), F.col("l_quantity").alias("v")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    cells = cells.localCheckpoint(eager=False)
+    grid = (
+        cells.select("g")
+        .distinct()
+        .crossJoin(cells.select("v").distinct())
+        .join(cells, ["g", "v"], "left")
+        .select("g", "v", F.coalesce("c", F.lit(0)).cast("bigint").alias("c"))
+    )
+    w_below = (
+        Window.partitionBy("g")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum = grid.select(
+        "g",
+        "v",
+        "c",
+        F.coalesce(F.sum("c").over(w_below), F.lit(0))
+        .cast("bigint")
+        .alias("below"),
+    )
+    w_g = (
+        Window.partitionBy("v")
+        .orderBy("g")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    across = cum.select(
+        "c",
+        F.coalesce(F.sum("below").over(w_g), F.lit(0))
+        .cast("bigint")
+        .alias("a_less"),
+        F.coalesce(F.sum("c").over(w_g), F.lit(0)).cast("bigint").alias("t_eq"),
+    )
+    u2_df = across.agg(
+        F.sum(F.col("c") * (2 * F.col("a_less") + F.col("t_eq")))
+        .cast("bigint")
+        .alias("u2")
+    )
+    gsz = (
+        cells.groupBy("g")
+        .agg(F.sum("c").cast("bigint").alias("c"))
+        .agg(
+            F.sum("c").cast("bigint").alias("n"),
+            F.sum(F.expr("CAST(c AS DECIMAL(38,0)) * c")).alias("sn2"),
+            F.sum(F.expr("CAST(c AS DECIMAL(38,0)) * (c - 1) * (2 * c + 5)"))
+            .alias("g5"),
+            F.sum(F.expr("CAST(c AS DECIMAL(38,0)) * (c - 1) * (c - 2)"))
+            .alias("g3"),
+            F.sum(F.expr("CAST(c AS DECIMAL(38,0)) * (c - 1)")).alias("g2"),
+        )
+    )
+    tsz = (
+        cells.groupBy("v")
+        .agg(F.sum("c").cast("bigint").alias("c"))
+        .agg(
+            F.sum(F.expr("CAST(c AS DECIMAL(38,0)) * (c - 1) * (2 * c + 5)"))
+            .alias("t5"),
+            F.sum(F.expr("CAST(c AS DECIMAL(38,0)) * (c - 1) * (c - 2)"))
+            .alias("t3"),
+            F.sum(F.expr("CAST(c AS DECIMAL(38,0)) * (c - 1)")).alias("t2"),
+        )
+    )
+    k_df = cells.agg(F.countDistinct("g").cast("bigint").alias("k"))
+    joined = (
+        u2_df.crossJoin(F.broadcast(gsz))
+        .crossJoin(F.broadcast(tsz))
+        .crossJoin(F.broadcast(k_df))
+    )
+    z = F.expr(
+        "round((CAST(u2 AS DOUBLE) / 2.0"
+        "       - CAST(CAST(n AS DECIMAL(38,0)) * n - sn2 AS DOUBLE) / 4.0)"
+        "      / sqrt("
+        "          CAST((CAST(n AS DECIMAL(38,0)) * (n - 1) * (2 * n + 5)"
+        "                - g5 - t5) AS DOUBLE) / 72.0"
+        "          + CAST(g3 AS DOUBLE) * CAST(t3 AS DOUBLE)"
+        "            / (36.0 * n * (n - 1.0) * (n - 2.0))"
+        "          + CAST(g2 AS DOUBLE) * CAST(t2 AS DOUBLE)"
+        "            / (8.0 * n * (n - 1.0))), 6)"
+    )
+    return joined.select("n", "k", "u2", z.alias("z_stat"))

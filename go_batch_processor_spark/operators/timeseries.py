@@ -3880,3 +3880,345 @@ def timeseries_ma_crossover_signals(spark: SparkSession, sf_dir: str) -> DataFra
         )
         .orderBy("signal_day")
     )
+
+
+HOLT_GRID = [(a, b) for a in (0.2, 0.5, 0.8) for b in (0.1, 0.3, 0.5)]
+
+
+@register(
+    "timeseries_holt_grid_search",
+    oracle="""
+    WITH RECURSIVE daily AS (
+      SELECT CAST(row_number() OVER (ORDER BY d) AS BIGINT) AS rn,
+             v
+      FROM (
+        SELECT date_trunc('day', ts) AS d,
+               sum(CAST(round(value * 100) AS BIGINT)) / 100.0 AS v
+        FROM events GROUP BY 1
+      )
+    ),
+    grid AS (
+      -- CAST to DOUBLE: DuckDB types these literals DECIMAL(2,1), under
+      -- which (1 - alpha) is EXACT decimal 0.2 -> double(0.2), while
+      -- Spark computes the IEEE subtraction 1.0 - 0.8 =
+      -- 0.19999999999999996 (one ulp away) — a real sf0.1 hash split
+      -- found by check_keys. Doubles on both sides share the same op.
+      SELECT CAST(alpha AS DOUBLE) AS alpha, CAST(beta AS DOUBLE) AS beta
+      FROM (VALUES (0.2, 0.1), (0.2, 0.3), (0.2, 0.5),
+                   (0.5, 0.1), (0.5, 0.3), (0.5, 0.5),
+                   (0.8, 0.1), (0.8, 0.3), (0.8, 0.5)) g(alpha, beta)
+    ),
+    walk(alpha, beta, rn, l, b, sse) AS (
+      SELECT g.alpha, g.beta, CAST(2 AS BIGINT) AS rn,
+             d2.v, d2.v - d1.v, CAST(0 AS DOUBLE)
+      FROM grid g,
+           (SELECT v FROM daily WHERE rn = 1) d1(v),
+           (SELECT v FROM daily WHERE rn = 2) d2(v)
+      UNION ALL
+      SELECT w.alpha, w.beta, n.rn,
+             w.alpha * n.v + (1 - w.alpha) * (w.l + w.b),
+             w.beta * ((w.alpha * n.v + (1 - w.alpha) * (w.l + w.b)) - w.l)
+               + (1 - w.beta) * w.b,
+             w.sse + (n.v - (w.l + w.b)) * (n.v - (w.l + w.b))
+      FROM walk w JOIN daily n ON n.rn = w.rn + 1
+    )
+    SELECT CAST(alpha AS DOUBLE) AS alpha,
+           CAST(beta AS DOUBLE) AS beta,
+           (SELECT CAST(max(rn) AS BIGINT) FROM daily) AS n,
+           round(sse, 6) AS sse,
+           round(l, 4) AS level,
+           round(b, 4) AS trend
+    FROM walk
+    WHERE rn = (SELECT max(rn) FROM daily)
+    ORDER BY alpha, beta
+    """,
+)
+def timeseries_holt_grid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt linear-trend smoothing parameter selection by one-step-ahead
+    SSE over a literal (alpha, beta) grid on the daily revenue series —
+    the 2-state extension of timeseries_ses_grid_search (the
+    deterministic twin of statsmodels Holt().fit() model selection).
+    Classic initialization l_1 = x_1, b_1 = x_2 - x_1 (so e_2 = 0 and
+    the error sum effectively starts at t = 3), then the DIRECT
+    recurrences l_t = alpha*x_t + (1-alpha)*(l+b),
+    b_t = beta*(l_t - l) + (1-beta)*b, SSE += (x_t - (l+b))^2. The full
+    9-row profile is returned so argmin AND the flatness of the optimum
+    are visible.
+
+    Parity: the coupled 2-state recursion is a fixed IEEE expression
+    evaluated in the same order on both engines — Spark left-folds the
+    date-ordered array once per grid point (aggregate(), the SES/KM
+    pattern), DuckDB replays the identical recursion as a RECURSIVE CTE
+    carrying (alpha, beta) in the state, seeded at rn = 2 with the same
+    init. (1 - alpha)/(1 - beta) are computed IN-ENGINE from the shared
+    grid literals on both sides (same IEEE subtraction). The l_t
+    expression repeats textually inside b_t — identical ops, identical
+    doubles.
+
+    Scale: the fact stream compresses to the calendar-bounded daily
+    frame; 9 folds over one collected array are driver-negligible. At
+    per-entity scale the same fold runs inside groupBy(entity) — Holt
+    model selection for millions of series in one shuffle.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.date_trunc("day", "ts").alias("d")).agg(
+        (F.sum(F.round(F.col("value") * 100).cast("long")) / F.lit(100.0)).alias(
+            "v"
+        )
+    )
+    w = Window.partitionBy().orderBy("d")
+    numbered = daily.select(
+        F.row_number().over(w).cast("bigint").alias("rn"), "v"
+    )
+    rows = numbered.agg(
+        F.array_sort(F.collect_list(F.struct("rn", "v"))).alias("rows"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    )
+
+    def holt_fold(a: float, b: float):
+        def step(st, r):
+            l_new = F.lit(a) * r["v"] + (F.lit(1.0) - F.lit(a)) * (
+                st["l"] + st["b"]
+            )
+            return F.struct(
+                F.when(st["l"].isNull(), r["v"])
+                .when(st["b"].isNull(), r["v"])
+                .otherwise(l_new)
+                .alias("l"),
+                F.when(st["l"].isNull(), F.lit(None).cast("double"))
+                .when(st["b"].isNull(), r["v"] - st["l"])
+                .otherwise(
+                    F.lit(b) * (l_new - st["l"])
+                    + (F.lit(1.0) - F.lit(b)) * st["b"]
+                )
+                .alias("b"),
+                F.when(st["l"].isNull() | st["b"].isNull(), F.lit(0.0))
+                .otherwise(
+                    st["sse"]
+                    + (r["v"] - (st["l"] + st["b"]))
+                    * (r["v"] - (st["l"] + st["b"]))
+                )
+                .alias("sse"),
+            )
+
+        return step
+
+    per_combo = []
+    for a, b in HOLT_GRID:
+        st = F.aggregate(
+            F.col("rows"),
+            F.struct(
+                F.lit(None).cast("double").alias("l"),
+                F.lit(None).cast("double").alias("b"),
+                F.lit(0.0).alias("sse"),
+            ),
+            holt_fold(a, b),
+        )
+        per_combo.append(
+            F.struct(
+                F.lit(a).alias("alpha"),
+                F.lit(b).alias("beta"),
+                F.round(st["sse"], 6).alias("sse"),
+                F.round(st["l"], 4).alias("level"),
+                F.round(st["b"], 4).alias("trend"),
+            )
+        )
+    return (
+        rows.select("n", F.explode(F.array(*per_combo)).alias("r"))
+        .select("r.alpha", "r.beta", "n", "r.sse", "r.level", "r.trend")
+        .orderBy("alpha", "beta")
+    )
+
+
+MP_WINDOW_H = 24  # subsequence length (one day of hours)
+MP_EXCL_H = 12    # trivial-match exclusion half-zone (m/2)
+
+
+@register(
+    "timeseries_matrix_profile",
+    oracle=f"""
+    WITH hourly AS (
+      SELECT CAST(row_number() OVER (ORDER BY h) AS BIGINT) AS i,
+             cents
+      FROM (
+        SELECT date_trunc('hour', ts) AS h,
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                 AS cents
+        FROM events GROUP BY 1
+      )
+    ),
+    stats AS (
+      SELECT i, cents,
+             CAST(sum(cents) OVER w AS BIGINT) AS s,
+             sum(CAST(cents AS HUGEINT) * cents) OVER w AS q,
+             count(*) OVER w AS cnt
+      FROM hourly
+      WINDOW w AS (ORDER BY i ROWS BETWEEN CURRENT ROW
+                   AND {MP_WINDOW_H - 1} FOLLOWING)
+    ),
+    subs AS (SELECT i, s, q FROM stats WHERE cnt = {MP_WINDOW_H}),
+    prods AS (
+      SELECT a.i AS t, b.i - a.i AS d,
+             CAST(a.cents AS HUGEINT) * b.cents AS w
+      FROM hourly a JOIN hourly b ON b.i - a.i >= {MP_EXCL_H}
+    ),
+    pw AS (
+      SELECT t AS i, d,
+             sum(w) OVER (PARTITION BY d ORDER BY t
+                          ROWS BETWEEN CURRENT ROW
+                          AND {MP_WINDOW_H - 1} FOLLOWING) AS p,
+             count(*) OVER (PARTITION BY d ORDER BY t
+                            ROWS BETWEEN CURRENT ROW
+                            AND {MP_WINDOW_H - 1} FOLLOWING) AS pcnt
+      FROM prods
+    ),
+    dists AS (
+      SELECT si.i AS i, si.i + pw.d AS j,
+             sqrt(greatest(CAST(0 AS DOUBLE),
+               2.0 * {MP_WINDOW_H}
+               * (1.0 - CAST({MP_WINDOW_H} * pw.p
+                             - CAST(si.s AS HUGEINT) * sj.s AS DOUBLE)
+                   / sqrt(CAST(nullif({MP_WINDOW_H} * si.q
+                                      - CAST(si.s AS HUGEINT) * si.s, 0)
+                               AS DOUBLE)
+                          * CAST(nullif({MP_WINDOW_H} * sj.q
+                                        - CAST(sj.s AS HUGEINT) * sj.s, 0)
+                                 AS DOUBLE))))) AS dist
+      FROM pw
+      JOIN subs si ON si.i = pw.i
+      JOIN subs sj ON sj.i = pw.i + pw.d
+      WHERE pw.pcnt = {MP_WINDOW_H}
+    ),
+    sym AS (
+      SELECT i, j, dist FROM dists
+      UNION ALL
+      SELECT j AS i, i AS j, dist FROM dists
+    ),
+    mp AS (SELECT i, min(dist) AS mp FROM sym GROUP BY i)
+    SELECT mp.i, round(mp.mp, 6) AS mp_dist,
+           CAST(min(sym.j) AS BIGINT) AS nn_idx
+    FROM mp JOIN sym ON sym.i = mp.i AND sym.dist = mp.mp
+    GROUP BY mp.i, mp.mp
+    ORDER BY mp.i
+    """,
+)
+def timeseries_matrix_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT z-normalized matrix profile (Yeh et al., ICDM 2016) of the
+    hourly revenue series, window m = {MP_WINDOW_H} h: for every
+    daily-shaped subsequence, the distance to its nearest non-trivial
+    neighbor (exclusion zone |i-j| >= {MP_EXCL_H} = m/2) plus that
+    neighbor's index — THE modern primitive for motif discovery (low
+    mp), anomaly/discord detection (high mp), and regime segmentation,
+    fully oracled (z-normalized Euclidean distance is a fixed IEEE tree
+    over exact integers — no FFT/MASS approximation needed at this
+    series length).
+
+    Exactness shape: hourly cents are exact BIGINTs, so the rolling
+    S_i = sum(v), Q_i = sum(v^2) and every per-diagonal cross-product
+    window P_ij = sum_t v_t*v_(t+d) are exact HUGEINT/DECIMAL(38,0)
+    integers (v^2 sums are the ansari overflow class); the pairwise
+    distance sqrt(max(0, 2m(1 - rho))) with
+    rho = (m*P - S_i*S_j)/sqrt((m*Q_i - S_i^2)(m*Q_j - S_j^2)) takes
+    one exact->double cast per factor — bit-identical across engines,
+    so min() selects the identical neighbor (ties -> smallest index on
+    both sides; greatest(0,..) clips the one-ulp negative 2m(1-rho)
+    can reach when a subsequence meets a near-exact copy).
+
+    Scale shape: the fact stream compresses to the CALENDAR-BOUNDED
+    hourly frame first (partial-combinable). The O(n^2) pair space is
+    organized by DIAGONAL d = j - i: cross products come from ONE
+    banded self-join and per-diagonal running windows (PARTITION BY d
+    — n independent partitions, embarrassingly parallel, never a
+    single-partition sort), the STOMP decomposition in relational
+    form. Cost scales with SERIES LENGTH squared, not data volume; for
+    multi-year series at 100 TB, band d to a motif horizon or switch
+    to the MASS/FFT kernel per partition — documented, not needed at a
+    720-point series.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    hourly = (
+        ev.groupBy(F.date_trunc("hour", "ts").alias("h"))
+        .agg(
+            F.sum(F.round(F.col("value") * 100).cast("long"))
+            .cast("bigint")
+            .alias("cents")
+        )
+        .select(
+            F.row_number()
+            .over(Window.partitionBy().orderBy("h"))
+            .cast("bigint")
+            .alias("i"),
+            "cents",
+        )
+        .localCheckpoint(eager=False)
+    )
+    m = MP_WINDOW_H
+    w_roll = Window.orderBy("i").rowsBetween(0, m - 1)
+    stats = hourly.select(
+        "i",
+        "cents",
+        F.sum("cents").over(w_roll).cast("bigint").alias("s"),
+        F.sum(F.expr("CAST(cents AS DECIMAL(38,0)) * cents"))
+        .over(w_roll)
+        .alias("q"),
+        F.count(F.lit(1)).over(w_roll).alias("cnt"),
+    )
+    subs = stats.filter(F.col("cnt") == m).select("i", "s", "q")
+    a = hourly.alias("a")
+    b = hourly.alias("b")
+    prods = a.join(
+        b, F.col("b.i") - F.col("a.i") >= MP_EXCL_H
+    ).select(
+        F.col("a.i").alias("t"),
+        (F.col("b.i") - F.col("a.i")).alias("d"),
+        F.expr("CAST(a.cents AS DECIMAL(38,0)) * b.cents").alias("w"),
+    )
+    w_diag = Window.partitionBy("d").orderBy("t").rowsBetween(0, m - 1)
+    pw = prods.select(
+        F.col("t").alias("i"),
+        "d",
+        F.sum("w").over(w_diag).alias("p"),
+        F.count(F.lit(1)).over(w_diag).alias("pcnt"),
+    ).filter(F.col("pcnt") == m)
+    si = subs.select(
+        F.col("i").alias("si_i"), F.col("s").alias("si_s"), F.col("q").alias("si_q")
+    )
+    sj = subs.select(
+        F.col("i").alias("sj_i"), F.col("s").alias("sj_s"), F.col("q").alias("sj_q")
+    )
+    dist_expr = F.expr(
+        f"sqrt(greatest(CAST(0 AS DOUBLE),"
+        f" 2.0 * {m}"
+        f" * (1.0 - CAST({m} * p"
+        f"               - CAST(si_s AS DECIMAL(38,0)) * sj_s AS DOUBLE)"
+        f"     / sqrt(CAST(nullif({m} * si_q"
+        f"                        - CAST(si_s AS DECIMAL(38,0)) * si_s, 0)"
+        f"                 AS DOUBLE)"
+        f"            * CAST(nullif({m} * sj_q"
+        f"                          - CAST(sj_s AS DECIMAL(38,0)) * sj_s, 0)"
+        f"                   AS DOUBLE)))))"
+    )
+    dists = (
+        pw.join(F.broadcast(si), F.col("si_i") == F.col("i"))
+        .join(F.broadcast(sj), F.col("sj_i") == F.col("i") + F.col("d"))
+        .select(
+            "i",
+            (F.col("i") + F.col("d")).alias("j"),
+            dist_expr.alias("dist"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    sym = dists.unionByName(
+        dists.select(
+            F.col("j").alias("i"), F.col("i").alias("j"), "dist"
+        )
+    )
+    mp = sym.groupBy("i").agg(F.min("dist").alias("mp"))
+    return (
+        mp.join(sym.withColumnRenamed("i", "mi"),
+                (F.col("mi") == mp.i) & (F.col("dist") == F.col("mp")))
+        .groupBy(mp.i, "mp")
+        .agg(F.min("j").cast("bigint").alias("nn_idx"))
+        .select("i", F.round("mp", 6).alias("mp_dist"), "nn_idx")
+        .orderBy("i")
+    )
