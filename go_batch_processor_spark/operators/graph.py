@@ -1357,6 +1357,43 @@ def _brandes_batched(
 
 CLOSENESS_TOP_K = 20
 
+# Shared pivot-distance frame (r10): graph_closeness_landmarks and
+# graph_harmonic_centrality consume the IDENTICAL _bfs_multi output
+# (same edge list, same lowest-id pivot set, same hop cap) — running
+# both keys paid the 4-pivot BFS twice (~4 s each at sf0.1). Same
+# session+fixture cache discipline as _TRI_CENSUS_CACHE: the frame is
+# (pivot x node)-sized and localCheckpoint'd by _bfs_multi; hygiene
+# caveats in go_batch_processor_spark.dfcache.
+_PIVOT_DIST_CACHE: dict[tuple[str, str], tuple[DataFrame, list[int]]] = {}
+
+
+def _pivot_distances(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, list[int]]:
+    """(distance frame (p, node, d) incl. d=0 self rows, pivot list) for
+    the {BETW_N_SOURCES} lowest-id pivots of the interaction graph at
+    {BETW_MAX_HOPS} hops — built once per (session, fixture)."""
+    import os
+
+    key = (spark.sparkContext.applicationId, os.path.realpath(sf_dir))
+    from go_batch_processor_spark.dfcache import evict_stale
+
+    evict_stale(_PIVOT_DIST_CACHE, key[0])
+    if key in _PIVOT_DIST_CACHE:
+        return _PIVOT_DIST_CACHE[key]
+    edges = interaction_edges(spark, sf_dir)
+    sources = [
+        int(r.node)
+        for r in edges.select(F.col("src").alias("node"))
+        .distinct()
+        .orderBy("node")
+        .limit(BETW_N_SOURCES)
+        .collect()
+    ]
+    dist = _bfs_multi(spark, edges, sources, BETW_MAX_HOPS)
+    _PIVOT_DIST_CACHE[key] = (dist, sources)
+    return dist, sources
+
 
 @register("graph_closeness_landmarks", tags={"rows_only"})
 def graph_closeness_landmarks(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1378,16 +1415,7 @@ def graph_closeness_landmarks(spark: SparkSession, sf_dir: str) -> DataFrame:
     Rows-only (pivot-scoped estimate); tests/test_graph.py pins every
     value against a pure-Python BFS twin on the same pivots.
     """
-    edges = interaction_edges(spark, sf_dir)
-    sources = [
-        int(r.node)
-        for r in edges.select(F.col("src").alias("node"))
-        .distinct()
-        .orderBy("node")
-        .limit(BETW_N_SOURCES)
-        .collect()
-    ]
-    all_d = _bfs_multi(spark, edges, sources, BETW_MAX_HOPS)
+    all_d, sources = _pivot_distances(spark, sf_dir)
     k = len(sources)
     return (
         all_d.groupBy("node")
@@ -1771,16 +1799,7 @@ def graph_harmonic_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
     partial-combinable groupBy(node) over the distance frame; integer
     top-k. Driver state: the pivot list only.
     """
-    edges = interaction_edges(spark, sf_dir)
-    sources = [
-        int(r.node)
-        for r in edges.select(F.col("src").alias("node"))
-        .distinct()
-        .orderBy("node")
-        .limit(BETW_N_SOURCES)
-        .collect()
-    ]
-    all_d = _bfs_multi(spark, edges, sources, BETW_MAX_HOPS)
+    all_d, _sources = _pivot_distances(spark, sf_dir)
     return (
         all_d.filter(F.col("d") > 0)
         .groupBy("node")

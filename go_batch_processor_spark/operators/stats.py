@@ -9441,13 +9441,14 @@ def feature_quantile_normalization(spark: SparkSession, sf_dir: str) -> DataFram
     SELECT g.n, g.k, u.u2,
            round((CAST(u.u2 AS DOUBLE) / 2.0
                   - CAST(CAST(g.n AS HUGEINT) * g.n - g.sn2 AS DOUBLE) / 4.0)
-                 / sqrt(
+                 / sqrt(nullif(greatest(
                      CAST((CAST(g.n AS HUGEINT) * (g.n - 1) * (2 * g.n + 5)
                            - g.g5 - t.t5) AS DOUBLE) / 72.0
                      + CAST(g.g3 AS DOUBLE) * CAST(t.t3 AS DOUBLE)
                        / (36.0 * g.n * (g.n - 1.0) * (g.n - 2.0))
                      + CAST(g.g2 AS DOUBLE) * CAST(t.t2 AS DOUBLE)
-                       / (8.0 * g.n * (g.n - 1.0))),
+                       / (8.0 * g.n * (g.n - 1.0)), CAST(0 AS DOUBLE)),
+                     CAST(0 AS DOUBLE))),
                  6) AS z_stat
     FROM u, gsz g, tsz t
     """,
@@ -9550,15 +9551,21 @@ def stats_jonckheere_terpstra(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(tsz))
         .crossJoin(F.broadcast(k_df))
     )
+    # variance guarded through greatest/nullif: on a fully-tied column
+    # the three-term tie correction is EXACTLY zero mathematically but
+    # floats to ~-1e-15, where DuckDB sqrt ERRORS and Spark returns NaN
+    # (found by tests/test_round10_property.py) — both sides now yield
+    # NULL z for the degenerate no-variance case.
     z = F.expr(
         "round((CAST(u2 AS DOUBLE) / 2.0"
         "       - CAST(CAST(n AS DECIMAL(38,0)) * n - sn2 AS DOUBLE) / 4.0)"
-        "      / sqrt("
+        "      / sqrt(nullif(greatest("
         "          CAST((CAST(n AS DECIMAL(38,0)) * (n - 1) * (2 * n + 5)"
         "                - g5 - t5) AS DOUBLE) / 72.0"
         "          + CAST(g3 AS DOUBLE) * CAST(t3 AS DOUBLE)"
         "            / (36.0 * n * (n - 1.0) * (n - 2.0))"
         "          + CAST(g2 AS DOUBLE) * CAST(t2 AS DOUBLE)"
-        "            / (8.0 * n * (n - 1.0))), 6)"
+        "            / (8.0 * n * (n - 1.0)), CAST(0 AS DOUBLE)),"
+        "          CAST(0 AS DOUBLE))), 6)"
     )
     return joined.select("n", "k", "u2", z.alias("z_stat"))

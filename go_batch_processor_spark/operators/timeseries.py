@@ -4073,17 +4073,27 @@ MP_EXCL_H = 12    # trivial-match exclusion half-zone (m/2)
       FROM prods
     ),
     dists AS (
+      -- CASE guards zero-variance (constant) subsequences to NULL dist:
+      -- z-normalized distance is undefined there, and greatest() would
+      -- otherwise EAT the NULL (greatest ignores NULLs on BOTH engines,
+      -- turning undefined into a spurious 0.0 — found by the
+      -- random-series property test). NULL dist drops out of min(); an
+      -- i with no defined neighbor drops out of the output entirely.
       SELECT si.i AS i, si.i + pw.d AS j,
-             sqrt(greatest(CAST(0 AS DOUBLE),
+             CASE WHEN {MP_WINDOW_H} * si.q
+                       - CAST(si.s AS HUGEINT) * si.s > 0
+                   AND {MP_WINDOW_H} * sj.q
+                       - CAST(sj.s AS HUGEINT) * sj.s > 0
+             THEN sqrt(greatest(CAST(0 AS DOUBLE),
                2.0 * {MP_WINDOW_H}
                * (1.0 - CAST({MP_WINDOW_H} * pw.p
                              - CAST(si.s AS HUGEINT) * sj.s AS DOUBLE)
-                   / sqrt(CAST(nullif({MP_WINDOW_H} * si.q
-                                      - CAST(si.s AS HUGEINT) * si.s, 0)
-                               AS DOUBLE)
-                          * CAST(nullif({MP_WINDOW_H} * sj.q
-                                        - CAST(sj.s AS HUGEINT) * sj.s, 0)
-                                 AS DOUBLE))))) AS dist
+                   / sqrt(CAST({MP_WINDOW_H} * si.q
+                               - CAST(si.s AS HUGEINT) * si.s AS DOUBLE)
+                          * CAST({MP_WINDOW_H} * sj.q
+                                 - CAST(sj.s AS HUGEINT) * sj.s
+                                 AS DOUBLE)))))
+             END AS dist
       FROM pw
       JOIN subs si ON si.i = pw.i
       JOIN subs sj ON sj.i = pw.i + pw.d
@@ -4187,16 +4197,17 @@ def timeseries_matrix_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("i").alias("sj_i"), F.col("s").alias("sj_s"), F.col("q").alias("sj_q")
     )
     dist_expr = F.expr(
-        f"sqrt(greatest(CAST(0 AS DOUBLE),"
+        f"CASE WHEN {m} * si_q - CAST(si_s AS DECIMAL(38,0)) * si_s > 0"
+        f"      AND {m} * sj_q - CAST(sj_s AS DECIMAL(38,0)) * sj_s > 0"
+        f" THEN sqrt(greatest(CAST(0 AS DOUBLE),"
         f" 2.0 * {m}"
         f" * (1.0 - CAST({m} * p"
         f"               - CAST(si_s AS DECIMAL(38,0)) * sj_s AS DOUBLE)"
-        f"     / sqrt(CAST(nullif({m} * si_q"
-        f"                        - CAST(si_s AS DECIMAL(38,0)) * si_s, 0)"
-        f"                 AS DOUBLE)"
-        f"            * CAST(nullif({m} * sj_q"
-        f"                          - CAST(sj_s AS DECIMAL(38,0)) * sj_s, 0)"
-        f"                   AS DOUBLE)))))"
+        f"     / sqrt(CAST({m} * si_q"
+        f"                 - CAST(si_s AS DECIMAL(38,0)) * si_s AS DOUBLE)"
+        f"            * CAST({m} * sj_q"
+        f"                   - CAST(sj_s AS DECIMAL(38,0)) * sj_s"
+        f"                   AS DOUBLE))))) END"
     )
     dists = (
         pw.join(F.broadcast(si), F.col("si_i") == F.col("i"))
@@ -4213,7 +4224,9 @@ def timeseries_matrix_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("j").alias("i"), F.col("i").alias("j"), "dist"
         )
     )
-    mp = sym.groupBy("i").agg(F.min("dist").alias("mp"))
+    # subsequence-count-sized frame (<= series length) — broadcast it to
+    # the pair-sized sym side for the argmin join
+    mp = F.broadcast(sym.groupBy("i").agg(F.min("dist").alias("mp")))
     return (
         mp.join(sym.withColumnRenamed("i", "mi"),
                 (F.col("mi") == mp.i) & (F.col("dist") == F.col("mp")))

@@ -1,0 +1,283 @@
+"""Hypothesis property tests for the round-10 oracle ALGORITHMS on
+randomized data shapes (the r9 Brandes lesson: a twin pinned to one
+fixture shape can certify a wrong algorithm — the dense fixture never
+exercised zero-successor levels). These run the REGISTERED DuckDB oracle
+SQL against synthetic tables registered under the fixture table names,
+compared to independent numpy/pure-Python twins — no Spark session, so
+hundreds of shapes cost seconds. Spark <-> oracle equality on the real
+fixtures is pinned separately by the parity suite; together the two
+sides pin Spark <-> math.
+
+Shapes covered that the TPC-H fixtures cannot produce: tiny groups
+(n_g = 2), all-values-tied columns, single-distinct-value features,
+monotone and constant series, series barely longer than the window.
+"""
+from __future__ import annotations
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+from hypothesis import given, settings, strategies as st
+
+from go_batch_processor_spark.registry import REGISTRY, _ensure_loaded
+
+_ensure_loaded()
+
+
+def _con_with_lineitem(df: pd.DataFrame) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    con.register("li_src", df)
+    con.sql("CREATE VIEW lineitem AS SELECT * FROM li_src")
+    return con
+
+
+# -- Brunner-Munzel ---------------------------------------------------------
+
+@settings(max_examples=30, deadline=None)
+@given(
+    x=st.lists(st.integers(1, 8), min_size=3, max_size=40),
+    y=st.lists(st.integers(1, 8), min_size=3, max_size=40),
+)
+def test_brunner_munzel_oracle_random_shapes(x, y):
+    df = pd.DataFrame(
+        {
+            "l_quantity": [float(v) for v in x + y],
+            "l_linestatus": ["O"] * len(x) + ["F"] * len(y),
+        }
+    )
+    xa, ya = np.array(x, float), np.array(y, float)
+    nx, ny = len(xa), len(ya)
+    rankc = pd.Series(np.concatenate([xa, ya])).rank(method="average").to_numpy()
+    rankcx, rankcy = rankc[:nx], rankc[nx:]
+    rankx = pd.Series(xa).rank(method="average").to_numpy()
+    ranky = pd.Series(ya).rank(method="average").to_numpy()
+    sx = ((rankcx - rankx - rankcx.mean() + rankx.mean()) ** 2).sum() / (nx - 1)
+    sy = ((rankcy - ranky - rankcy.mean() + ranky.mean()) ** 2).sum() / (ny - 1)
+    denom = (nx + ny) * np.sqrt(nx * sx + ny * sy)
+    con = _con_with_lineitem(df)
+    row = con.sql(REGISTRY["stats_brunner_munzel"].oracle).df().iloc[0]
+    assert row.n1 == nx and row.n2 == ny
+    p_hat = (rankcy.mean() - (ny + 1) / 2) / nx
+    assert row.p_hat == pytest.approx(p_hat, abs=1e-6)
+    if denom > 0:  # degenerate all-tied samples have 0 rank variance
+        w = nx * ny * (rankcy.mean() - rankcx.mean()) / denom
+        assert row.w_stat == pytest.approx(w, abs=1e-6)
+
+
+# -- Lepage -----------------------------------------------------------------
+
+@settings(max_examples=30, deadline=None)
+@given(
+    x=st.lists(st.integers(1, 6), min_size=3, max_size=30),
+    y=st.lists(st.integers(1, 6), min_size=3, max_size=30),
+)
+def test_lepage_oracle_random_shapes(x, y):
+    df = pd.DataFrame(
+        {
+            "l_quantity": [float(v) for v in x + y],
+            "l_linestatus": ["O"] * len(x) + ["F"] * len(y),
+        }
+    )
+    allv = np.array(x + y, float)
+    n = len(allv)
+    n1 = len(x)
+    r = pd.Series(allv).rank(method="average").to_numpy()
+    s = np.minimum(r, n + 1 - r)
+    g1 = np.arange(n) < n1
+
+    def srs_z(stat, vals):
+        n2 = n - n1
+        var = n1 * n2 * (n * (vals**2).sum() - vals.sum() ** 2) / (
+            n**2 * (n - 1)
+        )
+        if var <= 0:
+            return None
+        return (stat - n1 * vals.mean()) / np.sqrt(var)
+
+    zw = srs_z(r[g1].sum(), r)
+    za = srs_z(s[g1].sum(), s)
+    if zw is None or za is None:  # all-tied degenerate scores
+        return
+    con = _con_with_lineitem(df)
+    row = con.sql(REGISTRY["stats_lepage"].oracle).df().iloc[0]
+    assert row.w_component == pytest.approx(zw**2, abs=1e-6)
+    assert row.a_component == pytest.approx(za**2, abs=1e-6)
+    assert row.lepage_l == pytest.approx(zw**2 + za**2, abs=1e-6)
+
+
+# -- Jonckheere-Terpstra ----------------------------------------------------
+
+@settings(max_examples=30, deadline=None)
+@given(
+    data=st.lists(
+        st.tuples(st.integers(1, 4), st.integers(1, 5)),
+        min_size=8,
+        max_size=60,
+    )
+)
+def test_jonckheere_oracle_random_shapes(data):
+    groups = sorted({g for g, _ in data})
+    if len(groups) < 2:
+        return
+    df = pd.DataFrame(
+        {
+            "l_linenumber": [g for g, _ in data],
+            "l_quantity": [float(v) for _, v in data],
+        }
+    )
+    per = {g: np.sort(df[df.l_linenumber == g].l_quantity.to_numpy()) for g in groups}
+    u2 = 0
+    for a in range(len(groups)):
+        for b in range(a + 1, len(groups)):
+            xs, y = per[groups[a]], per[groups[b]]
+            less = np.searchsorted(xs, y, side="left")
+            leq = np.searchsorted(xs, y, side="right")
+            u2 += int(2 * less.sum() + (leq - less).sum())
+    n = len(df)
+    ng = np.array([len(per[g]) for g in groups], dtype=np.int64)
+    tv = df.l_quantity.value_counts().to_numpy().astype(np.int64)
+    var = (
+        (
+            n * (n - 1) * (2 * n + 5)
+            - (ng * (ng - 1) * (2 * ng + 5)).sum()
+            - (tv * (tv - 1) * (2 * tv + 5)).sum()
+        )
+        / 72
+        + (ng * (ng - 1) * (ng - 2)).sum()
+        * (tv * (tv - 1) * (tv - 2)).sum()
+        / (36 * n * (n - 1) * (n - 2))
+        + (ng * (ng - 1)).sum() * (tv * (tv - 1)).sum() / (8 * n * (n - 1))
+    )
+    con = _con_with_lineitem(df)
+    row = con.sql(REGISTRY["stats_jonckheere_terpstra"].oracle).df().iloc[0]
+    assert row.u2 == u2
+    assert row.k == len(groups)
+    if var > 0:
+        z = (u2 / 2 - (n * n - (ng * ng).sum()) / 4) / np.sqrt(var)
+        assert row.z_stat == pytest.approx(z, abs=1e-6)
+
+
+# -- Quantile normalization -------------------------------------------------
+
+@settings(max_examples=30, deadline=None)
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 6), st.integers(0, 3), st.integers(0, 2)),
+        min_size=2,
+        max_size=50,
+    )
+)
+def test_quantile_normalization_oracle_random_shapes(rows):
+    df = pd.DataFrame(
+        {
+            "l_quantity": [float(q) for q, _, _ in rows],
+            "l_discount": [d / 100.0 for _, d, _ in rows],
+            "l_tax": [t / 100.0 for _, _, t in rows],
+        }
+    )
+    cols = {
+        "quantity": np.sort(np.round(df.l_quantity.to_numpy() * 100).astype(np.int64)),
+        "discount": np.sort(np.round(df.l_discount.to_numpy() * 100).astype(np.int64)),
+        "tax": np.sort(np.round(df.l_tax.to_numpy() * 100).astype(np.int64)),
+    }
+    refsum = cols["quantity"] + cols["discount"] + cols["tax"]
+    expected = {}
+    for name, arr in cols.items():
+        vals, starts, counts = np.unique(arr, return_index=True, return_counts=True)
+        for v, s, c in zip(vals, starts, counts):
+            expected[(name, v / 100.0)] = round(
+                refsum[s : s + c].sum() / (3.0 * 100.0 * c), 6
+            )
+    con = _con_with_lineitem(df)
+    out = con.sql(REGISTRY["feature_quantile_normalization"].oracle).df()
+    assert len(out) == len(expected)
+    for _, r in out.iterrows():
+        assert r.qnorm == pytest.approx(expected[(r.col, r.v)], abs=0.0), (
+            r.col,
+            r.v,
+        )
+
+
+# -- Matrix profile ---------------------------------------------------------
+
+def _mp_twin(cents: np.ndarray, m: int, excl: int):
+    n_sub = len(cents) - m + 1
+    subs = np.lib.stride_tricks.sliding_window_view(cents.astype(float), m)
+    mu = subs.mean(axis=1, keepdims=True)
+    sd = subs.std(axis=1, keepdims=True)
+    out = {}
+    for i in range(n_sub):
+        if sd[i] == 0:
+            continue
+        best = np.inf
+        for j in range(n_sub):
+            if abs(i - j) < excl or sd[j] == 0:
+                continue
+            zi = (subs[i] - mu[i]) / sd[i]
+            zj = (subs[j] - mu[j]) / sd[j]
+            d = float(np.sqrt(((zi - zj) ** 2).sum()))
+            best = min(best, d)
+        if np.isfinite(best):
+            out[i + 1] = best
+    return out
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    vals=st.lists(st.integers(0, 50), min_size=40, max_size=80),
+)
+def test_matrix_profile_oracle_random_series(vals):
+    """Random integer series, one event per hour, so the oracle's hourly
+    compression reproduces the series verbatim — covers constant
+    subsequences (zero variance -> excluded via NULL on both sides),
+    near-duplicates (the greatest(0,..) clip), and short series."""
+    from go_batch_processor_spark.operators.timeseries import (
+        MP_EXCL_H,
+        MP_WINDOW_H,
+    )
+
+    ts = pd.date_range("2024-01-01", periods=len(vals), freq="h")
+    df = pd.DataFrame({"ts": ts, "value": [v / 100.0 for v in vals]})
+    con = duckdb.connect()
+    con.register("ev_src", df)
+    con.sql("CREATE VIEW events AS SELECT * FROM ev_src")
+    out = con.sql(REGISTRY["timeseries_matrix_profile"].oracle).df()
+    twin = _mp_twin(np.array(vals, dtype=np.int64), MP_WINDOW_H, MP_EXCL_H)
+    got = {int(r.i): r.mp_dist for _, r in out.iterrows()}
+    assert set(got) == set(twin)
+    for i, d in twin.items():
+        assert got[i] == pytest.approx(d, abs=1e-4), i
+
+
+# -- Holt grid --------------------------------------------------------------
+
+@settings(max_examples=15, deadline=None)
+@given(vals=st.lists(st.integers(0, 10_000), min_size=3, max_size=40))
+def test_holt_oracle_random_series(vals):
+    from go_batch_processor_spark.operators.timeseries import HOLT_GRID
+
+    ts = pd.date_range("2024-01-01", periods=len(vals), freq="D")
+    df = pd.DataFrame({"ts": ts, "value": [v / 100.0 for v in vals]})
+    con = duckdb.connect()
+    con.register("ev_src", df)
+    con.sql("CREATE VIEW events AS SELECT * FROM ev_src")
+    out = con.sql(REGISTRY["timeseries_holt_grid_search"].oracle).df()
+    v = [x / 100.0 for x in vals]
+
+    def holt(a, b):
+        lvl, tr, sse = v[1], v[1] - v[0], 0.0
+        for x in v[2:]:
+            e = x - (lvl + tr)
+            ln = a * x + (1 - a) * (lvl + tr)
+            tr = b * (ln - lvl) + (1 - b) * tr
+            lvl = ln
+            sse += e * e
+        return sse, lvl, tr
+
+    assert len(out) == len(HOLT_GRID)
+    for _, r in out.iterrows():
+        sse, lvl, tr = holt(r.alpha, r.beta)
+        assert r.sse == pytest.approx(round(sse, 6), abs=1e-6)
+        assert r.level == pytest.approx(round(lvl, 4), abs=1e-4)
+        assert r.trend == pytest.approx(round(tr, 4), abs=1e-4)
