@@ -252,6 +252,19 @@ def test_matrix_profile_oracle_random_series(vals):
 
 # -- Holt grid --------------------------------------------------------------
 
+def _round_away(x: float, k: int) -> float:
+    """Half-AWAY-from-zero decimal rounding — what Spark's BigDecimal
+    HALF_UP and DuckDB's round() both do. Python's round() is banker's
+    (half-to-even), which hypothesis caught diverging on an exact
+    -0.00625 level from a degenerate 4-point series; the ENGINES agreed
+    with each other bit-for-bit (verified directly), only the twin was
+    wrong."""
+    import math
+
+    p = 10.0**k
+    return math.copysign(math.floor(abs(x) * p + 0.5) / p, x)
+
+
 @settings(max_examples=15, deadline=None)
 @given(vals=st.lists(st.integers(0, 10_000), min_size=3, max_size=40))
 def test_holt_oracle_random_series(vals):
@@ -278,6 +291,205 @@ def test_holt_oracle_random_series(vals):
     assert len(out) == len(HOLT_GRID)
     for _, r in out.iterrows():
         sse, lvl, tr = holt(r.alpha, r.beta)
-        assert r.sse == pytest.approx(round(sse, 6), abs=1e-6)
-        assert r.level == pytest.approx(round(lvl, 4), abs=1e-4)
-        assert r.trend == pytest.approx(round(tr, 4), abs=1e-4)
+        assert r.sse == pytest.approx(_round_away(sse, 6), abs=0.0)
+        assert r.level == pytest.approx(_round_away(lvl, 4), abs=0.0)
+        assert r.trend == pytest.approx(_round_away(tr, 4), abs=0.0)
+
+
+# -- Backlog keys facing their first driver sample (r10) --------------------
+# Cheap insurance: these four oracled keys have never had a driver row;
+# random-shape twins catch any parity-blind math edge before the sample.
+
+
+def _con_with_events(df: pd.DataFrame) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    con.register("ev_src", df)
+    con.sql("CREATE VIEW events AS SELECT * FROM ev_src")
+    return con
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    rows=st.lists(
+        st.tuples(st.sampled_from(["click", "view", "purchase"]), st.integers(0, 40)),
+        min_size=6,
+        max_size=60,
+    )
+)
+def test_mood_median_oracle_random_shapes(rows):
+    df = pd.DataFrame(
+        {
+            "event_type": [t for t, _ in rows],
+            "value": [v / 100.0 for _, v in rows],
+        }
+    )
+    c = np.round(df.value.to_numpy() * 100).astype(np.int64)
+    m = np.percentile(c.astype(float), 50)  # linear interp == quantile_cont
+    nn = len(c)
+    aa = int((c > m).sum())
+    if aa == 0:
+        return  # every group's exp_above is 0 -> 1/0 edge, undefined test
+    con = _con_with_events(df)
+    out = con.sql(REGISTRY["stats_mood_median_test"].oracle).df()
+    for _, r in out.iterrows():
+        grp = df.event_type == r.event_type
+        n = int(grp.sum())
+        n_above = int((c[grp.to_numpy()] > m).sum())
+        assert r.n == n and r.n_above == n_above
+        exp = n * (aa / nn)
+        if exp == 0 or exp == n:
+            continue
+        contrib = (n_above - exp) ** 2 * (1.0 / exp + 1.0 / (n - exp))
+        assert r.exp_above == pytest.approx(exp, abs=1e-6)
+        assert r.contrib == pytest.approx(contrib, abs=1e-6)
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(0, 5),  # user
+            st.integers(0, 3),  # day
+            st.sampled_from(["click", "view", "purchase"]),
+        ),
+        min_size=6,
+        max_size=60,
+    )
+)
+def test_cochran_q_oracle_random_shapes(rows):
+    ts = [pd.Timestamp("2024-01-01") + pd.Timedelta(days=d) for _, d, _ in rows]
+    df = pd.DataFrame(
+        {
+            "user_id": [u for u, _, _ in rows],
+            "ts": ts,
+            "event_type": [t for _, _, t in rows],
+        }
+    )
+    mat = (
+        df.assign(one=1)
+        .pivot_table(
+            index=["user_id", df.ts.dt.floor("D")],
+            columns="event_type",
+            values="one",
+            aggfunc="max",
+            fill_value=0,
+        )
+        .reindex(columns=["click", "purchase", "view"], fill_value=0)
+        .to_numpy()
+    )
+    cj = mat.sum(axis=0).astype(np.int64)
+    ri = mat.sum(axis=1).astype(np.int64)
+    g = int(ri.sum())
+    denom = 3 * g - int((ri**2).sum())
+    con = _con_with_events(df)
+    row = con.sql(REGISTRY["stats_cochran_q"].oracle).df().iloc[0]
+    assert row.n_subjects == mat.shape[0]
+    assert (
+        row.c_click == cj[0] and row.c_purchase == cj[1] and row.c_view == cj[2]
+    )
+    if denom > 0:
+        q = 2.0 * (3 * int((cj**2).sum()) - g * g) / denom
+        assert row.q_stat == pytest.approx(q, abs=1e-6)
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    vals=st.lists(st.integers(0, 10_000), min_size=3, max_size=120),
+)
+def test_lttb_oracle_random_series(vals):
+    """The centroid-anchored LTTB variant re-derived in pure Python —
+    including the n < 50 regime where bucket indices skip and the last
+    bucket's lead() anchor is NULL (skey NULL -> ordered last on both
+    engines, tie-break by hour)."""
+    ts = pd.date_range("2024-01-01", periods=len(vals), freq="h")
+    df = pd.DataFrame({"ts": ts, "value": [v / 100.0 for v in vals]})
+    n = len(vals)
+    cents = np.array(vals, dtype=np.int64)
+    rn = np.arange(1, n + 1)
+    b = (rn - 1) * 50 // n
+    buckets = sorted(set(b.tolist()))
+    cx = {bb: rn[b == bb].mean() for bb in buckets}
+    cy = {bb: cents[b == bb].mean() / 100.0 for bb in buckets}
+    expected = {}
+    for bi, bb in enumerate(buckets):
+        members = np.where(b == bb)[0]
+        skeys = []
+        for i in members:
+            if bb == 0:
+                sk = float(-rn[i])
+            elif bb == 49:
+                sk = float(rn[i] - n)
+            else:
+                px = cx.get(buckets[bi - 1]) if bi > 0 else None
+                py = cy.get(buckets[bi - 1]) if bi > 0 else None
+                nx = cx.get(buckets[bi + 1]) if bi + 1 < len(buckets) else None
+                ny = cy.get(buckets[bi + 1]) if bi + 1 < len(buckets) else None
+                v = cents[i] / 100.0
+                if px is None or nx is None:
+                    sk = None
+                else:
+                    sk = abs((px - nx) * (v - py) - (px - rn[i]) * (ny - py))
+            skeys.append(sk)
+        # row_number ORDER BY skey DESC (NULLS LAST), hour ASC
+        order = sorted(
+            range(len(members)),
+            key=lambda k: (
+                0 if skeys[k] is not None else 1,
+                -(skeys[k] if skeys[k] is not None else 0.0),
+                members[k],
+            ),
+        )
+        win = members[order[0]]
+        expected[bb] = (ts[win], cents[win] / 100.0)
+    con = _con_with_events(df)
+    out = con.sql(REGISTRY["timeseries_lttb_downsample"].oracle).df()
+    assert len(out) == len(expected)
+    for _, r in out.iterrows():
+        eh, ev = expected[int(r.bucket)]
+        assert pd.Timestamp(r.hour) == eh, int(r.bucket)
+        assert r.v == pytest.approx(ev, abs=1e-9)
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 500), st.integers(0, 300)),
+        min_size=2,
+        max_size=40,
+    )
+)
+def test_twap_oracle_random_shapes(rows):
+    """Zero-order-hold time-weighted average re-derived independently:
+    per user, each value holds until the next observation (ties on ts
+    broken by event_id, the repo-wide convention)."""
+    df = pd.DataFrame(
+        {
+            "user_id": [u for u, _, _ in rows],
+            "ts": [
+                pd.Timestamp("2024-01-01") + pd.Timedelta(seconds=s)
+                for _, s, _ in rows
+            ],
+            "value": [v / 100.0 for _, _, v in rows],
+            "event_id": list(range(len(rows))),
+        }
+    )
+    expected = {}
+    for u, grp in df.groupby("user_id"):
+        g = grp.sort_values(["ts", "event_id"])
+        cents = np.round(g.value.to_numpy() * 100).astype(np.int64)
+        secs = g.ts.astype("int64").to_numpy() // 1_000_000_000
+        durs = np.diff(secs)
+        if len(durs) == 0 or durs.sum() == 0:
+            continue
+        expected[u] = (
+            int(durs.sum()),
+            len(durs),
+            round(float((cents[:-1] * durs).sum()) / durs.sum() / 100.0, 6),
+        )
+    con = _con_with_events(df)
+    out = con.sql(REGISTRY["timeseries_time_weighted_avg"].oracle).df()
+    assert len(out) == len(expected)
+    for _, r in out.iterrows():
+        span, nseg, twap = expected[r.user_id]
+        assert r.span_s == span and r.n_segments == nseg
+        assert r.twap == pytest.approx(twap, abs=1e-6)
