@@ -18,7 +18,7 @@ import duckdb
 import numpy as np
 import pandas as pd
 import pytest
-from hypothesis import given, settings, strategies as st
+from hypothesis import example, given, settings, strategies as st
 
 from go_batch_processor_spark.registry import REGISTRY, _ensure_loaded
 
@@ -116,6 +116,7 @@ def test_lepage_oracle_random_shapes(x, y):
         max_size=60,
     )
 )
+@example(data=[(1, 1)] * 7 + [(2, 1)])  # all-tied: variance floats to -1e-15
 def test_jonckheere_oracle_random_shapes(data):
     groups = sorted({g for g, _ in data})
     if len(groups) < 2:
@@ -227,6 +228,7 @@ def _mp_twin(cents: np.ndarray, m: int, excl: int):
 @given(
     vals=st.lists(st.integers(0, 50), min_size=40, max_size=80),
 )
+@example(vals=[0] * 40)  # constant series: zero-variance subsequences
 def test_matrix_profile_oracle_random_series(vals):
     """Random integer series, one event per hour, so the oracle's hourly
     compression reproduces the series verbatim — covers constant
@@ -267,6 +269,7 @@ def _round_away(x: float, k: int) -> float:
 
 @settings(max_examples=15, deadline=None)
 @given(vals=st.lists(st.integers(0, 10_000), min_size=3, max_size=40))
+@example(vals=[1, 0, 0, 0])  # exact -0.00625 level: the banker's-rounding twin bug
 def test_holt_oracle_random_series(vals):
     from go_batch_processor_spark.operators.timeseries import HOLT_GRID
 
