@@ -69,6 +69,10 @@ def clear_all() -> None:
     gone, not merely unreferenced."""
     from go_batch_processor_spark.operators import graph, text
 
-    for cache in (graph._TRI_CENSUS_CACHE, text._BIGRAM_CB_CACHE):
+    for cache in (
+        graph._TRI_CENSUS_CACHE,
+        graph._PIVOT_DIST_CACHE,  # r10: closeness/harmonic shared BFS
+        text._BIGRAM_CB_CACHE,
+    ):
         for k in list(cache):
             _drop(cache, k)

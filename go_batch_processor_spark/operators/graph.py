@@ -1219,7 +1219,22 @@ def graph_betweenness_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(BETW_N_SOURCES)
         .collect()
     ]
-    acc = _brandes_batched(spark, edges, sources, BETW_MAX_HOPS)
+    import os as _os
+
+    _key = (spark.sparkContext.applicationId, _os.path.realpath(sf_dir))
+
+    def _seed_shared_cache(dist: DataFrame) -> None:
+        # seed the closeness/harmonic shared pivot-distance cache from
+        # the sigma-carrying forward union (identical (p, node, d) set)
+        from go_batch_processor_spark.dfcache import evict_stale
+
+        evict_stale(_PIVOT_DIST_CACHE, _key[0])
+        if _key not in _PIVOT_DIST_CACHE:
+            _PIVOT_DIST_CACHE[_key] = (dist.select("p", "node", "d"), sources)
+
+    acc = _brandes_batched(
+        spark, edges, sources, BETW_MAX_HOPS, publish_dist=_seed_shared_cache
+    )
     out = (
         acc.select(
             F.when(F.col("node") % 2 == 0, F.lit("user"))
@@ -1239,7 +1254,11 @@ def graph_betweenness_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _brandes_batched(
-    spark: SparkSession, edges: DataFrame, sources: list[int], max_hops: int
+    spark: SparkSession,
+    edges: DataFrame,
+    sources: list[int],
+    max_hops: int,
+    publish_dist=None,
 ) -> DataFrame:
     """Batched-pivot Brandes accumulation over an explicit directed edge
     list (pass both directions for an undirected graph): returns
@@ -1248,7 +1267,15 @@ def _brandes_batched(
     registered key (r10, r9 verdict item 6) so property tests can drive
     the REAL distributed passes on adversarial fixtures — disconnected
     components, chains whose levels have zero-successor nodes, hop-cap
-    truncation — that the dense bipartite fixture never exercises."""
+    truncation — that the dense bipartite fixture never exercises.
+
+    ``publish_dist`` (r10): called once with the forward pass's full
+    (p, node, d, sigma) distance union — the same set _bfs_multi would
+    compute for the same (edges, sources, hops) — so the registered
+    betweenness key can seed the closeness/harmonic shared cache and
+    running all three centrality keys pays ONE BFS total. The union is
+    built from per-level localCheckpoints, so it stays valid after this
+    function unpersists the edge list."""
     from pyspark import StorageLevel
 
     edges = edges.persist(StorageLevel.MEMORY_AND_DISK)
@@ -1287,6 +1314,8 @@ def _brandes_batched(
             maxd = hop
             dist = dist.unionByName(nxt)
             frontier = nxt
+        if publish_dist is not None:
+            publish_dist(dist)
         # backward dependency accumulation, deepest level first (all
         # pivots at once; a pivot whose BFS ended shallower simply has
         # no rows at the deeper levels)

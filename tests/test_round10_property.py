@@ -496,3 +496,74 @@ def test_twap_oracle_random_shapes(rows):
         span, nseg, twap = expected[r.user_id]
         assert r.span_s == span and r.n_segments == nseg
         assert r.twap == pytest.approx(twap, abs=1e-6)
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(1, 50), st.integers(0, 100_000)),
+        min_size=4,
+        max_size=60,
+    )
+)
+def test_breusch_pagan_oracle_random_shapes(rows):
+    """OLS + auxiliary u^2-on-x regression re-derived with numpy from raw
+    (quantity, price-cents) pairs; requires non-degenerate x variance."""
+    df = pd.DataFrame(
+        {
+            "l_quantity": [float(q) for q, _ in rows],
+            "l_extendedprice": [c / 100.0 for _, c in rows],
+        }
+    )
+    x = df.l_quantity.to_numpy()
+    y = np.round(df.l_extendedprice.to_numpy() * 100)
+    n = len(x)
+    if np.ptp(x) == 0:
+        return  # no x variance: slope undefined
+    beta = ((n * (x * y).sum() - x.sum() * y.sum())
+            / (n * (x * x).sum() - x.sum() ** 2))
+    alpha = (y.sum() - beta * x.sum()) / n
+    u2 = (y - alpha - beta * x) ** 2
+    if np.ptp(u2) == 0:
+        return  # perfectly homoscedastic: aux r2 is 0/0
+    r = np.corrcoef(x, u2)[0, 1]
+    con = _con_with_lineitem(df)
+    row = con.sql(REGISTRY["stats_breusch_pagan"].oracle).df().iloc[0]
+    assert row.n == n
+    assert row.beta_cents_per_unit == pytest.approx(beta, abs=1e-5)
+    assert row.alpha_dollars == pytest.approx(alpha / 100.0, abs=1e-3)
+    assert row.r2_aux == pytest.approx(r * r, abs=1e-5)
+    assert row.lm_stat == pytest.approx(n * r * r, abs=0.02)
+
+
+@settings(max_examples=20, deadline=None)
+@given(vals=st.lists(st.integers(0, 10_000), min_size=4, max_size=40))
+def test_sen_slope_ci_oracle_random_series(vals):
+    """Theil-Sen slope + distribution-free order-statistic CI re-derived
+    from raw daily cents: all pairwise slopes sorted, median as the
+    average of the two middle ranks, CI bounds at the Mann-Kendall
+    variance ranks (tie-corrected)."""
+    ts = pd.date_range("2024-01-01", periods=len(vals), freq="D")
+    df = pd.DataFrame({"ts": ts, "value": [v / 100.0 for v in vals]})
+    v = np.array(vals, dtype=np.int64)
+    n = len(v)
+    slopes = []
+    for i in range(n):
+        for j in range(i + 1, n):
+            slopes.append((v[j] - v[i]) / (j - i))
+    s = np.sort(np.array(slopes))
+    t = len(s)
+    tv = pd.Series(v).value_counts().to_numpy().astype(np.int64)
+    var_s = (
+        n * (n - 1) * (2 * n + 5) - (tv * (tv - 1) * (2 * tv + 5)).sum()
+    ) / 18.0
+    sd = np.sqrt(var_s)
+    k_lo = max(1, int(np.floor((t - 1.96 * sd) / 2.0)) + 1)
+    k_hi = min(t, int(np.ceil((t + 1.96 * sd) / 2.0)) + 1)
+    sen = (s[(t + 1) // 2 - 1] + s[(t + 2) // 2 - 1]) / 2.0 / 100.0
+    con = _con_with_events(df)
+    row = con.sql(REGISTRY["timeseries_sen_slope_ci"].oracle).df().iloc[0]
+    assert row.n_pairs == t and row.k_lo == k_lo and row.k_hi == k_hi
+    assert row.sen_slope_per_day == pytest.approx(sen, abs=1e-6)
+    assert row.ci_lo == pytest.approx(s[k_lo - 1] / 100.0, abs=1e-6)
+    assert row.ci_hi == pytest.approx(s[k_hi - 1] / 100.0, abs=1e-6)
