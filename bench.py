@@ -153,9 +153,14 @@ HEADLINE = [
     "similarity_knn_classifier",
     # round 10 new-key headliners: the two plan-heaviest additions of the
     # round (exact matrix profile = banded self-join + per-diagonal
-    # windows; harmonic centrality = the batched multi-pivot BFS core).
+    # windows; harmonic centrality = the batched multi-pivot BFS core),
+    # plus their cache-sharing siblings — in-bench these should read
+    # near-zero AFTER their family key, which IS the plan evidence the
+    # shared-frame doctrine claims.
     "timeseries_matrix_profile",
+    "timeseries_matrix_profile_join",
     "graph_harmonic_centrality",
+    "graph_avg_path_length",
 ]
 # r8: headliner list intentionally FROZEN at the r7 set — the round froze
 # new registry keys to drain the driver-sample backlog, and an identical

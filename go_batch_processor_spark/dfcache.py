@@ -67,11 +67,12 @@ def clear_all() -> None:
     a solo-timed sample must not silently reuse a checkpoint built during
     the interleaved pass). Unpersists each entry so the storage blocks are
     gone, not merely unreferenced."""
-    from go_batch_processor_spark.operators import graph, text
+    from go_batch_processor_spark.operators import graph, text, timeseries
 
     for cache in (
         graph._TRI_CENSUS_CACHE,
-        graph._PIVOT_DIST_CACHE,  # r10: closeness/harmonic shared BFS
+        graph._PIVOT_DIST_CACHE,  # r10: centrality-family shared BFS
+        timeseries._MP_DISTS_CACHE,  # r10: matrix-profile pair frame
         text._BIGRAM_CB_CACHE,
     ):
         for k in list(cache):

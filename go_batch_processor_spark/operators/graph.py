@@ -1853,3 +1853,67 @@ def graph_harmonic_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .limit(HARMONIC_TOP_K)
     )
+
+
+@register(
+    "graph_avg_path_length",
+    oracle=f"""
+    WITH RECURSIVE pairs AS (
+      SELECT DISTINCT user_id * 2 AS u,
+             CAST(props->>'k' AS BIGINT) * 2 + 1 AS i
+      FROM events WHERE props->>'k' IS NOT NULL
+    ),
+    edges AS (
+      SELECT u AS src, i AS dst FROM pairs
+      UNION ALL
+      SELECT i AS src, u AS dst FROM pairs
+    ),
+    pivots AS (
+      SELECT src AS p FROM edges GROUP BY src ORDER BY src
+      LIMIT {BETW_N_SOURCES}
+    ),
+    walk(p, node, dist) AS (
+      SELECT p, p AS node, 0 AS dist FROM pivots
+      UNION
+      SELECT w.p, e.dst, w.dist + 1
+      FROM walk w JOIN edges e ON e.src = w.node
+      WHERE w.dist < {BETW_MAX_HOPS}
+    ),
+    d AS (
+      SELECT p, node, min(dist) AS d FROM walk GROUP BY p, node
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(sum(d) AS BIGINT) AS sum_d,
+           round(CAST(sum(d) AS DOUBLE) / count(*), 6) AS avg_path_len,
+           CAST(max(d) AS BIGINT) AS eccentricity_max
+    FROM d
+    WHERE d > 0
+    """,
+)
+def graph_avg_path_length(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot-sampled average shortest-path length + observed max
+    eccentricity of the interaction graph (the small-world "how many
+    hops apart is everything" diagnostic; Watts & Strogatz 1998): mean
+    of d(pivot, v) over all reached (pivot, node) pairs with d > 0,
+    from the SAME {BETW_N_SOURCES} lowest-id pivots and
+    {BETW_MAX_HOPS}-hop cap as the betweenness/closeness/harmonic
+    family — the average is hop-cap-conditioned, the standard sampled
+    estimator (exact needs all-pairs BFS).
+
+    Parity: sum_d and n_pairs are exact BIGINTs (order-free); the
+    average is ONE IEEE division + round. Scale shape: consumes the
+    SHARED pivot-distance frame (_pivot_distances — running any of the
+    four centrality keys builds it once), then a single
+    partial-combinable global aggregate. Driver state: none beyond the
+    pivot list.
+    """
+    all_d, _sources = _pivot_distances(spark, sf_dir)
+    agg = all_d.filter(F.col("d") > 0).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        F.sum("d").cast("bigint").alias("sum_d"),
+        F.round(
+            F.sum("d").cast("double") / F.count(F.lit(1)), 6
+        ).alias("avg_path_len"),
+        F.max("d").cast("bigint").alias("eccentricity_max"),
+    )
+    return agg

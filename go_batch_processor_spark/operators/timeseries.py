@@ -4034,9 +4034,12 @@ MP_WINDOW_H = 24  # subsequence length (one day of hours)
 MP_EXCL_H = 12    # trivial-match exclusion half-zone (m/2)
 
 
-@register(
-    "timeseries_matrix_profile",
-    oracle=f"""
+# Shared WITH-prefix for the matrix-profile family oracles (the
+# _STL_CTES precedent): hourly series -> rolling stats -> per-diagonal
+# integer cross products -> pairwise z-normalized distances (i < j,
+# d >= MP_EXCL_H). Both the self-profile and the AB-join append their
+# own tail CTEs.
+_MP_CTE_PREFIX = f"""
     WITH hourly AS (
       SELECT CAST(row_number() OVER (ORDER BY h) AS BIGINT) AS i,
              cents
@@ -4098,7 +4101,13 @@ MP_EXCL_H = 12    # trivial-match exclusion half-zone (m/2)
       JOIN subs si ON si.i = pw.i
       JOIN subs sj ON sj.i = pw.i + pw.d
       WHERE pw.pcnt = {MP_WINDOW_H}
-    ),
+    )"""
+
+
+@register(
+    "timeseries_matrix_profile",
+    oracle=_MP_CTE_PREFIX
+    + """,
     sym AS (
       SELECT i, j, dist FROM dists
       UNION ALL
@@ -4111,6 +4120,7 @@ MP_EXCL_H = 12    # trivial-match exclusion half-zone (m/2)
     GROUP BY mp.i, mp.mp
     ORDER BY mp.i
     """,
+
 )
 def timeseries_matrix_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXACT z-normalized matrix profile (Yeh et al., ICDM 2016) of the
@@ -4145,6 +4155,47 @@ def timeseries_matrix_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     to the MASS/FFT kernel per partition — documented, not needed at a
     720-point series.
     """
+    dists, _n = _mp_dists(spark, sf_dir)
+    sym = dists.unionByName(
+        dists.select(
+            F.col("j").alias("i"), F.col("i").alias("j"), "dist"
+        )
+    )
+    # subsequence-count-sized frame (<= series length) — broadcast it to
+    # the pair-sized sym side for the argmin join
+    mp = F.broadcast(sym.groupBy("i").agg(F.min("dist").alias("mp")))
+    return (
+        mp.join(sym.withColumnRenamed("i", "mi"),
+                (F.col("mi") == mp.i) & (F.col("dist") == F.col("mp")))
+        .groupBy(mp.i, "mp")
+        .agg(F.min("j").cast("bigint").alias("nn_idx"))
+        .select("i", F.round("mp", 6).alias("mp_dist"), "nn_idx")
+        .orderBy("i")
+    )
+
+
+# Shared pairwise-distance frame for the matrix-profile family (r10):
+# the self-join profile and the AB-join consume the IDENTICAL
+# (i, j, dist) frame (the join's pairs are the subset with d >= m), so
+# one banded self-join + per-diagonal window pass serves both keys.
+# Same (applicationId, fixture) cache discipline as graph's pivot
+# frame; hygiene caveats in go_batch_processor_spark.dfcache.
+_MP_DISTS_CACHE: dict = {}
+
+
+def _mp_dists(spark: SparkSession, sf_dir: str):
+    """(dists, n): the one-directional (i < j) z-normalized distance
+    frame over all subsequence pairs with diagonal d >= MP_EXCL_H, and
+    the hourly series length n. localCheckpoint'd; pair-count-sized
+    (bounded by series length squared, not data volume)."""
+    import os
+
+    key = (spark.sparkContext.applicationId, os.path.realpath(sf_dir))
+    from go_batch_processor_spark.dfcache import evict_stale
+
+    evict_stale(_MP_DISTS_CACHE, key[0])
+    if key in _MP_DISTS_CACHE:
+        return _MP_DISTS_CACHE[key]
     ev = load_table(spark, sf_dir, "events")
     hourly = (
         ev.groupBy(F.date_trunc("hour", "ts").alias("h"))
@@ -4219,19 +4270,64 @@ def timeseries_matrix_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .localCheckpoint(eager=False)
     )
-    sym = dists.unionByName(
-        dists.select(
-            F.col("j").alias("i"), F.col("i").alias("j"), "dist"
-        )
+    n = int(hourly.agg(F.max("i")).collect()[0][0] or 0)
+    _MP_DISTS_CACHE[key] = (dists, n)
+    return dists, n
+
+
+@register(
+    "timeseries_matrix_profile_join",
+    oracle=_MP_CTE_PREFIX
+    + f""",
+    na AS (SELECT (SELECT max(i) FROM hourly) // 2 AS na),
+    ab AS (
+      SELECT d.j, d.i, d.dist
+      FROM dists d, na
+      WHERE d.i <= na.na - {MP_WINDOW_H} + 1 AND d.j >= na.na + 1
+    ),
+    mpj AS (SELECT j, min(dist) AS mp FROM ab GROUP BY j)
+    SELECT mpj.j AS j, round(mpj.mp, 6) AS mpj_dist,
+           CAST(min(ab.i) AS BIGINT) AS nn_i
+    FROM mpj JOIN ab ON ab.j = mpj.j AND ab.dist = mpj.mp
+    GROUP BY mpj.j, mpj.mp
+    ORDER BY mpj.j
+    """,
+)
+def timeseries_matrix_profile_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matrix-profile AB-JOIN (Yeh et al., ICDM 2016 §IV): for every
+    subsequence of the SECOND half of the hourly series (the "current"
+    regime B), the z-normalized distance to its nearest neighbor among
+    FIRST-half subsequences (the "reference" regime A) — the novelty
+    detector: a high mpj_dist marks a daily-shaped pattern that never
+    occurred in the reference period, exactly what a drift monitor
+    wants where the self-join profile would let B match itself. No
+    exclusion zone applies (A and B never overlap: every valid pair has
+    diagonal d >= m > the self-profile's m/2 band, so the pairs are a
+    SUBSET of the shared distance frame).
+
+    Exactness/scale shape: consumes the SAME cached pairwise distance
+    frame as timeseries_matrix_profile (_mp_dists — one banded
+    self-join + per-diagonal integer windows serves both keys; running
+    both pays the O(n^2) pass once), then one filter + one
+    partial-combinable groupBy(j) min and a broadcast argmin join.
+    Split point is the series midpoint (max(i) DIV 2) — deterministic,
+    calendar-derived. All determinism properties inherit from the base
+    frame (exact integer sufficient statistics, one exact->double cast,
+    zero-variance subsequences NULL out).
+    """
+    dists, n = _mp_dists(spark, sf_dir)
+    na = n // 2
+    ab = dists.filter(
+        (F.col("i") <= na - MP_WINDOW_H + 1) & (F.col("j") >= na + 1)
     )
-    # subsequence-count-sized frame (<= series length) — broadcast it to
-    # the pair-sized sym side for the argmin join
-    mp = F.broadcast(sym.groupBy("i").agg(F.min("dist").alias("mp")))
+    mpj = F.broadcast(ab.groupBy("j").agg(F.min("dist").alias("mp")))
     return (
-        mp.join(sym.withColumnRenamed("i", "mi"),
-                (F.col("mi") == mp.i) & (F.col("dist") == F.col("mp")))
-        .groupBy(mp.i, "mp")
-        .agg(F.min("j").cast("bigint").alias("nn_idx"))
-        .select("i", F.round("mp", 6).alias("mp_dist"), "nn_idx")
-        .orderBy("i")
+        mpj.join(
+            ab.withColumnRenamed("j", "bj"),
+            (F.col("bj") == mpj.j) & (F.col("dist") == F.col("mp")),
+        )
+        .groupBy(mpj.j, "mp")
+        .agg(F.min("i").cast("bigint").alias("nn_i"))
+        .select("j", F.round("mp", 6).alias("mpj_dist"), "nn_i")
+        .orderBy("j")
     )

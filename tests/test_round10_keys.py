@@ -337,3 +337,77 @@ def test_matrix_profile_matches_bruteforce_numpy(spark, sf_dir, duck):
         # minimum distance even if the twin's argmin differed in noise
         dj = float(np.sqrt(((z[r.i - 1] - z[r.nn_idx - 1]) ** 2).sum()))
         assert dj == pytest.approx(best, abs=1e-4), (r.i, r.nn_idx)
+
+
+def test_avg_path_length_matches_python_bfs(spark, sf_dir, duck):
+    adj = _interaction_edges_py(duck)
+    sources = sorted(adj)[:BETW_N_SOURCES]
+    total, n_pairs, ecc = 0, 0, 0
+    for s in sources:
+        dist = {s: 0}
+        frontier = [s]
+        for hop in range(1, BETW_MAX_HOPS + 1):
+            nxt = []
+            for v in frontier:
+                for w in adj[v]:
+                    if w not in dist:
+                        dist[w] = hop
+                        nxt.append(w)
+            if not nxt:
+                break
+            frontier = nxt
+        for d in dist.values():
+            if d > 0:
+                total += d
+                n_pairs += 1
+                ecc = max(ecc, d)
+    from go_batch_processor_spark.operators.graph import graph_avg_path_length
+
+    row = graph_avg_path_length(spark, sf_dir).collect()[0]
+    assert row.n_pairs == n_pairs and row.sum_d == total
+    assert row.eccentricity_max == ecc
+    assert row.avg_path_len == pytest.approx(round(total / n_pairs, 6), abs=0.0)
+
+
+def test_matrix_profile_join_matches_bruteforce(spark, sf_dir, duck):
+    """AB-join re-derived densely: B-half subsequences against A-half
+    subsequences only, no exclusion zone."""
+    from go_batch_processor_spark.operators.timeseries import (
+        MP_WINDOW_H,
+        timeseries_matrix_profile_join,
+    )
+
+    cents = np.array(
+        [
+            r[0]
+            for r in duck.sql(
+                """SELECT cents FROM (
+                     SELECT date_trunc('hour', ts) AS h,
+                            sum(CAST(round(value * 100) AS BIGINT)) AS cents
+                     FROM events GROUP BY 1) ORDER BY h"""
+            ).fetchall()
+        ],
+        dtype=np.float64,
+    )
+    m = MP_WINDOW_H
+    n = len(cents)
+    na = n // 2
+    subs = np.lib.stride_tricks.sliding_window_view(cents, m)
+    z = (subs - subs.mean(axis=1, keepdims=True)) / subs.std(
+        axis=1, keepdims=True
+    )
+    a_idx = range(0, na - m + 1)  # 0-based starts of A subsequences
+    expected = {}
+    for j0 in range(na, n - m + 1):  # 0-based starts of B subsequences
+        best = np.inf
+        for i0 in a_idx:
+            d = float(np.sqrt(((z[j0] - z[i0]) ** 2).sum()))
+            best = min(best, d)
+        expected[j0 + 1] = best
+    got = timeseries_matrix_profile_join(spark, sf_dir).collect()
+    assert len(got) == len(expected)
+    for r in got:
+        assert r.mpj_dist == pytest.approx(expected[r.j], abs=1e-4), r.j
+        dj = float(np.sqrt(((z[r.j - 1] - z[r.nn_i - 1]) ** 2).sum()))
+        assert dj == pytest.approx(expected[r.j], abs=1e-4)
+        assert r.nn_i <= na - m + 1
