@@ -159,6 +159,7 @@ HEADLINE = [
     # shared-frame doctrine claims.
     "timeseries_matrix_profile",
     "timeseries_matrix_profile_join",
+    "timeseries_motif_topk",
     "graph_harmonic_centrality",
     "graph_avg_path_length",
 ]

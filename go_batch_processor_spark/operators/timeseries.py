@@ -4331,3 +4331,42 @@ def timeseries_matrix_profile_join(spark: SparkSession, sf_dir: str) -> DataFram
         .select("j", F.round("mp", 6).alias("mpj_dist"), "nn_i")
         .orderBy("j")
     )
+
+
+MOTIF_TOP_K = 10
+
+
+@register(
+    "timeseries_motif_topk",
+    oracle=_MP_CTE_PREFIX
+    + f"""
+    SELECT i, j, round(dist, 6) AS dist
+    FROM dists
+    WHERE dist IS NOT NULL
+    ORDER BY dist, i, j
+    LIMIT {MOTIF_TOP_K}
+    """,
+)
+def timeseries_motif_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{MOTIF_TOP_K} MOTIF pairs of the hourly series (Yeh et al.,
+    ICDM 2016 — the matrix profile's primary use case): the closest
+    non-trivial subsequence pairs under z-normalized Euclidean distance
+    — "which two days behaved most alike?" drives template mining and
+    seasonal-shape discovery. Exclusion zone and window inherit from
+    the profile family.
+
+    Exactness/scale shape: a pure integer top-k over the SAME cached
+    pairwise-distance frame as timeseries_matrix_profile /
+    _join (_mp_dists — the third consumer of one O(n^2) pass).
+    Distances are bit-identical doubles on both engines (exact integer
+    sufficient statistics, one cast each), so ORDER BY dist with the
+    (i, j) tie-break selects the identical pair set; TakeOrderedAndProject
+    keeps the top-k a partial-combinable aggregate, never a global sort.
+    """
+    dists, _n = _mp_dists(spark, sf_dir)
+    return (
+        dists.filter(F.col("dist").isNotNull())
+        .orderBy("dist", "i", "j")
+        .limit(MOTIF_TOP_K)
+        .select("i", "j", F.round("dist", 6).alias("dist"))
+    )

@@ -411,3 +411,46 @@ def test_matrix_profile_join_matches_bruteforce(spark, sf_dir, duck):
         dj = float(np.sqrt(((z[r.j - 1] - z[r.nn_i - 1]) ** 2).sum()))
         assert dj == pytest.approx(expected[r.j], abs=1e-4)
         assert r.nn_i <= na - m + 1
+
+
+def test_motif_topk_matches_bruteforce(spark, sf_dir, duck):
+    from go_batch_processor_spark.operators.timeseries import (
+        MP_EXCL_H,
+        MP_WINDOW_H,
+        MOTIF_TOP_K,
+        timeseries_motif_topk,
+    )
+
+    cents = np.array(
+        [
+            r[0]
+            for r in duck.sql(
+                """SELECT cents FROM (
+                     SELECT date_trunc('hour', ts) AS h,
+                            sum(CAST(round(value * 100) AS BIGINT)) AS cents
+                     FROM events GROUP BY 1) ORDER BY h"""
+            ).fetchall()
+        ],
+        dtype=np.float64,
+    )
+    m = MP_WINDOW_H
+    n_sub = len(cents) - m + 1
+    subs = np.lib.stride_tricks.sliding_window_view(cents, m)
+    z = (subs - subs.mean(axis=1, keepdims=True)) / subs.std(
+        axis=1, keepdims=True
+    )
+    pairs = []
+    for i in range(n_sub):
+        for j in range(i + MP_EXCL_H, n_sub):
+            d = float(np.sqrt(((z[i] - z[j]) ** 2).sum()))
+            pairs.append((d, i + 1, j + 1))
+    pairs.sort()
+    top = pairs[:MOTIF_TOP_K]
+    got = sorted(
+        [(r.i, r.j, r.dist) for r in timeseries_motif_topk(spark, sf_dir).collect()]
+    )
+    assert len(got) == MOTIF_TOP_K
+    exp = sorted([(i, j, d) for d, i, j in top])
+    for (gi, gj, gd), (ei, ej, ed) in zip(got, exp):
+        assert (gi, gj) == (ei, ej)
+        assert gd == pytest.approx(ed, abs=1e-4)
