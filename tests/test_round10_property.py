@@ -567,3 +567,51 @@ def test_sen_slope_ci_oracle_random_series(vals):
     assert row.sen_slope_per_day == pytest.approx(sen, abs=1e-6)
     assert row.ci_lo == pytest.approx(s[k_lo - 1] / 100.0, abs=1e-6)
     assert row.ci_hi == pytest.approx(s[k_hi - 1] / 100.0, abs=1e-6)
+
+
+# -- Older high-machinery oracles (queue item: property backfill) ------------
+
+
+@settings(max_examples=25, deadline=None)
+@given(vals=st.lists(st.integers(0, 30), min_size=4, max_size=40))
+def test_mann_kendall_oracle_random_series(vals):
+    ts = pd.date_range("2024-01-01", periods=len(vals), freq="D")
+    df = pd.DataFrame({"ts": ts, "value": [v / 100.0 for v in vals]})
+    v = np.array(vals, dtype=np.int64)
+    n = len(v)
+    s = int(np.sign(v[None, :] - v[:, None])[np.triu_indices(n, 1)].sum())
+    tv = pd.Series(v).value_counts()
+    tv = tv[tv > 1].to_numpy().astype(np.int64)
+    tie_term = int((tv * (tv - 1) * (2 * tv + 5)).sum()) if len(tv) else 0
+    var_s = (n * (n - 1) * (2 * n + 5) - tie_term) / 18.0
+    con = _con_with_events(df)
+    row = con.sql(REGISTRY["stats_mann_kendall"].oracle).df().iloc[0]
+    assert row.n == n and row.s == s
+    assert row.var_s == pytest.approx(var_s, abs=1e-4)
+    if var_s > 0:
+        cc = (s - 1) if s > 0 else (s + 1) if s < 0 else 0
+        assert row.z == pytest.approx(cc / np.sqrt(var_s), abs=1e-6)
+
+
+@settings(max_examples=25, deadline=None)
+@given(vals=st.lists(st.integers(0, 30), min_size=4, max_size=40))
+def test_pettitt_oracle_random_series(vals):
+    ts = pd.date_range("2024-01-01", periods=len(vals), freq="D")
+    df = pd.DataFrame({"ts": ts, "value": [v / 100.0 for v in vals]})
+    v = np.array(vals, dtype=np.int64)
+    n = len(v)
+    r2 = np.array(
+        [2 * int((v < x).sum()) + int((v == x).sum()) + 1 for x in v],
+        dtype=np.int64,
+    )
+    ut = np.cumsum(r2 - n - 1)
+    k_per_t = np.abs(ut[:-1])  # t < last day
+    k = int(k_per_t.max())
+    t_star = int(np.argmax(k_per_t))  # first max -> earliest day
+    con = _con_with_events(df)
+    row = con.sql(REGISTRY["stats_pettitt_test"].oracle).df().iloc[0]
+    assert row.n == n and row.k_stat == k
+    assert pd.Timestamp(row.change_day) == ts[t_star]
+    assert row.neg_ln_half_p == pytest.approx(
+        6.0 * k * k / (n**3 + n**2), abs=1e-6
+    )
