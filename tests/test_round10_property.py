@@ -615,3 +615,52 @@ def test_pettitt_oracle_random_series(vals):
     assert row.neg_ln_half_p == pytest.approx(
         6.0 * k * k / (n**3 + n**2), abs=1e-6
     )
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    x=st.lists(st.integers(1, 8), min_size=3, max_size=40),
+    y=st.lists(st.integers(1, 8), min_size=3, max_size=40),
+)
+def test_anderson_darling_2samp_oracle_random_shapes(x, y):
+    """Scholz-Stephens tie-adjusted midrank A2 (the continuous-midpoint
+    variant the key stages in exact rhu integers) re-derived in float:
+    A2 = (n-1)/n^2 * sum_j f_j * (na_j^2/(n1*d4_j) + nb_j^2/(n2*d4_j)).
+    The rhu staging is exact to ~1e-12 per term, so a2_micros/1e6 must
+    match within ~3e-6. Requires >= 2 distinct values (a single-value
+    column makes the last d4 exactly 0 — division by zero on both
+    engines; unreachable on the fixtures)."""
+    allv = x + y
+    if len(set(allv)) < 2:
+        return
+    df = pd.DataFrame(
+        {
+            "l_quantity": [float(v) for v in allv],
+            "l_returnflag": ["R"] * len(x) + ["N"] * len(y),
+        }
+    )
+    vals = np.array(sorted(set(allv)), dtype=np.int64)
+    xa = np.array(x)
+    ya = np.array(y)
+    n1, n2 = len(xa), len(ya)
+    n = n1 + n2
+    a2 = 0.0
+    f1c = 0  # cumulative count of sample 1
+    cbc = 0  # cumulative count of both
+    for v in vals:
+        c1 = int((xa == v).sum())
+        c2 = int((ya == v).sum())
+        f = c1 + c2
+        f1c += c1
+        cbc += f
+        na = n * (2 * f1c - c1) - n1 * (2 * cbc - f)
+        nb = n * (2 * (cbc - f1c) - c2) - n2 * (2 * cbc - f)
+        d4 = (2 * cbc - f) * (2 * n - (2 * cbc - f)) - n * f
+        if d4 == 0:
+            continue  # only possible at the extremes with f covering all
+        a2 += f * (na**2 / (n1 * d4) + nb**2 / (n2 * d4))
+    a2 *= (n - 1) / (n * n)
+    con = _con_with_lineitem(df)
+    row = con.sql(REGISTRY["stats_anderson_darling_2samp"].oracle).df().iloc[0]
+    assert row.n1 == n1 and row.n2 == n2
+    assert row.a2_micros / 1e6 == pytest.approx(a2, abs=3e-6)
