@@ -1206,34 +1206,25 @@ def graph_betweenness_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-level frames are localCheckpoint'd (BFS lineage discipline).
     No driver state beyond the pivot list.
 
-    Rows-only (iterative, pivot-scoped); tests/test_graph.py pins every
-    reported value against an exact pure-Python Brandes twin restricted
-    to the same sources and hop cap.
+    Fully ORACLED since r10 (the unrolled-Brandes CTE registered as
+    _BETWEENNESS_ORACLE above — this key is no longer rows-only);
+    tests/test_graph.py additionally pins every reported value against
+    an exact pure-Python Brandes twin restricted to the same sources
+    and hop cap.
     """
     edges = interaction_edges(spark, sf_dir)
-    sources = [
-        int(r.node)
-        for r in edges.select(F.col("src").alias("node"))
-        .distinct()
-        .orderBy("node")
-        .limit(BETW_N_SOURCES)
-        .collect()
-    ]
-    import os as _os
-
-    _key = (spark.sparkContext.applicationId, _os.path.realpath(sf_dir))
-
-    def _seed_shared_cache(dist: DataFrame) -> None:
-        # seed the closeness/harmonic shared pivot-distance cache from
-        # the sigma-carrying forward union (identical (p, node, d) set)
-        from go_batch_processor_spark.dfcache import evict_stale
-
-        evict_stale(_PIVOT_DIST_CACHE, _key[0])
-        if _key not in _PIVOT_DIST_CACHE:
-            _PIVOT_DIST_CACHE[_key] = (dist.select("p", "node", "d"), sources)
-
+    sources = _pivot_sources(spark, edges)
     acc = _brandes_batched(
-        spark, edges, sources, BETW_MAX_HOPS, publish_dist=_seed_shared_cache
+        spark,
+        edges,
+        sources,
+        BETW_MAX_HOPS,
+        # seed the closeness/harmonic/avg-path shared pivot-distance
+        # cache from the sigma-carrying forward union (identical
+        # (p, node, d) set)
+        publish_dist=lambda dist: _store_pivot_distances(
+            spark, sf_dir, dist.select("p", "node", "d"), sources
+        ),
     )
     out = (
         acc.select(
@@ -1396,22 +1387,36 @@ CLOSENESS_TOP_K = 20
 _PIVOT_DIST_CACHE: dict[tuple[str, str], tuple[DataFrame, list[int]]] = {}
 
 
-def _pivot_distances(
-    spark: SparkSession, sf_dir: str
-) -> tuple[DataFrame, list[int]]:
-    """(distance frame (p, node, d) incl. d=0 self rows, pivot list) for
-    the {BETW_N_SOURCES} lowest-id pivots of the interaction graph at
-    {BETW_MAX_HOPS} hops — built once per (session, fixture)."""
+def _pivot_cache_key(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
     import os
 
-    key = (spark.sparkContext.applicationId, os.path.realpath(sf_dir))
+    return (spark.sparkContext.applicationId, os.path.realpath(sf_dir))
+
+
+def _store_pivot_distances(
+    spark: SparkSession, sf_dir: str, dist: DataFrame, sources: list[int]
+) -> None:
+    """Single owner of the cache-insert recipe (key shape + hygiene) —
+    used by both _pivot_distances and the betweenness forward-pass
+    seeding so the two entry points can never de-synchronize (r10
+    code-review find). The frame is localCheckpoint'd HERE so every
+    cached entry is a whole-frame LogicalRDD that dfcache._drop can
+    actually free (a derived select-over-union plan is not)."""
     from go_batch_processor_spark.dfcache import evict_stale
 
+    key = _pivot_cache_key(spark, sf_dir)
     evict_stale(_PIVOT_DIST_CACHE, key[0])
-    if key in _PIVOT_DIST_CACHE:
-        return _PIVOT_DIST_CACHE[key]
-    edges = interaction_edges(spark, sf_dir)
-    sources = [
+    if key not in _PIVOT_DIST_CACHE:
+        _PIVOT_DIST_CACHE[key] = (
+            dist.localCheckpoint(eager=False),
+            sources,
+        )
+
+
+def _pivot_sources(spark: SparkSession, edges: DataFrame) -> list[int]:
+    """The {BETW_N_SOURCES} lowest node ids — the deterministic pivot
+    set shared by the betweenness/closeness/harmonic/avg-path family."""
+    return [
         int(r.node)
         for r in edges.select(F.col("src").alias("node"))
         .distinct()
@@ -1419,9 +1424,25 @@ def _pivot_distances(
         .limit(BETW_N_SOURCES)
         .collect()
     ]
+
+
+def _pivot_distances(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, list[int]]:
+    """(distance frame (p, node, d) incl. d=0 self rows, pivot list) for
+    the {BETW_N_SOURCES} lowest-id pivots of the interaction graph at
+    {BETW_MAX_HOPS} hops — built once per (session, fixture)."""
+    key = _pivot_cache_key(spark, sf_dir)
+    from go_batch_processor_spark.dfcache import evict_stale
+
+    evict_stale(_PIVOT_DIST_CACHE, key[0])
+    if key in _PIVOT_DIST_CACHE:
+        return _PIVOT_DIST_CACHE[key]
+    edges = interaction_edges(spark, sf_dir)
+    sources = _pivot_sources(spark, edges)
     dist = _bfs_multi(spark, edges, sources, BETW_MAX_HOPS)
-    _PIVOT_DIST_CACHE[key] = (dist, sources)
-    return dist, sources
+    _store_pivot_distances(spark, sf_dir, dist, sources)
+    return _PIVOT_DIST_CACHE[key]
 
 
 @register("graph_closeness_landmarks", tags={"rows_only"})

@@ -3973,7 +3973,11 @@ def timeseries_holt_grid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows = numbered.agg(
         F.array_sort(F.collect_list(F.struct("rn", "v"))).alias("rows"),
         F.count(F.lit(1)).cast("bigint").alias("n"),
-    )
+    # a sub-2-point series has no (l1, b1) init: the oracle's recursive
+    # seed (rn=1 x rn=2 cross join) is empty there, so the Spark side
+    # must also emit 0 rows (r10 code-review find; unreachable on the
+    # calendar fixtures, guarded for parity on degenerate input)
+    ).filter(F.col("n") >= 2)
 
     def holt_fold(a: float, b: float):
         def step(st, r):
@@ -4341,10 +4345,18 @@ MOTIF_TOP_K = 10
     oracle=_MP_CTE_PREFIX
     + f"""
     SELECT i, j, round(dist, 6) AS dist
-    FROM dists
-    WHERE dist IS NOT NULL
-    ORDER BY dist, i, j
-    LIMIT {MOTIF_TOP_K}
+    FROM (
+      -- top-k selected on the RAW distance in a subquery: a bare
+      -- ORDER BY dist in the outer SELECT binds to the rounded output
+      -- ALIAS in DuckDB while Spark orders the unrounded column —
+      -- near-tie pairs at the LIMIT boundary could then differ
+      -- (r10 code-review find, verified live)
+      SELECT i, j, dist
+      FROM dists
+      WHERE dist IS NOT NULL
+      ORDER BY dist, i, j
+      LIMIT {MOTIF_TOP_K}
+    ) t
     """,
 )
 def timeseries_motif_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
