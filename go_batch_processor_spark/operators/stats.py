@@ -9569,3 +9569,136 @@ def stats_jonckheere_terpstra(spark: SparkSession, sf_dir: str) -> DataFrame:
         "          CAST(0 AS DOUBLE))), 6)"
     )
     return joined.select("n", "k", "u2", z.alias("z_stat"))
+
+
+@register(
+    "stats_quade_test",
+    oracle="""
+    WITH cells AS (
+      SELECT CAST(dayofweek(ts) AS BIGINT) AS blk,
+             event_type AS trt,
+             round(avg(value), 6) AS m
+      FROM events GROUP BY 1, 2
+    ),
+    ranked AS (
+      SELECT blk, trt,
+             CAST(row_number() OVER (PARTITION BY blk
+                                     ORDER BY m, trt) AS BIGINT) AS r
+      FROM cells
+    ),
+    ranges AS (
+      SELECT blk, max(m) - min(m) AS rng FROM cells GROUP BY blk
+    ),
+    qweights AS (
+      SELECT blk,
+             CAST(row_number() OVER (ORDER BY rng, blk) AS BIGINT) AS q
+      FROM ranges
+    ),
+    meta AS (
+      SELECT CAST(count(DISTINCT blk) AS BIGINT) AS b,
+             CAST(count(DISTINCT trt) AS BIGINT) AS k
+      FROM cells
+    ),
+    s AS (
+      SELECT r.trt,
+             q.q * (2 * r.r - (SELECT k FROM meta) - 1) AS s2
+      FROM ranked r JOIN qweights q ON q.blk = r.blk
+    ),
+    sj AS (
+      SELECT trt, CAST(sum(s2) AS BIGINT) AS s2j FROM s GROUP BY trt
+    ),
+    agg AS (
+      SELECT (SELECT CAST(sum(CAST(s2 AS HUGEINT) * s2) AS BIGINT)
+              FROM s) AS a4,
+             (SELECT CAST(sum(CAST(s2j AS HUGEINT) * s2j) AS BIGINT)
+              FROM sj) AS b4b
+    )
+    SELECT m.b, m.k, a4, b4b,
+           round((m.b - 1.0) * b4b
+                 / (m.b * CAST(a4 AS DOUBLE) - b4b), 6) AS f_stat,
+           CAST(m.k - 1 AS BIGINT) AS df1,
+           CAST((m.b - 1) * (m.k - 1) AS BIGINT) AS df2
+    FROM meta m, agg
+    """,
+)
+def stats_quade_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quade test (Quade 1979; Conover 1999 ch. 5.8) on the
+    day-of-week x event-type complete-block design stats_friedman_test
+    uses: within-block treatment ranks are WEIGHTED by the rank of each
+    block's RANGE, so blocks where treatments differ most count most —
+    more powerful than Friedman for k <= ~5 treatments. F_Q =
+    (b-1)*B/(A2-B) against F(k-1, (b-1)(k-1)).
+
+    Exactness shape: cell means round(6) identically on both engines
+    (the friedman convention, ties broken by treatment name); doubled
+    centered scores 2*S_ij = Q_i*(2*r_ij - k - 1) are EXACT integers,
+    so A2 and B clear to the BIGINT sums a4 = sum((2S_ij)^2) and
+    b4b = sum((2S_j)^2) with F = (b-1)*b4b / (b*a4 - b4b) — one IEEE
+    division (squares pass through HUGEINT/DECIMAL38 for the general
+    calendar). Complete blocks are guaranteed by the fixture (every
+    day-of-week has every event type); the statistic presumes them.
+
+    Scale shape: one partial-combinable groupBy scan to the
+    calendar-bounded 7 x k cell frame; every window runs over <= 7
+    rows.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    cells = ev.groupBy(
+        F.dayofweek("ts").cast("bigint").alias("blk"),
+        F.col("event_type").alias("trt"),
+    ).agg(F.round(F.avg("value"), 6).alias("m"))
+    cells = cells.localCheckpoint(eager=False)
+    ranked = cells.select(
+        "blk",
+        "trt",
+        F.row_number()
+        .over(Window.partitionBy("blk").orderBy("m", "trt"))
+        .cast("bigint")
+        .alias("r"),
+    )
+    ranges = cells.groupBy("blk").agg((F.max("m") - F.min("m")).alias("rng"))
+    qweights = ranges.select(
+        "blk",
+        F.row_number()
+        .over(Window.orderBy("rng", "blk"))
+        .cast("bigint")
+        .alias("q"),
+    )
+    meta = cells.agg(
+        F.countDistinct("blk").cast("bigint").alias("b"),
+        F.countDistinct("trt").cast("bigint").alias("k"),
+    )
+    s = (
+        ranked.join(qweights, "blk")
+        .crossJoin(F.broadcast(meta))
+        .select(
+            "trt",
+            "b",
+            "k",
+            (F.col("q") * (2 * F.col("r") - F.col("k") - 1)).alias("s2"),
+        )
+    )
+    sj = s.groupBy("trt").agg(F.sum("s2").cast("bigint").alias("s2j"))
+    a4 = s.agg(
+        F.sum(F.expr("CAST(s2 AS DECIMAL(38,0)) * s2")).cast("bigint").alias("a4")
+    )
+    b4b = sj.agg(
+        F.sum(F.expr("CAST(s2j AS DECIMAL(38,0)) * s2j"))
+        .cast("bigint")
+        .alias("b4b")
+    )
+    return (
+        meta.crossJoin(F.broadcast(a4))
+        .crossJoin(F.broadcast(b4b))
+        .select(
+            "b",
+            "k",
+            "a4",
+            "b4b",
+            F.expr(
+                "round((b - 1.0) * b4b / (b * CAST(a4 AS DOUBLE) - b4b), 6)"
+            ).alias("f_stat"),
+            F.expr("CAST(k - 1 AS BIGINT)").alias("df1"),
+            F.expr("CAST((b - 1) * (k - 1) AS BIGINT)").alias("df2"),
+        )
+    )

@@ -664,3 +664,56 @@ def test_anderson_darling_2samp_oracle_random_shapes(x, y):
     row = con.sql(REGISTRY["stats_anderson_darling_2samp"].oracle).df().iloc[0]
     assert row.n1 == n1 and row.n2 == n2
     assert row.a2_micros / 1e6 == pytest.approx(a2, abs=3e-6)
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    grid=st.lists(
+        st.lists(st.integers(0, 1000), min_size=3, max_size=5),
+        min_size=3,
+        max_size=7,
+    )
+)
+def test_quade_oracle_random_complete_blocks(grid):
+    """Quade re-derived from a random complete-block table: one event
+    per (day-of-week block, event-type treatment) cell so the oracle's
+    cell means reproduce the grid verbatim."""
+    k = min(len(row) for row in grid)
+    grid = [row[:k] for row in grid]
+    b = len(grid)
+    trts = ["click", "view", "purchase", "login", "logout"][:k]
+    rows = []
+    # 2024-01-07 is a Sunday: days 0..6 map to distinct dayofweek blocks
+    for bi, row in enumerate(grid):
+        for ti, v in enumerate(row):
+            rows.append(
+                {
+                    "ts": pd.Timestamp("2024-01-07") + pd.Timedelta(days=bi),
+                    "event_type": trts[ti],
+                    "value": v / 100.0,
+                }
+            )
+    df = pd.DataFrame(rows)
+    m = np.round(np.array(grid, dtype=float) / 100.0, 6)
+    # within-block rank, ties by treatment NAME (the oracle's tie-break)
+    r = np.zeros_like(m)
+    for bi in range(b):
+        pairs = sorted(range(k), key=lambda t: (m[bi][t], trts[t]))
+        for rank0, t in enumerate(pairs):
+            r[bi][t] = rank0 + 1
+    rng = m.max(axis=1) - m.min(axis=1)
+    qorder = sorted(range(b), key=lambda i: (rng[i], i))
+    q = np.zeros(b)
+    for rank0, i in enumerate(qorder):
+        q[i] = rank0 + 1
+    S = q[:, None] * (r - (k + 1) / 2)
+    Sj = S.sum(axis=0)
+    A2 = float((S**2).sum())
+    B = float((Sj**2).sum()) / b
+    con = _con_with_events(df)
+    row = con.sql(REGISTRY["stats_quade_test"].oracle).df().iloc[0]
+    assert row.b == b and row.k == k
+    assert row.a4 == pytest.approx(4 * A2, abs=1e-6)
+    assert row.b4b == pytest.approx(4 * b * B, abs=1e-6)
+    if A2 > B:
+        assert row.f_stat == pytest.approx((b - 1) * B / (A2 - B), abs=1e-6)
