@@ -717,3 +717,45 @@ def test_quade_oracle_random_complete_blocks(grid):
     assert row.b4b == pytest.approx(4 * b * B, abs=1e-6)
     if A2 > B:
         assert row.f_stat == pytest.approx((b - 1) * B / (A2 - B), abs=1e-6)
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    x=st.lists(st.integers(1, 8), min_size=3, max_size=40),
+    y=st.lists(st.integers(1, 8), min_size=3, max_size=40),
+)
+def test_cucconi_oracle_random_shapes(x, y):
+    """Cucconi joint location-scale test re-derived from raw midranks:
+    U/V scores R^2 and (N+1-R)^2 standardized by exact SRS population
+    moments, C = (zu^2 + zv^2 - 2 rho zu zv)/(2(1-rho^2))."""
+    allv = np.array(x + y, float)
+    n = len(allv)
+    n1 = len(x)
+    n2 = n - n1
+    r = pd.Series(allv).rank(method="average").to_numpy()
+    u = r**2
+    v = (n + 1 - r) ** 2
+    g1 = np.arange(n) < n1
+    ubar, vbar = u.mean(), v.mean()
+    su2 = (u**2).mean() - ubar**2
+    sv2 = (v**2).mean() - vbar**2
+    if su2 <= 0 or sv2 <= 0:
+        return  # fully tied — zero score variance
+    zu = (u[g1].sum() - n1 * ubar) / np.sqrt(n1 * n2 / (n - 1) * su2)
+    zv = (v[g1].sum() - n1 * vbar) / np.sqrt(n1 * n2 / (n - 1) * sv2)
+    rho = ((u * v).mean() - ubar * vbar) / (np.sqrt(su2) * np.sqrt(sv2))
+    df = pd.DataFrame(
+        {
+            "l_quantity": [float(q) for q in x + y],
+            "l_returnflag": ["R"] * n1 + ["N"] * n2,
+        }
+    )
+    con = _con_with_lineitem(df)
+    row = con.sql(REGISTRY["stats_cucconi_test"].oracle).df().iloc[0]
+    assert row.n1 == n1 and row.n2 == n2
+    assert row.z_u == pytest.approx(zu, abs=1e-6)
+    assert row.z_v == pytest.approx(zv, abs=1e-6)
+    assert row.rho == pytest.approx(rho, abs=1e-6)
+    if abs(rho) < 1 - 1e-9:
+        c = (zu**2 + zv**2 - 2 * rho * zu * zv) / (2 * (1 - rho**2))
+        assert row.c_stat == pytest.approx(c, abs=1e-5)
