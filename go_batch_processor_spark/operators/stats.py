@@ -9702,3 +9702,166 @@ def stats_quade_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("CAST((b - 1) * (k - 1) AS BIGINT)").alias("df2"),
         )
     )
+
+
+# Siegel-Tukey zigzag score sum over a 1-indexed POSITION range [lo, hi]
+# of an N-long sorted sequence, in closed form (shared Spark/DuckDB SQL
+# text; all-integer, quotients bounded by N^2 so DIV is safe):
+#   low side  (p <= (N+1) DIV 2):  score(p) = 2p - 1 if p odd else 2p
+#   high side (j = N+1-p):         score(p) = 2j     if j odd else 2j-1
+# Range sums split at the midpoint; parity counts via (x+1) DIV 2.
+# The integer-division token differs by engine (Spark: DIV, DuckDB: //)
+# — {d} is substituted per side; all operands are exact integers, so the
+# expressions need only be STRUCTURALLY identical, not textually.
+# ``bnd`` (precomputed per row) is the LAST position owned by the low
+# side: the zigzag hands out 1-low, 2-high, 2-low, ... pairs, so the
+# middle position of an odd run can belong to the HIGH side — e.g.
+# N = 7 assigns lows {1,2,3} and highs {4,5,6,7}. bnd = (N+1)//2 when
+# that value is odd (its low rank 2i-1 still fits), else N//2 (found by
+# the random-shape property test: the naive (N+1)//2 split overshoots
+# the low side's rank budget at N % 4 == 3).
+_ST_BND_TMPL = """
+    CASE WHEN ((n + 1) {d} 2) % 2 = 1 THEN (n + 1) {d} 2
+         ELSE n {d} 2 END
+"""
+_ST_RANGE_SUM_TMPL = """
+    (CASE WHEN lo <= least(hi, bnd) THEN
+       2 * ((lo + least(hi, bnd))
+            * (least(hi, bnd) - lo + 1) {d} 2)
+       - ((least(hi, bnd) + 1) {d} 2 - lo {d} 2)
+     ELSE 0 END
+     +
+     CASE WHEN greatest(lo, bnd + 1) <= hi THEN
+       2 * (((n + 1 - hi) + (n + 1 - greatest(lo, bnd + 1)))
+            * (hi - greatest(lo, bnd + 1) + 1) {d} 2)
+       - ((hi - greatest(lo, bnd + 1) + 1)
+          - ((n + 1 - greatest(lo, bnd + 1) + 1) {d} 2
+             - (n + 1 - hi) {d} 2))
+     ELSE 0 END)
+"""
+_ST_BND_DUCK = _ST_BND_TMPL.format(d="//")
+_ST_BND_SPARK = _ST_BND_TMPL.format(d="DIV")
+_ST_RANGE_SUM_DUCK = _ST_RANGE_SUM_TMPL.format(d="//")
+_ST_RANGE_SUM_SPARK = _ST_RANGE_SUM_TMPL.format(d="DIV")
+
+
+@register(
+    "stats_siegel_tukey",
+    oracle=f"""
+    WITH comp AS (
+      SELECT l_quantity AS v,
+             CAST(sum(CASE WHEN l_linestatus = 'O' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS c1,
+             CAST(sum(CASE WHEN l_linestatus <> 'O' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS c2
+      FROM lineitem GROUP BY 1
+    ),
+    ranked AS (
+      SELECT c1, c2, c1 + c2 AS f,
+             CAST(sum(c1 + c2) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING)
+                  AS BIGINT) AS hi,
+             CAST(sum(c1 + c2) OVER () AS BIGINT) AS n
+      FROM comp
+    ),
+    pos AS (
+      SELECT c1, c2, f, hi - f + 1 AS lo, hi, n,
+             CAST({_ST_BND_DUCK} AS BIGINT) AS bnd
+      FROM ranked
+    ),
+    sv AS (
+      SELECT c1, c2, f, n, CAST({_ST_RANGE_SUM_DUCK} AS BIGINT) AS s
+      FROM pos
+    ),
+    agg AS (
+      SELECT CAST(max(n) AS BIGINT)  AS n,
+             CAST(sum(c1) AS BIGINT) AS n1,
+             CAST(sum(c2) AS BIGINT) AS n2,
+             sum(c1 * (CAST(s AS DOUBLE) / f)) AS t,
+             sum(CAST(CAST(s AS HUGEINT) * s AS DOUBLE) / f) AS q
+      FROM sv
+    )
+    SELECT n1, n2,
+           round((t - n1 * (n * 1.0 * (n + 1) / 2.0) / n)
+                 / sqrt(n1 * 1.0 * n2
+                        * (n * q - (n * 1.0 * (n + 1) / 2.0)
+                                   * (n * 1.0 * (n + 1) / 2.0))
+                        / (n * 1.0 * n * (n - 1))), 6) AS z_st
+    FROM agg
+    """,
+)
+def stats_siegel_tukey(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Siegel-Tukey scale test (Siegel & Tukey 1960) on open vs non-open
+    lineitem quantity: Wilcoxon machinery run on ZIGZAG end-ranks (1 to
+    the minimum, 2-3 to the two maxima, 4-5 to the next two minima, ...)
+    so a dispersed sample collects the small end-scores — the classical
+    scale test usable wherever plain Wilcoxon software exists (it is
+    rank-correlated with stats_ansari_bradley; shipped for family
+    completeness, Ansari remains the recommended member).
+
+    Exactness shape: per distinct value, the zigzag score SUM over its
+    position range [lo, hi] is a CLOSED-FORM exact integer (low/high
+    side split at the parity-corrected boundary _ST_BND — NOT the naive
+    (N+1) DIV 2, see the template comment — one _ST_RANGE_SUM template,
+    engine-specific integer-division token; zigzag is a permutation of 1..N so the global sum is
+    exactly N(N+1)/2, asserted by the twin). Tie-averaged per-row
+    scores S/f are doubles; T and the SRS second moment Q are
+    order-dependent sums over the <= 50-row domain frame, tolerated by
+    round(6) of the z (the graph_pagerank determinism class: noise
+    ~1e-11 vs a 5e-7 grain — analysis in the r10 handoff).
+
+    Scale shape: one partial-combinable groupBy(quantity) scan; windows
+    and the closed-form arithmetic run on the 50-row frame.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    comp = li.groupBy(F.col("l_quantity").alias("v")).agg(
+        F.sum(F.when(F.col("l_linestatus") == "O", 1).otherwise(0))
+        .cast("bigint")
+        .alias("c1"),
+        F.sum(F.when(F.col("l_linestatus") != "O", 1).otherwise(0))
+        .cast("bigint")
+        .alias("c2"),
+    )
+    w_cum = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    ranked = comp.select(
+        "c1",
+        "c2",
+        (F.col("c1") + F.col("c2")).alias("f"),
+        F.sum(F.col("c1") + F.col("c2")).over(w_cum).cast("bigint").alias("hi"),
+        F.sum(F.col("c1") + F.col("c2"))
+        .over(Window.partitionBy())
+        .cast("bigint")
+        .alias("n"),
+    )
+    pos = ranked.select(
+        "c1",
+        "c2",
+        "f",
+        (F.col("hi") - F.col("f") + 1).alias("lo"),
+        "hi",
+        "n",
+        F.expr(f"CAST({_ST_BND_SPARK} AS BIGINT)").alias("bnd"),
+    )
+    sv = pos.select(
+        "c1",
+        "c2",
+        "f",
+        "n",
+        F.expr(f"CAST({_ST_RANGE_SUM_SPARK} AS BIGINT)").alias("s"),
+    )
+    agg = sv.agg(
+        F.max("n").cast("bigint").alias("n"),
+        F.sum("c1").cast("bigint").alias("n1"),
+        F.sum("c2").cast("bigint").alias("n2"),
+        F.sum(F.expr("c1 * (CAST(s AS DOUBLE) / f)")).alias("t"),
+        F.sum(F.expr("CAST(CAST(s AS DECIMAL(38,0)) * s AS DOUBLE) / f")).alias(
+            "q"
+        ),
+    )
+    z = F.expr(
+        "round((t - n1 * (n * 1.0 * (n + 1) / 2.0) / n)"
+        " / sqrt(n1 * 1.0 * n2"
+        "        * (n * q - (n * 1.0 * (n + 1) / 2.0)"
+        "                   * (n * 1.0 * (n + 1) / 2.0))"
+        "        / (n * 1.0 * n * (n - 1))), 6)"
+    )
+    return agg.select("n1", "n2", z.alias("z_st"))

@@ -759,3 +759,72 @@ def test_cucconi_oracle_random_shapes(x, y):
     if abs(rho) < 1 - 1e-9:
         c = (zu**2 + zv**2 - 2 * rho * zu * zv) / (2 * (1 - rho**2))
         assert row.c_stat == pytest.approx(c, abs=1e-5)
+
+
+def _zigzag_scores(n: int) -> np.ndarray:
+    """Classic Siegel-Tukey assignment: 1 to the lowest, 2-3 to the two
+    highest, 4-5 to the next two lowest, alternating pairs inward."""
+    s = np.zeros(n, dtype=np.int64)
+    lo, hi, rank = 0, n - 1, 1
+    s[lo] = rank
+    lo += 1
+    rank += 1
+    take_high = True
+    while rank <= n:
+        for _ in range(2):
+            if rank > n:
+                break
+            if take_high:
+                s[hi] = rank
+                hi -= 1
+            else:
+                s[lo] = rank
+                lo += 1
+            rank += 1
+        take_high = not take_high
+    return s
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    x=st.lists(st.integers(1, 6), min_size=3, max_size=30),
+    y=st.lists(st.integers(1, 6), min_size=3, max_size=30),
+)
+def test_siegel_tukey_oracle_random_shapes(x, y):
+    """The closed-form zigzag range sums (low/high split + parity
+    counts) against the brute-force permutation on random tie-heavy
+    shapes, through the full standardized statistic."""
+    allv = np.array(x + y, float)
+    n = len(allv)
+    n1 = len(x)
+    order = np.argsort(allv, kind="stable")
+    pos_scores = _zigzag_scores(n).astype(float)
+    sorted_vals = allv[order]
+    s_sorted = np.zeros(n)
+    i = 0
+    while i < n:
+        j = i
+        while j < n and sorted_vals[j] == sorted_vals[i]:
+            j += 1
+        s_sorted[i:j] = pos_scores[i:j].mean()
+        i = j
+    obs = np.zeros(n)
+    obs[order] = s_sorted
+    g1 = np.arange(n) < n1
+    t = obs[g1].sum()
+    p = n * (n + 1) / 2
+    q = (obs**2).sum()
+    var = n1 * (n - n1) * (n * q - p * p) / (n * n * (n - 1))
+    if var <= 0:
+        return  # fully tied
+    z = (t - n1 * (n + 1) / 2) / np.sqrt(var)
+    df = pd.DataFrame(
+        {
+            "l_quantity": [float(v) for v in x + y],
+            "l_linestatus": ["O"] * n1 + ["F"] * (n - n1),
+        }
+    )
+    con = _con_with_lineitem(df)
+    row = con.sql(REGISTRY["stats_siegel_tukey"].oracle).df().iloc[0]
+    assert row.n1 == n1 and row.n2 == n - n1
+    assert row.z_st == pytest.approx(z, abs=1e-6)
