@@ -790,6 +790,7 @@ def _zigzag_scores(n: int) -> np.ndarray:
     x=st.lists(st.integers(1, 6), min_size=3, max_size=30),
     y=st.lists(st.integers(1, 6), min_size=3, max_size=30),
 )
+@example(x=[1, 1, 1], y=[1, 1, 1, 2])  # N=7: middle belongs to the HIGH side
 def test_siegel_tukey_oracle_random_shapes(x, y):
     """The closed-form zigzag range sums (low/high split + parity
     counts) against the brute-force permutation on random tie-heavy
