@@ -2816,3 +2816,80 @@ def ml_vif_multicollinearity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("feature")
     )
+
+
+PLATT_ITERS = 8
+
+
+@register("ml_platt_scaling", tags={"rows_only"})
+def ml_platt_scaling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Platt scaling (Platt 1999): calibrate a raw decision score into a
+    probability via the 2-parameter logistic P(y=1|s) = sigmoid(A*s + B),
+    fitted with Newton on Platt's REGULARIZED targets
+    t+ = (N+ + 1)/(N+ + 2), t- = 1/(N- + 2) (the out-of-sample
+    correction from the paper — raw 0/1 targets overfit the sigmoid's
+    tails). The standard post-hoc calibrator for SVM margins / GBDT
+    logits before thresholding or expected-cost decisions; here the
+    uncalibrated score is the literally-scaled quantity s = qty/50 (the
+    ml_linear_svm_gd feature convention) against y = (returnflag = 'R').
+
+    Scale shape (the ml_logreg_irls skeleton at d = 2): each Newton
+    iteration is ONE whole-stage-codegen aggregate over the persisted
+    2-column projection — gradient sum(x*(t - p)) and the 3 unique
+    Hessian entries with the current (A, B) as literals; the 2x2 solve
+    is driver-local. Reports slope/intercept, the calibrated Brier
+    score, and the base rate.
+
+    Rows-only (sigmoid = libm exp); tests pin (A, B, brier) against a
+    numpy Newton twin on the same rows and the calibration invariant
+    avg(p) ~ base rate (a property exact for converged unregularized
+    logistic, approximate under Platt targets).
+    """
+    import numpy as np
+
+    li = _spread_ml(
+        load_table(spark, sf_dir, "lineitem").select(
+            (F.col("l_quantity") / F.lit(50.0)).alias("s"),
+            (F.col("l_returnflag") == "R").cast("double").alias("y"),
+        )
+    ).persist()
+    counts = li.agg(
+        F.sum("y").alias("np_"), F.count(F.lit(1)).cast("double").alias("n")
+    ).collect()[0]
+    n_pos, n_all = float(counts["np_"]), float(counts["n"])
+    n_neg = n_all - n_pos
+    t_pos = (n_pos + 1.0) / (n_pos + 2.0)
+    t_neg = 1.0 / (n_neg + 2.0)
+    t = F.when(F.col("y") == 1.0, F.lit(t_pos)).otherwise(F.lit(t_neg))
+    a, b = 0.0, 0.0
+    for _ in range(PLATT_ITERS):
+        xb = F.lit(a) * F.col("s") + F.lit(b)
+        p = F.lit(1.0) / (F.lit(1.0) + F.exp(-xb))
+        w = p * (F.lit(1.0) - p)
+        row = li.agg(
+            F.sum(F.col("s") * (t - p)).alias("ga"),
+            F.sum(t - p).alias("gb"),
+            F.sum(w * F.col("s") * F.col("s")).alias("haa"),
+            F.sum(w * F.col("s")).alias("hab"),
+            F.sum(w).alias("hbb"),
+        ).collect()[0]
+        h = np.array([[row["haa"], row["hab"]], [row["hab"], row["hbb"]]])
+        g = np.array([row["ga"], row["gb"]])
+        step = np.linalg.solve(h, g)
+        a, b = a + float(step[0]), b + float(step[1])
+    xb = F.lit(a) * F.col("s") + F.lit(b)
+    p = F.lit(1.0) / (F.lit(1.0) + F.exp(-xb))
+    fin = li.agg(
+        F.avg((p - F.col("y")) * (p - F.col("y"))).alias("brier"),
+        F.avg("y").alias("base"),
+        F.avg(p).alias("avg_p"),
+    ).collect()[0]
+    li.unpersist(blocking=False)
+    out = [
+        ("slope_a", float(round(a, 6))),
+        ("intercept_b", float(round(b, 6))),
+        ("brier", float(round(fin["brier"], 6))),
+        ("base_rate", float(round(fin["base"], 6))),
+        ("avg_calibrated_p", float(round(fin["avg_p"], 6))),
+    ]
+    return spark.createDataFrame(out, "term string, value double")

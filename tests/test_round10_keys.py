@@ -488,3 +488,43 @@ def test_holt_grid_sub2_point_series_yields_zero_rows(spark, tmp_path, duck):
         f"CREATE VIEW events AS SELECT * FROM '{d}/events.parquet'"
     )
     assert len(con.sql(REGISTRY["timeseries_holt_grid_search"].oracle).df()) == 0
+
+
+def test_platt_scaling_matches_numpy_newton(spark, sf_dir, duck):
+    """(A, B, brier) pinned against a numpy Newton twin on the same rows
+    with identical Platt regularized targets, plus the calibration
+    sanity avg(p) ~ base rate."""
+    from go_batch_processor_spark.operators.ml import (
+        PLATT_ITERS,
+        ml_platt_scaling,
+    )
+
+    df = duck.sql(
+        "SELECT l_quantity / 50.0 AS s,"
+        " CAST(l_returnflag = 'R' AS DOUBLE) AS y FROM lineitem"
+    ).df()
+    s = df.s.to_numpy()
+    y = df.y.to_numpy()
+    n_pos = y.sum()
+    n_neg = len(y) - n_pos
+    t = np.where(y == 1.0, (n_pos + 1) / (n_pos + 2), 1 / (n_neg + 2))
+    a, b = 0.0, 0.0
+    for _ in range(PLATT_ITERS):
+        p = 1.0 / (1.0 + np.exp(-(a * s + b)))
+        w = p * (1 - p)
+        g = np.array([(s * (t - p)).sum(), (t - p).sum()])
+        h = np.array(
+            [[(w * s * s).sum(), (w * s).sum()], [(w * s).sum(), w.sum()]]
+        )
+        step = np.linalg.solve(h, g)
+        a, b = a + step[0], b + step[1]
+    p = 1.0 / (1.0 + np.exp(-(a * s + b)))
+    brier = ((p - y) ** 2).mean()
+    got = {r.term: r.value for r in ml_platt_scaling(spark, sf_dir).collect()}
+    assert got["slope_a"] == pytest.approx(a, abs=1e-4)
+    assert got["intercept_b"] == pytest.approx(b, abs=1e-4)
+    assert got["brier"] == pytest.approx(brier, abs=1e-6)
+    assert got["base_rate"] == pytest.approx(y.mean(), abs=1e-6)
+    # Platt targets shrink the fit toward the prior slightly; calibration
+    # should still land within a point of the base rate on this data
+    assert abs(got["avg_calibrated_p"] - got["base_rate"]) < 0.01
