@@ -12,8 +12,9 @@ Four strategies, all JVM-side (no Python UDFs in the row path):
 
 Scale notes: the inverted-index join's fanout is bounded by dropping
 ultra-frequent shingles (stop-shingles) — at test SF no shingle is hot
-enough to matter, so the threshold is high; LSH banding (16 hashes, 4
-bands) keeps candidate generation linear in corpus size.
+enough to matter, so the threshold is high; LSH banding (MINHASH_K=24
+hashes in LSH_BANDS=12 bands of 2 rows — see the P(miss) derivation at
+the constants below) keeps candidate generation linear in corpus size.
 """
 
 from __future__ import annotations

@@ -2844,6 +2844,14 @@ def ml_platt_scaling(spark: SparkSession, sf_dir: str) -> DataFrame:
     numpy Newton twin on the same rows and the calibration invariant
     avg(p) ~ base rate (a property exact for converged unregularized
     logistic, approximate under Platt targets).
+
+    Degenerate-input note (the driver-solve ML idiom, same as
+    ml_logreg_irls/ml_linear_svm_gd): a constant score column or an
+    empty table makes the 2x2 Hessian singular and np.linalg.solve
+    raises LinAlgError at build time rather than returning a wrong
+    calibration — fail-loud is intentional; the fixture always has
+    score variance, and a caller feeding a constant score has no
+    calibration problem to solve.
     """
     import numpy as np
 

@@ -6967,7 +6967,8 @@ def stats_hodges_lehmann(spark: SparkSession, sf_dir: str) -> DataFrame:
            round((var_num - tie_term) / 18.0, 4) AS var_s,
            round(CASE WHEN s > 0 THEN (s - 1)
                       WHEN s < 0 THEN (s + 1) ELSE 0 END
-                 / sqrt((var_num - tie_term) / 18.0), 6) AS z
+                 / sqrt(nullif((var_num - tie_term) / 18.0,
+                               CAST(0 AS DOUBLE))), 6) AS z
     FROM agg
     """,
 )
@@ -7039,7 +7040,10 @@ def stats_seasonal_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_points",
             "s",
             F.round(var_s, 4).alias("var_s"),
-            F.round(s_cc / F.sqrt(var_s), 6).alias("z"),
+            # var_s = 0 exactly when every season's totals are fully
+            # tied (tie_term cancels var_num, exact integers): guard to
+            # NULL z on both engines (DuckDB 0/0 nan vs Spark NULL).
+            F.round(s_cc / F.sqrt(F.nullif(var_s, F.lit(0.0))), 6).alias("z"),
         )
     )
 
@@ -7083,9 +7087,10 @@ def stats_seasonal_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
              AS ab_mean,
            round((CAST(ab2 AS DOUBLE) / 2.0
                   - CAST(CAST(n1 AS HUGEINT) * s1 AS DOUBLE) / (2.0 * n))
-                 / sqrt(n1 * 1.0 * n2
+                 / sqrt(nullif(n1 * 1.0 * n2
                         * CAST(CAST(n AS HUGEINT) * s2 - s1 * s1 AS DOUBLE)
-                        / ((n - 1) * 4.0 * n * n)), 6) AS z
+                        / ((n - 1) * 4.0 * n * n),
+                        CAST(0 AS DOUBLE))), 6) AS z
     FROM agg
     """,
 )
@@ -7164,6 +7169,10 @@ def stats_ansari_bradley(spark: SparkSession, sf_dir: str) -> DataFrame:
         * var_num_d
         / ((n - 1) * F.lit(4.0) * n * n)
     )
+    # score variance nullif-guarded (the jonckheere pattern): all-tied
+    # input makes n*s2 - s1^2 EXACTLY 0 (integer arithmetic), where
+    # DuckDB's x/0.0 yields inf/nan but Spark's Divide yields NULL —
+    # both engines now agree on NULL z (r11 property-twin find).
     return agg.select(
         "n1",
         "n2",
@@ -7171,7 +7180,7 @@ def stats_ansari_bradley(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(mean_num_d / (F.lit(2.0) * n), 4).alias("ab_mean"),
         F.round(
             (ab2_d / F.lit(2.0) - mean_num_d / (F.lit(2.0) * n))
-            / F.sqrt(var),
+            / F.sqrt(F.nullif(var, F.lit(0.0))),
             6,
         ).alias("z"),
     )
@@ -8392,18 +8401,22 @@ def stats_morans_i(spark: SparkSession, sf_dir: str) -> DataFrame:
     z AS (
       SELECT n1, n2,
              (a1 / 4.0 - n1 * (pa / (4.0 * n)))
-               / sqrt(n1 * 1.0 * n2 / (n - 1)
+               / sqrt(nullif(greatest(n1 * 1.0 * n2 / (n - 1)
                       * (qa / (16.0 * n)
-                         - (pa / (4.0 * n)) * (pa / (4.0 * n)))) AS zu,
+                         - (pa / (4.0 * n)) * (pa / (4.0 * n))),
+                      CAST(0 AS DOUBLE)), CAST(0 AS DOUBLE))) AS zu,
              (b1 / 4.0 - n1 * (pb / (4.0 * n)))
-               / sqrt(n1 * 1.0 * n2 / (n - 1)
+               / sqrt(nullif(greatest(n1 * 1.0 * n2 / (n - 1)
                       * (qb / (16.0 * n)
-                         - (pb / (4.0 * n)) * (pb / (4.0 * n)))) AS zv,
+                         - (pb / (4.0 * n)) * (pb / (4.0 * n))),
+                      CAST(0 AS DOUBLE)), CAST(0 AS DOUBLE))) AS zv,
              (pab / (16.0 * n) - (pa / (4.0 * n)) * (pb / (4.0 * n)))
-               / (sqrt(qa / (16.0 * n)
-                       - (pa / (4.0 * n)) * (pa / (4.0 * n)))
-                  * sqrt(qb / (16.0 * n)
-                         - (pb / (4.0 * n)) * (pb / (4.0 * n)))) AS rho
+               / (sqrt(nullif(greatest(qa / (16.0 * n)
+                       - (pa / (4.0 * n)) * (pa / (4.0 * n)),
+                       CAST(0 AS DOUBLE)), CAST(0 AS DOUBLE)))
+                  * sqrt(nullif(greatest(qb / (16.0 * n)
+                         - (pb / (4.0 * n)) * (pb / (4.0 * n)),
+                         CAST(0 AS DOUBLE)), CAST(0 AS DOUBLE)))) AS rho
       FROM agg
     )
     SELECT n1, n2,
@@ -8411,7 +8424,8 @@ def stats_morans_i(spark: SparkSession, sf_dir: str) -> DataFrame:
            round(zv, 6) AS z_v,
            round(rho, 6) AS rho,
            round((zu * zu + zv * zv - 2 * rho * zu * zv)
-                 / (2 * (1 - rho * rho)), 6) AS c_stat
+                 / nullif(2 * (1 - rho * rho),
+                          CAST(0 AS DOUBLE)), 6) AS c_stat
     FROM z
     """,
 )
@@ -8484,10 +8498,22 @@ def stats_cucconi_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     va = F.col("qa") / (F.lit(16.0) * n) - abar * abar
     vb = F.col("qb") / (F.lit(16.0) * n) - bbar * bbar
     srs = n1 * F.lit(1.0) * n2 / (n - 1)
-    zu = (F.col("a1") / F.lit(4.0) - n1 * abar) / F.sqrt(srs * va)
-    zv = (F.col("b1") / F.lit(4.0) - n1 * bbar) / F.sqrt(srs * vb)
+    # score variances guarded through greatest/nullif (the jonckheere
+    # pattern): on an all-tied column va = vb = 0 EXACTLY (dyadic
+    # rationals), and with exactly TWO distinct pooled values the score
+    # pairs are perfectly linearly dependent so |rho| = 1 and the
+    # c_stat denominator 2(1-rho^2) is 0 — DuckDB yields inf/nan where
+    # Spark's Divide yields NULL; both engines now yield NULL
+    # (r11 property-twin find).
+    zero = F.lit(0.0)
+
+    def _pos(col):
+        return F.nullif(F.greatest(col, zero), zero)
+
+    zu = (F.col("a1") / F.lit(4.0) - n1 * abar) / F.sqrt(_pos(srs * va))
+    zv = (F.col("b1") / F.lit(4.0) - n1 * bbar) / F.sqrt(_pos(srs * vb))
     rho = (F.col("pab") / (F.lit(16.0) * n) - abar * bbar) / (
-        F.sqrt(va) * F.sqrt(vb)
+        F.sqrt(_pos(va)) * F.sqrt(_pos(vb))
     )
     zdf = agg.select("n1", "n2", zu.alias("zu"), zv.alias("zv"), rho.alias("rho"))
     zu2, zv2, rho2 = F.col("zu"), F.col("zv"), F.col("rho")
@@ -8499,7 +8525,7 @@ def stats_cucconi_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(rho2, 6).alias("rho"),
         F.round(
             (zu2 * zu2 + zv2 * zv2 - 2 * rho2 * zu2 * zv2)
-            / (2 * (1 - rho2 * rho2)),
+            / F.nullif(2 * (1 - rho2 * rho2), zero),
             6,
         ).alias("c_stat"),
     )
@@ -8941,15 +8967,19 @@ def stats_sign_test(spark: SparkSession, sf_dir: str) -> DataFrame:
            round(CAST(CAST(n1 AS HUGEINT) * t2
                       - CAST(n2 AS HUGEINT) * t1 AS DOUBLE)
                  / (2.0 * (n1 + n2)
-                    * sqrt(CAST(a1 AS DOUBLE) / (4.0 * n1 * (n1 - 1.0))
-                           + CAST(a2 AS DOUBLE) / (4.0 * n2 * (n2 - 1.0)))),
+                    * sqrt(nullif(
+                        CAST(a1 AS DOUBLE) / (4.0 * n1 * (n1 - 1.0))
+                        + CAST(a2 AS DOUBLE) / (4.0 * n2 * (n2 - 1.0)),
+                        CAST(0 AS DOUBLE)))),
                  6) AS w_stat,
            round(pow(CAST(a1 AS DOUBLE) / (4.0 * n1 * (n1 - 1.0))
                      + CAST(a2 AS DOUBLE) / (4.0 * n2 * (n2 - 1.0)), 2)
-                 / (pow(CAST(a1 AS DOUBLE) / (4.0 * n1 * (n1 - 1.0)), 2)
-                      / (n1 - 1.0)
-                    + pow(CAST(a2 AS DOUBLE) / (4.0 * n2 * (n2 - 1.0)), 2)
-                      / (n2 - 1.0)), 4) AS df
+                 / nullif(
+                     pow(CAST(a1 AS DOUBLE) / (4.0 * n1 * (n1 - 1.0)), 2)
+                       / (n1 - 1.0)
+                     + pow(CAST(a2 AS DOUBLE) / (4.0 * n2 * (n2 - 1.0)), 2)
+                       / (n2 - 1.0),
+                     CAST(0 AS DOUBLE)), 4) AS df
     FROM agg
     """,
 )
@@ -9047,16 +9077,21 @@ def stats_brunner_munzel(spark: SparkSession, sf_dir: str) -> DataFrame:
         "(CAST(a1 AS DOUBLE) / (4.0 * n1 * (n1 - 1.0))"
         " + CAST(a2 AS DOUBLE) / (4.0 * n2 * (n2 - 1.0)))"
     )
+    # rank variance guarded through nullif (the jonckheere pattern): on
+    # a degenerate all-tied input a1 = a2 = 0 exactly (exact DECIMAL38
+    # sums), so nS is exactly 0.0 and DuckDB would yield inf/nan where
+    # Spark's Divide yields NULL — both engines now yield NULL w/df.
     w_stat = F.expr(
         "round(CAST(CAST(n1 AS DECIMAL(38,0)) * t2"
         "           - CAST(n2 AS DECIMAL(38,0)) * t1 AS DOUBLE)"
-        f" / (2.0 * (n1 + n2) * sqrt({nS})), 6)"
+        f" / (2.0 * (n1 + n2) * sqrt(nullif({nS}, CAST(0 AS DOUBLE)))), 6)"
     )
     df = F.expr(
         f"round(pow({nS}, 2)"
-        " / (pow(CAST(a1 AS DOUBLE) / (4.0 * n1 * (n1 - 1.0)), 2) / (n1 - 1.0)"
-        "    + pow(CAST(a2 AS DOUBLE) / (4.0 * n2 * (n2 - 1.0)), 2)"
-        "      / (n2 - 1.0)), 4)"
+        " / nullif("
+        "   pow(CAST(a1 AS DOUBLE) / (4.0 * n1 * (n1 - 1.0)), 2) / (n1 - 1.0)"
+        "   + pow(CAST(a2 AS DOUBLE) / (4.0 * n2 * (n2 - 1.0)), 2)"
+        "     / (n2 - 1.0), CAST(0 AS DOUBLE)), 4)"
     )
     return agg.select(
         "n1",
@@ -9107,28 +9142,32 @@ def stats_brunner_munzel(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT n1, n2,
            round(pow((CAST(t1 AS DOUBLE) / 2.0
                       - CAST(CAST(n1 AS HUGEINT) * s1r AS DOUBLE) / (2.0 * n))
-                     / sqrt(n1 * 1.0 * n2
+                     / sqrt(nullif(n1 * 1.0 * n2
                             * CAST(CAST(n AS HUGEINT) * s2r - s1r * s1r
                                    AS DOUBLE)
-                            / ((n - 1) * 4.0 * n * n)), 2), 6) AS w_component,
+                            / ((n - 1) * 4.0 * n * n),
+                            CAST(0 AS DOUBLE))), 2), 6) AS w_component,
            round(pow((CAST(ab2 AS DOUBLE) / 2.0
                       - CAST(CAST(n1 AS HUGEINT) * sa1 AS DOUBLE) / (2.0 * n))
-                     / sqrt(n1 * 1.0 * n2
+                     / sqrt(nullif(n1 * 1.0 * n2
                             * CAST(CAST(n AS HUGEINT) * sa2 - sa1 * sa1
                                    AS DOUBLE)
-                            / ((n - 1) * 4.0 * n * n)), 2), 6) AS a_component,
+                            / ((n - 1) * 4.0 * n * n),
+                            CAST(0 AS DOUBLE))), 2), 6) AS a_component,
            round(pow((CAST(t1 AS DOUBLE) / 2.0
                       - CAST(CAST(n1 AS HUGEINT) * s1r AS DOUBLE) / (2.0 * n))
-                     / sqrt(n1 * 1.0 * n2
+                     / sqrt(nullif(n1 * 1.0 * n2
                             * CAST(CAST(n AS HUGEINT) * s2r - s1r * s1r
                                    AS DOUBLE)
-                            / ((n - 1) * 4.0 * n * n)), 2)
+                            / ((n - 1) * 4.0 * n * n),
+                            CAST(0 AS DOUBLE))), 2)
                  + pow((CAST(ab2 AS DOUBLE) / 2.0
                         - CAST(CAST(n1 AS HUGEINT) * sa1 AS DOUBLE) / (2.0 * n))
-                       / sqrt(n1 * 1.0 * n2
+                       / sqrt(nullif(n1 * 1.0 * n2
                               * CAST(CAST(n AS HUGEINT) * sa2 - sa1 * sa1
                                      AS DOUBLE)
-                              / ((n - 1) * 4.0 * n * n)), 2), 6) AS lepage_l
+                              / ((n - 1) * 4.0 * n * n),
+                              CAST(0 AS DOUBLE))), 2), 6) AS lepage_l
     FROM agg
     """,
 )
@@ -9197,21 +9236,25 @@ def stats_lepage(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.expr("CAST(c AS DECIMAL(38,0)) * smin2")).alias("sa1"),
         F.sum(F.expr("CAST(c AS DECIMAL(38,0)) * smin2 * smin2")).alias("sa2"),
     )
+    # rank variances nullif-guarded (the jonckheere pattern): on an
+    # all-tied column n*s2r - s1r^2 = 0 EXACTLY (integer arithmetic),
+    # so both engines yield NULL components instead of DuckDB inf vs
+    # Spark NULL diverging.
     zw2 = (
         "pow((CAST(t1 AS DOUBLE) / 2.0"
         "      - CAST(CAST(n1 AS DECIMAL(38,0)) * s1r AS DOUBLE) / (2.0 * n))"
-        "     / sqrt(n1 * 1.0 * n2"
+        "     / sqrt(nullif(n1 * 1.0 * n2"
         "            * CAST(CAST(n AS DECIMAL(38,0)) * s2r - s1r * s1r"
         "                   AS DOUBLE)"
-        "            / ((n - 1) * 4.0 * n * n)), 2)"
+        "            / ((n - 1) * 4.0 * n * n), CAST(0 AS DOUBLE))), 2)"
     )
     za2 = (
         "pow((CAST(ab2 AS DOUBLE) / 2.0"
         "      - CAST(CAST(n1 AS DECIMAL(38,0)) * sa1 AS DOUBLE) / (2.0 * n))"
-        "     / sqrt(n1 * 1.0 * n2"
+        "     / sqrt(nullif(n1 * 1.0 * n2"
         "            * CAST(CAST(n AS DECIMAL(38,0)) * sa2 - sa1 * sa1"
         "                   AS DOUBLE)"
-        "            / ((n - 1) * 4.0 * n * n)), 2)"
+        "            / ((n - 1) * 4.0 * n * n), CAST(0 AS DOUBLE))), 2)"
     )
     return agg.select(
         "n1",
@@ -9615,7 +9658,8 @@ def stats_jonckheere_terpstra(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT m.b, m.k, a4, b4b,
            round((m.b - 1.0) * b4b
-                 / (m.b * CAST(a4 AS DOUBLE) - b4b), 6) AS f_stat,
+                 / nullif(m.b * CAST(a4 AS DOUBLE) - b4b,
+                          CAST(0 AS DOUBLE)), 6) AS f_stat,
            CAST(m.k - 1 AS BIGINT) AS df1,
            CAST((m.b - 1) * (m.k - 1) AS BIGINT) AS df2
     FROM meta m, agg
@@ -9695,8 +9739,13 @@ def stats_quade_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             "k",
             "a4",
             "b4b",
+            # A2 == B exactly when every block ranks treatments
+            # identically (both are exact BIGINT sums): nullif keeps
+            # DuckDB (inf) and Spark (NULL) agreeing on NULL f_stat.
             F.expr(
-                "round((b - 1.0) * b4b / (b * CAST(a4 AS DOUBLE) - b4b), 6)"
+                "round((b - 1.0) * b4b"
+                " / nullif(b * CAST(a4 AS DOUBLE) - b4b,"
+                "          CAST(0 AS DOUBLE)), 6)"
             ).alias("f_stat"),
             F.expr("CAST(k - 1 AS BIGINT)").alias("df1"),
             F.expr("CAST((b - 1) * (k - 1) AS BIGINT)").alias("df2"),
@@ -9782,10 +9831,11 @@ _ST_RANGE_SUM_SPARK = _ST_RANGE_SUM_TMPL.format(d="DIV")
     )
     SELECT n1, n2,
            round((t - n1 * (n * 1.0 * (n + 1) / 2.0) / n)
-                 / sqrt(n1 * 1.0 * n2
+                 / sqrt(nullif(greatest(n1 * 1.0 * n2
                         * (n * q - (n * 1.0 * (n + 1) / 2.0)
                                    * (n * 1.0 * (n + 1) / 2.0))
-                        / (n * 1.0 * n * (n - 1))), 6) AS z_st
+                        / (n * 1.0 * n * (n - 1)), CAST(0 AS DOUBLE)),
+                        CAST(0 AS DOUBLE))), 6) AS z_st
     FROM agg
     """,
 )
@@ -9857,11 +9907,17 @@ def stats_siegel_tukey(spark: SparkSession, sf_dir: str) -> DataFrame:
             "q"
         ),
     )
+    # variance guarded through greatest/nullif (the jonckheere pattern):
+    # t and q are DOUBLE sums of tie-averaged scores, so the all-tied
+    # variance is exactly-zero mathematically but can float to ~-1e-10
+    # — DuckDB sqrt would ERROR / yield inf on the division where Spark
+    # yields NULL; both engines now yield NULL z on degenerate input.
     z = F.expr(
         "round((t - n1 * (n * 1.0 * (n + 1) / 2.0) / n)"
-        " / sqrt(n1 * 1.0 * n2"
+        " / sqrt(nullif(greatest(n1 * 1.0 * n2"
         "        * (n * q - (n * 1.0 * (n + 1) / 2.0)"
         "                   * (n * 1.0 * (n + 1) / 2.0))"
-        "        / (n * 1.0 * n * (n - 1))), 6)"
+        "        / (n * 1.0 * n * (n - 1)), CAST(0 AS DOUBLE)),"
+        "        CAST(0 AS DOUBLE))), 6)"
     )
     return agg.select("n1", "n2", z.alias("z_st"))

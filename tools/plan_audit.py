@@ -119,6 +119,11 @@ def main() -> None:
             f"zero-codegen rows outside the allowlist: {sorted(unexpected)}"
         )
 
+    # The python-eval prose is GENERATED from the audited rows (r10
+    # verdict item: the old hand-written sentence drifted two rounds
+    # behind the table) — the count and row list below always match the
+    # table, and tests/test_plan_regressions.py pins the committed set.
+    py_rows = sorted(n for n, a in rows if a["python_eval"])
     out = [
         "# PLANS — physical-plan audit (generated by tools/plan_audit.py)",
         "",
@@ -126,8 +131,11 @@ def main() -> None:
         "exchanges, broadcast joins, sort-merge joins, TakeOrderedAndProject",
         "(top-k without global sort), whole-stage-codegen span count, filter",
         "pushdown into the scan, and whether any Python evaluation is in the",
-        "plan (only UDF-surface, multimodal, and the Misra-Gries sketch "
-        "pass of agg_heavy_hitters should say yes).",
+        f"plan. {len(py_rows)} rows carry Python evaluation — every one an",
+        "Arrow-batched kernel (pandas_udf / applyInPandas / mapInArrow;",
+        "zero row-at-a-time UDFs anywhere in the repo):",
+        "",
+        "> " + ", ".join(py_rows),
         "",
         "| query | exchanges | bcast joins | SMJ | top-k | codegen spans | pushdown | python |",
         "|---|---|---|---|---|---|---|---|",
