@@ -98,13 +98,19 @@ def register(
     return deco
 
 
-def _driver_check_history() -> tuple[dict[str, int], dict[str, bool]]:
-    """Per query key: (times checked, latest outcome was a FAIL).
+def _driver_check_history() -> tuple[
+    dict[str, int], dict[str, bool], dict[str, bool]
+]:
+    """Per query key: (times checked, latest outcome was a FAIL, latest
+    outcome was a rows-only ``no_oracle`` row).
 
     Scans every driver CORRECTNESS_r*.json (sorted, so the highest round
     wins the "latest" slot). A row is a FAIL when any of rows/schema/hash
     is explicitly False or it carries a real error (``no_oracle`` is the
-    driver's rows-only marker, not a failure).
+    driver's rows-only marker, not a failure — but it IS recorded in the
+    third map: a key whose latest sample was rows-only and that has
+    since GAINED an oracle needs a fresh sample for its hash gate to
+    ever run driver-side; see driver_sample_order tier 2).
 
     The driver samples only the FIRST 50 entries of ``queries()`` each
     round (verified: the r4 sample is exactly the first 50 of the r4-time
@@ -120,6 +126,7 @@ def _driver_check_history() -> tuple[dict[str, int], dict[str, bool]]:
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     counts: dict[str, int] = {}
     latest_fail: dict[str, bool] = {}
+    latest_rows_only: dict[str, bool] = {}
     for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
         try:
             with open(path) as fh:
@@ -131,14 +138,17 @@ def _driver_check_history() -> tuple[dict[str, int], dict[str, bool]]:
         for key, row in data.items():
             counts[key] = counts.get(key, 0) + 1
             fail = False
+            rows_only = False
             if isinstance(row, dict):
                 flags = (row.get("rows_match"), row.get("schema_match"), row.get("hash_match"))
                 err = row.get("err")
                 fail = any(f is False for f in flags) or (
                     err is not None and err != "no_oracle"
                 )
+                rows_only = err == "no_oracle"
             latest_fail[key] = fail
-    return counts, latest_fail
+            latest_rows_only[key] = rows_only
+    return counts, latest_fail, latest_rows_only
 
 
 def driver_sample_order(names: list[str]) -> list[str]:
@@ -150,8 +160,16 @@ def driver_sample_order(names: list[str]) -> list[str]:
        row), plus never-checked ``diagnostic`` probes (they exist to
        bisect a live red and must ride with it);
     2. keys never driver-checked;
-    3. everything else, least-checked first;
-    4. ``diagnostic`` probes with a green sample — RETIRED from active
+    3. ORACLE-UPGRADED keys: latest driver row was rows-only
+       (``no_oracle``) but the key NOW carries an oracle — the hash
+       gate has never run driver-side (r10 verdict item 1: pagerank/
+       modularity/label_propagation were sampled once as rows-only,
+       gained DuckDB oracles later, and the sample-history tiers alone
+       would never re-promote them). Derived directly from the round
+       files vs the live registry — no stamp file needed, and the tier
+       self-clears the moment a driver round records a hash row;
+    4. everything else, least-checked first;
+    5. ``diagnostic`` probes with a green sample — RETIRED from active
        rotation (r9 verdict item 8): a green probe has answered its
        question, so it orders behind every operator key and only
        re-promotes (to tier 0) if a future driver round marks it red.
@@ -173,7 +191,7 @@ def driver_sample_order(names: list[str]) -> list[str]:
     of tier 1 automatically. Deterministic for a given set of round
     files. Run tools/stamp_first_seen.py each round to record new keys.
     """
-    counts, latest_fail = _driver_check_history()
+    counts, latest_fail, latest_rows_only = _driver_check_history()
     idx = {n: i for i, n in enumerate(names)}
     first_seen = _key_first_seen()
 
@@ -188,15 +206,20 @@ def driver_sample_order(names: list[str]) -> list[str]:
             # land in the very next driver sample to bisect a live red.
             # RETIREMENT POLICY (r9 verdict item 8): once a probe has a
             # green driver sample it has answered its question — it
-            # drops to tier 3, BEHIND every operator key, so it never
+            # drops to tier 4, BEHIND every operator key, so it never
             # again displaces an operator's (re-)verification slot. It
             # stays registered (zero-cost, instantly re-promoted to
             # tier 0 by a future red via the latest-FAIL rule).
-            tier = 0 if c == 0 else 3
+            tier = 0 if c == 0 else 4
         elif c == 0:
             tier = 1
-        else:
+        elif latest_rows_only.get(n, False) and spec is not None and spec.oracle is not None:
+            # Oracle-upgraded: last driver contact predates the oracle,
+            # so the hard hash gate has never run for it (r10 verdict
+            # item 1's rotation blind spot).
             tier = 2
+        else:
+            tier = 3
         rows_only = 1 if (spec is not None and spec.oracle is None) else 0
         tie = (first_seen.get(n, 99), idx[n]) if c == 0 else (0, -idx[n])
         return (tier, rows_only, c, tie)

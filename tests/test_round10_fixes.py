@@ -106,12 +106,12 @@ def test_diag_probes_retire_after_green_sample():
     real = registry._driver_check_history
 
     def fake():
-        counts, latest_fail = real()
+        counts, latest_fail, latest_rows_only = real()
         counts = dict(counts)
         latest_fail = dict(latest_fail)
         counts["diag_km_inputs"] = counts.get("diag_km_inputs", 0) + 1
         latest_fail["diag_km_inputs"] = True
-        return counts, latest_fail
+        return counts, latest_fail, latest_rows_only
 
     registry._driver_check_history = fake
     try:

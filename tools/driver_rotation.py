@@ -24,22 +24,39 @@ from go_batch_processor_spark.registry import (  # noqa: E402
 
 
 def main() -> None:
-    counts, latest_fail = _driver_check_history()
+    from go_batch_processor_spark.registry import REGISTRY
+
+    counts, latest_fail, latest_rows_only = _driver_check_history()
     ordered = list(all_queries())
     sample = set(ordered[:50])
     never = [k for k in ordered if counts.get(k, 0) == 0]
     reds = [k for k in ordered if latest_fail.get(k, False)]
+    upgraded = [
+        k
+        for k in ordered
+        if counts.get(k, 0)
+        and latest_rows_only.get(k, False)
+        and REGISTRY[k].oracle is not None
+    ]
     print(f"registered: {len(ordered)}")
     print(f"ever driver-checked: {sum(1 for k in ordered if counts.get(k, 0))}")
     print(f"never driver-checked: {len(never)}")
     print(f"stale-red (latest driver row FAIL): {len(reds)}")
-    uncovered = [k for k in never + reds if k not in sample]
-    print(f"red-or-never-checked NOT in next first-50 sample: {len(uncovered)}")
+    print(f"oracle-upgraded awaiting driver hash gate: {len(upgraded)}")
+    uncovered = [k for k in never + reds + upgraded if k not in sample]
+    print(
+        "red/never-checked/oracle-upgraded NOT in next first-50 sample: "
+        f"{len(uncovered)}"
+    )
     print()
-    print(f"{'key':<36} {'checks':>6} {'red':>4}  in-next-sample")
+    print(f"{'key':<36} {'checks':>6} {'red':>4} {'upg':>4}  in-next-sample")
     for k in ordered:
         red = "RED" if latest_fail.get(k, False) else ""
-        print(f"{k:<36} {counts.get(k, 0):>6} {red:>4}  {'yes' if k in sample else ''}")
+        upg = "UPG" if k in upgraded else ""
+        print(
+            f"{k:<36} {counts.get(k, 0):>6} {red:>4} {upg:>4}  "
+            f"{'yes' if k in sample else ''}"
+        )
 
 
 if __name__ == "__main__":
