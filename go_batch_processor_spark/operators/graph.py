@@ -1445,7 +1445,43 @@ def _pivot_distances(
     return _PIVOT_DIST_CACHE[key]
 
 
-@register("graph_closeness_landmarks", tags={"rows_only"})
+@register(
+    "graph_closeness_landmarks",
+    oracle=f"""
+    WITH RECURSIVE pairs AS (
+      SELECT DISTINCT user_id * 2 AS u,
+             CAST(props->>'k' AS BIGINT) * 2 + 1 AS i
+      FROM events WHERE props->>'k' IS NOT NULL
+    ),
+    edges AS (
+      SELECT u AS src, i AS dst FROM pairs
+      UNION ALL
+      SELECT i AS src, u AS dst FROM pairs
+    ),
+    pivots AS (
+      SELECT src AS p FROM edges GROUP BY src ORDER BY src
+      LIMIT {BETW_N_SOURCES}
+    ),
+    walk(p, node, dist) AS (
+      SELECT p, p AS node, 0 AS dist FROM pivots
+      UNION
+      SELECT w.p, e.dst, w.dist + 1
+      FROM walk w JOIN edges e ON e.src = w.node
+      WHERE w.dist < {BETW_MAX_HOPS}
+    ),
+    d AS (
+      SELECT p, node, min(dist) AS d FROM walk GROUP BY p, node
+    )
+    SELECT CASE WHEN node % 2 = 0 THEN 'user' ELSE 'item' END AS kind,
+           CAST(floor(node / 2.0) AS BIGINT) AS entity_id,
+           round(CAST({BETW_N_SOURCES} AS DOUBLE) / sum(d), 6) AS closeness
+    FROM d
+    GROUP BY node
+    HAVING count(*) = {BETW_N_SOURCES} AND sum(d) > 0
+    ORDER BY sum(d) ASC, kind ASC, entity_id ASC
+    LIMIT {CLOSENESS_TOP_K}
+    """,
+)
 def graph_closeness_landmarks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Landmark-estimated closeness centrality (Eppstein & Wang 2004 /
     Cohen et al. 2014 pivot sampling): BFS distances from the
@@ -1462,8 +1498,17 @@ def graph_closeness_landmarks(spark: SparkSession, sf_dir: str) -> DataFrame:
     localCheckpoint, then ONE partial-combinable groupBy(node) over the
     unioned distance frame. Driver state: the pivot list only.
 
-    Rows-only (pivot-scoped estimate); tests/test_graph.py pins every
-    value against a pure-Python BFS twin on the same pivots.
+    ORACLED (r11, upgraded from rows-only — the r10 betweenness
+    precedent): sum_pivots d(p, v) is an exact BIGINT (order-free), so
+    the top-k CAN be selected on the INTEGER sum_d ascending (closeness
+    = k/sum_d is monotone-decreasing in sum_d for the fixed k-pivot
+    filter) — no double ever decides the cut, and the reported
+    closeness is one IEEE division + round(6) per surviving row,
+    bit-identical across engines. The old rows-only rationale (the
+    summed-reciprocals class) applies to HARMONIC's per-pivot 1/d
+    terms, not to closeness's integer distance sum. The DuckDB oracle
+    runs the identical pivot BFS as a recursive CTE (the
+    harmonic/avg-path construct, driver-green r10).
     """
     all_d, sources = _pivot_distances(spark, sf_dir)
     k = len(sources)
@@ -1480,13 +1525,15 @@ def graph_closeness_landmarks(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("kind"),
             F.floor(F.col("node") / 2).cast("long").alias("entity_id"),
             F.round(float(k) / F.col("sum_d"), 6).alias("closeness"),
+            "sum_d",
         )
         .orderBy(
-            F.col("closeness").desc(),
+            F.col("sum_d").asc(),
             F.col("kind").asc(),
             F.col("entity_id").asc(),
         )
         .limit(CLOSENESS_TOP_K)
+        .drop("sum_d")
         .localCheckpoint()
     )
 

@@ -2099,7 +2099,92 @@ SVM_FEATURES = LOGREG_FEATURES  # same raw columns as the logreg sibling
 SVM_QTY_SCALE = 50.0  # fixed literal scaling: quantity spans 1..50
 
 
-@register("ml_linear_svm_gd", tags={"rows_only"})
+def _svm_oracle() -> str:
+    """DuckDB twin of ml_linear_svm_gd: the identical subgradient
+    descent UNROLLED over the identical (qu, du, tu, y) cell
+    compression. The per-iteration subgradient sums are EXACT integers
+    in 1e-2 feature units (order-free on both engines), the margin
+    indicator evaluates the bit-identical double expression tree, and
+    every scalar update mirrors the driver fold — so the trained betas
+    are bit-exact, not merely tolerance-close (unlike platt there is no
+    libm anywhere). Only the final hinge-loss sum is an order-dependent
+    double aggregate, absorbed by the shared floor-round-6
+    (the siegel-tukey T/Q determinism class)."""
+    s100 = "CAST(100 AS DOUBLE)"
+    xb = (
+        f"(((p.b0 + p.w1 * (qu / {s100})) + p.w2 * (du / {s100}))"
+        f" + p.w3 * (tu / {s100}))"
+    )
+    lam = "CAST(0.01 AS DOUBLE)"
+    steps = []
+    prev = "p0"
+    for t in range(1, SVM_ITERS + 1):
+        eta = f"(CAST(1.0 AS DOUBLE) / {t})"
+        ghat = [
+            f"(CAST(g.g{i} AS DOUBLE) / ({s100} * m.n))" for i in range(4)
+        ]
+        steps.append(f"""
+    g{t} AS MATERIALIZED (
+      SELECT
+        CAST(sum(CASE WHEN y * {xb} < CAST(1 AS DOUBLE)
+                 THEN y * cnt * 100 ELSE 0 END) AS BIGINT) AS g0,
+        CAST(sum(CASE WHEN y * {xb} < CAST(1 AS DOUBLE)
+                 THEN y * cnt * qu ELSE 0 END) AS BIGINT) AS g1,
+        CAST(sum(CASE WHEN y * {xb} < CAST(1 AS DOUBLE)
+                 THEN y * cnt * du ELSE 0 END) AS BIGINT) AS g2,
+        CAST(sum(CASE WHEN y * {xb} < CAST(1 AS DOUBLE)
+                 THEN y * cnt * tu ELSE 0 END) AS BIGINT) AS g3
+      FROM cells, {prev} p
+    ),
+    p{t} AS MATERIALIZED (
+      SELECT p.b0 - {eta} * (- {ghat[0]}) AS b0,
+             p.w1 - {eta} * ((- {ghat[1]}) + {lam} * p.w1) AS w1,
+             p.w2 - {eta} * ((- {ghat[2]}) + {lam} * p.w2) AS w2,
+             p.w3 - {eta} * ((- {ghat[3]}) + {lam} * p.w3) AS w3
+      FROM {prev} p, g{t} g, meta m
+    )""")
+        prev = f"p{t}"
+    body = ",".join(steps)
+    r6 = (
+        "floor({x} * CAST(1000000 AS DOUBLE) + CAST(0.5 AS DOUBLE))"
+        " / CAST(1000000 AS DOUBLE)"
+    )
+    return f"""
+    WITH cells AS MATERIALIZED (
+      SELECT CAST(round(l_quantity * 2) AS BIGINT)  AS qu,
+             CAST(round(l_discount * 100) AS BIGINT) AS du,
+             CAST(round(l_tax * 100) AS BIGINT)      AS tu,
+             CASE WHEN l_returnflag = 'R' THEN 1 ELSE -1 END AS y,
+             CAST(count(*) AS BIGINT) AS cnt
+      FROM lineitem GROUP BY 1, 2, 3, 4
+    ),
+    meta AS MATERIALIZED (SELECT CAST(sum(cnt) AS BIGINT) AS n FROM cells),
+    p0 AS MATERIALIZED (SELECT CAST(0 AS DOUBLE) AS b0, CAST(0 AS DOUBLE) AS w1,
+                  CAST(0 AS DOUBLE) AS w2, CAST(0 AS DOUBLE) AS w3),{body},
+    hs AS (
+      SELECT sum(cnt * greatest(CAST(0 AS DOUBLE),
+                                CAST(1 AS DOUBLE) - y * {xb})) AS hsum
+      FROM cells, {prev} p
+    ),
+    obj AS (
+      SELECT (hs.hsum / m.n)
+             + (CAST(0.5 AS DOUBLE) * {lam})
+               * ((p.w1 * p.w1 + p.w2 * p.w2) + p.w3 * p.w3) AS v
+      FROM hs, {prev} p, meta m
+    )
+    SELECT 'intercept' AS term, {r6.format(x='b0')} AS value FROM {prev}
+    UNION ALL
+    SELECT 'l_quantity_scaled', {r6.format(x='w1')} FROM {prev}
+    UNION ALL
+    SELECT 'l_discount', {r6.format(x='w2')} FROM {prev}
+    UNION ALL
+    SELECT 'l_tax', {r6.format(x='w3')} FROM {prev}
+    UNION ALL
+    SELECT 'objective', {r6.format(x='v')} FROM obj
+    """
+
+
+@register("ml_linear_svm_gd", oracle=_svm_oracle())
 def ml_linear_svm_gd(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed linear SVM trained with deterministic full-batch
     subgradient descent: y(l_returnflag = 'R') ∈ {−1,+1} ~
@@ -2108,68 +2193,80 @@ def ml_linear_svm_gd(spark: SparkSession, sf_dir: str) -> DataFrame:
     ml_logreg_irls on the same rows (quantity pre-scaled by the FIXED
     literal 1/50 so one feature doesn't set the step scale for all).
 
-    Each iteration is ONE whole-stage-codegen aggregate with the current
-    (b0, w) as literals: the margin-violator indicator [y·xb < 1] gates
-    per-feature sums Σ y·x_i (the exact subgradient of the mean hinge);
+    Each iteration's subgradient is computed over the COMPRESSED cell
+    table (UPGRADED r11 — one scan, not 21): features live on bounded
+    2-decimal grids (quantity 1..50, discount 0.00-0.10, tax
+    0.00-0.08), so the fact table reduces to <= ~10^4
+    (qu, du, tu, y, count) cells in ONE partial-combinable groupBy and
+    the SVM_ITERS iterations fold over the collected cells driver-side:
+    the margin-violator indicator [y·xb < 1] gates per-feature
+    subgradient sums kept as EXACT INTEGERS in 1e-2 feature units, and
     the driver applies w ← w − η_t·(λw − ĝ) with η_t = η0/t (intercept
-    unpenalized, standard convention). Zero init + fixed schedule + fixed
-    iteration count = fully deterministic up to double-sum ordering.
+    unpenalized, standard convention). Zero init + fixed schedule +
+    fixed count + integer sums = fully deterministic, bit-for-bit.
 
-    Scale: identical to IRLS — SVM_ITERS scans of a persisted narrow
-    projection, O(d) shuffled state per scan, O(d) driver state, no
-    Python in the data path. Rows-only (iterative double sums);
-    tests/test_ml.py pins coefficients and objective vs a numpy twin."""
-    import numpy as np
+    ORACLED (r11, upgraded from rows-only): with the subgradient sums
+    exact integers (order-free) and no libm anywhere, the DuckDB twin
+    unrolls the identical iteration (the holt/pagerank fixed-iteration
+    precedent) with bit-identical indicator and update expression
+    trees — the betas match BIT-EXACTLY; only the reported hinge-loss
+    objective is an order-dependent double sum, absorbed by the shared
+    floor(x*1e6+0.5)/1e6 rounding (the siegel T/Q class). A continuous
+    feature would quantize to a fixed grid first — the documented
+    trade: the trained model is the SVM of the quantized features,
+    exact and reproducible, vs an engine-ordering-dependent float fit.
 
-    from go_batch_processor_spark.operators.dedup import _spread
-
-    # _spread before persist — same per-iteration-latency rationale as
-    # ml_quantile_regression (the cached projection was 1-2 partitions).
-    li = (
-        _spread(
-            load_table(spark, sf_dir, "lineitem").select(
-                "l_returnflag", *SVM_FEATURES
-            )
-        )
-        .persist()
+    Scale: one scan + an O(10^4) driver fold, vs IRLS's per-iteration
+    scans — strictly better at 100 TB; cells are a bounded sufficient
+    statistic (domain-sized, not data-sized)."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.round(F.col("l_quantity") * 2).cast("bigint").alias("qu"),
+        F.round(F.col("l_discount") * 100).cast("bigint").alias("du"),
+        F.round(F.col("l_tax") * 100).cast("bigint").alias("tu"),
+        F.when(F.col("l_returnflag") == "R", 1).otherwise(-1).alias("y"),
     )
-    y = F.when(F.col("l_returnflag") == "R", 1.0).otherwise(-1.0)
-    cols = [
-        F.lit(1.0),
-        F.col("l_quantity") / SVM_QTY_SCALE,
-        F.col("l_discount"),
-        F.col("l_tax"),
-    ]
-    d = len(cols)
-    n = li.count()
-    beta = np.zeros(d)
+    cells = sorted(
+        (int(r.qu), int(r.du), int(r.tu), int(r.y), int(r.cnt))
+        for r in li.groupBy("qu", "du", "tu", "y")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+        .collect()
+    )
+    n = sum(c for *_, c in cells)
     lam = SVM_LAMBDA
+    b0 = w1 = w2 = w3 = 0.0
     for t in range(1, SVM_ITERS + 1):
-        xb = F.lit(float(beta[0]))
-        for i in range(1, d):
-            xb = xb + F.lit(float(beta[i])) * cols[i]
-        viol = (y * xb) < 1.0
-        aggs = [
-            F.sum(F.when(viol, y * cols[i]).otherwise(0.0)).alias(f"g_{i}")
-            for i in range(d)
-        ]
-        row = li.agg(*aggs).collect()[0]
-        ghat = np.array([row[f"g_{i}"] for i in range(d)]) / n
-        grad = -ghat
-        grad[1:] += lam * beta[1:]
-        beta = beta - (SVM_ETA0 / t) * grad
-    # final objective in the same one-aggregate shape
-    xb = F.lit(float(beta[0]))
-    for i in range(1, d):
-        xb = xb + F.lit(float(beta[i])) * cols[i]
-    hinge = F.greatest(F.lit(0.0), F.lit(1.0) - y * xb)
-    obj = li.agg(F.avg(hinge).alias("h")).collect()[0]["h"] + 0.5 * lam * float(
-        np.dot(beta[1:], beta[1:])
-    )
-    li.unpersist(blocking=False)
-    terms = ["intercept", "l_quantity_scaled", "l_discount", "l_tax"]
-    out = [(t_, float(round(b, 6))) for t_, b in zip(terms, beta)] + [
-        ("objective", float(round(obj, 6)))
+        g0 = g1 = g2 = g3 = 0  # exact integer units (1e-2 per feature)
+        for qu, du, tu, y, cnt in cells:
+            xb = (
+                (b0 + w1 * (qu / 100.0)) + w2 * (du / 100.0)
+            ) + w3 * (tu / 100.0)
+            if y * xb < 1.0:
+                g0 += y * cnt * 100
+                g1 += y * cnt * qu
+                g2 += y * cnt * du
+                g3 += y * cnt * tu
+        eta = SVM_ETA0 / t
+        ghat0 = g0 / (100.0 * n)
+        ghat1 = g1 / (100.0 * n)
+        ghat2 = g2 / (100.0 * n)
+        ghat3 = g3 / (100.0 * n)
+        b0 = b0 - eta * (-ghat0)
+        w1 = w1 - eta * ((-ghat1) + lam * w1)
+        w2 = w2 - eta * ((-ghat2) + lam * w2)
+        w3 = w3 - eta * ((-ghat3) + lam * w3)
+    hsum = 0.0
+    for qu, du, tu, y, cnt in cells:
+        xb = (
+            (b0 + w1 * (qu / 100.0)) + w2 * (du / 100.0)
+        ) + w3 * (tu / 100.0)
+        hsum += cnt * max(0.0, 1.0 - y * xb)
+    obj = hsum / n + (0.5 * lam) * ((w1 * w1 + w2 * w2) + w3 * w3)
+    out = [
+        ("intercept", _round6_floor(b0)),
+        ("l_quantity_scaled", _round6_floor(w1)),
+        ("l_discount", _round6_floor(w2)),
+        ("l_tax", _round6_floor(w3)),
+        ("objective", _round6_floor(obj)),
     ]
     return spark.createDataFrame(out, "term string, value double")
 
@@ -2821,7 +2918,111 @@ def ml_vif_multicollinearity(spark: SparkSession, sf_dir: str) -> DataFrame:
 PLATT_ITERS = 8
 
 
-@register("ml_platt_scaling", tags={"rows_only"})
+def _round6_floor(x: float) -> float:
+    """floor(x*1e6 + 0.5)/1e6 — the pure-IEEE rounding idiom (SCALE.md
+    round-9 determinism notes: Spark's BigDecimal HALF_UP and DuckDB's
+    multiply-then-nearest disagree on the SAME double near decimal
+    half-points; this composite never does). Shared bit-for-bit with
+    the DuckDB oracle's floor(x * 1e6 + 0.5) / 1e6."""
+    import math
+
+    return math.floor(x * 1000000.0 + 0.5) / 1000000.0
+
+
+def _platt_oracle() -> str:
+    """DuckDB twin of ml_platt_scaling: the identical Newton iteration
+    UNROLLED (the pagerank/holt fixed-iteration precedent) over the
+    identical (qu, y) cell compression. Every scalar expression mirrors
+    the driver fold's IEEE tree; exp() is bit-identical to the driver's
+    math.exp because both bind the SAME glibc libm in this container
+    (verified r11 — 20k random probes, 0 ulp differences; the JVM's
+    Math.exp, which does differ, is no longer on any path). Per-cell
+    sums carry ~1e-16 ordering noise vs the sorted driver fold; Newton
+    CONTRACTS it (both iterate toward the same optimum), so the
+    round-6 outputs agree — the graph_pagerank determinism class."""
+    steps = []
+    prev = "p0"
+    for i in range(1, PLATT_ITERS + 1):
+        steps.append(f"""
+    e{i} AS MATERIALIZED (
+      SELECT cnt, y, qu / CAST(100 AS DOUBLE) AS s,
+             CASE WHEN y = 1 THEN tg.t_pos ELSE tg.t_neg END AS t,
+             CAST(1 AS DOUBLE)
+               / (CAST(1 AS DOUBLE)
+                  + exp(-({prev}.a * (qu / CAST(100 AS DOUBLE)) + {prev}.b)))
+               AS p
+      FROM cells, {prev}, tgt tg
+    ),
+    g{i} AS MATERIALIZED (
+      SELECT sum(cnt * (s * (t - p)))                           AS ga,
+             sum(cnt * (t - p))                                 AS gb,
+             sum(cnt * (((p * (CAST(1 AS DOUBLE) - p)) * s) * s)) AS haa,
+             sum(cnt * ((p * (CAST(1 AS DOUBLE) - p)) * s))       AS hab,
+             sum(cnt * (p * (CAST(1 AS DOUBLE) - p)))             AS hbb
+      FROM e{i}
+    ),
+    p{i} AS MATERIALIZED (
+      SELECT p.a + ((g.ga * g.hbb - g.gb * g.hab)
+                    / (g.haa * g.hbb - g.hab * g.hab)) AS a,
+             p.b + ((g.gb * g.haa - g.ga * g.hab)
+                    / (g.haa * g.hbb - g.hab * g.hab)) AS b
+      FROM {prev} p, g{i} g
+    )""")
+        prev = f"p{i}"
+    body = ",".join(steps)
+    r6 = (
+        "floor({x} * CAST(1000000 AS DOUBLE) + CAST(0.5 AS DOUBLE))"
+        " / CAST(1000000 AS DOUBLE)"
+    )
+    return f"""
+    WITH cells AS MATERIALIZED (
+      SELECT CAST(round(l_quantity * 2) AS BIGINT) AS qu,
+             CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y,
+             CAST(count(*) AS BIGINT) AS cnt
+      FROM lineitem GROUP BY 1, 2
+    ),
+    meta AS MATERIALIZED (
+      SELECT CAST(sum(CASE WHEN y = 1 THEN cnt ELSE 0 END) AS BIGINT)
+               AS n_pos,
+             CAST(sum(cnt) AS BIGINT) AS n_all
+      FROM cells
+    ),
+    tgt AS MATERIALIZED (
+      SELECT (n_pos + CAST(1 AS DOUBLE)) / (n_pos + CAST(2 AS DOUBLE))
+               AS t_pos,
+             CAST(1 AS DOUBLE)
+               / ((n_all - n_pos) + CAST(2 AS DOUBLE)) AS t_neg
+      FROM meta
+    ),
+    p0 AS MATERIALIZED (SELECT CAST(0 AS DOUBLE) AS a, CAST(0 AS DOUBLE) AS b),{body},
+    ef AS (
+      SELECT cnt, y,
+             CAST(1 AS DOUBLE)
+               / (CAST(1 AS DOUBLE)
+                  + exp(-({prev}.a * (qu / CAST(100 AS DOUBLE)) + {prev}.b)))
+               AS p
+      FROM cells, {prev}
+    ),
+    fin AS (
+      SELECT sum(cnt * ((p - y) * (p - y))) AS brier_num,
+             sum(cnt * p) AS avgp_num
+      FROM ef
+    )
+    SELECT 'slope_a' AS term, {r6.format(x='a')} AS value FROM {prev}
+    UNION ALL
+    SELECT 'intercept_b', {r6.format(x='b')} FROM {prev}
+    UNION ALL
+    SELECT 'brier', {r6.format(x='(brier_num / n_all)')} FROM fin, meta
+    UNION ALL
+    SELECT 'base_rate', {r6.format(x='(CAST(n_pos AS DOUBLE) / n_all)')}
+    FROM meta
+    UNION ALL
+    SELECT 'avg_calibrated_p', {r6.format(x='(avgp_num / n_all)')}
+    FROM fin, meta
+    """
+
+
+@register("ml_platt_scaling", oracle=_platt_oracle())
 def ml_platt_scaling(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Platt scaling (Platt 1999): calibrate a raw decision score into a
     probability via the 2-parameter logistic P(y=1|s) = sigmoid(A*s + B),
@@ -2833,71 +3034,79 @@ def ml_platt_scaling(spark: SparkSession, sf_dir: str) -> DataFrame:
     uncalibrated score is the literally-scaled quantity s = qty/50 (the
     ml_linear_svm_gd feature convention) against y = (returnflag = 'R').
 
-    Scale shape (the ml_logreg_irls skeleton at d = 2): each Newton
-    iteration is ONE whole-stage-codegen aggregate over the persisted
-    2-column projection — gradient sum(x*(t - p)) and the 3 unique
-    Hessian entries with the current (A, B) as literals; the 2x2 solve
-    is driver-local. Reports slope/intercept, the calibrated Brier
-    score, and the base rate.
+    Scale shape (UPGRADED r11 — one scan, not 9): the score domain is
+    bounded (quantity spans 1..50, the flag is binary), so the 100 TB
+    fact table compresses to <= 100 (score, label, count) cells in ONE
+    partial-combinable groupBy; the 8 Newton iterations then fold over
+    the collected cell table driver-side (the canonical bounded
+    sufficient-statistic collect — a continuous score would bin first,
+    same as ml_calibration_ece's 10-bin reduction). Reports
+    slope/intercept, the calibrated Brier score, and the base rate.
 
-    Rows-only (sigmoid = libm exp); tests pin (A, B, brier) against a
-    numpy Newton twin on the same rows and the calibration invariant
-    avg(p) ~ base rate (a property exact for converged unregularized
-    logistic, approximate under Platt targets).
+    ORACLED (r11, upgraded from rows-only): sigmoid evaluation moved
+    from JVM F.exp to the DRIVER's math.exp, which is bit-identical to
+    DuckDB's exp() — both bind the same glibc libm in this container
+    (verified: 20k random probes, 0 ulp differences; the libm doctrine
+    bans only the JVM's Math.exp, which genuinely differs). The oracle
+    unrolls the identical Newton iteration (the holt/pagerank
+    fixed-iteration precedent) with the 2x2 solve as mirrored Cramer
+    formulas; per-cell double sums carry ~1e-16 ordering noise vs the
+    sorted driver fold, which Newton contraction collapses below the
+    round-6 grain (the graph_pagerank determinism class). Outputs round
+    via the shared floor(x*1e6 + 0.5)/1e6 pure-IEEE idiom.
 
     Degenerate-input note (the driver-solve ML idiom, same as
     ml_logreg_irls/ml_linear_svm_gd): a constant score column or an
-    empty table makes the 2x2 Hessian singular and np.linalg.solve
-    raises LinAlgError at build time rather than returning a wrong
-    calibration — fail-loud is intentional; the fixture always has
-    score variance, and a caller feeding a constant score has no
-    calibration problem to solve.
+    empty table makes the 2x2 Hessian singular — the driver fold
+    divides by det = 0 (inf/nan propagates to the output) rather than
+    returning a wrong calibration; the fixture always has score
+    variance, and a caller feeding a constant score has no calibration
+    problem to solve.
     """
-    import numpy as np
+    import math
 
-    li = _spread_ml(
-        load_table(spark, sf_dir, "lineitem").select(
-            (F.col("l_quantity") / F.lit(50.0)).alias("s"),
-            (F.col("l_returnflag") == "R").cast("double").alias("y"),
-        )
-    ).persist()
-    counts = li.agg(
-        F.sum("y").alias("np_"), F.count(F.lit(1)).cast("double").alias("n")
-    ).collect()[0]
-    n_pos, n_all = float(counts["np_"]), float(counts["n"])
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.round(F.col("l_quantity") * 2).cast("bigint").alias("qu"),
+        (F.col("l_returnflag") == "R").cast("int").alias("y"),
+    )
+    cells = sorted(
+        (int(r.qu), int(r.y), int(r.cnt))
+        for r in li.groupBy("qu", "y")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+        .collect()
+    )
+    n_pos = sum(c for _, y, c in cells if y == 1)
+    n_all = sum(c for _, _, c in cells)
     n_neg = n_all - n_pos
     t_pos = (n_pos + 1.0) / (n_pos + 2.0)
     t_neg = 1.0 / (n_neg + 2.0)
-    t = F.when(F.col("y") == 1.0, F.lit(t_pos)).otherwise(F.lit(t_neg))
     a, b = 0.0, 0.0
     for _ in range(PLATT_ITERS):
-        xb = F.lit(a) * F.col("s") + F.lit(b)
-        p = F.lit(1.0) / (F.lit(1.0) + F.exp(-xb))
-        w = p * (F.lit(1.0) - p)
-        row = li.agg(
-            F.sum(F.col("s") * (t - p)).alias("ga"),
-            F.sum(t - p).alias("gb"),
-            F.sum(w * F.col("s") * F.col("s")).alias("haa"),
-            F.sum(w * F.col("s")).alias("hab"),
-            F.sum(w).alias("hbb"),
-        ).collect()[0]
-        h = np.array([[row["haa"], row["hab"]], [row["hab"], row["hbb"]]])
-        g = np.array([row["ga"], row["gb"]])
-        step = np.linalg.solve(h, g)
-        a, b = a + float(step[0]), b + float(step[1])
-    xb = F.lit(a) * F.col("s") + F.lit(b)
-    p = F.lit(1.0) / (F.lit(1.0) + F.exp(-xb))
-    fin = li.agg(
-        F.avg((p - F.col("y")) * (p - F.col("y"))).alias("brier"),
-        F.avg("y").alias("base"),
-        F.avg(p).alias("avg_p"),
-    ).collect()[0]
-    li.unpersist(blocking=False)
+        ga = gb = haa = hab = hbb = 0.0
+        for qu, y, cnt in cells:
+            s = qu / 100.0
+            p = 1.0 / (1.0 + math.exp(-(a * s + b)))
+            w = p * (1.0 - p)
+            t = t_pos if y == 1 else t_neg
+            ga += cnt * (s * (t - p))
+            gb += cnt * (t - p)
+            haa += cnt * ((w * s) * s)
+            hab += cnt * (w * s)
+            hbb += cnt * w
+        det = haa * hbb - hab * hab
+        a = a + (ga * hbb - gb * hab) / det
+        b = b + (gb * haa - ga * hab) / det
+    brier_num = avgp_num = 0.0
+    for qu, y, cnt in cells:
+        s = qu / 100.0
+        p = 1.0 / (1.0 + math.exp(-(a * s + b)))
+        brier_num += cnt * ((p - y) * (p - y))
+        avgp_num += cnt * p
     out = [
-        ("slope_a", float(round(a, 6))),
-        ("intercept_b", float(round(b, 6))),
-        ("brier", float(round(fin["brier"], 6))),
-        ("base_rate", float(round(fin["base"], 6))),
-        ("avg_calibrated_p", float(round(fin["avg_p"], 6))),
+        ("slope_a", _round6_floor(a)),
+        ("intercept_b", _round6_floor(b)),
+        ("brier", _round6_floor(brier_num / n_all)),
+        ("base_rate", _round6_floor(n_pos / n_all)),
+        ("avg_calibrated_p", _round6_floor(avgp_num / n_all)),
     ]
     return spark.createDataFrame(out, "term string, value double")

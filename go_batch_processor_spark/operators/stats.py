@@ -4946,7 +4946,83 @@ def _fisher_exact_p(a: int, b: int, c: int, d: int) -> float:
     return min(1.0, sum(v for v in vals.values() if v <= p_obs * (1 + 1e-7)) / total)
 
 
-@register("stats_fisher_exact", tags={"rows_only"})
+@register(
+    "stats_fisher_exact",
+    oracle="""
+    WITH RECURSIVE users AS (
+      SELECT user_id,
+             min(ts) AS t0,
+             min(CASE WHEN event_type = 'purchase' THEN ts END) AS tp
+      FROM events GROUP BY user_id
+    ),
+    flags AS (
+      SELECT CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END AS odd,
+             CASE WHEN tp IS NOT NULL
+                   AND date_diff('second', t0, tp) < 48 * 3600
+                  THEN 1 ELSE 0 END AS conv
+      FROM users
+    ),
+    m AS (
+      SELECT a, b, c, d,
+             a + b AS r1, c + d AS r2, a + c AS c1,
+             greatest(0, (a + c) - (c + d)) AS lo,
+             least(a + c, a + b) AS hi
+      FROM (
+        SELECT
+          CAST(sum(CASE WHEN odd = 0 AND conv = 1 THEN 1 ELSE 0 END)
+               AS BIGINT) AS a,
+          CAST(sum(CASE WHEN odd = 0 AND conv = 0 THEN 1 ELSE 0 END)
+               AS BIGINT) AS b,
+          CAST(sum(CASE WHEN odd = 1 AND conv = 1 THEN 1 ELSE 0 END)
+               AS BIGINT) AS c,
+          CAST(sum(CASE WHEN odd = 1 AND conv = 0 THEN 1 ELSE 0 END)
+               AS BIGINT) AS d
+        FROM flags
+      )
+    ),
+    up(k, cur) AS (
+      SELECT a, CAST(1 AS DOUBLE) FROM m
+      UNION ALL
+      SELECT u.k + 1,
+             u.cur * (((m.r1 - u.k) * (m.c1 - u.k))
+                      / ((u.k + CAST(1 AS DOUBLE))
+                         * (m.r2 - m.c1 + u.k + CAST(1 AS DOUBLE))))
+      FROM up u, m WHERE u.k < m.hi
+    ),
+    dn(k, cur) AS (
+      SELECT a, CAST(1 AS DOUBLE) FROM m
+      UNION ALL
+      SELECT w.k - 1,
+             w.cur * ((w.k * (m.r2 - m.c1 + w.k))
+                      / ((m.r1 - w.k + CAST(1 AS DOUBLE))
+                         * (m.c1 - w.k + CAST(1 AS DOUBLE))))
+      FROM dn w, m WHERE w.k > m.lo
+    ),
+    vals AS (
+      SELECT k, cur FROM up
+      UNION ALL
+      SELECT k, cur FROM dn WHERE k < (SELECT a FROM m)
+    ),
+    tail AS (
+      SELECT sum(cur) AS total,
+             sum(CASE WHEN cur <= CAST(1 AS DOUBLE)
+                               * (CAST(1 AS DOUBLE) + 1e-7)
+                      THEN cur ELSE 0 END) AS hit
+      FROM vals
+    )
+    SELECT m.a, m.b, m.c, m.d,
+           CASE WHEN m.b * m.c > 0
+                THEN floor(((m.a * m.d) / (m.b * m.c))
+                           * CAST(1000000 AS DOUBLE)
+                           + CAST(0.5 AS DOUBLE))
+                     / CAST(1000000 AS DOUBLE)
+                ELSE CAST('infinity' AS DOUBLE) END AS odds_ratio,
+           floor(least(CAST(1 AS DOUBLE), tail.hit / tail.total)
+                 * CAST(100000000 AS DOUBLE) + CAST(0.5 AS DOUBLE))
+             / CAST(100000000 AS DOUBLE) AS p_two_sided
+    FROM m, tail
+    """,
+)
 def stats_fisher_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fisher exact test on the 2x2 cohort-x-conversion table (even/odd
     user cohort vs converted-within-48h, the same split stats_log_rank
@@ -4962,12 +5038,19 @@ def stats_fisher_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     the <= min(margins) support — the canonical "sufficient statistics
     to the driver" pattern. No per-row Python anywhere.
 
-    Rows-only: the exact tail needs factorial-scale mass ratios that
-    have no libm-free SQL twin (lgamma's last bit varies per host — the
-    KM lesson); tests/test_stats_survival.py pins the p-value against an
-    independent math.lgamma twin and scipy's documented convention
-    cases. Driver-side arithmetic is the pure-ratio recurrence, so the
-    result is deterministic IEEE on every host.
+    ORACLED (r11, upgraded from rows-only): the pure-ratio pmf
+    recurrence needs NO lgamma — it is a sequential chain of exact
+    integer products and IEEE divisions, which a DuckDB recursive CTE
+    replays with the bit-identical expression tree (the
+    holt/betweenness unrolled-recurrence precedent), one walk upward
+    from the observed cell and one downward, unioned minus the shared
+    seed. Per-step masses are BIT-IDENTICAL across engines, so the
+    <=-threshold comparisons agree exactly; only the final
+    normalization sums are order-dependent doubles, absorbed by the
+    shared floor-round (p at 1e-8, odds ratio at 1e-6 — the pagerank
+    noise-vs-grain class). tests/test_stats_survival.py additionally
+    pins the p-value against an independent math.lgamma twin and
+    scipy's documented convention cases.
     """
     horizon_h = 48
     ev = load_table(spark, sf_dir, "events")
@@ -4989,8 +5072,19 @@ def stats_fisher_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     a, b, c, d = int(cells.a), int(cells.b), int(cells.c), int(cells.d)
     p = _fisher_exact_p(a, b, c, d)
     orat = (a * d) / (b * c) if b * c > 0 else float("inf")
+    # floor-round idiom shared with the oracle (see ml._round6_floor):
+    # Python round()'s decimal half-even vs DuckDB's multiply-then-
+    # nearest can disagree on the same double; this composite never does.
+    import math
+
+    orat_r = (
+        math.floor(orat * 1000000.0 + 0.5) / 1000000.0
+        if math.isfinite(orat)
+        else orat
+    )
+    p_r = math.floor(p * 100000000.0 + 0.5) / 100000000.0
     return spark.createDataFrame(
-        [(a, b, c, d, float(round(orat, 6)), float(round(p, 8)))],
+        [(a, b, c, d, orat_r, p_r)],
         "a bigint, b bigint, c bigint, d bigint, odds_ratio double, p_two_sided double",
     )
 
