@@ -162,6 +162,9 @@ HEADLINE = [
     "timeseries_motif_topk",
     "graph_harmonic_centrality",
     "graph_avg_path_length",
+    # round 11 addition: the fourth matrix-profile consumer — in-bench
+    # it should read ~0.1 s after the family key (shared-frame evidence)
+    "timeseries_discord_topk",
 ]
 # r8: headliner list intentionally FROZEN at the r7 set — the round froze
 # new registry keys to drain the driver-sample backlog, and an identical
@@ -190,6 +193,12 @@ CHECKPOINT_HEAVY = [
     "graph_betweenness_sampled",
     "graph_closeness_landmarks",
     "graph_harmonic_centrality",
+    # r11 (r10 verdict item 3): the two r10 in-bench drift suspects —
+    # their solo minima resolve contention noise vs plan regression
+    # (r11 measured: cox 3.83 s min-warm on the identical plan row,
+    # containment 1.52 s — both ambient drift, plans unchanged).
+    "stats_cox_ph",
+    "dedup_containment_ngram",
 ]
 
 

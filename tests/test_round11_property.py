@@ -382,3 +382,36 @@ def test_degenerate_seasonal_mk_and_quade_spark_agree(spark, tmp_path):
     ).to_parquet(d2 / "events.parquet")
     row = REGISTRY["stats_quade_test"].fn(spark, str(d2)).collect()[0]
     assert row.k == 1 and row.f_stat is None
+
+
+# -- Discord top-k (matrix-profile family) ----------------------------------
+
+@settings(max_examples=15, deadline=None)
+@given(vals=st.lists(st.integers(0, 10_000), min_size=3, max_size=60))
+@example(vals=[5] * 30)  # constant series: every subsequence drops out
+def test_discord_topk_oracle_is_profile_maxima(vals):
+    """timeseries_discord_topk must be exactly the top-k rows of the
+    matrix profile ordered by mp descending (i tie-break): every
+    discord row equals its profile row, the count is min(k, |profile|),
+    and no excluded profile row beats an included one (1e-6 tolerance
+    for the raw-vs-rounded ordering boundary)."""
+    from go_batch_processor_spark.operators.timeseries import DISCORD_TOP_K
+
+    ts = pd.date_range("2024-01-01", periods=len(vals), freq="h")
+    df = pd.DataFrame({"ts": ts, "value": [v / 100.0 for v in vals]})
+    con = duckdb.connect()
+    con.register("ev_src", df)
+    con.sql("CREATE VIEW events AS SELECT * FROM ev_src")
+    prof = con.sql(REGISTRY["timeseries_matrix_profile"].oracle).df()
+    disc = con.sql(REGISTRY["timeseries_discord_topk"].oracle).df()
+    assert len(disc) == min(DISCORD_TOP_K, len(prof))
+    by_i = {int(r.i): (r.mp_dist, int(r.nn_idx)) for _, r in prof.iterrows()}
+    for _, r in disc.iterrows():
+        assert by_i[int(r.i)] == (r.mp_dist, int(r.nn_idx))
+    if len(prof) > len(disc):
+        included = {int(r.i) for _, r in disc.iterrows()}
+        worst_in = disc.mp_dist.min()
+        best_out = max(
+            r.mp_dist for _, r in prof.iterrows() if int(r.i) not in included
+        )
+        assert worst_in >= best_out - 1e-6
