@@ -39,6 +39,11 @@ MINHASH_K = 24
 LSH_BANDS = 12  # 2 rows per band
 SIMHASH_BITS = 64
 SIMHASH_MAX_HAMMING = 3
+# LSH band buckets larger than this switch from all-pairs expansion
+# (O(D^2)) to a star around the min doc_id (O(D)) — cluster-complete
+# for the CC consumer, pair-incomplete by design (see the candidate
+# expansion comment in dedup_near_minhash).
+LSH_MAX_BUCKET = 1024
 # Shingles appearing in more than this many documents are dropped from the
 # inverted-index JOIN side (bounds self-join fanout at scale). ABSOLUTE
 # cutoff — no driver-side corpus count needed to size it. A trigram shared
@@ -332,19 +337,30 @@ def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # aggregation over the banded rows instead of a self-join (which would
     # evaluate the whole signature pipeline twice). Same-bucket doc lists
     # are tiny (only near-dups collide), so the nested pair transform is
-    # O(bucket^2) on a handful of elements. Scale caveat: a bucket of D
-    # docs holds D ids in one aggregation buffer and emits D^2/2 pairs —
-    # identical docs are the only way to get huge D, so run dedup_exact
-    # first (its output is this operator's intended input at 100 TB).
+    # O(bucket^2) on a handful of elements. Scale guard (r11, closing the
+    # r10 bucket-skew caveat): a bucket of D docs would emit D(D-1)/2
+    # pairs — a boilerplate-dominated corpus (D >> LSH_MAX_BUCKET docs
+    # sharing one shingle set) degrades the expansion to O(D^2), so
+    # buckets past LSH_MAX_BUCKET switch to a STAR around the bucket's
+    # min doc_id: D-1 pairs that keep the duplicate cluster CONNECTED
+    # for the connected-components consumer (dedup_cluster_components)
+    # while dropping intra-cluster pair completeness — the documented
+    # recall trade, pinned by tests/test_dedup_llm.py's adversarial
+    # boilerplate corpus. Exact-duplicate mega-clusters should still run
+    # dedup_exact first (its output is this operator's intended input at
+    # 100 TB); the cap is the backstop when they don't.
     buckets = (
         bands.groupBy("band", "sig")
         .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
         .filter(F.size("ids") > 1)
     )
     pair_expr = F.expr(
+        f"CASE WHEN size(ids) <= {LSH_MAX_BUCKET} THEN "
         "flatten(transform(ids, (x, i) -> "
         "transform(slice(ids, i + 2, size(ids)), "
-        "y -> struct(x AS doc_a, y AS doc_b))))"
+        "y -> struct(x AS doc_a, y AS doc_b)))) "
+        "ELSE transform(slice(ids, 2, size(ids) - 1), "
+        "y -> struct(element_at(ids, 1) AS doc_a, y AS doc_b)) END"
     )
     candidates = (
         buckets.select(F.explode(pair_expr).alias("p"))

@@ -184,6 +184,109 @@ def stream_sessionize_native(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+TOPK_PER_SESSION = 3
+
+
+@register(
+    "stream_session_topk",
+    oracle=f"""
+    WITH gaps AS (
+      SELECT user_id, event_id, ts, value,
+             CASE WHEN ts - lag(ts) OVER w <= INTERVAL '{SESSION_GAP_MIN} minutes'
+                  THEN 0 ELSE 1 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+    ),
+    sess AS (
+      SELECT user_id, event_id, ts, value,
+             sum(new_session) OVER (PARTITION BY user_id
+                                    ORDER BY ts ASC, event_id ASC
+                                    ROWS UNBOUNDED PRECEDING) AS sid
+      FROM gaps
+    ),
+    ranked AS (
+      SELECT user_id, sid, ts, value,
+             row_number() OVER (PARTITION BY user_id, sid
+                                ORDER BY value DESC, ts ASC, event_id ASC)
+               AS rk
+      FROM sess
+    )
+    SELECT user_id, CAST(sid AS BIGINT) AS session_id,
+           CAST(count(*) AS BIGINT) AS n_events,
+           min(ts) AS session_start,
+           max(ts) AS session_end,
+           max(CASE WHEN rk = 1 THEN value END) AS top1,
+           max(CASE WHEN rk = 2 THEN value END) AS top2,
+           max(CASE WHEN rk = 3 THEN value END) AS top3
+    FROM ranked
+    GROUP BY user_id, sid
+    """,
+)
+def stream_session_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user session TOP-{TOPK_PER_SESSION}: the stream_sessionize
+    gap-cumsum sessions, each reporting its {TOPK_PER_SESSION} largest
+    event values (value DESC, ts/event_id tie-break) — the batch twin
+    of the bounded-state streaming operator
+    streaming.stateful.run_session_topk_once, whose per-user state
+    holds at most {TOPK_PER_SESSION} values regardless of session
+    length and is EVICTED on event-time timeout
+    (tests/test_streaming.py proves streaming == this key on a
+    watermark-flushed bounded run — the availableNow batch-equivalence
+    gate, r10 verdict item 8).
+
+    Parity shape: stored 2-decimal values pass through untouched (the
+    never-re-round doctrine); the top-k pivot is max(CASE rk) over a
+    deterministic row_number, so both engines pick identical rows.
+
+    Scale shape: ONE shuffle on user_id shared by the session window,
+    the rank window, and the final groupBy; per-window frames are
+    per-user/per-session sized. The streaming variant is the 100 TB
+    path: RocksDB state bounded at O(k) per live user, sessions leave
+    state the moment the watermark passes their gap.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    gap_flag = F.when(
+        (F.col("ts").cast("long") - F.lag(F.col("ts")).over(w).cast("long"))
+        <= SESSION_GAP_MIN * 60,
+        0,
+    ).otherwise(1)
+    sess = ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        "value",
+        F.sum(gap_flag)
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("sid"),
+    )
+    rk = F.row_number().over(
+        Window.partitionBy("user_id", "sid").orderBy(
+            F.col("value").desc(), F.col("ts").asc(), F.col("event_id").asc()
+        )
+    )
+    ranked = sess.select("user_id", "sid", "ts", "value", rk.alias("rk"))
+    return ranked.groupBy("user_id", "sid").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        F.max(F.when(F.col("rk") == 1, F.col("value"))).alias("top1"),
+        F.max(F.when(F.col("rk") == 2, F.col("value"))).alias("top2"),
+        F.max(F.when(F.col("rk") == 3, F.col("value"))).alias("top3"),
+    ).select(
+        "user_id",
+        F.col("sid").cast("bigint").alias("session_id"),
+        "n_events",
+        "session_start",
+        "session_end",
+        "top1",
+        "top2",
+        "top3",
+    )
+
+
 @register(
     "stream_late_data_policy",
     oracle=f"""

@@ -171,6 +171,130 @@ def streaming_user_running_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- Per-user session top-k with event-time EVICTION (r11, the r10
+# verdict item-8 streaming direction). State per live user is BOUNDED:
+# (session_start, last_ts, n, top-k values) — at most SESSION_TOPK
+# doubles regardless of session length — and the entry is REMOVED
+# (state.remove()) when the event-time timeout fires, i.e. when the
+# watermark passes last_ts + gap. Batch twin: the oracled registry key
+# stream_session_topk (operators/streaming_batch.py); the equivalence
+# gate runs in tests/test_streaming.py on a watermark-flushed bounded
+# source.
+
+SESSION_TOPK = 3
+SESSION_GAP_US = 30 * 60 * 1_000_000  # = SESSION_GAP_MIN, micros
+SESSION_OUT_SCHEMA = (
+    "user_id long, session_start timestamp, session_end timestamp, "
+    "n_events long, top1 double, top2 double, top3 double, "
+    "closed_by string"
+)
+# start/last as exact integer micros: a float-seconds round trip can be
+# 1 ns off after pd.to_datetime, which would break the bit-level
+# equality with the batch twin's min(ts)/max(ts).
+SESSION_STATE_SCHEMA = "start long, last long, n long, vals array<double>"
+
+
+def _session_pdf(user_id, start_us, last_us, n, vals, closed_by):
+    v = list(vals) + [None] * (SESSION_TOPK - len(vals))
+    return pd.DataFrame(
+        {
+            "user_id": [user_id],
+            "session_start": [pd.to_datetime(start_us, unit="us")],
+            "session_end": [pd.to_datetime(last_us, unit="us")],
+            "n_events": [n],
+            "top1": [v[0]],
+            "top2": [v[1]],
+            "top3": [v[2]],
+            "closed_by": [closed_by],
+        }
+    )
+
+
+def _update_session_topk(
+    key: tuple,
+    pdfs: Iterable[pd.DataFrame],
+    state: GroupState,
+) -> Iterable[pd.DataFrame]:
+    (user_id,) = key
+    if state.hasTimedOut:
+        start, last, n, vals = state.get
+        state.remove()  # EVICTION: the session leaves the state store
+        yield _session_pdf(user_id, start, last, n, vals, "timeout")
+        return
+    if state.exists:
+        start, last, n, vals = state.get
+        vals = list(vals)
+    else:
+        start = last = None
+        n, vals = 0, []
+    rows = pd.concat(list(pdfs)).sort_values(["ts", "event_id"])
+    out = []
+    for ts, value in zip(rows["ts"], rows["value"]):
+        t = int(pd.Timestamp(ts).value) // 1000  # exact micros
+        if last is not None and t - last > SESSION_GAP_US:
+            out.append(_session_pdf(user_id, start, last, n, vals, "gap"))
+            start, n, vals = None, 0, []
+        if start is None:
+            start = t
+        last = t
+        n += 1
+        # bounded-state top-k: insert + truncate, never the full session
+        vals = sorted(vals + [float(value)], reverse=True)[:SESSION_TOPK]
+    state.update((start, last, n, vals))
+    state.setTimeoutTimestamp(last // 1000 + SESSION_GAP_US // 1000)
+    yield from out
+
+
+def run_session_topk_once(
+    spark: SparkSession, src_dir: str, checkpoint_dir: str, schema
+) -> DataFrame:
+    """One availableNow pass of the session-top-k operator against a
+    caller-owned checkpoint (the run_user_running_stats_once harness
+    shape: foreachBatch parquet sink, one run-N subdir per invocation).
+    Sessions closed by a gap within the data emit during the pass;
+    sessions whose timeout the advancing watermark crosses emit from
+    the timeout path with their state REMOVED. A rerun after new files
+    land resumes from the recovered offsets + state."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    ev = (
+        spark.readStream.schema(schema)
+        .parquet(src_dir)
+        # naive-written parquet can infer TIMESTAMP_NTZ; the watermark
+        # operator requires TimestampType (session TZ is pinned UTC, so
+        # the cast is a pure type change)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .select("user_id", "event_id", "ts", "value")
+        .withWatermark("ts", "1 hour")
+    )
+    updated = ev.groupBy("user_id").applyInPandasWithState(
+        _update_session_topk,
+        outputStructType=SESSION_OUT_SCHEMA,
+        stateStructType=SESSION_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+    sink_root = os.path.join(checkpoint_dir, "_sink")
+    os.makedirs(sink_root, exist_ok=True)
+    run_n = sum(1 for d in os.listdir(sink_root) if d.startswith("run-"))
+    sink_dir = os.path.join(sink_root, f"run-{run_n}")
+    query = (
+        updated.writeStream.outputMode("update")
+        .foreachBatch(
+            lambda batch_df, _id: batch_df.write.mode("append").parquet(sink_dir)
+        )
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    if not os.path.isdir(sink_dir):  # zero-batch run
+        return spark.createDataFrame([], schema=SESSION_OUT_SCHEMA)
+    return spark.read.schema(SESSION_OUT_SCHEMA).parquet(sink_dir)
+
+
 try:  # Spark >= 4.0; module import must survive older builds
     from pyspark.sql.streaming.stateful_processor import (
         StatefulProcessor as _StatefulProcessorBase,

@@ -198,3 +198,49 @@ def test_exact_substring_matches_brute_force_twin(spark, tmp_path):
     # doc 0 and 1 each carry exactly the shared run: SUBSTR_N + 5 tokens
     assert got[0] == (1, SUBSTR_N + 5)
     assert got[1] == (1, SUBSTR_N + 5)
+
+
+def test_minhash_hot_bucket_caps_to_star_expansion(spark, tmp_path):
+    """Adversarial boilerplate corpus (r10 verdict item 7): 1500 docs
+    sharing one 60-word boilerplate block (pairwise Jaccard ~0.94, so
+    every band collects a giant bucket) must NOT expand to the
+    ~1.1M-pair O(D^2) candidate set — buckets past LSH_MAX_BUCKET emit
+    a star around the min doc_id instead. The documented trade: the
+    pair list is incomplete, but the duplicate CLUSTER stays connected,
+    which is what the connected-components consumer needs."""
+    import pandas as pd
+
+    from go_batch_processor_spark.operators.dedup import (
+        LSH_BANDS,
+        LSH_MAX_BUCKET,
+        connected_components,
+    )
+    from go_batch_processor_spark.registry import REGISTRY
+
+    n_docs = 1500
+    assert n_docs > LSH_MAX_BUCKET  # the adversarial premise
+    boiler = " ".join(f"w{i}" for i in range(60))
+    pd.DataFrame(
+        [
+            {"doc_id": i, "text": f"{boiler} unique{i} tail{i}"}
+            for i in range(n_docs)
+        ]
+    ).to_parquet(tmp_path / "documents.parquet")
+    pairs = REGISTRY["dedup_near_minhash"].fn(spark, str(tmp_path))
+    rows = pairs.collect()
+    # Bounded: star expansion emits <= D-1 pairs per giant bucket per
+    # band (plus small non-boiler buckets), nowhere near D(D-1)/2.
+    assert 0 < len(rows) <= LSH_BANDS * n_docs, len(rows)
+    # Every surviving pair is a genuine near-dup of the boilerplate set.
+    assert all(r.jaccard >= 0.6 for r in rows)
+    # Cluster-complete: the pairs connect every document into ONE
+    # component despite the dropped intra-cluster pairs.
+    comp = connected_components(pairs, "doc_a", "doc_b")
+    comps = comp.groupBy("component").count().collect()
+    n_in_pairs = comp.count()
+    assert len(comps) == 1 and comps[0]["count"] == n_in_pairs
+    # ... and no more than a handful of docs missed every bucket (a doc
+    # is isolated only if all 12 of its band signatures were dominated
+    # by its 2 unique shingles — p ~ (2/60)^2 per band, (~0.1%)^12
+    # overall; allow slack for hash-specific accidents).
+    assert n_in_pairs >= n_docs - 5
