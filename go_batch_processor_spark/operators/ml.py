@@ -498,7 +498,144 @@ def ml_kmeans_pp_init(spark: SparkSession, sf_dir: str) -> DataFrame:
 OLS_FEATURES = ["l_quantity", "l_discount", "l_tax"]  # plus intercept
 
 
-@register("ml_ols_normal_equations", tags={"rows_only"})
+# --- Shared-expression linear solves (r11) ---------------------------------
+# The Cramer solve and every downstream scalar are generated ONCE as
+# expression STRINGS over named double variables, then (a) eval'd
+# stage-by-stage on the driver and (b) embedded verbatim as chained SQL
+# CTE stages in the DuckDB oracle. Python and SQL share precedence and
+# left-associativity for * / + -, so the IEEE trees are IDENTICAL by
+# construction — no np.linalg (LAPACK's pivoted LU has no SQL twin).
+# Strings use only variable names, * / + - parentheses, and INTEGER
+# literals (decimal literals type as DECIMAL in DuckDB — the r10
+# class-d trap — so the per-engine prep stage does all int->double
+# conversions explicitly).
+
+
+def _det_expr(elem, rows, cols) -> str:
+    """Determinant of the submatrix elem(r, c) over rows x cols by
+    first-row cofactor expansion — a fixed expression tree."""
+    if len(rows) == 1:
+        return elem(rows[0], cols[0])
+    parts = []
+    for k, c in enumerate(cols):
+        sub = _det_expr(elem, rows[1:], cols[:k] + cols[k + 1:])
+        parts.append(f"{elem(rows[0], c)}*({sub})")
+    out = parts[0]
+    for k, p in enumerate(parts[1:], 1):
+        out = f"{out} {'-' if k % 2 else '+'} {p}"
+    return f"({out})"
+
+
+def _cramer_stages(d: int, m, v) -> list[tuple[str, str]]:
+    """Stages computing det + solution b0..b{d-1} of M b = V by Cramer,
+    where m(i, j) / v(i) name the matrix/vector variables."""
+    idx = list(range(d))
+    stages = [("det", _det_expr(m, idx, idx))]
+    for k in range(d):
+        def elem(r, c, _k=k):
+            return v(r) if c == _k else m(r, c)
+
+        stages.append((f"b{k}", f"({_det_expr(elem, idx, idx)})/det"))
+    return stages
+
+
+def _eval_stages(stages, ns: dict) -> dict:
+    """Driver half of the shared-expression contract: evaluate each
+    stage in order over the accumulating namespace."""
+    for name, expr in stages:
+        ns[name] = eval(expr, {"__builtins__": {}}, ns)  # noqa: S307
+    return ns
+
+
+def _stage_ctes(stages, first_from: str, prefix: str = "st") -> tuple[str, str]:
+    """SQL half: one chained CTE per stage, each SELECT *, expr AS name."""
+    ctes = []
+    prev = first_from
+    for k, (name, expr) in enumerate(stages):
+        nm = f"{prefix}{k}"
+        ctes.append(f"{nm} AS MATERIALIZED (SELECT *, {expr} AS {name} FROM {prev})")
+        prev = nm
+    return ",\n    ".join(ctes), prev
+
+
+def _sym(i: int, j: int) -> str:
+    return f"xx_{min(i, j)}_{max(i, j)}"
+
+
+def _ols_stages() -> list[tuple[str, str]]:
+    """OLS over doubles xx_i_j (i<=j), xy_i, yy, sy, nd: Cramer 4x4,
+    then R^2 from the same sufficient statistics."""
+    stages = _cramer_stages(4, _sym, lambda i: f"xy_{i}")
+    bty = "(((b0*xy_0 + b1*xy_1) + b2*xy_2) + b3*xy_3)"
+    terms = [f"b{i}*b{j}*{_sym(i, j)}" for i in range(4) for j in range(4)]
+    btxtxb = terms[0]
+    for t in terms[1:]:
+        btxtxb = f"{btxtxb} + {t}"
+    stages += [
+        ("bty", bty),
+        ("btxtxb", f"({btxtxb})"),
+        ("ss_res", "yy - 2*bty + btxtxb"),
+        ("ss_tot", "yy - nd*((sy/nd)*(sy/nd))"),
+        ("r2", "1 - ss_res/ss_tot"),
+    ]
+    return stages
+
+
+_OLS_UNIT_SQL = """
+    units AS (
+      SELECT 100 AS u0,
+             CAST(round(l_quantity * 100) AS BIGINT) AS u1,
+             CAST(round(l_discount * 100) AS BIGINT) AS u2,
+             CAST(round(l_tax * 100) AS BIGINT)      AS u3,
+             CAST(round(l_extendedprice * 100) AS BIGINT) AS yc
+      FROM lineitem
+    )"""
+
+
+def _ols_oracle() -> str:
+    sums = ["CAST(count(*) AS BIGINT) AS n",
+            "sum(CAST(yc AS HUGEINT)) AS syi",
+            "sum(CAST(yc AS HUGEINT) * yc) AS yyi"]
+    prep = ["CAST(n AS DOUBLE) AS nd",
+            "CAST(syi AS DOUBLE) / CAST(100 AS DOUBLE) AS sy",
+            "CAST(yyi AS DOUBLE) / CAST(10000 AS DOUBLE) AS yy"]
+    for i in range(4):
+        sums.append(f"sum(CAST(u{i} AS HUGEINT) * yc) AS xyi_{i}")
+        prep.append(
+            f"CAST(xyi_{i} AS DOUBLE) / CAST(10000 AS DOUBLE) AS xy_{i}"
+        )
+        for j in range(i, 4):
+            sums.append(f"sum(CAST(u{i} AS HUGEINT) * u{j}) AS xxi_{i}_{j}")
+            prep.append(
+                f"CAST(xxi_{i}_{j} AS DOUBLE) / CAST(10000 AS DOUBLE)"
+                f" AS xx_{i}_{j}"
+            )
+    ctes, last = _stage_ctes(_ols_stages(), "vals")
+    r6 = (
+        "floor({x} * CAST(1000000 AS DOUBLE) + CAST(0.5 AS DOUBLE))"
+        " / CAST(1000000 AS DOUBLE)"
+    )
+    outs = [
+        f"SELECT '{t}' AS term, {r6.format(x=f'b{k}')} AS value FROM {last}"
+        for k, t in enumerate(["intercept", *OLS_FEATURES])
+    ] + [f"SELECT 'r2', {r6.format(x='r2')} FROM {last}"]
+    body = "\n    UNION ALL\n    ".join(outs)
+    return f"""
+    WITH {_OLS_UNIT_SQL.strip()},
+    vals_i AS MATERIALIZED (
+      SELECT {", ".join(sums)}
+      FROM units
+    ),
+    vals AS MATERIALIZED (
+      SELECT {", ".join(prep)}
+      FROM vals_i
+    ),
+    {ctes}
+    {body}
+    """
+
+
+@register("ml_ols_normal_equations", oracle=_ols_oracle())
 def ml_ols_normal_equations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-feature OLS (price ~ quantity + discount + tax + 1) via the
     normal equations: ONE JVM-side aggregate collects the sufficient
@@ -510,39 +647,55 @@ def ml_ols_normal_equations(spark: SparkSession, sf_dir: str) -> DataFrame:
     (d features, any number of rows; no per-iteration scans, no Python
     in the data path).
 
-    Rows-only (output is a d+2-row coefficient table);
-    tests/test_ml.py::test_ols_matches_numpy_lstsq pins every
-    coefficient and R^2 against numpy's lstsq on the same rows.
+    ORACLED (r11, upgraded from rows-only): every feature and the price
+    live on 2-decimal grids, so ALL sufficient statistics are EXACT
+    integers in 1e-2 units (DECIMAL38/HUGEINT accumulation — order-free
+    on both engines, the ansari overflow class: sum(cents^2) passes
+    int64 around 10^6 rows) and the 4x4 solve + R^2 evaluate through
+    SHARED expression strings (_ols_stages) — the driver eval and the
+    oracle's chained CTEs execute the IDENTICAL IEEE tree, Cramer
+    instead of LAPACK's pivoted LU (which has no SQL twin). Bit-exact,
+    not tolerance-close. A singular X'X divides by det = 0 — fail-loud,
+    the driver-solve idiom. tests/test_ml.py still pins every
+    coefficient and R^2 against numpy's lstsq.
     """
-    import numpy as np
-
     li = load_table(spark, sf_dir, "lineitem")
-    y = F.col("l_extendedprice")
-    cols = [F.lit(1.0)] + [F.col(c) for c in OLS_FEATURES]
-    d = len(cols)
-    aggs = []
-    for i in range(d):
-        for j in range(i, d):
-            aggs.append(F.sum(cols[i] * cols[j]).alias(f"xx_{i}_{j}"))
-    for i in range(d):
-        aggs.append(F.sum(cols[i] * y).alias(f"xy_{i}"))
-    aggs.append(F.sum(y * y).alias("yy"))
-    aggs.append(F.count(F.lit(1)).alias("n"))
-    aggs.append(F.sum(y).alias("sy"))
-    row = li.agg(*aggs).collect()[0]
-
-    XtX = np.empty((d, d))
-    for i in range(d):
-        for j in range(i, d):
-            XtX[i, j] = XtX[j, i] = row[f"xx_{i}_{j}"]
-    Xty = np.array([row[f"xy_{i}"] for i in range(d)])
-    b = np.linalg.solve(XtX, Xty)
-    ss_res = float(row["yy"] - 2 * b @ Xty + b @ XtX @ b)
-    ss_tot = float(row["yy"] - row["n"] * (row["sy"] / row["n"]) ** 2)
-    r2 = 1.0 - ss_res / ss_tot
+    units = li.select(
+        F.lit(100).alias("u0"),
+        F.round(F.col("l_quantity") * 100).cast("bigint").alias("u1"),
+        F.round(F.col("l_discount") * 100).cast("bigint").alias("u2"),
+        F.round(F.col("l_tax") * 100).cast("bigint").alias("u3"),
+        F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("yc"),
+    )
+    aggs = [
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.expr("CAST(yc AS DECIMAL(38,0))")).alias("syi"),
+        F.sum(F.expr("CAST(yc AS DECIMAL(38,0)) * yc")).alias("yyi"),
+    ]
+    for i in range(4):
+        aggs.append(
+            F.sum(F.expr(f"CAST(u{i} AS DECIMAL(38,0)) * yc")).alias(f"xyi_{i}")
+        )
+        for j in range(i, 4):
+            aggs.append(
+                F.sum(F.expr(f"CAST(u{i} AS DECIMAL(38,0)) * u{j}")).alias(
+                    f"xxi_{i}_{j}"
+                )
+            )
+    row = units.agg(*aggs).collect()[0]
+    ns = {
+        "nd": float(int(row["n"])),
+        "sy": int(row["syi"]) / 100.0,
+        "yy": int(row["yyi"]) / 10000.0,
+    }
+    for i in range(4):
+        ns[f"xy_{i}"] = int(row[f"xyi_{i}"]) / 10000.0
+        for j in range(i, 4):
+            ns[f"xx_{i}_{j}"] = int(row[f"xxi_{i}_{j}"]) / 10000.0
+    ns = _eval_stages(_ols_stages(), ns)
     terms = ["intercept", *OLS_FEATURES]
-    out = [(t, float(round(c, 6))) for t, c in zip(terms, b)] + [
-        ("r2", float(round(r2, 6)))
+    out = [(t, _round6_floor(ns[f"b{k}"])) for k, t in enumerate(terms)] + [
+        ("r2", _round6_floor(ns["r2"]))
     ]
     return spark.createDataFrame(out, "term string, value double")
 
@@ -629,7 +782,100 @@ LOGREG_ITERS = 8
 LOGREG_FEATURES = ["l_quantity", "l_discount", "l_tax"]  # plus intercept
 
 
-@register("ml_logreg_irls", tags={"rows_only"})
+def _logreg_cramer_stages() -> list[tuple[str, str]]:
+    return _cramer_stages(
+        4,
+        lambda i, j: f"h_{min(i, j)}_{max(i, j)}",
+        lambda i: f"g_{i}",
+    )
+
+
+def _logreg_oracle() -> str:
+    """DuckDB twin of ml_logreg_irls: the identical IRLS iteration
+    UNROLLED over the identical feature-grid cell compression (the
+    platt/svm precedent), with each 4x4 Newton solve running the SAME
+    Cramer expression strings the driver fold evaluates
+    (_logreg_cramer_stages — the OLS shared-expression contract).
+    exp/ln are glibc-bit-identical; per-cell sums carry ~1e-16 ordering
+    noise that IRLS contraction collapses below the floor-round grain."""
+    xs = ["CAST(1 AS DOUBLE)",
+          "(u1 / CAST(100 AS DOUBLE))",
+          "(u2 / CAST(100 AS DOUBLE))",
+          "(u3 / CAST(100 AS DOUBLE))"]
+    steps = []
+    prev = "bb0"
+    for t in range(1, LOGREG_ITERS + 1):
+        xb = (f"(((p.bb0 + p.bb1 * {xs[1]}) + p.bb2 * {xs[2]})"
+              f" + p.bb3 * {xs[3]})")
+        pexpr = (f"CAST(1 AS DOUBLE) / (CAST(1 AS DOUBLE)"
+                 f" + exp(-({xb})))")
+        sums = []
+        for i in range(4):
+            sums.append(f"sum(cnt * ({xs[i]} * (y - pr))) AS g_{i}")
+        for i in range(4):
+            for j in range(i, 4):
+                sums.append(
+                    f"sum(cnt * (((pr * (CAST(1 AS DOUBLE) - pr))"
+                    f" * {xs[i]}) * {xs[j]})) AS h_{i}_{j}"
+                )
+        ctes, last = _stage_ctes(_logreg_cramer_stages(), f"gh{t}",
+                                 prefix=f"i{t}s")
+        steps.append(f"""
+    e{t} AS MATERIALIZED (
+      SELECT cnt, y, u1, u2, u3, {pexpr} AS pr
+      FROM cells, {prev} p
+    ),
+    gh{t} AS MATERIALIZED (
+      SELECT {", ".join(sums)}
+      FROM e{t}
+    ),
+    {ctes},
+    bb{t} AS MATERIALIZED (
+      SELECT p.bb0 + s.b0 AS bb0, p.bb1 + s.b1 AS bb1,
+             p.bb2 + s.b2 AS bb2, p.bb3 + s.b3 AS bb3
+      FROM {prev} p, {last} s
+    )""")
+        prev = f"bb{t}"
+    body = ",".join(steps)
+    xb = (f"(((p.bb0 + p.bb1 * {xs[1]}) + p.bb2 * {xs[2]})"
+          f" + p.bb3 * {xs[3]})")
+    pexpr = f"CAST(1 AS DOUBLE) / (CAST(1 AS DOUBLE) + exp(-({xb})))"
+    r6 = (
+        "floor({x} * CAST(1000000 AS DOUBLE) + CAST(0.5 AS DOUBLE))"
+        " / CAST(1000000 AS DOUBLE)"
+    )
+    terms = ["intercept", *LOGREG_FEATURES]
+    outs = [
+        f"SELECT '{t_}' AS term, {r6.format(x=f'bb{k}')} AS value FROM {prev}"
+        for k, t_ in enumerate(terms)
+    ] + [f"SELECT 'log_loss', {r6.format(x='ll')} FROM llt"]
+    sel = "\n    UNION ALL\n    ".join(outs)
+    return f"""
+    WITH cells AS MATERIALIZED (
+      SELECT CAST(round(l_quantity * 100) AS BIGINT) AS u1,
+             CAST(round(l_discount * 100) AS BIGINT) AS u2,
+             CAST(round(l_tax * 100) AS BIGINT)      AS u3,
+             CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y,
+             CAST(count(*) AS BIGINT) AS cnt
+      FROM lineitem GROUP BY 1, 2, 3, 4
+    ),
+    meta AS MATERIALIZED (SELECT CAST(sum(cnt) AS BIGINT) AS n FROM cells),
+    bb0 AS MATERIALIZED (SELECT CAST(0 AS DOUBLE) AS bb0,
+                                CAST(0 AS DOUBLE) AS bb1,
+                                CAST(0 AS DOUBLE) AS bb2,
+                                CAST(0 AS DOUBLE) AS bb3),{body},
+    llt AS MATERIALIZED (
+      SELECT sum(cnt * (-(y * ln(pr)
+                          + (1 - y) * ln(CAST(1 AS DOUBLE) - pr)))) / m.n
+               AS ll
+      FROM (SELECT cnt, y, {pexpr} AS pr FROM cells, {prev} p), meta m
+      GROUP BY m.n
+    )
+    {sel}
+    """
+
+
+@register("ml_logreg_irls", oracle=_logreg_oracle())
 def ml_logreg_irls(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed binary logistic regression trained with Newton/IRLS:
     P(l_returnflag = 'R') ~ sigmoid(b0 + b . [quantity, discount, tax]).
@@ -643,57 +889,69 @@ def ml_logreg_irls(spark: SparkSession, sf_dir: str) -> DataFrame:
     codegen wins). Scale: iters scans, O(d^2) shuffled state per scan,
     O(d^2) driver state; the MLlib LogisticRegression shape.
 
-    Rows-only (coefficient table); tests/test_ml.py pins coefficients and
-    converged log-loss against a numpy IRLS twin on the same rows.
+    ORACLED (r11, upgraded from rows-only — the platt/svm/cox cell
+    precedent): the feature grids are 2-decimal-bounded, so the fact
+    table compresses to ~10^4 (qty, disc, tax, label, count) cells in
+    ONE partial-combinable groupBy and the LOGREG_ITERS IRLS
+    iterations fold over the collected cells driver-side — one scan
+    instead of nine. The sigmoid runs through math.exp (glibc
+    bit-identical to DuckDB's exp; the JVM F.exp left the path) and
+    each 4x4 Newton solve evaluates the SAME Cramer expression strings
+    the oracle's CTE chain executes (_logreg_cramer_stages — the OLS
+    shared-expression contract, replacing np.linalg.solve whose
+    pivoted LU has no SQL twin). Per-cell sum ordering noise (~1e-16)
+    collapses under IRLS contraction below the shared floor-round
+    grain. tests/test_ml.py still pins coefficients and converged
+    log-loss against a numpy IRLS twin.
     """
-    import numpy as np
+    import math
 
-    # Persist the 4-column projection once: every IRLS iteration re-reads
-    # the cached narrow columns instead of re-scanning the source
-    # (kmeans_lloyd's pattern — the scale-killer fix for iterative jobs).
-    li = (
-        _spread_ml(
-            load_table(spark, sf_dir, "lineitem").select(
-                "l_returnflag", *LOGREG_FEATURES
-            )
-        )
-        .persist()
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.round(F.col("l_quantity") * 100).cast("bigint").alias("u1"),
+        F.round(F.col("l_discount") * 100).cast("bigint").alias("u2"),
+        F.round(F.col("l_tax") * 100).cast("bigint").alias("u3"),
+        (F.col("l_returnflag") == "R").cast("int").alias("y"),
     )
-    y = (F.col("l_returnflag") == "R").cast("double")
-    cols = [F.lit(1.0)] + [F.col(c) for c in LOGREG_FEATURES]
-    d = len(cols)
-    beta = np.zeros(d)
+    raw = sorted(
+        (int(r.u1), int(r.u2), int(r.u3), int(r.y), int(r.cnt))
+        for r in li.groupBy("u1", "u2", "u3", "y")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+        .collect()
+    )
+    cells = [
+        (u1 / 100.0, u2 / 100.0, u3 / 100.0, float(y), cnt)
+        for u1, u2, u3, y, cnt in raw
+    ]
+    n = sum(c[4] for c in cells)
+    beta = [0.0, 0.0, 0.0, 0.0]
+    stages = _logreg_cramer_stages()
     for _ in range(LOGREG_ITERS):
-        xb = F.lit(float(beta[0]))
-        for i in range(1, d):
-            xb = xb + F.lit(float(beta[i])) * cols[i]
-        p = F.lit(1.0) / (F.lit(1.0) + F.exp(-xb))
-        w = p * (F.lit(1.0) - p)
-        aggs = [F.sum(cols[i] * (y - p)).alias(f"g_{i}") for i in range(d)]
-        for i in range(d):
-            for j in range(i, d):
-                aggs.append(F.sum(w * cols[i] * cols[j]).alias(f"h_{i}_{j}"))
-        row = li.agg(*aggs).collect()[0]
-        g = np.array([row[f"g_{i}"] for i in range(d)])
-        H = np.empty((d, d))
-        for i in range(d):
-            for j in range(i, d):
-                H[i, j] = H[j, i] = row[f"h_{i}_{j}"]
-        beta = beta + np.linalg.solve(H, g)
-    # converged log-loss in the same one-aggregate shape
-    xb = F.lit(float(beta[0]))
-    for i in range(1, d):
-        xb = xb + F.lit(float(beta[i])) * cols[i]
-    p = F.lit(1.0) / (F.lit(1.0) + F.exp(-xb))
-    ll = li.agg(
-        F.avg(
-            -(y * F.log(p) + (F.lit(1.0) - y) * F.log(F.lit(1.0) - p))
-        ).alias("ll")
-    ).collect()[0]["ll"]
-    li.unpersist(blocking=False)  # every action already ran eagerly above
+        ns = {}
+        for i in range(4):
+            ns[f"g_{i}"] = 0.0
+            for j in range(i, 4):
+                ns[f"h_{i}_{j}"] = 0.0
+        for x1, x2, x3, yd, cnt in cells:
+            xs = (1.0, x1, x2, x3)
+            xb = ((beta[0] + beta[1] * x1) + beta[2] * x2) + beta[3] * x3
+            p = 1.0 / (1.0 + math.exp(-xb))
+            w = p * (1.0 - p)
+            for i in range(4):
+                ns[f"g_{i}"] += cnt * (xs[i] * (yd - p))
+                for j in range(i, 4):
+                    ns[f"h_{i}_{j}"] += cnt * ((w * xs[i]) * xs[j])
+        ns = _eval_stages(stages, ns)
+        for k in range(4):
+            beta[k] = beta[k] + ns[f"b{k}"]
+    acc = 0.0
+    for x1, x2, x3, yd, cnt in cells:
+        xb = ((beta[0] + beta[1] * x1) + beta[2] * x2) + beta[3] * x3
+        p = 1.0 / (1.0 + math.exp(-xb))
+        acc += cnt * (-(yd * math.log(p) + (1.0 - yd) * math.log(1.0 - p)))
+    ll = acc / n
     terms = ["intercept", *LOGREG_FEATURES]
-    out = [(t, float(round(b, 6))) for t, b in zip(terms, beta)] + [
-        ("log_loss", float(round(ll, 6)))
+    out = [(t, _round6_floor(b)) for t, b in zip(terms, beta)] + [
+        ("log_loss", _round6_floor(ll))
     ]
     return spark.createDataFrame(out, "term string, value double")
 
@@ -1198,7 +1456,84 @@ def ml_als_factorize(spark: SparkSession, sf_dir: str) -> DataFrame:
 RIDGE_LAMBDA = 10.0
 
 
-@register("ml_ridge_closed_form", tags={"rows_only"})
+def _ridge_stages() -> list[tuple[str, str]]:
+    """Ridge over doubles xx_i_j, xy_i, sx_i, sy, nd: center the
+    moments, add the integer lambda (RIDGE_LAMBDA = 10, exactly
+    representable) to the diagonal, Cramer 3x3, recover the
+    unpenalized intercept."""
+    stages = []
+    for i in range(3):
+        stages.append((f"xbar_{i}", f"sx_{i}/nd"))
+    stages.append(("ybar", "sy/nd"))
+    for i in range(3):
+        for j in range(i, 3):
+            stages.append(
+                (f"cxx_{i}_{j}", f"xx_{i}_{j} - nd*xbar_{i}*xbar_{j}")
+            )
+        stages.append((f"cxy_{i}", f"xy_{i} - nd*xbar_{i}*ybar"))
+    for i in range(3):
+        stages.append((f"mm_{i}", f"cxx_{i}_{i} + 10"))
+
+    def m(i, j):
+        if i == j:
+            return f"mm_{i}"
+        return f"cxx_{min(i, j)}_{max(i, j)}"
+
+    stages += _cramer_stages(3, m, lambda i: f"cxy_{i}")
+    stages.append(
+        ("icept", "ybar - ((b0*xbar_0 + b1*xbar_1) + b2*xbar_2)")
+    )
+    return stages
+
+
+def _ridge_oracle() -> str:
+    sums = ["CAST(count(*) AS BIGINT) AS n",
+            "sum(CAST(yc AS HUGEINT)) AS syi"]
+    prep = ["CAST(n AS DOUBLE) AS nd",
+            "CAST(syi AS DOUBLE) / CAST(100 AS DOUBLE) AS sy"]
+    for i in range(3):
+        u = f"u{i + 1}"
+        sums.append(f"sum(CAST({u} AS HUGEINT)) AS sxi_{i}")
+        sums.append(f"sum(CAST({u} AS HUGEINT) * yc) AS xyi_{i}")
+        prep.append(f"CAST(sxi_{i} AS DOUBLE) / CAST(100 AS DOUBLE) AS sx_{i}")
+        prep.append(
+            f"CAST(xyi_{i} AS DOUBLE) / CAST(10000 AS DOUBLE) AS xy_{i}"
+        )
+        for j in range(i, 3):
+            sums.append(
+                f"sum(CAST({u} AS HUGEINT) * u{j + 1}) AS xxi_{i}_{j}"
+            )
+            prep.append(
+                f"CAST(xxi_{i}_{j} AS DOUBLE) / CAST(10000 AS DOUBLE)"
+                f" AS xx_{i}_{j}"
+            )
+    ctes, last = _stage_ctes(_ridge_stages(), "vals")
+    r6 = (
+        "floor({x} * CAST(1000000 AS DOUBLE) + CAST(0.5 AS DOUBLE))"
+        " / CAST(1000000 AS DOUBLE)"
+    )
+    outs = [f"SELECT 'intercept' AS term, {r6.format(x='icept')} AS value"
+            f" FROM {last}"] + [
+        f"SELECT '{t}', {r6.format(x=f'b{k}')} FROM {last}"
+        for k, t in enumerate(OLS_FEATURES)
+    ]
+    body = "\n    UNION ALL\n    ".join(outs)
+    return f"""
+    WITH {_OLS_UNIT_SQL.strip()},
+    vals_i AS MATERIALIZED (
+      SELECT {", ".join(sums)}
+      FROM units
+    ),
+    vals AS MATERIALIZED (
+      SELECT {", ".join(prep)}
+      FROM vals_i
+    ),
+    {ctes}
+    {body}
+    """
+
+
+@register("ml_ridge_closed_form", oracle=_ridge_oracle())
 def ml_ridge_closed_form(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ridge regression (L2, lambda=10) in closed form from the SAME
     one-pass sufficient statistics as ml_ols_normal_equations: center
@@ -1210,34 +1545,46 @@ def ml_ridge_closed_form(spark: SparkSession, sf_dir: str) -> DataFrame:
     O(d²) numbers, a d×d driver solve, no second scan — regularization
     is free at 100 TB because it only perturbs the driver-side linear
     system. tests/test_ml.py pins coefficients against a direct numpy
-    ridge solve and checks shrinkage toward zero vs the OLS fit."""
-    import numpy as np
+    ridge solve and checks shrinkage toward zero vs the OLS fit.
 
+    ORACLED (r11 — the OLS shared-expression precedent): exact integer
+    moments in 1e-2 units, centering + lambda + Cramer 3x3 through
+    _ridge_stages strings shared verbatim with the oracle's CTE chain
+    — bit-exact across engines (lambda = 10 is an integer literal,
+    exactly representable on both)."""
     li = load_table(spark, sf_dir, "lineitem")
-    y = F.col("l_extendedprice")
-    feats = OLS_FEATURES
-    cols = [F.col(c) for c in feats]
-    d = len(cols)
-    aggs = [F.count(F.lit(1)).cast("double").alias("n"), F.sum(y).alias("sy")]
-    for i in range(d):
-        aggs.append(F.sum(cols[i]).alias(f"sx_{i}"))
-        aggs.append(F.sum(cols[i] * y).alias(f"xy_{i}"))
-        for j in range(i, d):
-            aggs.append(F.sum(cols[i] * cols[j]).alias(f"xx_{i}_{j}"))
-    row = li.agg(*aggs).collect()[0]
-
-    n = row["n"]
-    xbar = np.array([row[f"sx_{i}"] / n for i in range(d)])
-    ybar = row["sy"] / n
-    Sxx = np.empty((d, d))
-    for i in range(d):
-        for j in range(i, d):
-            Sxx[i, j] = Sxx[j, i] = row[f"xx_{i}_{j}"] - n * xbar[i] * xbar[j]
-    Sxy = np.array([row[f"xy_{i}"] - n * xbar[i] * ybar for i in range(d)])
-    b = np.linalg.solve(Sxx + RIDGE_LAMBDA * np.eye(d), Sxy)
-    intercept = float(ybar - b @ xbar)
-    out = [("intercept", float(round(intercept, 6)))] + [
-        (t, float(round(c, 6))) for t, c in zip(feats, b)
+    units = li.select(
+        F.round(F.col("l_quantity") * 100).cast("bigint").alias("u1"),
+        F.round(F.col("l_discount") * 100).cast("bigint").alias("u2"),
+        F.round(F.col("l_tax") * 100).cast("bigint").alias("u3"),
+        F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("yc"),
+    )
+    aggs = [
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.expr("CAST(yc AS DECIMAL(38,0))")).alias("syi"),
+    ]
+    for i in range(3):
+        u = f"u{i + 1}"
+        aggs.append(F.sum(F.expr(f"CAST({u} AS DECIMAL(38,0))")).alias(f"sxi_{i}"))
+        aggs.append(
+            F.sum(F.expr(f"CAST({u} AS DECIMAL(38,0)) * yc")).alias(f"xyi_{i}")
+        )
+        for j in range(i, 3):
+            aggs.append(
+                F.sum(F.expr(f"CAST({u} AS DECIMAL(38,0)) * u{j + 1}")).alias(
+                    f"xxi_{i}_{j}"
+                )
+            )
+    row = units.agg(*aggs).collect()[0]
+    ns = {"nd": float(int(row["n"])), "sy": int(row["syi"]) / 100.0}
+    for i in range(3):
+        ns[f"sx_{i}"] = int(row[f"sxi_{i}"]) / 100.0
+        ns[f"xy_{i}"] = int(row[f"xyi_{i}"]) / 10000.0
+        for j in range(i, 3):
+            ns[f"xx_{i}_{j}"] = int(row[f"xxi_{i}_{j}"]) / 10000.0
+    ns = _eval_stages(_ridge_stages(), ns)
+    out = [("intercept", _round6_floor(ns["icept"]))] + [
+        (t, _round6_floor(ns[f"b{k}"])) for k, t in enumerate(OLS_FEATURES)
     ]
     return spark.createDataFrame(out, "term string, value double")
 

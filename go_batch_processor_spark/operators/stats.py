@@ -4776,7 +4776,129 @@ def stats_friedman_test(spark: SparkSession, sf_dir: str) -> DataFrame:
 COX_ITERS = 6  # Newton steps on the partial likelihood (p=2 converges ~4)
 
 
-@register("stats_cox_ph", tags={"rows_only"})
+def _cox_oracle() -> str:
+    """DuckDB twin of stats_cox_ph: the identical Breslow-Newton
+    iteration UNROLLED (the platt/svm precedent) over the identical
+    (dur_h, cohort, first-touch-hour) cell compression. exp/ln evaluate
+    bit-identically to the driver fold's math.exp/log (shared glibc
+    libm, r11); per-dur sums and the suffix risk-set windows carry
+    ~1e-16 ordering noise vs the sorted driver fold, which Newton
+    contraction collapses below the shared floor-round grain (the
+    platt determinism class). Every scalar expression mirrors the
+    driver fold's IEEE tree, including the 2x2 Cramer solve."""
+    x1 = "CAST(x1i AS DOUBLE)"
+    x2 = "(hri / CAST(23 AS DOUBLE))"
+    e = ("(CASE WHEN dur_h < 48 THEN CAST(1 AS DOUBLE)"
+         " ELSE CAST(0 AS DOUBLE) END)")
+    steps = []
+    prev = "b0"
+    for i in range(1, COX_ITERS + 1):
+        xb = f"((CAST(0 AS DOUBLE) + p.b1 * {x1}) + p.b2 * {x2})"
+        s = f"exp({xb})"
+        steps.append(f"""
+    pd{i} AS MATERIALIZED (
+      SELECT dur_h,
+             sum(cnt * {e})                    AS d,
+             sum(cnt * {s})                    AS s0,
+             sum(cnt * ({x1} * {s}))           AS s1_0,
+             sum(cnt * ({x2} * {s}))           AS s1_1,
+             sum(cnt * ({e} * {x1}))           AS ex_0,
+             sum(cnt * ({e} * {x2}))           AS ex_1,
+             sum(cnt * ({x1} * {x1} * {s}))    AS s2_00,
+             sum(cnt * ({x1} * {x2} * {s}))    AS s2_01,
+             sum(cnt * ({x2} * {x2} * {s}))    AS s2_11
+      FROM cells, {prev} p GROUP BY dur_h
+    ),
+    rk{i} AS MATERIALIZED (
+      SELECT dur_h, d, ex_0, ex_1,
+             sum(s0)    OVER w AS r_s0,
+             sum(s1_0)  OVER w AS r_s1_0,
+             sum(s1_1)  OVER w AS r_s1_1,
+             sum(s2_00) OVER w AS r_s2_00,
+             sum(s2_01) OVER w AS r_s2_01,
+             sum(s2_11) OVER w AS r_s2_11
+      FROM pd{i}
+      WINDOW w AS (ORDER BY dur_h ROWS BETWEEN CURRENT ROW
+                   AND UNBOUNDED FOLLOWING)
+    ),
+    gh{i} AS MATERIALIZED (
+      SELECT sum(ex_0 - d * r_s1_0 / r_s0) AS g0,
+             sum(ex_1 - d * r_s1_1 / r_s0) AS g1,
+             sum(d * (r_s2_00 / r_s0
+                      - r_s1_0 * r_s1_0 / (r_s0 * r_s0))) AS h00,
+             sum(d * (r_s2_01 / r_s0
+                      - r_s1_0 * r_s1_1 / (r_s0 * r_s0))) AS h01,
+             sum(d * (r_s2_11 / r_s0
+                      - r_s1_1 * r_s1_1 / (r_s0 * r_s0))) AS h11
+      FROM rk{i} WHERE d > 0
+    ),
+    b{i} AS MATERIALIZED (
+      SELECT p.b1 + ((g.g0 * g.h11 - g.g1 * g.h01)
+                     / (g.h00 * g.h11 - g.h01 * g.h01)) AS b1,
+             p.b2 + ((g.g1 * g.h00 - g.g0 * g.h01)
+                     / (g.h00 * g.h11 - g.h01 * g.h01)) AS b2
+      FROM {prev} p, gh{i} g
+    )""")
+        prev = f"b{i}"
+    body = ",".join(steps)
+    xb = f"((CAST(0 AS DOUBLE) + p.b1 * {x1}) + p.b2 * {x2})"
+    r6 = (
+        "floor({x} * CAST(1000000 AS DOUBLE) + CAST(0.5 AS DOUBLE))"
+        " / CAST(1000000 AS DOUBLE)"
+    )
+    r4 = (
+        "floor({x} * CAST(10000 AS DOUBLE) + CAST(0.5 AS DOUBLE))"
+        " / CAST(10000 AS DOUBLE)"
+    )
+    return f"""
+    WITH users AS MATERIALIZED (
+      SELECT user_id, min(ts) AS t0,
+             min(CASE WHEN event_type = 'purchase' THEN ts END) AS tp
+      FROM events GROUP BY user_id
+    ),
+    cells AS MATERIALIZED (
+      SELECT CASE WHEN tp IS NOT NULL
+                   AND date_diff('second', t0, tp) < 48 * 3600
+                  THEN CAST(floor(date_diff('second', t0, tp) / 3600.0)
+                            AS BIGINT)
+                  ELSE CAST(48 AS BIGINT) END AS dur_h,
+             CAST(user_id % 2 AS BIGINT) AS x1i,
+             CAST(hour(t0) AS BIGINT)    AS hri,
+             CAST(count(*) AS BIGINT)    AS cnt
+      FROM users GROUP BY 1, 2, 3
+    ),
+    b0 AS MATERIALIZED (SELECT CAST(0 AS DOUBLE) AS b1,
+                               CAST(0 AS DOUBLE) AS b2),{body},
+    pf AS MATERIALIZED (
+      SELECT dur_h,
+             sum(cnt * {e})           AS d,
+             sum(cnt * exp({xb}))     AS s0,
+             sum(cnt * ({e} * {xb}))  AS exb
+      FROM cells, {prev} p GROUP BY dur_h
+    ),
+    llt AS MATERIALIZED (
+      SELECT sum(exb - d * ln(r_s0)) AS ll
+      FROM (
+        SELECT d, exb, sum(s0) OVER (ORDER BY dur_h ROWS BETWEEN
+                                     CURRENT ROW AND UNBOUNDED FOLLOWING)
+                         AS r_s0
+        FROM pf
+      ) WHERE d > 0
+    )
+    SELECT 'beta_grp_odd_user' AS term, {r6.format(x='b1')} AS value
+    FROM {prev}
+    UNION ALL
+    SELECT 'hr_grp_odd_user', {r6.format(x='exp(b1)')} FROM {prev}
+    UNION ALL
+    SELECT 'beta_first_touch_hour', {r6.format(x='b2')} FROM {prev}
+    UNION ALL
+    SELECT 'hr_first_touch_hour', {r6.format(x='exp(b2)')} FROM {prev}
+    UNION ALL
+    SELECT 'partial_ll', {r4.format(x='ll')} FROM llt
+    """
+
+
+@register("stats_cox_ph", oracle=_cox_oracle())
 def stats_cox_ph(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cox proportional-hazards regression (Cox 1972) on time-to-
     conversion with Breslow tie handling — the model that completes the
@@ -4793,35 +4915,38 @@ def stats_cox_ph(spark: SparkSession, sf_dir: str) -> DataFrame:
     with gradient  ex_t − d_t·S1/S0  and Hessian
     −d_t·(S2/S0 − (S1/S0)(S1/S0)^T) accumulated per event time.
 
-    Scale shape — EXACTLY the ml_logreg_irls sufficient-stats pattern
-    composed with the KM risk-set machinery: per iteration, beta enters
-    as literals, one whole-stage-codegen groupBy(dur_h) aggregate
-    reduces the per-user frame to <= horizon+1 rows carrying
-    (d_t, ex_k, S-partials), reverse running sums over that tiny frame
-    build the at-risk S0/S1/S2 (no second pass over subjects), and ONE
-    O(p^2) collect feeds the driver-local solve. No Python in the data
-    path; iters × (1 shuffle + 1 tiny window) total. The per-user
-    projection is persisted once so iterations never re-scan events.
+    Scale shape (REWRITTEN r11 — one scan, not 7): the covariate
+    domain is bounded (cohort binary x 24 first-touch hours x
+    horizon+1 durations), so the per-user frame compresses to <= 2352
+    (dur_h, x1i, hri, count) cells in ONE partial-combinable groupBy
+    chain (users agg -> cell agg) and all COX_ITERS Newton iterations
+    plus the risk-set suffix sums fold over the collected cells
+    driver-side (the platt bounded sufficient-statistic idiom; a
+    continuous covariate would bin first). Each fold is
+    O(cells + durations) — microseconds — vs the old per-iteration
+    shuffle + window + collect round trips.
 
-    Rows-only (iterative; exp-of-dot-product is libm so no bit-exact
-    SQL twin — the KM lesson): tests/test_stats_survival.py pins betas,
-    hazard ratios and the converged partial log-likelihood against an
-    independent numpy Breslow-Newton twin on the same subjects.
-    Reference scope: go-batch-processor processes batches of records
-    (batch_processor.go:115-145); survival modelling is north-star
-    extension surface.
+    ORACLED (r11, upgraded from rows-only): exp/ln moved from JVM
+    F.exp/F.log to the driver's math.exp/log, bit-identical to
+    DuckDB's (shared glibc libm — the r11 platt finding; the KM-lesson
+    ban applies to the JVM's libm only). The oracle unrolls the
+    identical Breslow-Newton iteration with mirrored 2x2 Cramer
+    solves; per-dur sums and suffix windows carry ~1e-16 ordering
+    noise that Newton contraction collapses below the shared
+    floor-round grain (beta/hr at 1e-6, ll at 1e-4).
+    tests/test_stats_survival.py still pins betas, hazard ratios, and
+    the converged partial log-likelihood against an independent numpy
+    Breslow-Newton twin. Reference scope: go-batch-processor processes
+    batches of records (batch_processor.go:115-145); survival
+    modelling is north-star extension surface.
 
-    Measured (sf0.1, local[32], solo): r9 ~2.99 s; r11 solo minima
-    cold 5.07 / min-warm 3.83 s over 7 samples on the IDENTICAL
-    PLANS.md row (0 exchanges beyond the per-iteration shuffle family,
-    1 codegen span) — the r10 in-bench 4.01 s was ambient drift plus
-    interleave contention, not a plan regression (r10 verdict item 3;
-    bench.py CHECKPOINT_HEAVY now records the standalone pair each
-    round).
+    Measured (sf0.1, local[32], solo): r9 ~2.99 s (per-iteration
+    aggregate shape), r11 pre-rewrite minima 5.07 cold / 3.83 warm on
+    the identical plan (the r10 in-bench 4.01 s was contention, not a
+    plan regression — r10 verdict item 3); post-rewrite the key is the
+    one cell aggregate, ~0.6 s warm.
     """
     import math
-
-    import numpy as np
 
     horizon_h = 48
     ev = load_table(spark, sf_dir, "events")
@@ -4831,99 +4956,94 @@ def stats_cox_ph(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     gap_s = F.unix_seconds(F.col("tp")) - F.unix_seconds(F.col("t0"))
     is_event = F.col("tp").isNotNull() & (gap_s < horizon_h * 3600)
-    subjects = users.select(
-        F.when(is_event, F.floor(gap_s / 3600.0))
-        .otherwise(F.lit(horizon_h))
-        .cast("bigint")
-        .alias("dur_h"),
-        F.when(is_event, 1.0).otherwise(0.0).alias("e"),
-        (F.col("user_id") % 2).cast("double").alias("x1"),
-        (F.hour("t0") / F.lit(23.0)).alias("x2"),
-    ).persist()
-    try:
-        p = 2
-        xs = [F.col("x1"), F.col("x2")]
-        beta = np.zeros(p)
-        w_rest = (
-            Window.partitionBy()
-            .orderBy("dur_h")
-            .rowsBetween(0, Window.unboundedFollowing)
+    cells_df = (
+        users.select(
+            F.when(is_event, F.floor(gap_s / 3600.0))
+            .otherwise(F.lit(horizon_h))
+            .cast("bigint")
+            .alias("dur_h"),
+            (F.col("user_id") % 2).cast("bigint").alias("x1i"),
+            F.hour("t0").cast("bigint").alias("hri"),
         )
-        pair_idx = [(k, l) for k in range(p) for l in range(k, p)]
-        for _ in range(COX_ITERS):
-            xb = F.lit(0.0)
-            for k in range(p):
-                xb = xb + F.lit(float(beta[k])) * xs[k]
-            s = F.exp(xb)
-            aggs = [F.sum("e").alias("d"), F.sum(s).alias("s0")]
-            for k in range(p):
-                aggs.append(F.sum(xs[k] * s).alias(f"s1_{k}"))
-                aggs.append(F.sum(F.col("e") * xs[k]).alias(f"ex_{k}"))
-            for k, l in pair_idx:
-                aggs.append(F.sum(xs[k] * xs[l] * s).alias(f"s2_{k}_{l}"))
-            per_dur = subjects.groupBy("dur_h").agg(*aggs)
-            risk_cols = (
-                ["s0"]
-                + [f"s1_{k}" for k in range(p)]
-                + [f"s2_{k}_{l}" for k, l in pair_idx]
-            )
-            risk = per_dur.select(
-                "dur_h",
-                "d",
-                *[F.col(f"ex_{k}") for k in range(p)],
-                *[F.sum(c).over(w_rest).alias(f"R_{c}") for c in risk_cols],
-            ).filter(F.col("d") > 0)
-            S0 = F.col("R_s0")
-            g_aggs = [
-                F.sum(
-                    F.col(f"ex_{k}") - F.col("d") * F.col(f"R_s1_{k}") / S0
-                ).alias(f"g_{k}")
-                for k in range(p)
-            ]
-            for k, l in pair_idx:
-                g_aggs.append(
-                    F.sum(
-                        F.col("d")
-                        * (
-                            F.col(f"R_s2_{k}_{l}") / S0
-                            - F.col(f"R_s1_{k}") * F.col(f"R_s1_{l}") / (S0 * S0)
-                        )
-                    ).alias(f"h_{k}_{l}")
-                )
-            row = risk.agg(*g_aggs).collect()[0]
-            g = np.array([row[f"g_{k}"] for k in range(p)])
-            H = np.empty((p, p))
-            for k, l in pair_idx:
-                H[k, l] = H[l, k] = row[f"h_{k}_{l}"]
-            beta = beta + np.linalg.solve(H, g)
-        # converged Breslow partial log-likelihood, same one-agg shape
-        xb = F.lit(0.0)
-        for k in range(p):
-            xb = xb + F.lit(float(beta[k])) * xs[k]
-        per_dur = subjects.groupBy("dur_h").agg(
-            F.sum("e").alias("d"),
-            F.sum(F.exp(xb)).alias("s0"),
-            F.sum(F.col("e") * xb).alias("exb"),
-        )
-        ll = (
-            per_dur.select(
-                "d", "exb", F.sum("s0").over(w_rest).alias("S0")
-            )
-            .filter(F.col("d") > 0)
-            .agg(F.sum(F.col("exb") - F.col("d") * F.log("S0")).alias("ll"))
-            .collect()[0]["ll"]
-        )
-    finally:
-        subjects.unpersist(blocking=False)
+        .groupBy("dur_h", "x1i", "hri")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+    cells = sorted(
+        (int(r.dur_h), int(r.x1i), int(r.hri), int(r.cnt))
+        for r in cells_df.collect()
+    )
+    durs = sorted({c[0] for c in cells})
+    beta = [0.0, 0.0]
+    for _ in range(COX_ITERS):
+        per = {dur: [0.0] * 9 for dur in durs}
+        for dur, x1i, hri, cnt in cells:
+            x1 = float(x1i)
+            x2 = hri / 23.0
+            xb = (0.0 + beta[0] * x1) + beta[1] * x2
+            s = math.exp(xb)
+            e = 1.0 if dur < horizon_h else 0.0
+            a = per[dur]
+            a[0] += cnt * e
+            a[1] += cnt * s
+            a[2] += cnt * (x1 * s)
+            a[3] += cnt * (x2 * s)
+            a[4] += cnt * (e * x1)
+            a[5] += cnt * (e * x2)
+            a[6] += cnt * (x1 * x1 * s)
+            a[7] += cnt * (x1 * x2 * s)
+            a[8] += cnt * (x2 * x2 * s)
+        # suffix risk sets over dur ascending, accumulated descending
+        r_s0 = r10 = r11 = r200 = r201 = r211 = 0.0
+        g0 = g1 = h00 = h01 = h11 = 0.0
+        for dur in sorted(durs, reverse=True):
+            d, s0, s1_0, s1_1, ex_0, ex_1, s2_00, s2_01, s2_11 = per[dur]
+            r_s0 += s0
+            r10 += s1_0
+            r11 += s1_1
+            r200 += s2_00
+            r201 += s2_01
+            r211 += s2_11
+            if d > 0:
+                g0 += ex_0 - d * r10 / r_s0
+                g1 += ex_1 - d * r11 / r_s0
+                h00 += d * (r200 / r_s0 - r10 * r10 / (r_s0 * r_s0))
+                h01 += d * (r201 / r_s0 - r10 * r11 / (r_s0 * r_s0))
+                h11 += d * (r211 / r_s0 - r11 * r11 / (r_s0 * r_s0))
+        det = h00 * h11 - h01 * h01
+        beta[0] = beta[0] + (g0 * h11 - g1 * h01) / det
+        beta[1] = beta[1] + (g1 * h00 - g0 * h01) / det
+    # converged Breslow partial log-likelihood, same fold shape
+    perf = {dur: [0.0, 0.0, 0.0] for dur in durs}
+    for dur, x1i, hri, cnt in cells:
+        x1 = float(x1i)
+        x2 = hri / 23.0
+        xb = (0.0 + beta[0] * x1) + beta[1] * x2
+        e = 1.0 if dur < horizon_h else 0.0
+        a = perf[dur]
+        a[0] += cnt * e
+        a[1] += cnt * math.exp(xb)
+        a[2] += cnt * (e * xb)
+    r_s0 = 0.0
+    ll = 0.0
+    for dur in sorted(durs, reverse=True):
+        d, s0, exb = perf[dur]
+        r_s0 += s0
+        if d > 0:
+            ll += exb - d * math.log(r_s0)
+    from go_batch_processor_spark.operators.ml import _round6_floor
+
+    def _round4_floor(x: float) -> float:
+        return math.floor(x * 10000.0 + 0.5) / 10000.0
+
     terms = ["grp_odd_user", "first_touch_hour"]
     out = [
         row
         for k, t in enumerate(terms)
         for row in (
-            (f"beta_{t}", float(round(beta[k], 6))),
-            (f"hr_{t}", float(round(math.exp(beta[k]), 6))),
+            (f"beta_{t}", _round6_floor(beta[k])),
+            (f"hr_{t}", _round6_floor(math.exp(beta[k]))),
         )
-    ] + [("partial_ll", float(round(ll, 4)))]
+    ] + [("partial_ll", _round4_floor(ll))]
     return spark.createDataFrame(out, "term string, value double")
 
 
@@ -7288,34 +7408,75 @@ def stats_ansari_bradley(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("feature_cyclic_encoding", tags={"rows_only"})
+@register(
+    "feature_cyclic_encoding",
+    oracle="""
+    SELECT event_id,
+           CAST(hour(ts) AS BIGINT) AS hour,
+           CAST(dayofweek(ts) AS BIGINT) AS dow,
+           sin((CAST(hour(ts) AS DOUBLE)
+                * CAST(6.283185307179586 AS DOUBLE))
+               / CAST(24 AS DOUBLE)) AS hour_sin,
+           cos((CAST(hour(ts) AS DOUBLE)
+                * CAST(6.283185307179586 AS DOUBLE))
+               / CAST(24 AS DOUBLE)) AS hour_cos,
+           sin((CAST(dayofweek(ts) AS DOUBLE)
+                * CAST(6.283185307179586 AS DOUBLE))
+               / CAST(7 AS DOUBLE)) AS dow_sin,
+           cos((CAST(dayofweek(ts) AS DOUBLE)
+                * CAST(6.283185307179586 AS DOUBLE))
+               / CAST(7 AS DOUBLE)) AS dow_cos
+    FROM events
+    """,
+)
 def feature_cyclic_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cyclic (sin/cos) encoding of event hour-of-day and day-of-week —
     the standard featurization that lets linear/distance models see
     23:00 and 00:00 as neighbors: hour h -> (sin 2*pi*h/24, cos 2*pi*h/24),
     weekday d -> (sin 2*pi*d/7, cos 2*pi*d/7).
 
-    Rows-only: sin/cos are libm transcendentals (not correctly-rounded,
-    engine/toolchain-dependent in the last bit), so per the round-7
-    determinism doctrine this key never gets a bit-exact SQL oracle;
-    tests/test_round7e pins values against a numpy twin at 1e-12 and the
-    unit-circle invariant sin^2+cos^2 == 1 (to 1e-15) in-frame.
+    ORACLED (r11, upgraded from rows-only — the platt glibc-libm
+    precedent): the trig DOMAIN is the 24-hour x 7-weekday grid, so the
+    encodings are two driver-built broadcast lookup dimensions (31 rows
+    total) computed with Python's math.sin/cos — bit-identical to
+    DuckDB's sin/cos (same glibc libm in-container; verified r11 over
+    30k probes along with exp/ln/pow/tan/atan2 — only lgamma differs).
+    The JVM's Math.sin, which genuinely differs in the last bit and
+    forced the old rows-only status, is no longer on any path. The
+    argument expression tree (h * 2pi) / period is mirrored exactly.
 
-    Scale shape: pure per-row projection, whole-stage codegen, zero
-    shuffle (the groupBy in the twin test is test-side only).
+    Scale shape: two broadcast-hash joins against 24- and 7-row
+    dimensions — per-row projection throughput, zero shuffle; at 100 TB
+    the lookup build is O(31) driver work. tests/test_round7e
+    additionally pins the numpy twin and the unit-circle invariant.
     """
+    import math
+
     ev = load_table(spark, sf_dir, "events")
     two_pi = 2.0 * 3.141592653589793
-    h = F.hour("ts").cast("double")
-    dow = (F.dayofweek("ts") - 1).cast("double")  # 0=Sunday..6
-    return ev.select(
+
+    def enc(v: int, period: float) -> tuple[float, float]:
+        arg = v * two_pi / period
+        return math.sin(arg), math.cos(arg)
+
+    hour_dim = spark.createDataFrame(
+        [(h, *enc(h, 24.0)) for h in range(24)],
+        "hour bigint, hour_sin double, hour_cos double",
+    )
+    dow_dim = spark.createDataFrame(
+        [(d, *enc(d, 7.0)) for d in range(7)],
+        "dow bigint, dow_sin double, dow_cos double",
+    )
+    keyed = ev.select(
         "event_id",
         F.hour("ts").cast("bigint").alias("hour"),
         (F.dayofweek("ts") - 1).cast("bigint").alias("dow"),
-        F.sin(h * F.lit(two_pi) / F.lit(24.0)).alias("hour_sin"),
-        F.cos(h * F.lit(two_pi) / F.lit(24.0)).alias("hour_cos"),
-        F.sin(dow * F.lit(two_pi) / F.lit(7.0)).alias("dow_sin"),
-        F.cos(dow * F.lit(two_pi) / F.lit(7.0)).alias("dow_cos"),
+    )
+    return keyed.join(F.broadcast(hour_dim), "hour").join(
+        F.broadcast(dow_dim), "dow"
+    ).select(
+        "event_id", "hour", "dow",
+        "hour_sin", "hour_cos", "dow_sin", "dow_cos",
     )
 
 

@@ -3437,7 +3437,60 @@ def timeseries_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
 PERIODOGRAM_PERIODS_H = [24, 12, 168, 8, 6]
 
 
-@register("timeseries_periodogram", tags={"rows_only"})
+def _periodogram_oracle() -> str:
+    """DuckDB twin of timeseries_periodogram: per-term trig values are
+    bit-identical to the driver fold's math.cos/sin (shared glibc libm,
+    the r11 platt/cyclic precedent), and every sum is an ORDERED
+    list_reduce left-fold over t — exactly the Python loop's addition
+    sequence (the stats_kaplan_meier ordered-fold construct) — so the
+    raw double outputs match bit-for-bit with NO rounding at the edge."""
+    two_pi = "CAST(6.283185307179586 AS DOUBLE)"
+    folds = [
+        "CAST(count(*) AS BIGINT) AS n",
+        "list_reduce(list(v ORDER BY t), (a, b) -> a + b) AS sv",
+        "list_reduce(list(v * v ORDER BY t), (a, b) -> a + b) AS svv",
+    ]
+    outs = []
+    for p in PERIODOGRAM_PERIODS_H:
+        ang = f"((t * {two_pi}) / CAST({p} AS DOUBLE))"
+        folds.append(
+            f"list_reduce(list(v * cos({ang}) ORDER BY t),"
+            f" (a, b) -> a + b) AS c{p}"
+        )
+        folds.append(
+            f"list_reduce(list(v * sin({ang}) ORDER BY t),"
+            f" (a, b) -> a + b) AS s{p}"
+        )
+        outs.append(
+            f"SELECT CAST({p} AS BIGINT) AS period_h,"
+            f" c{p} * c{p} + s{p} * s{p} AS power,"
+            f" (c{p} * c{p} + s{p} * s{p})"
+            " / nullif(n * (svv / n - (sv / n) * (sv / n)),"
+            "          CAST(0 AS DOUBLE)) AS power_frac"
+            " FROM sums"
+        )
+    body = "\n    UNION ALL\n    ".join(outs)
+    return f"""
+    WITH hourly AS (
+      SELECT date_trunc('hour', ts) AS h,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+               AS cents
+      FROM events GROUP BY 1
+    ),
+    base AS (
+      SELECT (epoch(h) - (SELECT epoch(min(h)) FROM hourly)) / 3600 AS t,
+             cents / CAST(100 AS DOUBLE) AS v
+      FROM hourly
+    ),
+    sums AS (
+      SELECT {", ".join(folds)}
+      FROM base
+    )
+    {body}
+    """
+
+
+@register("timeseries_periodogram", oracle=_periodogram_oracle())
 def timeseries_periodogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Schuster periodogram power at candidate seasonal periods (24 h,
     12 h, weekly, 8 h, 6 h) over the hourly revenue series: P(T) =
@@ -3447,54 +3500,59 @@ def timeseries_periodogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     the series' total centered energy so the output is a [0,1]-ish
     fraction per period.
 
-    Rows-only: cos/sin are libm AND the per-period sums are order-
-    dependent double adds over an unbounded frame — both disqualify a
-    bit-exact oracle (round-7 determinism doctrine). The numpy twin in
-    tests/test_round7e checks power at every candidate period to 1e-9
-    relative and pins the dominant period exactly.
+    ORACLED (r11, upgraded from rows-only): both former disqualifiers
+    fall to this round's precedents — the hourly frame is
+    CALENDAR-BOUNDED, so it collects driver-side (the platt bounded
+    sufficient-statistic idiom) and the trig evaluates through Python's
+    math.cos/sin, bit-identical to DuckDB's (shared glibc libm; the
+    JVM's Math.cos, which differs, left the path), while every sum is a
+    SEQUENTIAL fold in t order on the driver mirrored by list_reduce
+    over list(... ORDER BY t) in the oracle (the stats_kaplan_meier
+    ordered-fold construct) — raw double outputs, bit-exact, no
+    rounding at the edge. The numpy twin in tests/test_round7e keeps
+    checking power to 1e-9 relative and the dominant period exactly.
 
-    Scale shape: the fact table compresses to one row per hour first
-    (partial-aggregable); each candidate period is one more partial-
-    aggregable sum over the hour frame — 5 periods = one wide aggregate
-    in a single pass, no window, no collect. t is the hour index from
-    the series' own min(hour) so the phase origin is data-defined.
+    Scale shape: the fact table compresses to one row per hour in ONE
+    partial-combinable groupBy; the driver fold is O(periods x hours)
+    on the calendar-bounded frame (720 rows/month — a multi-decade
+    series is still <1e6). For series beyond driver comfort, shard the
+    fold by period back into executors — documented, not needed here.
     """
+    import math
+
     ev = load_table(spark, sf_dir, "events")
     hourly = ev.groupBy(F.date_trunc("hour", "ts").alias("h")).agg(
         F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents")
     )
-    t0 = hourly.agg(F.min("h").alias("t0"))
-    base = hourly.crossJoin(F.broadcast(t0)).select(
-        (
-            (F.unix_timestamp("h") - F.unix_timestamp("t0")) / F.lit(3600)
-        ).cast("double").alias("t"),
-        (F.col("cents") / F.lit(100.0)).alias("v"),
+    import calendar
+
+    # timegm, not .timestamp(): collected datetimes are session-TZ (UTC)
+    # naive, and .timestamp() would reinterpret them in the OS zone.
+    cells = sorted(
+        (calendar.timegm(r.h.timetuple()), int(r.cents))
+        for r in hourly.collect()
     )
+    u0 = cells[0][0]
+    base = [((u - u0) / 3600, c / 100.0) for u, c in cells]
     two_pi = 2.0 * 3.141592653589793
-    aggs = [F.count(F.lit(1)).cast("bigint").alias("n"),
-            F.sum("v").alias("sv"), F.sum(F.col("v") * F.col("v")).alias("svv")]
+    n = len(base)
+    sv = svv = 0.0
+    for _t, v in base:
+        sv = sv + v
+        svv = svv + v * v
+    energy = n * (svv / n - (sv / n) * (sv / n))
+    out = []
     for p in PERIODOGRAM_PERIODS_H:
-        ang = F.col("t") * F.lit(two_pi) / F.lit(float(p))
-        aggs.append(F.sum(F.col("v") * F.cos(ang)).alias(f"c{p}"))
-        aggs.append(F.sum(F.col("v") * F.sin(ang)).alias(f"s{p}"))
-    wide = base.agg(*aggs)
-    rows = []
-    for p in PERIODOGRAM_PERIODS_H:
-        power = F.col(f"c{p}") * F.col(f"c{p}") + F.col(f"s{p}") * F.col(f"s{p}")
-        energy = F.col("n") * (
-            F.col("svv") / F.col("n")
-            - (F.col("sv") / F.col("n")) * (F.col("sv") / F.col("n"))
-        )
-        rows.append(
-            F.struct(
-                F.lit(p).cast("bigint").alias("period_h"),
-                power.alias("power"),
-                (power / energy).alias("power_frac"),
-            )
-        )
-    return (
-        wide.select(F.explode(F.array(*rows)).alias("r"))
-        .select("r.period_h", "r.power", "r.power_frac")
+        c = s = 0.0
+        for t, v in base:
+            ang = (t * two_pi) / float(p)
+            c = c + v * math.cos(ang)
+            s = s + v * math.sin(ang)
+        power = c * c + s * s
+        frac = power / energy if energy != 0.0 else None
+        out.append((p, power, frac))
+    return spark.createDataFrame(
+        out, "period_h bigint, power double, power_frac double"
     )
 
 
