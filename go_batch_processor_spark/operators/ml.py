@@ -1589,7 +1589,59 @@ def ml_ridge_closed_form(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(out, "term string, value double")
 
 
-@register("ml_isotonic_pava", tags={"rows_only"})
+@register(
+    "ml_isotonic_pava",
+    oracle="""
+    WITH pts AS MATERIALIZED (
+      SELECT l_returnflag AS g, l_quantity AS x,
+             CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+                  AS BIGINT) AS cs,
+             CAST(count(*) AS BIGINT) AS w
+      FROM lineitem GROUP BY 1, 2
+    ),
+    pref AS MATERIALIZED (
+      SELECT g, x,
+             CAST(row_number() OVER pw AS BIGINT) AS rn,
+             CAST(sum(cs) OVER cw AS BIGINT) AS sc,
+             CAST(sum(w) OVER cw AS BIGINT) AS sw,
+             w
+      FROM pts
+      WINDOW pw AS (PARTITION BY g ORDER BY x),
+             cw AS (PARTITION BY g ORDER BY x ROWS UNBOUNDED PRECEDING)
+    ),
+    pref0 AS MATERIALIZED (
+      SELECT g, rn, sc, sw FROM pref
+      UNION ALL
+      SELECT DISTINCT g, CAST(0 AS BIGINT), CAST(0 AS BIGINT),
+             CAST(0 AS BIGINT) FROM pref
+    ),
+    ivals AS MATERIALIZED (
+      -- interval [j..k] mean, cents per unit weight, one exact
+      -- int->double cast per factor (mirrors the driver's
+      -- float(c)/float(w))
+      SELECT hi.g, lo.rn + 1 AS j, hi.rn AS k,
+             CAST(hi.sc - lo.sc AS DOUBLE)
+               / CAST(hi.sw - lo.sw AS DOUBLE) AS m
+      FROM pref hi JOIN pref0 lo
+        ON lo.g = hi.g AND lo.rn < hi.rn
+    ),
+    mins AS MATERIALIZED (
+      SELECT v.g, v.j, p.rn AS i, min(v.m) AS minv
+      FROM ivals v JOIN pref p
+        ON p.g = v.g AND v.j <= p.rn AND v.k >= p.rn
+      GROUP BY 1, 2, 3
+    ),
+    fit AS MATERIALIZED (
+      SELECT g, i, max(minv) AS fitc FROM mins GROUP BY 1, 2
+    )
+    SELECT p.g AS l_returnflag, p.x AS l_quantity,
+           floor((f.fitc / CAST(100 AS DOUBLE))
+                 * CAST(1000000 AS DOUBLE) + CAST(0.5 AS DOUBLE))
+             / CAST(1000000 AS DOUBLE) AS fitted,
+           p.w AS n
+    FROM fit f JOIN pref p ON p.g = f.g AND p.rn = f.i
+    """,
+)
 def ml_isotonic_pava(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weighted isotonic regression (PAVA — pool-adjacent-violators) of
     mean extended price as a non-decreasing function of quantity, per
@@ -1605,35 +1657,50 @@ def ml_isotonic_pava(spark: SparkSession, sf_dir: str) -> DataFrame:
     fundamental (isotonic fit is a global property of the sequence);
     bounding its input is the correct 100 TB answer.
 
-    Rows-only: tests/test_ml.py pins the fit against an independent
-    O(n²) reference PAVA and asserts monotonicity + weighted-mean
-    preservation."""
-    import numpy as np
+    ORACLED (r11, upgraded from rows-only): the pooling now runs on
+    EXACT integer (cent-sum, weight) accumulators with violation tests
+    as integer cross-multiplications — no float ever decides a merge —
+    and each block's fitted value is one float(cents)/float(weight)
+    division (+ /100). The DuckDB twin computes the IDENTICAL fit
+    through the minimax identity fit_i = max_{{j<=i}} min_{{k>=i}}
+    mean(y[j..k]) (the L2 isotonic projection is unique, so the two
+    algorithms agree exactly): interval means are the same
+    exact-int-to-double divisions, and min/max over doubles preserves
+    the rational ordering (rounding is monotone), so the selected
+    value IS the PAVA block mean bit-for-bit. The O(n^3) interval
+    expansion is oracle-only cost on the <=50-point domain.
+    tests/test_ml.py still pins the fit against an independent O(n^2)
+    reference PAVA with monotonicity + weighted-mean preservation."""
+    import math
+
     import pandas as pd
 
     def pava(key, pdf):
         pdf = pdf.sort_values("x").reset_index(drop=True)
-        # blocks as (value, weight) pools; merge while descending
-        vals = pdf["ybar"].to_numpy(dtype=float)
-        wts = pdf["w"].to_numpy(dtype=float)
-        blocks: list = []  # [sum_wy, sum_w, count]
-        for v, w_ in zip(vals, wts):
-            blocks.append([v * w_, w_, 1])
+        cs = [int(v) for v in pdf["cs"]]
+        ws = [int(v) for v in pdf["w"]]
+        blocks: list = []  # [sum_cents, sum_w, count] — exact integers
+        for c, w_ in zip(cs, ws):
+            blocks.append([c, w_, 1])
             while len(blocks) > 1 and (
-                blocks[-2][0] / blocks[-2][1] > blocks[-1][0] / blocks[-1][1]
+                blocks[-2][0] * blocks[-1][1] > blocks[-1][0] * blocks[-2][1]
             ):
                 b = blocks.pop()
                 blocks[-1][0] += b[0]
                 blocks[-1][1] += b[1]
                 blocks[-1][2] += b[2]
-        fitted = np.concatenate(
-            [np.full(c, swy / sw) for swy, sw, c in blocks]
-        )
+        fitted = []
+        for c, w_, cnt in blocks:
+            # explicit int->double conversions BEFORE the division —
+            # mirrors the oracle's CAST(..)/CAST(..) (an exact-rational
+            # division would diverge once sums pass 2^53)
+            m = (float(c) / float(w_)) / 100.0
+            fitted.extend([math.floor(m * 1000000.0 + 0.5) / 1000000.0] * cnt)
         return pd.DataFrame(
             {
                 "l_returnflag": key[0],
                 "l_quantity": pdf["x"],
-                "fitted": np.round(fitted, 6),
+                "fitted": fitted,
                 "n": pdf["w"].astype("int64"),
             }
         )
@@ -1642,8 +1709,8 @@ def ml_isotonic_pava(spark: SparkSession, sf_dir: str) -> DataFrame:
     pts = li.groupBy(
         F.col("l_returnflag"), F.col("l_quantity").alias("x")
     ).agg(
-        F.avg("l_extendedprice").alias("ybar"),
-        F.count(F.lit(1)).cast("double").alias("w"),
+        F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")).alias("cs"),
+        F.count(F.lit(1)).cast("long").alias("w"),
     )
     return pts.groupBy("l_returnflag").applyInPandas(
         pava, "l_returnflag string, l_quantity double, fitted double, n long"
@@ -2622,7 +2689,124 @@ TREE_FEATURES = ["l_quantity", "l_discount", "l_tax"]
 TREE_DEPTH = 2
 
 
-@register("ml_decision_tree_depth2", tags={"rows_only"})
+_TREE_US = {"l_quantity": "u1", "l_discount": "u2", "l_tax": "u3"}
+
+
+def _tree_cand_sql(name: str, gate: str, from_extra: str) -> str:
+    """Candidate-split table for one gated node: per (feature, value),
+    prefix class counts and weighted Gini, mirroring best_split's
+    Python loop (values from the FULL cell table, counts under the
+    gate, last value and empty sides excluded). All counts are exact
+    integers, so the Gini doubles are bit-identical to the driver's."""
+    per_feat = []
+    for f, u in _TREE_US.items():
+        per_feat.append(f"""
+      SELECT '{f}' AS f, {u} / CAST(100 AS DOUBLE) AS v,
+             CAST(sum(CASE WHEN {gate} THEN cnt ELSE 0 END) AS BIGINT) AS n,
+             CAST(sum(CASE WHEN {gate} THEN y * cnt ELSE 0 END)
+                  AS BIGINT) AS p
+      FROM cells{from_extra} GROUP BY 1, 2""")
+    vals = "\n      UNION ALL\n".join(per_feat)
+    return f"""{name}_v AS MATERIALIZED (
+      {vals}
+    ),
+    {name}_pre AS MATERIALIZED (
+      SELECT f, v,
+             sum(n) OVER cw AS ln, sum(p) OVER cw AS lp,
+             sum(n) OVER fw AS tot_n, sum(p) OVER fw AS tot_p,
+             row_number() OVER (PARTITION BY f ORDER BY v) AS rnum,
+             count(*) OVER fw AS nvals
+      FROM {name}_v
+      WINDOW cw AS (PARTITION BY f ORDER BY v ROWS UNBOUNDED PRECEDING),
+             fw AS (PARTITION BY f)
+    ),
+    {name} AS MATERIALIZED (
+      SELECT f, v AS thr,
+             (ln * (1 - (lp / ln) * (lp / ln)
+                    - ((ln - lp) / ln) * ((ln - lp) / ln))
+              + (tot_n - ln)
+                * (1 - ((tot_p - lp) / (tot_n - ln))
+                       * ((tot_p - lp) / (tot_n - ln))
+                   - (((tot_n - ln) - (tot_p - lp)) / (tot_n - ln))
+                     * (((tot_n - ln) - (tot_p - lp)) / (tot_n - ln))))
+             / tot_n AS g
+      FROM {name}_pre
+      WHERE rnum < nvals AND ln > 0 AND tot_n - ln > 0
+      ORDER BY g, f, thr
+      LIMIT 1
+    )"""
+
+
+def _tree_oracle() -> str:
+    cond0 = (
+        "(CASE WHEN b.f = 'l_quantity' THEN u1 / CAST(100 AS DOUBLE)"
+        " WHEN b.f = 'l_discount' THEN u2 / CAST(100 AS DOUBLE)"
+        " ELSE u3 / CAST(100 AS DOUBLE) END) <= b.thr"
+    )
+
+    def child_cond(alias: str) -> str:
+        return (
+            f"(CASE WHEN {alias}.f = 'l_quantity' THEN u1 / CAST(100 AS DOUBLE)"
+            f" WHEN {alias}.f = 'l_discount' THEN u2 / CAST(100 AS DOUBLE)"
+            f" ELSE u3 / CAST(100 AS DOUBLE) END) <= {alias}.thr"
+        )
+
+    r6 = (
+        "floor({x} * CAST(1000000 AS DOUBLE) + CAST(0.5 AS DOUBLE))"
+        " / CAST(1000000 AS DOUBLE)"
+    )
+    return f"""
+    WITH cells AS MATERIALIZED (
+      SELECT CAST(round(l_quantity * 100) AS BIGINT) AS u1,
+             CAST(round(l_discount * 100) AS BIGINT) AS u2,
+             CAST(round(l_tax * 100) AS BIGINT)      AS u3,
+             CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y,
+             CAST(count(*) AS BIGINT) AS cnt
+      FROM lineitem GROUP BY 1, 2, 3, 4
+    ),
+    {_tree_cand_sql("best0", "TRUE", "")},
+    {_tree_cand_sql("best1", cond0, ", best0 b")},
+    {_tree_cand_sql("best2", f"NOT ({cond0})", ", best0 b")},
+    leaves_obs AS MATERIALIZED (
+      SELECT CASE WHEN {cond0} AND {child_cond('s1')} THEN 3
+                  WHEN {cond0} THEN 4
+                  WHEN NOT ({cond0}) AND {child_cond('s2')} THEN 5
+                  ELSE 6 END AS node,
+             CAST(sum(cnt) AS BIGINT) AS n,
+             CAST(sum(y * cnt) AS BIGINT) AS p
+      FROM cells, best0 b, best1 s1, best2 s2
+      GROUP BY 1
+    ),
+    leaves AS MATERIALIZED (
+      -- all four leaves emit even when empty (n=0 -> NULL score),
+      -- matching the driver's leaves.get(leaf, (0, 0)) default
+      SELECT lf.node, coalesce(l.n, 0) AS n, coalesce(l.p, 0) AS p
+      FROM (SELECT unnest([3, 4, 5, 6]) AS node) lf
+      LEFT JOIN leaves_obs l USING (node)
+    )
+    SELECT CAST(0 AS BIGINT) AS node, 'split' AS kind, f AS feature,
+           {r6.format(x='thr')} AS threshold,
+           CAST(NULL AS VARCHAR) AS prediction,
+           {r6.format(x='g')} AS score
+    FROM best0
+    UNION ALL
+    SELECT CAST(1 AS BIGINT), 'split', f, {r6.format(x='thr')},
+           CAST(NULL AS VARCHAR), {r6.format(x='g')} FROM best1
+    UNION ALL
+    SELECT CAST(2 AS BIGINT), 'split', f, {r6.format(x='thr')},
+           CAST(NULL AS VARCHAR), {r6.format(x='g')} FROM best2
+    UNION ALL
+    SELECT CAST(node AS BIGINT), 'leaf', CAST(NULL AS VARCHAR),
+           CAST(NULL AS DOUBLE),
+           CASE WHEN 2 * p > n THEN 'R' ELSE 'other' END,
+           CASE WHEN n > 0
+                THEN {r6.format(x='(CAST(p AS DOUBLE) / CAST(n AS DOUBLE))')}
+                END
+    FROM leaves
+    """
+
+
+@register("ml_decision_tree_depth2", oracle=_tree_oracle())
 def ml_decision_tree_depth2(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Depth-2 CART classification tree (Breiman et al. 1984) for
     P(l_returnflag = 'R') over [quantity, discount, tax] — exact
@@ -2641,8 +2825,16 @@ def ml_decision_tree_depth2(spark: SparkSession, sf_dir: str) -> DataFrame:
     state. At continuous features, bin to quantile sketches first (the
     standard Spark MLlib / LightGBM treatment).
 
-    Rows-only (argmin over doubles has no SQL twin); tests/test_ml.py
-    pins every node's split, counts, and Gini against a numpy twin.
+    ORACLED (r11, upgraded from rows-only): the argmin IS SQL-twinnable
+    here because every Gini is a fixed IEEE expression over EXACT
+    integer class counts (bounded value grids -> prefix sums of ints),
+    so the candidate scores are bit-identical across engines and
+    ORDER BY (g, feature, threshold) LIMIT 1 reproduces the driver's
+    (g, f, v) tuple-min exactly — including the string tie-break
+    (binary collation == Python ASCII compare). The oracle derives
+    both levels and the leaf table from ONE cell compression; Gini
+    uses explicit products (no **) so the trees mirror.
+    tests/test_ml.py still pins every node against a numpy twin.
     Output: one row per node — node 0 root, 1/2 its left/right children
     (split nodes), 3..6 the depth-2 leaves with class predictions."""
     import numpy as np
@@ -2692,8 +2884,18 @@ def ml_decision_tree_depth2(spark: SparkSession, sf_dir: str) -> DataFrame:
                 rn, rp = tot_n - ln, tot_p - lp
                 if ln == 0 or rn == 0:
                     continue
-                gl = 1.0 - (lp / ln) ** 2 - ((ln - lp) / ln) ** 2
-                gr = 1.0 - (rp / rn) ** 2 - ((rn - rp) / rn) ** 2
+                # products, not **2 — mirrors the oracle's expression
+                # tree exactly (the shared-expression contract)
+                gl = (
+                    1.0
+                    - (lp / ln) * (lp / ln)
+                    - ((ln - lp) / ln) * ((ln - lp) / ln)
+                )
+                gr = (
+                    1.0
+                    - (rp / rn) * (rp / rn)
+                    - ((rn - rp) / rn) * ((rn - rp) / rn)
+                )
                 g = (ln * gl + rn * gr) / tot_n
                 cand = (g, f, v)
                 if best is None or cand < best:
@@ -2724,14 +2926,17 @@ def ml_decision_tree_depth2(spark: SparkSession, sf_dir: str) -> DataFrame:
     }
     li.unpersist(blocking=False)
     rows = [
-        (0, "split", f0, float(round(t0, 6)), None, float(round(g0, 6))),
-        (1, "split", l1[1], float(round(l1[2], 6)), None, float(round(l1[0], 6))),
-        (2, "split", l2[1], float(round(l2[2], 6)), None, float(round(l2[0], 6))),
+        (0, "split", f0, _round6_floor(t0), None, _round6_floor(g0)),
+        (1, "split", l1[1], _round6_floor(l1[2]), None, _round6_floor(l1[0])),
+        (2, "split", l2[1], _round6_floor(l2[2]), None, _round6_floor(l2[0])),
     ]
     for leaf in (3, 4, 5, 6):
         n, p = leaves.get(leaf, (0, 0))
         pred = "R" if 2 * p > n else "other"
-        rows.append((leaf, "leaf", None, None, pred, float(round(p / n, 6)) if n else None))
+        rows.append(
+            (leaf, "leaf", None, None, pred,
+             _round6_floor(p / n) if n else None)
+        )
     return spark.createDataFrame(
         rows,
         "node bigint, kind string, feature string, threshold double, "

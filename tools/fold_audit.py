@@ -33,6 +33,15 @@ from go_batch_processor_spark.registry import REGISTRY, _ensure_loaded
 WHITELIST = {
     "stats_welch_anova",          # 3-element grp-ordered fold; r09 watch
     "timeseries_ses_grid_search", # scalar-fold contract probed vs DuckDB
+    # r11: driver-side Python fold in t order mirrored by the oracle's
+    # list_reduce(list(ORDER BY t)) — per-term trig is glibc-bit-equal
+    # (Python math.* == DuckDB, verified 30k probes) and the fold order
+    # is pinned on BOTH sides, so this is the KM ordered-fold construct,
+    # not the exp(sum(ln)) class the lint exists for. Residual risk is a
+    # DuckDB/libm build change on the driver host — shared with every
+    # r11 libm-based oracle (platt/cox/logreg) and watched via the
+    # driver gate; justification recorded in HANDOFF round-11.
+    "timeseries_periodogram",
 }
 
 
