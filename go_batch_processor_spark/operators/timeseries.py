@@ -2946,7 +2946,81 @@ def timeseries_croston(spark: SparkSession, sf_dir: str) -> DataFrame:
 DTW_BAND = 10  # Sakoe-Chiba radius (days)
 
 
-@register("timeseries_dtw_distance", tags={"rows_only"})
+def _dtw_oracle() -> str:
+    """DuckDB twin of timeseries_dtw_distance: the IDENTICAL banded DP
+    replayed as a nested ordered list fold. The accumulator-with-init
+    trick: list_reduce has no init argument in this build, so the init
+    ROW rides as the PREPENDED first element of a list-of-lists (the
+    seed of the fold), and scalar step inputs are single-element lists
+    to share the accumulator's LIST type. Everything is IEEE-exact
+    arithmetic over bit-identical z-scores (exact integer sufficient
+    stats -> one cast each -> shared division/sqrt tree; sqrt is
+    correctly rounded, no libm), and the fold replays the JVM
+    aggregate()'s exact |.| + least() sequence — bit-identical DP
+    cells, bit-identical distance."""
+    return f"""
+    WITH daily AS (
+      SELECT date_trunc('day', ts) AS d,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS rev,
+             CAST(count(*) AS BIGINT) AS cnt
+      FROM events GROUP BY 1
+    ),
+    gs AS (
+      SELECT CAST(count(*) AS DOUBLE) AS nd,
+             CAST(sum(rev) AS DOUBLE) AS sa,
+             CAST(sum(CAST(rev AS HUGEINT) * rev) AS DOUBLE) AS qa,
+             CAST(sum(cnt) AS DOUBLE) AS sb,
+             CAST(sum(CAST(cnt AS HUGEINT) * cnt) AS DOUBLE) AS qb
+      FROM daily
+    ),
+    z AS (
+      SELECT d,
+             (rev - sa / nd)
+               / sqrt((qa - sa * sa / nd) / (nd - CAST(1 AS DOUBLE))) AS za,
+             (cnt - sb / nd)
+               / sqrt((qb - sb * sb / nd) / (nd - CAST(1 AS DOUBLE))) AS zb
+      FROM daily, gs
+    ),
+    arr AS (
+      SELECT list(za ORDER BY d) AS av, list(zb ORDER BY d) AS bv,
+             CAST(count(*) AS BIGINT) AS n
+      FROM z
+    ),
+    dp AS (
+      SELECT n AS n_a, n AS n_b,
+        list_reduce(
+          list_prepend(
+            [CAST(0 AS DOUBLE)]
+              || list_transform(generate_series(1, CAST(n AS INT)),
+                                j -> CAST('infinity' AS DOUBLE)),
+            list_transform(generate_series(1, CAST(n AS INT)),
+                           i -> [CAST(i AS DOUBLE)])
+          ),
+          (prev, xi) -> list_reduce(
+            list_prepend([CAST('infinity' AS DOUBLE)],
+                         list_transform(generate_series(1, CAST(n AS INT)),
+                                        j -> [CAST(j AS DOUBLE)])),
+            (cur, xj) -> list_append(cur,
+              CASE WHEN abs(xi[1] - xj[1]) > {DTW_BAND}
+                   THEN CAST('infinity' AS DOUBLE)
+                   ELSE abs(av[CAST(xi[1] AS INT)] - bv[CAST(xj[1] AS INT)])
+                        + least(prev[CAST(xj[1] AS INT) + 1],
+                                prev[CAST(xj[1] AS INT)],
+                                cur[-1])
+              END)
+          )
+        ) AS dprow
+      FROM arr
+    )
+    SELECT n_a, n_b, CAST({DTW_BAND} AS BIGINT) AS band,
+           round(dprow[CAST(n_a AS INT) + 1], 6) AS dtw_distance,
+           round(dprow[CAST(n_a AS INT) + 1] / (n_a + n_b), 6)
+             AS dtw_normalized
+    FROM dp
+    """
+
+
+@register("timeseries_dtw_distance", oracle=_dtw_oracle())
 def timeseries_dtw_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dynamic Time Warping distance (Sakoe & Chiba 1978) between the
     z-normalized daily revenue and daily event-count series — "do the
@@ -2960,10 +3034,16 @@ def timeseries_dtw_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     a nested JVM aggregate() fold — the outer fold carries the previous
     DP row, the inner fold builds each row left to right (the banded
     cells skipped as +inf). ~n·m = 10³ interpreted HOF steps on a 1-row
-    frame — micro work; NO per-cell shuffle, no Python. Rows-only:
-    the fold is pinned against a pure-Python DP twin
-    (tests/test_round7b_invariants.py) — both sides are the same
-    IEEE |·|, +, min sequence, so they agree bit-exactly.
+    frame — micro work; NO per-cell shuffle, no Python.
+
+    ORACLED (r11, upgraded from rows-only): the DP is a fixed IEEE
+    |·| + least() sequence over bit-identical z-scores (exact integer
+    sufficient stats, one cast each, correctly-rounded sqrt — no libm
+    anywhere), so the DuckDB twin replays the IDENTICAL fold as nested
+    list_reduce with the init-row-as-first-element trick (this build's
+    list_reduce has no init argument; the seed row rides prepended in
+    a list-of-lists) — bit-identical DP cells, bit-identical distance.
+    tests/test_round7b_invariants.py still pins the pure-Python DP twin.
 
     Scale: a single DTW is inherently small (two bounded series); the
     100 TB shape is millions of INDEPENDENT DTWs (per sku/user pair),
