@@ -562,6 +562,37 @@ def _sym(i: int, j: int) -> str:
     return f"xx_{min(i, j)}_{max(i, j)}"
 
 
+def _chol_solve_stages(d: int, m, v) -> list[tuple[str, str]]:
+    """Stages solving the symmetric positive-definite system M b = V by
+    CHOLESKY + two triangular solves — the shared-expression alternative
+    to Cramer when d is too big for cofactor expansion (d=10 Cramer is
+    10! terms; Cholesky is d(d+1)/2 + 2d stages). No pivoting: normal
+    equations of a full-rank design are PD, so the diagonal never needs
+    it, and sqrt is IEEE-correctly-rounded on both engines."""
+    st = []
+    for j in range(d):
+        expr = m(j, j)
+        for k in range(j):
+            expr = f"{expr} - l_{j}_{k}*l_{j}_{k}"
+        st.append((f"l_{j}_{j}", f"sqrt({expr})"))
+        for i in range(j + 1, d):
+            e = m(i, j)
+            for k in range(j):
+                e = f"{e} - l_{i}_{k}*l_{j}_{k}"
+            st.append((f"l_{i}_{j}", f"({e})/l_{j}_{j}"))
+    for j in range(d):
+        e = v(j)
+        for k in range(j):
+            e = f"{e} - l_{j}_{k}*yf_{k}"
+        st.append((f"yf_{j}", f"({e})/l_{j}_{j}"))
+    for i in reversed(range(d)):
+        e = f"yf_{i}"
+        for k in range(i + 1, d):
+            e = f"{e} - l_{k}_{i}*b{k}"
+        st.append((f"b{i}", f"({e})/l_{i}_{i}"))
+    return st
+
+
 def _ols_stages() -> list[tuple[str, str]]:
     """OLS over doubles xx_i_j (i<=j), xy_i, yy, sy, nd: Cramer 4x4,
     then R^2 from the same sufficient statistics."""

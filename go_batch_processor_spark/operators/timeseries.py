@@ -2557,7 +2557,107 @@ def timeseries_kalman_smoother(spark: SparkSession, sf_dir: str) -> DataFrame:
 PW_CHANGEPOINTS = (11, 21)  # hinge knots (day index) for the trend
 
 
-@register("timeseries_piecewise_trend", tags={"rows_only"})
+_PW_D = 2 + len(PW_CHANGEPOINTS) + 6  # intercept, t, hinges, dow dummies
+
+
+def _pw_stages() -> list[tuple[str, str]]:
+    """Cholesky-solved normal equations + moment-form RMSE over doubles
+    m_i_j (i<=j, exact-int design moments), v_i (X'y), yy, nd — shared
+    verbatim between the driver eval and the oracle CTE chain."""
+    from go_batch_processor_spark.operators.ml import _chol_solve_stages
+
+    def m(i, j):
+        return f"m_{min(i, j)}_{max(i, j)}"
+
+    stages = _chol_solve_stages(_PW_D, m, lambda i: f"v_{i}")
+    bty = " + ".join(f"b{i}*v_{i}" for i in range(_PW_D))
+    btmb = " + ".join(
+        f"b{i}*b{j}*{m(i, j)}" for i in range(_PW_D) for j in range(_PW_D)
+    )
+    stages += [
+        ("bty", f"({bty})"),
+        ("btmb", f"({btmb})"),
+        ("ss_res", "yy - 2*bty + btmb"),
+        # moment-form SSE can float a hair negative on a near-perfect
+        # fit; clamp before the sqrt on BOTH engines
+        ("rmse", "sqrt(greatest(ss_res/nd, 0))"),
+    ]
+    return stages
+
+
+def _pw_design_sql() -> list[str]:
+    cols = ["1 AS x0", "rn AS x1"]
+    for c in PW_CHANGEPOINTS:
+        cols.append(f"greatest(0, rn - {c}) AS x{len(cols)}")
+    for k in range(1, 7):
+        cols.append(f"CASE WHEN wd = {k} THEN 1 ELSE 0 END AS x{len(cols)}")
+    return cols
+
+
+def _pw_oracle() -> str:
+    from go_batch_processor_spark.operators.ml import _stage_ctes
+
+    sums = ["CAST(count(*) AS BIGINT) AS n",
+            "sum(CAST(yc AS HUGEINT) * yc) AS yyi"]
+    prep = ["CAST(n AS DOUBLE) AS nd",
+            "CAST(yyi AS DOUBLE) / CAST(10000 AS DOUBLE) AS yy"]
+    for i in range(_PW_D):
+        sums.append(f"sum(CAST(x{i} AS HUGEINT) * yc) AS vi_{i}")
+        prep.append(f"CAST(vi_{i} AS DOUBLE) / CAST(100 AS DOUBLE) AS v_{i}")
+        for j in range(i, _PW_D):
+            sums.append(f"sum(CAST(x{i} AS HUGEINT) * x{j}) AS mi_{i}_{j}")
+            prep.append(f"CAST(mi_{i}_{j} AS DOUBLE) AS m_{i}_{j}")
+    ctes, last = _stage_ctes(_pw_stages(), "vals", prefix="pw")
+    r6 = (
+        "floor({x} * CAST(1000000 AS DOUBLE) + CAST(0.5 AS DOUBLE))"
+        " / CAST(1000000 AS DOUBLE)"
+    )
+    r4 = (
+        "floor({x} * CAST(10000 AS DOUBLE) + CAST(0.5 AS DOUBLE))"
+        " / CAST(10000 AS DOUBLE)"
+    )
+    terms = (
+        ["intercept", "slope"]
+        + [f"hinge_d{c}" for c in PW_CHANGEPOINTS]
+        + [f"dow_{k}" for k in range(1, 7)]
+    )
+    outs = [
+        f"SELECT '{t}' AS term, {r6.format(x=f'b{k}')} AS value FROM {last}"
+        for k, t in enumerate(terms)
+    ] + [
+        f"SELECT 'rmse', {r4.format(x='rmse')} FROM {last}",
+        f"SELECT 'n_days', nd FROM {last}",
+    ]
+    body = "\n    UNION ALL\n    ".join(outs)
+    return f"""
+    WITH daily AS MATERIALIZED (
+      SELECT date_trunc('day', ts) AS d,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS yc
+      FROM events GROUP BY 1
+    ),
+    idx AS MATERIALIZED (
+      SELECT CAST(row_number() OVER (ORDER BY d) AS BIGINT) AS rn,
+             CAST(isodow(d) - 1 AS BIGINT) AS wd,
+             yc
+      FROM daily
+    ),
+    design AS MATERIALIZED (
+      SELECT {", ".join(_pw_design_sql())}, yc FROM idx
+    ),
+    vals_i AS MATERIALIZED (
+      SELECT {", ".join(sums)}
+      FROM design
+    ),
+    vals AS MATERIALIZED (
+      SELECT {", ".join(prep)}
+      FROM vals_i
+    ),
+    {ctes}
+    {body}
+    """
+
+
+@register("timeseries_piecewise_trend", oracle=_pw_oracle())
 def timeseries_piecewise_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Prophet-style structural trend fit (Taylor & Letham 2018, "Fore-
     casting at scale"): daily totals regressed on a piecewise-linear
@@ -2574,43 +2674,58 @@ def timeseries_piecewise_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     sufficient-stats idiom, same class as ml_ols' X'X collect). Nothing
     about the fit depends on corpus size; only the daily agg does.
 
-    Rows-only (driver lstsq has no SQL twin); tests pin coefficients,
-    fitted RMSE, and the piecewise-slope interpretation against an
-    independent numpy twin built from DuckDB's daily series.
+    ORACLED (r11, upgraded from rows-only — the OLS shared-expression
+    precedent at d=10): lstsq (SVD, no SQL twin) is replaced by the
+    normal equations with EXACT integer design moments (t, hinges, and
+    dummies are integers; X'y in cents) solved through generated
+    CHOLESKY stages (_chol_solve_stages — Cramer at d=10 would be 10!
+    terms) shared verbatim with the oracle's CTE chain; RMSE comes from
+    the same moments in quadratic form with a greatest(.,0) clamp
+    before the sqrt on both engines. Bit-exact across engines; the
+    numpy lstsq twin (1e-5) still pins the math.
     """
-    import numpy as np
+    import math
 
     ev = load_table(spark, sf_dir, "events")
     daily = (
         ev.groupBy(F.date_trunc("day", "ts").alias("d"))
-        .agg(
-            (F.sum(F.round(F.col("value") * 100).cast("long")) / 100.0).alias(
-                "v"
-            )
-        )
+        .agg(F.sum(F.round(F.col("value") * 100).cast("long")).alias("yc"))
         .orderBy("d")
     )
     rows = daily.collect()  # calendar-bounded: one row per day
     n = len(rows)
-    t = np.arange(1, n + 1, dtype=np.float64)
-    v = np.array([r.v for r in rows])
-    dow = np.array([r.d.weekday() for r in rows])
-    X = [np.ones(n), t]
-    for c in PW_CHANGEPOINTS:
-        X.append(np.maximum(0.0, t - c))
-    for k in range(1, 7):
-        X.append((dow == k).astype(np.float64))
-    X = np.column_stack(X)
-    beta, *_ = np.linalg.lstsq(X, v, rcond=None)
-    fitted = X @ beta
-    rmse = float(np.sqrt(np.mean((v - fitted) ** 2)))
+    xs = []
+    ycs = []
+    for t_idx, r in enumerate(rows, start=1):
+        wd = r.d.weekday()  # Mon=0..Sun=6 == DuckDB isodow(d) - 1
+        x = [1, t_idx]
+        for c in PW_CHANGEPOINTS:
+            x.append(max(0, t_idx - c))
+        for k in range(1, 7):
+            x.append(1 if wd == k else 0)
+        xs.append(x)
+        ycs.append(int(r.yc))
+    ns = {"nd": float(n),
+          "yy": sum(c * c for c in ycs) / 10000.0,
+          "sqrt": math.sqrt,
+          "greatest": max}
+    for i in range(_PW_D):
+        ns[f"v_{i}"] = sum(x[i] * c for x, c in zip(xs, ycs)) / 100.0
+        for j in range(i, _PW_D):
+            ns[f"m_{i}_{j}"] = float(sum(x[i] * x[j] for x in xs))
+    from go_batch_processor_spark.operators.ml import (
+        _eval_stages,
+        _round6_floor,
+    )
+
+    ns = _eval_stages(_pw_stages(), ns)
     terms = (
         ["intercept", "slope"]
         + [f"hinge_d{c}" for c in PW_CHANGEPOINTS]
         + [f"dow_{k}" for k in range(1, 7)]
     )
-    out = [(term, float(round(b, 6))) for term, b in zip(terms, beta)] + [
-        ("rmse", float(round(rmse, 4))),
+    out = [(t_, _round6_floor(ns[f"b{k}"])) for k, t_ in enumerate(terms)] + [
+        ("rmse", math.floor(ns["rmse"] * 10000.0 + 0.5) / 10000.0),
         ("n_days", float(n)),
     ]
     return spark.createDataFrame(out, "term string, value double")
@@ -3130,7 +3245,132 @@ def timeseries_dtw_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
 PELT_MIN_SIZE = 3
 
 
-@register("timeseries_changepoint_pelt", tags={"rows_only"})
+def _pelt_oracle() -> str:
+    """DuckDB twin of timeseries_changepoint_pelt: the IDENTICAL
+    pruned DP replayed as a recursive-CTE state machine — one row per
+    t carrying (fcost, last, cands) as LISTS, the per-t argmin as an
+    ordered list fold (first-strict-min == the driver loop's `c <
+    best` over cands in insertion order), pruning as list_filter over
+    the same inequality, and the backtrack as a second recursive walk
+    over the final `last` list. Costs are fixed IEEE expressions over
+    prefix sums of exact integer cents (built by ordered list folds),
+    beta's ln(n) is glibc-bit-equal, so every comparison the DP makes
+    is over bit-identical doubles — the discrete choices (argmin,
+    pruning set, changepoints) replay EXACTLY, the one regime where a
+    data-dependent DP crosses engines (cf. SCALE.md round-11: discrete
+    argmax is safe iff its operands are bit-identical)."""
+    msz = PELT_MIN_SIZE
+    inf = "CAST('infinity' AS DOUBLE)"
+    tt = "(w.t + 1)"
+    # sse(s, tt) with s = a double expression `{s}`; list indices 1-based
+    def sse(s: str) -> str:
+        return (
+            f"((p.pq[CAST({tt} AS INT) + 1] - p.pq[CAST({s} AS INT) + 1])"
+            f" - (p.ps[CAST({tt} AS INT) + 1] - p.ps[CAST({s} AS INT) + 1])"
+            f" * (p.ps[CAST({tt} AS INT) + 1] - p.ps[CAST({s} AS INT) + 1])"
+            f" / ({tt} - {s}))"
+        )
+
+    cost_e = f"(w.fcost[CAST(e[1] AS INT) + 1] + {sse('e[1]')} + p.beta)"
+    fold = (
+        "list_reduce(list_prepend("
+        f"[{inf}, CAST(0 AS DOUBLE)],"
+        " list_transform(w.cands, s -> [CAST(s AS DOUBLE),"
+        " CAST(0 AS DOUBLE)])),"
+        f" (acc, e) -> CASE WHEN {tt} - e[1] >= {msz}"
+        f" AND {cost_e} < acc[1]"
+        f" THEN [{cost_e}, e[1]] ELSE acc END)"
+    )
+    prune_keep = (
+        f"w.fcost[CAST(s AS INT) + 1]"
+        f" + ((p.pq[CAST({tt} AS INT) + 1] - p.pq[CAST(s AS INT) + 1])"
+        f" - (p.ps[CAST({tt} AS INT) + 1] - p.ps[CAST(s AS INT) + 1])"
+        f" * (p.ps[CAST({tt} AS INT) + 1] - p.ps[CAST(s AS INT) + 1])"
+        f" / ({tt} - s)) <= bb[1]"
+    )
+    r2 = (
+        "floor({x} * CAST(100 AS DOUBLE) + CAST(0.5 AS DOUBLE))"
+        " / CAST(100 AS DOUBLE)"
+    )
+    return f"""
+    WITH RECURSIVE daily AS (
+      SELECT date_trunc('day', ts) AS d,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS x
+      FROM events GROUP BY 1
+    ),
+    arr AS (
+      SELECT list(CAST(x AS DOUBLE) ORDER BY d) AS xs,
+             list(d ORDER BY d) AS days,
+             CAST(count(*) AS BIGINT) AS n
+      FROM daily
+    ),
+    pre AS (
+      SELECT n, days, xs,
+        list_reduce(list_prepend([CAST(0 AS DOUBLE)],
+                                 list_transform(xs, v -> [v])),
+                    (acc, e) -> list_append(acc, acc[-1] + e[1])) AS ps,
+        list_reduce(list_prepend([CAST(0 AS DOUBLE)],
+                                 list_transform(xs, v -> [v])),
+                    (acc, e) -> list_append(acc, acc[-1] + e[1] * e[1]))
+          AS pq
+      FROM arr
+    ),
+    prm AS (
+      SELECT n, days, ps, pq,
+             (CAST(2 AS DOUBLE)
+              * ((pq[CAST(n AS INT) + 1]
+                  - ps[CAST(n AS INT) + 1] * ps[CAST(n AS INT) + 1] / n)
+                 / (n - 1)))
+             * ln(n) AS beta
+      FROM pre
+    ),
+    walk(t, fcost, lastv, cands) AS (
+      SELECT CAST({msz - 1} AS BIGINT),
+             [CAST(0 AS DOUBLE)]
+               || list_transform(generate_series(1, CAST(n AS INT)),
+                                 i -> {inf}),
+             list_transform(generate_series(0, CAST(n AS INT)),
+                            i -> CAST(0 AS BIGINT)),
+             [CAST(0 AS BIGINT)]
+      FROM prm
+      UNION ALL
+      SELECT {tt},
+             CASE WHEN bb[1] < {inf}
+                  THEN w.fcost[1:CAST({tt} AS INT)] || [bb[1]]
+                       || w.fcost[CAST({tt} AS INT) + 2:CAST(p.n AS INT) + 1]
+                  ELSE w.fcost END,
+             CASE WHEN bb[1] < {inf}
+                  THEN w.lastv[1:CAST({tt} AS INT)]
+                       || [CAST(bb[2] AS BIGINT)]
+                       || w.lastv[CAST({tt} AS INT) + 2:CAST(p.n AS INT) + 1]
+                  ELSE w.lastv END,
+             CASE WHEN bb[1] < {inf}
+                  THEN list_filter(w.cands, s -> {prune_keep}) || [{tt}]
+                  ELSE w.cands END
+      FROM walk w, prm p, LATERAL (SELECT {fold} AS bb) f
+      WHERE w.t < p.n
+    ),
+    fin AS (
+      SELECT w.fcost, w.lastv FROM walk w, prm p WHERE w.t = p.n
+    ),
+    bt(t, s) AS (
+      SELECT p.n, f.lastv[CAST(p.n AS INT) + 1] FROM fin f, prm p
+      UNION ALL
+      SELECT b.s, f.lastv[CAST(b.s AS INT) + 1]
+      FROM bt b, fin f WHERE b.s > 0
+    )
+    SELECT CAST(row_number() OVER (ORDER BY s) - 1 AS BIGINT) AS segment,
+           p.days[CAST(s AS INT) + 1] AS start_day,
+           p.days[CAST(t AS INT)] AS end_day,
+           t - s AS n_days,
+           {r2.format(x='(((p.ps[CAST(t AS INT) + 1]'
+                        ' - p.ps[CAST(s AS INT) + 1]) / (t - s))'
+                        ' / CAST(100 AS DOUBLE))')} AS mean_revenue
+    FROM bt, prm p
+    """
+
+
+@register("timeseries_changepoint_pelt", oracle=_pelt_oracle())
 def timeseries_changepoint_pelt(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Optimal multiple-changepoint segmentation of the daily revenue
     series with PELT (Killick, Fearnhead & Eckley 2012): minimize
@@ -3146,9 +3386,21 @@ def timeseries_changepoint_pelt(spark: SparkSession, sf_dir: str) -> DataFrame:
     DP runs driver-side over those ~tens of rows; segment stats are
     re-emitted as a small DataFrame. At 100 TB the daily frame is still
     calendar-bounded (3 650 rows a decade): the collect does not grow
-    with the corpus, only with the calendar. Rows-only: exact-DP twin
-    (no pruning) pinned in tests — PELT's pruning is exactness-
-    preserving, so both must agree on the segmentation."""
+    with the corpus, only with the calendar.
+
+    ORACLED (r11, upgraded from rows-only): every cost the DP compares
+    is a fixed IEEE expression over prefix sums of exact integer cents
+    (order-pinned folds on both sides) and beta's ln(n) is
+    glibc-bit-equal, so the argmin, the pruning set, and the
+    changepoints replay EXACTLY in the oracle's recursive-CTE state
+    machine — one row per t carrying (fcost, last, cands) as lists,
+    first-strict-min fold over cands in insertion order, list_filter
+    pruning, and a second recursive walk for the backtrack. The
+    fixture yields one segment at every SF, so the multi-segment
+    machinery is pinned by a synthetic two-shift parity test
+    (tests/test_round11_property.py) plus the exact-DP (no pruning)
+    twin — PELT's pruning is exactness-preserving, so all three must
+    agree on the segmentation."""
     import math
 
     ev = load_table(spark, sf_dir, "events")
@@ -3209,7 +3461,9 @@ def timeseries_changepoint_pelt(spark: SparkSession, sf_dir: str) -> DataFrame:
                 days[s],
                 days[t - 1],
                 t - s,
-                float(round(seg_mean / 100.0, 2)),
+                # floor-round idiom shared with the oracle (a segment
+                # mean can land exactly on a cent half-point)
+                math.floor((seg_mean / 100.0) * 100.0 + 0.5) / 100.0,
             )
         )
     return spark.createDataFrame(

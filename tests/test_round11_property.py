@@ -415,3 +415,54 @@ def test_discord_topk_oracle_is_profile_maxima(vals):
             r.mp_dist for _, r in prof.iterrows() if int(r.i) not in included
         )
         assert worst_in >= best_out - 1e-6
+
+
+# -- PELT multi-segment oracle parity (the fixture never splits) -------------
+
+def test_pelt_oracle_multi_segment_synthetic(spark, tmp_path):
+    """The fixture series yields ONE segment at every SF, so the
+    oracle's pruning + backtrack machinery never runs under the driver
+    gate. Pin it here: a synthetic series with two hard level shifts
+    must produce the SAME multi-segment answer from the Spark DP and
+    the recursive-CTE replay — including the segment boundaries the
+    data-dependent pruning must not corrupt."""
+    import duckdb
+    import pandas as pd
+
+    from go_batch_processor_spark.registry import REGISTRY
+
+    rows = []
+    levels = [100.0] * 12 + [900.0] * 12 + [300.0] * 12
+    for i, lv in enumerate(levels):
+        # two events per day with deterministic wiggle
+        for j in range(2):
+            rows.append(
+                {
+                    "ts": pd.Timestamp("2024-03-01")
+                    + pd.Timedelta(days=i, hours=j),
+                    "value": lv + (i % 3) + j,
+                }
+            )
+    df = pd.DataFrame(rows)
+    df["ts"] = df["ts"].astype("datetime64[us]")
+    d = tmp_path / "src"
+    d.mkdir()
+    df.to_parquet(d / "events.parquet")
+    got = [
+        (r.segment, r.start_day, r.end_day, r.n_days, r.mean_revenue)
+        for r in REGISTRY["timeseries_changepoint_pelt"]
+        .fn(spark, str(d))
+        .collect()
+    ]
+    assert len(got) >= 3, got  # the shifts must be found
+    con = duckdb.connect()
+    con.register("ev_src", df)
+    con.sql("CREATE VIEW events AS SELECT * FROM ev_src")
+    want = [
+        (int(r.segment), r.start_day.to_pydatetime(),
+         r.end_day.to_pydatetime(), int(r.n_days), r.mean_revenue)
+        for _, r in con.sql(REGISTRY["timeseries_changepoint_pelt"].oracle)
+        .df()
+        .iterrows()
+    ]
+    assert got == want

@@ -42,6 +42,14 @@ WHITELIST = {
     # r11 libm-based oracle (platt/cox/logreg) and watched via the
     # driver gate; justification recorded in HANDOFF round-11.
     "timeseries_periodogram",
+    # r11: the prefix-sum folds accumulate INTEGER-VALUED doubles
+    # (daily cents), exact below 2^53 and order-pinned on both sides
+    # (driver loop == list_reduce(ORDER BY d)); the DP itself compares
+    # bit-identical costs, pinned by the multi-segment synthetic parity
+    # test in tests/test_round11_property.py. Past 2^53 daily cents the
+    # widening would go through HUGEINT prefix lists — documented, not
+    # reachable at any fixture scale.
+    "timeseries_changepoint_pelt",
 }
 
 
