@@ -713,7 +713,51 @@ K_CORE = 8
 K_CORE_MAX_ITERS = 30
 
 
-@register("graph_k_core", oracle=None, tags={"rows_only"})
+def _k_core_oracle() -> str:
+    """DuckDB twin of graph_k_core: the peeling loop UNROLLED to the
+    SAME fixed K_CORE_MAX_ITERS cap the Spark loop carries (the
+    platt/svm unrolled-iteration precedent). Equivalence is exact in
+    both regimes: past the fixpoint every extra round is a no-op, and
+    if a pathological graph needed MORE rounds both sides truncate at
+    the identical cap. Node sets and degrees are exact integers —
+    hash-safe with no float story at all. Rounds are MATERIALIZED
+    (each e_t is referenced three times: two anti-joins + the next
+    round — the SVM exponential-inlining trap)."""
+    rounds = []
+    prev = "e0"
+    for t in range(1, K_CORE_MAX_ITERS + 1):
+        rounds.append(f"""
+    bad{t} AS MATERIALIZED (
+      SELECT src AS n FROM {prev} GROUP BY src
+      HAVING count(*) < {K_CORE}
+    ),
+    e{t} AS MATERIALIZED (
+      SELECT e.src, e.dst FROM {prev} e
+      WHERE NOT EXISTS (SELECT 1 FROM bad{t} b WHERE b.n = e.src)
+        AND NOT EXISTS (SELECT 1 FROM bad{t} b WHERE b.n = e.dst)
+    )""")
+        prev = f"e{t}"
+    body = ",".join(rounds)
+    return f"""
+    WITH pairs AS MATERIALIZED (
+      SELECT DISTINCT user_id * 2 AS u,
+             CAST(props->>'k' AS BIGINT) * 2 + 1 AS i
+      FROM events WHERE props->>'k' IS NOT NULL
+    ),
+    e0 AS MATERIALIZED (
+      SELECT u AS src, i AS dst FROM pairs
+      UNION ALL
+      SELECT i AS src, u AS dst FROM pairs
+    ),{body}
+    SELECT src AS node,
+           CASE WHEN src % 2 = 0 THEN 'user' ELSE 'item' END AS kind,
+           CAST(count(*) AS BIGINT) AS core_degree
+    FROM {prev}
+    GROUP BY src
+    """
+
+
+@register("graph_k_core", oracle=_k_core_oracle())
 def graph_k_core(spark: SparkSession, sf_dir: str) -> DataFrame:
     """k-core decomposition (k=8) of the interaction graph by iterative
     peeling: repeatedly delete every node whose degree in the current
@@ -732,8 +776,13 @@ def graph_k_core(spark: SparkSession, sf_dir: str) -> DataFrame:
     than recomputing exactly — same fixpoint, fewer rounds), which is
     exactly what this loop does.
 
-    Rows-only: tests/test_graph.py pins the node set against an
-    independent pandas peeling twin and asserts the degree invariant.
+    ORACLED (r11, upgraded from rows-only): the peeling loop carries a
+    FIXED iteration cap (K_CORE_MAX_ITERS), so the oracle unrolls the
+    identical rounds — past the fixpoint every extra round is a no-op,
+    and a pathological graph truncates identically on both sides. Node
+    sets and degrees are exact integers: no float story at all.
+    tests/test_graph.py still pins the node set against an independent
+    pandas peeling twin and asserts the degree invariant.
     """
     core = _k_core_peel(
         spark, interaction_edges(spark, sf_dir), K_CORE, K_CORE_MAX_ITERS
