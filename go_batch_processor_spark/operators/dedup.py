@@ -346,9 +346,18 @@ def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # for the connected-components consumer (dedup_cluster_components)
     # while dropping intra-cluster pair completeness — the documented
     # recall trade, pinned by tests/test_dedup_llm.py's adversarial
-    # boilerplate corpus. Exact-duplicate mega-clusters should still run
-    # dedup_exact first (its output is this operator's intended input at
-    # 100 TB); the cap is the backstop when they don't.
+    # boilerplate corpus. Heterogeneous mega-buckets (two unrelated
+    # families whose 2-hash band signatures collide in ONE band) do not
+    # break the connectivity claim: the verify step correctly drops the
+    # cross-family star edges, and each family reconnects through its
+    # OWN buckets in the other 11 bands — a family B only lacks
+    # all-pairs there if |B| itself exceeds the cap, in which case B's
+    # homogeneous bucket gets its own B-hub star (r11 self-review: the
+    # failure would need both families to collide in all 12 bands,
+    # i.e. to share signatures — to effectively BE one family).
+    # Exact-duplicate mega-clusters should still run dedup_exact first
+    # (its output is this operator's intended input at 100 TB); the cap
+    # is the backstop when they don't.
     buckets = (
         bands.groupBy("band", "sig")
         .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))

@@ -778,9 +778,14 @@ def graph_k_core(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ORACLED (r11, upgraded from rows-only): the peeling loop carries a
     FIXED iteration cap (K_CORE_MAX_ITERS), so the oracle unrolls the
-    identical rounds — past the fixpoint every extra round is a no-op,
-    and a pathological graph truncates identically on both sides. Node
-    sets and degrees are exact integers: no float story at all.
+    identical rounds — past the fixpoint every extra round is a no-op.
+    A pathological graph that has NOT converged by the cap makes the
+    Spark side raise (fail-loud, the r5 convention in _k_core_peel)
+    while the oracle would return the truncated superset — the
+    non-converged regime therefore surfaces as a loud driver error,
+    never a silent hash mismatch (r11 self-review correction; the
+    fixture converges in <= ~4 rounds at every SF). Node sets and
+    degrees are exact integers: no float story at all.
     tests/test_graph.py still pins the node set against an independent
     pandas peeling twin and asserts the degree invariant.
     """
@@ -1523,10 +1528,16 @@ def _pivot_distances(
     )
     SELECT CASE WHEN node % 2 = 0 THEN 'user' ELSE 'item' END AS kind,
            CAST(floor(node / 2.0) AS BIGINT) AS entity_id,
-           round(CAST({BETW_N_SOURCES} AS DOUBLE) / sum(d), 6) AS closeness
+           -- k = the ACTUAL pivot count, mirroring the Spark side's
+           -- len(sources): on a degenerate graph with fewer than
+           -- {BETW_N_SOURCES} source nodes both sides use the same
+           -- smaller k (r11 self-review find — a literal here would
+           -- silently empty the oracle on tiny graphs)
+           round(CAST((SELECT count(*) FROM pivots) AS DOUBLE)
+                 / sum(d), 6) AS closeness
     FROM d
     GROUP BY node
-    HAVING count(*) = {BETW_N_SOURCES} AND sum(d) > 0
+    HAVING count(*) = (SELECT count(*) FROM pivots) AND sum(d) > 0
     ORDER BY sum(d) ASC, kind ASC, entity_id ASC
     LIMIT {CLOSENESS_TOP_K}
     """,

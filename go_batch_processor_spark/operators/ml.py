@@ -511,6 +511,17 @@ OLS_FEATURES = ["l_quantity", "l_discount", "l_tax"]  # plus intercept
 # conversions explicitly).
 
 
+def _round_sql(grain: int) -> str:
+    """SQL twin of the floor-round idiom (see _round6_floor): a
+    {x}-format template. ONE source of truth — nine hand copies of this
+    determinism-critical string were the r11 self-review's reuse find."""
+    g = 10 ** grain
+    return (
+        f"floor({{x}} * CAST({g} AS DOUBLE) + CAST(0.5 AS DOUBLE))"
+        f" / CAST({g} AS DOUBLE)"
+    )
+
+
 def _det_expr(elem, rows, cols) -> str:
     """Determinant of the submatrix elem(r, c) over rows x cols by
     first-row cofactor expansion — a fixed expression tree."""
@@ -642,10 +653,7 @@ def _ols_oracle() -> str:
                 f" AS xx_{i}_{j}"
             )
     ctes, last = _stage_ctes(_ols_stages(), "vals")
-    r6 = (
-        "floor({x} * CAST(1000000 AS DOUBLE) + CAST(0.5 AS DOUBLE))"
-        " / CAST(1000000 AS DOUBLE)"
-    )
+    r6 = _round_sql(6)
     outs = [
         f"SELECT '{t}' AS term, {r6.format(x=f'b{k}')} AS value FROM {last}"
         for k, t in enumerate(["intercept", *OLS_FEATURES])
@@ -871,10 +879,7 @@ def _logreg_oracle() -> str:
     xb = (f"(((p.bb0 + p.bb1 * {xs[1]}) + p.bb2 * {xs[2]})"
           f" + p.bb3 * {xs[3]})")
     pexpr = f"CAST(1 AS DOUBLE) / (CAST(1 AS DOUBLE) + exp(-({xb})))"
-    r6 = (
-        "floor({x} * CAST(1000000 AS DOUBLE) + CAST(0.5 AS DOUBLE))"
-        " / CAST(1000000 AS DOUBLE)"
-    )
+    r6 = _round_sql(6)
     terms = ["intercept", *LOGREG_FEATURES]
     outs = [
         f"SELECT '{t_}' AS term, {r6.format(x=f'bb{k}')} AS value FROM {prev}"
@@ -1539,10 +1544,7 @@ def _ridge_oracle() -> str:
                 f" AS xx_{i}_{j}"
             )
     ctes, last = _stage_ctes(_ridge_stages(), "vals")
-    r6 = (
-        "floor({x} * CAST(1000000 AS DOUBLE) + CAST(0.5 AS DOUBLE))"
-        " / CAST(1000000 AS DOUBLE)"
-    )
+    r6 = _round_sql(6)
     outs = [f"SELECT 'intercept' AS term, {r6.format(x='icept')} AS value"
             f" FROM {last}"] + [
         f"SELECT '{t}', {r6.format(x=f'b{k}')} FROM {last}"
@@ -2590,10 +2592,7 @@ def _svm_oracle() -> str:
     )""")
         prev = f"p{t}"
     body = ",".join(steps)
-    r6 = (
-        "floor({x} * CAST(1000000 AS DOUBLE) + CAST(0.5 AS DOUBLE))"
-        " / CAST(1000000 AS DOUBLE)"
-    )
+    r6 = _round_sql(6)
     return f"""
     WITH cells AS MATERIALIZED (
       SELECT CAST(round(l_quantity * 2) AS BIGINT)  AS qu,
@@ -2782,10 +2781,7 @@ def _tree_oracle() -> str:
             f" ELSE u3 / CAST(100 AS DOUBLE) END) <= {alias}.thr"
         )
 
-    r6 = (
-        "floor({x} * CAST(1000000 AS DOUBLE) + CAST(0.5 AS DOUBLE))"
-        " / CAST(1000000 AS DOUBLE)"
-    )
+    r6 = _round_sql(6)
     return f"""
     WITH cells AS MATERIALIZED (
       SELECT CAST(round(l_quantity * 100) AS BIGINT) AS u1,
@@ -3553,10 +3549,7 @@ def _platt_oracle() -> str:
     )""")
         prev = f"p{i}"
     body = ",".join(steps)
-    r6 = (
-        "floor({x} * CAST(1000000 AS DOUBLE) + CAST(0.5 AS DOUBLE))"
-        " / CAST(1000000 AS DOUBLE)"
-    )
+    r6 = _round_sql(6)
     return f"""
     WITH cells AS MATERIALIZED (
       SELECT CAST(round(l_quantity * 2) AS BIGINT) AS qu,

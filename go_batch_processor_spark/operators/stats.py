@@ -4842,14 +4842,10 @@ def _cox_oracle() -> str:
         prev = f"b{i}"
     body = ",".join(steps)
     xb = f"((CAST(0 AS DOUBLE) + p.b1 * {x1}) + p.b2 * {x2})"
-    r6 = (
-        "floor({x} * CAST(1000000 AS DOUBLE) + CAST(0.5 AS DOUBLE))"
-        " / CAST(1000000 AS DOUBLE)"
-    )
-    r4 = (
-        "floor({x} * CAST(10000 AS DOUBLE) + CAST(0.5 AS DOUBLE))"
-        " / CAST(10000 AS DOUBLE)"
-    )
+    from go_batch_processor_spark.operators.ml import _round_sql
+
+    r6 = _round_sql(6)
+    r4 = _round_sql(4)
     return f"""
     WITH users AS MATERIALIZED (
       SELECT user_id, min(ts) AS t0,

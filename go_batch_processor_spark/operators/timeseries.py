@@ -2608,14 +2608,10 @@ def _pw_oracle() -> str:
             sums.append(f"sum(CAST(x{i} AS HUGEINT) * x{j}) AS mi_{i}_{j}")
             prep.append(f"CAST(mi_{i}_{j} AS DOUBLE) AS m_{i}_{j}")
     ctes, last = _stage_ctes(_pw_stages(), "vals", prefix="pw")
-    r6 = (
-        "floor({x} * CAST(1000000 AS DOUBLE) + CAST(0.5 AS DOUBLE))"
-        " / CAST(1000000 AS DOUBLE)"
-    )
-    r4 = (
-        "floor({x} * CAST(10000 AS DOUBLE) + CAST(0.5 AS DOUBLE))"
-        " / CAST(10000 AS DOUBLE)"
-    )
+    from go_batch_processor_spark.operators.ml import _round_sql
+
+    r6 = _round_sql(6)
+    r4 = _round_sql(4)
     terms = (
         ["intercept", "slope"]
         + [f"hinge_d{c}" for c in PW_CHANGEPOINTS]
@@ -3288,10 +3284,9 @@ def _pelt_oracle() -> str:
         f" * (p.ps[CAST({tt} AS INT) + 1] - p.ps[CAST(s AS INT) + 1])"
         f" / ({tt} - s)) <= bb[1]"
     )
-    r2 = (
-        "floor({x} * CAST(100 AS DOUBLE) + CAST(0.5 AS DOUBLE))"
-        " / CAST(100 AS DOUBLE)"
-    )
+    from go_batch_processor_spark.operators.ml import _round_sql
+
+    r2 = _round_sql(2)
     return f"""
     WITH RECURSIVE daily AS (
       SELECT date_trunc('day', ts) AS d,

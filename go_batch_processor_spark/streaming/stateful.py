@@ -182,7 +182,14 @@ def streaming_user_running_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # source.
 
 SESSION_TOPK = 3
-SESSION_GAP_US = 30 * 60 * 1_000_000  # = SESSION_GAP_MIN, micros
+# MUST equal operators.streaming_batch.SESSION_GAP_MIN in micros — the
+# batch twin (stream_session_topk) and its oracle sessionize on that
+# constant and the availableNow batch-equivalence gate breaks silently
+# if the two diverge. A direct import here is circular
+# (operators/__init__ -> pipeline_ops -> this module), so the equality
+# is PINNED by tests/test_streaming.py::test_session_gap_constants_agree
+# instead (r11 self-review find).
+SESSION_GAP_US = 30 * 60 * 1_000_000
 SESSION_OUT_SCHEMA = (
     "user_id long, session_start timestamp, session_end timestamp, "
     "n_events long, top1 double, top2 double, top3 double, "
@@ -233,10 +240,19 @@ def _update_session_topk(
         t = int(pd.Timestamp(ts).value) // 1000  # exact micros
         if last is not None and t - last > SESSION_GAP_US:
             out.append(_session_pdf(user_id, start, last, n, vals, "gap"))
-            start, n, vals = None, 0, []
+            start, last, n, vals = None, None, 0, []
         if start is None:
             start = t
-        last = t
+        elif t < start:
+            # in-watermark row from a LATER micro-batch that predates
+            # the open session: merge it backward instead of splitting
+            # (r11 self-review find — `last` regressing could otherwise
+            # emit session_end < session_start and phantom splits; a
+            # single-batch run sorts rows, so this path never fires
+            # there and the availableNow equivalence gate is unchanged)
+            start = t
+        if last is None or t > last:
+            last = t  # event-time high-water of the session, never regresses
         n += 1
         # bounded-state top-k: insert + truncate, never the full session
         vals = sorted(vals + [float(value)], reverse=True)[:SESSION_TOPK]

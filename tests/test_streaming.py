@@ -587,3 +587,86 @@ def test_session_topk_evicts_and_matches_batch_twin(spark, sf_dir, tmp_path):
         if r.user_id >= 0
     }
     assert got == want
+
+
+def test_session_gap_constants_agree():
+    """The streaming operator's gap literal must track the batch twin's
+    SESSION_GAP_MIN (a direct import would be circular — see the
+    comment at stateful.SESSION_GAP_US)."""
+    from go_batch_processor_spark.operators.streaming_batch import (
+        SESSION_GAP_MIN,
+    )
+    from go_batch_processor_spark.streaming.stateful import SESSION_GAP_US
+
+    assert SESSION_GAP_US == SESSION_GAP_MIN * 60 * 1_000_000
+
+
+def test_session_topk_late_cross_batch_rows_merge_backward(spark, tmp_path):
+    """r11 self-review find: an in-watermark row arriving in a LATER
+    micro-batch that predates the open session must merge backward
+    (start min-corrected, last never regressing) instead of splitting
+    the session or emitting session_end < session_start. Two-file
+    source, one file per batch: [12:30] then late [12:10] + [12:50] —
+    the flushed result must be the batch-twin answer: ONE session
+    12:10..12:50 with n_events = 3."""
+    import pandas as pd
+
+    from go_batch_processor_spark.streaming import (
+        rocksdb_state_store,
+        run_session_topk_once,
+    )
+
+    src = tmp_path / "src"
+    src.mkdir()
+
+    def write(name, recs):
+        df = pd.DataFrame(recs)
+        df["ts"] = df["ts"].astype("datetime64[us]")
+        df.to_parquet(src / name)
+
+    base = pd.Timestamp("2024-05-01 12:00:00")
+    write(
+        "00.parquet",
+        [
+            {"event_id": 1, "user_id": 7, "ts": base + pd.Timedelta(minutes=30),
+             "value": 5.0},
+            # watermark driver: keeps user 7's rows in-watermark
+            {"event_id": 2, "user_id": -1, "ts": base + pd.Timedelta(minutes=40),
+             "value": 0.0},
+        ],
+    )
+    schema = spark.read.parquet(str(src)).schema
+    ckpt = str(tmp_path / "ckpt")
+    with rocksdb_state_store(spark):
+        run_session_topk_once(spark, str(src), ckpt, schema)
+        write(
+            "01.parquet",
+            [
+                {"event_id": 3, "user_id": 7,
+                 "ts": base + pd.Timedelta(minutes=10), "value": 9.0},
+                {"event_id": 4, "user_id": 7,
+                 "ts": base + pd.Timedelta(minutes=50), "value": 7.0},
+                # sentinel flushes every session via timeout
+                {"event_id": 5, "user_id": -1,
+                 "ts": base + pd.Timedelta(days=10), "value": 0.0},
+            ],
+        )
+        rows = run_session_topk_once(spark, str(src), ckpt, schema).collect()
+        rows += run_session_topk_once(spark, str(src), ckpt, schema).collect()
+    got = [
+        (r.session_start, r.session_end, r.n_events, r.top1, r.top2, r.top3)
+        for r in rows
+        if r.user_id == 7
+    ]
+    assert got == [
+        (
+            (base + pd.Timedelta(minutes=10)).to_pydatetime(),
+            (base + pd.Timedelta(minutes=50)).to_pydatetime(),
+            3,
+            9.0,
+            7.0,
+            5.0,
+        )
+    ], got
+    for r in rows:  # the invariant the old code could break
+        assert r.session_end >= r.session_start
