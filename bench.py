@@ -165,6 +165,9 @@ HEADLINE = [
     # round 11 addition: the fourth matrix-profile consumer — in-bench
     # it should read ~0.1 s after the family key (shared-frame evidence)
     "timeseries_discord_topk",
+    # round 12 addition: the funnel-attribution key (one user_id shuffle
+    # + two chained last_value window passes — the no-range-join plan)
+    "stream_funnel_conversion",
 ]
 # r8: headliner list intentionally FROZEN at the r7 set — the round froze
 # new registry keys to drain the driver-sample backlog, and an identical
@@ -199,6 +202,11 @@ CHECKPOINT_HEAVY = [
     # containment 1.52 s — both ambient drift, plans unchanged).
     "stats_cox_ph",
     "dedup_containment_ngram",
+    # r12 (r11 verdict item 4): the one recovered r11 in-bench uptick
+    # (0.89 -> 1.15 s after discord joined as the fourth _mp_dists
+    # consumer) — record its standalone pair to separate interleave
+    # noise from a real cache-path change.
+    "timeseries_matrix_profile",
 ]
 
 

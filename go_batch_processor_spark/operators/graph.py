@@ -818,7 +818,7 @@ def _k_core_peel(
     generations = [cur]
     converged = False
     try:
-        for _ in range(max_iters):
+        for it in range(max_iters):
             deg = cur.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
             bad = deg.filter(F.col("d") < k).select(F.col("src").alias("n"))
             if bad.count() == 0:
@@ -829,6 +829,15 @@ def _k_core_peel(
                 .join(bad.withColumnRenamed("n", "m"), cur["dst"] == F.col("m"), "left_anti")
                 .persist(StorageLevel.MEMORY_AND_DISK)
             )
+            if (it + 1) % 4 == 0:
+                # lineage hygiene (r12): each round's plan nests the
+                # previous round's TWICE (bad is derived from cur), so
+                # the analyzed plan grows exponentially and a deep peel
+                # (> ~8 rounds) OOMs the DRIVER on plan strings alone —
+                # found by the r12 pathological-path test, latent at the
+                # 30-round cap. Truncate every 4th round (the
+                # dedup_cluster_components idiom).
+                nxt = nxt.localCheckpoint(eager=True)
             generations.append(nxt)
             cur = nxt
         if not converged:

@@ -2861,6 +2861,12 @@ def ml_decision_tree_depth2(spark: SparkSession, sf_dir: str) -> DataFrame:
     (binary collation == Python ASCII compare). The oracle derives
     both levels and the leaf table from ONE cell compression; Gini
     uses explicit products (no **) so the trees mirror.
+    DEGENERATE INPUTS FAIL LOUD (r12 ADVICE): when any node has no
+    valid split (a single distinct value under the gate) the driver
+    raises ValueError rather than emitting a sentinel — the oracle's
+    empty best CTE would silently empty the leaves, so a crash is the
+    only cross-engine-comparable outcome (the singular-X'X idiom;
+    pinned by tests/test_round12_property.py).
     tests/test_ml.py still pins every node against a numpy twin.
     Output: one row per node — node 0 root, 1/2 its left/right children
     (split nodes), 3..6 the depth-2 leaves with class predictions."""
@@ -2930,11 +2936,27 @@ def ml_decision_tree_depth2(spark: SparkSession, sf_dir: str) -> DataFrame:
         return best
 
     root_tables = value_tables(li)
-    g0, f0, t0 = best_split(root_tables)
+    root = best_split(root_tables)
+    if root is None:
+        raise ValueError(
+            "ml_decision_tree_depth2: no valid split at the root — "
+            "degenerate input (every feature single-valued). Fail-loud "
+            "contract (r12, the singular-X'X idiom): the oracle's empty "
+            "best CTE would silently empty the leaves table, so the two "
+            "engines would fail non-comparably; a loud driver error is "
+            "the documented behavior instead."
+        )
+    g0, f0, t0 = root
     left_cond = F.col(f0) <= F.lit(t0)
     splits = {1: None, 2: None}
     for node, cond in ((1, left_cond), (2, ~left_cond)):
         s = best_split(value_tables(li, cond))
+        if s is None:
+            raise ValueError(
+                f"ml_decision_tree_depth2: no valid split at child node "
+                f"{node} — degenerate gated input. Fail-loud contract "
+                "(r12): see the root-split error above."
+            )
         splits[node] = s
     # leaf stats in one final pass: which of the 4 leaves each row hits
     l1 = splits[1]
@@ -3497,6 +3519,32 @@ def ml_vif_multicollinearity(spark: SparkSession, sf_dir: str) -> DataFrame:
 PLATT_ITERS = 8
 
 
+# Guard-digit collector (r12, ADVICE r11 item 4 — the noise-vs-grain
+# class): keys whose FINAL statistic is a one-shot order-dependent
+# double sum (cox partial_ll, logreg log_loss, svm objective, fisher
+# tail mass) have NO contraction argument — their cross-engine parity
+# rests on the ~1e-16 per-cell sum noise sitting far from a floor-round
+# boundary, which is probabilistic, not guaranteed. Every driver-side
+# floor-round therefore records any input whose scaled value lands
+# within GUARD_BOUNDARY_EPS of a floor boundary (where a 1-ulp
+# perturbation could flip the rounded output); the parity sweep asserts
+# the collector stays empty (tests/test_round12_property.py), so a
+# future boundary landing fails LOUD in CI instead of surfacing as an
+# unexplained driver-gate hash red. SCALE.md round-12 documents the
+# class.
+GUARD_BOUNDARY_EPS = 1e-6
+BOUNDARY_HITS: list[tuple[float, float]] = []
+
+
+def _boundary_check(scaled: float) -> None:
+    import math
+
+    if math.isfinite(scaled):
+        d = abs(scaled - round(scaled))
+        if d < GUARD_BOUNDARY_EPS:
+            BOUNDARY_HITS.append((scaled, d))
+
+
 def _round6_floor(x: float) -> float:
     """floor(x*1e6 + 0.5)/1e6 — the pure-IEEE rounding idiom (SCALE.md
     round-9 determinism notes: Spark's BigDecimal HALF_UP and DuckDB's
@@ -3505,7 +3553,9 @@ def _round6_floor(x: float) -> float:
     the DuckDB oracle's floor(x * 1e6 + 0.5) / 1e6."""
     import math
 
-    return math.floor(x * 1000000.0 + 0.5) / 1000000.0
+    scaled = x * 1000000.0 + 0.5
+    _boundary_check(scaled)
+    return math.floor(scaled) / 1000000.0
 
 
 def _platt_oracle() -> str:

@@ -5026,10 +5026,15 @@ def stats_cox_ph(spark: SparkSession, sf_dir: str) -> DataFrame:
         r_s0 += s0
         if d > 0:
             ll += exb - d * math.log(r_s0)
-    from go_batch_processor_spark.operators.ml import _round6_floor
+    from go_batch_processor_spark.operators.ml import (
+        _boundary_check,
+        _round6_floor,
+    )
 
     def _round4_floor(x: float) -> float:
-        return math.floor(x * 10000.0 + 0.5) / 10000.0
+        scaled = x * 10000.0 + 0.5
+        _boundary_check(scaled)  # noise-vs-grain guard (ml.py, r12)
+        return math.floor(scaled) / 10000.0
 
     terms = ["grp_odd_user", "first_touch_hour"]
     out = [
@@ -8621,6 +8626,14 @@ def stats_morans_i(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Pooled-N ceiling for stats_cucconi_test's DECIMAL(38,0) fourth-power
+# accumulation: sum(c * mr2^4) <= N * (2N+1)^4, which stays under 10^38
+# for N <= 2.2e7 (22e6 * (4.4e7+1)^4 ~ 8.3e37). Checked in-plan via
+# assert_true so an sf~100 run fails loudly instead of overflowing to
+# NULL (VERDICT r11 item 8).
+CUCCONI_N_MAX = 22_000_000
+
+
 @register(
     "stats_cucconi_test",
     oracle="""
@@ -8711,6 +8724,15 @@ def stats_cucconi_test(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: one partial-aggregable groupBy(quantity); the seven
     wide-integer sums ride the same domain-bounded 50-row frame.
+
+    OVERFLOW GUARD (r12, VERDICT r11 item 8): the fourth-power sums are
+    bounded by N*(2N+1)^4 <= 16.5*N^5, which crosses the DECIMAL(38,0)
+    ceiling (and DuckDB's ~1.7e38 HUGEINT ceiling) near N ~ 2.3e7
+    pooled rows (sf ~ 40). Beyond that Spark's non-ANSI decimal sum
+    would return NULL silently — so the plan carries an assert_true on
+    the pooled N (CUCCONI_N_MAX) that fails the job loudly instead.
+    The documented fix at that scale: split the sum into two DECIMAL
+    lanes or scale the quarter-scores down first (SCALE.md r8 entry).
     """
     li = load_table(spark, sf_dir, "lineitem")
     comp = li.groupBy(F.col("l_quantity").alias("v")).agg(
@@ -8774,7 +8796,30 @@ def stats_cucconi_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     rho = (F.col("pab") / (F.lit(16.0) * n) - abar * bbar) / (
         F.sqrt(_pos(va)) * F.sqrt(_pos(vb))
     )
-    zdf = agg.select("n1", "n2", zu.alias("zu"), zv.alias("zv"), rho.alias("rho"))
+    # loud DECIMAL(38,0) ceiling guard: n1 + coalesce(assert, 0) is
+    # arithmetically neutral but keeps the assert in the live plan
+    # (a bare unreferenced column would be pruned by Catalyst)
+    guarded_n1 = n1 + F.coalesce(
+        F.assert_true(
+            n <= F.lit(CUCCONI_N_MAX),
+            F.concat(
+                F.lit("stats_cucconi_test: pooled N="),
+                n.cast("string"),
+                F.lit(
+                    f" exceeds CUCCONI_N_MAX={CUCCONI_N_MAX}: the"
+                    " fourth-power quarter-score sums would overflow"
+                    " DECIMAL(38,0) and return NULL silently — split the"
+                    " accumulation into two decimal lanes or rescale the"
+                    " scores (SCALE.md stats_cucconi_test entry)"
+                ),
+            ),
+        ).cast("bigint"),
+        F.lit(0),
+    )
+    zdf = agg.select(
+        guarded_n1.alias("n1"), "n2",
+        zu.alias("zu"), zv.alias("zv"), rho.alias("rho"),
+    )
     zu2, zv2, rho2 = F.col("zu"), F.col("zv"), F.col("rho")
     return zdf.select(
         "n1",

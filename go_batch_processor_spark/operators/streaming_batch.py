@@ -111,8 +111,14 @@ def stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
     gap_flag = F.when(
-        (F.col("ts").cast("long") - F.lag(F.col("ts")).over(w).cast("long"))
-        <= SESSION_GAP_MIN * 60,
+        # microsecond precision (r12, ADVICE r11 item 1): cast('long')
+        # truncated to whole seconds while the DuckDB oracle compared
+        # full-precision intervals — a sub-second gap in (1800, 1801) s
+        # would have sessionized differently; unix_micros matches the
+        # oracle's micros-exact interval compare AND the streaming
+        # operator's SESSION_GAP_US arithmetic (stateful.py)
+        (F.unix_micros(F.col("ts")) - F.unix_micros(F.lag(F.col("ts")).over(w)))
+        <= SESSION_GAP_MIN * 60 * 1_000_000,
         0,
     ).otherwise(1)
     sess = ev.select(
@@ -249,8 +255,14 @@ def stream_session_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("ts").asc(), F.col("event_id").asc()
     )
     gap_flag = F.when(
-        (F.col("ts").cast("long") - F.lag(F.col("ts")).over(w).cast("long"))
-        <= SESSION_GAP_MIN * 60,
+        # microsecond precision (r12, ADVICE r11 item 1): cast('long')
+        # truncated to whole seconds while the DuckDB oracle compared
+        # full-precision intervals — a sub-second gap in (1800, 1801) s
+        # would have sessionized differently; unix_micros matches the
+        # oracle's micros-exact interval compare AND the streaming
+        # operator's SESSION_GAP_US arithmetic (stateful.py)
+        (F.unix_micros(F.col("ts")) - F.unix_micros(F.lag(F.col("ts")).over(w)))
+        <= SESSION_GAP_MIN * 60 * 1_000_000,
         0,
     ).otherwise(1)
     sess = ev.select(
@@ -358,4 +370,120 @@ def stream_late_data_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.join(F.broadcast(prefix), "_sub")
         .select("event_id", "user_id", "ts", wm.alias("watermark"))
         .filter(F.col("ts") < F.col("watermark"))
+    )
+
+
+# view -> click -> purchase attribution window (each step within this
+# bound of the next). MUST equal streaming.stateful.FUNNEL_WINDOW_US in
+# micros — pinned by tests/test_streaming.py (the SESSION_GAP pattern;
+# a direct import here is circular).
+FUNNEL_WINDOW_H = 24
+_FUNNEL_W_US = FUNNEL_WINDOW_H * 3600 * 1_000_000
+
+
+@register(
+    "stream_funnel_conversion",
+    oracle=f"""
+    WITH base AS (
+      SELECT user_id, event_id, ts, event_type FROM events
+      WHERE event_type IN ('view', 'click', 'purchase')
+    ),
+    s1 AS (
+      SELECT *, last_value(CASE WHEN event_type = 'view' THEN ts END
+                           IGNORE NULLS) OVER w AS lv
+      FROM base
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ),
+    s2 AS (
+      SELECT *, last_value(CASE WHEN event_type = 'click' THEN ts END
+                           IGNORE NULLS) OVER w AS lc,
+             last_value(CASE WHEN event_type = 'click' THEN lv END
+                        IGNORE NULLS) OVER w AS lcv
+      FROM s1
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    )
+    SELECT user_id, event_id AS purchase_id, ts AS purchase_ts,
+           lc AS click_ts, lcv AS view_ts,
+           epoch_us(ts) - epoch_us(lcv) AS view_to_purchase_us
+    FROM s2
+    WHERE event_type = 'purchase'
+      AND lc IS NOT NULL AND epoch_us(ts) - epoch_us(lc) <= {_FUNNEL_W_US}
+      AND lcv IS NOT NULL AND epoch_us(lc) - epoch_us(lcv) <= {_FUNNEL_W_US}
+    """,
+)
+def stream_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel attribution over the event stream: each purchase converts
+    iff the user's LATEST preceding click is within {FUNNEL_WINDOW_H} h
+    of it AND the latest view preceding THAT CLICK is within
+    {FUNNEL_WINDOW_H} h of the click (last-touch attribution, the
+    product-analytics standard) — the batch twin of the bounded-state
+    streaming operator streaming.stateful.run_funnel_once, whose
+    per-user state is THREE timestamps regardless of history length and
+    is evicted (eviction-ONLY timeout — no emission) once the watermark
+    passes every window the state could still serve.
+
+    Plan shape: NO range join — the classic funnel anti-pattern is
+    purchases x clicks x views with interval predicates (quadratic
+    under skew). Instead the union frame pays ONE shuffle on user_id
+    and two chained last_value(IGNORE NULLS) window passes over
+    (ts, event_id) order: pass 1 stamps every row with the latest view
+    so far, pass 2 stamps the latest click AND that click's own
+    latest-view stamp. Attribution ties break on (ts ASC, event_id
+    ASC) — deterministic on both engines. Timestamp math is exact
+    integer micros (unix_micros / epoch_us).
+
+    At 100 TB: both window passes share one user_id partitioning;
+    per-user frames are user-history sized. The streaming variant is
+    the production path — O(1) state per live user vs re-scanning
+    history.
+    """
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("view", "click", "purchase")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("event_id").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    et = F.col("event_type")
+    s1 = ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        "event_type",
+        F.last(F.when(et == "view", F.col("ts")), ignorenulls=True)
+        .over(w)
+        .alias("lv"),
+    )
+    s2 = s1.select(
+        "user_id",
+        "event_id",
+        "ts",
+        "event_type",
+        F.last(F.when(et == "click", F.col("ts")), ignorenulls=True)
+        .over(w)
+        .alias("lc"),
+        F.last(F.when(et == "click", F.col("lv")), ignorenulls=True)
+        .over(w)
+        .alias("lcv"),
+    )
+    us = F.unix_micros
+    return (
+        s2.filter(
+            (et == "purchase")
+            & F.col("lc").isNotNull()
+            & (us(F.col("ts")) - us(F.col("lc")) <= _FUNNEL_W_US)
+            & F.col("lcv").isNotNull()
+            & (us(F.col("lc")) - us(F.col("lcv")) <= _FUNNEL_W_US)
+        )
+        .select(
+            "user_id",
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("lc").alias("click_ts"),
+            F.col("lcv").alias("view_ts"),
+            (us(F.col("ts")) - us(F.col("lcv"))).alias("view_to_purchase_us"),
+        )
     )

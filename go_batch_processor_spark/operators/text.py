@@ -898,7 +898,76 @@ def text_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 BPE_TRAIN_MERGES = 10
 
 
-@register("text_bpe_train_merges", tags={"rows_only"})
+def _bpe_train_oracle(n_merges: int = BPE_TRAIN_MERGES) -> str:
+    """Unrolled DuckDB twin of the BPE merge-training loop (the
+    ml_decision_tree_depth2 tuple-argmax precedent, r12): every quantity
+    in the loop is EXACT — pair counts are BIGINT sums of BIGINT word
+    frequencies, the per-step winner is ORDER BY (n DESC, pair ASC)
+    LIMIT 1 over those integers, and the splice is a discrete string
+    fold — so the fixed BPE_TRAIN_MERGES iterations replay bit-exactly
+    as chained CTEs. Each vocab CTE is referenced twice per step
+    (pair-count + splice) => AS MATERIALIZED everywhere (the r11
+    exponential-inlining trap, ml.py ml_linear_svm_gd). The splice fold
+    is list_reduce with the accumulator-with-init trick (an empty
+    VARCHAR[] seed prepended as the first element of a list-of-lists, so
+    the fold starts from [] exactly like Spark's F.aggregate zero).
+    Termination parity: Spark breaks when the best pair's count < 2; the
+    HAVING >= 2 makes b{{t}} empty there, the LEFT JOIN then passes vocab
+    through unchanged, and every later step stays empty — same merge
+    table."""
+    ctes = [
+        """v0 AS MATERIALIZED (
+      SELECT freq, list_transform(range(1, len(word) + 1),
+                     i -> substr(word, CAST(i AS INTEGER), 1)) AS seq
+      FROM (SELECT word, CAST(count(*) AS BIGINT) AS freq
+            FROM (SELECT unnest(string_split(text, ' ')) AS word
+                  FROM documents)
+            WHERE len(word) > 0 GROUP BY word)
+    )"""
+    ]
+    for t in range(1, n_merges + 1):
+        ctes.append(f"""p{t} AS MATERIALIZED (
+      SELECT pair, CAST(sum(freq) AS BIGINT) AS n FROM (
+        SELECT freq, unnest(list_transform(range(1, len(seq)),
+                              i -> seq[i] || ' ' || seq[i + 1])) AS pair
+        FROM v{t - 1} WHERE len(seq) >= 2
+      ) GROUP BY pair HAVING sum(freq) >= 2
+    )""")
+        ctes.append(f"""b{t} AS MATERIALIZED (
+      SELECT pair, string_split(pair, ' ')[1] AS f,
+             string_split(pair, ' ')[2] AS s,
+             replace(pair, ' ', '') AS m, n
+      FROM p{t} ORDER BY n DESC, pair ASC LIMIT 1
+    )""")
+        ctes.append(f"""v{t} AS MATERIALIZED (
+      SELECT v.freq,
+             CASE WHEN b.pair IS NULL THEN v.seq
+                  ELSE list_reduce(
+                         [CAST([] AS VARCHAR[])]
+                           || list_transform(v.seq, x -> [x]),
+                         (acc, x) -> CASE
+                           WHEN len(acc) > 0 AND acc[-1] = b.f
+                                AND x[1] = b.s
+                           THEN acc[:-2] || [b.m]
+                           ELSE acc || x END)
+             END AS seq
+      FROM v{t - 1} v LEFT JOIN b{t} b ON TRUE
+    )""")
+    outs = [
+        f"SELECT CAST({t - 1} AS INTEGER) AS step, pair, m AS merged,"
+        f" n AS weighted_count FROM b{t}"
+        for t in range(1, n_merges + 1)
+    ]
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + "\n"
+        + "\nUNION ALL\n".join(outs)
+        + "\nORDER BY step"
+    )
+
+
+@register("text_bpe_train_merges", oracle=_bpe_train_oracle())
 def text_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Iterative BPE merge training (Sennrich et al. 2016), distributed:
     the classic tokenizer-training loop run as Spark jobs over the
@@ -922,7 +991,15 @@ def text_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     the trailing separator and skips every other occurrence (the round-4
     bug this replaced). tests/test_text_bpe.py pins exact equality against
     a pure-Python lookaround-regex twin. Output: the merge table
-    (step, pair, merged, weighted_count). Rows-only (iterative).
+    (step, pair, merged, weighted_count).
+
+    ORACLED (r12, upgraded from rows-only): every decision in the loop
+    is an argmax over EXACT integers (BIGINT pair counts from BIGINT
+    word frequencies — the ml_decision_tree_depth2 tuple-argmax class,
+    determinism ledger #9's exact-integer exception), so the fixed
+    BPE_TRAIN_MERGES-step loop unrolls as chained MATERIALIZED CTEs
+    (_bpe_train_oracle) whose list_reduce splice replays _bpe_splice's
+    fold bit-for-bit. No doubles anywhere on either side.
 
     Scale: the vocab is |distinct words| rows — bounded by language, not
     corpus; each iteration is one small agg + top-1 + map. At 100 TB the

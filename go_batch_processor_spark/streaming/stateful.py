@@ -236,8 +236,35 @@ def _update_session_topk(
         n, vals = 0, []
     rows = pd.concat(list(pdfs)).sort_values(["ts", "event_id"])
     out = []
+    # closed-chain builder for in-watermark rows that predate the open
+    # session by MORE than the gap (ADVICE r11 item 2): (start, last, n,
+    # vals) of a straggler session that can never rejoin the open one
+    early = None
     for ts, value in zip(rows["ts"], rows["value"]):
         t = int(pd.Timestamp(ts).value) // 1000  # exact micros
+        if start is not None and start - t > SESSION_GAP_US:
+            # Too old to merge backward: a row more than one gap before
+            # the open session's start cannot belong to it under the
+            # batch twin's semantics. Such stragglers sessionize among
+            # THEMSELVES (this batch is sorted ascending, so their chain
+            # closes before the open session's region begins) and emit
+            # as closed "gap" sessions — exactly the batch twin's answer
+            # for isolated or chained early stragglers. The one
+            # remaining bounded-state divergence, documented here and
+            # pinned in tests/test_streaming.py: a straggler chain that
+            # BRIDGES to the open session (t1 <= start-gap < t2 <= start
+            # with t2 - t1 <= gap) — the twin chains all three into one
+            # session, but the straggler chain was already emitted.
+            if early is not None and t - early[1] <= SESSION_GAP_US:
+                evals = sorted(early[3] + [float(value)], reverse=True)[
+                    :SESSION_TOPK
+                ]
+                early = (early[0], t, early[2] + 1, evals)
+            else:
+                if early is not None:
+                    out.append(_session_pdf(user_id, *early, "gap"))
+                early = (t, t, 1, [float(value)])
+            continue
         if last is not None and t - last > SESSION_GAP_US:
             out.append(_session_pdf(user_id, start, last, n, vals, "gap"))
             start, last, n, vals = None, None, 0, []
@@ -245,7 +272,7 @@ def _update_session_topk(
             start = t
         elif t < start:
             # in-watermark row from a LATER micro-batch that predates
-            # the open session: merge it backward instead of splitting
+            # the open session by AT MOST the gap: merge it backward
             # (r11 self-review find — `last` regressing could otherwise
             # emit session_end < session_start and phantom splits; a
             # single-batch run sorts rows, so this path never fires
@@ -256,6 +283,8 @@ def _update_session_topk(
         n += 1
         # bounded-state top-k: insert + truncate, never the full session
         vals = sorted(vals + [float(value)], reverse=True)[:SESSION_TOPK]
+    if early is not None:
+        out.append(_session_pdf(user_id, *early, "gap"))
     state.update((start, last, n, vals))
     state.setTimeoutTimestamp(last // 1000 + SESSION_GAP_US // 1000)
     yield from out
@@ -408,3 +437,141 @@ def streaming_user_running_stats_tws(
         .filter(F.col("rn") == 1)
         .drop("rn")
     )
+
+
+# -- Funnel attribution: view -> click -> purchase --------------------------
+#
+# Streaming twin of the oracled batch key stream_funnel_conversion
+# (operators/streaming_batch.py). Per-user state is THREE timestamps
+# (latest view; latest click; the latest-view stamp AT that click),
+# bounded regardless of history length. Timeout here is EVICTION-ONLY
+# (emits a tombstone, no result row) — the complement of
+# run_session_topk_once's emit-on-timeout: once the watermark passes
+# every window the state could still serve (max(lv, lc) + W), no future
+# purchase or click can use it, so it leaves the store.
+#
+# MUST equal operators.streaming_batch.FUNNEL_WINDOW_H in micros —
+# pinned by tests/test_streaming.py (direct import is circular).
+FUNNEL_WINDOW_US = 24 * 3600 * 1_000_000
+FUNNEL_OUT_SCHEMA = (
+    "user_id long, purchase_id long, purchase_ts timestamp, "
+    "click_ts timestamp, view_ts timestamp, view_to_purchase_us long, "
+    "kind string"
+)
+# exact integer micros (the session-topk float-round-trip lesson)
+FUNNEL_STATE_SCHEMA = "lv long, lc long, lcv long"
+
+
+def _funnel_update(
+    key: tuple,
+    pdfs: Iterable[pd.DataFrame],
+    state: GroupState,
+) -> Iterable[pd.DataFrame]:
+    (user_id,) = key
+    if state.hasTimedOut:
+        state.remove()  # EVICTION: no window this state serves remains open
+        yield pd.DataFrame(
+            {
+                "user_id": [user_id],
+                "purchase_id": [None],
+                "purchase_ts": [pd.NaT],
+                "click_ts": [pd.NaT],
+                "view_ts": [pd.NaT],
+                "view_to_purchase_us": [None],
+                "kind": ["evict"],
+            }
+        )
+        return
+    lv, lc, lcv = state.get if state.exists else (None, None, None)
+    rows = pd.concat(list(pdfs)).sort_values(["ts", "event_id"])
+    out = []
+    for et, eid, ts in zip(rows["event_type"], rows["event_id"], rows["ts"]):
+        t = int(pd.Timestamp(ts).value) // 1000  # exact micros
+        if et == "view":
+            # max(): an out-of-order view older than the stored one can
+            # never be the "latest view" for any future click
+            lv = t if lv is None else max(lv, t)
+        elif et == "click":
+            if lc is None or t >= lc:
+                lc, lcv = t, lv
+            # else: late click older than the stored latest — a future
+            # purchase attributes to the LATEST click only; documented
+            # cross-batch divergence (single-batch runs are sorted, so
+            # the availableNow equivalence gate never hits this)
+        elif et == "purchase":
+            if (
+                lc is not None
+                and 0 <= t - lc <= FUNNEL_WINDOW_US
+                and lcv is not None
+                and lc - lcv <= FUNNEL_WINDOW_US
+            ):
+                out.append(
+                    pd.DataFrame(
+                        {
+                            "user_id": [user_id],
+                            "purchase_id": [int(eid)],
+                            "purchase_ts": [pd.to_datetime(t, unit="us")],
+                            "click_ts": [pd.to_datetime(lc, unit="us")],
+                            "view_ts": [pd.to_datetime(lcv, unit="us")],
+                            "view_to_purchase_us": [t - lcv],
+                            "kind": ["conversion"],
+                        }
+                    )
+                )
+    if lv is None and lc is None:
+        # purchases only: nothing a future event could attribute to
+        if state.exists:
+            state.remove()
+    else:
+        state.update((lv, lc, lcv))
+        horizon = max(v for v in (lv, lc) if v is not None)
+        state.setTimeoutTimestamp(horizon // 1000 + FUNNEL_WINDOW_US // 1000)
+    yield from out
+
+
+def run_funnel_once(
+    spark: SparkSession, src_dir: str, checkpoint_dir: str, schema
+) -> DataFrame:
+    """One availableNow pass of the funnel-attribution operator against
+    a caller-owned checkpoint (the run_session_topk_once harness shape:
+    foreachBatch parquet sink, one run-N subdir per invocation).
+    Conversions emit inline as purchases arrive; state evicts via
+    EventTimeTimeout tombstones once the watermark passes max(lv, lc)
+    + W. A rerun after new files land resumes from recovered offsets +
+    state — cross-batch funnels complete on the recovered state."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    ev = (
+        spark.readStream.schema(schema)
+        .parquet(src_dir)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .filter(F.col("event_type").isin("view", "click", "purchase"))
+        .select("user_id", "event_id", "ts", "event_type")
+        .withWatermark("ts", "1 hour")
+    )
+    updated = ev.groupBy("user_id").applyInPandasWithState(
+        _funnel_update,
+        outputStructType=FUNNEL_OUT_SCHEMA,
+        stateStructType=FUNNEL_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+    sink_root = os.path.join(checkpoint_dir, "_sink")
+    os.makedirs(sink_root, exist_ok=True)
+    run_n = sum(1 for d in os.listdir(sink_root) if d.startswith("run-"))
+    sink_dir = os.path.join(sink_root, f"run-{run_n}")
+    query = (
+        updated.writeStream.outputMode("update")
+        .foreachBatch(
+            lambda batch_df, _id: batch_df.write.mode("append").parquet(sink_dir)
+        )
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    if not os.path.isdir(sink_dir):  # zero-batch run
+        return spark.createDataFrame([], schema=FUNNEL_OUT_SCHEMA)
+    return spark.read.schema(FUNNEL_OUT_SCHEMA).parquet(sink_dir)

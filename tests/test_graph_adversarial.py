@@ -193,3 +193,80 @@ def test_k_core_peel_matches_python_twin(spark):
     for r in core.collect():
         deg[r.src] += 1
     assert all(d >= 3 for d in deg.values())
+
+
+def test_k_core_noncovergence_past_cap_fails_loud(spark):
+    """VERDICT r11 item 6: a pathological graph that has NOT reached the
+    peeling fixpoint inside the iteration cap must raise the loud
+    RuntimeError — never return the truncated superset silently. A long
+    path with k=2 peels exactly one node from each end per round, so a
+    20-edge path needs ~10 rounds; cap it at 3."""
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from go_batch_processor_spark.operators.graph import _k_core_peel
+
+    path = [(i, i + 1) for i in range(20)]
+    edges = spark.createDataFrame(
+        [(a, b) for a, b in path] + [(b, a) for a, b in path],
+        "src long, dst long",
+    )
+    with pytest.raises(RuntimeError, match="no fixpoint after 3"):
+        _k_core_peel(spark, edges, 2, 3)
+    # ...and a cap past the fixpoint converges: the path fully dissolves
+    assert _k_core_peel(spark, edges, 2, 30).count() == 0
+
+
+def test_k_core_oracle_truncates_identically_below_cap(
+    spark, tmp_path, monkeypatch
+):
+    """...and BELOW the cap the unrolled oracle replays the identical
+    peeling: a bipartite 4-cycle with a pendant 2-chain (k=2, three
+    peel rounds) must yield the same survivor set from the Spark loop
+    and the (patched small-cap) DuckDB unroll — including the no-op
+    rounds between fixpoint and cap."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from go_batch_processor_spark.operators import graph as graph_mod
+
+    # bipartite edges as (user_id, item k) pairs: 4-cycle u1-i1-u2-i2-u1
+    # survives k=2; pendant chain i2-u3-i3 peels over two rounds
+    pairs = [(1, 1), (2, 1), (2, 2), (1, 2), (3, 2), (3, 3)]
+    d = str(tmp_path / "fix")
+    import os
+
+    os.makedirs(f"{d}/events.parquet", exist_ok=True)
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array(range(len(pairs)), pa.int64()),
+                "ts": pa.array(
+                    [1_700_000_000_000_000 + i for i in range(len(pairs))],
+                    pa.timestamp("us"),
+                ),
+                "user_id": pa.array([u for u, _ in pairs], pa.int64()),
+                "event_type": pa.array(["view"] * len(pairs)),
+                "value": pa.array([1.0] * len(pairs), pa.float64()),
+                "props": pa.array(['{"k": %d}' % k for _, k in pairs]),
+            }
+        ),
+        f"{d}/events.parquet/part-0.parquet",
+    )
+    monkeypatch.setattr(graph_mod, "K_CORE", 2)
+    monkeypatch.setattr(graph_mod, "K_CORE_MAX_ITERS", 6)
+    got = sorted(
+        (r.node, r.kind, r.core_degree)
+        for r in graph_mod.graph_k_core(spark, d).collect()
+    )
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{d}/events.parquet/*.parquet')"
+    )
+    want = sorted(tuple(r) for r in con.sql(graph_mod._k_core_oracle()).fetchall())
+    assert got == want
+    # the 4-cycle survives with degree 2 each: users 2,4; items 3,5
+    assert got == [
+        (2, "user", 2), (3, "item", 2), (4, "user", 2), (5, "item", 2),
+    ]

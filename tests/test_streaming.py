@@ -670,3 +670,191 @@ def test_session_topk_late_cross_batch_rows_merge_backward(spark, tmp_path):
     ], got
     for r in rows:  # the invariant the old code could break
         assert r.session_end >= r.session_start
+
+
+def test_session_topk_too_old_stragglers_form_own_session(spark, tmp_path):
+    """ADVICE r11 item 2: an in-watermark row that predates the open
+    session by MORE than the gap must NOT merge backward (the old code
+    absorbed arbitrarily old rows into the session). Straggler chains
+    sessionize among themselves and emit closed — the batch twin's
+    answer for non-bridging stragglers. Batch 1 opens 12:30..12:35;
+    batch 2 delivers 11:45 + 11:55 (a straggler chain inside the 1 h
+    watermark — 11:40 after batch 1 — but 35+ min before the open
+    start) and 12:50 (a forward extension). Expected: session
+    11:45..11:55 (n=2) AND session 12:30..12:50 (n=3) — exactly the
+    batch twin on the union of rows."""
+    import pandas as pd
+
+    from go_batch_processor_spark.streaming import (
+        rocksdb_state_store,
+        run_session_topk_once,
+    )
+
+    src = tmp_path / "src"
+    src.mkdir()
+
+    def write(name, recs):
+        df = pd.DataFrame(recs)
+        df["ts"] = df["ts"].astype("datetime64[us]")
+        df.to_parquet(src / name)
+
+    base = pd.Timestamp("2024-05-01 12:00:00")
+    mins = lambda m: base + pd.Timedelta(minutes=m)  # noqa: E731
+    write(
+        "00.parquet",
+        [
+            {"event_id": 1, "user_id": 7, "ts": mins(30), "value": 5.0},
+            {"event_id": 2, "user_id": 7, "ts": mins(35), "value": 6.0},
+            # watermark driver: keeps user 7's rows in-watermark
+            {"event_id": 3, "user_id": -1, "ts": mins(40), "value": 0.0},
+        ],
+    )
+    schema = spark.read.parquet(str(src)).schema
+    ckpt = str(tmp_path / "ckpt")
+    with rocksdb_state_store(spark):
+        run_session_topk_once(spark, str(src), ckpt, schema)
+        write(
+            "01.parquet",
+            [
+                {"event_id": 4, "user_id": 7, "ts": mins(-15), "value": 9.0},
+                {"event_id": 5, "user_id": 7, "ts": mins(-5), "value": 8.0},
+                {"event_id": 6, "user_id": 7, "ts": mins(50), "value": 7.0},
+                # sentinel flushes every session via timeout
+                {"event_id": 7, "user_id": -1,
+                 "ts": base + pd.Timedelta(days=10), "value": 0.0},
+            ],
+        )
+        rows = run_session_topk_once(spark, str(src), ckpt, schema).collect()
+        rows += run_session_topk_once(spark, str(src), ckpt, schema).collect()
+    got = sorted(
+        (r.session_start, r.session_end, r.n_events,
+         r.top1, r.top2, r.top3, r.closed_by)
+        for r in rows
+        if r.user_id == 7
+    )
+    assert got == [
+        (mins(-15).to_pydatetime(), mins(-5).to_pydatetime(), 2,
+         9.0, 8.0, None, "gap"),
+        (mins(30).to_pydatetime(), mins(50).to_pydatetime(), 3,
+         7.0, 6.0, 5.0, "timeout"),
+    ], got
+    for r in rows:
+        assert r.session_end >= r.session_start
+
+
+def test_funnel_window_constants_agree():
+    from go_batch_processor_spark.operators.streaming_batch import (
+        FUNNEL_WINDOW_H,
+    )
+    from go_batch_processor_spark.streaming.stateful import FUNNEL_WINDOW_US
+
+    assert FUNNEL_WINDOW_US == FUNNEL_WINDOW_H * 3600 * 1_000_000
+
+
+def test_funnel_streaming_matches_batch_twin(spark, sf_dir, tmp_path):
+    """r12 (VERDICT r11 item 1): the bounded-state funnel operator on a
+    single-batch availableNow run must emit EXACTLY the oracled batch
+    twin's conversions (stream_funnel_conversion) — same purchase set,
+    same last-touch click/view attribution, same exact-micros lags."""
+    import pandas as pd
+
+    from go_batch_processor_spark.streaming import rocksdb_state_store
+    from go_batch_processor_spark.streaming.stateful import run_funnel_once
+
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet")[
+        ["event_id", "user_id", "ts", "event_type"]
+    ]
+    ev["ts"] = ev["ts"].astype("datetime64[us]")
+    src = tmp_path / "src"
+    src.mkdir()
+    ev.to_parquet(src / "events.parquet")
+    ckpt = str(tmp_path / "ckpt")
+    schema = spark.read.parquet(str(src)).schema
+
+    with rocksdb_state_store(spark):
+        rows = run_funnel_once(spark, str(src), ckpt, schema).collect()
+    got = {
+        (r.user_id, r.purchase_id, r.purchase_ts, r.click_ts, r.view_ts,
+         r.view_to_purchase_us)
+        for r in rows
+        if r.kind == "conversion"
+    }
+    want = {
+        (r.user_id, r.purchase_id, r.purchase_ts, r.click_ts, r.view_ts,
+         r.view_to_purchase_us)
+        for r in REGISTRY["stream_funnel_conversion"]
+        .fn(spark, str(src))
+        .collect()
+    }
+    assert got == want
+    assert got, "fixture must contain completed funnels"
+
+
+def test_funnel_cross_batch_completion_and_eviction(spark, tmp_path):
+    """r12: (a) RESTART RECOVERY — a funnel whose view+click landed in
+    run 1 completes when the purchase arrives in run 2 on the RECOVERED
+    state; (b) EVICTION-ONLY TIMEOUT — once the watermark passes
+    max(view, click) + W the per-user state leaves the store via a
+    tombstone (kind='evict', no conversion row); (c) a post-eviction
+    purchase does NOT convert (the state is gone, matching the batch
+    twin: its click would be outside the window anyway)."""
+    import pandas as pd
+
+    from go_batch_processor_spark.streaming import rocksdb_state_store
+    from go_batch_processor_spark.streaming.stateful import run_funnel_once
+
+    src = tmp_path / "src"
+    src.mkdir()
+
+    def write(name, recs):
+        df = pd.DataFrame(recs)
+        df["ts"] = df["ts"].astype("datetime64[us]")
+        df.to_parquet(src / name)
+
+    base = pd.Timestamp("2024-05-01 12:00:00")
+    h = lambda x: base + pd.Timedelta(hours=x)  # noqa: E731
+    write(
+        "00.parquet",
+        [
+            {"event_id": 1, "user_id": 7, "ts": h(0), "event_type": "view"},
+            {"event_id": 2, "user_id": 7, "ts": h(1), "event_type": "click"},
+            # watermark driver
+            {"event_id": 3, "user_id": -1, "ts": h(1), "event_type": "view"},
+        ],
+    )
+    schema = spark.read.parquet(str(src)).schema
+    ckpt = str(tmp_path / "ckpt")
+    with rocksdb_state_store(spark):
+        r1 = run_funnel_once(spark, str(src), ckpt, schema).collect()
+        assert [r for r in r1 if r.kind == "conversion"] == []
+        write(
+            "01.parquet",
+            [
+                # completes on RECOVERED state: click was in run 1
+                {"event_id": 4, "user_id": 7, "ts": h(5),
+                 "event_type": "purchase"},
+                # sentinel: watermark jumps past every timeout
+                {"event_id": 5, "user_id": -1,
+                 "ts": base + pd.Timedelta(days=30), "event_type": "view"},
+            ],
+        )
+        r2 = run_funnel_once(spark, str(src), ckpt, schema).collect()
+        # timeouts armed by run 2's closing watermark flush on a pass after
+        write(
+            "02.parquet",
+            [
+                # post-eviction purchase: state gone, must NOT convert
+                {"event_id": 6, "user_id": 7,
+                 "ts": base + pd.Timedelta(days=29), "event_type": "purchase"},
+            ],
+        )
+        r3 = run_funnel_once(spark, str(src), ckpt, schema).collect()
+        r3 += run_funnel_once(spark, str(src), ckpt, schema).collect()
+    conv = [r for r in r2 + r3 if r.kind == "conversion" and r.user_id == 7]
+    assert [(c.purchase_id, c.purchase_ts, c.click_ts, c.view_ts,
+             c.view_to_purchase_us) for c in conv] == [
+        (4, h(5).to_pydatetime(), h(1).to_pydatetime(), h(0).to_pydatetime(),
+         5 * 3600 * 1_000_000)
+    ], conv
+    evicts = [r for r in r2 + r3 if r.kind == "evict" and r.user_id == 7]
+    assert evicts, "user 7's state must evict via the timeout tombstone"

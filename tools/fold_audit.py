@@ -50,6 +50,13 @@ WHITELIST = {
     # widening would go through HUGEINT prefix lists — documented, not
     # reachable at any fixture scale.
     "timeseries_changepoint_pelt",
+    # r12: the BPE splice list_reduce folds STRINGS (the greedy
+    # pair-merge over symbol arrays) — there is no numeric state in the
+    # lambda at all, so the double-fold class this lint exists for
+    # cannot occur; every numeric quantity in the oracle is a BIGINT
+    # pair count. Justification: SCALE.md round-12 BPE section;
+    # termination parity pinned in tests/test_round12_property.py.
+    "text_bpe_train_merges",
 }
 
 
