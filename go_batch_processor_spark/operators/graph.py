@@ -829,6 +829,9 @@ def _k_core_peel(
                 .join(bad.withColumnRenamed("n", "m"), cur["dst"] == F.col("m"), "left_anti")
                 .persist(StorageLevel.MEMORY_AND_DISK)
             )
+            # the PERSISTED frame goes on the cleanup list even when the
+            # loop continues from its checkpointed alias below
+            generations.append(nxt)
             if (it + 1) % 4 == 0:
                 # lineage hygiene (r12): each round's plan nests the
                 # previous round's TWICE (bad is derived from cur), so
@@ -838,7 +841,6 @@ def _k_core_peel(
                 # 30-round cap. Truncate every 4th round (the
                 # dedup_cluster_components idiom).
                 nxt = nxt.localCheckpoint(eager=True)
-            generations.append(nxt)
             cur = nxt
         if not converged:
             # The peeling fixpoint was NOT reached inside the iteration

@@ -746,6 +746,61 @@ def join_interval_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "join_interval_events_outer",
+    oracle="""
+    SELECT c.user_id,
+           c.event_id AS click_id,
+           p.event_id AS purchase_id,
+           date_diff('microsecond', c.ts, p.ts) AS lag_us
+    FROM (SELECT * FROM events WHERE event_type = 'click') c
+    LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+      ON p.user_id = c.user_id
+     AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 12 HOUR
+    """,
+)
+def join_interval_events_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER event-time interval join — join_interval_events plus
+    the ABANDONMENT rows: clicks with no same-user purchase inside
+    [click_ts, click_ts + 12 h] survive with NULL purchase columns (the
+    cart-abandonment / no-conversion detector, the production complement
+    of the conversion join). Batch twin of Structured Streaming's
+    watermarked stream-stream leftOuter join, whose null-extended rows
+    emit once the watermark passes the click's window upper bound —
+    the eviction-time emission tests/test_streaming.py pins on this
+    key's unmatched set.
+
+    Scale shape: identical to the inner variant — ONE shuffle per side
+    on the user_id equi key, the range predicate as a join residual,
+    per-click fanout bounded by the 12 h window. NULL-extension is free
+    (the join type, not an extra pass).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    c = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("event_id").alias("click_id"), F.col("ts").alias("c_ts")
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user_id"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("p_ts"),
+    )
+    return (
+        c.join(
+            p,
+            (c.user_id == p.p_user_id)
+            & (p.p_ts >= c.c_ts)
+            & (p.p_ts <= c.c_ts + F.expr("INTERVAL 12 HOURS")),
+            "left_outer",
+        )
+        .select(
+            "user_id",
+            "click_id",
+            "purchase_id",
+            (F.unix_micros("p_ts") - F.unix_micros("c_ts")).alias("lag_us"),
+        )
+    )
+
+
+@register(
     "join_asof_forward",
     oracle="""
     SELECT o.o_orderkey, o.o_custkey, o.o_orderdate, e.ts AS asof_ts

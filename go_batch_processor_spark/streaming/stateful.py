@@ -499,6 +499,10 @@ def _funnel_update(
             # cross-batch divergence (single-batch runs are sorted, so
             # the availableNow equivalence gate never hits this)
         elif et == "purchase":
+            # 0 <= : a late purchase PREDATING the stored latest click
+            # never attributes to it (the batch twin would attribute to
+            # the click before the purchase — state no longer holds it;
+            # same documented cross-batch class as late clicks above)
             if (
                 lc is not None
                 and 0 <= t - lc <= FUNNEL_WINDOW_US

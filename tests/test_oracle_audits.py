@@ -18,3 +18,14 @@ def test_never_green_oracles_use_precedented_constructs():
     oracle unchanged in r10."""
     problems = oracle_construct_audit.audit()
     assert not problems, "\n".join(problems)
+
+
+def test_scale_doctrine_matches_registry_oracle_status():
+    """VERDICT r11 item 5 gate: no SCALE.md doctrine bullet may claim an
+    ORACLED key is rows-only without a SUPERSEDED/conversion marker —
+    the r8 periodogram/cyclic lines drifted exactly this way after the
+    r11 conversions."""
+    from tools.gen_coverage_status import doc_consistency_issues
+
+    issues = doc_consistency_issues()
+    assert not issues, "\n".join(issues)

@@ -532,3 +532,108 @@ def test_bpe_no_merge_possible_both_empty(spark, tmp_path):
     texts = ["ab cd", "ef"]
     got, want = _bpe_both(spark, tmp_path, texts)
     assert got == want == []
+
+
+# -- stream_funnel_conversion: fold-vs-SQL-semantics property ---------------
+
+
+class _FakeState:
+    """Minimal GroupState stand-in for driving _funnel_update directly."""
+
+    def __init__(self):
+        self.exists = False
+        self.hasTimedOut = False
+        self._v = None
+        self.removed = False
+        self.timeout_ms = None
+
+    @property
+    def get(self):
+        return self._v
+
+    def update(self, v):
+        self._v = v
+        self.exists = True
+
+    def remove(self):
+        self._v = None
+        self.exists = False
+        self.removed = True
+
+    def setTimeoutTimestamp(self, ms):
+        self.timeout_ms = ms
+
+
+def _funnel_sql_twin(events, w_us):
+    """Pure-Python replay of the stream_funnel_conversion SQL semantics:
+    for each purchase, the latest click at-or-before it (by (ts, eid)
+    order), and that click's own latest view — both within the window.
+    events: [(eid, ts_us, type)]."""
+    out = []
+    lv = lc = lcv = None
+    for eid, t, et in sorted(events, key=lambda e: (e[1], e[0])):
+        if et == "view":
+            lv = t
+        elif et == "click":
+            lc, lcv = t, lv
+        elif et == "purchase":
+            if (
+                lc is not None
+                and t - lc <= w_us
+                and lcv is not None
+                and lc - lcv <= w_us
+            ):
+                out.append((eid, t, lc, lcv, t - lcv))
+    return out
+
+
+_etype = st.sampled_from(["view", "click", "purchase"])
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    seq=st.lists(
+        st.tuples(st.integers(0, 50), _etype), min_size=1, max_size=40
+    ),
+    gaps_min=st.lists(st.integers(0, 3000), min_size=40, max_size=40),
+)
+def test_funnel_update_matches_sql_semantics(seq, gaps_min):
+    """The bounded-state fold (_funnel_update, 3 timestamps) emits
+    exactly the SQL twin's conversions on any sorted single batch —
+    including window-boundary cases (gaps straddle the 24 h bound) and
+    same-timestamp event_id tie-breaks."""
+    from go_batch_processor_spark.streaming.stateful import (
+        FUNNEL_WINDOW_US,
+        _funnel_update,
+    )
+
+    t0 = 1_700_000_000_000_000
+    events = []
+    t = t0
+    for i, ((eid_jitter, et), g) in enumerate(zip(seq, gaps_min)):
+        t = t + g * 60 * 1_000_000  # 0..50 h hops: both sides of 24 h
+        events.append((i * 100 + eid_jitter, t, et))
+    pdf = pd.DataFrame(
+        {
+            "event_id": [e[0] for e in events],
+            "ts": [pd.to_datetime(e[1], unit="us") for e in events],
+            "event_type": [e[2] for e in events],
+        }
+    )
+    state = _FakeState()
+    got = []
+    for out in _funnel_update((7,), [pdf], state):
+        got.extend(
+            (int(r.purchase_id),
+             int(pd.Timestamp(r.purchase_ts).value) // 1000,
+             int(pd.Timestamp(r.click_ts).value) // 1000,
+             int(pd.Timestamp(r.view_ts).value) // 1000,
+             int(r.view_to_purchase_us))
+            for r in out.itertuples()
+            if r.kind == "conversion"
+        )
+    want = [
+        (eid, t, lc, lcv, lag)
+        for eid, t, lc, lcv, lag in _funnel_sql_twin(events, FUNNEL_WINDOW_US)
+    ]
+    assert got == want

@@ -858,3 +858,93 @@ def test_funnel_cross_batch_completion_and_eviction(spark, tmp_path):
     ], conv
     evicts = [r for r in r2 + r3 if r.kind == "evict" and r.user_id == 7]
     assert evicts, "user 7's state must evict via the timeout tombstone"
+
+
+def test_stream_stream_interval_join_left_outer(spark, sf_dir):
+    """TRUE watermarked leftOuter stream-stream join: matched pairs must
+    equal the batch inner join exactly (they emit immediately), and the
+    NULL-extended abandonment rows must emit exactly for the batch-
+    unmatched clicks whose window upper bound the FINAL watermark passed
+    (outer emission happens at state eviction time — the no-data final
+    micro-batch flushes them on a bounded availableNow run)."""
+    from pyspark.sql import functions as F
+
+    from go_batch_processor_spark.catalog import load_stream, load_table
+    from go_batch_processor_spark.streaming import run_stream_to_memory
+
+    def sides(src):
+        clicks = (
+            src.filter(F.col("event_type") == "click")
+            .select(
+                "user_id",
+                F.col("event_id").alias("click_id"),
+                F.col("ts").alias("c_ts"),
+            )
+        )
+        purchases = (
+            src.filter(F.col("event_type") == "purchase")
+            .select(
+                F.col("user_id").alias("p_user_id"),
+                F.col("event_id").alias("purchase_id"),
+                F.col("ts").alias("p_ts"),
+            )
+        )
+        return clicks, purchases
+
+    sc, sp = sides(load_stream(spark, sf_dir, "events"))
+    # the range condition must be extractable as a state constraint for
+    # the NULLABLE side's eviction: the plain expr form below works where
+    # the DataFrame-API arithmetic (c_ts + F.expr(INTERVAL ...)) inserts
+    # a cast StreamingJoinHelper cannot invert (AnalysisException)
+    cond = F.expr(
+        "user_id = p_user_id AND p_ts >= c_ts"
+        " AND p_ts <= c_ts + interval 12 hours"
+    )
+    streamed = run_stream_to_memory(
+        sc.withWatermark("c_ts", "1 hour")
+        .join(sp.withWatermark("p_ts", "1 hour"), cond, "leftOuter")
+        .select("user_id", "click_id", "purchase_id", "c_ts"),
+        spark,
+    ).collect()
+    got_matched = {
+        (r.user_id, r.click_id, r.purchase_id)
+        for r in streamed
+        if r.purchase_id is not None
+    }
+    got_null = {r.click_id for r in streamed if r.purchase_id is None}
+
+    batch = REGISTRY["join_interval_events_outer"].fn(spark, sf_dir).collect()
+    want_matched = {
+        (r.user_id, r.click_id, r.purchase_id)
+        for r in batch
+        if r.purchase_id is not None
+    }
+    want_null_all = {r.click_id for r in batch if r.purchase_id is None}
+    assert got_matched == want_matched
+    assert want_null_all, "fixture must contain abandoned clicks"
+
+    # final watermark = min over both sides of (side max ts - 1h); null
+    # rows are due once it passes c_ts + 12h
+    ev = load_table(spark, sf_dir, "events")
+    mx = {
+        r["event_type"]: r["m"]
+        for r in ev.filter(F.col("event_type").isin("click", "purchase"))
+        .groupBy("event_type")
+        .agg(F.max("ts").alias("m"))
+        .collect()
+    }
+    wm_us = min(int(t.timestamp() * 1_000_000) for t in mx.values()) - 3600 * 1_000_000
+    c_ts_of = {
+        r.click_id: int(r.c_ts.timestamp() * 1_000_000)
+        for r in ev.filter(F.col("event_type") == "click")
+        .select(F.col("event_id").alias("click_id"), F.col("ts").alias("c_ts"))
+        .collect()
+    }
+    horizon_us = 12 * 3600 * 1_000_000
+    due = {
+        cid for cid in want_null_all if c_ts_of[cid] + horizon_us < wm_us
+    }
+    # every due abandonment emitted; nothing outside the batch-unmatched
+    # set ever emits; tail clicks the watermark never released may be held
+    assert due <= got_null <= want_null_all
+    assert got_null, "watermark must have released abandonment rows"

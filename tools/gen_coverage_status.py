@@ -49,8 +49,46 @@ def status_of(row: dict) -> str:
     return "pass"
 
 
+# Status-claim phrases in doctrine bullets ("-> rows-only", "stays
+# rows-only", "rows-only with numpy twins", ...) vs markers that exempt a
+# bullet (superseded ledger lines, conversion narratives).
+_CLAIM_RE = re.compile(
+    r"(->|stays?|remains?)\s+rows-only|rows-only (by design|with)", re.I
+)
+_EXEMPT_RE = re.compile(r"SUPERSEDED|oracled|converted|upgraded", re.I)
+
+
+def doc_consistency_issues() -> list[str]:
+    """SCALE.md bullets claiming an ORACLED key is rows-only (VERDICT r11
+    item 5: round 11 converted periodogram/cyclic but the r8 doctrine
+    bullet still said rows-only — stale doctrine must carry a SUPERSEDED
+    marker or name the conversion). Scans doctrine BULLETS only (lines
+    grouped under a leading '- '); section prose narrating conversions
+    exempts itself via the conversion vocabulary."""
+    _ensure_loaded()  # callable standalone (the pytest gate imports this)
+    with open(os.path.join(ROOT, "SCALE.md")) as fh:
+        text = fh.read()
+    oracled = {k for k, q in REGISTRY.items() if q.oracle is not None}
+    issues = []
+    for chunk in re.split(r"\n(?=- |#)", text):
+        if not chunk.startswith("- "):
+            continue
+        if not _CLAIM_RE.search(chunk) or _EXEMPT_RE.search(chunk):
+            continue
+        for k in sorted(oracled):
+            if k in chunk:
+                issues.append(
+                    f"SCALE.md claims rows-only for ORACLED key {k}: "
+                    f"{chunk[:100]!r}"
+                )
+    return issues
+
+
 def main() -> None:
     _ensure_loaded()
+    issues = doc_consistency_issues()
+    for msg in issues:
+        print(f"DOC-DRIFT {msg}")
     latest = latest_rows()
     lines = [
         BEGIN,
@@ -111,6 +149,8 @@ def main() -> None:
         f"COVERAGE.md status table regenerated: {len(REGISTRY)} keys, "
         f"{counts}"
     )
+    if issues:
+        sys.exit(1)
 
 
 if __name__ == "__main__":
