@@ -720,6 +720,15 @@ def join_interval_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     streaming version enforces via watermarks. The lag is emitted in integer
     microseconds (exact, no float rounding).
     """
+    return _interval_events_join(spark, sf_dir, "inner")
+
+
+def _interval_events_join(
+    spark: SparkSession, sf_dir: str, how: str
+) -> DataFrame:
+    """Shared click->purchase interval-join body (ONE source of truth for
+    the inner/left_outer pair — r12 self-review reuse find: the window,
+    tie semantics, and exact-micros lag must never drift between them)."""
     ev = load_table(spark, sf_dir, "events")
     c = ev.filter(F.col("event_type") == "click").select(
         "user_id", F.col("event_id").alias("click_id"), F.col("ts").alias("c_ts")
@@ -735,6 +744,7 @@ def join_interval_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             (c.user_id == p.p_user_id)
             & (p.p_ts >= c.c_ts)
             & (p.p_ts <= c.c_ts + F.expr("INTERVAL 12 HOURS")),
+            how,
         )
         .select(
             "user_id",
@@ -772,32 +782,10 @@ def join_interval_events_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: identical to the inner variant — ONE shuffle per side
     on the user_id equi key, the range predicate as a join residual,
     per-click fanout bounded by the 12 h window. NULL-extension is free
-    (the join type, not an extra pass).
+    (the join type, not an extra pass). Body shared with
+    join_interval_events via _interval_events_join.
     """
-    ev = load_table(spark, sf_dir, "events")
-    c = ev.filter(F.col("event_type") == "click").select(
-        "user_id", F.col("event_id").alias("click_id"), F.col("ts").alias("c_ts")
-    )
-    p = ev.filter(F.col("event_type") == "purchase").select(
-        F.col("user_id").alias("p_user_id"),
-        F.col("event_id").alias("purchase_id"),
-        F.col("ts").alias("p_ts"),
-    )
-    return (
-        c.join(
-            p,
-            (c.user_id == p.p_user_id)
-            & (p.p_ts >= c.c_ts)
-            & (p.p_ts <= c.c_ts + F.expr("INTERVAL 12 HOURS")),
-            "left_outer",
-        )
-        .select(
-            "user_id",
-            "click_id",
-            "purchase_id",
-            (F.unix_micros("p_ts") - F.unix_micros("c_ts")).alias("lag_us"),
-        )
-    )
+    return _interval_events_join(spark, sf_dir, "left_outer")
 
 
 @register(

@@ -5204,14 +5204,22 @@ def stats_fisher_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     # floor-round idiom shared with the oracle (see ml._round6_floor):
     # Python round()'s decimal half-even vs DuckDB's multiply-then-
     # nearest can disagree on the same double; this composite never does.
+    # Routed through _boundary_check (r12 self-review find): fisher's
+    # tail masses are in the noise-vs-grain class the guard-digit
+    # collector exists for — the inline rounds previously bypassed it,
+    # making the parity-layer assertion vacuous for this key.
     import math
 
+    from go_batch_processor_spark.operators.ml import _boundary_check
+
+    orat_scaled = orat * 1000000.0 + 0.5
+    _boundary_check(orat_scaled)
     orat_r = (
-        math.floor(orat * 1000000.0 + 0.5) / 1000000.0
-        if math.isfinite(orat)
-        else orat
+        math.floor(orat_scaled) / 1000000.0 if math.isfinite(orat) else orat
     )
-    p_r = math.floor(p * 100000000.0 + 0.5) / 100000000.0
+    p_scaled = p * 100000000.0 + 0.5
+    _boundary_check(p_scaled)
+    p_r = math.floor(p_scaled) / 100000000.0
     return spark.createDataFrame(
         [(a, b, c, d, orat_r, p_r)],
         "a bigint, b bigint, c bigint, d bigint, odds_ratio double, p_two_sided double",

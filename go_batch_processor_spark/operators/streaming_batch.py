@@ -21,6 +21,24 @@ SESSION_GAP_MIN = 30
 WATERMARK_DELAY = "1 hour"
 
 
+def _session_gap_flag(w):
+    """New-session flag over window ``w``: 1 when the gap from the
+    previous row exceeds SESSION_GAP_MIN. ONE source of truth for the
+    sessionize family (r12 self-review reuse find — two hand copies).
+
+    Microsecond precision (r12, ADVICE r11 item 1): cast('long')
+    truncated to whole seconds while the DuckDB oracle compared
+    full-precision intervals — a sub-second gap in (1800, 1801) s
+    would have sessionized differently; unix_micros matches the
+    oracle's micros-exact interval compare AND the streaming
+    operator's SESSION_GAP_US arithmetic (stateful.py)."""
+    return F.when(
+        (F.unix_micros(F.col("ts")) - F.unix_micros(F.lag(F.col("ts")).over(w)))
+        <= SESSION_GAP_MIN * 60 * 1_000_000,
+        0,
+    ).otherwise(1)
+
+
 @register(
     "stream_tumbling_window",
     oracle="""
@@ -110,17 +128,7 @@ def stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     ev = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
-    gap_flag = F.when(
-        # microsecond precision (r12, ADVICE r11 item 1): cast('long')
-        # truncated to whole seconds while the DuckDB oracle compared
-        # full-precision intervals — a sub-second gap in (1800, 1801) s
-        # would have sessionized differently; unix_micros matches the
-        # oracle's micros-exact interval compare AND the streaming
-        # operator's SESSION_GAP_US arithmetic (stateful.py)
-        (F.unix_micros(F.col("ts")) - F.unix_micros(F.lag(F.col("ts")).over(w)))
-        <= SESSION_GAP_MIN * 60 * 1_000_000,
-        0,
-    ).otherwise(1)
+    gap_flag = _session_gap_flag(w)
     sess = ev.select(
         "user_id",
         "ts",
@@ -254,17 +262,7 @@ def stream_session_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("user_id").orderBy(
         F.col("ts").asc(), F.col("event_id").asc()
     )
-    gap_flag = F.when(
-        # microsecond precision (r12, ADVICE r11 item 1): cast('long')
-        # truncated to whole seconds while the DuckDB oracle compared
-        # full-precision intervals — a sub-second gap in (1800, 1801) s
-        # would have sessionized differently; unix_micros matches the
-        # oracle's micros-exact interval compare AND the streaming
-        # operator's SESSION_GAP_US arithmetic (stateful.py)
-        (F.unix_micros(F.col("ts")) - F.unix_micros(F.lag(F.col("ts")).over(w)))
-        <= SESSION_GAP_MIN * 60 * 1_000_000,
-        0,
-    ).otherwise(1)
+    gap_flag = _session_gap_flag(w)
     sess = ev.select(
         "user_id",
         "event_id",
@@ -415,9 +413,9 @@ _FUNNEL_W_US = FUNNEL_WINDOW_H * 3600 * 1_000_000
 )
 def stream_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Funnel attribution over the event stream: each purchase converts
-    iff the user's LATEST preceding click is within {FUNNEL_WINDOW_H} h
-    of it AND the latest view preceding THAT CLICK is within
-    {FUNNEL_WINDOW_H} h of the click (last-touch attribution, the
+    iff the user's LATEST preceding click is within FUNNEL_WINDOW_H (24 h)
+    of it AND the latest view preceding THAT CLICK is within the same
+    bound of the click (last-touch attribution, the
     product-analytics standard) — the batch twin of the bounded-state
     streaming operator streaming.stateful.run_funnel_once, whose
     per-user state is THREE timestamps regardless of history length and

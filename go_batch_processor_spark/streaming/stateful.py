@@ -489,7 +489,13 @@ def _funnel_update(
         t = int(pd.Timestamp(ts).value) // 1000  # exact micros
         if et == "view":
             # max(): an out-of-order view older than the stored one can
-            # never be the "latest view" for any future click
+            # never be the "latest view" for any future click. A late
+            # view NEWER than lv but OLDER than the stored click leaves
+            # that click's lcv stamp stale (the batch twin would
+            # re-attribute the click to it) — the same documented
+            # cross-batch bounded-state class as late clicks/purchases
+            # below; single-batch runs sort, so the availableNow
+            # equivalence gate is unaffected.
             lv = t if lv is None else max(lv, t)
         elif et == "click":
             if lc is None or t >= lc:
@@ -529,7 +535,21 @@ def _funnel_update(
     else:
         state.update((lv, lc, lcv))
         horizon = max(v for v in (lv, lc) if v is not None)
-        state.setTimeoutTimestamp(horizon // 1000 + FUNNEL_WINDOW_US // 1000)
+        # Clamp to strictly-after-the-watermark (r12 self-review find):
+        # purchases never advance lv/lc, so after an eviction-eligible
+        # state survives a pass (timeouts flush on the NEXT batch), an
+        # in-watermark purchase would re-arm a timeout EARLIER than the
+        # current watermark — setTimeoutTimestamp raises
+        # INVALID_TIMEOUT_TIMESTAMP and fails the whole query on normal
+        # input (old click, much-later purchase). session-topk is immune
+        # (its horizon `last` >= every processed row's t >= watermark);
+        # the funnel's horizon is not row-monotone, hence the clamp.
+        state.setTimeoutTimestamp(
+            max(
+                horizon // 1000 + FUNNEL_WINDOW_US // 1000,
+                state.getCurrentWatermarkMs() + 1,
+            )
+        )
     yield from out
 
 

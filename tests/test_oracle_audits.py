@@ -29,3 +29,24 @@ def test_scale_doctrine_matches_registry_oracle_status():
 
     issues = doc_consistency_issues()
     assert not issues, "\n".join(issues)
+
+
+def test_doc_drift_lint_detects_and_exempts():
+    """The lint's detector and both guards, on synthetic bullets: a
+    head-named ORACLED key with a rows-only claim flags; the same claim
+    about a rows-only key that merely MENTIONS an oracled key in prose
+    does not; a SUPERSEDED marker exempts."""
+    from tools.gen_coverage_status import doc_consistency_issues
+
+    bad = (
+        "- **timeseries_periodogram**: sin/cos are libm -> rows-only "
+        "with numpy twins (doctrine)."
+    )
+    assert doc_consistency_issues(bad), "true drift must flag"
+    mention = (
+        "- **dedup_simhash**: stays rows-only (engine hash; unlike "
+        "text_bpe_train_merges, whose fold is exact-integer)."
+    )
+    assert doc_consistency_issues(mention) == [], "prose mention must not"
+    superseded = bad.replace("sin/cos", "[SUPERSEDED r11] sin/cos")
+    assert doc_consistency_issues(superseded) == []

@@ -563,6 +563,9 @@ class _FakeState:
     def setTimeoutTimestamp(self, ms):
         self.timeout_ms = ms
 
+    def getCurrentWatermarkMs(self):
+        return 0  # first-batch semantics: watermark unset
+
 
 def _funnel_sql_twin(events, w_us):
     """Pure-Python replay of the stream_funnel_conversion SQL semantics:

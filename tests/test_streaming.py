@@ -948,3 +948,63 @@ def test_stream_stream_interval_join_left_outer(spark, sf_dir):
     # set ever emits; tail clicks the watermark never released may be held
     assert due <= got_null <= want_null_all
     assert got_null, "watermark must have released abandonment rows"
+
+
+def test_funnel_stale_horizon_purchase_does_not_crash(spark, tmp_path):
+    """r12 self-review regression: purchases never advance the funnel
+    state's horizon (lv/lc), so an in-watermark purchase arriving AFTER
+    the watermark already passed the state's timeout used to re-arm a
+    timeout EARLIER than the watermark — INVALID_TIMEOUT_TIMESTAMP, the
+    whole query fails on normal input. The clamp re-arms strictly after
+    the current watermark instead; the stale purchase correctly does
+    not convert, and the state still evicts afterwards."""
+    import pandas as pd
+
+    from go_batch_processor_spark.streaming import rocksdb_state_store
+    from go_batch_processor_spark.streaming.stateful import run_funnel_once
+
+    src = tmp_path / "src"
+    src.mkdir()
+
+    def write(name, recs):
+        df = pd.DataFrame(recs)
+        df["ts"] = df["ts"].astype("datetime64[us]")
+        df.to_parquet(src / name)
+
+    base = pd.Timestamp("2024-05-01 12:00:00")
+    write(
+        "00.parquet",
+        [
+            {"event_id": 1, "user_id": 7, "ts": base, "event_type": "view"},
+            {"event_id": 2, "user_id": 7,
+             "ts": base + pd.Timedelta(hours=1), "event_type": "click"},
+            {"event_id": 3, "user_id": -1,
+             "ts": base + pd.Timedelta(hours=1), "event_type": "view"},
+        ],
+    )
+    schema = spark.read.parquet(str(src)).schema
+    ckpt = str(tmp_path / "ckpt")
+    with rocksdb_state_store(spark):
+        run_funnel_once(spark, str(src), ckpt, schema)
+        # watermark jumps to ~day 30; user 7's timeout (click + 24 h)
+        # is now far in the past but may not flush until the next pass
+        write(
+            "01.parquet",
+            [{"event_id": 4, "user_id": -1,
+              "ts": base + pd.Timedelta(days=30), "event_type": "view"}],
+        )
+        run_funnel_once(spark, str(src), ckpt, schema)
+        # in-watermark purchase for user 7 with a STALE horizon: the
+        # data path re-arms the timeout — pre-clamp this raised
+        # INVALID_TIMEOUT_TIMESTAMP and failed the query
+        write(
+            "02.parquet",
+            [{"event_id": 5, "user_id": 7,
+              "ts": base + pd.Timedelta(days=31), "event_type": "purchase"},
+             {"event_id": 6, "user_id": -1,
+              "ts": base + pd.Timedelta(days=40), "event_type": "view"}],
+        )
+        r3 = run_funnel_once(spark, str(src), ckpt, schema).collect()
+        r4 = run_funnel_once(spark, str(src), ckpt, schema).collect()
+    conv = [r for r in r3 + r4 if r.kind == "conversion" and r.user_id == 7]
+    assert conv == []  # the click is 30 days stale — no attribution

@@ -58,7 +58,7 @@ _CLAIM_RE = re.compile(
 _EXEMPT_RE = re.compile(r"SUPERSEDED|oracled|converted|upgraded", re.I)
 
 
-def doc_consistency_issues() -> list[str]:
+def doc_consistency_issues(text: str | None = None) -> list[str]:
     """SCALE.md bullets claiming an ORACLED key is rows-only (VERDICT r11
     item 5: round 11 converted periodogram/cyclic but the r8 doctrine
     bullet still said rows-only — stale doctrine must carry a SUPERSEDED
@@ -66,8 +66,9 @@ def doc_consistency_issues() -> list[str]:
     grouped under a leading '- '); section prose narrating conversions
     exempts itself via the conversion vocabulary."""
     _ensure_loaded()  # callable standalone (the pytest gate imports this)
-    with open(os.path.join(ROOT, "SCALE.md")) as fh:
-        text = fh.read()
+    if text is None:
+        with open(os.path.join(ROOT, "SCALE.md")) as fh:
+            text = fh.read()
     oracled = {k for k, q in REGISTRY.items() if q.oracle is not None}
     issues = []
     for chunk in re.split(r"\n(?=- |#)", text):
@@ -75,8 +76,14 @@ def doc_consistency_issues() -> list[str]:
             continue
         if not _CLAIM_RE.search(chunk) or _EXEMPT_RE.search(chunk):
             continue
+        # match subject keys in the bullet HEAD only (up to the first
+        # colon / end of first line) — a bullet about some rows-only key
+        # that merely MENTIONS an oracled key in its prose must not flag
+        # (r12 self-review: bare-substring matching over the whole
+        # bullet would fail CI on correct sentences)
+        head = chunk.split(":", 1)[0]  # "- **key / key2**" may wrap lines
         for k in sorted(oracled):
-            if k in chunk:
+            if k in head:
                 issues.append(
                     f"SCALE.md claims rows-only for ORACLED key {k}: "
                     f"{chunk[:100]!r}"
