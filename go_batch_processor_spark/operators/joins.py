@@ -747,7 +747,9 @@ def _interval_events_join(
             how,
         )
         .select(
-            "user_id",
+            # coalesce is the identity for inner/left (click side always
+            # present); full_outer's orphan purchases take theirs from p
+            F.coalesce(c.user_id, p.p_user_id).alias("user_id"),
             "click_id",
             "purchase_id",
             (F.unix_micros("p_ts") - F.unix_micros("c_ts")).alias("lag_us"),
@@ -786,6 +788,35 @@ def join_interval_events_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     join_interval_events via _interval_events_join.
     """
     return _interval_events_join(spark, sf_dir, "left_outer")
+
+
+@register(
+    "join_interval_events_full",
+    oracle="""
+    SELECT coalesce(c.user_id, p.user_id) AS user_id,
+           c.event_id AS click_id,
+           p.event_id AS purchase_id,
+           date_diff('microsecond', c.ts, p.ts) AS lag_us
+    FROM (SELECT * FROM events WHERE event_type = 'click') c
+    FULL JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+      ON p.user_id = c.user_id
+     AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 12 HOUR
+    """,
+)
+def join_interval_events_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER event-time interval join — completes the interval
+    family: conversions (both sides present), abandonment (click with
+    NULL purchase), AND direct purchases (NULL click — no same-user
+    click in the preceding 12 h; the organic-traffic detector the left
+    variant cannot see). Batch twin of the watermarked stream-stream
+    fullOuter join, where each side's null-extension emits once the
+    OTHER side's watermark passes the row's match horizon (clicks
+    after click_ts + 12 h; purchases after purchase_ts) —
+    tests/test_streaming.py pins both release conditions. Body shared
+    with the inner/left variants via _interval_events_join — same
+    one-shuffle-per-side plan, NULL-extension free on both sides.
+    """
+    return _interval_events_join(spark, sf_dir, "full_outer")
 
 
 @register(

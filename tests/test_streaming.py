@@ -1008,3 +1008,86 @@ def test_funnel_stale_horizon_purchase_does_not_crash(spark, tmp_path):
         r4 = run_funnel_once(spark, str(src), ckpt, schema).collect()
     conv = [r for r in r3 + r4 if r.kind == "conversion" and r.user_id == 7]
     assert conv == []  # the click is 30 days stale — no attribution
+
+
+def test_stream_stream_interval_join_full_outer(spark, sf_dir):
+    """TRUE watermarked fullOuter stream-stream join: matched pairs ==
+    the batch inner join exactly; LEFT nulls (abandoned clicks) emit
+    exactly when the watermark passes click_ts + 12 h; RIGHT nulls
+    (direct purchases — no same-user click in the preceding 12 h) emit
+    exactly when the watermark passes purchase_ts. Tail rows the final
+    watermark never released may be held on either side."""
+    from pyspark.sql import functions as F
+
+    from go_batch_processor_spark.catalog import load_stream, load_table
+    from go_batch_processor_spark.streaming import run_stream_to_memory
+
+    def sides(src):
+        clicks = src.filter(F.col("event_type") == "click").select(
+            F.col("user_id").alias("c_user"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("c_ts"),
+        )
+        purchases = src.filter(F.col("event_type") == "purchase").select(
+            F.col("user_id").alias("p_user_id"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("p_ts"),
+        )
+        return clicks, purchases
+
+    sc, sp = sides(load_stream(spark, sf_dir, "events"))
+    cond = F.expr(
+        "c_user = p_user_id AND p_ts >= c_ts"
+        " AND p_ts <= c_ts + interval 12 hours"
+    )
+    streamed = run_stream_to_memory(
+        sc.withWatermark("c_ts", "1 hour")
+        .join(sp.withWatermark("p_ts", "1 hour"), cond, "fullOuter")
+        .select("click_id", "purchase_id"),
+        spark,
+    ).collect()
+    got_matched = {
+        (r.click_id, r.purchase_id)
+        for r in streamed
+        if r.click_id is not None and r.purchase_id is not None
+    }
+    got_left_null = {r.click_id for r in streamed if r.purchase_id is None}
+    got_right_null = {r.purchase_id for r in streamed if r.click_id is None}
+
+    batch = REGISTRY["join_interval_events_full"].fn(spark, sf_dir).collect()
+    want_matched = {
+        (r.click_id, r.purchase_id)
+        for r in batch
+        if r.click_id is not None and r.purchase_id is not None
+    }
+    want_left_all = {r.click_id for r in batch if r.purchase_id is None}
+    want_right_all = {r.purchase_id for r in batch if r.click_id is None}
+    assert got_matched == want_matched
+    assert want_left_all and want_right_all, "fixture must have both kinds"
+
+    ev = load_table(spark, sf_dir, "events")
+    mx = {
+        r["event_type"]: int(r["m"].timestamp() * 1_000_000)
+        for r in ev.filter(F.col("event_type").isin("click", "purchase"))
+        .groupBy("event_type")
+        .agg(F.max("ts").alias("m"))
+        .collect()
+    }
+    wm_us = min(mx.values()) - 3600 * 1_000_000
+    ts_of = {
+        (r.event_type, r.event_id): int(r.ts.timestamp() * 1_000_000)
+        for r in ev.filter(
+            F.col("event_type").isin("click", "purchase")
+        ).collect()
+    }
+    h12 = 12 * 3600 * 1_000_000
+    due_left = {
+        cid for cid in want_left_all
+        if ts_of[("click", cid)] + h12 < wm_us
+    }
+    due_right = {
+        pid for pid in want_right_all if ts_of[("purchase", pid)] < wm_us
+    }
+    assert due_left <= got_left_null <= want_left_all
+    assert due_right <= got_right_null <= want_right_all
+    assert got_left_null and got_right_null
