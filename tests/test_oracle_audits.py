@@ -50,3 +50,27 @@ def test_doc_drift_lint_detects_and_exempts():
     assert doc_consistency_issues(mention) == [], "prose mention must not"
     superseded = bad.replace("sin/cos", "[SUPERSEDED r11] sin/cos")
     assert doc_consistency_issues(superseded) == []
+    # ADVICE r12 item 1: word-boundary key match — a bullet head naming
+    # a LONGER hypothetical key containing an oracled key's name must
+    # not flag; and the exemption must live in the SAME sentence as the
+    # claim (a "converted" sentence elsewhere in the bullet can't mask
+    # a drifted claim sentence)
+    longer = bad.replace("timeseries_periodogram**", "timeseries_periodogram_v2**")
+    assert doc_consistency_issues(longer) == [], "suffix key must not match"
+    masked = (
+        "- **timeseries_periodogram**: round 11 converted the sibling. "
+        "This one stays rows-only with numpy twins."
+    )
+    assert doc_consistency_issues(masked), "other-sentence exemption must not mask"
+
+
+def test_coverage_totals_line_matches_correctness_union():
+    """VERDICT r12 item 1 gate: COVERAGE.md's generated Totals line must
+    equal the freshest CORRECTNESS_r* union — the committed table lags
+    one driver run by necessity, so this fails loudly at round start
+    until tools/gen_coverage_status.py is rerun (the round's first
+    commit)."""
+    from tools.gen_coverage_status import totals_line_issues
+
+    issues = totals_line_issues()
+    assert not issues, "\n".join(issues)

@@ -55,7 +55,12 @@ def status_of(row: dict) -> str:
 _CLAIM_RE = re.compile(
     r"(->|stays?|remains?)\s+rows-only|rows-only (by design|with)", re.I
 )
-_EXEMPT_RE = re.compile(r"SUPERSEDED|oracled|converted|upgraded", re.I)
+_EXEMPT_RE = re.compile(r"oracled|converted|upgraded", re.I)
+# an explicit [SUPERSEDED ...] ledger marker exempts the WHOLE bullet by
+# convention (SCALE.md:861 keeps the original stale text after the
+# marker as a dated ledger line); the softer conversion vocabulary only
+# exempts the sentence it appears in (ADVICE r12 item 1)
+_SUPERSEDED_RE = re.compile(r"SUPERSEDED")
 
 
 def doc_consistency_issues(text: str | None = None) -> list[str]:
@@ -74,7 +79,18 @@ def doc_consistency_issues(text: str | None = None) -> list[str]:
     for chunk in re.split(r"\n(?=- |#)", text):
         if not chunk.startswith("- "):
             continue
-        if not _CLAIM_RE.search(chunk) or _EXEMPT_RE.search(chunk):
+        if _SUPERSEDED_RE.search(chunk):
+            continue
+        # the conversion-vocabulary exemption must sit in the SAME
+        # sentence as the rows-only claim (ADVICE r12 item 1: a
+        # bullet-wide exemption lets an unrelated "converted" sentence
+        # mask true drift elsewhere in the bullet)
+        claiming = [
+            s
+            for s in re.split(r"(?<=[.;])\s+", chunk)
+            if _CLAIM_RE.search(s) and not _EXEMPT_RE.search(s)
+        ]
+        if not claiming:
             continue
         # match subject keys in the bullet HEAD only (up to the first
         # colon / end of first line) — a bullet about some rows-only key
@@ -83,12 +99,59 @@ def doc_consistency_issues(text: str | None = None) -> list[str]:
         # bullet would fail CI on correct sentences)
         head = chunk.split(":", 1)[0]  # "- **key / key2**" may wrap lines
         for k in sorted(oracled):
-            if k in head:
+            # word boundary: key stream_sessionize must not match a
+            # bullet head naming stream_sessionize_v2 (ADVICE r12 item 1)
+            if re.search(rf"(?<![A-Za-z0-9_]){re.escape(k)}(?![A-Za-z0-9_])", head):
                 issues.append(
                     f"SCALE.md claims rows-only for ORACLED key {k}: "
                     f"{chunk[:100]!r}"
                 )
     return issues
+
+
+def expected_counts() -> dict[str, int]:
+    """Freshly computed status counts from the CORRECTNESS union."""
+    _ensure_loaded()
+    latest = latest_rows()
+    counts = {"pass": 0, "FAIL": 0, "rows-only ran": 0, "never": 0}
+    for name in REGISTRY:
+        counts[status_of(latest[name][1]) if name in latest else "never"] += 1
+    return counts
+
+
+_TOTALS_RE = re.compile(
+    r"\*\*Totals\*\*: (\d+) keys — (\d+) driver-pass, (\d+) rows-only "
+    r"sampled-and-ran, (\d+) stale-FAIL, (\d+) never-sampled\."
+)
+
+
+def totals_line_issues(text: str | None = None) -> list[str]:
+    """COVERAGE.md's generated Totals line vs the freshest CORRECTNESS
+    union (VERDICT r12 item 1: the table is regenerated before the driver
+    round by necessity, so the committed totals lag one driver run; this
+    gate makes the lag loud so round start regenerates first)."""
+    if text is None:
+        with open(os.path.join(ROOT, "COVERAGE.md")) as fh:
+            text = fh.read()
+    m = _TOTALS_RE.search(text)
+    if not m:
+        return ["COVERAGE.md has no generated Totals line"]
+    got = tuple(int(g) for g in m.groups())
+    c = expected_counts()
+    want = (
+        len(REGISTRY),
+        c["pass"],
+        c["rows-only ran"],
+        c["FAIL"],
+        c["never"],
+    )
+    if got != want:
+        return [
+            f"COVERAGE.md Totals line is stale: committed {got}, the "
+            f"CORRECTNESS_r* union says {want} — rerun "
+            "tools/gen_coverage_status.py"
+        ]
+    return []
 
 
 def main() -> None:
