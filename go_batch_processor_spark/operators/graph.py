@@ -840,6 +840,14 @@ def _k_core_peel(
                 # found by the r12 pathological-path test, latent at the
                 # 30-round cap. Truncate every 4th round (the
                 # dedup_cluster_components idiom).
+                # Retention note (ADVICE r12): the checkpointed alias is
+                # deliberately NOT added to `generations` — unpersisting
+                # a checkpoint destroys it while later rounds still read
+                # it. A deep peel therefore retains ~max_iters/4 (<= 7
+                # at the 30-round cap) checkpointed edge-list copies
+                # until driver GC; bounded and acceptable. For an
+                # unbounded-iteration caller, track these and unpersist
+                # AFTER the return value is materialized.
                 nxt = nxt.localCheckpoint(eager=True)
             cur = nxt
         if not converged:

@@ -3533,7 +3533,16 @@ PLATT_ITERS = 8
 # unexplained driver-gate hash red. SCALE.md round-12 documents the
 # class.
 GUARD_BOUNDARY_EPS = 1e-6
+# Bounded ring of recent hits (ADVICE r12 item 3: an unbounded
+# module-global consumed only by tests would grow silently in a
+# long-lived production driver). The collector assumes every
+# _round6_floor call runs DRIVER-SIDE — if a floor-round ever moves
+# into an executor-side UDF, its hits land in the executor's forked
+# interpreter and this guard silently no-ops; keep the one-shot-sum
+# floor-rounds on the driver (they are by construction: each consumes
+# a collected sufficient statistic).
 BOUNDARY_HITS: list[tuple[float, float]] = []
+_BOUNDARY_HITS_MAX = 1024
 
 
 def _boundary_check(scaled: float) -> None:
@@ -3542,7 +3551,23 @@ def _boundary_check(scaled: float) -> None:
     if math.isfinite(scaled):
         d = abs(scaled - round(scaled))
         if d < GUARD_BOUNDARY_EPS:
+            if len(BOUNDARY_HITS) >= _BOUNDARY_HITS_MAX:
+                del BOUNDARY_HITS[0]
             BOUNDARY_HITS.append((scaled, d))
+            # loud in production logs, not only in the test collector —
+            # a landing here means the affected key's oracle parity is
+            # one ulp from flipping (demote it to rows-only; SCALE.md
+            # determinism class #10)
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "floor-round input %r is within %.0e of a boundary "
+                "(dist=%.3e) — oracle parity for the one-shot-sum keys "
+                "is at risk; see SCALE.md determinism class #10",
+                scaled,
+                GUARD_BOUNDARY_EPS,
+                d,
+            )
 
 
 def _round6_floor(x: float) -> float:

@@ -599,3 +599,156 @@ def run_funnel_once(
     if not os.path.isdir(sink_dir):  # zero-batch run
         return spark.createDataFrame([], schema=FUNNEL_OUT_SCHEMA)
     return spark.read.schema(FUNNEL_OUT_SCHEMA).parquet(sink_dir)
+
+
+# -- Last-touch attribution: purchase -> latest prior touch ------------------
+#
+# Streaming twin of the oracled batch key analytics_attribution_last_touch
+# (operators/analytics.py — the as-of machinery's canonical
+# product-analytics use; VERDICT r12 item 4). The funnel state machine
+# minus one stage: per-user state is ONE (touch_ts, touch_type) pair —
+# the latest view/click seen — bounded regardless of history length.
+# Purchases attribute to it if it lies within the attribution window.
+#
+# The batch key is UNWINDOWED ("latest touch at-or-before", unbounded
+# lookback); unbounded lookback means unbounded state RETENTION, which a
+# stream cannot honor. ATTRIB_WINDOW_US = 30 days is the production
+# lookback policy (the standard marketing attribution window): equality
+# with the unwindowed batch key holds exactly while every
+# touch->purchase lag fits the window (true for the test fixtures —
+# events span ~31 days and the max observed lag is ~4.4 days; pinned by
+# tests/test_streaming.py), and state evicts via the funnel's
+# EVICTION-ONLY EventTimeTimeout pattern once the watermark passes
+# touch_ts + W.
+#
+# Tie semantics mirror the batch key's micro-ts dedup: touches are
+# deduped to min(event_type) per (user, micro ts) — at an equal-ts tie
+# the stored type becomes min(stored, new) ('click' < 'view'), so the
+# as-of match can never disagree with the batch side on a tie.
+ATTRIB_WINDOW_US = 30 * 24 * 3600 * 1_000_000
+ATTRIB_OUT_SCHEMA = (
+    "user_id long, purchase_id long, purchase_ts timestamp, "
+    "touch_ts timestamp, touch_type string, latency_us long, kind string"
+)
+ATTRIB_STATE_SCHEMA = "t long, typ string"  # exact integer micros
+
+
+def _attribution_update(
+    key: tuple,
+    pdfs: Iterable[pd.DataFrame],
+    state: GroupState,
+) -> Iterable[pd.DataFrame]:
+    (user_id,) = key
+    if state.hasTimedOut:
+        state.remove()  # EVICTION: the touch can serve no future purchase
+        yield pd.DataFrame(
+            {
+                "user_id": [user_id],
+                "purchase_id": [None],
+                "purchase_ts": [pd.NaT],
+                "touch_ts": [pd.NaT],
+                "touch_type": [None],
+                "latency_us": [None],
+                "kind": ["evict"],
+            }
+        )
+        return
+    st, styp = state.get if state.exists else (None, None)
+    rows = pd.concat(list(pdfs)).sort_values(["ts", "event_id"])
+    out = []
+    for et, eid, ts in zip(rows["event_type"], rows["event_id"], rows["ts"]):
+        t = int(pd.Timestamp(ts).value) // 1000  # exact micros
+        if et in ("view", "click"):
+            if st is None or t > st:
+                st, styp = t, et
+            elif t == st:
+                # micro-ts tie: min(event_type) priority, mirroring the
+                # batch key's groupBy(user, ts).agg(min(event_type))
+                styp = min(styp, et)
+            # else: a late touch OLDER than the stored latest can never
+            # be the "latest touch" for any future purchase — but a
+            # purchase BETWEEN it and the stored touch already attributed
+            # to the stored one in the batch twin's answer only if it
+            # came after; the documented cross-batch bounded-state class
+            # shared with the funnel (single-batch runs sort, so the
+            # availableNow equivalence gate never hits this)
+        elif et == "purchase":
+            # 0 <=: a late purchase PREDATING the stored touch never
+            # attributes to it (same documented class)
+            if st is not None and 0 <= t - st <= ATTRIB_WINDOW_US:
+                out.append(
+                    pd.DataFrame(
+                        {
+                            "user_id": [user_id],
+                            "purchase_id": [int(eid)],
+                            "purchase_ts": [pd.to_datetime(t, unit="us")],
+                            "touch_ts": [pd.to_datetime(st, unit="us")],
+                            "touch_type": [styp],
+                            "latency_us": [t - st],
+                            "kind": ["conversion"],
+                        }
+                    )
+                )
+    if st is None:
+        # purchases only: nothing a future purchase could attribute to
+        if state.exists:
+            state.remove()
+    else:
+        state.update((st, styp))
+        # same clamp as the funnel (r12 self-review find): purchases
+        # never advance st, so an in-watermark purchase after a pass
+        # would otherwise re-arm a timeout EARLIER than the watermark
+        # (INVALID_TIMEOUT_TIMESTAMP fails the whole query)
+        state.setTimeoutTimestamp(
+            max(
+                st // 1000 + ATTRIB_WINDOW_US // 1000,
+                state.getCurrentWatermarkMs() + 1,
+            )
+        )
+    yield from out
+
+
+def run_attribution_once(
+    spark: SparkSession, src_dir: str, checkpoint_dir: str, schema
+) -> DataFrame:
+    """One availableNow pass of the last-touch attribution operator
+    against a caller-owned checkpoint (the run_funnel_once harness
+    shape: foreachBatch parquet sink, one run-N subdir per invocation).
+    Conversions emit inline as purchases arrive; state evicts via
+    EventTimeTimeout tombstones once the watermark passes touch + W."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    ev = (
+        spark.readStream.schema(schema)
+        .parquet(src_dir)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .filter(F.col("event_type").isin("view", "click", "purchase"))
+        .select("user_id", "event_id", "ts", "event_type")
+        .withWatermark("ts", "1 hour")
+    )
+    updated = ev.groupBy("user_id").applyInPandasWithState(
+        _attribution_update,
+        outputStructType=ATTRIB_OUT_SCHEMA,
+        stateStructType=ATTRIB_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+    sink_root = os.path.join(checkpoint_dir, "_sink")
+    os.makedirs(sink_root, exist_ok=True)
+    run_n = sum(1 for d in os.listdir(sink_root) if d.startswith("run-"))
+    sink_dir = os.path.join(sink_root, f"run-{run_n}")
+    query = (
+        updated.writeStream.outputMode("update")
+        .foreachBatch(
+            lambda batch_df, _id: batch_df.write.mode("append").parquet(sink_dir)
+        )
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    if not os.path.isdir(sink_dir):  # zero-batch run
+        return spark.createDataFrame([], schema=ATTRIB_OUT_SCHEMA)
+    return spark.read.schema(ATTRIB_OUT_SCHEMA).parquet(sink_dir)

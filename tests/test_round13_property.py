@@ -1,0 +1,168 @@
+"""Round-13 property layer: interval-join family ALGEBRA (VERDICT r12
+item 8).
+
+The inner/left/full interval joins share one body
+(joins._interval_events_join) so the window, tie semantics, and exact
+micros lag can never drift between them — but nothing froze the family's
+NULL-extension ALGEBRA itself. These properties do, over random event
+soups straddling the 12 h boundary, on BOTH engines:
+
+  1. containment:  inner ⊆ left ⊆ full   (as row multisets)
+  2. left  == inner ∪ {(click, NULL) : click has no in-window purchase}
+  3. full  == left  ∪ {(NULL, purchase) : purchase has no in-window click}
+  4. Spark == DuckDB on every draw, for each of the three variants
+
+so a future edit of the shared body (or of one variant's how=) that
+shifts which side null-extends, or drops the boundary row at exactly
+click_ts + 12 h, fails here before it can reach a driver sample.
+"""
+from __future__ import annotations
+
+import collections
+import os
+import tempfile
+
+import duckdb
+import pandas as pd
+import pytest
+from hypothesis import HealthCheck, example, given, settings
+from hypothesis import strategies as st
+
+from go_batch_processor_spark.operators.joins import _interval_events_join
+
+HOURS_12_US = 12 * 3600 * 1_000_000
+BASE_US = 1_700_000_000_000_000  # 2023-11-14T22:13:20Z, arbitrary anchor
+
+_ORACLE = {
+    "inner": "JOIN",
+    "left_outer": "LEFT JOIN",
+    "full_outer": "FULL JOIN",
+}
+
+
+@st.composite
+def event_soup(draw):
+    """Random (event_id, user_id, type, ts_offset_us) soup: few users so
+    multi-match fanout happens, offsets spanning ~2x the 12 h window so
+    in/out-of-window pairs both occur, plus exact-boundary offsets."""
+    n = draw(st.integers(2, 24))
+    offsets = st.one_of(
+        st.integers(0, 2 * HOURS_12_US),
+        st.sampled_from([0, HOURS_12_US, HOURS_12_US + 1, 2 * HOURS_12_US]),
+    )
+    return [
+        (
+            i,
+            draw(st.integers(0, 2)),
+            draw(st.sampled_from(["click", "purchase", "view"])),
+            draw(offsets),
+        )
+        for i in range(n)
+    ]
+
+
+def _soup_pdf(soup) -> pd.DataFrame:
+    return pd.DataFrame(
+        {
+            "event_id": [e[0] for e in soup],
+            "ts": pd.to_datetime(
+                [BASE_US + e[3] for e in soup], unit="us"
+            ),
+            "user_id": [e[1] for e in soup],
+            "event_type": [e[2] for e in soup],
+            "value": [0.0] * len(soup),
+            "props": ["{}"] * len(soup),
+        }
+    )
+
+
+def _multiset(df: pd.DataFrame) -> collections.Counter:
+    none = lambda v: None if pd.isna(v) else int(v)  # noqa: E731
+    return collections.Counter(
+        (none(r.user_id), none(r.click_id), none(r.purchase_id), none(r.lag_us))
+        for r in df.itertuples()
+    )
+
+
+def _duck_variant(pdf: pd.DataFrame, how: str) -> collections.Counter:
+    con = duckdb.connect()
+    con.register("ev_src", pdf)
+    got = con.sql(
+        f"""
+        SELECT coalesce(c.user_id, p.user_id) AS user_id,
+               c.event_id AS click_id,
+               p.event_id AS purchase_id,
+               date_diff('microsecond', c.ts, p.ts) AS lag_us
+        FROM (SELECT * FROM ev_src WHERE event_type = 'click') c
+        {_ORACLE[how]} (SELECT * FROM ev_src WHERE event_type = 'purchase') p
+          ON p.user_id = c.user_id
+         AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 12 HOUR
+        """
+    ).df()
+    con.close()
+    return _multiset(got)
+
+
+@settings(
+    max_examples=10,  # each example runs 3 Spark joins; keep the budget tight
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(event_soup())
+@example(  # exact boundary: purchase at click_ts + 12 h matches (<=)
+    [(0, 0, "click", 0), (1, 0, "purchase", HOURS_12_US),
+     (2, 0, "purchase", HOURS_12_US + 1), (3, 1, "purchase", 0)]
+)
+@example([(0, 0, "view", 0)])  # no clicks, no purchases at all
+def test_interval_family_algebra_both_engines(spark, case):
+    soup = case
+    pdf = _soup_pdf(soup)
+    with tempfile.TemporaryDirectory() as td:
+        pdf.to_parquet(os.path.join(td, "events.parquet"))
+        got = {}
+        for how in ("inner", "left_outer", "full_outer"):
+            sdf = _interval_events_join(spark, td, how).toPandas()
+            got[how] = _multiset(sdf)
+            assert got[how] == _duck_variant(pdf, how), (
+                f"engines disagree on {how}: {soup}"
+            )
+
+    inner, left, full = got["inner"], got["left_outer"], got["full_outer"]
+    # 1. containment as multisets
+    assert not inner - left, f"inner ⊄ left: {soup}"
+    assert not left - full, f"left ⊄ full: {soup}"
+
+    # 2. left = inner ∪ (unmatched clicks × NULL)
+    matched_clicks = {k[1] for k in inner}
+    clicks = {(e[0], e[1]) for e in soup if e[2] == "click"}
+    null_left = collections.Counter(
+        (u, cid, None, None) for cid, u in clicks if cid not in matched_clicks
+    )
+    assert left == inner + null_left, f"left ≠ inner ∪ NULL-clicks: {soup}"
+
+    # 3. full = left ∪ (NULL × orphan purchases)
+    matched_purch = {k[2] for k in inner}
+    purchases = {(e[0], e[1]) for e in soup if e[2] == "purchase"}
+    null_right = collections.Counter(
+        (u, None, pid, None) for pid, u in purchases if pid not in matched_purch
+    )
+    assert full == left + null_right, f"full ≠ left ∪ orphan-purchases: {soup}"
+
+
+@pytest.mark.parametrize("how", ["inner", "left_outer", "full_outer"])
+def test_interval_family_plan_is_single_equi_join(spark, sf_dir, how):
+    """The family's scale contract: the range predicate must ride the
+    user_id equi join as a residual — the physical plan contains exactly
+    one join node and it is NOT a cartesian/broadcast-nested-loop
+    product (which is what this join degrades to if the equi key is ever
+    dropped from the condition)."""
+    plan = _interval_events_join(spark, sf_dir, how)._jdf.queryExecution(
+    ).executedPlan().toString()
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+    # any EQUI join is acceptable (broadcast-hash at tiny SF, sort-merge /
+    # shuffled-hash at scale) — the contract is the equi key survives
+    n_joins = sum(
+        plan.count(j)
+        for j in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin")
+    )
+    assert n_joins == 1, plan

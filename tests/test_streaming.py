@@ -742,6 +742,78 @@ def test_session_topk_too_old_stragglers_form_own_session(spark, tmp_path):
         assert r.session_end >= r.session_start
 
 
+def test_session_topk_bridging_straggler_chain_emits_separately(
+    spark, tmp_path
+):
+    """ADVICE r12 item 4: pin the ONE documented bounded-state
+    divergence (stateful.py::_update_session_topk) so a refactor can't
+    silently change which side of it the code lands on. A straggler
+    chain that BRIDGES to the open session — t1 <= start-gap < t2 <=
+    start with every hop <= gap — is chained into ONE session by the
+    batch twin (11:50..12:35 here), but the streaming operator has
+    already classified t1 as too-old when it arrives and emits it as
+    its own 'gap' session, while t2 merges backward into the open
+    session. Expected (documented divergence, NOT the twin's answer):
+    [11:50..11:50 n=1 'gap'] + [12:10..12:35 n=3 'timeout']."""
+    import pandas as pd
+
+    from go_batch_processor_spark.streaming import (
+        rocksdb_state_store,
+        run_session_topk_once,
+    )
+
+    src = tmp_path / "src"
+    src.mkdir()
+
+    def write(name, recs):
+        df = pd.DataFrame(recs)
+        df["ts"] = df["ts"].astype("datetime64[us]")
+        df.to_parquet(src / name)
+
+    base = pd.Timestamp("2024-05-01 12:00:00")
+    mins = lambda m: base + pd.Timedelta(minutes=m)  # noqa: E731
+    write(
+        "00.parquet",
+        [
+            {"event_id": 1, "user_id": 7, "ts": mins(30), "value": 5.0},
+            {"event_id": 2, "user_id": 7, "ts": mins(35), "value": 6.0},
+            # watermark driver: keeps user 7's rows in-watermark
+            {"event_id": 3, "user_id": -1, "ts": mins(40), "value": 0.0},
+        ],
+    )
+    schema = spark.read.parquet(str(src)).schema
+    ckpt = str(tmp_path / "ckpt")
+    with rocksdb_state_store(spark):
+        run_session_topk_once(spark, str(src), ckpt, schema)
+        write(
+            "01.parquet",
+            [
+                # t1: 40 min before the open start (> 30 min gap) ...
+                {"event_id": 4, "user_id": 7, "ts": mins(-10), "value": 9.0},
+                # ... t2: 20 min before the start AND 20 min after t1 —
+                # the chain bridges: twin-answer would be ONE session
+                {"event_id": 5, "user_id": 7, "ts": mins(10), "value": 8.0},
+                # sentinel flushes every session via timeout
+                {"event_id": 6, "user_id": -1,
+                 "ts": base + pd.Timedelta(days=10), "value": 0.0},
+            ],
+        )
+        rows = run_session_topk_once(spark, str(src), ckpt, schema).collect()
+        rows += run_session_topk_once(spark, str(src), ckpt, schema).collect()
+    got = sorted(
+        (r.session_start, r.session_end, r.n_events,
+         r.top1, r.top2, r.top3, r.closed_by)
+        for r in rows
+        if r.user_id == 7
+    )
+    assert got == [
+        (mins(-10).to_pydatetime(), mins(-10).to_pydatetime(), 1,
+         9.0, None, None, "gap"),
+        (mins(10).to_pydatetime(), mins(35).to_pydatetime(), 3,
+         8.0, 6.0, 5.0, "timeout"),
+    ], got
+
+
 def test_funnel_window_constants_agree():
     from go_batch_processor_spark.operators.streaming_batch import (
         FUNNEL_WINDOW_H,
@@ -1091,3 +1163,171 @@ def test_stream_stream_interval_join_full_outer(spark, sf_dir):
     assert due_left <= got_left_null <= want_left_all
     assert due_right <= got_right_null <= want_right_all
     assert got_left_null and got_right_null
+
+
+def test_attribution_streaming_matches_batch_twin(spark, sf_dir, tmp_path):
+    """r13 (VERDICT r12 item 4): the bounded-state last-touch
+    attribution operator (state = ONE (touch_ts, touch_type) pair per
+    user) on a single-batch availableNow run must (a) attribute every
+    purchase to the exact per-purchase latest prior touch a DuckDB
+    recomputation finds — same micro-ts tie dedup — and (b) aggregate
+    to EXACTLY the oracled batch key analytics_attribution_last_touch's
+    rows (valid because every fixture lag fits the 30-day attribution
+    window; the window is the one semantic the batch key doesn't have)."""
+    import duckdb
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from go_batch_processor_spark.registry import REGISTRY
+    from go_batch_processor_spark.streaming import (
+        rocksdb_state_store,
+        run_attribution_once,
+    )
+    from go_batch_processor_spark.streaming.stateful import ATTRIB_WINDOW_US
+
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet")[
+        ["event_id", "user_id", "ts", "event_type"]
+    ]
+    ev["ts"] = ev["ts"].astype("datetime64[us]")
+    src = tmp_path / "src"
+    src.mkdir()
+    ev.to_parquet(src / "events.parquet")
+    ckpt = str(tmp_path / "ckpt")
+    schema = spark.read.parquet(str(src)).schema
+
+    with rocksdb_state_store(spark):
+        rows = run_attribution_once(spark, str(src), ckpt, schema).collect()
+    conv = [r for r in rows if r.kind == "conversion"]
+    got = {
+        (r.user_id, r.purchase_id, r.purchase_ts, r.touch_ts, r.touch_type,
+         r.latency_us)
+        for r in conv
+    }
+
+    con = duckdb.connect()
+    con.register("ev", ev)
+    want_rows = con.sql(
+        """
+        WITH t AS (
+          SELECT user_id, ts, min(event_type) AS typ
+          FROM ev WHERE event_type IN ('view','click') GROUP BY 1, 2
+        ),
+        p AS (
+          SELECT user_id, event_id, ts FROM ev WHERE event_type = 'purchase'
+        )
+        SELECT p.user_id, p.event_id, p.ts,
+               max(t.ts) AS t_ts, max_by(t.typ, t.ts) AS typ,
+               date_diff('microsecond', max(t.ts), p.ts) AS lag_us
+        FROM p JOIN t ON t.user_id = p.user_id AND t.ts <= p.ts
+        GROUP BY 1, 2, 3
+        """
+    ).fetchall()
+    con.close()
+    want = {
+        (u, pid, pts.to_pydatetime() if hasattr(pts, "to_pydatetime") else pts,
+         tts.to_pydatetime() if hasattr(tts, "to_pydatetime") else tts,
+         typ, lag)
+        for (u, pid, pts, tts, typ, lag) in want_rows
+    }
+    assert all(lag <= ATTRIB_WINDOW_US for *_, lag in want), (
+        "fixture must fit the attribution window for twin equality"
+    )
+    assert got == want
+    assert got, "fixture must contain attributed purchases"
+
+    # (b) aggregate equality with the ORACLED batch key on the same src
+    sdf = spark.createDataFrame(
+        [(r.touch_type, r.latency_us) for r in conv],
+        "touch_type string, latency_us long",
+    )
+    got_agg = sorted(
+        sdf.groupBy("touch_type")
+        .agg(
+            F.count(F.lit(1)).alias("conversions"),
+            F.round(F.avg(F.col("latency_us") / F.lit(1_000_000.0)), 4).alias(
+                "avg_latency_s"
+            ),
+        )
+        .collect()
+    )
+    want_agg = sorted(
+        REGISTRY["analytics_attribution_last_touch"].fn(spark, str(src)).collect()
+    )
+    assert [tuple(r) for r in got_agg] == [tuple(r) for r in want_agg]
+
+
+def test_attribution_cross_batch_completion_and_eviction(spark, tmp_path):
+    """r13: (a) RESTART RECOVERY — a touch from run 1 attributes a run-2
+    purchase on the RECOVERED one-pair state; (b) a newer touch REPLACES
+    the stored one (last-touch, not first-touch) across batches;
+    (c) EVICTION — once the watermark passes touch + 30 d the state
+    leaves the store via a tombstone and a post-eviction purchase does
+    NOT attribute (matching the windowed semantics: that touch would be
+    outside the 30-day window anyway)."""
+    import pandas as pd
+
+    from go_batch_processor_spark.streaming import (
+        rocksdb_state_store,
+        run_attribution_once,
+    )
+
+    src = tmp_path / "src"
+    src.mkdir()
+
+    def write(name, recs):
+        df = pd.DataFrame(recs)
+        df["ts"] = df["ts"].astype("datetime64[us]")
+        df.to_parquet(src / name)
+
+    base = pd.Timestamp("2024-05-01 12:00:00")
+    h = lambda x: base + pd.Timedelta(hours=x)  # noqa: E731
+    write(
+        "00.parquet",
+        [
+            {"event_id": 1, "user_id": 7, "ts": h(0), "event_type": "view"},
+            {"event_id": 2, "user_id": 7, "ts": h(1), "event_type": "click"},
+            # watermark driver
+            {"event_id": 3, "user_id": -1, "ts": h(1), "event_type": "view"},
+        ],
+    )
+    schema = spark.read.parquet(str(src)).schema
+    ckpt = str(tmp_path / "ckpt")
+    with rocksdb_state_store(spark):
+        r1 = run_attribution_once(spark, str(src), ckpt, schema).collect()
+        assert [r for r in r1 if r.kind == "conversion"] == []
+        write(
+            "01.parquet",
+            [
+                # (a) attributes to the RECOVERED click (latest touch)
+                {"event_id": 4, "user_id": 7, "ts": h(5),
+                 "event_type": "purchase"},
+                # (b) newer view replaces the click as latest touch ...
+                {"event_id": 5, "user_id": 7, "ts": h(6),
+                 "event_type": "view"},
+                # ... and the next purchase attributes to IT
+                {"event_id": 6, "user_id": 7, "ts": h(7),
+                 "event_type": "purchase"},
+                # sentinel: watermark jumps past every timeout
+                {"event_id": 7, "user_id": -1,
+                 "ts": base + pd.Timedelta(days=120), "event_type": "view"},
+            ],
+        )
+        r2 = run_attribution_once(spark, str(src), ckpt, schema).collect()
+        write(
+            "02.parquet",
+            [
+                # (c) post-eviction purchase: state gone, must NOT attribute
+                {"event_id": 8, "user_id": 7,
+                 "ts": base + pd.Timedelta(days=119), "event_type": "purchase"},
+            ],
+        )
+        r3 = run_attribution_once(spark, str(src), ckpt, schema).collect()
+        r3 += run_attribution_once(spark, str(src), ckpt, schema).collect()
+    conv = [r for r in r2 + r3 if r.kind == "conversion" and r.user_id == 7]
+    assert [(c.purchase_id, c.touch_ts, c.touch_type, c.latency_us)
+            for c in sorted(conv, key=lambda c: c.purchase_id)] == [
+        (4, h(1).to_pydatetime(), "click", 4 * 3600 * 1_000_000),
+        (6, h(6).to_pydatetime(), "view", 1 * 3600 * 1_000_000),
+    ], conv
+    evicts = [r for r in r2 + r3 if r.kind == "evict" and r.user_id == 7]
+    assert evicts, "user 7's state must evict via the timeout tombstone"
