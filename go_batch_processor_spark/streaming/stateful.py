@@ -752,3 +752,138 @@ def run_attribution_once(
     if not os.path.isdir(sink_dir):  # zero-batch run
         return spark.createDataFrame([], schema=ATTRIB_OUT_SCHEMA)
     return spark.read.schema(ATTRIB_OUT_SCHEMA).parquet(sink_dir)
+
+
+# -- Global heavy hitters: bucketed Misra-Gries sketch state -----------------
+#
+# Streaming twin of the oracled batch key agg_heavy_hitters
+# (operators/ml.py:247 — MG candidate generation + exact recount). A
+# THIRD state class for the streaming family: funnel/session/attribution
+# hold O(1) state PER ENTITY; this holds O(HH_BUCKETS * HH_BUDGET) state
+# TOTAL, independent of key cardinality — the sketch-state shape.
+#
+# The key space is hash-partitioned into HH_BUCKETS groups (the
+# applyInPandasWithState grouping key); each bucket maintains a
+# Misra-Gries summary of budget HH_BUDGET over ITS key subset, merged
+# per micro-batch via the mergeable-summaries rule (merge exact
+# batch counts into the summary, then one decrement reduction; the
+# cumulative decrement `decr` carries the error bound). Guarantees,
+# pinned by tests/test_streaming.py + a hypothesis property:
+#   - survival: any key with true bucket count > decr survives. Each
+#     reduction subtracts its cut from >= HH_BUDGET+1 counters, so
+#     decr <= N_bucket/(HH_BUDGET+1) <= N/(HH_BUDGET+1); the HH
+#     threshold is count > N/HH_K, so HH_BUDGET + 1 > HH_K makes every
+#     true phi-heavy hitter survive EVEN IF every row hashes into one
+#     bucket (N_bucket = N, the adversarial worst case — with the old
+#     budget 64 < HH_K a single-bucket pile-up could evict a marginal
+#     heavy hitter). Pinned by the constants test.
+#   - bounds: stored count <= true bucket count <= stored + decr.
+# The exact answer then needs one batch recount restricted to the
+# candidate set — identical to the batch key's second pass.
+#
+# Each micro-batch emits the bucket's CURRENT summary stamped with the
+# monotone rows-processed version `n`; the final summary per bucket is
+# the max-n emission. No timeout: the state is the bounded sketch
+# itself and must live for the stream's lifetime.
+HH_BUCKETS = 32
+HH_BUDGET = 150  # must stay >= operators.ml.HH_K (see survival note)
+HH_OUT_SCHEMA = (
+    "bucket int, user_id long, count_lb long, decr long, n long"
+)
+HH_STATE_SCHEMA = "users array<long>, counts array<long>, decr long, n long"
+
+
+def _hh_update(
+    key: tuple,
+    pdfs: Iterable[pd.DataFrame],
+    state: GroupState,
+) -> Iterable[pd.DataFrame]:
+    (bucket,) = key
+    if state.exists:
+        users, counts, decr, n = state.get
+        counters = dict(zip(users, counts))
+    else:
+        counters, decr, n = {}, 0, 0
+    rows = pd.concat(list(pdfs))
+    for u, c in rows["user_id"].value_counts().items():
+        counters[int(u)] = counters.get(int(u), 0) + int(c)
+    n += int(len(rows))
+    counters, cut = _mg_reduce_tracked(counters, HH_BUDGET)
+    decr += cut
+    state.update((list(counters.keys()), list(counters.values()), decr, n))
+    yield pd.DataFrame(
+        {
+            "bucket": [int(bucket)] * len(counters),
+            "user_id": list(counters.keys()),
+            "count_lb": list(counters.values()),
+            "decr": [decr] * len(counters),
+            "n": [n] * len(counters),
+        }
+    )
+
+
+def _mg_reduce_tracked(counters: dict, budget: int) -> tuple[dict, int]:
+    """operators.ml._mg_reduce with the decrement RETURNED (the
+    streaming summary must accumulate it for the error bound; the batch
+    candidate pass only needs the surviving keys)."""
+    if len(counters) <= budget:
+        return counters, 0
+    cut = sorted(counters.values(), reverse=True)[budget]
+    return {k: c - cut for k, c in counters.items() if c - cut > 0}, cut
+
+
+def run_heavy_hitters_once(
+    spark: SparkSession, src_dir: str, checkpoint_dir: str, schema
+) -> DataFrame:
+    """One availableNow pass of the bucketed-MG heavy-hitter sketch
+    against a caller-owned checkpoint (run_funnel_once harness shape).
+    Returns ALL summary emissions; the final summary per bucket is the
+    max-`n` group (n is the bucket's monotone rows-processed count)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    ev = (
+        spark.readStream.schema(schema)
+        .parquet(src_dir)
+        .select("user_id")
+        .withColumn("bucket", F.pmod(F.col("user_id"), F.lit(HH_BUCKETS)).cast("int"))
+    )
+    updated = ev.groupBy("bucket").applyInPandasWithState(
+        _hh_update,
+        outputStructType=HH_OUT_SCHEMA,
+        stateStructType=HH_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    sink_root = os.path.join(checkpoint_dir, "_sink")
+    os.makedirs(sink_root, exist_ok=True)
+    run_n = sum(1 for d in os.listdir(sink_root) if d.startswith("run-"))
+    sink_dir = os.path.join(sink_root, f"run-{run_n}")
+    query = (
+        updated.writeStream.outputMode("update")
+        .foreachBatch(
+            lambda batch_df, _id: batch_df.write.mode("append").parquet(sink_dir)
+        )
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    if not os.path.isdir(sink_dir):  # zero-batch run
+        return spark.createDataFrame([], schema=HH_OUT_SCHEMA)
+    return spark.read.schema(HH_OUT_SCHEMA).parquet(sink_dir)
+
+
+def hh_final_summaries(all_emissions: DataFrame) -> DataFrame:
+    """The latest (max-n) summary rows per bucket from a
+    run_heavy_hitters_once result."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    w = Window.partitionBy("bucket")
+    return (
+        all_emissions.withColumn("_mx", F.max("n").over(w))
+        .filter(F.col("n") == F.col("_mx"))
+        .drop("_mx")
+    )

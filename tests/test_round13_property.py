@@ -166,3 +166,48 @@ def test_interval_family_plan_is_single_equi_join(spark, sf_dir, how):
         for j in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin")
     )
     assert n_joins == 1, plan
+
+
+# -- Misra-Gries merged-summary invariants (streaming heavy hitters) --------
+#
+# JVM-free: the streaming sketch's per-batch rule is merge-exact-counts-
+# then-one-tracked-reduction (_mg_reduce_tracked). Over ANY batch split
+# of ANY key sequence the classic MG invariants must hold — these are
+# what the stream-side superset/recount contract rests on.
+
+
+@st.composite
+def batched_keys(draw):
+    n_batches = draw(st.integers(1, 6))
+    return [
+        draw(st.lists(st.integers(0, 30), min_size=0, max_size=60))
+        for _ in range(n_batches)
+    ]
+
+
+@settings(max_examples=300, deadline=None)
+@given(batched_keys(), st.integers(1, 8))
+def test_mg_merged_summary_bounds_and_survival(batches, budget):
+    from collections import Counter
+
+    from go_batch_processor_spark.streaming.stateful import _mg_reduce_tracked
+
+    counters: dict = {}
+    decr = 0
+    for batch in batches:
+        for k, c in Counter(batch).items():
+            counters[k] = counters.get(k, 0) + c
+        counters, cut = _mg_reduce_tracked(counters, budget)
+        decr += cut
+    true = Counter(k for b in batches for k in b)
+    n = sum(true.values())
+    assert len(counters) <= budget
+    # decrement bound: every reduction subtracts its cut from >= budget+1
+    # counters, so (budget+1) * decr <= n
+    assert decr * (budget + 1) <= n
+    for k, c in counters.items():
+        assert c <= true[k] <= c + decr
+    # survival: any key with true count > decr is present
+    for k, c in true.items():
+        if c > decr:
+            assert k in counters, (k, c, decr, dict(counters))

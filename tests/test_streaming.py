@@ -1331,3 +1331,137 @@ def test_attribution_cross_batch_completion_and_eviction(spark, tmp_path):
     ], conv
     evicts = [r for r in r2 + r3 if r.kind == "evict" and r.user_id == 7]
     assert evicts, "user 7's state must evict via the timeout tombstone"
+
+
+def test_hh_constants_budget_covers_threshold():
+    """HH_BUDGET + 1 > HH_K is the survival guarantee's load-bearing
+    inequality (stateful.py survival note: with budget < HH_K a
+    single-bucket pile-up could evict a marginal heavy hitter)."""
+    from go_batch_processor_spark.operators.ml import HH_K
+    from go_batch_processor_spark.streaming.stateful import HH_BUDGET
+
+    assert HH_BUDGET + 1 > HH_K
+
+
+def test_streaming_heavy_hitters_superset_bounds_and_exact(
+    spark, sf_dir, tmp_path
+):
+    """r13 sketch-state streaming operator: the bucketed Misra-Gries
+    summary after draining the bounded stream must (a) contain EVERY
+    exact phi-heavy hitter (superset guarantee), (b) satisfy the MG
+    bounds stored <= true bucket count <= stored + decr with
+    decr <= N/(HH_BUDGET+1), and (c) reduce to EXACTLY the oracled
+    batch key agg_heavy_hitters after the candidate recount."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from go_batch_processor_spark.operators.ml import HH_K
+    from go_batch_processor_spark.registry import REGISTRY
+    from go_batch_processor_spark.streaming import (
+        rocksdb_state_store,
+        run_heavy_hitters_once,
+    )
+    from go_batch_processor_spark.streaming.stateful import (
+        HH_BUDGET,
+        HH_BUCKETS,
+        hh_final_summaries,
+    )
+
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet")
+    ev["ts"] = ev["ts"].astype("datetime64[us]")
+    src = tmp_path / "src"
+    src.mkdir()
+    ev.to_parquet(src / "events.parquet")
+    ckpt = str(tmp_path / "ckpt")
+    schema = spark.read.parquet(str(src)).schema
+
+    with rocksdb_state_store(spark):
+        emissions = run_heavy_hitters_once(spark, str(src), ckpt, schema)
+        final = hh_final_summaries(emissions).collect()
+
+    true_counts = ev.groupby("user_id").size()
+    n_total = len(ev)
+    # (b) bounds per candidate, against TRUE BUCKET counts (bucket ==
+    # global per-user count: a user hashes to exactly one bucket)
+    per_bucket_n = ev.assign(b=ev.user_id % HH_BUCKETS).groupby("b").size()
+    for r in final:
+        true = int(true_counts.get(r.user_id, 0))
+        assert r.count_lb <= true <= r.count_lb + r.decr, r
+        assert r.decr <= per_bucket_n.get(r.bucket, 0) // (HH_BUDGET + 1) + 1
+    # summaries stay within budget
+    sizes = pd.Series([r.bucket for r in final]).value_counts()
+    assert (sizes <= HH_BUDGET).all()
+
+    # (a) superset of the exact heavy hitters
+    exact_hh = {
+        int(u) for u, c in true_counts.items() if c * HH_K > n_total
+    }
+    cands = {r.user_id for r in final}
+    assert exact_hh <= cands, exact_hh - cands
+    assert exact_hh, "fixture must contain heavy hitters"
+
+    # (c) recount over candidates == the oracled batch key on the same src
+    cand_df = spark.createDataFrame(
+        [(u,) for u in sorted(cands)], "user_id long"
+    )
+    sev = spark.read.parquet(str(src / "events.parquet"))
+    got = {
+        (r.user_id, r.n)
+        for r in sev.join(F.broadcast(cand_df), "user_id", "left_semi")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") * HH_K > F.lit(n_total))
+        .collect()
+    }
+    want = {
+        (r.user_id, r.n)
+        for r in REGISTRY["agg_heavy_hitters"].fn(spark, str(src)).collect()
+    }
+    assert got == want
+
+
+def test_streaming_heavy_hitters_cross_batch_restart(spark, sf_dir, tmp_path):
+    """The sketch state must survive a restart: two availableNow runs
+    over two file deliveries (state recovered from the checkpoint
+    between them) must still satisfy the superset guarantee and the
+    candidate recount must equal the batch answer over the UNION."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from go_batch_processor_spark.operators.ml import HH_K
+    from go_batch_processor_spark.streaming import (
+        rocksdb_state_store,
+        run_heavy_hitters_once,
+    )
+    from go_batch_processor_spark.streaming.stateful import hh_final_summaries
+
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet")
+    ev["ts"] = ev["ts"].astype("datetime64[us]")
+    half = len(ev) // 2
+    src = tmp_path / "src"
+    src.mkdir()
+    ev.iloc[:half].to_parquet(src / "00.parquet")
+    ckpt = str(tmp_path / "ckpt")
+    schema = spark.read.parquet(str(src)).schema
+
+    with rocksdb_state_store(spark):
+        run_heavy_hitters_once(spark, str(src), ckpt, schema)
+        ev.iloc[half:].to_parquet(src / "01.parquet")
+        emissions = run_heavy_hitters_once(spark, str(src), ckpt, schema)
+        final = hh_final_summaries(emissions).collect()
+
+    true_counts = ev.groupby("user_id").size()
+    n_total = len(ev)
+    exact_hh = {int(u) for u, c in true_counts.items() if c * HH_K > n_total}
+    cands = {r.user_id for r in final}
+    assert exact_hh <= cands, exact_hh - cands
+    assert exact_hh
+    # the recovered-state summary's n must cover BOTH deliveries
+    assert sum(r.n for r in hh_rows_one_per_bucket(final)) == n_total
+
+
+def hh_rows_one_per_bucket(final_rows):
+    seen = {}
+    for r in final_rows:
+        seen[r.bucket] = r
+    return list(seen.values())
