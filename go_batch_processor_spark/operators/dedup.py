@@ -691,7 +691,17 @@ def dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     runs only on band survivors; at corpus scale you would first gate by
     minhash/simhash candidates (dedup_near_minhash / dedup_simhash) and
     use this as the exact verifier — same role the inverted index plays
-    for dedup_ngram_jaccard."""
+    for dedup_ngram_jaccard.
+
+    MEASURED (r13 scale harness, SCALE_MEASURED.md): within a (lang,
+    band) cell the verify is ALL-PAIRS — quadratic in cell population
+    by construction (tail exponent 2.0 at x10 replication: 1.5 s ->
+    136 s). This is the operator's documented standalone class, not a
+    defect: an exact sub-quadratic edit-distance join does not exist at
+    this distance ratio (PassJoin segments at D/L = 15/80 are 5 chars —
+    they collide on common words and explode instead of pruning), so
+    standalone use is for band-population-bounded corpora and the
+    minhash-composed form above is the 100 TB path."""
     d = load_table(spark, sf_dir, "documents").select(
         "doc_id", "lang", "n_chars", F.substring("text", 1, EDIT_PREFIX).alias("pfx")
     )

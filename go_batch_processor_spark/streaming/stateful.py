@@ -92,6 +92,43 @@ def _update_user_state(
     )
 
 
+
+def _drain_to_parquet_sink(
+    spark: SparkSession,
+    updated: DataFrame,
+    checkpoint_dir: str,
+    out_schema: str,
+) -> DataFrame:
+    """Shared availableNow drain for the stateful run_*_once operators
+    (r13 self-review reuse find: five hand copies of this harness).
+    foreachBatch APPENDS each micro-batch to a parquet sink beside the
+    caller-owned checkpoint — memory-sink queries refuse to recover from
+    an existing checkpoint, and the distributed write is the pattern
+    that survives 100 TB. One sink subdir PER INVOCATION (run-N): the
+    returned frame holds only THIS run's emissions, matching the
+    restart-recovery contract (a rerun reports what IT emitted, not the
+    union of all runs)."""
+    import os
+
+    sink_root = os.path.join(checkpoint_dir, "_sink")
+    os.makedirs(sink_root, exist_ok=True)
+    run_n = sum(1 for d in os.listdir(sink_root) if d.startswith("run-"))
+    sink_dir = os.path.join(sink_root, f"run-{run_n}")
+    query = (
+        updated.writeStream.outputMode("update")
+        .foreachBatch(
+            lambda batch_df, _id: batch_df.write.mode("append").parquet(sink_dir)
+        )
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    if not os.path.isdir(sink_dir):  # zero-batch run
+        return spark.createDataFrame([], schema=out_schema)
+    return spark.read.schema(out_schema).parquet(sink_dir)
+
+
 def run_user_running_stats_once(
     spark: SparkSession, src_dir: str, checkpoint_dir: str, schema
 ) -> DataFrame:
@@ -116,33 +153,7 @@ def run_user_running_stats_once(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
-    # foreachBatch, not the memory sink: memory-sink queries refuse to
-    # recover from an existing checkpoint, and restart-recovery is this
-    # function's whole purpose. Each micro-batch APPENDS to a parquet sink
-    # beside the checkpoint (same caller-owned lifetime) — a distributed
-    # write, no driver collect, which is the pattern that survives 100 TB.
-    # One sink subdir PER INVOCATION (run-N): the returned frame holds only
-    # this run's snapshots, matching the restart-recovery contract (a rerun
-    # reports what IT emitted, not the union of all runs).
-    import os
-
-    sink_root = os.path.join(checkpoint_dir, "_sink")
-    os.makedirs(sink_root, exist_ok=True)
-    run_n = sum(1 for d in os.listdir(sink_root) if d.startswith("run-"))
-    sink_dir = os.path.join(sink_root, f"run-{run_n}")
-    query = (
-        updated.writeStream.outputMode("update")
-        .foreachBatch(
-            lambda batch_df, _id: batch_df.write.mode("append").parquet(sink_dir)
-        )
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
-    )
-    query.awaitTermination()
-    if not os.path.isdir(sink_dir):  # zero-batch run
-        return spark.createDataFrame([], schema=OUTPUT_SCHEMA)
-    return spark.read.schema(OUTPUT_SCHEMA).parquet(sink_dir)
+    return _drain_to_parquet_sink(spark, updated, checkpoint_dir, OUTPUT_SCHEMA)
 
 
 def streaming_user_running_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -321,23 +332,7 @@ def run_session_topk_once(
         outputMode="update",
         timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )
-    sink_root = os.path.join(checkpoint_dir, "_sink")
-    os.makedirs(sink_root, exist_ok=True)
-    run_n = sum(1 for d in os.listdir(sink_root) if d.startswith("run-"))
-    sink_dir = os.path.join(sink_root, f"run-{run_n}")
-    query = (
-        updated.writeStream.outputMode("update")
-        .foreachBatch(
-            lambda batch_df, _id: batch_df.write.mode("append").parquet(sink_dir)
-        )
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
-    )
-    query.awaitTermination()
-    if not os.path.isdir(sink_dir):  # zero-batch run
-        return spark.createDataFrame([], schema=SESSION_OUT_SCHEMA)
-    return spark.read.schema(SESSION_OUT_SCHEMA).parquet(sink_dir)
+    return _drain_to_parquet_sink(spark, updated, checkpoint_dir, SESSION_OUT_SCHEMA)
 
 
 try:  # Spark >= 4.0; module import must survive older builds
@@ -582,23 +577,7 @@ def run_funnel_once(
         outputMode="update",
         timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )
-    sink_root = os.path.join(checkpoint_dir, "_sink")
-    os.makedirs(sink_root, exist_ok=True)
-    run_n = sum(1 for d in os.listdir(sink_root) if d.startswith("run-"))
-    sink_dir = os.path.join(sink_root, f"run-{run_n}")
-    query = (
-        updated.writeStream.outputMode("update")
-        .foreachBatch(
-            lambda batch_df, _id: batch_df.write.mode("append").parquet(sink_dir)
-        )
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
-    )
-    query.awaitTermination()
-    if not os.path.isdir(sink_dir):  # zero-batch run
-        return spark.createDataFrame([], schema=FUNNEL_OUT_SCHEMA)
-    return spark.read.schema(FUNNEL_OUT_SCHEMA).parquet(sink_dir)
+    return _drain_to_parquet_sink(spark, updated, checkpoint_dir, FUNNEL_OUT_SCHEMA)
 
 
 # -- Last-touch attribution: purchase -> latest prior touch ------------------
@@ -735,23 +714,7 @@ def run_attribution_once(
         outputMode="update",
         timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )
-    sink_root = os.path.join(checkpoint_dir, "_sink")
-    os.makedirs(sink_root, exist_ok=True)
-    run_n = sum(1 for d in os.listdir(sink_root) if d.startswith("run-"))
-    sink_dir = os.path.join(sink_root, f"run-{run_n}")
-    query = (
-        updated.writeStream.outputMode("update")
-        .foreachBatch(
-            lambda batch_df, _id: batch_df.write.mode("append").parquet(sink_dir)
-        )
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
-    )
-    query.awaitTermination()
-    if not os.path.isdir(sink_dir):  # zero-batch run
-        return spark.createDataFrame([], schema=ATTRIB_OUT_SCHEMA)
-    return spark.read.schema(ATTRIB_OUT_SCHEMA).parquet(sink_dir)
+    return _drain_to_parquet_sink(spark, updated, checkpoint_dir, ATTRIB_OUT_SCHEMA)
 
 
 # -- Global heavy hitters: bucketed Misra-Gries sketch state -----------------
@@ -856,23 +819,7 @@ def run_heavy_hitters_once(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
-    sink_root = os.path.join(checkpoint_dir, "_sink")
-    os.makedirs(sink_root, exist_ok=True)
-    run_n = sum(1 for d in os.listdir(sink_root) if d.startswith("run-"))
-    sink_dir = os.path.join(sink_root, f"run-{run_n}")
-    query = (
-        updated.writeStream.outputMode("update")
-        .foreachBatch(
-            lambda batch_df, _id: batch_df.write.mode("append").parquet(sink_dir)
-        )
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
-    )
-    query.awaitTermination()
-    if not os.path.isdir(sink_dir):  # zero-batch run
-        return spark.createDataFrame([], schema=HH_OUT_SCHEMA)
-    return spark.read.schema(HH_OUT_SCHEMA).parquet(sink_dir)
+    return _drain_to_parquet_sink(spark, updated, checkpoint_dir, HH_OUT_SCHEMA)
 
 
 def hh_final_summaries(all_emissions: DataFrame) -> DataFrame:

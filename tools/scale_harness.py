@@ -92,6 +92,42 @@ CLAIMED: dict[str, tuple[float, str]] = {
     "dedup_near_minhash": (1.0, "LSH banding, bucket-capped"),
     "dedup_containment_ngram": (1.0, "inverted-index join, DF-capped"),
 }
+TIER1 = list(CLAIMED)
+# Tier 2 (r13): the next band of headliners, fact-table-only — keys that
+# join a SCALED fact key to an UNSCALED dim (e.g. getis_ord on customer)
+# are excluded because the broken foreign keys would fake flat exponents.
+TIER2: dict[str, tuple[float, str]] = {
+    "graph_jaccard_link_prediction": (1.0, "capped inverted-index self-join"),
+    "graph_triangle_count": (1.0, "oriented wedge count, degree-capped"),
+    # corrected r13 after the harness measured tail 2.0 (1.5 s -> 136 s
+    # at x10): within a (lang, band) cell the verify IS all-pairs —
+    # quadratic in cell population by design; the corpus-scale path is
+    # composing it AFTER minhash/simhash candidates (docstring since r3).
+    # PassJoin-style exact pruning is ineffective at D/L = 15/80.
+    "dedup_edit_distance": (2.0, "band all-pairs verifier by design"),
+    "dedup_exact": (1.0, "sha2 groupBy"),
+    "dedup_cluster_components": (1.0, "iterative CC, linear/round"),
+    "ml_logreg_irls": (1.0, "IRLS codegen aggregate per iteration"),
+    "ml_naive_bayes_langid": (1.0, "bounded vocab model + scoring scan"),
+    "ml_conformal_interval": (1.2, "distributed_row_number global rank"),
+    "agg_count_min_sketch": (1.0, "bounded d*w cell merge"),
+    "agg_median_distributed": (1.2, "bucketed exact order statistics"),
+    "similarity_centroid_assign": (1.0, "broadcast centroids, one scan"),
+    "search_hybrid_rrf": (1.2, "two top-k rank lists + RRF merge"),
+    "timeseries_ses_grid_search": (1.0, "calendar-bounded daily fold"),
+    "timeseries_kalman_filter": (1.0, "calendar-bounded driver fold"),
+    "timeseries_matrix_profile": (1.0, "calendar-bounded banded self-join"),
+    "timeseries_stl_loess": (1.0, "calendar-bounded loess"),
+    "stats_benjamini_hochberg": (1.0, "bounded hypothesis-count rollup"),
+    "stats_cucconi_test": (1.0, "compressed-domain rank stats"),
+    "stats_kaplan_meier": (1.0, "horizon-bounded event table"),
+    "feature_quantile_bucketize": (1.0, "literal-bucket projection"),
+    "text_bm25_topk": (1.0, "DF-bounded postings join"),
+    "analytics_markov_transitions": (1.0, "per-user lag window + pair agg"),
+    "join_asof": (1.2, "union+window asof, one user shuffle"),
+    "stream_sessionize": (1.2, "per-user session windows"),
+}
+CLAIMED.update(TIER2)
 MARGIN = 0.35  # absorbs timer noise + hidden log factors
 
 # Per-copy letter permutations for documents.text: translate() source is
@@ -209,13 +245,14 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--scales", default="1,3,10")
     ap.add_argument("--runs", type=int, default=2)
-    ap.add_argument("--keys", default=",".join(CLAIMED))
+    ap.add_argument("--keys", default=",".join(TIER1))
+    ap.add_argument("--tier2", action="store_true", help="run the TIER2 key set")
     ap.add_argument("--workdir", default=WORKDIR)
     ap.add_argument("--skip-synth", action="store_true")
     ap.add_argument("--out", default=os.path.join(ROOT, "SCALE_MEASURED.md"))
     args = ap.parse_args()
     scales = [int(s) for s in args.scales.split(",")]
-    keys = [k for k in args.keys.split(",") if k]
+    keys = list(TIER2) if args.tier2 else [k for k in args.keys.split(",") if k]
 
     dirs = {}
     for s in scales:
