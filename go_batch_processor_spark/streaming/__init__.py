@@ -6,6 +6,7 @@ from go_batch_processor_spark.streaming.stream_ops import (
 from go_batch_processor_spark.streaming.stateful import (
     rocksdb_state_store,
     run_attribution_once,
+    run_funnel_bucketed_once,
     run_heavy_hitters_once,
     run_session_topk_once,
     run_user_running_stats_once,
@@ -16,6 +17,7 @@ from go_batch_processor_spark.streaming.stateful import (
 __all__ = [
     "rocksdb_state_store",
     "run_attribution_once",
+    "run_funnel_bucketed_once",
     "run_heavy_hitters_once",
     "run_stream_to_memory",
     "run_session_topk_once",

@@ -834,3 +834,249 @@ def hh_final_summaries(all_emissions: DataFrame) -> DataFrame:
         .filter(F.col("n") == F.col("_mx"))
         .drop("_mx")
     )
+
+
+# -- Bucketed + vectorized funnel: the throughput path -----------------------
+#
+# The skew probe measured the per-user funnel at ~18k rows/s/core —
+# applyInPandasWithState pays per-GROUP overhead (state round-trip, pdf
+# construction, Arrow slices) for every live user, and the per-row
+# Python fold pays again inside. This variant removes both costs while
+# keeping the SAME semantics as _funnel_update:
+#   - grouping key = pmod(user_id, FUNNEL_BUCKETS): 32 groups per batch
+#     instead of one per user;
+#   - per-bucket state = parallel arrays (user, lv, lc, lcv) with -1 as
+#     the NULL sentinel (timestamps are positive micros);
+#   - the inner fold is VECTORIZED pandas (_funnel_fold_bucket): prefix
+#     cummax for lv, last-click forward-fill for (lc, lcv), a per-row
+#     state-vs-batch comparison replaying the sequential update rules
+#     exactly (including the late-click "t >= lc" guard and micro-ts
+#     tie order by (ts, event_id)) — hypothesis-pinned against a
+#     straight sequential re-implementation in
+#     tests/test_round13_property.py, and equal to the oracled batch
+#     twin on the fixtures.
+#   - eviction: ONE event-time timer per bucket at the min live horizon;
+#     on fire (or at batch start) users whose max(lv, lc) + W the
+#     watermark passed are dropped — same observable contract as the
+#     per-user tombstones (a post-eviction purchase cannot convert),
+#     emitted as one kind='evict' row per dropped user.
+FUNNEL_BUCKETS = 32
+
+
+def _funnel_fold_bucket(
+    pdf: pd.DataFrame, state: dict
+) -> tuple[list[tuple], dict]:
+    """Vectorized funnel fold over one bucket's micro-batch rows.
+
+    ``pdf`` columns: user_id, event_id, ts (datetime64), event_type.
+    ``state`` maps user_id -> (lv, lc, lcv) exact-integer micros with -1
+    for NULL. Returns (conversion rows, updated state); state entries
+    for untouched users are preserved by the caller."""
+    import numpy as np
+
+    pdf = pdf.sort_values(["ts", "event_id"], kind="mergesort")
+    u = pdf["user_id"].to_numpy()
+    t = pdf["ts"].astype("datetime64[us]").astype("int64").to_numpy()
+    et = pdf["event_type"].to_numpy()
+    eid = pdf["event_id"].to_numpy()
+
+    u_key = pd.Series(u)  # positional (RangeIndex) grouping key
+    # lv within the batch: prefix max of view timestamps, in row order
+    # (cythonized groupby cummax/ffill — no per-group Python)
+    v_ts = pd.Series(np.where(et == "view", t, np.int64(-1)))
+    lv_batch = v_ts.groupby(u_key).cummax().to_numpy()
+    # state lv joins as the floor of the prefix max
+    if state:
+        smap = pd.DataFrame.from_dict(
+            state, orient="index", columns=["lv", "lc", "lcv"]
+        )
+        joined = smap.reindex(u).fillna(-1).astype("int64")
+        lv0 = joined["lv"].to_numpy()
+        lc0 = joined["lc"].to_numpy()
+        lcv0 = joined["lcv"].to_numpy()
+    else:
+        lv0 = lc0 = lcv0 = np.full(len(u), -1, dtype="int64")
+    lv_eff = np.maximum(lv_batch, lv0)
+
+    # last click pair within the batch, forward-filled in row order:
+    # at click rows the pair is (t, lv_eff at that row); the sequential
+    # "t >= lc" guard means a batch click only REPLACES the state pair
+    # when its ts >= lc0 — evaluated per-row below
+    is_click = et == "click"
+    c_ts = pd.Series(np.where(is_click, t, np.int64(-1)))
+    lc_batch = c_ts.groupby(u_key).cummax().to_numpy()
+    # lcv of the LAST click so far: ffill over click rows
+    lcv_series = pd.Series(
+        np.where(
+            is_click,
+            np.where(lv_eff >= 0, lv_eff, np.int64(-1)).astype("float64"),
+            np.nan,
+        )
+    )
+    lcv_batch = lcv_series.groupby(u_key).ffill().to_numpy()
+    use_batch = lc_batch >= lc0  # sorted batch clicks: last == max
+    lc_eff = np.where(use_batch & (lc_batch >= 0), lc_batch, lc0)
+    lcv_eff = np.where(
+        use_batch & (lc_batch >= 0),
+        np.where(np.isnan(lcv_batch), np.int64(-1), lcv_batch),
+        lcv0,
+    ).astype("int64")
+
+    is_p = et == "purchase"
+    ok = (
+        is_p
+        & (lc_eff >= 0)
+        & (t - lc_eff >= 0)
+        & (t - lc_eff <= FUNNEL_WINDOW_US)
+        & (lcv_eff >= 0)
+        & (lc_eff - lcv_eff <= FUNNEL_WINDOW_US)
+    )
+    out = [
+        (int(u[i]), int(eid[i]), int(t[i]), int(lc_eff[i]), int(lcv_eff[i]))
+        for i in np.flatnonzero(ok)
+    ]
+
+    # end-of-batch state per touched user = the LAST row's effective
+    # stamps for that user (rows are grouped-in-order, so the last
+    # occurrence positionally is the group tail)
+    tail = ~pd.Series(u).duplicated(keep="last").to_numpy()
+    new_state = dict(state)
+    for i in np.flatnonzero(tail):
+        lv_f, lc_f, lcv_f = int(lv_eff[i]), int(lc_eff[i]), int(lcv_eff[i])
+        if lv_f < 0 and lc_f < 0:
+            new_state.pop(int(u[i]), None)  # purchases only: nothing to serve
+        else:
+            new_state[int(u[i])] = (lv_f, lc_f, lcv_f)
+    return out, new_state
+
+
+FUNNEL_BUCKET_STATE_SCHEMA = (
+    "users array<long>, lv array<long>, lc array<long>, lcv array<long>"
+)
+
+
+def _funnel_bucket_update(
+    key: tuple,
+    pdfs: Iterable[pd.DataFrame],
+    state: GroupState,
+) -> Iterable[pd.DataFrame]:
+    (_bucket,) = key
+    if state.exists:
+        users, lvs, lcs, lcvs = state.get
+        st = {
+            int(u): (int(a), int(b), int(c))
+            for u, a, b, c in zip(users, lvs, lcs, lcvs)
+        }
+    else:
+        st = {}
+    wm_us = state.getCurrentWatermarkMs() * 1000
+
+    def evict(st: dict) -> tuple[dict, list[int]]:
+        """Drop users whose last possible window the watermark passed —
+        the same observable contract as the per-user operator's timeout
+        tombstones (a post-eviction purchase cannot convert)."""
+        gone = [
+            u
+            for u, (lv, lc, lcv) in st.items()
+            if max(lv, lc) + FUNNEL_WINDOW_US < wm_us
+        ]
+        for u in gone:
+            del st[u]
+        return st, gone
+
+    out_rows: list[tuple] = []
+    if state.hasTimedOut:
+        st, gone = evict(st)
+        evict_pdf = _funnel_bucket_out([], gone)
+        if not st:
+            state.remove()
+            if len(evict_pdf):
+                yield evict_pdf
+            return
+    else:
+        # data path: evict FIRST (per-user timers would have fired on an
+        # earlier batch; without this a post-eviction purchase could
+        # still see the stale stamp), then fold the batch vectorized
+        st, gone = evict(st)
+        rows = pd.concat(list(pdfs))
+        conv, st = _funnel_fold_bucket(rows, st)
+        out_rows = conv
+        evict_pdf = _funnel_bucket_out([], gone)
+
+    if st:
+        state.update(
+            (
+                list(st.keys()),
+                [v[0] for v in st.values()],
+                [v[1] for v in st.values()],
+                [v[2] for v in st.values()],
+            )
+        )
+        horizon = min(max(lv, lc) + FUNNEL_WINDOW_US for lv, lc, _ in st.values())
+        state.setTimeoutTimestamp(
+            max(horizon // 1000, state.getCurrentWatermarkMs() + 1)
+        )
+    elif state.exists:
+        state.remove()
+    out = _funnel_bucket_out(out_rows, [])
+    if len(evict_pdf):
+        out = pd.concat([out, evict_pdf], ignore_index=True)
+    if len(out):
+        yield out
+
+
+def _funnel_bucket_out(conv_rows: list[tuple], evicted: list[int]) -> pd.DataFrame:
+    """Conversion tuples (u, eid, t, lc, lcv) + eviction tombstones into
+    the shared FUNNEL_OUT_SCHEMA frame."""
+    frames = {
+        "user_id": [r[0] for r in conv_rows] + list(evicted),
+        "purchase_id": [r[1] for r in conv_rows] + [None] * len(evicted),
+        "purchase_ts": pd.to_datetime(
+            [r[2] for r in conv_rows] + [None] * len(evicted), unit="us"
+        ),
+        "click_ts": pd.to_datetime(
+            [r[3] for r in conv_rows] + [None] * len(evicted), unit="us"
+        ),
+        "view_ts": pd.to_datetime(
+            [r[4] for r in conv_rows] + [None] * len(evicted), unit="us"
+        ),
+        "view_to_purchase_us": [r[2] - r[4] for r in conv_rows]
+        + [None] * len(evicted),
+        "kind": ["conversion"] * len(conv_rows) + ["evict"] * len(evicted),
+    }
+    return pd.DataFrame(frames)
+
+
+def run_funnel_bucketed_once(
+    spark: SparkSession, src_dir: str, checkpoint_dir: str, schema
+) -> DataFrame:
+    """Bucket-keyed, VECTORIZED variant of run_funnel_once — the
+    throughput path. Identical output contract (FUNNEL_OUT_SCHEMA,
+    conversions + per-user eviction tombstones); grouping key is
+    pmod(user_id, FUNNEL_BUCKETS) so a micro-batch pays per-group
+    overhead 32 times instead of once per live user, and the inner fold
+    is cythonized pandas (_funnel_fold_bucket) instead of a per-row
+    Python loop. Measured by tools/skew_probe.py --bucketed; semantics
+    pinned equal to the per-user operator's batch twin in
+    tests/test_streaming.py and to the sequential rules by hypothesis."""
+    from pyspark.sql import functions as F
+
+    ev = (
+        spark.readStream.schema(schema)
+        .parquet(src_dir)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .filter(F.col("event_type").isin("view", "click", "purchase"))
+        .select("user_id", "event_id", "ts", "event_type")
+        .withWatermark("ts", "1 hour")
+        .withColumn(
+            "bucket", F.pmod(F.col("user_id"), F.lit(FUNNEL_BUCKETS)).cast("int")
+        )
+    )
+    updated = ev.groupBy("bucket").applyInPandasWithState(
+        _funnel_bucket_update,
+        outputStructType=FUNNEL_OUT_SCHEMA,
+        stateStructType=FUNNEL_BUCKET_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+    return _drain_to_parquet_sink(spark, updated, checkpoint_dir, FUNNEL_OUT_SCHEMA)

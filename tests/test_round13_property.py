@@ -211,3 +211,92 @@ def test_mg_merged_summary_bounds_and_survival(batches, budget):
     for k, c in true.items():
         if c > decr:
             assert k in counters, (k, c, decr, dict(counters))
+
+
+# -- Vectorized funnel fold == sequential _funnel_update rules ---------------
+#
+# _funnel_fold_bucket (the bucketed/vectorized funnel's core) must replay
+# stateful._funnel_update's per-row rules EXACTLY: lv = running max of
+# view stamps; a click updates (lc, lcv) only when t >= lc; a purchase
+# converts when 0 <= t-lc <= W and lc-lcv <= W; micro-ts ties break by
+# event_id; end-of-batch state = the last effective stamps; purchases-only
+# users hold no state. Random soups include equal-ts collisions, rows
+# PREDATING the incoming state (the late-data divergence rules), and
+# missing stages.
+
+
+def _funnel_sequential(rows, state):
+    """Straight transliteration of _funnel_update's loop over one batch
+    (rows already (user, eid, t_us, type)), -1 sentinels like the fold."""
+    from go_batch_processor_spark.streaming.stateful import FUNNEL_WINDOW_US
+
+    out = []
+    st = dict(state)
+    for u, eid, t, et in sorted(rows, key=lambda r: (r[2], r[1])):
+        lv, lc, lcv = st.get(u, (-1, -1, -1))
+        if et == "view":
+            lv = max(lv, t)
+        elif et == "click":
+            if lc < 0 or t >= lc:
+                lc, lcv = t, lv
+        elif et == "purchase":
+            if (
+                lc >= 0
+                and 0 <= t - lc <= FUNNEL_WINDOW_US
+                and lcv >= 0
+                and lc - lcv <= FUNNEL_WINDOW_US
+            ):
+                out.append((u, eid, t, lc, lcv))
+        if lv < 0 and lc < 0:
+            st.pop(u, None)
+        else:
+            st[u] = (lv, lc, lcv)
+    return out, st
+
+
+@st.composite
+def funnel_batch(draw):
+    n = draw(st.integers(0, 40))
+    h12 = 12 * 3600 * 1_000_000
+    rows = [
+        (
+            draw(st.integers(0, 3)),            # user
+            i,                                   # event_id
+            draw(st.integers(0, 4 * h12)),       # t (spans > window)
+            draw(st.sampled_from(["view", "click", "purchase"])),
+        )
+        for i in range(n)
+    ]
+    state = {}
+    for u in range(4):
+        if draw(st.booleans()):
+            lv = draw(st.one_of(st.just(-1), st.integers(0, 3 * h12)))
+            lc = draw(st.one_of(st.just(-1), st.integers(0, 3 * h12)))
+            lcv = (
+                -1
+                if lc < 0
+                else draw(st.one_of(st.just(-1), st.integers(0, lc)))
+            )
+            if lv >= 0 or lc >= 0:
+                state[u] = (lv, lc, lcv)
+    return rows, state
+
+
+@settings(max_examples=400, deadline=None)
+@given(funnel_batch())
+def test_funnel_fold_bucket_matches_sequential_rules(case):
+    from go_batch_processor_spark.streaming.stateful import _funnel_fold_bucket
+
+    rows, state = case
+    want_out, want_state = _funnel_sequential(rows, state)
+    pdf = pd.DataFrame(
+        {
+            "user_id": [r[0] for r in rows],
+            "event_id": [r[1] for r in rows],
+            "ts": pd.to_datetime([r[2] for r in rows], unit="us"),
+            "event_type": [r[3] for r in rows],
+        }
+    )
+    got_out, got_state = _funnel_fold_bucket(pdf, state)
+    assert got_out == want_out, (rows, state)
+    assert got_state == want_state, (rows, state)

@@ -1465,3 +1465,112 @@ def hh_rows_one_per_bucket(final_rows):
     for r in final_rows:
         seen[r.bucket] = r
     return list(seen.values())
+
+
+def test_funnel_bucketed_matches_batch_twin(spark, sf_dir, tmp_path):
+    """r13 throughput path: the bucket-keyed VECTORIZED funnel
+    (run_funnel_bucketed_once — 32 groups, cythonized pandas fold) must
+    emit EXACTLY the oracled batch twin's conversions on a single-batch
+    availableNow run, like the per-user operator does."""
+    import pandas as pd
+
+    from go_batch_processor_spark.registry import REGISTRY
+    from go_batch_processor_spark.streaming import (
+        rocksdb_state_store,
+        run_funnel_bucketed_once,
+    )
+
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet")[
+        ["event_id", "user_id", "ts", "event_type"]
+    ]
+    ev["ts"] = ev["ts"].astype("datetime64[us]")
+    src = tmp_path / "src"
+    src.mkdir()
+    ev.to_parquet(src / "events.parquet")
+    ckpt = str(tmp_path / "ckpt")
+    schema = spark.read.parquet(str(src)).schema
+
+    with rocksdb_state_store(spark):
+        rows = run_funnel_bucketed_once(spark, str(src), ckpt, schema).collect()
+    got = {
+        (r.user_id, r.purchase_id, r.purchase_ts, r.click_ts, r.view_ts,
+         r.view_to_purchase_us)
+        for r in rows
+        if r.kind == "conversion"
+    }
+    want = {
+        (r.user_id, r.purchase_id, r.purchase_ts, r.click_ts, r.view_ts,
+         r.view_to_purchase_us)
+        for r in REGISTRY["stream_funnel_conversion"]
+        .fn(spark, str(src))
+        .collect()
+    }
+    assert got == want
+    assert got, "fixture must contain completed funnels"
+
+
+def test_funnel_bucketed_cross_batch_completion_and_eviction(spark, tmp_path):
+    """The bucketed variant must preserve the per-user operator's
+    cross-batch observables: (a) a funnel whose view+click landed in
+    run 1 completes in run 2 on recovered bucket state; (b) eviction
+    once the watermark passes max(view, click) + W (per-user tombstone
+    out of the bucket dict); (c) a post-eviction purchase does NOT
+    convert — the data path evicts stale users BEFORE folding the
+    batch."""
+    import pandas as pd
+
+    from go_batch_processor_spark.streaming import (
+        rocksdb_state_store,
+        run_funnel_bucketed_once,
+    )
+
+    src = tmp_path / "src"
+    src.mkdir()
+
+    def write(name, recs):
+        df = pd.DataFrame(recs)
+        df["ts"] = df["ts"].astype("datetime64[us]")
+        df.to_parquet(src / name)
+
+    base = pd.Timestamp("2024-05-01 12:00:00")
+    h = lambda x: base + pd.Timedelta(hours=x)  # noqa: E731
+    write(
+        "00.parquet",
+        [
+            {"event_id": 1, "user_id": 7, "ts": h(0), "event_type": "view"},
+            {"event_id": 2, "user_id": 7, "ts": h(1), "event_type": "click"},
+            {"event_id": 3, "user_id": -1, "ts": h(1), "event_type": "view"},
+        ],
+    )
+    schema = spark.read.parquet(str(src)).schema
+    ckpt = str(tmp_path / "ckpt")
+    with rocksdb_state_store(spark):
+        r1 = run_funnel_bucketed_once(spark, str(src), ckpt, schema).collect()
+        assert [r for r in r1 if r.kind == "conversion"] == []
+        write(
+            "01.parquet",
+            [
+                {"event_id": 4, "user_id": 7, "ts": h(5),
+                 "event_type": "purchase"},
+                {"event_id": 5, "user_id": -1,
+                 "ts": base + pd.Timedelta(days=30), "event_type": "view"},
+            ],
+        )
+        r2 = run_funnel_bucketed_once(spark, str(src), ckpt, schema).collect()
+        write(
+            "02.parquet",
+            [
+                {"event_id": 6, "user_id": 7,
+                 "ts": base + pd.Timedelta(days=29), "event_type": "purchase"},
+            ],
+        )
+        r3 = run_funnel_bucketed_once(spark, str(src), ckpt, schema).collect()
+        r3 += run_funnel_bucketed_once(spark, str(src), ckpt, schema).collect()
+    conv = [r for r in r2 + r3 if r.kind == "conversion" and r.user_id == 7]
+    assert [(c.purchase_id, c.purchase_ts, c.click_ts, c.view_ts,
+             c.view_to_purchase_us) for c in conv] == [
+        (4, h(5).to_pydatetime(), h(1).to_pydatetime(), h(0).to_pydatetime(),
+         5 * 3600 * 1_000_000)
+    ], conv
+    evicts = [r for r in r2 + r3 if r.kind == "evict" and r.user_id == 7]
+    assert evicts, "user 7 must leave the bucket dict via a tombstone"

@@ -27,9 +27,9 @@ that horizon. This harness MEASURES the scaling story:
        - embeddings: vec_id offset; vectors scaled by (1 + 0.003*i)
                     with a small additive shift (distinct points, same
                     distribution shape).
-     Dim tables (region/nation/customer/supplier/part) are copied
-     unscaled — none of the measured keys joins a scaled fact key to a
-     dim table (verified by tracing load_table calls).
+     nation/region are copied unscaled (fixed-cardinality dims);
+     customer/supplier/part scale with the facts on FK-consistent
+     strides (r13 tier-3), so dim-joining keys keep every join intact.
   2. Times each key at 1x/3x/10x (noop sink, module df-caches cleared
      before EVERY run so each sample pays its own full build — census /
      model-table caches would otherwise hide the dominant cost), taking
@@ -62,8 +62,22 @@ sys.path.insert(0, ROOT)
 
 BASE = "/root/testdata/sf0.1"
 WORKDIR = "/tmp/scale_harness"
-DIMS = ["region", "nation", "customer", "supplier", "part"]
-FACTS = ["events", "orders", "lineitem", "documents", "embeddings"]
+# nation/region stay unscaled (genuinely fixed-cardinality dims at any
+# corpus scale); customer/supplier/part scale WITH the facts since r13
+# tier-3 — their key domains equal the fact-side FK domains exactly
+# (max c_custkey == max o_custkey etc., verified), so sharing the fact
+# strides keeps every foreign key intact across copies.
+DIMS = ["region", "nation"]
+FACTS = [
+    "events",
+    "orders",
+    "lineitem",
+    "documents",
+    "embeddings",
+    "customer",
+    "supplier",
+    "part",
+]
 
 # The ~15 most expensive headliners of BENCH_local_r12.out plus their
 # family siblings — the keys whose scaling behavior carries the bench.
@@ -93,9 +107,10 @@ CLAIMED: dict[str, tuple[float, str]] = {
     "dedup_containment_ngram": (1.0, "inverted-index join, DF-capped"),
 }
 TIER1 = list(CLAIMED)
-# Tier 2 (r13): the next band of headliners, fact-table-only — keys that
-# join a SCALED fact key to an UNSCALED dim (e.g. getis_ord on customer)
-# are excluded because the broken foreign keys would fake flat exponents.
+# Tier 2 (r13): the next band of headliners, fact-table-only. Dim-joining
+# keys were deferred to TIER3, which landed once customer/supplier/part
+# scale on FK-consistent strides (unscaled dims + scaled facts would have
+# broken the FKs and faked flat exponents).
 TIER2: dict[str, tuple[float, str]] = {
     "graph_jaccard_link_prediction": (1.0, "capped inverted-index self-join"),
     "graph_triangle_count": (1.0, "oriented wedge count, degree-capped"),
@@ -128,6 +143,26 @@ TIER2: dict[str, tuple[float, str]] = {
     "stream_sessionize": (1.2, "per-user session windows"),
 }
 CLAIMED.update(TIER2)
+# Tier 3 (r13): the dim-joining keys — coverable once customer/supplier/
+# part scale WITH the facts (FK-consistent strides; see synthesize()).
+TIER3: dict[str, tuple[float, str]] = {
+    "tpch_q2_shape": (1.0, "min-cost supplier correlated shape"),
+    "tpch_q3_shape": (1.0, "3-way filtered join + top-10"),
+    "tpch_q5_shape": (1.0, "5-way star join + region filter"),
+    "tpch_q6_shape": (1.0, "pure scan-agg, pushdown floor"),
+    "tpch_q7_shape": (1.0, "2-nation volume shipping join"),
+    "tpch_q9_shape": (1.2, "product-profit 5-way join + groupBy"),
+    "tpch_q11_shape": (1.0, "partsupp value scan + scalar subquery"),
+    "tpch_q15_shape": (1.2, "revenue view + global max join"),
+    "tpch_q16_shape": (1.0, "supplier-cnt distinct agg"),
+    "tpch_q20_shape": (1.0, "semi-join chain with qty threshold"),
+    "tpch_q21_shape": (1.2, "multi self-join waiting-supplier shape"),
+    "stats_getis_ord_hotspots": (1.0, "neighbor-window z-stats"),
+    "join_bloom_prefilter": (1.0, "bloom-gated selective join"),
+    "feature_target_encoding": (1.0, "two-pass leave-one-out encode"),
+    "join_broadcast_dim": (1.0, "broadcast dim equi-join"),
+}
+CLAIMED.update(TIER3)
 MARGIN = 0.35  # absorbs timer noise + hidden log factors
 
 # Per-copy letter permutations for documents.text: translate() source is
@@ -172,23 +207,29 @@ def synthesize(scale: int, out_dir: str, base: str = BASE) -> None:
     for col, tbl in [
         ("event_id", "events"),
         ("user_id", "events"),
-        ("o_custkey", "orders"),
         ("doc_id", "documents"),
         ("vec_id", "embeddings"),
     ]:
         strides[col] = (
             con.sql(f"SELECT max({col})+1 FROM '{base}/{tbl}.parquet'").fetchone()[0]
         )
-    # orderkey stride shared across orders+lineitem so the join survives
-    strides["orderkey"] = (
-        con.sql(
-            f"SELECT greatest((SELECT max(o_orderkey) FROM '{base}/orders.parquet'),"
-            f" (SELECT max(l_orderkey) FROM '{base}/lineitem.parquet')) + 1"
-        ).fetchone()[0]
-    )
-    for col, tbl in [("l_partkey", "lineitem"), ("l_suppkey", "lineitem")]:
-        strides[col] = (
-            con.sql(f"SELECT max({col})+1 FROM '{base}/{tbl}.parquet'").fetchone()[0]
+    # FK strides are shared across BOTH sides of each join (fact FK and
+    # dim PK domains can differ in general — take the max) so every key
+    # relation survives replication intact
+    for name, pairs in [
+        ("orderkey", [("o_orderkey", "orders"), ("l_orderkey", "lineitem")]),
+        ("o_custkey", [("o_custkey", "orders"), ("c_custkey", "customer")]),
+        ("l_partkey", [("l_partkey", "lineitem"), ("p_partkey", "part")]),
+        ("l_suppkey", [("l_suppkey", "lineitem"), ("s_suppkey", "supplier")]),
+    ]:
+        strides[name] = (
+            con.sql(
+                "SELECT greatest("
+                + ", ".join(
+                    f"(SELECT max({c}) FROM '{base}/{t}.parquet')" for c, t in pairs
+                )
+                + ") + 1"
+            ).fetchone()[0]
         )
 
     selects = {
@@ -220,6 +261,18 @@ def synthesize(scale: int, out_dir: str, base: str = BASE) -> None:
                      AS embedding,
                    label
             FROM '{base}/embeddings.parquet', range({scale}) r(i)""",
+        "customer": f"""
+            SELECT c_custkey + i*{strides['o_custkey']} AS c_custkey,
+                   c_name, c_nationkey, c_acctbal, c_mktsegment
+            FROM '{base}/customer.parquet', range({scale}) r(i)""",
+        "supplier": f"""
+            SELECT s_suppkey + i*{strides['l_suppkey']} AS s_suppkey,
+                   s_name, s_nationkey, s_acctbal
+            FROM '{base}/supplier.parquet', range({scale}) r(i)""",
+        "part": f"""
+            SELECT p_partkey + i*{strides['l_partkey']} AS p_partkey,
+                   p_name, p_brand, p_type, p_size, p_retailprice
+            FROM '{base}/part.parquet', range({scale}) r(i)""",
     }
     for t in FACTS:
         con.sql(
@@ -247,12 +300,19 @@ def main() -> None:
     ap.add_argument("--runs", type=int, default=2)
     ap.add_argument("--keys", default=",".join(TIER1))
     ap.add_argument("--tier2", action="store_true", help="run the TIER2 key set")
+    ap.add_argument("--tier3", action="store_true", help="run the TIER3 key set")
     ap.add_argument("--workdir", default=WORKDIR)
     ap.add_argument("--skip-synth", action="store_true")
     ap.add_argument("--out", default=os.path.join(ROOT, "SCALE_MEASURED.md"))
     args = ap.parse_args()
     scales = [int(s) for s in args.scales.split(",")]
-    keys = list(TIER2) if args.tier2 else [k for k in args.keys.split(",") if k]
+    keys = (
+        list(TIER3)
+        if args.tier3
+        else list(TIER2)
+        if args.tier2
+        else [k for k in args.keys.split(",") if k]
+    )
 
     dirs = {}
     for s in scales:

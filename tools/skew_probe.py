@@ -130,25 +130,33 @@ def main() -> None:
     from go_batch_processor_spark.streaming import rocksdb_state_store
     from go_batch_processor_spark.streaming.stateful import run_funnel_once
 
-    # run_funnel_once streams parquet PART FILES from src_dir — point it
+    # the streaming ops read parquet PART FILES from src_dir — point them
     # inside the events.parquet dataset directory, not at its parent
+    from go_batch_processor_spark.streaming.stateful import (
+        run_funnel_bucketed_once,
+    )
+
     stream_src = os.path.join(dirs["skewed"], "events.parquet")
     schema = spark.read.parquet(stream_src).schema
     n_batch = (
         REGISTRY["stream_funnel_conversion"].fn(spark, dirs["skewed"]).count()
     )
     with rocksdb_state_store(spark):
-        ckpt = tempfile.mkdtemp(prefix="gbp_skewfunnel_")
-        t0 = time.perf_counter()
-        n = run_funnel_once(
-            spark, stream_src, ckpt, schema
-        ).filter("kind = 'conversion'").count()
-        out["run_funnel_once_skewed"] = {
-            "sec": round(time.perf_counter() - t0, 3),
-            "conversions": n,
-            "batch_twin_conversions": n_batch,
-        }
-    assert n == n_batch > 0, out["run_funnel_once_skewed"]
+        for label, op in [
+            ("run_funnel_once_skewed", run_funnel_once),
+            ("run_funnel_bucketed_skewed", run_funnel_bucketed_once),
+        ]:
+            ckpt = tempfile.mkdtemp(prefix="gbp_skewfunnel_")
+            t0 = time.perf_counter()
+            n = op(spark, stream_src, ckpt, schema).filter(
+                "kind = 'conversion'"
+            ).count()
+            out[label] = {
+                "sec": round(time.perf_counter() - t0, 3),
+                "conversions": n,
+                "batch_twin_conversions": n_batch,
+            }
+            assert n == n_batch > 0, out[label]
     print(json.dumps({"metric": "hot_user_skew", "rows": args.rows, **out}))
 
 
