@@ -3403,27 +3403,27 @@ def ml_shap_linear_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     v AS (
       SELECT 'l_quantity' AS feature,
-             (CAST(c22 * c13 * c13 AS DOUBLE)
-              - CAST(2 * c12 * c13 * c23 AS DOUBLE)
-              + CAST(c33 * c12 * c12 AS DOUBLE))
+             (CAST(c22 AS DOUBLE) * CAST(c13 AS DOUBLE) * CAST(c13 AS DOUBLE)
+              - 2.0 * CAST(c12 AS DOUBLE) * CAST(c13 AS DOUBLE) * CAST(c23 AS DOUBLE)
+              + CAST(c33 AS DOUBLE) * CAST(c12 AS DOUBLE) * CAST(c12 AS DOUBLE))
              / (CAST(c11 AS DOUBLE)
-                * CAST(c22 * c33 - c23 * c23 AS DOUBLE)) AS r2
+                * (CAST(c22 AS DOUBLE) * CAST(c33 AS DOUBLE) - CAST(c23 AS DOUBLE) * CAST(c23 AS DOUBLE))) AS r2
       FROM c
       UNION ALL
       SELECT 'l_discount',
-             (CAST(c11 * c23 * c23 AS DOUBLE)
-              - CAST(2 * c12 * c23 * c13 AS DOUBLE)
-              + CAST(c33 * c12 * c12 AS DOUBLE))
+             (CAST(c11 AS DOUBLE) * CAST(c23 AS DOUBLE) * CAST(c23 AS DOUBLE)
+              - 2.0 * CAST(c12 AS DOUBLE) * CAST(c23 AS DOUBLE) * CAST(c13 AS DOUBLE)
+              + CAST(c33 AS DOUBLE) * CAST(c12 AS DOUBLE) * CAST(c12 AS DOUBLE))
              / (CAST(c22 AS DOUBLE)
-                * CAST(c11 * c33 - c13 * c13 AS DOUBLE))
+                * (CAST(c11 AS DOUBLE) * CAST(c33 AS DOUBLE) - CAST(c13 AS DOUBLE) * CAST(c13 AS DOUBLE)))
       FROM c
       UNION ALL
       SELECT 'l_tax',
-             (CAST(c11 * c23 * c23 AS DOUBLE)
-              - CAST(2 * c13 * c23 * c12 AS DOUBLE)
-              + CAST(c22 * c13 * c13 AS DOUBLE))
+             (CAST(c11 AS DOUBLE) * CAST(c23 AS DOUBLE) * CAST(c23 AS DOUBLE)
+              - 2.0 * CAST(c13 AS DOUBLE) * CAST(c23 AS DOUBLE) * CAST(c12 AS DOUBLE)
+              + CAST(c22 AS DOUBLE) * CAST(c13 AS DOUBLE) * CAST(c13 AS DOUBLE))
              / (CAST(c33 AS DOUBLE)
-                * CAST(c11 * c22 - c12 * c12 AS DOUBLE))
+                * (CAST(c11 AS DOUBLE) * CAST(c22 AS DOUBLE) - CAST(c12 AS DOUBLE) * CAST(c12 AS DOUBLE)))
       FROM c
     )
     SELECT feature, round(r2, 6) AS r_squared,
@@ -3443,9 +3443,12 @@ def ml_vif_multicollinearity(spark: SparkSession, sf_dir: str) -> DataFrame:
     (c11*(c22*c33 - c23^2)) over the CENTERED integer scatter entries
     c_jk = n*S_jk - S_j*S_k (the ml_shap_linear_exact Cramer machinery
     generalized to the full 3x3 scatter) — every c_jk is an exact wide
-    integer (HUGEINT/DECIMAL38), each product is cast to double once,
-    and both engines evaluate the identical rational tree. No solver,
-    no iteration, no libm.
+    integer (HUGEINT/DECIMAL38), each SCATTER ENTRY is cast to double
+    once BEFORE any product (r13: triple products of wide integers
+    overflow both DECIMAL38 and HUGEINT past sf~0.5 — caught by the
+    x10 drive), and both engines evaluate the identical double
+    rational tree in the same association order. No solver, no
+    iteration, no libm.
 
     Scale shape: ONE partial-aggregable scan for the ten sufficient
     statistics; everything else is scalar arithmetic.
@@ -3482,11 +3485,21 @@ def ml_vif_multicollinearity(spark: SparkSession, sf_dir: str) -> DataFrame:
     c12, c13, c23 = F.col("c12"), F.col("c13"), F.col("c23")
 
     def r2(cjj, caa, cbb, cja, cjb, cab):
+        # each SCATTER ENTRY casts to double BEFORE the products: a
+        # triple product of DECIMAL(38,0) entries overflows 38 digits
+        # once c_jk passes ~1e12.7 (sf≈0.5; the r13 x10 drive caught it
+        # as an ArithmeticException at 6M rows, and the oracle's HUGEINT
+        # triple product dies at the same scale). Per-entry casts round
+        # the SAME exact integer identically on both engines, and the
+        # double expression trees below are written in identical
+        # association order — determinism is unchanged, the overflow
+        # ceiling is gone (doubles hold to 1e308).
+        d_ = lambda col: col.cast("double")  # noqa: E731
         return (
-            (caa * cjb * cjb).cast("double")
-            - (2 * cja * cjb * cab).cast("double")
-            + (cbb * cja * cja).cast("double")
-        ) / (cjj.cast("double") * (caa * cbb - cab * cab).cast("double"))
+            d_(caa) * d_(cjb) * d_(cjb)
+            - F.lit(2.0) * d_(cja) * d_(cjb) * d_(cab)
+            + d_(cbb) * d_(cja) * d_(cja)
+        ) / (d_(cjj) * (d_(caa) * d_(cbb) - d_(cab) * d_(cab)))
 
     rows = c.select(
         F.explode(

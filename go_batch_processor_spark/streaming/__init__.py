@@ -5,6 +5,7 @@ from go_batch_processor_spark.streaming.stream_ops import (
 )
 from go_batch_processor_spark.streaming.stateful import (
     rocksdb_state_store,
+    run_attribution_bucketed_once,
     run_attribution_once,
     run_funnel_bucketed_once,
     run_heavy_hitters_once,
@@ -16,6 +17,7 @@ from go_batch_processor_spark.streaming.stateful import (
 
 __all__ = [
     "rocksdb_state_store",
+    "run_attribution_bucketed_once",
     "run_attribution_once",
     "run_funnel_bucketed_once",
     "run_heavy_hitters_once",

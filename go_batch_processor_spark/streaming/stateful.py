@@ -1080,3 +1080,172 @@ def run_funnel_bucketed_once(
         timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )
     return _drain_to_parquet_sink(spark, updated, checkpoint_dir, FUNNEL_OUT_SCHEMA)
+
+
+# -- Bucketed + vectorized attribution: same lever as the funnel -------------
+#
+# The last-touch machine is one stage simpler than the funnel, and its
+# fold vectorizes with ONE encoded cummax: e = touch_ts * 2 + (1 if
+# click else 0). Maximizing e picks the latest touch timestamp, and at
+# an exact micro-ts tie the +1 makes 'click' win — which IS the batch
+# key's min(event_type) dedup ('click' < 'view'), so the sequential tie
+# rule costs nothing extra. State merges as max(e0, prefix cummax).
+ATTRIB_BUCKET_STATE_SCHEMA = "users array<long>, enc array<long>"
+
+
+def _attribution_fold_bucket(
+    pdf: pd.DataFrame, state: dict
+) -> tuple[list[tuple], dict]:
+    """Vectorized last-touch fold over one bucket's micro-batch rows.
+
+    ``state`` maps user_id -> encoded touch (ts*2 + is_click), -1 for
+    none. Returns (attribution rows (u, eid, t, touch_ts, typ), new
+    state). Late purchases predating the stored touch do not attribute
+    (the 0 <= lag guard), matching _attribution_update."""
+    import numpy as np
+
+    pdf = pdf.sort_values(["ts", "event_id"], kind="mergesort")
+    u = pdf["user_id"].to_numpy()
+    t = pdf["ts"].astype("datetime64[us]").astype("int64").to_numpy()
+    et = pdf["event_type"].to_numpy()
+    eid = pdf["event_id"].to_numpy()
+
+    is_touch = (et == "view") | (et == "click")
+    enc = np.where(is_touch, t * 2 + (et == "click").astype("int64"), np.int64(-1))
+    enc_batch = pd.Series(enc).groupby(pd.Series(u)).cummax().to_numpy()
+    if state:
+        e0 = (
+            pd.Series(u).map(state).fillna(-1).astype("int64").to_numpy()
+        )
+    else:
+        e0 = np.full(len(u), -1, dtype="int64")
+    e_eff = np.maximum(enc_batch, e0)
+
+    is_p = et == "purchase"
+    touch_t = np.where(e_eff >= 0, e_eff >> 1, np.int64(-1))
+    ok = (
+        is_p
+        & (e_eff >= 0)
+        & (t - touch_t >= 0)
+        & (t - touch_t <= ATTRIB_WINDOW_US)
+    )
+    out = [
+        (
+            int(u[i]),
+            int(eid[i]),
+            int(t[i]),
+            int(touch_t[i]),
+            "click" if e_eff[i] & 1 else "view",
+        )
+        for i in np.flatnonzero(ok)
+    ]
+
+    tail = ~pd.Series(u).duplicated(keep="last").to_numpy()
+    new_state = dict(state)
+    for i in np.flatnonzero(tail):
+        e_f = int(e_eff[i])
+        if e_f < 0:
+            new_state.pop(int(u[i]), None)  # purchases only
+        else:
+            new_state[int(u[i])] = e_f
+    return out, new_state
+
+
+def _attribution_bucket_update(
+    key: tuple,
+    pdfs: Iterable[pd.DataFrame],
+    state: GroupState,
+) -> Iterable[pd.DataFrame]:
+    (_bucket,) = key
+    if state.exists:
+        users, encs = state.get
+        st = {int(a): int(b) for a, b in zip(users, encs)}
+    else:
+        st = {}
+    wm_us = state.getCurrentWatermarkMs() * 1000
+
+    def evict(st: dict) -> tuple[dict, list[int]]:
+        gone = [u for u, e in st.items() if (e >> 1) + ATTRIB_WINDOW_US < wm_us]
+        for u in gone:
+            del st[u]
+        return st, gone
+
+    out_rows: list[tuple] = []
+    if state.hasTimedOut:
+        st, gone = evict(st)
+        evict_pdf = _attribution_bucket_out([], gone)
+        if not st:
+            state.remove()
+            if len(evict_pdf):
+                yield evict_pdf
+            return
+    else:
+        st, gone = evict(st)  # stale touches die before the fold
+        rows = pd.concat(list(pdfs))
+        out_rows, st = _attribution_fold_bucket(rows, st)
+        evict_pdf = _attribution_bucket_out([], gone)
+
+    if st:
+        state.update((list(st.keys()), list(st.values())))
+        horizon = min((e >> 1) + ATTRIB_WINDOW_US for e in st.values())
+        state.setTimeoutTimestamp(
+            max(horizon // 1000, state.getCurrentWatermarkMs() + 1)
+        )
+    elif state.exists:
+        state.remove()
+    out = _attribution_bucket_out(out_rows, [])
+    if len(evict_pdf):
+        out = pd.concat([out, evict_pdf], ignore_index=True)
+    if len(out):
+        yield out
+
+
+def _attribution_bucket_out(
+    conv_rows: list[tuple], evicted: list[int]
+) -> pd.DataFrame:
+    return pd.DataFrame(
+        {
+            "user_id": [r[0] for r in conv_rows] + list(evicted),
+            "purchase_id": [r[1] for r in conv_rows] + [None] * len(evicted),
+            "purchase_ts": pd.to_datetime(
+                [r[2] for r in conv_rows] + [None] * len(evicted), unit="us"
+            ),
+            "touch_ts": pd.to_datetime(
+                [r[3] for r in conv_rows] + [None] * len(evicted), unit="us"
+            ),
+            "touch_type": [r[4] for r in conv_rows] + [None] * len(evicted),
+            "latency_us": [r[2] - r[3] for r in conv_rows]
+            + [None] * len(evicted),
+            "kind": ["conversion"] * len(conv_rows) + ["evict"] * len(evicted),
+        }
+    )
+
+
+def run_attribution_bucketed_once(
+    spark: SparkSession, src_dir: str, checkpoint_dir: str, schema
+) -> DataFrame:
+    """Bucket-keyed, VECTORIZED variant of run_attribution_once — same
+    output contract (ATTRIB_OUT_SCHEMA); the funnel's 9.7x lever applied
+    to the simpler one-pair machine. Semantics hypothesis-pinned against
+    the sequential rules and twin-pinned in tests/test_streaming.py."""
+    from pyspark.sql import functions as F
+
+    ev = (
+        spark.readStream.schema(schema)
+        .parquet(src_dir)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .filter(F.col("event_type").isin("view", "click", "purchase"))
+        .select("user_id", "event_id", "ts", "event_type")
+        .withWatermark("ts", "1 hour")
+        .withColumn(
+            "bucket", F.pmod(F.col("user_id"), F.lit(FUNNEL_BUCKETS)).cast("int")
+        )
+    )
+    updated = ev.groupBy("bucket").applyInPandasWithState(
+        _attribution_bucket_update,
+        outputStructType=ATTRIB_OUT_SCHEMA,
+        stateStructType=ATTRIB_BUCKET_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+    return _drain_to_parquet_sink(spark, updated, checkpoint_dir, ATTRIB_OUT_SCHEMA)

@@ -300,3 +300,60 @@ def test_funnel_fold_bucket_matches_sequential_rules(case):
     got_out, got_state = _funnel_fold_bucket(pdf, state)
     assert got_out == want_out, (rows, state)
     assert got_state == want_state, (rows, state)
+
+
+# -- Vectorized attribution fold == sequential _attribution_update rules -----
+
+
+def _attribution_sequential(rows, state):
+    """Transliteration of _attribution_update's loop with the encoded
+    state convention (enc = ts*2 + is_click, -1 for none)."""
+    from go_batch_processor_spark.streaming.stateful import ATTRIB_WINDOW_US
+
+    out = []
+    st = dict(state)
+    for u, eid, t, et in sorted(rows, key=lambda r: (r[2], r[1])):
+        e = st.get(u, -1)
+        s_ts, s_click = (e >> 1, e & 1) if e >= 0 else (-1, 0)
+        if et in ("view", "click"):
+            if s_ts < 0 or t > s_ts:
+                s_ts, s_click = t, int(et == "click")
+            elif t == s_ts:
+                # min(event_type): 'click' < 'view'
+                s_click = max(s_click, int(et == "click"))
+            st[u] = s_ts * 2 + s_click
+        elif et == "purchase":
+            if s_ts >= 0 and 0 <= t - s_ts <= ATTRIB_WINDOW_US:
+                out.append(
+                    (u, eid, t, s_ts, "click" if s_click else "view")
+                )
+    return out, st
+
+
+@settings(max_examples=400, deadline=None)
+@given(funnel_batch())
+def test_attribution_fold_bucket_matches_sequential_rules(case):
+    from go_batch_processor_spark.streaming.stateful import (
+        _attribution_fold_bucket,
+    )
+
+    rows, fstate = case
+    # reuse the funnel soup; encode its (lv, lc, lcv) states into the
+    # attribution convention: latest touch = max(view enc, click enc)
+    state = {}
+    for u, (lv, lc, _lcv) in fstate.items():
+        e = max(lv * 2 if lv >= 0 else -1, lc * 2 + 1 if lc >= 0 else -1)
+        if e >= 0:
+            state[u] = e
+    want_out, want_state = _attribution_sequential(rows, state)
+    pdf = pd.DataFrame(
+        {
+            "user_id": [r[0] for r in rows],
+            "event_id": [r[1] for r in rows],
+            "ts": pd.to_datetime([r[2] for r in rows], unit="us"),
+            "event_type": [r[3] for r in rows],
+        }
+    )
+    got_out, got_state = _attribution_fold_bucket(pdf, state)
+    assert got_out == want_out, (rows, state)
+    assert got_state == want_state, (rows, state)

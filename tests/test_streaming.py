@@ -1574,3 +1574,131 @@ def test_funnel_bucketed_cross_batch_completion_and_eviction(spark, tmp_path):
     ], conv
     evicts = [r for r in r2 + r3 if r.kind == "evict" and r.user_id == 7]
     assert evicts, "user 7 must leave the bucket dict via a tombstone"
+
+
+def test_attribution_bucketed_matches_batch_twin(spark, sf_dir, tmp_path):
+    """r13: the bucket-keyed vectorized attribution variant must emit
+    exactly the per-purchase set the DuckDB recomputation finds — same
+    contract as run_attribution_once (the funnel's 9.7x lever applied
+    to the one-pair machine)."""
+    import duckdb
+    import pandas as pd
+
+    from go_batch_processor_spark.streaming import (
+        rocksdb_state_store,
+        run_attribution_bucketed_once,
+    )
+
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet")[
+        ["event_id", "user_id", "ts", "event_type"]
+    ]
+    ev["ts"] = ev["ts"].astype("datetime64[us]")
+    src = tmp_path / "src"
+    src.mkdir()
+    ev.to_parquet(src / "events.parquet")
+    ckpt = str(tmp_path / "ckpt")
+    schema = spark.read.parquet(str(src)).schema
+
+    with rocksdb_state_store(spark):
+        rows = run_attribution_bucketed_once(
+            spark, str(src), ckpt, schema
+        ).collect()
+    got = {
+        (r.user_id, r.purchase_id, r.touch_ts, r.touch_type, r.latency_us)
+        for r in rows
+        if r.kind == "conversion"
+    }
+    con = duckdb.connect()
+    con.register("ev", ev)
+    want = {
+        (u, pid, tts.to_pydatetime() if hasattr(tts, "to_pydatetime") else tts,
+         typ, lag)
+        for (u, pid, tts, typ, lag) in con.sql(
+            """
+            WITH t AS (
+              SELECT user_id, ts, min(event_type) AS typ
+              FROM ev WHERE event_type IN ('view','click') GROUP BY 1, 2
+            ),
+            p AS (
+              SELECT user_id, event_id, ts FROM ev
+              WHERE event_type = 'purchase'
+            )
+            SELECT p.user_id, p.event_id,
+                   max(t.ts) AS t_ts, max_by(t.typ, t.ts) AS typ,
+                   date_diff('microsecond', max(t.ts), p.ts) AS lag_us
+            FROM p JOIN t ON t.user_id = p.user_id AND t.ts <= p.ts
+            GROUP BY 1, 2, p.ts
+            """
+        ).fetchall()
+    }
+    con.close()
+    assert got == want
+    assert got
+
+
+def test_attribution_bucketed_cross_batch_and_eviction(spark, tmp_path):
+    """Bucketed attribution preserves the per-user operator's cross-batch
+    observables: recovered-state attribution, last-touch replacement,
+    and eviction via the per-bucket scan (post-eviction purchase does
+    not attribute)."""
+    import pandas as pd
+
+    from go_batch_processor_spark.streaming import (
+        rocksdb_state_store,
+        run_attribution_bucketed_once,
+    )
+
+    src = tmp_path / "src"
+    src.mkdir()
+
+    def write(name, recs):
+        df = pd.DataFrame(recs)
+        df["ts"] = df["ts"].astype("datetime64[us]")
+        df.to_parquet(src / name)
+
+    base = pd.Timestamp("2024-05-01 12:00:00")
+    h = lambda x: base + pd.Timedelta(hours=x)  # noqa: E731
+    write(
+        "00.parquet",
+        [
+            {"event_id": 1, "user_id": 7, "ts": h(0), "event_type": "view"},
+            {"event_id": 2, "user_id": 7, "ts": h(1), "event_type": "click"},
+            {"event_id": 3, "user_id": -1, "ts": h(1), "event_type": "view"},
+        ],
+    )
+    schema = spark.read.parquet(str(src)).schema
+    ckpt = str(tmp_path / "ckpt")
+    with rocksdb_state_store(spark):
+        r1 = run_attribution_bucketed_once(spark, str(src), ckpt, schema).collect()
+        assert [r for r in r1 if r.kind == "conversion"] == []
+        write(
+            "01.parquet",
+            [
+                {"event_id": 4, "user_id": 7, "ts": h(5),
+                 "event_type": "purchase"},
+                {"event_id": 5, "user_id": 7, "ts": h(6),
+                 "event_type": "view"},
+                {"event_id": 6, "user_id": 7, "ts": h(7),
+                 "event_type": "purchase"},
+                {"event_id": 7, "user_id": -1,
+                 "ts": base + pd.Timedelta(days=120), "event_type": "view"},
+            ],
+        )
+        r2 = run_attribution_bucketed_once(spark, str(src), ckpt, schema).collect()
+        write(
+            "02.parquet",
+            [
+                {"event_id": 8, "user_id": 7,
+                 "ts": base + pd.Timedelta(days=119), "event_type": "purchase"},
+            ],
+        )
+        r3 = run_attribution_bucketed_once(spark, str(src), ckpt, schema).collect()
+        r3 += run_attribution_bucketed_once(spark, str(src), ckpt, schema).collect()
+    conv = [r for r in r2 + r3 if r.kind == "conversion" and r.user_id == 7]
+    assert [(c.purchase_id, c.touch_ts, c.touch_type, c.latency_us)
+            for c in sorted(conv, key=lambda c: c.purchase_id)] == [
+        (4, h(1).to_pydatetime(), "click", 4 * 3600 * 1_000_000),
+        (6, h(6).to_pydatetime(), "view", 1 * 3600 * 1_000_000),
+    ], conv
+    evicts = [r for r in r2 + r3 if r.kind == "evict" and r.user_id == 7]
+    assert evicts
