@@ -515,7 +515,8 @@ def analytics_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM dev GROUP BY event_type
     )
     SELECT d.event_id, d.event_type,
-           round(0.6745 * (d.value - d.med) / m.mad, 4) AS robust_z
+           floor(0.6745 * (d.value - d.med) / m.mad * 10000.0 + 0.5)
+             / 10000.0 AS robust_z
     FROM dev d JOIN mad m USING (event_type)
     WHERE m.mad > 0
       AND abs(0.6745 * (d.value - d.med) / m.mad) > 3.5
@@ -532,6 +533,19 @@ def analytics_robust_zscore_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus is scanned, never shuffled. Exact percentile sorts per
     group; at 100 TB swap in approx_percentile for both quantiles (the
     screen tolerates sketch error, the 3.5 cut is a heuristic anyway).
+
+    Grain: the output grain is the SCALED-FLOOR round
+    floor(z*1e4 + 0.5)/1e4 on BOTH engines, not round(z, 4). The r13
+    x10 parity sweep caught the distinction: z = 3.85225 is exact in
+    DECIMAL arithmetic (4-decimal constant x 2-decimal data / 2-decimal
+    MAD), so its double sits one ulp BELOW the half-boundary — and the
+    engines then disagree on rounding that identical double (Spark
+    BigDecimal-exact HALF_UP says 3.8522, DuckDB's scaled-multiply
+    nearbyint says 3.8523; 3 such landings exist at sf0.1 already).
+    floor/multiply are IEEE-exact primitives, so the shared scaled-floor
+    expression is bit-identical cross-engine at every scale
+    (determinism-ledger class 10's in-engine analogue of the
+    driver-side _round6_floor convention).
     """
     ev = load_table(spark, sf_dir, "events")
     med = ev.groupBy("event_type").agg(
@@ -544,10 +558,13 @@ def analytics_robust_zscore_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("percentile(adev, 0.5)").alias("mad")
     )
     rz = F.lit(0.6745) * (F.col("value") - F.col("med")) / F.col("mad")
+    rz_grain = (
+        F.floor(rz * F.lit(10000.0) + F.lit(0.5)).cast("double") / F.lit(10000.0)
+    )
     return (
         dev.join(F.broadcast(mad), "event_type")
         .filter((F.col("mad") > 0) & (F.abs(rz) > 3.5))
-        .select("event_id", "event_type", F.round(rz, 4).alias("robust_z"))
+        .select("event_id", "event_type", rz_grain.alias("robust_z"))
     )
 
 
