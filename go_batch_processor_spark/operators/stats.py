@@ -440,7 +440,8 @@ def stats_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT o_orderkey, o_custkey,
            CASE WHEN c > 1
-                THEN round(CAST(s - cents AS DOUBLE) / (c - 1) / 100.0, 4)
+                THEN CAST((200 * (s - cents) + (c - 1)) // (2 * (c - 1))
+                          AS DOUBLE) / 10000.0
            END AS cust_price_loo
     FROM stats
     ORDER BY o_orderkey
@@ -464,8 +465,14 @@ def feature_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
     # 2-decimal prices sum EXACTLY as integer cents — an order-dependent
     # double sum would straddle rounding half-points across engines
-    # (registry parity rules); the exact-cents numerator makes the LOO
-    # quotient a deterministic IEEE division on both sides.
+    # (registry parity rules). The 4-decimal grain is ALSO computed in
+    # exact integer arithmetic: the LOO mean of integer cents can be an
+    # exact decimal half at the 4th decimal (r13 x10 sweep: two orders
+    # land on ...5 exactly and Spark's BigDecimal round disagrees with
+    # DuckDB's scaled-multiply round on the same double), so both
+    # engines evaluate true decimal HALF_UP as
+    # (200*num + den) div (2*den) over int64 — no double enters until
+    # the final /10000.
     cents = F.round(F.col("o_totalprice") * 100).cast("long")
     w = Window.partitionBy("o_custkey")
     s = F.sum(cents).over(w)
@@ -474,9 +481,16 @@ def feature_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
         o.select(
             "o_orderkey",
             "o_custkey",
+            (s - cents).alias("num"),
+            (c - F.lit(1)).cast("long").alias("den"),
+        )
+        .select(
+            "o_orderkey",
+            "o_custkey",
             F.when(
-                c > 1,
-                F.round((s - cents).cast("double") / (c - 1) / 100.0, 4),
+                F.col("den") > 0,
+                F.expr("(200 * num + den) div (2 * den)").cast("double")
+                / F.lit(10000.0),
             ).alias("cust_price_loo"),
         )
         .orderBy("o_orderkey")

@@ -353,9 +353,10 @@ def _ewma_kernel(pdf):
     nondeterministic across runs (repo-wide ts-order rule,
     tests/test_ts_ties.py)."""
     pdf = pdf.sort_values(["ts", "event_id"])
-    # Unrounded: the operator rounds JVM-side (HALF_UP, matching
-    # DuckDB's half-away-from-zero) — pandas .round is banker's and
-    # disagrees with the oracle at exact half-points.
+    # Unrounded: the operator grains JVM-side with the shared
+    # scaled-floor expression (determinism-ledger class 11) — pandas
+    # .round is banker's and neither engine's round() is a shared
+    # primitive at exact half-points.
     pdf["ewma"] = pdf["value"].ewm(alpha=EWMA_ALPHA, adjust=False).mean()
     return pdf[["user_id", "event_id", "ts", "ewma"]]
 
@@ -375,7 +376,8 @@ _EWMA_ORACLE = """
              0.3 * s.value + 0.7 * r.y AS y
       FROM rec r JOIN seq s ON s.user_id = r.user_id AND s.rn = r.rn + 1
     )
-    SELECT user_id, event_id, ts, round(y, 6) AS ewma FROM rec
+    SELECT user_id, event_id, ts,
+           floor(y * 1000000.0 + 0.5) / 1000000.0 AS ewma FROM rec
     """
 
 
@@ -392,10 +394,16 @@ def timeseries_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     bit-for-bit; a banded closed-form twin was tried first and FAILED —
     early-sequence EWMA values sit exactly on decimal half-points where
     a 1-ulp order-of-summation difference flips the 6-decimal round).
-    Rounding happens JVM-side (not in the pandas kernel: pandas .round
-    is banker's; Spark round and DuckDB round agree with each other at
-    exact halves). tests/test_timeseries_ewma.py additionally pins
-    exact equality against a pandas groupby twin.
+    The grain is the shared SCALED-FLOOR floor(y*1e6 + 0.5)/1e6 on both
+    engines, not round(y, 6): early-sequence EWMA values are finite
+    decimals (2-decimal data, decimal alpha), and at an exact half the
+    engines disagree on rounding the same double (Spark BigDecimal-
+    exact HALF_UP vs DuckDB scaled-multiply — determinism-ledger class
+    11, caught by the r13 sf0.1 strict sweep: 5+ landings at 600k
+    rows). floor/multiply are IEEE-exact, so the scaled-floor grain is
+    bit-identical cross-engine at every scale.
+    tests/test_timeseries_ewma.py additionally pins exact equality
+    against a pandas groupby twin.
     """
     ev = load_table(spark, sf_dir, "events").select(
         "user_id", "event_id", "ts", "value"
@@ -403,7 +411,11 @@ def timeseries_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     raw = _spread_groups(ev, "user_id").groupBy("user_id").applyInPandas(
         _ewma_kernel, "user_id long, event_id long, ts timestamp, ewma double"
     )
-    return raw.withColumn("ewma", F.round("ewma", 6))
+    return raw.withColumn(
+        "ewma",
+        F.floor(F.col("ewma") * F.lit(1000000.0) + F.lit(0.5)).cast("double")
+        / F.lit(1000000.0),
+    )
 
 
 HOLT_ALPHA = 0.4  # level smoothing

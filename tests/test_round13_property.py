@@ -357,3 +357,75 @@ def test_attribution_fold_bucket_matches_sequential_rules(case):
     got_out, got_state = _attribution_fold_bucket(pdf, state)
     assert got_out == want_out, (rows, state)
     assert got_state == want_state, (rows, state)
+
+
+# -- Scaled-floor grain is cross-engine deterministic at half-boundaries -----
+#
+# r13 x10-sweep find: when a grained output value is an EXACT decimal
+# half (z = 3.85225 from 4-decimal x 2-decimal / 2-decimal inputs), the
+# two engines disagree on round(double, 4) of the SAME double — Spark
+# rounds the exact binary expansion (3.85224999… -> 3.8522), DuckDB
+# rounds the scaled product (-> 3.8523). The shared scaled-floor grain
+# floor(x*1e4 + 0.5)/1e4 uses only IEEE-exact primitives, so both
+# engines agree at every input, boundary or not. Pinned on the two
+# operators the sweep caught (analytics_robust_zscore_mad,
+# feature_target_encoding) via their literal failing inputs plus a
+# hypothesis soup of exact decimal halves.
+
+
+def _grain_pair(spark, xs: list[float]) -> tuple[list, list]:
+    from pyspark.sql import functions as F
+
+    sdf = spark.createDataFrame([(x,) for x in xs], "x double")
+    got_spark = [
+        r.g
+        for r in sdf.select(
+            (F.floor(F.col("x") * F.lit(10000.0) + F.lit(0.5)).cast("double")
+             / F.lit(10000.0)).alias("g")
+        ).collect()
+    ]
+    con = duckdb.connect()
+    con.register("t", pd.DataFrame({"x": xs}))
+    got_duck = [
+        r[0]
+        for r in con.sql(
+            "SELECT floor(x * 10000.0 + 0.5) / 10000.0 FROM t"
+        ).fetchall()
+    ]
+    con.close()
+    return got_spark, got_duck
+
+
+def test_scaled_floor_grain_agrees_on_caught_boundary_rows(spark):
+    # the literal values the r13 x10 sweep caught flipping under
+    # round(_, 4): robust z 0.6745*(172.59-34.72)/24.14 = 3.85225 and
+    # the two LOO means that land on ...5 at the 4th decimal
+    xs = [
+        0.6745 * (172.59 - 34.72) / 24.14,
+        308258.87625,
+        265603.25375,
+        -0.6745 * (172.59 - 34.72) / 24.14,
+    ]
+    got_spark, got_duck = _grain_pair(spark, xs)
+    assert got_spark == got_duck, list(zip(xs, got_spark, got_duck))
+
+
+@settings(
+    max_examples=60,  # each example is a Spark job; boundary density is
+    deadline=None,  # what matters, not example count
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(
+    st.lists(
+        # v/20000 enumerates every half-step of the 1e-4 grain —
+        # boundary cases by construction, plus sign
+        st.integers(min_value=-4 * 10**9, max_value=4 * 10**9).map(
+            lambda v: v / 20000.0
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_scaled_floor_grain_agrees_on_half_step_soup(spark, case):
+    got_spark, got_duck = _grain_pair(spark, case)
+    assert got_spark == got_duck, list(zip(case, got_spark, got_duck))

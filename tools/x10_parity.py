@@ -53,6 +53,14 @@ def main() -> None:
     )
     _ensure_loaded()
     con = duckdb.connect()
+    # Heavy oracles (graph recursions, all-pairs similarity) spill and
+    # parallelize hard at x10: pin the spill off the repo tree, cap the
+    # oracle's memory so a runaway plan cannot take the Spark JVM down
+    # with it, and leave cores for the concurrently-running Spark side.
+    os.makedirs("/tmp/duckdb_tmp", exist_ok=True)
+    con.sql("SET temp_directory='/tmp/duckdb_tmp'")
+    con.sql("SET memory_limit='24GB'")
+    con.sql("SET threads=16")
     for t in TABLE_NAMES:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{x10_dir}/{t}.parquet'")
 
