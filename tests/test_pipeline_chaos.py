@@ -90,7 +90,9 @@ def test_transient_task_failure_absorbed_by_retry(tmp_path):
          str(tmp_path / "sink")],
         capture_output=True,
         text=True,
-        timeout=300,
+        # generous: a fresh JVM + streaming query under a loaded box
+        # (concurrent sweeps) has been observed to blow a 300 s budget
+        timeout=900,
         check=True,
     )
     import json
