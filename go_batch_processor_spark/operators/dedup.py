@@ -822,8 +822,10 @@ def exact_substring_report(docs: DataFrame, n: int) -> DataFrame:
     (doc_id, text) frame — see dedup_exact_substring for the plan-shape
     rationale. Exposed for composition and property tests."""
     a = F.split("text", " ")
+    # r13 optimization: rebalance ahead of the window explode — the
+    # single-row-group fixture scan makes stage 1 single-task otherwise.
     grams = (
-        docs.filter(F.size(a) >= n)
+        _spread(docs).filter(F.size(a) >= n)
         .select(
             "doc_id",
             F.explode(

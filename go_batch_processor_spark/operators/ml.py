@@ -1181,6 +1181,9 @@ def ml_naive_bayes_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     accumulated fp noise is O(1e-12).
     """
     d = load_table(spark, sf_dir, "documents")
+    # r13 optimization note: a _spread here was measured 1.5x SLOWER at
+    # sf0.1 — the flat token explode is cheap (no n-gram HOF) and the
+    # added exchange is paid once per aggregate branch. Left alone.
     toks = d.select(
         "doc_id", "lang", F.explode(F.split(F.lower("text"), " ")).alias("term")
     )

@@ -14,6 +14,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from go_batch_processor_spark.catalog import load_table
+from go_batch_processor_spark.operators.dedup import _spread
 from go_batch_processor_spark.registry import REGISTRY, register
 
 TOP_WORDS = 20
@@ -43,8 +44,11 @@ def _corpus_bigrams(
 
     d = load_table(spark, sf_dir, "documents")
     w = F.split(F.lower("text"), " ")
+    # r13 optimization: the fixture parquet is one row group, so without
+    # the rebalance the ~200x bigram explode runs single-task no matter
+    # the core count (the dedup._spread rationale; guide §2.5 input skew).
     bi = (
-        d.filter(F.size(w) >= 2)
+        _spread(d).filter(F.size(w) >= 2)
         .select(
             "doc_id",
             F.explode(
@@ -463,8 +467,10 @@ def text_contamination_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     d = load_table(spark, sf_dir, "documents")
     a = F.split("text", " ")
+    # r13 optimization: rebalance ahead of the gram explode (the
+    # single-row-group scan makes it single-task otherwise).
     grams = (
-        d.filter(F.size(a) >= CONTAM_N)
+        _spread(d).filter(F.size(a) >= CONTAM_N)
         .select(
             "doc_id",
             F.explode(
@@ -814,8 +820,11 @@ def text_repeated_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     would shave it further if needed."""
     d = load_table(spark, sf_dir, "documents")
     a = F.split("text", " ")
+    # r13 optimization: rebalance ahead of the gram explode — the
+    # single-row-group scan otherwise runs the ~200x amplification on
+    # one task (dedup._spread rationale).
     grams = (
-        d.filter(F.size(a) >= REPEAT_N)
+        _spread(d).filter(F.size(a) >= REPEAT_N)
         .select(
             "doc_id",
             F.explode(
@@ -1702,7 +1711,7 @@ def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     # and the interpreted HOF shingle explode is the expensive part —
     # recomputing it per branch doubled the cost (measured 4.8 s at
     # sf0.1; ~2x less with the single materialization).
-    pairs = d.select(
+    pairs = _spread(d).select(
         "doc_id",
         F.explode(_word_ngrams(F.split("text", " "), 3)).alias("shingle"),
     ).localCheckpoint(eager=True)
