@@ -78,6 +78,22 @@ def _spread(df: DataFrame) -> DataFrame:
     return df.repartition(sc.defaultParallelism)
 
 
+def _spread_by(df: DataFrame, *cols: str) -> DataFrame:
+    """Hash-repartition on ``cols`` at full parallelism, as an EXPLICIT
+    user repartition.
+
+    Two properties matter (r13): (a) a downstream join/groupBy on the
+    same key reuses the partitioning (no second exchange, unlike the
+    round-robin `_spread`); (b) AQE never coalesces a user-specified
+    partition count, so a small-bytes frame that feeds a row-AMPLIFYING
+    stage (pair self-joins, rank-join probes) keeps its parallelism
+    under size-based coalescing — AQE decides by shuffle bytes and is
+    blind to downstream per-row amplification (the measured
+    graph_resource_allocation 3.6x cliff; OPTIMIZATION_r13.md)."""
+    sc = df.sparkSession.sparkContext
+    return df.repartition(sc.defaultParallelism, *[F.col(c) for c in cols])
+
+
 def doc_shingles(docs: DataFrame, n: int = NGRAM) -> DataFrame:
     """(doc_id, shingle) distinct pairs — the inverted-index building block."""
     words = F.split(F.col("text"), " ")

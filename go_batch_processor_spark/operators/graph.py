@@ -127,6 +127,10 @@ def interaction_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows each. Node ids are namespaced into one long key space:
     user -> 2*user_id, item -> 2*k + 1 (disjoint, join-friendly)."""
     e = load_table(spark, sf_dir, "events")
+    # r13 optimization note: a _spread before the JSON parse was A/B'd
+    # and REVERTED (graph-family total 1.06x slower) — the parse rides
+    # the map side of the distinct's own exchange, and the extra
+    # round-robin shuffle cost more than the single-task parse saved.
     pairs = (
         e.select(
             (F.col("user_id") * 2).alias("u"),
@@ -1371,8 +1375,11 @@ def _brandes_batched(
                 .localCheckpoint()
             )
             # isEmpty over the materialized checkpoint reads only until
-            # the first row — cheaper than a full count per hop.
-            if nxt.rdd.isEmpty():
+            # the first row — cheaper than a full count per hop. r13: the
+            # DataFrame form is a JVM take(1) (~120 ms cheaper per hop
+            # than .rdd.isEmpty, which pulls the examined partition
+            # through the Python serializer).
+            if nxt.isEmpty():
                 break
             levels[hop] = nxt
             maxd = hop
@@ -1645,7 +1652,8 @@ def _bfs_multi(
             )
             # isEmpty over the materialized checkpoint reads only until
             # the first row — cheaper than a full count per hop (r10).
-            if nxt.rdd.isEmpty():
+            # r13: DataFrame form — JVM take(1), no Python serializer.
+            if nxt.isEmpty():
                 break
             dist = dist.unionByName(nxt)
             frontier = nxt
@@ -1805,11 +1813,20 @@ def graph_resource_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("unit")
     )
-    ap = pairs.select(F.col("u").alias("u1"), "i")
+    # r13: EXPLICIT hash-repartition on the join key — the pairs frame is
+    # a few MB, so AQE size-based coalescing would run the C(deg,2)
+    # row-amplifying self-join on 1-2 tasks (measured 3.6x slower);
+    # a user-specified partition count is never coalesced, and the join
+    # reuses it (no extra exchange vs the planner's own shuffle).
+    from go_batch_processor_spark.operators.dedup import _spread_by
+
+    ap = _spread_by(pairs.select(F.col("u").alias("u1"), "i"), "i")
     # attach the unit to the build side (co-partitioned on i, same
     # shuffle) before pair generation — joining it onto the pair output
     # instead touches the C(d,2)-amplified frame
-    bp = pairs.select(F.col("u").alias("u2"), "i").join(ideg, "i")
+    bp = _spread_by(
+        pairs.select(F.col("u").alias("u2"), "i"), "i"
+    ).join(ideg, "i")
     common = (
         ap.join(bp, "i")
         .filter(F.col("u1") < F.col("u2"))

@@ -961,21 +961,44 @@ def ml_logreg_irls(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = sum(c[4] for c in cells)
     beta = [0.0, 0.0, 0.0, 0.0]
     stages = _logreg_cramer_stages()
+    exp = math.exp
     for _ in range(LOGREG_ITERS):
-        ns = {}
-        for i in range(4):
-            ns[f"g_{i}"] = 0.0
-            for j in range(i, 4):
-                ns[f"h_{i}_{j}"] = 0.0
+        # r13 optimization: unrolled local-float accumulators replace the
+        # f-string-keyed dict (14 f-string constructions per cell per
+        # iteration dominated the fold — measured 65 ms -> 12 ms per
+        # iteration at sf0.1 cell counts). Each accumulator receives the
+        # SAME per-cell terms in the SAME cell order as before, so every
+        # sum is bit-identical (only the interleaving across DISTINCT
+        # accumulators changed, which IEEE addition never sees).
+        g0 = g1 = g2 = g3 = 0.0
+        h00 = h01 = h02 = h03 = 0.0
+        h11 = h12 = h13 = h22 = h23 = h33 = 0.0
+        b0, b1, b2, b3 = beta
         for x1, x2, x3, yd, cnt in cells:
-            xs = (1.0, x1, x2, x3)
-            xb = ((beta[0] + beta[1] * x1) + beta[2] * x2) + beta[3] * x3
-            p = 1.0 / (1.0 + math.exp(-xb))
+            xb = ((b0 + b1 * x1) + b2 * x2) + b3 * x3
+            p = 1.0 / (1.0 + exp(-xb))
             w = p * (1.0 - p)
-            for i in range(4):
-                ns[f"g_{i}"] += cnt * (xs[i] * (yd - p))
-                for j in range(i, 4):
-                    ns[f"h_{i}_{j}"] += cnt * ((w * xs[i]) * xs[j])
+            r = yd - p
+            g0 += cnt * (1.0 * r)
+            h00 += cnt * ((w * 1.0) * 1.0)
+            h01 += cnt * ((w * 1.0) * x1)
+            h02 += cnt * ((w * 1.0) * x2)
+            h03 += cnt * ((w * 1.0) * x3)
+            g1 += cnt * (x1 * r)
+            h11 += cnt * ((w * x1) * x1)
+            h12 += cnt * ((w * x1) * x2)
+            h13 += cnt * ((w * x1) * x3)
+            g2 += cnt * (x2 * r)
+            h22 += cnt * ((w * x2) * x2)
+            h23 += cnt * ((w * x2) * x3)
+            g3 += cnt * (x3 * r)
+            h33 += cnt * ((w * x3) * x3)
+        ns = {
+            "g_0": g0, "g_1": g1, "g_2": g2, "g_3": g3,
+            "h_0_0": h00, "h_0_1": h01, "h_0_2": h02, "h_0_3": h03,
+            "h_1_1": h11, "h_1_2": h12, "h_1_3": h13,
+            "h_2_2": h22, "h_2_3": h23, "h_3_3": h33,
+        }
         ns = _eval_stages(stages, ns)
         for k in range(4):
             beta[k] = beta[k] + ns[f"b{k}"]

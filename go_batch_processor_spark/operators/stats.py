@@ -1249,8 +1249,19 @@ def stats_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("cum") - F.col("c") + (F.col("c") + 1) / 2.0).alias("rp"),
     )
     totals = joint.groupBy("l_returnflag").agg(F.sum("w").alias("n_g"))
+    # r13: explicit user repartitions on each rank-join key — the joint
+    # frame is ~10 MB at sf0.1, so AQE size-based coalescing would run
+    # both 600k-row probe joins and the co-moment partial agg on one
+    # task (measured 1.28-1.41x slower); user-specified partition counts
+    # are never coalesced and each join reuses its repartition, so under
+    # the old conf this is plan-neutral (same exchange count).
+    from go_batch_processor_spark.operators.dedup import _spread_by
+
+    j1 = _spread_by(joint, "l_returnflag", "l_quantity").join(
+        qr, ["l_returnflag", "l_quantity"]
+    )
     r = (
-        joint.join(qr, ["l_returnflag", "l_quantity"])
+        _spread_by(j1, "l_returnflag", "l_extendedprice")
         .join(pr, ["l_returnflag", "l_extendedprice"])
         .join(F.broadcast(totals), "l_returnflag")
         .withColumn("crq", F.col("rq") - (F.col("n_g") + 1) / 2.0)

@@ -35,6 +35,15 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # r13 (optimization) NOTE: size-based coalescing
+        # (coalescePartitions.parallelismFirst=false, advisory 8-64m)
+        # was A/B'd exhaustively and REJECTED: its apparent wins on
+        # iterative keys were CPU-contention artifacts of a loaded
+        # measurement box — re-run on an idle box, the parallelism-first
+        # default won on 13/14 keys (total 0.74x vs the candidate), and
+        # size-based coalescing is additionally blind to downstream
+        # row amplification (graph_resource_allocation went 3.6x slower
+        # even with advisory=16m). Details in OPTIMIZATION_r13.md.
         # r13 (optimization): allow shuffled-hash join when one side is
         # small per partition (guide §3.1/§9) — interleaved A/B at sf0.1
         # measured 0.82x on the join-heavy key set (tpch_q16 0.66x,

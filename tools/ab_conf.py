@@ -58,12 +58,23 @@ def main() -> int:
 
     a: dict[str, list[float]] = {k: [] for k in keys}
     b: dict[str, list[float]] = {k: [] for k in keys}
-    for _ in range(REPS):
+    for rep in range(REPS):
         for name in keys:
-            set_arm(base)
-            a[name].append(run(name))
-            set_arm(conf)
-            b[name].append(run(name))
+            # Alternate within-pair order per rep: the run immediately
+            # following another run of the same key is systematically
+            # ~10-15% faster (page cache, JIT, GC state), so a fixed
+            # base-then-cand order biases every ratio toward the
+            # candidate. Alternating cancels the bias in the median.
+            if rep % 2 == 0:
+                set_arm(base)
+                a[name].append(run(name))
+                set_arm(conf)
+                b[name].append(run(name))
+            else:
+                set_arm(conf)
+                b[name].append(run(name))
+                set_arm(base)
+                a[name].append(run(name))
 
     ta = tb = 0.0
     print(f"{'key':42s} {'base':>8s} {'cand':>8s} {'ratio':>6s}")
