@@ -1374,11 +1374,12 @@ def _brandes_batched(
                 .select("p", "node", "d", "sigma")
                 .localCheckpoint()
             )
-            # isEmpty over the materialized checkpoint reads only until
-            # the first row — cheaper than a full count per hop. r13: the
-            # DataFrame form is a JVM take(1) (~120 ms cheaper per hop
-            # than .rdd.isEmpty, which pulls the examined partition
-            # through the Python serializer).
+            # r13: emptiness via DataFrame.isEmpty — a JVM take(1) over
+            # the materialized checkpoint (~120 ms/hop cheaper than
+            # .rdd.isEmpty, which pulls the partition through the Python
+            # serializer). A lazy-checkpoint+count() fusion was measured
+            # and reverted: under AQE count() is itself two stage-jobs,
+            # so it saves nothing and scans every partition.
             if nxt.isEmpty():
                 break
             levels[hop] = nxt
@@ -1650,9 +1651,9 @@ def _bfs_multi(
                 .withColumn("d", F.lit(hop))
                 .localCheckpoint()
             )
-            # isEmpty over the materialized checkpoint reads only until
-            # the first row — cheaper than a full count per hop (r10).
-            # r13: DataFrame form — JVM take(1), no Python serializer.
+            # r13: DataFrame.isEmpty — JVM take(1), no Python serializer
+            # (the lazy-checkpoint+count fusion measured no job savings
+            # under AQE; see _brandes_batched).
             if nxt.isEmpty():
                 break
             dist = dist.unionByName(nxt)
