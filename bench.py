@@ -295,11 +295,33 @@ def main() -> None:
         ),
         flush=True,
     )
-    # Compact total-only line AFTER the per-query dict: the per-query line
-    # grows with the headline list (75+ queries) and the driver captures a
-    # bounded tail of stdout, so a long first line can be truncated
-    # mid-dict. This short trailer always fits the tail window, keeping
-    # the headline number recoverable even if the detail line is cut.
+    # Per-query timings in driver-recoverable chunks (VERDICT r13 item 1):
+    # the full detail line above grows with the headline list and the
+    # driver captures only a bounded stdout TAIL, so the long first line
+    # is truncated mid-dict and PERF's per-query comparator comes back
+    # empty (PERF_r13: n_common=0). Re-emit the same dict as short JSON
+    # lines of <=20 keys each, newest-last, immediately before the final
+    # trailer — short lines land intact inside the tail window. ADDITIVE:
+    # no existing line or field is renamed or removed.
+    chunk_size = 20
+    names = list(times)
+    n_chunks = (len(names) + chunk_size - 1) // chunk_size
+    for i in range(n_chunks):
+        part = names[i * chunk_size : (i + 1) * chunk_size]
+        print(
+            json.dumps(
+                {
+                    "metric": "headline_chunk",
+                    "i": i,
+                    "n": n_chunks,
+                    "queries": {k: times[k] for k in part},
+                }
+            ),
+            flush=True,
+        )
+    # Compact total-only line LAST: the short trailer always fits the tail
+    # window, keeping the headline number recoverable even if the detail
+    # line is cut.
     print(
         json.dumps(
             {

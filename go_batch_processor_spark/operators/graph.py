@@ -35,6 +35,29 @@ PR_TOP_K = 20
 _TRI_CENSUS_CACHE: dict[tuple[str, str], tuple[DataFrame, DataFrame]] = {}
 
 
+def _ckpt_count(df: DataFrame) -> tuple[DataFrame, int]:
+    """localCheckpoint + row count fused into ONE Spark job (r14,
+    VERDICT r13 item 3; guide §1.2 — fewer passes).
+
+    An eager ``localCheckpoint()`` already runs ``internalRdd.count()``
+    to materialize the blocks, and the BFS emptiness probe then paid a
+    SECOND job (``isEmpty`` = take(1)). Checkpointing lazily and running
+    the count ourselves on the LogicalRDD's JVM RDD handle makes the
+    single materialization job also return the row count — no plan, no
+    AQE re-planning, no Python serializer. (The r13 rejection note in
+    the old comment measured a PLAN-side ``count()`` — itself two AQE
+    stage-jobs — not the RDD-handle count.) Falls back to the eager
+    checkpoint + isEmpty pair if the internal handle is unavailable.
+    """
+    ck = df.localCheckpoint(eager=False)
+    try:
+        n = int(ck._jdf.queryExecution().analyzed().rdd().count())
+    except Exception:  # pragma: no cover - Spark internals moved
+        ck = df.localCheckpoint(eager=True)
+        n = 0 if ck.isEmpty() else 1
+    return ck, n
+
+
 def _triangle_census(
     spark: SparkSession, sf_dir: str
 ) -> tuple[DataFrame, DataFrame]:
@@ -1368,19 +1391,17 @@ def _brandes_batched(
                 .groupBy("p", F.col("dst").alias("node"))
                 .agg(F.sum("sigma").alias("sigma"))
             )
-            nxt = (
+            # r14: checkpoint materialization and the emptiness probe
+            # are ONE job (_ckpt_count) — the eager-checkpoint +
+            # isEmpty pair this replaces paid a second take(1) job per
+            # hop (and r13's rejected fusion had measured a plan-side
+            # count, which is two AQE stage-jobs, not this RDD count).
+            nxt, n_next = _ckpt_count(
                 cand.join(dist.select("p", "node"), ["p", "node"], "left_anti")
                 .withColumn("d", F.lit(hop))
                 .select("p", "node", "d", "sigma")
-                .localCheckpoint()
             )
-            # r13: emptiness via DataFrame.isEmpty — a JVM take(1) over
-            # the materialized checkpoint (~120 ms/hop cheaper than
-            # .rdd.isEmpty, which pulls the partition through the Python
-            # serializer). A lazy-checkpoint+count() fusion was measured
-            # and reverted: under AQE count() is itself two stage-jobs,
-            # so it saves nothing and scans every partition.
-            if nxt.isEmpty():
+            if n_next == 0:
                 break
             levels[hop] = nxt
             maxd = hop
@@ -1643,18 +1664,16 @@ def _bfs_multi(
         )
         frontier = dist
         for hop in range(1, max_hops + 1):
-            nxt = (
+            # r14: checkpoint + emptiness probe fused into one job
+            # (see _ckpt_count / _brandes_batched).
+            nxt, n_next = _ckpt_count(
                 frontier.join(edges, frontier.node == edges.src)
                 .select("p", F.col("dst").alias("node"))
                 .distinct()
                 .join(dist.select("p", "node"), ["p", "node"], "left_anti")
                 .withColumn("d", F.lit(hop))
-                .localCheckpoint()
             )
-            # r13: DataFrame.isEmpty — JVM take(1), no Python serializer
-            # (the lazy-checkpoint+count fusion measured no job savings
-            # under AQE; see _brandes_batched).
-            if nxt.isEmpty():
+            if n_next == 0:
                 break
             dist = dist.unionByName(nxt)
             frontier = nxt
