@@ -76,7 +76,10 @@ def _bucket_expr(bounds: list[float], key: str, *, descending: bool) -> Column:
     """
     if not bounds:
         return F.lit(0)
-    kd = f"CAST(`{key}` AS DOUBLE)"
+    # r14 (ADVICE): escape backticks so a hostile/odd column name cannot
+    # change the parsed expression; only top-level columns are supported
+    # (a dotted name is quoted whole, same as F.col would resolve it).
+    kd = "CAST(`{}` AS DOUBLE)".format(key.replace("`", "``"))
     n = len(bounds)
     parts = []
     if descending:
@@ -111,20 +114,34 @@ def distributed_row_number(
     rank to be deterministic.
     """
     probs = [i / nbuckets for i in range(1, nbuckets)]
-    bounds = sorted(set(df.approxQuantile(key, probs, 0.001)))
+    # r14 (ADVICE): drop NaN boundaries — approxQuantile can return NaN
+    # when the key column contains NaN (Spark orders NaN greatest), and
+    # sorted() has no total order with NaN, so a NaN bound would make the
+    # first-match CASE chain diverge from the order-independent HOF count.
+    # NaN keys themselves still bucket deterministically (every compare
+    # with NaN is false -> bucket 0 asc / n desc, same as the HOF form).
+    bounds = sorted({b for b in df.approxQuantile(key, probs, 0.001) if b == b})
     bdf = df.withColumn("__bkt", _bucket_expr(bounds, key, descending=descending))
 
     counts = {r["__bkt"]: r["cnt"] for r in
               bdf.groupBy("__bkt").agg(F.count(F.lit(1)).alias("cnt")).collect()}
-    offsets, acc = {}, 0
-    for b in sorted(counts):
-        offsets[b] = acc
-        acc += counts[b]
-    if offsets:
-        off_map = F.create_map(
-            *[c for b, o in offsets.items() for c in (F.lit(b), F.lit(o))]
+    acc = sum(counts.values())
+    if counts:
+        # r14 (guide §1.2 per-row work): cumulative offsets as ONE dense
+        # BIGINT array literal indexed by __bkt — element_at(array, i) is
+        # an O(1) subscript, where the previous literal-map lookup
+        # (element_at(create_map(...), __bkt)) linear-scanned up to 64
+        # entries per row in both the window input and the final project.
+        # Values are exact integers either way; buckets with no rows get
+        # the running cumulative (never looked up — no row has them).
+        dense, run = [], 0
+        for b in range(len(bounds) + 1):
+            dense.append(run)
+            run += counts.get(b, 0)
+        off = F.element_at(
+            F.expr("array(" + ",".join(f"{o}L" for o in dense) + ")"),
+            F.col("__bkt") + 1,
         )
-        off = F.element_at(off_map, F.col("__bkt"))
     else:  # empty input frame
         off = F.lit(0)
 
@@ -163,7 +180,8 @@ def distributed_group_cumsum(
     within-bucket order total.
     """
     probs = [i / nbuckets for i in range(1, nbuckets)]
-    bounds = sorted(set(df.approxQuantile(key, probs, 0.001)))
+    # NaN guard: same rationale as distributed_row_number (r14, ADVICE).
+    bounds = sorted({b for b in df.approxQuantile(key, probs, 0.001) if b == b})
     bdf = df.withColumn("__bkt", _bucket_expr(bounds, key, descending=False))
 
     totals = (
@@ -174,23 +192,31 @@ def distributed_group_cumsum(
     per_group: dict[object, dict[int, float]] = {}
     for r in totals:
         per_group.setdefault(r[group], {})[r["__bkt"]] = r["t"]
-    entries = []
-    for g, bks in per_group.items():
-        acc = 0
-        for b in sorted(bks):
+    if per_group:
+        # r14 (guide §1.2 per-row work): the offset lookup was a FLAT
+        # literal map keyed by "group:bucket" — a per-row string concat
+        # plus a linear scan over |groups|*nbuckets entries. Two-level
+        # form: small literal map group -> dense offset ARRAY, so each
+        # row pays one short map probe + an O(1) subscript and the
+        # concat disappears. Offset VALUES are built with the identical
+        # float accumulation (same per-group sorted-bucket order, += of
+        # the same doubles), so every literal is bit-identical to the
+        # old form's.
+        entries = []
+        for g, bks in per_group.items():
+            acc = 0
+            dense = []
+            for b in range(len(bounds) + 1):
+                dense.append(acc)
+                if b in bks:
+                    acc += bks[b]
             entries.extend(
-                (F.concat(F.lit(str(g)), F.lit(":"), F.lit(str(b))), F.lit(acc))
+                (F.lit(str(g)), F.array(*[F.lit(o) for o in dense]))
             )
-            acc += bks[b]
-    if entries:
         off_map = F.create_map(*entries)
         off = F.element_at(
-            off_map,
-            F.concat(
-                F.col(group).cast("string"),
-                F.lit(":"),
-                F.col("__bkt").cast("string"),
-            ),
+            F.element_at(off_map, F.col(group).cast("string")),
+            F.col("__bkt") + 1,
         )
     else:  # empty input frame
         off = F.lit(0)

@@ -64,34 +64,10 @@ def _word_ngrams(words: Column, n: int) -> Column:
     )
 
 
-def _spread(df: DataFrame) -> DataFrame:
-    """Rebalance input ahead of a row-amplifying, compute-heavy transform
-    (shingle explode + k hash functions is a ~50x amplification).
-
-    Rationale: task count of a parquet scan is bound by row groups; a
-    single-row-group file makes the amplification stage single-task no
-    matter the cluster size. The repartition shuffles only the compact
-    pre-amplification rows — measured 2x end-to-end locally, and at scale
-    it bounds amplification skew regardless of input file layout.
-    """
-    sc = df.sparkSession.sparkContext
-    return df.repartition(sc.defaultParallelism)
-
-
-def _spread_by(df: DataFrame, *cols: str) -> DataFrame:
-    """Hash-repartition on ``cols`` at full parallelism, as an EXPLICIT
-    user repartition.
-
-    Two properties matter (r13): (a) a downstream join/groupBy on the
-    same key reuses the partitioning (no second exchange, unlike the
-    round-robin `_spread`); (b) AQE never coalesces a user-specified
-    partition count, so a small-bytes frame that feeds a row-AMPLIFYING
-    stage (pair self-joins, rank-join probes) keeps its parallelism
-    under size-based coalescing — AQE decides by shuffle bytes and is
-    blind to downstream per-row amplification (the measured
-    graph_resource_allocation 3.6x cliff; OPTIMIZATION_r13.md)."""
-    sc = df.sparkSession.sparkContext
-    return df.repartition(sc.defaultParallelism, *[F.col(c) for c in cols])
+# _spread/_spread_by moved to go_batch_processor_spark.spread (r14,
+# ADVICE: shared helper out of the dedup module); re-exported here so
+# existing `from operators.dedup import _spread` sites stay valid.
+from go_batch_processor_spark.spread import _spread, _spread_by  # noqa: E402,F401
 
 
 def doc_shingles(docs: DataFrame, n: int = NGRAM) -> DataFrame:

@@ -1455,12 +1455,20 @@ def _brandes_batched(
             # pre-r9 code dropped them, losing their 1+0 contributions
             # one level down; the pivot's own row rides along harmlessly
             # — level 0 is never accumulated)
+            # r14 (guide §1.2 — fewer passes): checkpoint LAZILY. Eager
+            # paid one materialization job PER LEVEL; lazy defers every
+            # level to the single final aggregation job below, where each
+            # delta RDD is computed once, persisted, and its blocks are
+            # reused by BOTH consumers (the acc union branch and the next
+            # level's contrib join) inside that job. Plan structure and
+            # partitioning are unchanged, so every per-key double sum
+            # accumulates in the same order (value-identical).
             delta = (
                 levels[k - 1]
                 .select("p", "node", "sigma")
                 .join(contrib.select("p", "node", "delta"), ["p", "node"], "left")
                 .withColumn("delta", F.coalesce(F.col("delta"), F.lit(0.0)))
-                .localCheckpoint()
+                .localCheckpoint(eager=False)
             )
         # level 0 is each pivot itself — Brandes excludes the source, so
         # its delta row is NOT accumulated (the loop above only recorded
@@ -1677,7 +1685,12 @@ def _bfs_multi(
                 break
             dist = dist.unionByName(nxt)
             frontier = nxt
-        return dist.localCheckpoint()
+        # r14: lazy — the union is over per-hop frames ALREADY
+        # materialized by _ckpt_count (it never references the edge list
+        # unpersisted below), so an eager checkpoint here paid one whole
+        # extra copy job just to flatten blocks; the first consumer
+        # materializes the flattened frame instead.
+        return dist.localCheckpoint(eager=False)
     finally:
         edges.unpersist(blocking=False)
 
@@ -1838,7 +1851,7 @@ def graph_resource_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
     # row-amplifying self-join on 1-2 tasks (measured 3.6x slower);
     # a user-specified partition count is never coalesced, and the join
     # reuses it (no extra exchange vs the planner's own shuffle).
-    from go_batch_processor_spark.operators.dedup import _spread_by
+    from go_batch_processor_spark.spread import _spread_by
 
     ap = _spread_by(pairs.select(F.col("u").alias("u1"), "i"), "i")
     # attach the unit to the build side (co-partitioned on i, same

@@ -43,7 +43,7 @@ def _spread_ml(df: DataFrame) -> DataFrame:
     arithmetic, dominates (ml_quantile_regression 15.5 -> ~3 s at
     sf0.1). One extra narrow shuffle once, paid back every iteration;
     at cluster scale the repartition tracks defaultParallelism."""
-    from go_batch_processor_spark.operators.dedup import _spread
+    from go_batch_processor_spark.spread import _spread
 
     return _spread(df)
 
@@ -2265,7 +2265,7 @@ def ml_quantile_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     import numpy as np
 
-    from go_batch_processor_spark.operators.dedup import _spread
+    from go_batch_processor_spark.spread import _spread
 
     # _spread before persist (r9): the row-group-bound scan caches as
     # 1-2 partitions, so every one of the iters x taus aggregate jobs
@@ -2566,7 +2566,7 @@ def ml_isolation_forest(spark: SparkSession, sf_dir: str) -> DataFrame:
     # SCAN's parallelism (row-group-bound — 1-2 tasks on the fixture
     # layout) and the per-row tree walk is Python-priced, the same class
     # as the AQE/applyInPandas finding (timeseries._spread_groups).
-    from go_batch_processor_spark.operators.dedup import _spread
+    from go_batch_processor_spark.spread import _spread
 
     scored = _spread(li).mapInPandas(
         score_iter, "l_orderkey long, l_linenumber int, score double"
@@ -3099,7 +3099,7 @@ def ml_lift_gain_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     statistic is identical because the ordering is total.
     """
     from go_batch_processor_spark.dist_rank import distributed_row_number
-    from go_batch_processor_spark.operators.dedup import _spread
+    from go_batch_processor_spark.spread import _spread
 
     li = load_table(spark, sf_dir, "lineitem")
     scored = (

@@ -75,28 +75,17 @@ def _dot(a: Column, b: Column) -> Column:
     )
 
 
-def _dot_unrolled_sql(a: str, b: str, dim: int = EMB_DIM) -> Column:
-    """Bit-identical codegen twin of ``_dot`` for fixed-width vectors,
-    taking SQL column references (e.g. ``"a.emb"``) instead of Columns.
-
-    The HOF fold above evaluates INTERPRETED (per-row array + lambda
-    object churn — the dist_rank r13 finding, guide §1.2/§4.1), which
-    dominates all-pairs consumers: similarity_knn_classifier evaluates
-    it 4M times at sf0.1. This form unrolls the identical left-to-right
-    accumulation ``((0.0 + a[0]*b[0]) + a[1]*b[1]) + ...`` as ONE
-    SQL-string parse (`+` parses left-associative), so every partial sum
-    is the same IEEE double in the same order — bit-identical by
-    construction, including the fold's 0.0 seed (which absorbs a -0.0
-    first product exactly like the fold does) — but whole-stage-codegen
-    compiles it to primitive double arithmetic. A numpy mapInArrow twin
-    was REJECTED in r13 because numpy's pairwise summation reorders the
-    dot; this rewrite has no such risk. Out-of-range getItem returns
-    NULL and poisons the sum to NULL, matching zip_with's null-padding
-    on length-mismatched arrays (the fixture schema is fixed-width
-    {EMB_DIM}).
-    """
-    terms = " + ".join(f"{a}[{i}] * {b}[{i}]" for i in range(dim))
-    return F.expr(f"CAST(0.0 AS DOUBLE) + {terms}")
+# r14 NEGATIVE RESULT (measured, reverted): an unrolled SQL twin of
+# _dot for fixed 64-dim vectors — ``0.0 + a[0]*b[0] + a[1]*b[1] + ...``
+# as one F.expr parse — was landed on similarity_knn_classifier's
+# all-pairs dot on the theory that the interpreted HOF fold (per-row
+# array+lambda churn) dominates. Interleaved A/B at sf0.1 measured the
+# unrolled form 4.0x SLOWER (1.99 s -> 7.97 s solo; driver-style bench
+# 2.56 -> 8.42 s): 64 independent GetArrayItem evaluations each repay
+# null/bounds checks and the resulting 129-node expression tree blows
+# past codegen's method-split budget, while the fold walks both arrays
+# once. Keep the HOF fold; it is also the bit-exactness contract
+# (left-to-right accumulation from a 0.0 seed).
 
 
 def _norm(a: Column) -> Column:
@@ -1708,19 +1697,17 @@ def similarity_knn_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     # parallelism — 76 s at sf0.1. Precomputing norms (identical fold,
     # identical value) and spreading the probe side cuts it to ~2 s with
     # a bit-identical result.
-    from go_batch_processor_spark.operators.dedup import _spread
+    from go_batch_processor_spark.spread import _spread
 
     e = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", "label", _as_double(F.col("embedding")).alias("emb")
     )
     e = e.withColumn("nrm", _norm(F.col("emb")))
     a, b = _spread(e).alias("a"), e.alias("b")
-    # r14: the pair dot is the unrolled codegen twin of _dot (same
-    # left-assoc accumulation, bit-identical doubles — see
-    # _dot_unrolled_sql) instead of the interpreted HOF fold, which was
-    # evaluated once per PAIR (4M times at sf0.1) inside the
-    # all-pairs project. The per-VECTOR norm (2k rows) stays on the HOF.
-    cos = _dot_unrolled_sql("a.emb", "b.emb") / (
+    # r14: an unrolled-SQL twin of this dot was tried and REVERTED —
+    # measured 4.0x slower than the HOF fold (negative-result note at
+    # the _dot definition above).
+    cos = _dot(F.col("a.emb"), F.col("b.emb")) / (
         F.col("a.nrm") * F.col("b.nrm")
     )
     ranked = (

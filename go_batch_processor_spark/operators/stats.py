@@ -724,7 +724,7 @@ def stats_bootstrap_poisson_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     partial agg -> 100 rows, then a tiny exact percentile. The fact table
     is read ONCE.
     """
-    from go_batch_processor_spark.operators.dedup import _spread
+    from go_batch_processor_spark.spread import _spread
 
     # Rebalance ahead of the 100x replicate amplification: the fixture's
     # single-row-group parquet makes the scan 1 task, and the md5-per-
@@ -1255,7 +1255,7 @@ def stats_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     # task (measured 1.28-1.41x slower); user-specified partition counts
     # are never coalesced and each join reuses its repartition, so under
     # the old conf this is plan-neutral (same exchange count).
-    from go_batch_processor_spark.operators.dedup import _spread_by
+    from go_batch_processor_spark.spread import _spread_by
 
     j1 = _spread_by(joint, "l_returnflag", "l_quantity").join(
         qr, ["l_returnflag", "l_quantity"]
@@ -2824,7 +2824,7 @@ def stats_permutation_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     observed-statistic aggregate, then the replicate pass); the second
     scan is the only data-sized stage.
     """
-    from go_batch_processor_spark.operators.dedup import _spread
+    from go_batch_processor_spark.spread import _spread
 
     ev = load_table(spark, sf_dir, "events").filter(
         F.col("event_type").isin("purchase", "click")

@@ -14,7 +14,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from go_batch_processor_spark.catalog import load_table
-from go_batch_processor_spark.operators.dedup import _spread
+from go_batch_processor_spark.spread import _spread
 from go_batch_processor_spark.registry import REGISTRY, register
 
 TOP_WORDS = 20
