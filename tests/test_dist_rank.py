@@ -103,3 +103,42 @@ def test_group_cumsum_plan_is_bucket_parallel(spark, sf_dir):
     plan = got._jdf.queryExecution().executedPlan().toString()
     assert "__bkt" in plan
     assert "SinglePartition" not in plan
+
+
+def test_nan_keys_and_nan_bounds_still_rank_exactly(spark):
+    # r14 (ADVICE): approxQuantile can return NaN boundaries when the key
+    # column contains NaN; bounds are NaN-filtered before the CASE chain.
+    # NaN keys themselves compare false against every bound, so they land
+    # deterministically in bucket 0 (asc) and the rank stays a permutation
+    # that matches the single-task global window (NaN sorts LAST asc in
+    # both the window and the bucketed sort — Spark total order).
+    rows = [(i, float(i % 7)) for i in range(200)] + [
+        (1000 + i, float("nan")) for i in range(20)
+    ]
+    df = spark.createDataFrame(rows, "id long, x double")
+    got, n = distributed_row_number(
+        df, "x", [F.col("x").asc(), F.col("id").asc()], "rn", nbuckets=8
+    )
+    w = Window.partitionBy().orderBy(F.col("x").asc(), F.col("id").asc())
+    want = df.withColumn("rn", F.row_number().over(w).cast("long"))
+    g = {r["id"]: r["rn"] for r in got.collect()}
+    e = {r["id"]: r["rn"] for r in want.collect()}
+    assert g == e and n == len(e)
+
+
+def test_backtick_column_name_is_escaped(spark):
+    # approxQuantile rejects backtick-bearing names upstream, so the full
+    # two-pass path can never see one — but _bucket_expr interpolates the
+    # name into SQL and must stay parse-safe for any name it is handed
+    # (r14, ADVICE).
+    from go_batch_processor_spark.dist_rank import _bucket_expr
+
+    df = spark.createDataFrame(
+        [(i, float(i % 5)) for i in range(50)], ["id", "we`ird"]
+    )
+    out = df.withColumn(
+        "b", _bucket_expr([1.0, 3.0], "we`ird", descending=False)
+    )
+    got = {r["id"]: r["b"] for r in out.collect()}
+    assert all(got[i] == (0 if i % 5 <= 1 else (1 if i % 5 <= 3 else 2))
+               for i in range(50))
