@@ -1211,7 +1211,10 @@ def stats_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         # final join-back, plus the cumsum helper's 3 passes) re-derives
         # from the compressed joint frame; truncate its lineage ONCE so
         # the corpus groupBy runs a single time (same pattern as
-        # graph_bfs_shortest_paths' per-hop checkpoint).
+        # graph_bfs_shortest_paths' per-hop checkpoint). r14: extending
+        # the checkpoint to the small regime was A/B'd at sf0.1 and
+        # measured a wash (1.006) — AQE exchange reuse already covers
+        # the branch re-derivations there; left lazy-regime-free.
         joint = joint.localCheckpoint(eager=True)
     # Marginal fractional (mid) ranks from cumulative distinct-value counts.
     w_q = Window.partitionBy("l_returnflag").orderBy("l_quantity")
