@@ -848,6 +848,13 @@ def _k_core_peel(
         for it in range(max_iters):
             deg = cur.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
             bad = deg.filter(F.col("d") < k).select(F.col("src").alias("n"))
+            # r14 NEGATIVE (measured, reverted): fusing this probe with a
+            # bad-materializing _ckpt_count (the Brandes §4 trick) was
+            # 1.157x SLOWER here (3.36 -> 3.89 s A/B) — unlike the BFS
+            # frontier, `bad` is a tiny BROADCAST side of the two
+            # anti-joins below, and a checkpointed LogicalRDD forfeits
+            # the aggregate's size estimate, while the recompute the
+            # count() probe "wastes" is absorbed by exchange reuse.
             if bad.count() == 0:
                 converged = True
                 break
